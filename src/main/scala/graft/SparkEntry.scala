@@ -1,13 +1,719 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{PipelineContext, Runner, Stage}
+import graft.extract.ParquetExtract
+import graft.transform.SQLTransform
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * Every query routes through the pipeline engine (ParquetExtract stages
+  * register temp views; SQLTransform or a dedicated stage computes the
+  * result), so the correctness gate exercises the real operator stack, not ad
+  * hoc DataFrame code.
+  *
+  * Determinism rules for DuckDB-oracle parity (SURVEY.md §5, §7 risks):
+  *  - every query ends in a total-order ORDER BY;
+  *  - SUMs over double columns are computed exactly via DECIMAL(18,2) cast
+  *    (both engines sum decimals exactly → bit-identical DOUBLE at the end;
+  *    a straight double SUM is order-dependent and would hash-mismatch);
+  *  - no approx functions, no rand, session timezone UTC.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Session read settings for oracle parity:
+    *  - no TimestampNTZ inference (plain TimestampType + UTC session ⇒ same
+    *    instants as DuckDB);
+    *  - the `events` table stores nanosecond timestamps, which Spark's parquet
+    *    reader rejects — read them as long and convert below (DuckDB
+    *    truncates ns→µs the same way).
+    */
+  private def configureReads(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  private def extractStages(dir: String, tables: Seq[String]): Seq[Stage] =
+    tables.flatMap {
+      case "events" =>
+        Seq(
+          ParquetExtract("extract_events_raw", s"$dir/events.parquet", "events_raw"),
+          SQLTransform(
+            "events_ns_to_ts",
+            // ns→µs with integer DIV (a double division would lose precision
+            // on 1.7e18-scale nanos)
+            """SELECT event_id, TIMESTAMP_MICROS(ts DIV 1000) AS ts, user_id,
+                      event_type, value, props
+               FROM events_raw""",
+            "events"
+          )
+        )
+      case t => Seq(ParquetExtract(s"extract_$t", s"$dir/$t.parquet", t))
+    }
+
+  /** Register the given tables as temp views via ParquetExtract stages, then
+    * run `sql` through SQLTransform.
+    */
+  private def pipe(tables: String*)(sql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(dir, tables) :+ SQLTransform("q", sql, "result"), ctx).get
+    }
+
+  /** Same tables registered, custom DataFrame logic. */
+  private def withViews(tables: String*)(
+      f: (SparkSession, PipelineContext) => DataFrame
+  ): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(dir, tables), ctx)
+      f(spark, ctx)
+    }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. TPC-H-Q1 shape:
+    * scan → filter → hash agg (partial+final) → sort, all Catalyst-planned.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------------
+  // SQL text shared between Spark and DuckDB where the dialects agree.
+  // Where they diverge the oracle gets its own text below.
+  // ---------------------------------------------------------------------------
+
+  private val q01 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  private val q02 = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_discount >= 0.05 AND l_quantity < 10
+    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
+
+  private val q03 = """
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment"""
+
+  private val q04 = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey"""
+
+  private val q05 = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    ORDER BY o_orderkey"""
+
+  private val q06 = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey"""
+
+  private val q07 = """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_retailprice, l.l_extendedprice
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+               AND l.l_extendedprice > p.p_retailprice * 45
+    ORDER BY l.l_orderkey, l.l_linenumber, p.p_partkey, l.l_extendedprice, l.l_quantity"""
+
+  private val q08 = """
+    SELECT n.n_name,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM nation n
+    FULL OUTER JOIN customer c ON c.c_nationkey = n.n_nationkey
+    FULL OUTER JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name NULLS FIRST"""
+
+  private val q09 = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) t
+    WHERE rk <= 3
+    ORDER BY o_custkey, rk"""
+
+  private val q10 = """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity"""
+
+  private val q11 = """
+    SELECT user_id, event_id, value,
+           LAG(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+           LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+    FROM events
+    WHERE user_id <= 5
+    ORDER BY user_id, ts, event_id"""
+
+  private val q12 = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, returnflag, linestatus"""
+
+  private val q13 = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL')  AS status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)  AS g_s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    ORDER BY g_p, g_s, priority, status"""
+
+  private val q14 = """
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nationkey,
+           CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+           CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY g_seg, g_nat, segment, nationkey"""
+
+  private val q15 = """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey FROM orders
+    ORDER BY custkey"""
+
+  private val q16 = """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    ORDER BY custkey"""
+
+  private val q17 = """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)  AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)  AS n_supps,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem"""
+
+  private val q18 = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10"""
+
+  private val q19 = """
+    SELECT c_custkey,
+           UPPER(c_name) AS uname,
+           LOWER(c_mktsegment) AS lseg,
+           SUBSTRING(c_name, 1, 8) AS prefix,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           CONCAT(c_name, '#', c_mktsegment) AS tagged,
+           REPLACE(c_name, 'Customer', 'Cust') AS brief,
+           TRIM(c_name) AS trimmed,
+           LPAD(CAST(c_custkey AS STRING), 8, '0') AS padded
+    FROM customer
+    ORDER BY c_custkey"""
+
+  private val q21 = """
+    SELECT o_orderkey,
+           ABS(o_totalprice - 100000)   AS dist,
+           ROUND(o_totalprice, 0)       AS rounded,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS floored,
+           CAST(CEIL(o_totalprice) AS BIGINT)  AS ceiled,
+           CAST(MOD(o_orderkey, 7) AS BIGINT) AS m7,
+           SQRT(o_totalprice)           AS root
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey"""
+
+  private val q22 = """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status2,
+           GREATEST(o_totalprice, 150000.0) AS hi,
+           LEAST(o_totalprice, 150000.0)    AS lo
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey"""
+
+  private val q26 = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.8 FROM orders o2)
+    ORDER BY o_orderkey"""
+
+  private val q27 = """
+    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 100 AND SUM(CAST(l_quantity AS DECIMAL(18,2))) > 1000
+    ORDER BY l_suppkey"""
+
+  private val q28 = """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey BETWEEN 100 AND 600
+    ORDER BY o_orderkey"""
+
+  private val q29 = """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%ol%' AND p_size BETWEEN 10 AND 30
+    ORDER BY p_partkey"""
+
+  // ---------------------------------------------------------------------------
+  // queries: name → (spark, sfDir) => DataFrame
+  // ---------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing_summary" -> pipe("lineitem")(q01),
+    "q02_filter_project" -> pipe("lineitem")(q02),
+    "q03_join_inner_3way" -> pipe("lineitem", "orders", "customer")(q03),
+    "q04_join_left_outer" -> pipe("customer", "orders")(q04),
+    "q05_join_semi_in" -> pipe("orders", "lineitem")(q05),
+    "q06_join_anti_notexists" -> pipe("customer", "orders")(q06),
+    "q07_join_theta" -> pipe("lineitem", "part")(q07),
+    "q08_join_full_outer" -> pipe("nation", "customer", "supplier")(q08),
+    "q09_window_topk_per_group" -> pipe("orders")(q09),
+    "q10_window_running_sum" -> pipe("lineitem")(q10),
+    "q11_window_lag_lead" -> pipe("events")(q11),
+    "q12_cube" -> pipe("lineitem")(q12),
+    "q13_rollup" -> pipe("orders")(q13),
+    "q14_grouping_sets" -> pipe("customer")(q14),
+    "q15_intersect" -> pipe("customer", "orders")(q15),
+    "q16_except" -> pipe("customer", "orders")(q16),
+    "q17_count_distinct" -> pipe("lineitem")(q17),
+    "q18_topk_limit" -> pipe("orders")(q18),
+    "q19_scalar_strings" -> pipe("customer")(q19),
+    "q20_scalar_dates" -> pipe("lineitem")(
+      """SELECT l_orderkey, l_linenumber,
+               CAST(YEAR(l_shipdate) AS BIGINT)  AS y,
+               CAST(MONTH(l_shipdate) AS BIGINT) AS m,
+               CAST(DAY(l_shipdate) AS BIGINT)   AS d,
+               DATE_TRUNC('MONTH', l_shipdate)   AS month_start,
+               CAST(l_shipdate AS DATE)          AS ship_day
+        FROM lineitem WHERE l_orderkey <= 200
+        ORDER BY l_orderkey, l_linenumber, ship_day"""
+    ),
+    "q21_scalar_math" -> pipe("orders")(q21),
+    "q22_case_coalesce" -> pipe("orders")(q22),
+    "q23_json_extract" -> pipe("events")(
+      """SELECT event_id, CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_id <= 500
+        ORDER BY event_id"""
+    ),
+    "q24_array_ops" -> pipe("documents")(
+      """SELECT doc_id,
+               CAST(SIZE(SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               ARRAY_JOIN(SLICE(SORT_ARRAY(ARRAY_DISTINCT(SPLIT(text, ' '))), 1, 3), ',') AS first3
+        FROM documents
+        ORDER BY doc_id"""
+    ),
+    "q25_union_all" -> pipe("customer", "supplier")(
+      """SELECT * FROM (
+          SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name, 'customer' AS kind FROM customer
+          UNION ALL
+          SELECT CAST(s_suppkey AS BIGINT), s_name, 'supplier' FROM supplier) t
+        ORDER BY kind, id"""
+    ),
+    "q26_scalar_subquery" -> pipe("orders")(q26),
+    "q27_having" -> pipe("lineitem")(q27),
+    "q28_in_between" -> pipe("orders")(q28),
+    "q29_like" -> pipe("part")(q29),
+    "q30_join_broadcast_star" -> withViews("lineitem", "supplier", "nation") {
+      (spark, ctx) =>
+        // Explicit broadcast of the small dimensions — at 100 TB the fact
+        // table never shuffles for this star join.
+        val l = ctx.view("lineitem")
+        val s = ctx.view("supplier")
+        val n = ctx.view("nation")
+        l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+          .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+          .groupBy(n("n_name").as("nation"))
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines")
+          )
+          .orderBy(col("nation"))
+    },
+    "q31_dedup_exact" -> withViews("documents") { (spark, ctx) =>
+      graft.llm.Dedup
+        .exact(ctx.view("documents"), Seq("lang", "source"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+    "q32_dedup_fingerprint" -> withViews("documents") { (spark, ctx) =>
+      // md5 of normalized text is the cross-engine-checkable stand-in for the
+      // xxhash64 fast path used at scale (TextStats.fingerprint).
+      ctx.view("documents")
+        .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+    "q33_text_token_stats" -> pipe("documents")(
+      """SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST(SIZE(SPLIT(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(SIZE(ARRAY_DISTINCT(SPLIT(TRIM(text), '\\s+'))) AS BIGINT) AS n_unique
+        FROM documents
+        ORDER BY doc_id"""
+    ),
+    "q34_text_quality" -> withViews("documents") { (spark, ctx) =>
+      ctx.view("documents")
+        .select(
+          col("doc_id"),
+          graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+          graft.llm.TextStats.qualityScore(col("text")).as("quality")
+        )
+        .orderBy("doc_id")
+    },
+    "q35_similarity_bruteforce" -> withViews("embeddings") { (spark, ctx) =>
+      val em = ctx.view("embeddings")
+      graft.llm.Similarity
+        .bruteForceTopK(em, "vec_id", "embedding", em.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(
+          col("query_id"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id"),
+          round(col("score"), 6).as("score")
+        )
+        .orderBy("query_id", "rank")
+    },
+    "q36_dedup_minhash" -> withViews("documents") { (spark, ctx) =>
+      graft.llm.Dedup
+        .minhashDedup(ctx.view("documents"), "doc_id", "text", shingleLen = 3, threshold = 0.8)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    "q37_dedup_simhash" -> withViews("documents") { (spark, ctx) =>
+      graft.llm.Dedup
+        .simhashPairs(ctx.view("documents"), "doc_id", "text", maxDistance = 8)
+        .orderBy("idA", "idB")
+    },
+    "q38_text_langid" -> withViews("documents") { (spark, ctx) =>
+      ctx.view("documents")
+        .select(col("doc_id"), graft.llm.TextStats.languageId(col("text")).as("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_guess")
+    },
+    "q39_stats_extract" -> withViews("lineitem") { (spark, ctx) =>
+      val ctx2 = ctx
+      graft.extract
+        .StatisticsExtract("stats", "lineitem", "lineitem_stats")
+        .execute(ctx2)
+      ctx2.view("lineitem_stats")
+        .filter(col("column").isin("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+        .select(col("column"), col("count"), col("nulls"), col("distinct"), col("min"), col("max"))
+        .orderBy("column")
+    },
+    "q40_typing_transform" -> withViews("lineitem") { (spark, ctx) =>
+      // String-ify a slice, then run the real TypingTransform back to types;
+      // inject two malformed rows to exercise _errors accumulation.
+      SQLTransform(
+        "stringify",
+        """SELECT CAST(l_orderkey AS STRING) AS orderkey, CAST(l_quantity AS STRING) AS qty,
+                  CAST(l_shipdate AS STRING) AS shipdate
+           FROM lineitem WHERE l_orderkey <= 100
+           UNION ALL SELECT 'xx', '12.5', '1996-01-01 00:00:00'
+           UNION ALL SELECT '999999', 'notanumber', 'baddate'""",
+        "raw_lines"
+      ).execute(ctx)
+      graft.transform.TypingTransform(
+        "typing",
+        schema = Seq(
+          graft.schema.FieldSpec("orderkey", "long", nullable = false),
+          graft.schema.FieldSpec("qty", "double"),
+          graft.schema.FieldSpec("shipdate", "timestamp")
+        ),
+        inputView = "raw_lines",
+        outputView = "typed_lines"
+      ).execute(ctx)
+      ctx.view("typed_lines")
+        .select(
+          col("orderkey"), col("qty"), col("shipdate"),
+          size(col("_errors")).cast("long").as("n_errors"),
+          coalesce(get(col("_errors"), lit(0)).getField("field"), lit("")).as("first_error_field")
+        )
+        .orderBy(col("orderkey").asc_nulls_first, col("qty").asc_nulls_first, col("n_errors"))
+    },
+    "q41_diff_transform" -> withViews("customer") { (spark, ctx) =>
+      SQLTransform("a", "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 1000", "set_a").execute(ctx)
+      SQLTransform("b", "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 6000", "set_b").execute(ctx)
+      graft.transform.DiffTransform(
+        "diff", "set_a", "set_b",
+        outputIntersectionView = Some("diff_inter"),
+        outputLeftView = Some("diff_left"),
+        outputRightView = Some("diff_right")
+      ).execute(ctx)
+      ctx.view("diff_inter").withColumn("side", lit("both"))
+        .unionAll(ctx.view("diff_left").withColumn("side", lit("left")))
+        .unionAll(ctx.view("diff_right").withColumn("side", lit("right")))
+        .orderBy("side", "c_custkey")
+    },
+    "q42_metadata_extract" -> withViews("lineitem") { (spark, ctx) =>
+      graft.extract.MetadataExtract("meta", "lineitem", "lineitem_meta").execute(ctx)
+      ctx.view("lineitem_meta").select("name", "nullable", "type").orderBy("name")
+    },
+    "q43_pivot" -> withViews("orders") { (spark, ctx) =>
+      ctx.view("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    },
+    "q44_explode_lateral" -> pipe("documents")(
+      """SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents LATERAL VIEW EXPLODE(SPLIT(TRIM(text), '\\s+')) t AS tok
+        WHERE doc_id < 20
+        GROUP BY doc_id, tok
+        ORDER BY doc_id, tok"""
+    ),
+    "q45_asof_join" -> withViews("events", "orders") { (spark, ctx) =>
+      // As-of join via the scale-correct union+window trick: tag both sides,
+      // union on the time axis, last_value of the order key over a
+      // time-ordered window partitioned by nothing shared — here keyed by
+      // user_id % 5 == o_custkey % 5 bucketing would be contrived, so we do
+      // the classic "latest order date <= event ts" with a single sorted
+      // window pass instead of a quadratic theta join.
+      // side 'a' (orders) sorts before 'z' (events) at equal timestamps so an
+      // order landing exactly at an event's ts is visible to it (ASOF >=).
+      val ev = ctx.view("events").filter(col("event_id") < 100)
+        .select(lit("z").as("side"), col("ts").as("t"), col("event_id"), lit(null).cast("timestamp").as("odate"))
+      val od = ctx.view("orders")
+        .select(lit("a").as("side"), col("o_orderdate").as("t"), lit(null).cast("long").as("event_id"), col("o_orderdate").as("odate"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("t"), col("side"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      ev.unionAll(od)
+        .withColumn("last_order_date", last(col("odate"), ignoreNulls = true).over(w))
+        .filter(col("side") === "z")
+        .select(col("event_id"), col("last_order_date"))
+        .orderBy("event_id")
+    }
+  )
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracle SQL (ANSI; dialect-adjusted where needed).
+  // Omitted: q36/q37 (LSH — not SQL-expressible), covered rows-only + ScalaTest.
+  // ---------------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing_summary" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_join_inner_3way" -> q03,
+    "q04_join_left_outer" -> q04,
+    "q05_join_semi_in" -> q05,
+    "q06_join_anti_notexists" -> q06,
+    "q07_join_theta" -> q07,
+    "q08_join_full_outer" -> q08,
+    "q09_window_topk_per_group" -> q09,
+    "q10_window_running_sum" -> q10,
+    "q11_window_lag_lead" -> q11,
+    "q12_cube" -> q12,
+    "q13_rollup" -> q13,
+    "q14_grouping_sets" -> q14,
+    "q15_intersect" -> q15,
+    "q16_except" -> q16,
+    "q17_count_distinct" -> q17,
+    "q18_topk_limit" -> q18,
+    "q19_scalar_strings" -> q19,
+    "q20_scalar_dates" ->
+      """SELECT l_orderkey, l_linenumber,
+               CAST(YEAR(l_shipdate) AS BIGINT)  AS y,
+               CAST(MONTH(l_shipdate) AS BIGINT) AS m,
+               CAST(DAY(l_shipdate) AS BIGINT)   AS d,
+               CAST(DATE_TRUNC('MONTH', l_shipdate) AS TIMESTAMP) AS month_start,
+               CAST(l_shipdate AS DATE)          AS ship_day
+        FROM lineitem WHERE l_orderkey <= 200
+        ORDER BY l_orderkey, l_linenumber, ship_day""",
+    "q21_scalar_math" -> q21,
+    "q22_case_coalesce" -> q22,
+    "q23_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        FROM events WHERE event_id <= 500
+        ORDER BY event_id""",
+    "q24_array_ops" ->
+      """SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' ')))[1:3], ',') AS first3
+        FROM documents
+        ORDER BY doc_id""",
+    "q25_union_all" ->
+      """SELECT * FROM (
+          SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name, 'customer' AS kind FROM customer
+          UNION ALL
+          SELECT CAST(s_suppkey AS BIGINT), s_name, 'supplier' FROM supplier) t
+        ORDER BY kind, id""",
+    "q26_scalar_subquery" -> q26,
+    "q27_having" -> q27,
+    "q28_in_between" -> q28,
+    "q29_like" -> q29,
+    "q30_join_broadcast_star" ->
+      """SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name""",
+    "q31_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+          FROM documents) t
+        WHERE rn = 1
+        ORDER BY doc_id""",
+    "q32_dedup_fingerprint" ->
+      """SELECT fp, keep_id, n_copies FROM (
+          SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+                 CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM documents GROUP BY 1) t
+        ORDER BY keep_id""",
+    "q33_text_token_stats" ->
+      """SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS BIGINT) AS n_unique
+        FROM documents
+        ORDER BY doc_id""",
+    "q35_similarity_bruteforce" ->
+      """SELECT query_id, rank, neighbor_id, score FROM (
+          SELECT q.vec_id AS query_id,
+                 c.vec_id AS neighbor_id,
+                 ROUND(LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT) AS rank
+          FROM embeddings c, embeddings q
+          WHERE q.vec_id < 5) t
+        WHERE rank <= 5
+        ORDER BY query_id, rank""",
+    "q39_stats_extract" ->
+      """SELECT "column", "count", nulls, "distinct", "min", "max" FROM (
+          SELECT 'l_orderkey' AS "column", CAST(COUNT(l_orderkey) AS BIGINT) AS "count",
+                 CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                 CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS "distinct",
+                 CAST(MIN(l_orderkey) AS VARCHAR) AS "min", CAST(MAX(l_orderkey) AS VARCHAR) AS "max"
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_partkey', CAST(COUNT(l_partkey) AS BIGINT),
+                 CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+                 CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_suppkey', CAST(COUNT(l_suppkey) AS BIGINT),
+                 CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+                 CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag', CAST(COUNT(l_returnflag) AS BIGINT),
+                 CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+                 CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_linestatus', CAST(COUNT(l_linestatus) AS BIGINT),
+                 CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+                 CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+          FROM lineitem) t
+        ORDER BY "column"""",
+    "q40_typing_transform" ->
+      """SELECT orderkey, qty, shipdate, n_errors, first_error_field FROM (
+          SELECT TRY_CAST(orderkey_s AS BIGINT) AS orderkey,
+                 TRY_CAST(qty_s AS DOUBLE) AS qty,
+                 TRY_CAST(shipdate_s AS TIMESTAMP) AS shipdate,
+                 CAST((CASE WHEN TRY_CAST(orderkey_s AS BIGINT) IS NULL THEN 1 ELSE 0 END) +
+                 (CASE WHEN TRY_CAST(qty_s AS DOUBLE) IS NULL THEN 1 ELSE 0 END) +
+                 (CASE WHEN TRY_CAST(shipdate_s AS TIMESTAMP) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                 CASE WHEN TRY_CAST(orderkey_s AS BIGINT) IS NULL THEN 'orderkey'
+                      WHEN TRY_CAST(qty_s AS DOUBLE) IS NULL THEN 'qty'
+                      WHEN TRY_CAST(shipdate_s AS TIMESTAMP) IS NULL THEN 'shipdate'
+                      ELSE '' END AS first_error_field
+          FROM (
+            SELECT CAST(l_orderkey AS VARCHAR) AS orderkey_s, CAST(l_quantity AS VARCHAR) AS qty_s,
+                   CAST(l_shipdate AS VARCHAR) AS shipdate_s
+            FROM lineitem WHERE l_orderkey <= 100
+            UNION ALL SELECT 'xx', '12.5', '1996-01-01 00:00:00'
+            UNION ALL SELECT '999999', 'notanumber', 'baddate') raw) t
+        ORDER BY orderkey ASC NULLS FIRST, qty ASC NULLS FIRST, n_errors""",
+    "q41_diff_transform" ->
+      """WITH set_a AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 1000),
+             set_b AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 6000)
+        SELECT * FROM (
+          SELECT c_custkey, c_mktsegment, 'both' AS side FROM (SELECT * FROM set_a INTERSECT ALL SELECT * FROM set_b)
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, 'left' FROM (SELECT * FROM set_a EXCEPT ALL SELECT * FROM set_b)
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, 'right' FROM (SELECT * FROM set_b EXCEPT ALL SELECT * FROM set_a)) t
+        ORDER BY side, c_custkey""",
+    "q42_metadata_extract" ->
+      """SELECT * FROM (VALUES
+          ('l_orderkey', TRUE, 'bigint'), ('l_partkey', TRUE, 'bigint'),
+          ('l_suppkey', TRUE, 'bigint'), ('l_linenumber', TRUE, 'int'),
+          ('l_quantity', TRUE, 'double'), ('l_extendedprice', TRUE, 'double'),
+          ('l_discount', TRUE, 'double'), ('l_tax', TRUE, 'double'),
+          ('l_returnflag', TRUE, 'string'), ('l_linestatus', TRUE, 'string'),
+          ('l_shipdate', TRUE, 'timestamp')) AS t(name, nullable, type)
+        ORDER BY name""",
+    "q43_pivot" ->
+      """SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""",
+    "q44_explode_lateral" ->
+      """SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS tok FROM documents) t
+        WHERE doc_id < 20
+        GROUP BY doc_id, tok
+        ORDER BY doc_id, tok""",
+    "q45_asof_join" ->
+      """SELECT e.event_id, o.last_order_date
+        FROM (SELECT event_id, ts FROM events WHERE event_id < 100) e
+        ASOF LEFT JOIN (SELECT o_orderdate AS last_order_date FROM orders) o
+          ON e.ts >= o.last_order_date
+        ORDER BY e.event_id"""
+  )
 }

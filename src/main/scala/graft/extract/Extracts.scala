@@ -1,0 +1,376 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StringType}
+import graft.core.{PipelineContext, Stage}
+
+/** Shared extract options (SURVEY.md §2.2 Extract):
+  * declared schema, persist, numPartitions, partitionBy, basePath, streaming
+  * watermark. Every extract registers `outputView` and returns its DataFrame.
+  *
+  * Scale notes that apply to all file extracts:
+  *  - no repartition unless asked: the scan's split planning
+  *    (spark.sql.files.maxPartitionBytes) already yields one task per split,
+  *    which is the right parallelism at 100 TB; an unconditional repartition
+  *    would add a full shuffle of the raw data.
+  *  - declared schema skips the inference pass (a full extra read for
+  *    CSV/JSON at scale).
+  */
+trait FileExtract extends Stage {
+  def outputView: String
+  def schema: Option[StructType]
+  def persist: Boolean
+  def numPartitions: Option[Int]
+  def partitionBy: Seq[String]
+  def basePath: Option[String]
+  def watermark: Option[Watermark]
+  def options: Map[String, String]
+
+  protected def reader(ctx: PipelineContext): DataFrameReader = {
+    val r = ctx.spark.read.options(options)
+    val withBase = basePath.fold(r)(b => r.option("basePath", b))
+    schema.fold(withBase)(withBase.schema)
+  }
+
+  protected def streamReader(ctx: PipelineContext) = {
+    val r = ctx.spark.readStream.options(options)
+    val withBase = basePath.fold(r)(b => r.option("basePath", b))
+    // Structured Streaming file sources require a declared schema.
+    schema.fold(withBase)(withBase.schema)
+  }
+
+  protected def withWatermark(df: DataFrame): DataFrame =
+    watermark match {
+      case Some(w) if df.isStreaming => df.withWatermark(w.eventTime, w.delayThreshold)
+      case _                         => df
+    }
+
+  protected def emit(ctx: PipelineContext, df: DataFrame): DataFrame =
+    publish(ctx, withWatermark(df), outputView, numPartitions, partitionBy, persist)
+}
+
+final case class Watermark(eventTime: String, delayThreshold: String)
+
+/** ParquetExtract — `spark.read.parquet` (reference: Arc ParquetExtract,
+  * SURVEY.md §2.2). Columnar scan: filter pushdown + column pruning reach the
+  * footer, so downstream `select`/`where` never read dead bytes.
+  */
+final case class ParquetExtract(
+    name: String,
+    inputURI: String,
+    outputView: String,
+    schema: Option[StructType] = None,
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None,
+    partitionBy: Seq[String] = Nil,
+    basePath: Option[String] = None,
+    watermark: Option[Watermark] = None,
+    options: Map[String, String] = Map.empty
+) extends FileExtract {
+  val stageType = "ParquetExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val df =
+      if (ctx.streaming) streamReader(ctx).parquet(inputURI)
+      else reader(ctx).parquet(inputURI)
+    Some(emit(ctx, df))
+  }
+}
+
+/** DelimitedExtract — CSV/TSV/custom separator. Reference semantics: without a
+  * declared schema every column is read as **string** for a later
+  * TypingTransform (SURVEY.md §2.2 DelimitedExtract); `inferSchema` stays off.
+  */
+final case class DelimitedExtract(
+    name: String,
+    inputURI: String,
+    outputView: String,
+    delimiter: String = ",",
+    header: Boolean = true,
+    quote: String = "\"",
+    multiLine: Boolean = false,
+    schema: Option[StructType] = None,
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None,
+    partitionBy: Seq[String] = Nil,
+    basePath: Option[String] = None,
+    watermark: Option[Watermark] = None,
+    options: Map[String, String] = Map.empty
+) extends FileExtract {
+  val stageType = "DelimitedExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val opts = Map(
+      "sep" -> delimiter,
+      "header" -> header.toString,
+      "quote" -> quote,
+      "multiLine" -> multiLine.toString,
+      "inferSchema" -> "false"
+    ) ++ options
+    val df =
+      if (ctx.streaming) streamReader(ctx).options(opts).csv(inputURI)
+      else reader(ctx).options(opts).csv(inputURI)
+    Some(emit(ctx, df))
+  }
+}
+
+/** JSONExtract — `multiLine` defaults true as in Arc (SURVEY.md §2.2). */
+final case class JSONExtract(
+    name: String,
+    inputURI: String,
+    outputView: String,
+    multiLine: Boolean = true,
+    schema: Option[StructType] = None,
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None,
+    partitionBy: Seq[String] = Nil,
+    basePath: Option[String] = None,
+    watermark: Option[Watermark] = None,
+    options: Map[String, String] = Map.empty
+) extends FileExtract {
+  val stageType = "JSONExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val opts = Map("multiLine" -> multiLine.toString) ++ options
+    val df =
+      if (ctx.streaming) streamReader(ctx).options(opts).json(inputURI)
+      else reader(ctx).options(opts).json(inputURI)
+    Some(emit(ctx, df))
+  }
+}
+
+/** ORCExtract — `spark.read.orc`. */
+final case class ORCExtract(
+    name: String,
+    inputURI: String,
+    outputView: String,
+    schema: Option[StructType] = None,
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None,
+    partitionBy: Seq[String] = Nil,
+    basePath: Option[String] = None,
+    watermark: Option[Watermark] = None,
+    options: Map[String, String] = Map.empty
+) extends FileExtract {
+  val stageType = "ORCExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val df =
+      if (ctx.streaming) streamReader(ctx).orc(inputURI)
+      else reader(ctx).orc(inputURI)
+    Some(emit(ctx, df))
+  }
+}
+
+/** AvroExtract — requires the spark-avro connector; absent in this
+  * environment, so the stage fails fast with a clear message rather than a
+  * ClassNotFoundException mid-query.
+  */
+final case class AvroExtract(
+    name: String,
+    inputURI: String,
+    outputView: String,
+    schema: Option[StructType] = None,
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None,
+    partitionBy: Seq[String] = Nil,
+    basePath: Option[String] = None,
+    watermark: Option[Watermark] = None,
+    options: Map[String, String] = Map.empty
+) extends FileExtract {
+  val stageType = "AvroExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val df = reader(ctx).format("avro").load(inputURI)
+    Some(emit(ctx, df))
+  }
+}
+
+/** TextExtract — line-per-row, or whole-file with `multiLine` (wholetext). */
+final case class TextExtract(
+    name: String,
+    inputURI: String,
+    outputView: String,
+    multiLine: Boolean = false,
+    schema: Option[StructType] = None,
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None,
+    partitionBy: Seq[String] = Nil,
+    basePath: Option[String] = None,
+    watermark: Option[Watermark] = None,
+    options: Map[String, String] = Map.empty
+) extends FileExtract {
+  val stageType = "TextExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val df = reader(ctx).option("wholetext", multiLine.toString).text(inputURI)
+    Some(emit(ctx, df))
+  }
+}
+
+/** BytesExtract — whole binary files as rows (path, modificationTime, length,
+  * content). Spark's `binaryFile` source; the multimodal column model
+  * (graft.llm.Multimodal) builds on this.
+  */
+final case class BytesExtract(
+    name: String,
+    inputURI: String,
+    outputView: String,
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None,
+    options: Map[String, String] = Map.empty
+) extends Stage {
+  val stageType = "BytesExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val df = ctx.spark.read.options(options).format("binaryFile").load(inputURI)
+    Some(publish(ctx, df, outputView, numPartitions, Nil, persist))
+  }
+}
+
+/** ImageExtract — Spark's `image` source (struct<origin,height,width,
+  * nChannels,mode,data>).
+  */
+final case class ImageExtract(
+    name: String,
+    inputURI: String,
+    outputView: String,
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None,
+    options: Map[String, String] = Map.empty
+) extends Stage {
+  val stageType = "ImageExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val df = ctx.spark.read.options(options).format("image").load(inputURI)
+    Some(publish(ctx, df, outputView, numPartitions, Nil, persist))
+  }
+}
+
+/** RateExtract — synthetic stream source for streaming smoke tests
+  * (SURVEY.md §2.2 RateExtract).
+  */
+final case class RateExtract(
+    name: String,
+    outputView: String,
+    rowsPerSecond: Long = 1,
+    rampUpTime: String = "0s",
+    numPartitions: Option[Int] = None
+) extends Stage {
+  val stageType = "RateExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val df = ctx.spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("rampUpTime", rampUpTime)
+      .option("numPartitions", numPartitions.getOrElse(1))
+      .load()
+    Some(ctx.register(outputView, df, name))
+  }
+}
+
+/** JDBCExtract — `spark.read.jdbc` with partitioned reads
+  * (partitionColumn/lowerBound/upperBound/numPartitions parallelize the scan
+  * across executors; `predicates` gives one partition per predicate).
+  * No database is reachable in this environment — compiles, untested here.
+  */
+final case class JDBCExtract(
+    name: String,
+    jdbcURL: String,
+    tableName: String,
+    outputView: String,
+    partitionColumn: Option[String] = None,
+    lowerBound: Option[Long] = None,
+    upperBound: Option[Long] = None,
+    numPartitions: Option[Int] = None,
+    fetchsize: Option[Int] = None,
+    predicates: Seq[String] = Nil,
+    connectionProperties: Map[String, String] = Map.empty,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "JDBCExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val props = new java.util.Properties()
+    connectionProperties.foreach { case (k, v) => props.setProperty(k, v) }
+    fetchsize.foreach(n => props.setProperty("fetchsize", n.toString))
+    val df = (partitionColumn, lowerBound, upperBound, numPartitions) match {
+      case (Some(col), Some(lo), Some(hi), Some(n)) =>
+        ctx.spark.read.jdbc(jdbcURL, tableName, col, lo, hi, n, props)
+      case _ if predicates.nonEmpty =>
+        ctx.spark.read.jdbc(jdbcURL, tableName, predicates.toArray, props)
+      case _ =>
+        ctx.spark.read.jdbc(jdbcURL, tableName, props)
+    }
+    Some(publish(ctx, df, outputView, None, Nil, persist))
+  }
+}
+
+/** MetadataExtract — a view's column metadata as a dataset
+  * (same machinery as the reference's `%metadata`, Common.scala:46-70).
+  */
+final case class MetadataExtract(
+    name: String,
+    inputView: String,
+    outputView: String,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "MetadataExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val df = graft.schema.MetadataSchema.metadataDataFrame(ctx.spark, ctx.view(inputView))
+    Some(publish(ctx, df, outputView, None, Nil, persist))
+  }
+}
+
+/** StatisticsExtract — per-column summary statistics, transposed to one row
+  * per column (SURVEY.md §2.2 StatisticsExtract).
+  *
+  * One distributed aggregation computes every statistic for every column in a
+  * single pass (no per-column jobs, no driver loop): count/nulls/distinct are
+  * exact; `approxDistinct=true` switches to HLL (`approx_count_distinct`)
+  * which is the only option that scales past ~1e9 distinct values.
+  */
+final case class StatisticsExtract(
+    name: String,
+    inputView: String,
+    outputView: String,
+    approxDistinct: Boolean = false,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "StatisticsExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    import ctx.spark.implicits._
+    val src = ctx.view(inputView)
+    val numeric = src.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSet
+    val aggs = src.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val distinct =
+        if (approxDistinct) approx_count_distinct(c) else count_distinct(c)
+      val asDouble: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        e => e.cast("double")
+      Seq(
+        count(c).as(s"${f.name}!count"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}!nulls"),
+        distinct.cast("long").as(s"${f.name}!distinct"),
+        (if (numeric(f.name)) asDouble(mean(c)) else lit(null).cast("double"))
+          .as(s"${f.name}!mean"),
+        (if (numeric(f.name)) asDouble(stddev(c)) else lit(null).cast("double"))
+          .as(s"${f.name}!stddev"),
+        min(c).cast("string").as(s"${f.name}!min"),
+        max(c).cast("string").as(s"${f.name}!max")
+      )
+    }
+    val row = src.agg(aggs.head, aggs.tail: _*).head()
+    val stats = src.schema.fields.map { f =>
+      def g[T](stat: String): T = row.getAs[T](s"${f.name}!$stat")
+      (
+        f.name,
+        f.dataType.simpleString,
+        g[Long]("count"),
+        g[Long]("nulls"),
+        g[Long]("distinct"),
+        Option(row.getAs[Any](s"${f.name}!mean")).map(_.asInstanceOf[Double]),
+        Option(row.getAs[Any](s"${f.name}!stddev")).map(_.asInstanceOf[Double]),
+        Option(g[String]("min")),
+        Option(g[String]("max"))
+      )
+    }.toSeq
+    val df = stats
+      .toDF("column", "type", "count", "nulls", "distinct", "mean", "stddev", "min", "max")
+    Some(publish(ctx, df, outputView, None, Nil, persist))
+  }
+}

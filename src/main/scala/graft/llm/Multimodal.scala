@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column model: image/audio/video travel as opaque `binary`
+  * columns with a typed metadata struct alongside. Decode / feature-extract /
+  * resize / frame-sample run as partition-local batch functions
+  * (`mapPartitions` — the Scala analog of `mapInPandas`): one decoder
+  * instance per partition, rows streamed through it in batches, output schema
+  * declared up front. The Spark-side plumbing (schema, partitioning, batch
+  * shape) is real and tested; the actual codec call is STUBBED with a
+  * deterministic fake because no image/audio libraries exist in this
+  * container — swap `decodeStub` for a real decoder in deployment.
+  */
+object Multimodal {
+
+  /** Metadata carried with every media blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)
+  ))
+
+  /** STUB(no codecs in container): deterministic fake decode — derives
+    * "dimensions" and a fixed-length feature vector from the bytes alone, so
+    * tests are reproducible. Replace with a real image/audio codec call; the
+    * signature (bytes in, meta + features out) is the deployment contract.
+    */
+  private[llm] def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = if (bytes == null || bytes.isEmpty) 0L
+            else bytes.take(64).foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+    val width = (math.abs(h) % 1920 + 1).toInt
+    val height = (math.abs(h / 7) % 1080 + 1).toInt
+    val features = Array.tabulate(8)(i => ((math.abs(h / (i + 1)) % 1000) / 1000.0f))
+    (width, height, features)
+  }
+
+  /** Attach decode metadata + an 8-dim feature vector to a binary column.
+    * Output schema: input columns + media_meta struct + features array.
+    */
+  def decodeAndFeaturize(df: DataFrame, binaryCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"no column $binaryCol")
+    val outSchema = df.schema
+      .add("media_meta", mediaMetaSchema)
+      .add("features", ArrayType(FloatType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      // one "decoder" per partition — where a real codec would be initialized
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val (w, h, features) = decodeStub(bytes)
+        val meta = Row("application/octet-stream", w, h, null)
+        Row.fromSeq(row.toSeq :+ meta :+ features)
+      }
+    }(enc).toDF()
+  }
+
+  /** Deterministic frame sampling for video-ish blobs: pick `n` evenly spaced
+    * byte offsets as stand-in "frames" (STUB — a real impl samples decoded
+    * frames). Demonstrates the explode-to-rows shape used for frame corpora.
+    */
+  def sampleFrames(df: DataFrame, binaryCol: String, n: Int): DataFrame = {
+    val frameOffsets = transform(
+      TextStats.safeSeq(lit(n)),
+      i => ((i - 1) * greatest(length(col(binaryCol)) - 1, lit(1)) / math.max(n - 1, 1)).cast("long")
+    )
+    df.withColumn("frame_offset", explode(frameOffsets))
+      .withColumn("frame_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(binaryCol)).orderBy(col("frame_offset"))))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>` / `array<double>`).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact — broadcast the (small) query set, score every
+  *    corpus row, per-query top-k via window. The dot product is
+  *    `aggregate(zip_with(...))` — a single codegen'd expression, no UDF —
+  *    so the scan streams at full speed; the corpus is never shuffled, only
+  *    the per-query top-k rows move.
+  *  - `lshTopK`: scale path — random-hyperplane signatures bucket the corpus;
+  *    queries probe only their own bucket (plus optional multi-probe), cutting
+  *    scored candidates by ~2^planes. Same seeded hyperplanes on both sides.
+  */
+object Similarity {
+
+  /** Dot product of two numeric arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes from a seed: plane p,
+    * dimension i gets a value derived from xxhash64 — computed per-row as a
+    * codegen'd expression so no driver-side materialization is needed.
+    * Signature = the `planes` sign bits packed into a long.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val bits = (0 until planes).map { p =>
+      // dot(vec, plane_p) where plane_p[i] = hash(seed,p,i) mapped to [-1,1)
+      val d = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), lit(dim - 1)),
+          (x, i) =>
+            x.cast("double") *
+              (pmod(xxhash64(lit(seed), lit(p), i), lit(2000000L)).cast("double") / 1000000.0 - 1.0)
+        ),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` must be small enough to broadcast (typical ANN serving shape).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
+    val scored = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+      .crossJoin(broadcast(q))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("score")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: corpus and queries hashed with the same hyperplanes;
+    * candidates are same-bucket rows, reranked exactly. Recall is tuned by
+    * `planes` (fewer planes → bigger buckets → higher recall, more work).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      dim: Int,
+      k: Int,
+      planes: Int = 6,
+      seed: Long = 42L
+  ): DataFrame = {
+    val c = corpus.select(
+      col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("_cv"),
+      hyperplaneSignature(col(corpusVec), dim, planes, seed).as("_sig")
+    )
+    val q = queries.select(
+      col(queryId).as("query_id"),
+      col(queryVec).as("_qv"),
+      hyperplaneSignature(col(queryVec), dim, planes, seed).as("_sig")
+    )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    c.join(q, Seq("_sig"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID (stopword n-gram
+  * heuristic), quality scoring (length/punctuation/stopword ratios), token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting
+  * (rolling-hash winnowing).
+  *
+  * Everything is column expressions over built-ins — codegen'd, no UDFs, no
+  * shuffles beyond what the caller adds — so these run at scan speed over
+  * 100 TB of documents.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: word-piece regex (letters / digits / single
+    * punctuation), the usual pre-tokenizer shape for byte-pair encoders.
+    */
+  def subwordCount(text: Column): Column =
+    size(
+      filter(
+        split(lower(text), "(?![\\p{L}\\p{N}])(?<![\\p{L}\\p{N}])|(?<=[\\p{L}\\p{N}])(?![\\p{L}\\p{N}])"),
+        t => length(trim(t)) > 0
+      )
+    )
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "are"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein", "eine", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des", "pas", "sur"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "una", "por", "con", "para", "del"),
+    "it" -> Seq("il", "la", "che", "di", "è", "per", "con", "una", "sono", "non", "più", "come")
+  )
+
+  /** Heuristic language ID: fraction of tokens hitting each language's
+    * stopword list; argmax, `und` (undetermined) when no list scores > 0.
+    * One pass, no shuffle: the per-language scores are array_intersect sizes
+    * against literal arrays.
+    */
+  def languageId(text: Column): Column = {
+    val toks = array_distinct(Dedup.tokens(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang")
+      )
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality features: character/token counts and ratios used for corpus
+    * filtering (C4/Gopher-style rules).
+    */
+  def qualityFeatures(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
+    val digits = length(regexp_replace(text, "[^\\p{N}]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+    val toks = Dedup.tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopHits = size(array_intersect(array_distinct(toks), array(stopwords("en").map(lit): _*)))
+    struct(
+      chars.as("n_chars"),
+      nTok.as("n_tokens"),
+      when(chars > 0, alpha / chars).otherwise(0.0).as("alpha_ratio"),
+      when(chars > 0, digits / chars).otherwise(0.0).as("digit_ratio"),
+      when(chars > 0, punct / chars).otherwise(0.0).as("punct_ratio"),
+      when(nTok > 0, chars / nTok).otherwise(0.0).as("mean_token_len"),
+      stopHits.cast("double").as("stopword_hits")
+    )
+  }
+
+  /** Scalar quality score in [0,1]: penalties for extreme length, low alpha
+    * ratio, high punctuation, no stopwords. Deterministic and monotone in the
+    * features so thresholds are interpretable.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenOk = when(f.getField("n_tokens").between(10, 100000), 1.0)
+      .when(f.getField("n_tokens") > 0, 0.5)
+      .otherwise(0.0)
+    val alphaOk = least(f.getField("alpha_ratio") / 0.7, lit(1.0))
+    val punctOk = when(f.getField("punct_ratio") <= 0.2, 1.0)
+      .otherwise(greatest(lit(0.0), lit(1.0) - (f.getField("punct_ratio") - 0.2) * 2))
+    val stopOk = when(f.getField("stopword_hits") >= 2, 1.0)
+      .when(f.getField("stopword_hits") >= 1, 0.7)
+      .otherwise(0.3)
+    round((lenOk * 0.25 + alphaOk * 0.25 + punctOk * 0.25 + stopOk * 0.25), 4)
+  }
+
+  /** Normalized whole-document fingerprint: 64-bit hash of the
+    * lowercased, whitespace-collapsed text. Equal fingerprint ⇒ near-certain
+    * exact duplicate (used as the cheap first pass before MinHash).
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** `sequence(1, count)` that is empty (not descending) when count < 1. */
+  private[llm] def safeSeq(count: Column): Column =
+    when(count >= 1, sequence(lit(1), count)).otherwise(array().cast("array<int>"))
+
+  /** Winnowing fingerprint set (MOSS-style): rolling hashes of character
+    * k-grams, then the minimum hash in each sliding window of `w` — a
+    * position-robust signature for plagiarism/near-dup detection.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val grams = transform(
+      safeSeq(length(norm) - (k - 1)),
+      i => xxhash64(norm.substr(i, lit(k)))
+    )
+    array_distinct(
+      transform(
+        safeSeq(size(grams) - (w - 1)),
+        i => array_min(slice(grams, i, lit(w)))
+      )
+    )
+  }
+}

@@ -1,0 +1,342 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Params, PipelineContext, Stage}
+import graft.schema.FieldSpec
+
+/** SQLTransform — the workhorse (SURVEY.md §2.2): execute Spark SQL with
+  * `${param}` substitution against the session's temp views. All joins,
+  * aggregations, windows, cube/rollup/grouping sets, set ops, sorts and the
+  * whole scalar-function catalog flow through here; Catalyst plans and
+  * optimizes the composed view graph as one logical plan, so filter pushdown
+  * and column pruning cross stage boundaries for free.
+  */
+final case class SQLTransform(
+    name: String,
+    sql: String,
+    outputView: String,
+    sqlParams: Map[String, String] = Map.empty,
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None,
+    partitionBy: Seq[String] = Nil
+) extends Stage {
+  val stageType = "SQLTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val resolved = Params.injectParameters(sql, ctx.sqlParams ++ sqlParams)
+    val df = ctx.spark.sql(resolved)
+    Some(publish(ctx, df, outputView, numPartitions, partitionBy, persist))
+  }
+}
+
+/** TypingTransform — Arc's signature operator (SURVEY.md §2.2): type the
+  * string columns of `inputView` per a declared schema; per-row failures are
+  * collected into `_errors: array<struct<field:string, message:string>>`
+  * instead of failing the job (`failMode=permissive`), or abort on the first
+  * bad row (`failMode=failfast`).
+  *
+  * Implementation is pure column expressions (`try_cast`-style `when` chains +
+  * one `filter(array(...))` for error accumulation) — fully codegen'd and
+  * vectorized, no UDF, no mapPartitions — so it runs at scan speed at 100 TB.
+  * Spark 4 ANSI mode would make plain `cast` throw; every cast here goes
+  * through `try_*` so bad values yield null + an `_errors` entry, matching the
+  * reference's permissive semantics.
+  */
+final case class TypingTransform(
+    name: String,
+    schema: Seq[FieldSpec],
+    inputView: String,
+    outputView: String,
+    failMode: String = "permissive", // permissive | failfast
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None,
+    partitionBy: Seq[String] = Nil
+) extends Stage {
+  val stageType = "TypingTransform"
+
+  /** The typed value expression for one field, from its raw string column. */
+  private def typedExpr(f: FieldSpec, raw: Column): Column = {
+    val cleaned0 = if (f.trim) trim(raw) else raw
+    // nullableValues → null, then nullReplacementValue fills nulls back in.
+    val nulled =
+      if (f.nullableValues.nonEmpty)
+        when(cleaned0.isin(f.nullableValues: _*), lit(null).cast(StringType))
+          .otherwise(cleaned0)
+      else cleaned0
+    val cleaned = f.nullReplacementValue.fold(nulled)(r => coalesce(nulled, lit(r)))
+    f.`type` match {
+      case "string"  => cleaned
+      case "integer" => try_cast(cleaned, IntegerType)
+      case "long"    => try_cast(cleaned, LongType)
+      case "double"  => try_cast(cleaned, DoubleType)
+      case "decimal" => try_cast(cleaned, DecimalType(f.precision, f.scale))
+      case "binary"  => unbase64(cleaned)
+      case "boolean" =>
+        when(cleaned.isin(f.trueValues: _*), lit(true))
+          .when(cleaned.isin(f.falseValues: _*), lit(false))
+          .otherwise(lit(null).cast(BooleanType))
+      case "date" =>
+        if (f.formatters.isEmpty) try_cast(cleaned, DateType)
+        else coalesce(f.formatters.map(fmt => try_to_date(cleaned, fmt)): _*)
+      case "timestamp" =>
+        val exprs =
+          if (f.formatters.isEmpty) Seq(try_to_timestamp(cleaned))
+          else f.formatters.map(fmt => try_to_timestamp(cleaned, lit(fmt)))
+        // formatters are interpreted in the field's timezoneId, stored UTC
+        val parsed = coalesce(exprs: _*)
+        if (f.timezoneId == "UTC") parsed else to_utc_timestamp(parsed, f.timezoneId)
+      case other => throw new IllegalArgumentException(s"unknown type: $other")
+    }
+  }
+
+  private def try_cast(c: Column, t: DataType): Column = c.try_cast(t.sql)
+
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val src = ctx.view(inputView)
+    val inputCols = src.columns.toSet
+    val typedCols = schema.map { f =>
+      require(inputCols.contains(f.name), s"TypingTransform: input lacks column ${f.name}")
+      typedExpr(f, col(f.name)).as(f.name, f.structField.metadata)
+    }
+    // Error expression per field: raw value present (after nullable-value
+    // mapping) but typed to null, or null where not nullable.
+    val errStructs = schema.map { f =>
+      val raw0 = if (f.trim) trim(col(f.name)) else col(f.name)
+      val raw =
+        if (f.nullableValues.nonEmpty)
+          when(raw0.isin(f.nullableValues: _*), lit(null).cast(StringType)).otherwise(raw0)
+        else raw0
+      val rawFilled = f.nullReplacementValue.fold(raw)(r => coalesce(raw, lit(r)))
+      val typed = typedExpr(f, col(f.name))
+      val badParse = rawFilled.isNotNull && typed.isNull && lit(f.`type` != "string")
+      val badNull = rawFilled.isNull && lit(!f.nullable)
+      when(
+        badParse,
+        struct(
+          lit(f.name).as("field"),
+          concat(lit(s"Unable to convert '"), raw0, lit(s"' to ${f.`type`}")).as("message")
+        )
+      ).when(
+          badNull,
+          struct(
+            lit(f.name).as("field"),
+            lit(s"${f.name} is null and not nullable").as("message")
+          )
+        )
+        .otherwise(lit(null).cast("struct<field:string,message:string>"))
+    }
+    val errors = filter(array(errStructs: _*), x => x.isNotNull).as("_errors")
+    val out = src.select(typedCols :+ errors: _*)
+    if (failMode == "failfast") {
+      val firstBad = out.filter(size(col("_errors")) > 0).limit(1).collect()
+      if (firstBad.nonEmpty)
+        throw new graft.core.ValidationException(
+          s"TypingTransform $name failfast: ${firstBad.head.toString}"
+        )
+    }
+    Some(publish(ctx, out, outputView, numPartitions, partitionBy, persist))
+  }
+}
+
+/** MetadataTransform — attach/overwrite per-column metadata on a view
+  * (SURVEY.md §2.2). Metadata lives in `StructField.metadata`, so this is a
+  * zero-cost select.
+  */
+final case class MetadataTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    fieldMetadata: Map[String, Map[String, String]],
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "MetadataTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val src = ctx.view(inputView)
+    val cols = src.schema.fields.map { f =>
+      fieldMetadata.get(f.name) match {
+        case Some(meta) =>
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          meta.foreach { case (k, v) => mb.putString(k, v) }
+          col(f.name).as(f.name, mb.build())
+        case None => col(f.name)
+      }
+    }
+    Some(publish(ctx, src.select(cols.toIndexedSeq: _*), outputView, None, Nil, persist))
+  }
+}
+
+/** MetadataFilterTransform — column-level security (SURVEY.md §2.2): a SQL
+  * statement over the *metadata* view (`name,nullable,type,metadata`) selects
+  * which columns survive.
+  */
+final case class MetadataFilterTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    sql: String,
+    sqlParams: Map[String, String] = Map.empty,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "MetadataFilterTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val src = ctx.view(inputView)
+    val metaView = s"${inputView}_metadata"
+    graft.schema.MetadataSchema
+      .metadataDataFrame(ctx.spark, src)
+      .createOrReplaceTempView(metaView)
+    val resolved = Params
+      .injectParameters(sql, ctx.sqlParams ++ sqlParams)
+      .replace("${inputView}", metaView)
+    val kept = ctx.spark
+      .sql(resolved)
+      .select("name")
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val cols = src.columns.filter(kept).map(col)
+    require(cols.nonEmpty, s"MetadataFilterTransform $name: no columns survive the filter")
+    Some(publish(ctx, src.select(cols.toIndexedSeq: _*), outputView, None, Nil, persist))
+  }
+}
+
+/** DiffTransform — left vs right views → intersection / left-only / right-only
+  * views (SURVEY.md §2.2). Multiset semantics (`exceptAll`/`intersectAll`)
+  * preserve duplicate cardinality like the reference. Each output is only
+  * computed if its view name is requested — the plans stay lazy, and Catalyst
+  * plans each as a single shuffle on the full row.
+  */
+final case class DiffTransform(
+    name: String,
+    inputLeftView: String,
+    inputRightView: String,
+    outputIntersectionView: Option[String] = None,
+    outputLeftView: Option[String] = None,
+    outputRightView: Option[String] = None,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "DiffTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val l = ctx.view(inputLeftView)
+    val r = ctx.view(inputRightView)
+    val inter = outputIntersectionView.map(v => publish(ctx, l.intersectAll(r), v, None, Nil, persist))
+    outputLeftView.foreach(v => publish(ctx, l.exceptAll(r), v, None, Nil, persist))
+    outputRightView.foreach(v => publish(ctx, r.exceptAll(l), v, None, Nil, persist))
+    inter
+  }
+}
+
+/** SimilarityJoinTransform — fuzzy join of two views on concatenated text
+  * columns (SURVEY.md §2.2; reference CHANGELOG.md:237): Spark ML chain
+  * RegexTokenizer → NGram(shingleLength) → HashingTF → MinHashLSH
+  * .approxSimilarityJoin(threshold).
+  *
+  * Scale shape: LSH banding turns the quadratic all-pairs problem into a
+  * shuffle on hash buckets — candidate pairs only within equal bands — which
+  * is the standard 100 TB-safe design (no cross join anywhere in the plan).
+  */
+final case class SimilarityJoinTransform(
+    name: String,
+    leftView: String,
+    rightView: String,
+    leftFields: Seq[String],
+    rightFields: Seq[String],
+    outputView: String,
+    threshold: Double = 0.75,
+    shingleLength: Int = 3,
+    numHashTables: Int = 5,
+    caseSensitive: Boolean = false,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "SimilarityJoinTransform"
+
+  import org.apache.spark.ml.Pipeline
+  import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, MinHashLSHModel, NGram, RegexTokenizer}
+
+  private def featurize(df: DataFrame, fields: Seq[String]): DataFrame = {
+    val joined = concat_ws(" ", fields.map(col): _*)
+    val text = if (caseSensitive) joined else lower(joined)
+    val base = df.withColumn("_text", text).filter(length(col("_text")) > 0)
+    val tokenizer = new RegexTokenizer()
+      .setInputCol("_text").setOutputCol("_tokens").setPattern("")
+      .setMinTokenLength(1).setToLowercase(!caseSensitive)
+    val ngram = new NGram().setInputCol("_tokens").setOutputCol("_shingles").setN(shingleLength)
+    val tf = new HashingTF().setInputCol("_shingles").setOutputCol("_features")
+      .setNumFeatures(1 << 18)
+    new Pipeline().setStages(Array(tokenizer, ngram, tf)).fit(base).transform(base)
+      .filter(col("_shingles").getItem(0).isNotNull)
+  }
+
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val l = featurize(ctx.view(leftView), leftFields)
+    val r = featurize(ctx.view(rightView), rightFields)
+    val lsh = new MinHashLSH().setInputCol("_features").setOutputCol("_hashes")
+      .setNumHashTables(numHashTables)
+    val model: MinHashLSHModel = lsh.fit(l)
+    val joined = model
+      .approxSimilarityJoin(model.transform(l), model.transform(r), 1.0 - threshold, "_distance")
+    val leftCols = ctx.view(leftView).columns.map(c => col(s"datasetA.$c").as(c))
+    val rightCols = ctx.view(rightView).columns
+      .map(c => col(s"datasetB.$c").as(if (ctx.view(leftView).columns.contains(c)) s"${c}_right" else c))
+    val out = joined
+      .select(leftCols ++ rightCols :+ (lit(1.0) - col("_distance")).as("similarity"): _*)
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** MLTransform — apply a saved spark.ml PipelineModel; appends prediction /
+  * probability columns (SURVEY.md §2.2).
+  */
+final case class MLTransform(
+    name: String,
+    inputURI: String,
+    inputView: String,
+    outputView: String,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "MLTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val model = org.apache.spark.ml.PipelineModel.load(inputURI)
+    val out = model.transform(ctx.view(inputView))
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** HTTPTransform — POST row batches to an endpoint, append the response as a
+  * column. The environment has no network egress, so the transport is a
+  * pluggable function; the default stub echoes the payload (clearly marked).
+  * The Spark-side shape is real: one connection per partition, batched POSTs.
+  */
+final case class HTTPTransform(
+    name: String,
+    uri: String,
+    inputView: String,
+    outputView: String,
+    inputField: String = "value",
+    batchSize: Int = 100,
+    persist: Boolean = false,
+    // STUB(offline): replace with a real HTTP client in a networked deploy.
+    transport: (String, Seq[String]) => Seq[String] = (_, batch) => batch
+) extends Stage {
+  val stageType = "HTTPTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val src = ctx.view(inputView)
+    val spark = ctx.spark
+    val fieldIdx = src.columns.indexOf(inputField)
+    require(fieldIdx >= 0, s"HTTPTransform: input lacks column $inputField")
+    val endpoint = uri
+    val bs = batchSize
+    val t = transport
+    val outSchema = src.schema.add("response", StringType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out = src.mapPartitions { rows =>
+      rows.grouped(bs).flatMap { batch =>
+        val responses = t(endpoint, batch.map(r => String.valueOf(r.get(fieldIdx))))
+        batch.zip(responses).map { case (row, resp) =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ resp)
+        }
+      }
+    }(enc)
+    Some(publish(ctx, out.toDF(), outputView, None, Nil, persist))
+  }
+}

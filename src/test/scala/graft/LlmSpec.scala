@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark distributed query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("id", "text")
+
+  test("exact dedup keeps smallest id per key") {
+    val out = Dedup.exact(docs, Seq("text"), "id")
+    assert(out.count() == 3)
+    assert(out.filter($"text".contains("today")).select("id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("shingles are distinct ordered n-grams") {
+    val sh = docs.filter($"id" === 3).select(Dedup.shingles($"text", 3).as("s")).head().getSeq[String](0)
+    assert(sh.contains("completely different content"))
+    assert(sh.forall(_.split(" ").length == 3))
+  }
+
+  test("minhash pairs find near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "id", "text", shingleLen = 2, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect()
+    val idPairs = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idPairs.contains((1L, 4L))) // exact dup always found
+    assert(idPairs.contains((1L, 2L)) || idPairs.contains((2L, 4L))) // near-dup
+    assert(!idPairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhashDedup drops near-dup partners, keeps distinct docs") {
+    val kept = Dedup.minhashDedup(docs, "id", "text", shingleLen = 2, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(3L))
+    assert(kept.contains(1L)) // smallest of the dup cluster survives
+    assert(!kept.contains(4L))
+  }
+
+  test("simhash: exact dups hash equal, near-dups within small hamming distance") {
+    val fps = Dedup.simhash(docs, "id", "text").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(4L))
+    val hamming12 = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val hamming13 = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(hamming12 < hamming13)
+  }
+
+  test("jaccard exact values") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard($"x", $"y")).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "id", "vec", dim = 4, planes = 4, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(-2.0f, 1.0f))).toDF("a", "b", "c")
+    val r = df.select(Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query, self first") {
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(em, "vec_id", "embedding", em.filter($"vec_id" < 3), "vec_id", "embedding", 4)
+    val rows = out.collect()
+    assert(rows.length == 12)
+    val self = rows.filter(r => r.getAs[Int]("rank") == 1)
+    assert(self.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+  }
+
+  test("lshTopK recall against brute force") {
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = em.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(em, "vec_id", "embedding", q, "vec_id", "embedding", 1)
+      .filter($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val approx = Similarity.lshTopK(em, "vec_id", "embedding", q, "vec_id", "embedding", dim = 64, k = 1, planes = 4)
+      .filter($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // rank-1 neighbor is self (cos=1) and must survive LSH (same bucket trivially)
+    assert(approx == exact)
+  }
+}
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts") {
+    val df = Seq("  hello   world  ", "one", "").toDF("t")
+    val out = df.select(TextStats.tokenCount($"t")).as[Int].collect().toSeq
+    assert(out == Seq(2, 1, 0))
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val df = Seq(
+      "the cat and the dog are in the house for it is warm",
+      "der Hund und die Katze sind nicht mit der Maus",
+      "le chat est dans la maison pour les enfants",
+      "xyzzy plugh qwerty" // no stopwords
+    ).toDF("t")
+    val out = df.select(TextStats.languageId($"t")).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "fr", "und"))
+  }
+
+  test("quality score favors normal prose over junk") {
+    val df = Seq(
+      "This is a reasonably long and well formed sentence with the usual words and it continues for a while.",
+      "!!!! ???? ;;;; @@@@ $$$$ %%%%"
+    ).toDF("t")
+    val scores = df.select(TextStats.qualityScore($"t")).as[Double].collect()
+    assert(scores(0) > scores(1))
+    assert(scores.forall(s => s >= 0 && s <= 1))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq(("Hello   World", "hello world")).toDF("a", "b")
+    val r = df.select(TextStats.fingerprint($"a"), TextStats.fingerprint($"b")).head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("winnowing fingerprints overlap heavily for shared content") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the field"
+    val df = Seq((base, base + " tonight", "entirely different words appear here throughout")).toDF("a", "b", "c")
+    val r = df.select(
+      TextStats.winnowingFingerprints($"a").as("fa"),
+      TextStats.winnowingFingerprints($"b").as("fb"),
+      TextStats.winnowingFingerprints($"c").as("fc")
+    ).head()
+    val fa = r.getSeq[Long](0).toSet
+    val fb = r.getSeq[Long](1).toSet
+    val fc = r.getSeq[Long](2).toSet
+    assert((fa & fb).size > (fa & fc).size)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeAndFeaturize appends meta and deterministic features") {
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 9))).toDF("id", "blob")
+    val out = Multimodal.decodeAndFeaturize(df, "blob")
+    assert(out.columns.toSeq == Seq("id", "blob", "media_meta", "features"))
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 2)
+    val f1 = rows(0).getSeq[Float](rows(0).fieldIndex("features"))
+    assert(f1.length == 8)
+    // determinism: same bytes -> same features
+    val r2 = Multimodal.decodeAndFeaturize(df, "blob").orderBy("id").collect()(0)
+    val again = r2.getSeq[Float](r2.fieldIndex("features"))
+    assert(f1 == again)
+  }
+
+  test("sampleFrames yields n rows per blob") {
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))).toDF("id", "blob")
+    val out = Multimodal.sampleFrames(df, "blob", 3)
+    assert(out.count() == 3)
+    assert(out.select("frame_id").as[Int].collect().toSet == Set(1, 2, 3))
+  }
+}

@@ -433,7 +433,8 @@ object SparkEntry {
     "q39_stats_extract" -> withViews("lineitem") { (spark, ctx) =>
       val ctx2 = ctx
       graft.extract
-        .StatisticsExtract("stats", "lineitem", "lineitem_stats")
+        .StatisticsExtract("stats", "lineitem", "lineitem_stats",
+          columns = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))
         .execute(ctx2)
       ctx2.view("lineitem_stats")
         .filter(col("column").isin("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))

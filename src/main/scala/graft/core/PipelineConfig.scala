@@ -1,0 +1,201 @@
+package graft.core
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.extract._
+import graft.load._
+import graft.transform._
+import graft.validate._
+import graft.execute._
+
+/** Config-driven pipelines — the analog of the reference's HOCON stage
+  * documents (`%arc` cells, ArcInterpreter.scala:404-423). The config language
+  * here is JSON (a strict subset of HOCON; the typesafe-config library is not
+  * on the classpath in this environment):
+  *
+  * {{{
+  * {"stages": [
+  *   {"type": "ParquetExtract", "name": "e", "inputURI": "/data/x.parquet",
+  *    "outputView": "x"},
+  *   {"type": "SQLTransform", "name": "q", "sql": "SELECT * FROM x",
+  *    "outputView": "y", "environments": ["production"]}
+  * ]}
+  * }}}
+  *
+  * `environments` filters stages like Arc: a stage with a non-empty list runs
+  * only when the active environment is in it.
+  */
+object PipelineConfig {
+
+  def parse(json: String, environment: String = "production"): Seq[Stage] = {
+    val root = JsonMethods.parse(json)
+    val stages = root \ "stages" match {
+      case JArray(xs) => xs
+      case JNothing   => root match {
+        case JArray(xs) => xs // bare array of stages
+        case obj: JObject => List(obj) // single stage object
+        case other => throw new IllegalArgumentException(s"config is not a stage list: $other")
+      }
+      case other => throw new IllegalArgumentException(s"'stages' is not an array: $other")
+    }
+    stages.flatMap { jv =>
+      val obj = StageFields(jv)
+      val envs = obj.strList("environments")
+      if (envs.nonEmpty && !envs.contains(environment)) None
+      else Some(build(obj))
+    }
+  }
+
+  private def build(o: StageFields): Stage = o.req("type") match {
+    case "ParquetExtract" =>
+      ParquetExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
+        schema = None, persist = o.bool("persist"), numPartitions = o.intOpt("numPartitions"),
+        partitionBy = o.strList("partitionBy"), basePath = o.strOpt("basePath"),
+        watermark = o.watermark, options = o.strMap("options"))
+    case "DelimitedExtract" =>
+      DelimitedExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
+        delimiter = o.str("delimiter", ","), header = o.bool("header", default = true),
+        quote = o.str("quote", "\""), multiLine = o.bool("multiLine"),
+        persist = o.bool("persist"), numPartitions = o.intOpt("numPartitions"),
+        options = o.strMap("options"))
+    case "JSONExtract" =>
+      JSONExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
+        multiLine = o.bool("multiLine", default = true), persist = o.bool("persist"),
+        numPartitions = o.intOpt("numPartitions"), options = o.strMap("options"))
+    case "ORCExtract" =>
+      ORCExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
+        persist = o.bool("persist"), numPartitions = o.intOpt("numPartitions"))
+    case "AvroExtract" =>
+      AvroExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
+        persist = o.bool("persist"))
+    case "TextExtract" =>
+      TextExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
+        multiLine = o.bool("multiLine"), persist = o.bool("persist"))
+    case "BytesExtract" =>
+      BytesExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
+        persist = o.bool("persist"))
+    case "ImageExtract" =>
+      ImageExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
+        persist = o.bool("persist"))
+    case "RateExtract" =>
+      RateExtract(o.req("name"), o.req("outputView"),
+        rowsPerSecond = o.intOpt("rowsPerSecond").getOrElse(1).toLong,
+        rampUpTime = o.str("rampUpTime", "0s"))
+    case "MetadataExtract" =>
+      MetadataExtract(o.req("name"), o.req("inputView"), o.req("outputView"),
+        persist = o.bool("persist"))
+    case "StatisticsExtract" =>
+      StatisticsExtract(o.req("name"), o.req("inputView"), o.req("outputView"),
+        approxDistinct = o.bool("approxDistinct"), persist = o.bool("persist"))
+    case "SQLTransform" =>
+      SQLTransform(o.req("name"), o.req("sql"), o.req("outputView"),
+        sqlParams = o.strMap("sqlParams"), persist = o.bool("persist"),
+        numPartitions = o.intOpt("numPartitions"), partitionBy = o.strList("partitionBy"))
+    case "TypingTransform" =>
+      TypingTransform(o.req("name"),
+        schema = graft.schema.MetadataSchema.fromJson(
+          JsonMethods.compact(JsonMethods.render(o.jv \ "schema"))),
+        inputView = o.req("inputView"), outputView = o.req("outputView"),
+        failMode = o.str("failMode", "permissive"), persist = o.bool("persist"))
+    case "DiffTransform" =>
+      DiffTransform(o.req("name"), o.req("inputLeftView"), o.req("inputRightView"),
+        outputIntersectionView = o.strOpt("outputIntersectionView"),
+        outputLeftView = o.strOpt("outputLeftView"),
+        outputRightView = o.strOpt("outputRightView"), persist = o.bool("persist"))
+    case "SimilarityJoinTransform" =>
+      SimilarityJoinTransform(o.req("name"), o.req("leftView"), o.req("rightView"),
+        leftFields = o.strList("leftFields"), rightFields = o.strList("rightFields"),
+        outputView = o.req("outputView"),
+        threshold = o.dbl("threshold", 0.75),
+        shingleLength = o.intOpt("shingleLength").getOrElse(3),
+        numHashTables = o.intOpt("numHashTables").getOrElse(5),
+        caseSensitive = o.bool("caseSensitive"))
+    case "MetadataTransform" =>
+      MetadataTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        fieldMetadata = (o.jv \ "fieldMetadata") match {
+          case JObject(kvs) => kvs.map { case (k, v) =>
+            k -> StageFields(v).allStrings
+          }.toMap
+          case _ => Map.empty
+        }, persist = o.bool("persist"))
+    case "MetadataFilterTransform" =>
+      MetadataFilterTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        sql = o.req("sql"), sqlParams = o.strMap("sqlParams"), persist = o.bool("persist"))
+    case "MLTransform" =>
+      MLTransform(o.req("name"), o.req("inputURI"), o.req("inputView"), o.req("outputView"))
+    case "ParquetLoad" =>
+      ParquetLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
+        saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),
+        partitionBy = o.strList("partitionBy"))
+    case "ORCLoad" =>
+      ORCLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
+        saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),
+        partitionBy = o.strList("partitionBy"))
+    case "DelimitedLoad" =>
+      DelimitedLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
+        delimiter = o.str("delimiter", ","), header = o.bool("header", default = true),
+        saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),
+        partitionBy = o.strList("partitionBy"))
+    case "JSONLoad" =>
+      JSONLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
+        saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),
+        partitionBy = o.strList("partitionBy"))
+    case "TextLoad" =>
+      TextLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
+        saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"))
+    case "ConsoleLoad" =>
+      ConsoleLoad(o.req("name"), o.req("inputView"), o.str("outputMode", "append"))
+    case "SQLValidate" =>
+      SQLValidate(o.req("name"), o.req("sql"), o.strMap("sqlParams"))
+    case "MetadataValidate" =>
+      MetadataValidate(o.req("name"), o.req("inputView"), o.req("sql"), o.strMap("sqlParams"))
+    case "EqualityValidate" =>
+      EqualityValidate(o.req("name"), o.req("leftView"), o.req("rightView"))
+    case "LogExecute" =>
+      LogExecute(o.req("name"), o.req("sql"), o.strMap("sqlParams"))
+    case "ConfigExecute" =>
+      ConfigExecute(o.req("name"), o.req("sql"), o.strMap("sqlParams"))
+    case "PipelineExecute" =>
+      PipelineExecute(o.req("name"), parse(
+        JsonMethods.compact(JsonMethods.render(o.jv \ "stages"))))
+    case other =>
+      throw new IllegalArgumentException(s"unknown stage type: $other")
+  }
+
+  /** Typed field access over one stage's JSON object. */
+  final case class StageFields(jv: JValue) {
+    private val obj: Map[String, JValue] = jv match {
+      case JObject(kvs) => kvs.toMap
+      case other        => throw new IllegalArgumentException(s"stage is not an object: $other")
+    }
+    def req(k: String): String =
+      strOpt(k).getOrElse(throw new IllegalArgumentException(
+        s"stage ${obj.get("name").collect { case JString(s) => s }.getOrElse("?")} missing '$k'"))
+    def strOpt(k: String): Option[String] = obj.get(k).collect {
+      case JString(s) => s
+      case JInt(i)    => i.toString
+      case JBool(b)   => b.toString
+      case JDouble(d) => d.toString
+    }
+    def str(k: String, default: String): String = strOpt(k).getOrElse(default)
+    def bool(k: String, default: Boolean = false): Boolean =
+      obj.get(k).collect { case JBool(b) => b }.getOrElse(default)
+    def dbl(k: String, default: Double): Double = obj.get(k).collect {
+      case JDouble(d) => d
+      case JInt(i)    => i.toDouble
+    }.getOrElse(default)
+    def intOpt(k: String): Option[Int] = obj.get(k).collect { case JInt(i) => i.toInt }
+    def strList(k: String): Seq[String] = obj.get(k).collect {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+    }.getOrElse(Nil)
+    def strMap(k: String): Map[String, String] = obj.get(k).collect {
+      case JObject(kvs) => kvs.collect { case (key, JString(v)) => key -> v }.toMap
+    }.getOrElse(Map.empty)
+    def allStrings: Map[String, String] = obj.collect { case (k, JString(v)) => k -> v }
+    def watermark: Option[graft.extract.Watermark] = obj.get("watermark").collect {
+      case w: JObject =>
+        val f = StageFields(w)
+        graft.extract.Watermark(f.req("eventTime"), f.req("delayThreshold"))
+    }
+  }
+}

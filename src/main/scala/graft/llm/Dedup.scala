@@ -69,10 +69,17 @@ object Dedup {
       threshold: Double = 0.8
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // The repartition is load-bearing: without an exchange, Catalyst collapses
+    // the projections and the band-explode below would inline (and recompute)
+    // the whole shingle+minhash expression once per band per hash — measured
+    // ~60× slowdown. The shuffle materializes (_id, _sh, _sig) exactly once;
+    // at cluster scale this exchange also spreads the corpus before the
+    // bucket join.
     val withSig = df
       .select(col(idCol).as("_id"), shingles(col(textCol), shingleLen).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
+      .repartition(col("_id"))
     // explode into (band index, band hash) bucket keys
     val banded = withSig.select(
       col("_id"),

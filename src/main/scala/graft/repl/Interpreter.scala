@@ -50,6 +50,9 @@ final class Interpreter(val spark: SparkSession) {
         val rest = trimmed.linesIterator.drop(1).mkString("\n")
         val parts = firstLine.drop(1).split("\\s+", 2)
         (parts(0), if (parts.length > 1) parts(1) else "", rest)
+      } else if (trimmed.startsWith("{") || trimmed.startsWith("[")) {
+        // bare stage-config cell (the reference's bare-HOCON dispatch)
+        ("arc", "", trimmed)
       } else ("sql", "", trimmed)
     val args = Params.parseArgs(argLine)
     try dispatch(magic, args, argLine, body)
@@ -128,6 +131,14 @@ final class Interpreter(val spark: SparkSession) {
         numPartitions = args.get("numPartitions").flatMap(_.toIntOption)
       ).execute(ctx).get
       display(df, args)
+
+    case "arc" =>
+      val stages = PipelineConfig.parse(if (body.nonEmpty) body else argLine)
+      val last = Runner.run(stages, ctx)
+      last match {
+        case Some(df) => display(df, args)
+        case None     => CellResult(success = true, text = s"${stages.size} stage(s) executed")
+      }
 
     case "sqlvalidate" =>
       graft.validate.SQLValidate(args.getOrElse("name", "sqlvalidate"), body).execute(ctx)

@@ -1,0 +1,72 @@
+package graft
+
+import graft.core.{PipelineConfig, PipelineContext, Runner}
+
+class ConfigSpec extends SparkSpec {
+
+  test("JSON stage config parses and runs end-to-end") {
+    val json =
+      s"""{"stages": [
+        {"type": "ParquetExtract", "name": "e", "inputURI": "${sf()}/nation.parquet",
+         "outputView": "cfg_nation"},
+        {"type": "SQLTransform", "name": "q",
+         "sql": "SELECT n_regionkey, COUNT(*) AS n FROM cfg_nation GROUP BY 1 ORDER BY 1",
+         "outputView": "cfg_out"},
+        {"type": "SQLValidate", "name": "v",
+         "sql": "SELECT COUNT(*) = 5 AS valid, 'regions' AS message FROM cfg_out"}
+      ]}"""
+    val ctx = new PipelineContext(spark)
+    val out = Runner.run(PipelineConfig.parse(json), ctx)
+    assert(out.isDefined)
+    assert(spark.table("cfg_out").count() == 5)
+  }
+
+  test("environments filter excludes stages") {
+    val json =
+      s"""{"stages": [
+        {"type": "ParquetExtract", "name": "e", "inputURI": "${sf()}/region.parquet",
+         "outputView": "cfg_r", "environments": ["production"]},
+        {"type": "SQLTransform", "name": "q", "sql": "SELECT 1 AS x",
+         "outputView": "cfg_skip", "environments": ["test"]}
+      ]}"""
+    val stages = PipelineConfig.parse(json, environment = "production")
+    assert(stages.map(_.name) == Seq("e"))
+  }
+
+  test("TypingTransform via config with inline schema") {
+    import spark.implicits._
+    Seq(("1", "2.5")).toDF("a", "b").createOrReplaceTempView("cfg_raw")
+    val json =
+      """{"stages": [
+        {"type": "TypingTransform", "name": "t", "inputView": "cfg_raw",
+         "outputView": "cfg_typed",
+         "schema": [
+           {"name": "a", "type": "integer"},
+           {"name": "b", "type": "double"}
+         ]}
+      ]}"""
+    Runner.run(PipelineConfig.parse(json), new PipelineContext(spark))
+    val r = spark.table("cfg_typed").head()
+    assert(r.getAs[Int]("a") == 1 && r.getAs[Double]("b") == 2.5)
+  }
+
+  test("unknown stage type raises a naming error") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.parse("""{"stages": [{"type": "NopeExtract", "name": "x"}]}""")
+    }
+    assert(e.getMessage.contains("NopeExtract"))
+  }
+
+  test("bare JSON cell dispatches through the interpreter") {
+    val interp = new graft.repl.Interpreter(spark)
+    val r = interp.execute(
+      s"""{"stages": [
+        {"type": "ParquetExtract", "name": "e", "inputURI": "${sf()}/region.parquet",
+         "outputView": "arc_cell_r"},
+        {"type": "SQLTransform", "name": "q",
+         "sql": "SELECT r_name FROM arc_cell_r ORDER BY r_name", "outputView": "arc_cell_out"}
+      ]}""")
+    assert(r.success, r.text)
+    assert(r.df.get.count() == 5)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Params
+
+/** Property-based coverage for the pure text utilities (SURVEY.md §5).
+  * Plain ScalaCheck (no scalatestplus bridge on the offline classpath):
+  * each property is executed with ScalaCheck's runner and asserted to pass.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop): Unit = {
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(result.passed, result.status.toString)
+  }
+
+  private val key = Gen.identifier.suchThat(_.nonEmpty).map(_.take(12))
+  private val value = Gen.alphaNumStr.map(_.take(20))
+
+  test("injectParameters replaces every known placeholder") {
+    checkProp(Prop.forAll(key, value) { (k, v) =>
+      Params.injectParameters(s"SELECT $${$k} FROM t", Map(k -> v)) == s"SELECT $v FROM t"
+    })
+  }
+
+  test("injectParameters leaves unknown placeholders verbatim") {
+    checkProp(Prop.forAll(key) { k =>
+      val sql = s"SELECT $${$k} FROM t"
+      Params.injectParameters(sql, Map.empty) == sql
+    })
+  }
+
+  test("default wins only when key is absent") {
+    checkProp(Prop.forAll(key, value, value) { (k, v, d) =>
+      Params.injectParameters(s"$${$k=$d}", Map(k -> v)) == v &&
+      (d.isEmpty || Params.injectParameters(s"$${$k=$d}", Map.empty) == d)
+    })
+  }
+
+  test("parseArgs round-trips unquoted k=v pairs") {
+    val kv = for { k <- key; v <- value.suchThat(_.nonEmpty) } yield (k, v)
+    checkProp(Prop.forAll(Gen.mapOf(kv).map(_.take(5))) { m =>
+      val line = m.map { case (k, v) => s"$k=$v" }.mkString(" ")
+      Params.parseArgs(line) == m
+    })
+  }
+
+  test("parseArgs preserves quoted values with spaces") {
+    checkProp(Prop.forAll(key, Gen.listOfN(3, Gen.alphaStr.map(_.take(5)))) { (k, words) =>
+      val v = words.mkString(" ")
+      Params.parseArgs(s"""$k="$v"""").get(k).contains(v)
+    })
+  }
+
+  test("metadata schema JSON round-trip preserves name/type/nullable") {
+    import graft.schema.{FieldSpec, MetadataSchema}
+    import org.apache.spark.sql.types._
+    val fieldGen = for {
+      name <- Gen.identifier.map(_.take(10)).suchThat(_.nonEmpty)
+      tpe <- Gen.oneOf("string", "integer", "long", "double", "boolean", "date", "timestamp")
+      nullable <- Gen.oneOf(true, false)
+    } yield FieldSpec(name, tpe, nullable)
+    checkProp(Prop.forAll(Gen.listOfN(5, fieldGen)) { fields0 =>
+      val fields = fields0.distinctBy(_.name)
+      val schema = StructType(fields.map(_.structField))
+      val back = MetadataSchema.fromJson(MetadataSchema.toJson(schema))
+      back.map(f => (f.name, f.`type`, f.nullable)) ==
+        fields.map(f => (f.name, f.`type`, f.nullable))
+    })
+  }
+}

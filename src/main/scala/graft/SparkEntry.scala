@@ -525,6 +525,155 @@ object SparkEntry {
         .filter(col("side") === "z")
         .select(col("event_id"), col("last_order_date"))
         .orderBy("event_id")
+    },
+    "q46_similarity_join_lsh" -> withViews("documents") { (spark, ctx) =>
+      // MinHashLSH fuzzy self-join (SimilarityJoinTransform) — approximate,
+      // so covered rows-only + ScalaTest, no SQL oracle.
+      SQLTransform("head", "SELECT doc_id, text FROM documents WHERE doc_id < 100", "docs_a").execute(ctx)
+      SQLTransform("head2", "SELECT doc_id, text FROM documents WHERE doc_id < 100", "docs_b").execute(ctx)
+      graft.transform.SimilarityJoinTransform(
+        "sim", "docs_a", "docs_b", Seq("text"), Seq("text"), "sim_out",
+        threshold = 0.5, shingleLength = 3, numHashTables = 5
+      ).execute(ctx)
+      ctx.view("sim_out")
+        .filter(col("doc_id") =!= col("doc_id_right"))
+        .select(col("doc_id"), col("doc_id_right"), round(col("similarity"), 4).as("similarity"))
+        .orderBy("doc_id", "doc_id_right")
+    },
+    "q47_percentile_exact" -> pipe("orders")(
+      """SELECT o_orderpriority,
+               PERCENTILE(o_totalprice, 0.5)  AS p50,
+               PERCENTILE(o_totalprice, 0.9)  AS p90,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""
+    ),
+    "q48_window_range_frame" -> pipe("orders")(
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_sum
+        FROM orders
+        WHERE o_orderkey < 300
+        ORDER BY o_orderpriority, o_totalprice, o_orderkey"""
+    ),
+    "q49_window_ntile_firstlast" -> pipe("orders")(
+      """SELECT o_orderkey,
+               NTILE(4) OVER w AS quartile,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest,
+               LAST_VALUE(o_orderkey) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest
+        FROM orders
+        WHERE o_orderkey < 300
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey"""
+    ),
+    "q50_regexp" -> pipe("customer")(
+      """SELECT c_custkey,
+               REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+               REGEXP_REPLACE(c_name, '[aeiou]', '_') AS devoweled
+        FROM customer
+        ORDER BY c_custkey"""
+    ),
+    "q51_filtered_agg" -> pipe("lineitem")(
+      """SELECT l_returnflag,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""
+    ),
+    "q53_string_agg" -> withViews("nation") { (spark, ctx) =>
+      ctx.view("nation")
+        .groupBy(col("n_regionkey").cast("long").as("regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), "|").as("nations"))
+        .orderBy("regionkey")
+    },
+    "q55_interval_arith" -> pipe("orders")(
+      """SELECT o_orderkey,
+               o_orderdate + INTERVAL 30 DAY  AS due_date,
+               o_orderdate - INTERVAL 1 DAY   AS day_before
+        FROM orders
+        WHERE o_orderkey < 200
+        ORDER BY o_orderkey"""
+    ),
+    "q57_null_semantics" -> pipe("orders")(
+      """SELECT o_orderkey,
+               NULLIF(o_orderstatus, 'O') IS NULL AS is_open,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'none') AS closed_status,
+               o_orderstatus IS DISTINCT FROM 'F' AS not_f
+        FROM orders
+        WHERE o_orderkey < 200
+        ORDER BY o_orderkey"""
+    ),
+    "q63_sessionization" -> pipe("events")(
+      """WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WHERE user_id <= 20
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""
+    ),
+    "q59_fingerprints" -> withViews("documents") { (spark, ctx) =>
+      // xxhash64-based fingerprints have no DuckDB equivalent — rows-only.
+      ctx.view("documents")
+        .select(
+          col("doc_id"),
+          graft.llm.TextStats.fingerprint(col("text")).as("fp"),
+          size(graft.llm.TextStats.winnowingFingerprints(col("text"))).cast("long").as("n_winnow")
+        )
+        .orderBy("doc_id")
+    },
+    "q60_embedding_neardup" -> withViews("embeddings") { (spark, ctx) =>
+      // Union with a shifted copy so true duplicate pairs exist (the synthetic
+      // embeddings are i.i.d.; no natural near-dups). Rows-only.
+      val em = ctx.view("embeddings").select(col("vec_id"), col("embedding"))
+      val shifted = em.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      graft.llm.Dedup
+        .embeddingNearDupPairs(em.unionAll(shifted), "vec_id", "embedding",
+          dim = 64, planes = 6, threshold = 0.99)
+        .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("idA", "idB")
+    },
+    "q61_multimodal_decode" -> withViews("documents") { (spark, ctx) =>
+      // Binary-column pipeline: text bytes stand in for media blobs; decode
+      // metadata + fixed-width features via mapPartitions (stubbed codec).
+      val blobs = ctx.view("documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      graft.llm.Multimodal
+        .decodeAndFeaturize(blobs, "blob")
+        .select(col("doc_id"), col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"), size(col("features")).cast("long").as("n_features"))
+        .orderBy("doc_id")
+    },
+    "q64_approx_sketches" -> withViews("lineitem") { (spark, ctx) =>
+      // HLL + approximate percentile: nondeterministic across engines by
+      // design — rows-only sanity (exact bounds asserted in ScalaTest).
+      ctx.view("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx")
+        )
+        .orderBy("l_returnflag")
     }
   )
 
@@ -715,6 +864,89 @@ object SparkEntry {
         FROM (SELECT event_id, ts FROM events WHERE event_id < 100) e
         ASOF LEFT JOIN (SELECT o_orderdate AS last_order_date FROM orders) o
           ON e.ts >= o.last_order_date
-        ORDER BY e.event_id"""
+        ORDER BY e.event_id""",
+    "q47_percentile_exact" ->
+      """SELECT o_orderpriority,
+               QUANTILE_CONT(o_totalprice, 0.5) AS p50,
+               QUANTILE_CONT(o_totalprice, 0.9) AS p90,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""",
+    "q48_window_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_sum
+        FROM orders
+        WHERE o_orderkey < 300
+        ORDER BY o_orderpriority, o_totalprice, o_orderkey""",
+    "q49_window_ntile_firstlast" ->
+      """SELECT o_orderkey,
+               NTILE(4) OVER w AS quartile,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest,
+               LAST_VALUE(o_orderkey) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest
+        FROM orders
+        WHERE o_orderkey < 300
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey""",
+    "q50_regexp" ->
+      """SELECT c_custkey,
+               COALESCE(REGEXP_EXTRACT(c_name, '([0-9]+)', 1), '') AS digits,
+               REGEXP_REPLACE(c_name, '[aeiou]', '_', 'g') AS devoweled
+        FROM customer
+        ORDER BY c_custkey""",
+    "q51_filtered_agg" ->
+      """SELECT l_returnflag,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""",
+    "q53_string_agg" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+               STRING_AGG(n_name, '|' ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY regionkey""",
+    "q55_interval_arith" ->
+      """SELECT o_orderkey,
+               o_orderdate + INTERVAL 30 DAY  AS due_date,
+               o_orderdate - INTERVAL 1 DAY   AS day_before
+        FROM orders
+        WHERE o_orderkey < 200
+        ORDER BY o_orderkey""",
+    "q57_null_semantics" ->
+      """SELECT o_orderkey,
+               NULLIF(o_orderstatus, 'O') IS NULL AS is_open,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'none') AS closed_status,
+               o_orderstatus IS DISTINCT FROM 'F' AS not_f
+        FROM orders
+        WHERE o_orderkey < 200
+        ORDER BY o_orderkey""",
+    "q63_sessionization" ->
+      """WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WHERE user_id <= 20
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""
   )
 }

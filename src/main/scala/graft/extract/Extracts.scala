@@ -298,6 +298,36 @@ final case class JDBCExtract(
   }
 }
 
+/** HTTPExtract — GET a URI per input row (or the single configured URI) and
+  * emit the response body as rows. The environment has no network egress, so
+  * the transport is pluggable; the default stub reads local `file:` URIs and
+  * returns empty otherwise (clearly marked). The Spark shape is the real
+  * design: URIs distributed across partitions, one client per partition.
+  */
+final case class HTTPExtract(
+    name: String,
+    uri: String,
+    outputView: String,
+    numPartitions: Option[Int] = None,
+    persist: Boolean = false,
+    // STUB(offline): replace with a real HTTP GET in a networked deploy.
+    transport: String => Array[Byte] = u =>
+      try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(u)))
+      catch { case _: Throwable => Array.emptyByteArray }
+) extends Stage {
+  val stageType = "HTTPExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    import ctx.spark.implicits._
+    val t = transport
+    val df = ctx.spark
+      .createDataset(Seq(uri))
+      .repartition(numPartitions.getOrElse(1))
+      .map(u => (u, new String(t(u), java.nio.charset.StandardCharsets.UTF_8)))
+      .toDF("uri", "body")
+    Some(publish(ctx, df, outputView, None, Nil, persist))
+  }
+}
+
 /** MetadataExtract — a view's column metadata as a dataset
   * (same machinery as the reference's `%metadata`, Common.scala:46-70).
   */

@@ -1,0 +1,63 @@
+package graft.repl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Completion snippets — behavioral analog of the reference's completion
+  * machinery (Common.scala:366-569; per-table completions
+  * OutputTable.scala:97-146): static per-magic snippets plus, for every table
+  * in the session catalog, a `SELECT <all flattened columns> FROM t` snippet
+  * built by recursively flattening the schema (nested struct fields become
+  * dotted paths; names with characters outside [A-Za-z0-9_] are
+  * backtick-escaped, Common.scala:342-352).
+  */
+object Completions {
+
+  final case class Completion(label: String, snippet: String)
+
+  val static: Seq[Completion] = Seq(
+    Completion("%sql", "%sql outputView=v persist=false\nSELECT * FROM table"),
+    Completion("%sqlvalidate", "%sqlvalidate\nSELECT TRUE AS valid, TO_JSON(NAMED_STRUCT('message', 'ok')) AS message"),
+    Completion("%metadata", "%metadata viewName"),
+    Completion("%printmetadata", "%printmetadata viewName"),
+    Completion("%schema", "%schema viewName"),
+    Completion("%printschema", "%printschema viewName"),
+    Completion("%metadatafilter", "%metadatafilter inputView=v outputView=v2\nSELECT name FROM ${inputView} WHERE metadata['pii'] IS NULL"),
+    Completion("%metadatavalidate", "%metadatavalidate inputView=v\nSELECT SUM(CASE WHEN metadata['pii'] = 'true' THEN 1 ELSE 0 END) = 0 AS valid, 'no pii' AS message FROM ${inputView}"),
+    Completion("%log", "%log\nSELECT TO_JSON(NAMED_STRUCT('rows', COUNT(*))) FROM table"),
+    Completion("%configexecute", "%configexecute\nSELECT TO_JSON(NAMED_STRUCT('key', 'value'))"),
+    Completion("%list", "%list hdfs://path/"),
+    Completion("%env", "%env key=value"),
+    Completion("%secret", "%secret key=value"),
+    Completion("%conf", "%conf numRows=20 truncate=50 streaming=false"),
+    Completion("%summary", "%summary viewName"),
+    Completion("%arc", """{"stages": [{"type": "SQLTransform", "name": "q", "sql": "SELECT 1", "outputView": "v"}]}"""),
+    Completion("%version", "%version"),
+    Completion("%help", "%help")
+  )
+
+  private def escape(name: String): String =
+    if (name.forall(c => c.isLetterOrDigit || c == '_')) name else s"`$name`"
+
+  /** Recursively flatten a schema into dotted column paths. */
+  def flattenSchema(schema: StructType, prefix: Option[String] = None): Seq[String] =
+    schema.fields.toSeq.flatMap { case StructField(name, dataType, _, _) =>
+      val path = prefix.fold(escape(name))(p => s"$p.${escape(name)}")
+      dataType match {
+        case st: StructType => flattenSchema(st, Some(path))
+        case _              => Seq(path)
+      }
+    }
+
+  /** One `SELECT <cols> FROM table` completion per catalog temp view. */
+  def tableCompletions(spark: SparkSession): Seq[Completion] =
+    spark.catalog.listTables().collect().toSeq.map { t =>
+      val df = spark.table(t.name)
+      val cols = flattenSchema(df.schema).mkString(s",\n  ")
+      Completion(t.name, s"SELECT\n  $cols\nFROM ${t.name}")
+    }
+
+  /** All completions whose label starts with the given (possibly empty) prefix. */
+  def complete(spark: SparkSession, prefix: String): Seq[Completion] =
+    (static ++ tableCompletions(spark)).filter(_.label.startsWith(prefix))
+}

@@ -195,6 +195,30 @@ final class Interpreter(val spark: SparkSession) {
       graft.execute.LogExecute(args.getOrElse("name", "log"), body).execute(ctx)
       CellResult(success = true, text = "logged")
 
+    case "configexecute" =>
+      graft.execute.ConfigExecute(args.getOrElse("name", "configexecute"), body).execute(ctx)
+      CellResult(success = true, text = ctx.params.collect {
+        case (k, cv) if !cv.secret => s"$k=${cv.value}"
+        case (k, _)                => s"$k=******"
+      }.mkString("\n"))
+
+    case "metadatafilter" =>
+      val df = graft.transform.MetadataFilterTransform(
+        args.getOrElse("name", "metadatafilter"),
+        inputView = args("inputView"),
+        outputView = args.getOrElse("outputView", nextView()),
+        sql = body
+      ).execute(ctx).get
+      display(df, args)
+
+    case "metadatavalidate" =>
+      graft.validate.MetadataValidate(
+        args.getOrElse("name", "metadatavalidate"),
+        inputView = args("inputView"),
+        sql = body
+      ).execute(ctx)
+      CellResult(success = true, text = "valid")
+
     case "summary" | "statistics" =>
       val view = argLine.trim.split("\\s+").head
       val out = args.getOrElse("outputView", nextView())

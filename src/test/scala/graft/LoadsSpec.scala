@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{PipelineContext, Runner}
+import graft.extract.{DelimitedExtract, JSONExtract, ORCExtract, ParquetExtract, TextExtract, BytesExtract, HTTPExtract}
+import graft.load._
+import graft.schema.FieldSpec
+import graft.transform.TypingTransform
+
+/** Round-trip coverage: each Load writes a view, the matching Extract reads
+  * it back, contents must survive.
+  */
+class LoadsSpec extends SparkSpec {
+
+  private lazy val tmp = {
+    val d = java.nio.file.Files.createTempDirectory("graft_loads").toString
+    d
+  }
+
+  private def ctxWithNation(): PipelineContext = {
+    val ctx = new PipelineContext(spark)
+    Runner.run(Seq(ParquetExtract("e", s"${sf()}/nation.parquet", "nation_src")), ctx)
+    ctx
+  }
+
+  test("ParquetLoad -> ParquetExtract round-trip with partitionBy") {
+    val ctx = ctxWithNation()
+    ParquetLoad("l", "nation_src", s"$tmp/nation_pq", partitionBy = Seq("n_regionkey")).execute(ctx)
+    ParquetExtract("e2", s"$tmp/nation_pq", "nation_back").execute(ctx)
+    val back = spark.table("nation_back")
+    assert(back.count() == 25)
+    // partition column moves to the end but survives with correct values
+    assert(back.select(countDistinct(col("n_regionkey"))).head().getLong(0) == 5)
+    // physical layout: one directory per region key
+    val dirs = new java.io.File(s"$tmp/nation_pq").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("n_regionkey=")) == 5)
+  }
+
+  test("ORCLoad -> ORCExtract round-trip") {
+    val ctx = ctxWithNation()
+    ORCLoad("l", "nation_src", s"$tmp/nation_orc").execute(ctx)
+    ORCExtract("e2", s"$tmp/nation_orc", "nation_orc_back").execute(ctx)
+    assert(spark.table("nation_orc_back").count() == 25)
+  }
+
+  test("DelimitedLoad -> DelimitedExtract -> TypingTransform recovers typed values") {
+    val ctx = ctxWithNation()
+    DelimitedLoad("l", "nation_src", s"$tmp/nation_csv", delimiter = ";").execute(ctx)
+    DelimitedExtract("e2", s"$tmp/nation_csv", "nation_csv_back", delimiter = ";").execute(ctx)
+    val raw = spark.table("nation_csv_back")
+    assert(raw.schema.fields.forall(_.dataType.typeName == "string")) // all-string contract
+    TypingTransform(
+      "t",
+      Seq(FieldSpec("n_nationkey", "integer"), FieldSpec("n_name", "string"),
+          FieldSpec("n_regionkey", "integer")),
+      "nation_csv_back", "nation_typed"
+    ).execute(ctx)
+    val typed = spark.table("nation_typed")
+    assert(typed.filter(size(col("_errors")) > 0).count() == 0)
+    assert(typed.select(sum(col("n_nationkey"))).head().getLong(0) == (0 until 25).sum)
+  }
+
+  test("JSONLoad -> JSONExtract round-trip") {
+    val ctx = ctxWithNation()
+    JSONLoad("l", "nation_src", s"$tmp/nation_json").execute(ctx)
+    JSONExtract("e2", s"$tmp/nation_json/*.json", "nation_json_back", multiLine = false).execute(ctx)
+    assert(spark.table("nation_json_back").count() == 25)
+  }
+
+  test("TextLoad -> TextExtract round-trip") {
+    val ctx = ctxWithNation()
+    spark.table("nation_src").select(col("n_name")).createOrReplaceTempView("names_only")
+    TextLoad("l", "names_only", s"$tmp/nation_txt").execute(ctx)
+    TextExtract("e2", s"$tmp/nation_txt", "nation_txt_back").execute(ctx)
+    assert(spark.table("nation_txt_back").count() == 25)
+  }
+
+  test("BytesExtract reads whole files as binary rows") {
+    val ctx = new PipelineContext(spark)
+    BytesExtract("b", s"${sf()}/nation.parquet", "nation_bytes").execute(ctx)
+    val row = spark.table("nation_bytes").select("length", "path").head()
+    assert(row.getLong(0) > 1000)
+  }
+
+  test("HTTPExtract stub reads file: URIs") {
+    val ctx = new PipelineContext(spark)
+    val f = java.nio.file.Files.createTempFile("graft_http", ".txt")
+    java.nio.file.Files.writeString(f, "hello body")
+    HTTPExtract("h", f.toUri.toString, "http_out").execute(ctx)
+    val row = spark.table("http_out").head()
+    assert(row.getAs[String]("body") == "hello body")
+  }
+}

@@ -55,12 +55,21 @@ final class Interpreter(val spark: SparkSession) {
         ("arc", "", trimmed)
       } else ("sql", "", trimmed)
     val args = Params.parseArgs(argLine)
-    try dispatch(magic, args, argLine, body)
-    catch {
-      case e: Throwable =>
-        CellResult(success = false, text = unwrap(e).mkString("\n"))
+    // per-cell progress listener, attached/detached around execution like the
+    // reference (ArcInterpreter.scala:386-396, :640-648)
+    val (result, progress) = ProgressListener.withProgress(spark) {
+      try dispatch(magic, args, argLine, body)
+      catch {
+        case e: Throwable =>
+          CellResult(success = false, text = unwrap(e).mkString("\n"))
+      }
     }
+    lastProgress = progress
+    result
   }
+
+  /** Task progress of the most recent cell (done/total tasks). */
+  @volatile var lastProgress: ProgressListener.Snapshot = ProgressListener.Snapshot(0, 0)
 
   private def unwrap(e: Throwable): Seq[String] = {
     val msgs = mutable.Buffer[String]()

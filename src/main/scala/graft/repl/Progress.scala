@@ -50,11 +50,25 @@ object ProgressListener {
     }
   }
 
-  /** Run `body` with a listener attached; always detaches. */
+  /** Run `body` with a listener attached; always detaches. Listener events
+    * are delivered asynchronously, so after `body` returns we poll briefly
+    * until the task counts stop moving (bounded at 1 s) before snapshotting.
+    */
   def withProgress[T](spark: org.apache.spark.sql.SparkSession)(body: => T): (T, Snapshot) = {
     val l = new ProgressListener()
     spark.sparkContext.addSparkListener(l)
-    try { val r = body; (r, l.snapshot) }
-    finally spark.sparkContext.removeSparkListener(l)
+    try {
+      val r = body
+      val deadline = System.currentTimeMillis() + 1000
+      var prev = l.snapshot
+      var stable = false
+      while (!stable && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        val cur = l.snapshot
+        stable = cur == prev && cur.done >= cur.total
+        prev = cur
+      }
+      (r, prev)
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 }

@@ -69,6 +69,13 @@ class InterpreterSpec extends SparkSpec {
     assert(interp.execute("%help").text.contains("%sql"))
   }
 
+  test("cell execution records task progress") {
+    interp.execute("%sql outputView=prog\nSELECT COUNT(*) AS n FROM nation_repl")
+    val p = interp.lastProgress
+    assert(p.total > 0 && p.done == p.total, p.toString)
+    assert(p.bar().contains("#"))
+  }
+
   test("unknown magic fails gracefully") {
     assert(!interp.execute("%nope").success)
   }

@@ -69,34 +69,49 @@ object Dedup {
       threshold: Double = 0.8
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // Shingles are hashed to longs immediately: the band join and Jaccard
+    // verification then shuffle 8-byte hashes instead of shingle strings
+    // (~10× smaller payload at scale; 64-bit collisions are negligible for
+    // set-overlap estimation).
     // The repartition is load-bearing: without an exchange, Catalyst collapses
     // the projections and the band-explode below would inline (and recompute)
     // the whole shingle+minhash expression once per band per hash — measured
     // ~60× slowdown. The shuffle materializes (_id, _sh, _sig) exactly once;
     // at cluster scale this exchange also spreads the corpus before the
     // bucket join.
+    val hashedShingles =
+      array_distinct(transform(shingles(col(textCol), shingleLen), s => xxhash64(s)))
     val withSig = df
-      .select(col(idCol).as("_id"), shingles(col(textCol), shingleLen).as("_sh"))
+      .select(col(idCol).as("_id"), hashedShingles.as("_sh"))
       .filter(size(col("_sh")) > 0)
       .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
       .repartition(col("_id"))
-    // explode into (band index, band hash) bucket keys
+    // explode into (band index, band hash) bucket keys — ids only, the
+    // shingle arrays stay out of the band join entirely
     val banded = withSig.select(
       col("_id"),
-      col("_sh"),
       posexplode(
         array((0 until bands).map { b =>
           xxhash64(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
         }: _*)
       ).as(Seq("_band", "_bucket"))
     )
-    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("idA"), col("_sh").as("_shA"))
-    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("idB"), col("_sh").as("_shB"))
-    // bucket self-join: shuffle on (band, bucket) — candidates only
-    a.join(b, Seq("_band", "_bucket"))
+    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("idA"))
+    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("idB"))
+    // bucket self-join on (band, bucket): candidates only, 16 bytes per row.
+    // Dedup the pair BEFORE fetching arrays — a pair colliding in k bands
+    // would otherwise pay the Jaccard k times, and the array payload would
+    // ride every shuffle.
+    val candidatePairs = a
+      .join(b, Seq("_band", "_bucket"))
       .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), jaccard(col("_shA"), col("_shB")).as("jaccard"))
+      .select("idA", "idB")
       .distinct()
+    val shingleSets = withSig.select(col("_id"), col("_sh"))
+    candidatePairs
+      .join(shingleSets.select(col("_id").as("idA"), col("_sh").as("_shA")), Seq("idA"))
+      .join(shingleSets.select(col("_id").as("idB"), col("_sh").as("_shB")), Seq("idB"))
+      .select(col("idA"), col("idB"), jaccard(col("_shA"), col("_shB")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

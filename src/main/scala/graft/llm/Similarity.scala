@@ -19,8 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric arrays. */
+  /** Dot product of two numeric arrays — the native fused-loop expression
+    * (graft.functions.DotProduct, codegen'd, no intermediate array). The
+    * composable `aggregate(zip_with(...))` form computes the same sum in the
+    * same element order, so results are bit-identical; the native form skips
+    * the per-row products-array allocation that dominates ANN scoring.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vec_dot(a, b)
+
+  /** The built-ins-only dot (kept for cross-checking the native expression). */
+  def dotComposable(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -90,5 +90,6 @@ object Udfs {
       exprs => if (exprs.nonEmpty) Rand(exprs.head) else Rand(Literal(0L)),
       "built-in"
     )
+    graft.functions.VectorExpressions.register(spark)
   }
 }

@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: run every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, print ONE JSON line {"metric","value","unit","queries","sf"}.
   *
-  * Each query is forced with .count() (full plan execution, no driver-side
-  * result materialization beyond the count). A warmup pass on the flagship
-  * query pays the one-time codegen/JIT cost so per-query numbers reflect
-  * steady-state execution.
+  * Each query is forced with a noop-format write: every operator including
+  * final projections executes (a bare .count() lets Catalyst prune the
+  * projection, under-measuring scalar-heavy queries) with no driver-side
+  * result materialization. A warmup pass on the flagship query pays the
+  * one-time codegen/JIT cost so per-query numbers reflect steady-state
+  * execution.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,12 +24,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // warmup: JIT + codegen + filesystem metadata
-    try SparkEntry.queries("q01_agg_pricing_summary")(spark, sfDir).count()
+    try force(SparkEntry.queries("q01_agg_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

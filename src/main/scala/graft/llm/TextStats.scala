@@ -42,17 +42,20 @@ object TextStats {
     * One pass, no shuffle: the per-language scores are array_intersect sizes
     * against literal arrays.
     */
-  def languageId(text: Column): Column = {
-    val toks = array_distinct(Dedup.tokens(text))
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
-        lit(lang).as("lang")
-      )
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def languageId(text: Column): Column =
+    graft.functions.Let.bind(
+      array_distinct(Dedup.tokens(text)),
+      toks => {
+        val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+          struct(
+            size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+            lit(lang).as("lang")
+          )
+        }
+        val best = array_max(array(scored: _*))
+        when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+      }
+    )
 
   /** Quality features: character/token counts and ratios used for corpus
     * filtering (C4/Gopher-style rules).
@@ -80,8 +83,7 @@ object TextStats {
     * ratio, high punctuation, no stopwords. Deterministic and monotone in the
     * features so thresholds are interpretable.
     */
-  def qualityScore(text: Column): Column = {
-    val f = qualityFeatures(text)
+  def qualityScore(text: Column): Column = graft.functions.Let.bind(qualityFeatures(text), f => {
     val lenOk = when(f.getField("n_tokens").between(10, 100000), 1.0)
       .when(f.getField("n_tokens") > 0, 0.5)
       .otherwise(0.0)
@@ -92,7 +94,7 @@ object TextStats {
       .when(f.getField("stopword_hits") >= 1, 0.7)
       .otherwise(0.3)
     round((lenOk * 0.25 + alphaOk * 0.25 + punctOk * 0.25 + stopOk * 0.25), 4)
-  }
+  })
 
   /** Normalized whole-document fingerprint: 64-bit hash of the
     * lowercased, whitespace-collapsed text. Equal fingerprint ⇒ near-certain
@@ -109,17 +111,22 @@ object TextStats {
     * k-grams, then the minimum hash in each sliding window of `w` — a
     * position-robust signature for plagiarism/near-dup detection.
     */
-  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val grams = transform(
-      safeSeq(length(norm) - (k - 1)),
-      i => xxhash64(norm.substr(i, lit(k)))
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    // Nested let-bindings: without them the normalized text re-runs its regex
+    // per k-gram AND the whole k-gram array rebuilds per window element —
+    // O(len²) regex evaluations per document.
+    graft.functions.Let.bind(
+      regexp_replace(lower(trim(text)), "\\s+", " "),
+      norm =>
+        graft.functions.Let.bind(
+          transform(safeSeq(length(norm) - (k - 1)), i => xxhash64(norm.substr(i, lit(k)))),
+          grams =>
+            array_distinct(
+              transform(
+                safeSeq(size(grams) - (w - 1)),
+                i => array_min(slice(grams, i, lit(w)))
+              )
+            )
+        )
     )
-    array_distinct(
-      transform(
-        safeSeq(size(grams) - (w - 1)),
-        i => array_min(slice(grams, i, lit(w)))
-      )
-    )
-  }
 }

@@ -50,6 +50,37 @@ class DedupSpec extends SparkSpec {
     assert(hamming12 < hamming13)
   }
 
+  test("hot bucket degrades to linear star links, exact-dup recall survives") {
+    // 10k identical docs: every band bucket holds all 10k rows — far over the
+    // cap. All-pairs would be ~50M candidates; star-linking yields exactly
+    // n-1, all anchored at the min id, so dedup still keeps one winner.
+    val n = 10000
+    val hot = spark.range(1, n + 1).selectExpr("id", "'the same boilerplate text repeated in every single document' AS text")
+    val pairs = Dedup.minhashPairs(hot, "id", "text", shingleLen = 2, bands = 4, rowsPerBand = 2,
+      threshold = 0.9, maxBucketSize = 64)
+    assert(pairs.count() == n - 1)
+    val kept = Dedup.minhashDedup(hot, "id", "text", shingleLen = 2, bands = 4, rowsPerBand = 2,
+      threshold = 0.9, maxBucketSize = 64).count()
+    assert(kept == 1)
+  }
+
+  test("simhash banding has full recall at maxDistance=8") {
+    // Fingerprints crafted at exact Hamming distances: 8 (must be found),
+    // 9 (must be filtered), 0 (exact dup, must be found).
+    val base = 0x0123456789abcdefL
+    val d8 = base ^ 0x00000000000000ffL // flip 8 low bits
+    val d9 = base ^ 0x00000000000001ffL // flip 9 low bits
+    val fps = Seq((1L, base), (2L, d8), (3L, d9), (4L, base)).toDF("id", "fp")
+    val found = Dedup.simhashPairsFromFingerprints(fps, "id", "fp", maxDistance = 8)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 2L)), "distance-8 pair must be recalled")
+    assert(found.contains((1L, 4L)), "exact dup must be recalled")
+    assert(found.contains((2L, 4L)))
+    assert(found.contains((2L, 3L)), "2^3 is distance 1")
+    assert(!found.contains((1L, 3L)) && !found.contains((3L, 4L)),
+      "distance-9 pairs are over maxDistance")
+  }
+
   test("jaccard exact values") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard($"x", $"y")).head().getDouble(0)

@@ -1,0 +1,27 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Per-cell in-memory log capture — behavioral analog of the reference's
+  * `InMemoryLoggerAppender` (InMemoryLoggerAppender.scala:1-24, surfaced at
+  * ArcInterpreter.scala:298-306): log lines produced while a cell executes
+  * are buffered and returned with the cell result, so `%log` / LogExecute
+  * output is visible in the notebook instead of disappearing into the JVM
+  * log. Thread-safe: stages may log from FAIR-scheduled concurrent jobs.
+  */
+object LogBuffer {
+  private val buf = new ConcurrentLinkedQueue[String]()
+
+  def append(msg: String): Unit = buf.add(msg)
+
+  def clear(): Unit = buf.clear()
+
+  /** Drain all buffered lines (oldest first) and clear the buffer. */
+  def drain(): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var m = buf.poll()
+    while (m != null) { out += m; m = buf.poll() }
+    out.toSeq
+  }
+}

@@ -107,7 +107,10 @@ object Runner {
     val total = stages.size
     var last: Option[DataFrame] = None
     stages.zipWithIndex.foreach { case (stage, i) =>
+      val t0 = System.nanoTime()
       val result = stage.execute(ctx)
+      LogBuffer.append(
+        f"stage ${i + 1}/$total ${stage.stageType}:${stage.name} completed in ${(System.nanoTime() - t0) / 1e3}%.0fµs")
       if (result.isDefined) last = result
       ctx.hooks.foreach(_.after(stage, i, total, result))
     }

@@ -9,16 +9,17 @@ import graft.validate._
 import graft.execute._
 
 /** Config-driven pipelines — the analog of the reference's HOCON stage
-  * documents (`%arc` cells, ArcInterpreter.scala:404-423). The config language
-  * here is JSON (a strict subset of HOCON; the typesafe-config library is not
-  * on the classpath in this environment):
+  * documents (`%arc` cells, ArcInterpreter.scala:404-423). Cells are HOCON
+  * (graft.core.Hocon — reference-style syntax: unquoted keys, triple-quoted
+  * SQL, `${param}` substitution, comments); strict JSON parses identically
+  * since it is a subset:
   *
   * {{{
-  * {"stages": [
-  *   {"type": "ParquetExtract", "name": "e", "inputURI": "/data/x.parquet",
-  *    "outputView": "x"},
-  *   {"type": "SQLTransform", "name": "q", "sql": "SELECT * FROM x",
-  *    "outputView": "y", "environments": ["production"]}
+  * {stages: [
+  *   {type = "ParquetExtract", name = "e", inputURI = ${ETL_BASE}"/x.parquet",
+  *    outputView = "x"},
+  *   {type = "SQLTransform", name = "q", sql = """SELECT * FROM x""",
+  *    outputView = "y", environments = [production]}
   * ]}
   * }}}
   *
@@ -27,8 +28,22 @@ import graft.execute._
   */
 object PipelineConfig {
 
-  def parse(json: String, environment: String = "production"): Seq[Stage] = {
-    val root = JsonMethods.parse(json)
+  def parse(
+      json: String,
+      environment: String = "production",
+      params: Map[String, String] = Map.empty
+  ): Seq[Stage] = {
+    val root =
+      try JsonMethods.parse(json)
+      catch { case _: Throwable => Hocon.parse(json, params) }
+    parseValue(root, environment, params)
+  }
+
+  private def parseValue(
+      root: JValue,
+      environment: String,
+      params: Map[String, String]
+  ): Seq[Stage] = {
     val stages = root \ "stages" match {
       case JArray(xs) => xs
       case JNothing   => root match {
@@ -42,11 +57,11 @@ object PipelineConfig {
       val obj = StageFields(jv)
       val envs = obj.strList("environments")
       if (envs.nonEmpty && !envs.contains(environment)) None
-      else Some(build(obj))
+      else Some(build(obj, environment, params))
     }
   }
 
-  private def build(o: StageFields): Stage = o.req("type") match {
+  private def build(o: StageFields, environment: String, params: Map[String, String]): Stage = o.req("type") match {
     case "ParquetExtract" =>
       ParquetExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
         schema = None, persist = o.bool("persist"), numPartitions = o.intOpt("numPartitions"),
@@ -123,6 +138,12 @@ object PipelineConfig {
         sql = o.req("sql"), sqlParams = o.strMap("sqlParams"), persist = o.bool("persist"))
     case "MLTransform" =>
       MLTransform(o.req("name"), o.req("inputURI"), o.req("inputView"), o.req("outputView"))
+    case "TensorFlowServingTransform" =>
+      TensorFlowServingTransform(o.req("name"), o.req("inputURI"), o.req("inputView"),
+        o.req("outputView"), inputField = o.str("inputField", "value"),
+        signatureName = o.str("signatureName", "serving_default"),
+        batchSize = o.intOpt("batchSize").getOrElse(100),
+        responseType = o.str("responseType", "double"), persist = o.bool("persist"))
     case "ParquetLoad" =>
       ParquetLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),
@@ -155,9 +176,22 @@ object PipelineConfig {
       LogExecute(o.req("name"), o.req("sql"), o.strMap("sqlParams"))
     case "ConfigExecute" =>
       ConfigExecute(o.req("name"), o.req("sql"), o.strMap("sqlParams"))
+    case "HTTPExecute" =>
+      HTTPExecute(o.req("name"), o.req("uri"), payload = o.str("payload", ""),
+        headers = o.strMap("headers"),
+        validStatusCodes = {
+          val vs = (o.jv \ "validStatusCodes") match {
+            case JArray(xs) => xs.collect { case JInt(i) => i.toInt }
+            case _          => Nil
+          }
+          if (vs.nonEmpty) vs else Seq(200, 201, 202)
+        })
     case "PipelineExecute" =>
-      PipelineExecute(o.req("name"), parse(
-        JsonMethods.compact(JsonMethods.render(o.jv \ "stages"))))
+      // The caller's environment/params thread through: a nested pipeline's
+      // `environments` lists must filter against the SAME active environment
+      // as the outer one (round-2 finding: nested stages silently filtered
+      // against the default).
+      PipelineExecute(o.req("name"), parseValue(o.jv \ "stages", environment, params))
     case other =>
       throw new IllegalArgumentException(s"unknown stage type: $other")
   }

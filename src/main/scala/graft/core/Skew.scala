@@ -57,6 +57,14 @@ object Skew {
       factor: Int,
       joinType: String = "inner"
   ): DataFrame = {
+    // right/full outer would duplicate every unmatched right row `factor`×
+    // (each exploded copy fails to match independently); left outer and semi
+    // are safe because only the un-exploded left side drives the output.
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+    require(
+      allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports ${allowed.mkString("/")} — '$joinType' would duplicate unmatched right rows ${factor}x")
     val saltCols = left.columns.filterNot(keys.contains).map(col)
     val saltedLeft = left.withColumn(
       "_salt",

@@ -12,7 +12,10 @@ final case class LogExecute(
     name: String,
     sql: String,
     sqlParams: Map[String, String] = Map.empty,
-    logger: String => Unit = m => org.slf4j.LoggerFactory.getLogger("graft").info(m)
+    logger: String => Unit = m => {
+      org.slf4j.LoggerFactory.getLogger("graft").info(m)
+      graft.core.LogBuffer.append(m) // cell-visible (reference showLog)
+    }
 ) extends Stage {
   val stageType = "LogExecute"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
@@ -81,6 +84,32 @@ final case class JDBCExecute(
       try stmt.execute(sql)
       finally stmt.close()
     } finally conn.close()
+    None
+  }
+}
+
+/** HTTPExecute — POST a payload to an endpoint at pipeline position, failing
+  * the pipeline on an unexpected status (reference HTTPExecute: key/value
+  * payload + validStatusCodes). Zero-egress environment: the transport is
+  * pluggable, default stub returns 200 with an empty body.
+  */
+final case class HTTPExecute(
+    name: String,
+    uri: String,
+    payload: String = "",
+    headers: Map[String, String] = Map.empty,
+    validStatusCodes: Seq[Int] = Seq(200, 201, 202),
+    // STUB(offline): (uri, headers, body) => (statusCode, responseBody).
+    transport: (String, Map[String, String], String) => (Int, String) = (_, _, _) => (200, "")
+) extends Stage {
+  val stageType = "HTTPExecute"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val body = Params.injectParameters(payload, ctx.sqlParams)
+    val (status, response) = transport(uri, headers, body)
+    if (!validStatusCodes.contains(status))
+      throw new graft.core.ValidationException(
+        s"HTTPExecute $name: $uri returned $status (expected one of ${validStatusCodes.mkString(",")}): $response")
+    graft.core.LogBuffer.append(s"HTTPExecute $name: $uri -> $status")
     None
   }
 }

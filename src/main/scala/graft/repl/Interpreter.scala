@@ -8,12 +8,15 @@ import graft.render.Render
 import graft.schema.MetadataSchema
 import graft.transform.SQLTransform
 
-/** Result of one cell execution. */
+/** Result of one cell execution. `log` carries the lines buffered while the
+  * cell ran (reference showLog / InMemoryLoggerAppender).
+  */
 final case class CellResult(
     success: Boolean,
     text: String = "",
     html: String = "",
-    df: Option[DataFrame] = None
+    df: Option[DataFrame] = None,
+    log: Seq[String] = Nil
 )
 
 /** The notebook-style REPL surface — behavioral equivalent of the reference's
@@ -24,10 +27,28 @@ final case class CellResult(
   * Magics: %sql %sqlvalidate %metadata %printmetadata %schema %printschema
   * %list %env %secret %conf %log %version %help %summary
   */
-final class Interpreter(val spark: SparkSession) {
+final class Interpreter(initialSpark: SparkSession) {
 
-  val ctx = new PipelineContext(spark)
+  var spark: SparkSession = initialSpark
+  var ctx = new PipelineContext(spark, storageLevel = Boot.storageLevel)
   graft.udf.Udfs.register(spark)
+
+  /** Set by `%conf master=`; the session is rebuilt lazily on the next cell
+    * (reference ArcInterpreter.scala:520-525: stores the master and stops the
+    * session).
+    */
+  private var confMaster: Option[String] = None
+
+  /** Rebuild the session when `%conf master=` stopped it; params survive,
+    * temp views do not (same as the reference's restart).
+    */
+  private def ensureSession(): Unit =
+    if (spark.sparkContext.isStopped) {
+      spark = Boot.buildSession(confMaster.getOrElse("local[*]"))
+      val oldParams = ctx.params
+      ctx = new PipelineContext(spark, params = oldParams, storageLevel = Boot.storageLevel)
+      graft.udf.Udfs.register(spark)
+    }
 
   private var confNumRows = sys.env.get("CONF_NUM_ROWS").flatMap(_.toIntOption).getOrElse(20)
   private val confMaxNumRows =
@@ -35,6 +56,8 @@ final class Interpreter(val spark: SparkSession) {
   private var confTruncate = sys.env.get("CONF_TRUNCATE").flatMap(_.toIntOption).getOrElse(50)
   private var confStreamingDuration = 10 // seconds
   private var confStreamingFrequency = 1000 // ms
+  private var confEnvironment = // the reference reads ETL_CONF_ENV
+    sys.env.get("ETL_CONF_ENV").orElse(sys.env.get("CONF_ENVIRONMENT")).getOrElse("production")
   private var viewCounter = 0
 
   private def nextView(): String = { viewCounter += 1; s"v$viewCounter" }
@@ -44,6 +67,11 @@ final class Interpreter(val spark: SparkSession) {
     if (trimmed.isEmpty) return CellResult(success = true)
     if (Params.containsInlineSecret(trimmed))
       return CellResult(success = false, text = "cell contains inline secret — use %secret")
+    Boot.memoryGuard() match {
+      case Some(err) => return CellResult(success = false, text = err)
+      case None      => ()
+    }
+    ensureSession()
     val (magic, argLine, body) =
       if (trimmed.startsWith("%")) {
         val firstLine = trimmed.linesIterator.next()
@@ -56,16 +84,26 @@ final class Interpreter(val spark: SparkSession) {
       } else ("sql", "", trimmed)
     val args = Params.parseArgs(argLine)
     // per-cell progress listener, attached/detached around execution like the
-    // reference (ArcInterpreter.scala:386-396, :640-648)
+    // reference (ArcInterpreter.scala:386-396, :640-648); log lines buffered
+    // during the cell are drained into the result (reference showLog).
+    LogBuffer.clear()
     val (result, progress) = ProgressListener.withProgress(spark) {
       try dispatch(magic, args, argLine, body)
       catch {
         case e: Throwable =>
-          CellResult(success = false, text = unwrap(e).mkString("\n"))
+          // Secrets never echo, including through error text: a failing SQL
+          // cell would otherwise reflect an injected ${secret} verbatim.
+          CellResult(
+            success = false,
+            text = Params.maskSecrets(unwrap(e).mkString("\n"), ctx.params.toMap))
       }
     }
     lastProgress = progress
-    result
+    val cellLog = LogBuffer.drain().map(Params.maskSecrets(_, ctx.params.toMap))
+    val withLog = result.copy(log = cellLog)
+    if (args.get("showLog").contains("true") && cellLog.nonEmpty)
+      withLog.copy(text = (cellLog.mkString("\n") + "\n" + withLog.text).trim)
+    else withLog
   }
 
   /** Task progress of the most recent cell (done/total tasks). */
@@ -132,17 +170,21 @@ final class Interpreter(val spark: SparkSession) {
   ): CellResult = magic match {
     case "sql" =>
       val outputView = args.getOrElse("outputView", nextView())
-      val df = SQLTransform(
+      // through Runner so lifecycle hooks + per-cell log capture apply
+      val df = Runner.run(Seq(SQLTransform(
         name = args.getOrElse("name", "sql"),
         sql = body,
         outputView = outputView,
         persist = args.get("persist").contains("true"),
         numPartitions = args.get("numPartitions").flatMap(_.toIntOption)
-      ).execute(ctx).get
+      )), ctx).get
       display(df, args)
 
     case "arc" =>
-      val stages = PipelineConfig.parse(if (body.nonEmpty) body else argLine)
+      val stages = PipelineConfig.parse(
+        if (body.nonEmpty) body else argLine,
+        environment = confEnvironment,
+        params = ctx.sqlParams)
       val last = Runner.run(stages, ctx)
       last match {
         case Some(df) => display(df, args)
@@ -188,16 +230,22 @@ final class Interpreter(val spark: SparkSession) {
       CellResult(success = true, text = args.keys.map(k => s"$k=******").mkString("\n"))
 
     case "conf" =>
+      args.get("master").foreach { m =>
+        confMaster = Some(m)
+        spark.stop() // rebuilt with the new master on the next cell
+      }
       args.get("numRows").flatMap(_.toIntOption).foreach(confNumRows = _)
       args.get("truncate").flatMap(_.toIntOption).foreach(confTruncate = _)
       args.get("streaming").foreach(v => ctx.streaming = v == "true")
       args.get("streamingDuration").flatMap(_.toIntOption).foreach(confStreamingDuration = _)
       args.get("streamingFrequency").flatMap(_.toIntOption).foreach(confStreamingFrequency = _)
+      args.get("environment").foreach(confEnvironment = _)
       CellResult(
         success = true,
         text =
           s"numRows=$confNumRows truncate=$confTruncate streaming=${ctx.streaming} " +
-            s"streamingDuration=$confStreamingDuration streamingFrequency=$confStreamingFrequency"
+            s"streamingDuration=$confStreamingDuration streamingFrequency=$confStreamingFrequency " +
+            s"environment=$confEnvironment"
       )
 
     case "log" =>

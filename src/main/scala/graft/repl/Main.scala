@@ -11,16 +11,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("CONF_MASTER", "local[*]"))
-      .appName("graft-repl")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.scheduler.mode", "FAIR")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    Boot.memoryGuard().foreach { err =>
+      System.err.println(err)
+      sys.exit(1)
+    }
+    val spark = Boot.buildSession(sys.env.getOrElse("CONF_MASTER", "local[*]"))
     val interp = new Interpreter(spark)
     println(s"graft ${BuildInfo.version} on Spark ${spark.version} — cells end with ';;', EOF exits")
     val buf = new StringBuilder

@@ -340,3 +340,72 @@ final case class HTTPTransform(
     Some(publish(ctx, out.toDF(), outputView, None, Nil, persist))
   }
 }
+
+/** TensorFlowServingTransform — POST row batches to a TensorFlow Serving
+  * REST endpoint (`/v1/models/<model>:predict`), append the prediction as a
+  * column (reference TensorFlowServingTransform; HTTPTransform's sibling).
+  * The environment has no network egress, so the transport is pluggable; the
+  * default stub returns a deterministic hash-derived score per instance so
+  * the Spark-side plumbing (per-partition batching, JSON instances body,
+  * response alignment) is real and testable.
+  */
+final case class TensorFlowServingTransform(
+    name: String,
+    uri: String,
+    inputView: String,
+    outputView: String,
+    inputField: String = "value",
+    signatureName: String = "serving_default",
+    batchSize: Int = 100,
+    responseType: String = "double", // integer | double | string
+    persist: Boolean = false,
+    // STUB(offline): (uri, jsonInstancesBody) => jsonPredictionsBody.
+    transport: (String, String) => String = (_, body) => {
+      // deterministic fake: one prediction per instance line, derived from
+      // the instance text hash, in TFS response shape.
+      val instances = body.linesIterator.toSeq
+      instances
+        .map(i => (math.abs(i.hashCode) % 1000) / 1000.0)
+        .mkString("{\"predictions\": [", ", ", "]}")
+    }
+) extends Stage {
+  val stageType = "TensorFlowServingTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val src = ctx.view(inputView)
+    val fieldIdx = src.columns.indexOf(inputField)
+    require(fieldIdx >= 0, s"TensorFlowServingTransform: input lacks column $inputField")
+    val endpoint = uri
+    val bs = batchSize
+    val t = transport
+    val rType = responseType
+    val resultType = rType match {
+      case "integer" => org.apache.spark.sql.types.IntegerType
+      case "string"  => StringType
+      case _         => org.apache.spark.sql.types.DoubleType
+    }
+    val outSchema = src.schema.add("prediction", resultType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out = src.mapPartitions { rows =>
+      rows.grouped(bs).flatMap { batch =>
+        // one instance per line — the stub transport counts lines; a real
+        // transport would JSON-encode: {"instances": [...], "signature_name": ...}
+        val body = batch.map(r => String.valueOf(r.get(fieldIdx))).mkString("\n")
+        val resp = t(endpoint, body)
+        val preds = resp
+          .dropWhile(_ != '[').drop(1).takeWhile(_ != ']')
+          .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+        require(preds.size == batch.size,
+          s"TensorFlowServingTransform: ${preds.size} predictions for ${batch.size} instances")
+        batch.zip(preds).map { case (row, p) =>
+          val typed: Any = rType match {
+            case "integer" => p.toDouble.toInt
+            case "string"  => p
+            case _         => p.toDouble
+          }
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ typed)
+        }
+      }
+    }(enc)
+    Some(publish(ctx, out.toDF(), outputView, None, Nil, persist))
+  }
+}

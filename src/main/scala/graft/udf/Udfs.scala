@@ -77,6 +77,28 @@ object Udfs {
         try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(uri)))
         catch { case _: Throwable => null }
     )
+    // STUB(offline): like get_uri but for a glob — returns the bytes of every
+    // matching local file, sorted by path for determinism (the reference
+    // registers get_uri_array alongside get_uri for multi-file fetch).
+    spark.udf.register(
+      "get_uri_array",
+      (uri: String) =>
+        try {
+          val path = java.nio.file.Paths.get(new java.net.URI(uri))
+          val (dir, glob) =
+            if (java.nio.file.Files.isDirectory(path)) (path, "*")
+            else (path.getParent, path.getFileName.toString)
+          val stream = java.nio.file.Files.newDirectoryStream(dir, glob)
+          try {
+            import scala.jdk.CollectionConverters._
+            stream.asScala.toSeq
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .sortBy(_.toString)
+              .map(java.nio.file.Files.readAllBytes)
+              .toArray
+          } finally stream.close()
+        } catch { case _: Throwable => null }
+    )
     spark.udf.register(
       "struct_keys",
       (row: org.apache.spark.sql.Row) =>

@@ -57,6 +57,72 @@ class ConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("NopeExtract"))
   }
 
+  test("reference-style HOCON cell parses and runs end-to-end") {
+    // Verbatim Arc cell shape: unquoted keys, = separators, triple-quoted
+    // SQL, comments, newline-separated fields, env-list without quotes
+    // (reference ArcInterpreter.scala:404-423 / Common.scala:424-433).
+    val hocon =
+      s"""{
+        stages: [
+          {
+            type = "ParquetExtract"
+            name = "extract nation"
+            environments = [production, test]
+            inputURI = "${sf()}/nation.parquet"
+            outputView = hocon_nation            // unquoted value
+          }
+          {
+            type = "SQLTransform"
+            name = "aggregate"
+            environments = [production, test]
+            sql = \"\"\"SELECT n_regionkey, COUNT(*) AS n
+                     FROM hocon_nation
+                     GROUP BY 1 ORDER BY 1\"\"\"
+            outputView = "hocon_out"
+            persist = true
+          }
+        ]
+      }"""
+    val ctx = new PipelineContext(spark)
+    val out = Runner.run(PipelineConfig.parse(hocon), ctx)
+    assert(out.isDefined)
+    assert(spark.table("hocon_out").count() == 5)
+  }
+
+  test("HOCON substitutions resolve against session params") {
+    val hocon =
+      s"""stages = [
+        {
+          type = "ParquetExtract"
+          name = "e"
+          inputURI = $${BASE}"/region.parquet"
+          outputView = $${?MISSING_VIEW_NAME}hocon_sub_r
+        }
+      ]"""
+    val stages = PipelineConfig.parse(hocon, params = Map("BASE" -> sf()))
+    Runner.run(stages, new PipelineContext(spark))
+    assert(spark.table("hocon_sub_r").count() == 5)
+  }
+
+  test("nested PipelineExecute inherits the caller's environment") {
+    val hocon =
+      s"""{stages: [
+        {type = "PipelineExecute", name = "outer", stages = [
+          {type = "SQLTransform", name = "inner_test_only", sql = "SELECT 1 AS x",
+           outputView = "env_threaded", environments = [test]}
+        ]}
+      ]}"""
+    // With environment=test the nested stage must RUN (round-2 bug: nested
+    // parse silently used the default environment and filtered it out).
+    val ctx = new PipelineContext(spark)
+    Runner.run(PipelineConfig.parse(hocon, environment = "test"), ctx)
+    assert(spark.table("env_threaded").count() == 1)
+    // ...and with environment=production it must be filtered.
+    spark.catalog.dropTempView("env_threaded")
+    Runner.run(PipelineConfig.parse(hocon, environment = "production"), new PipelineContext(spark))
+    assert(!spark.catalog.tableExists("env_threaded"))
+  }
+
   test("bare JSON cell dispatches through the interpreter") {
     val interp = new graft.repl.Interpreter(spark)
     val r = interp.execute(

@@ -93,4 +93,87 @@ class RunnerSpec extends SparkSpec {
     assert(ctx.params("env").value == "prod")
     assert(ctx.params("n").value == "3")
   }
+
+  test("LogExecute writes to the cell log buffer") {
+    val ctx = new PipelineContext(spark)
+    LogBuffer.clear()
+    graft.execute.LogExecute("l", "SELECT 'rows loaded: 42' AS message").execute(ctx)
+    assert(LogBuffer.drain().exists(_.contains("rows loaded: 42")))
+  }
+
+  test("HTTPExecute validates status codes and logs the call") {
+    val ctx = new PipelineContext(spark)
+    ctx.params("env") = ConfigValue("prod")
+    var posted: (String, String) = ("", "")
+    LogBuffer.clear()
+    graft.execute.HTTPExecute(
+      "h", "http://example.invalid/hook", payload = """{"env": "${env}"}""",
+      transport = (uri, _, body) => { posted = (uri, body); (200, "ok") }
+    ).execute(ctx)
+    assert(posted._1 == "http://example.invalid/hook")
+    assert(posted._2 == """{"env": "prod"}""") // params injected into payload
+    assert(LogBuffer.drain().exists(_.contains("-> 200")))
+    intercept[ValidationException] {
+      graft.execute.HTTPExecute("h2", "http://example.invalid/hook",
+        transport = (_, _, _) => (500, "boom")).execute(ctx)
+    }
+  }
+
+  test("TensorFlowServingTransform appends aligned predictions per batch") {
+    val ctx = new PipelineContext(spark)
+    import spark.implicits._
+    Seq("a", "b", "c", "d", "e").toDF("value").createOrReplaceTempView("tfs_in")
+    val out = graft.transform.TensorFlowServingTransform(
+      "tfs", "http://example.invalid/v1/models/m:predict", "tfs_in", "tfs_out",
+      batchSize = 2,
+      transport = (_, body) => // echo: instance line count -> prediction 0.5 each
+        body.linesIterator.map(_ => "0.5").mkString("{\"predictions\": [", ",", "]}")
+    ).execute(ctx).get
+    assert(out.columns.toSeq == Seq("value", "prediction"))
+    assert(out.count() == 5)
+    assert(out.select("prediction").as[Double].collect().forall(_ == 0.5))
+    // default stub is deterministic: same input -> same prediction
+    val d1 = graft.transform.TensorFlowServingTransform(
+      "t1", "u", "tfs_in", "tfs_d1").execute(ctx).get.orderBy("value").collect()
+    val d2 = graft.transform.TensorFlowServingTransform(
+      "t2", "u", "tfs_in", "tfs_d2").execute(ctx).get.orderBy("value").collect()
+    assert(d1.sameElements(d2))
+  }
+
+  test("get_uri and get_uri_array read local files") {
+    graft.udf.Udfs.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("uris")
+    java.nio.file.Files.write(dir.resolve("a.txt"), "alpha".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.txt"), "beta".getBytes)
+    val r = spark.sql(
+      s"SELECT get_uri('file://$dir/a.txt') AS one, get_uri_array('file://$dir/*.txt') AS many")
+      .head()
+    assert(new String(r.getAs[Array[Byte]]("one")) == "alpha")
+    val many = r.getSeq[Array[Byte]](1).map(new String(_))
+    assert(many == Seq("alpha", "beta")) // path-sorted
+  }
+
+  test("compile-only stages fail fast with a clear error when the dependency is absent") {
+    val ctx = new PipelineContext(spark)
+    // Each of these lacks its external dependency here (DB, fitted model);
+    // the stage must surface the underlying error, not hang or no-op.
+    intercept[Exception] {
+      graft.execute.JDBCExecute("j", "jdbc:postgresql://127.0.0.1:1/none", "SELECT 1").execute(ctx)
+    }
+    intercept[Exception] {
+      graft.extract.JDBCExtract("je", "jdbc:postgresql://127.0.0.1:1/none", "t", "jdbc_v").execute(ctx)
+    }
+    intercept[Exception] {
+      graft.load.JDBCLoad("jl", "reg_a", "jdbc:postgresql://127.0.0.1:1/none", "t").execute(ctx)
+    }
+    intercept[Exception] {
+      graft.transform.MLTransform("ml", "/nonexistent/model", "reg_a", "ml_v").execute(ctx)
+    }
+    intercept[Exception] {
+      graft.extract.AvroExtract("av", "/nonexistent/file.avro", "avro_v").execute(ctx)
+    }
+    intercept[Exception] {
+      graft.extract.ImageExtract("im", "/nonexistent/images", "img_v").execute(ctx)
+    }
+  }
 }

@@ -84,4 +84,59 @@ class InterpreterSpec extends SparkSpec {
     val r = interp.execute("SELECT * FROM no_such_table_xyz")
     assert(!r.success && r.text.nonEmpty)
   }
+
+  test("%log output is captured in the cell result (showLog)") {
+    val r = interp.execute("%log\nSELECT 'pipeline reached checkpoint 7' AS message")
+    assert(r.success)
+    assert(r.log.exists(_.contains("pipeline reached checkpoint 7")), r.log.mkString("|"))
+    // showLog=true folds the log into the rendered text
+    val r2 = interp.execute("%sql showLog=true outputView=lg\nSELECT 1 AS x")
+    assert(r2.success && r2.text.contains("SQLTransform"))
+  }
+
+  test("secrets never echo through error text") {
+    interp.execute("%secret dbpass=s3cr3tv4l")
+    val r = interp.execute("SELECT * FROM t_${dbpass}_x")
+    assert(!r.success)
+    assert(!r.text.contains("s3cr3tv4l"), r.text)
+  }
+
+  test("%conf environment= switches the %arc stage filter") {
+    interp.execute("%conf environment=test")
+    val r = interp.execute(
+      """{stages: [
+        {type = "SQLTransform", name = "t", sql = "SELECT 42 AS v",
+         outputView = "env_only_test", environments = [test]}
+      ]}""")
+    assert(r.success, r.text)
+    assert(spark.table("env_only_test").count() == 1)
+    interp.execute("%conf environment=production")
+  }
+}
+
+/** `%conf master=` restart — isolated suite: it stops the shared session
+  * (reference ArcInterpreter.scala:520-525), and TestSpark builds a fresh one
+  * for whoever asks next.
+  */
+class SessionRestartSpec extends SparkSpec {
+  test("%conf master= stops the session and the next cell rebuilds it") {
+    val interp = new Interpreter(spark)
+    assert(interp.execute("%sql\nSELECT 1 AS x").success)
+    interp.execute("%env keepme=yes")
+    val c = interp.execute("%conf master=local[2]")
+    assert(c.success)
+    assert(interp.spark.sparkContext.isStopped)
+    val r = interp.execute("%sql\nSELECT 2 AS y")
+    assert(r.success, r.text)
+    assert(interp.spark.sparkContext.master == "local[2]")
+    // params survive the restart, like the reference
+    assert(interp.ctx.params.contains("keepme"))
+    interp.spark.stop() // leave a clean slate; TestSpark rebuilds on demand
+  }
+
+  test("memory guard text names both sizes") {
+    val err = graft.repl.Boot.memoryGuard(runtime = 2L << 40, physical = 1L << 30)
+    assert(err.isDefined && err.get.contains("exceeds"))
+    assert(graft.repl.Boot.memoryGuard(runtime = 1L << 28, physical = 1L << 30).isEmpty)
+  }
 }

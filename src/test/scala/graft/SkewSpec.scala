@@ -33,6 +33,25 @@ class SkewSpec extends SparkSpec {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("saltedJoin left outer preserves unmatched left rows exactly once") {
+    val left = Seq((1L, "a"), (2L, "b"), (99L, "unmatched")).toDF("k", "v")
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "w")
+    val out = Skew.saltedJoin(left, right, Seq("k"), factor = 4, joinType = "left").collect()
+    assert(out.length == 3)
+    assert(out.count(_.isNullAt(2)) == 1)
+  }
+
+  test("saltedJoin refuses right/full outer (would duplicate unmatched right rows)") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df.withColumnRenamed("v", "w"), Seq("k"), factor = 4, joinType = "full_outer")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df.withColumnRenamed("v", "w"), Seq("k"), factor = 4, joinType = "right")
+    }
+  }
+
   test("salt is deterministic and bounded") {
     val df = Seq((1L, "a"), (2L, "b"), (1L, "a")).toDF("k", "v")
     val salts = df.select(Skew.salt(8, $"k", $"v").as("s")).as[Int].collect()

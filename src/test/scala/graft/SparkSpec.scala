@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * sequentially under sbt's single forked test JVM).
   */
 object TestSpark {
-  lazy val spark: SparkSession = {
+  // def (not lazy val): getOrCreate returns the active session, or builds a
+  // fresh one after a test stopped it (e.g. the `%conf master=` restart) —
+  // each suite's own lazy val then re-resolves to a live session.
+  def spark: SparkSession = {
     val s = SparkSession
       .builder()
       .master("local[4]")

@@ -598,6 +598,17 @@ object SparkEntry {
         WHERE o_orderkey < 200
         ORDER BY o_orderkey"""
     ),
+    "q62_similarity_ivf" -> withViews("embeddings") { (spark, ctx) =>
+      // IVF ANN (KMeans coarse quantizer) — engine-specific clustering, so
+      // rows-only + ScalaTest recall evidence (LlmSpec "ivfTopK").
+      val em = ctx.view("embeddings")
+      graft.llm.Similarity
+        .ivfTopK(em, "vec_id", "embedding", em.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    },
     "q63_sessionization" -> pipe("events")(
       """WITH marked AS (
           SELECT user_id, ts, event_id,
@@ -651,6 +662,24 @@ object SparkEntry {
         .decodeAndFeaturize(blobs, "blob")
         .select(col("doc_id"), col("media_meta.width").as("width"),
           col("media_meta.height").as("height"), size(col("features")).cast("long").as("n_features"))
+        .orderBy("doc_id")
+    },
+    "q65_dedup_cc" -> withViews("documents") { (spark, ctx) =>
+      // Connected components oracle-checked end-to-end: build pairs from
+      // exact-fingerprint star links, run the iterative CC, emit each doc's
+      // component. Equivalent (and DuckDB-checkable) as MIN(doc_id) OVER
+      // (PARTITION BY fingerprint).
+      val fp = ctx.view("documents")
+        .withColumn("_fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
+      val pairs = fp
+        .withColumn("_m", min(col("doc_id")).over(w))
+        .filter(col("doc_id") =!= col("_m"))
+        .select(col("_m").as("idA"), col("doc_id").as("idB"))
+      val labels = graft.llm.Dedup.connectedComponents(pairs)
+      fp.select(col("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
         .orderBy("doc_id")
     },
     "q64_approx_sketches" -> withViews("lineitem") { (spark, ctx) =>
@@ -916,6 +945,12 @@ object SparkEntry {
         FROM orders
         WHERE o_orderkey < 200
         ORDER BY o_orderkey""",
+    "q65_dedup_cc" ->
+      """SELECT doc_id,
+               MIN(doc_id) OVER (
+                 PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))) AS component
+        FROM documents
+        ORDER BY doc_id""",
     "q63_sessionization" ->
       """WITH marked AS (
           SELECT user_id, ts, event_id,

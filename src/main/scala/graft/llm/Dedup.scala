@@ -198,6 +198,77 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over near-duplicate pairs: iterative min-label
+    * propagation. Each iteration is one join + one aggregation (two shuffles),
+    * converging in O(log diameter) rounds — near-dup clusters are shallow, so
+    * typically 2–4. `localCheckpoint` cuts the lineage per round so the plan
+    * doesn't grow with iterations (essential for the 100 TB run).
+    *
+    * Returns (id, component) with component = the minimum id in the cluster —
+    * the full transitive closure, where the single-link pass in
+    * `minhashDedup` only removes direct partners.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "idA",
+      idBCol: String = "idB",
+      maxIterations: Int = 20
+  ): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionAll(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // every node offers its current label to each neighbor; keep the min of
+      // (own label, best offer)
+      val offers = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("_offer"))
+      val next = labels
+        .join(offers, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_offer"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("component", "_old"), Seq("id"))
+        .filter(col("component") =!= col("_old"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full transitive-closure dedup: MinHash-LSH pairs → connected components
+    * → keep only each cluster's minimum id. A chain a~b~c collapses to {a}
+    * even when (a,c) was never a candidate pair.
+    */
+  def minhashDedupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 256
+  ): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleLen, bands, rowsPerBand, threshold, maxBucketSize)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over
     * token hashes. One explode + one groupBy shuffle; the 64 bit-sums are a
     * single vectorized aggregate over `sequence(0,63)`.

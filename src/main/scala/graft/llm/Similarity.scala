@@ -94,6 +94,62 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF ANN (inverted-file index, the FAISS-style scale path): a KMeans
+    * coarse quantizer assigns every corpus vector to one of `nlist` inverted
+    * lists; each query probes its `nprobe` nearest lists and reranks those
+    * candidates exactly. Scored candidates shrink by ~nlist/nprobe versus
+    * brute force, and unlike hyperplane LSH the cell count is chosen
+    * explicitly (√n lists is the usual rule), so the index GROWS with the
+    * corpus.
+    *
+    * Plan shape: centroids are tiny (nlist × dim, driver-held); the
+    * query→list fan-out is a broadcast; the only corpus shuffle is the
+    * hash-join on list id.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(train)
+    // centroid table: tiny, broadcast everywhere
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("_list", "_centroid")
+    def nearestLists(df: DataFrame, vec: String, n: Int, out: String): DataFrame = {
+      val w = Window.partitionBy(df.columns.map(col): _*)
+        .orderBy(col("_d"), col("_list"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("_d", -dot(col(vec), col("_centroid"))
+          + lit(0.5) * dot(col("_centroid"), col("_centroid")))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= n)
+        .select(df.columns.map(col) :+ col("_list").as(out): _*)
+    }
+    // corpus: single nearest list (the IVF assignment); queries: nprobe lists
+    val c = nearestLists(
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv")), "_cv", 1, "_list")
+    val q = nearestLists(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv")), "_qv", nprobe, "_list")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    c.join(q, Seq("_list"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: corpus and queries hashed with the same hyperplanes;
     * candidates are same-bucket rows, reranked exactly. Recall is tuned by
     * `planes` (fewer planes → bigger buckets → higher recall, more work).

@@ -81,6 +81,28 @@ class DedupSpec extends SparkSpec {
       "distance-9 pairs are over maxDistance")
   }
 
+  test("connected components collapse transitive chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("idA", "idB")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("minhashDedupClusters keeps one doc per transitive cluster") {
+    // 1~2 and 2~5 are near-dups; 1~5 may never be a direct pair — the
+    // transitive closure must still collapse {1,2,5} to {1}.
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta mu lambda"),
+      (9L, "totally unrelated content speaking about distributed query engines")
+    ).toDF("id", "text")
+    val kept = Dedup.minhashDedupClusters(chain, "id", "text", shingleLen = 2,
+      bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L), kept.toString)
+  }
+
   test("jaccard exact values") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard($"x", $"y")).head().getDouble(0)
@@ -116,6 +138,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length == 12)
     val self = rows.filter(r => r.getAs[Int]("rank") == 1)
     assert(self.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+  }
+
+  test("ivfTopK: self is always recalled; rank-1 matches brute force") {
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = em.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(em, "vec_id", "embedding", q, "vec_id", "embedding", 1)
+      .filter($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(em, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 1, nlist = 8, nprobe = 2)
+      .filter($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // rank-1 neighbor is self (cos=1); an identical vector lands in the same
+    // inverted list, so IVF must find it
+    assert(ivf == exact)
   }
 
   test("lshTopK recall against brute force") {

@@ -62,6 +62,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window aggregation on a stream (data-driven gaps)") {
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    val q = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .format("memory")
+      .outputMode("append")
+      .queryName("stream_session_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val sessions = spark.table("stream_session_test")
+    assert(sessions.count() > 0)
+    // a session window must span at least its contents: start <= end
+    assert(sessions.filter(col("session_window.start") > col("session_window.end")).count() == 0)
+  }
+
+  test("flatMapGroupsWithState: custom per-user running counter") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+      .select(col("user_id").as[Long], col("event_id").as[Long])
+    // custom state machine: emit one row per (user, batch) with the total
+    // events seen so far — the KeyValueGroupedDataset state API the reference
+    // era lacked a stage for; this is the Spark-native shape.
+    val counted = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val total = prev + rows.size
+          state.update(total)
+          Iterator((user, total))
+      }
+      .toDF("user_id", "events_so_far")
+    val q = counted.writeStream
+      .format("memory")
+      .outputMode("append")
+      .queryName("stream_fmgws_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("stream_fmgws_test")
+    assert(out.count() > 0)
+    // the final per-user counter equals the batch count for that user
+    val batchCounts = spark.read.parquet(eventsPath)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val lastPerUser = out.groupBy("user_id").agg(max("events_so_far").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(lastPerUser.forall { case (u, n) => batchCounts(u) == n })
+  }
+
   test("streaming dedup with dropDuplicates on stream") {
     val schema = spark.read.parquet(eventsPath).schema
     val stream = spark.readStream.schema(schema).parquet(eventsPath)

@@ -159,6 +159,12 @@ object Similarity {
     * (an IVF-style inverted-list cap), so one dense region can't turn the
     * probe join quadratic at scale. Recall within the capped bucket degrades
     * gracefully — raise the cap or the plane count for dense corpora.
+    *
+    * `multiProbe` additionally probes every Hamming-1 neighbor signature of
+    * each query (each sign bit flipped once): a near neighbor that fell just
+    * on the other side of ONE hyperplane is still found. Candidates grow
+    * ~(planes+1)×-bounded on the query side only — the corpus is hashed and
+    * shuffled exactly once either way.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -171,7 +177,8 @@ object Similarity {
       k: Int,
       planes: Int = 6,
       seed: Long = 42L,
-      maxBucketSize: Int = 4096
+      maxBucketSize: Int = 4096,
+      multiProbe: Boolean = false
   ): DataFrame = {
     val cw = Window.partitionBy(col("_sig"))
       .orderBy(xxhash64(col("neighbor_id").cast("string")), col("neighbor_id"))
@@ -183,11 +190,20 @@ object Similarity {
       .withColumn("_rn", row_number().over(cw))
       .filter(col("_rn") <= maxBucketSize)
       .drop("_rn")
-    val q = queries.select(
+    val qBase = queries.select(
       col(queryId).as("query_id"),
       col(queryVec).as("_qv"),
       hyperplaneSignature(col(queryVec), dim, planes, seed).as("_sig")
     )
+    val q =
+      if (!multiProbe) qBase
+      else qBase
+        .select(
+          col("query_id"),
+          col("_qv"),
+          explode(array(
+            col("_sig") +: (0 until planes).map(p => col("_sig").bitwiseXOR(lit(1L << p))): _*
+          )).as("_sig"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     c.join(q, Seq("_sig"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("score"))

@@ -29,9 +29,13 @@ object Completions {
     Completion("%list", "%list hdfs://path/"),
     Completion("%env", "%env key=value"),
     Completion("%secret", "%secret key=value"),
-    Completion("%conf", "%conf numRows=20 truncate=50 streaming=false"),
+    Completion("%conf", "%conf numRows=20 truncate=50 streaming=false master=local[*] environment=production"),
     Completion("%summary", "%summary viewName"),
-    Completion("%arc", """{"stages": [{"type": "SQLTransform", "name": "q", "sql": "SELECT 1", "outputView": "v"}]}"""),
+    Completion("%arc",
+      "{stages: [\n" +
+        "  {type = \"SQLTransform\", name = \"q\", environments = [production]\n" +
+        "   sql = \"\"\"SELECT 1 AS x\"\"\", outputView = \"v\"}\n" +
+        "]}"),
     Completion("%version", "%version"),
     Completion("%help", "%help")
   )

@@ -299,7 +299,7 @@ object BuildInfo { val version = "0.1.0" }
 
 object Help {
   val text: String =
-    """%sql [outputView= persist= numPartitions= numRows= truncate=]  — run SQL, register result
+    """%sql [outputView= persist= numPartitions= numRows= truncate= showLog=]  — run SQL, register result
       |%sqlvalidate [name=]       — SQL returning [valid, message]; aborts on false
       |%metadata <view>           — column metadata as a table
       |%printmetadata <view>      — metadata-schema JSON
@@ -308,9 +308,11 @@ object Help {
       |%list <uri>                — list files at uri
       |%env k=v ...               — session parameters (${k} substitution in SQL)
       |%secret k=v                — masked session parameter
-      |%conf [numRows= truncate= streaming= streamingDuration=]
-      |%log                       — SQL result → structured log
+      |%conf [numRows= truncate= streaming= streamingDuration= master= environment=]
+      |                           — master= restarts the session; environment= filters %arc stages
+      |%log                       — SQL result → structured log (visible via showLog=true)
       |%summary <view>            — per-column statistics
+      |%arc / bare HOCON or JSON  — run a stage-config pipeline cell
       |%version  %help""".stripMargin
 }
 

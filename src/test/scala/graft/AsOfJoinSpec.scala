@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("latestBefore picks the most recent build time <= probe time across bucket boundaries") {
+    val probes = Seq(
+      (1L, ts("2024-01-15 12:00:00")), // order in same month
+      (2L, ts("2024-03-01 00:00:00")), // no order this month -> carry from Jan
+      (3L, ts("2024-01-10 08:00:00")), // exactly at an order ts (>= includes it)
+      (4L, ts("2023-12-01 00:00:00"))  // before every order -> null
+    ).toDF("pid", "t")
+    val builds = Seq(
+      Tuple1(ts("2024-01-10 08:00:00")),
+      Tuple1(ts("2024-01-12 09:00:00")),
+      Tuple1(ts("2024-04-01 00:00:00"))
+    ).toDF("bt")
+    val out = AsOfJoin.latestBefore(probes, "t", "pid", builds, "bt", "last_bt")
+      .as[(Long, Option[Timestamp])].collect().toMap
+    assert(out(1L).contains(ts("2024-01-12 09:00:00")))
+    assert(out(2L).contains(ts("2024-01-12 09:00:00"))) // carried across empty Feb
+    assert(out(3L).contains(ts("2024-01-10 08:00:00"))) // equality included
+    assert(out(4L).isEmpty)
+  }
+
+  test("keyedLatestBefore partitions the as-of by key") {
+    val trades = Seq(
+      ("AAPL", ts("2024-01-01 10:00:05"), 1L),
+      ("AAPL", ts("2024-01-01 10:00:00"), 2L), // exactly at quote time
+      ("MSFT", ts("2024-01-01 10:00:05"), 3L), // MSFT has a later quote
+      ("NVDA", ts("2024-01-01 10:00:05"), 4L)  // no quotes at all
+    ).toDF("sym", "t", "trade_id")
+    val quotes = Seq(
+      ("AAPL", ts("2024-01-01 10:00:00")),
+      ("AAPL", ts("2024-01-01 09:59:00")),
+      ("MSFT", ts("2024-01-01 10:00:03"))
+    ).toDF("sym", "qt")
+    val out = AsOfJoin.keyedLatestBefore(trades, "t", Seq("sym"), quotes, "qt", "last_quote")
+      .select("trade_id", "last_quote").as[(Long, Option[Timestamp])].collect().toMap
+    assert(out(1L).contains(ts("2024-01-01 10:00:00")))
+    assert(out(2L).contains(ts("2024-01-01 10:00:00"))) // >= semantics
+    assert(out(3L).contains(ts("2024-01-01 10:00:03")))
+    assert(out(4L).isEmpty) // key never quoted
+  }
+}
+
+class HoconSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.json4s._
+  import graft.core.Hocon
+
+  test("dotted keys nest and duplicate objects deep-merge") {
+    val v = Hocon.parse(
+      """
+      a.b.c = 1
+      a.b.d = "x"   // merged into the same object
+      a.e = true
+      """)
+    assert((v \ "a" \ "b" \ "c") == JInt(1))
+    assert((v \ "a" \ "b" \ "d") == JString("x"))
+    assert((v \ "a" \ "e") == JBool(true))
+  }
+
+  test("scalars last-win, comments and trailing commas tolerated") {
+    val v = Hocon.parse(
+      """{
+        # hash comment
+        n = 1,
+        n = 2,          // last wins
+        xs = [1, 2, 3,],
+      }""")
+    assert((v \ "n") == JInt(2))
+    assert((v \ "xs") == JArray(List(JInt(1), JInt(2), JInt(3))))
+  }
+
+  test("triple-quoted strings keep newlines and quotes verbatim") {
+    val v = Hocon.parse("sql = \"\"\"SELECT \"x\"\nFROM t\"\"\"")
+    assert((v \ "sql") == JString("SELECT \"x\"\nFROM t"))
+  }
+
+  test("substitutions: required missing fails, optional missing vanishes") {
+    val e = intercept[IllegalArgumentException](Hocon.parse("a = ${NOPE_MISSING_VAR_12345}"))
+    assert(e.getMessage.contains("NOPE_MISSING_VAR_12345"))
+    val v = Hocon.parse("a = ${?NOPE_MISSING_VAR_12345}\nb = 1")
+    assert((v \ "a") == JNothing)
+    assert((v \ "b") == JInt(1))
+  }
+
+  test("JSON is parsed identically") {
+    val json = """{"stages": [{"type": "SQLTransform", "n": 1.5, "flag": false}]}"""
+    assert(Hocon.parse(json) == org.json4s.jackson.JsonMethods.parse(json))
+  }
+}

@@ -153,6 +153,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("multi-probe lshTopK recalls at least as much as single-probe") {
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = em.filter($"vec_id" < 10)
+    def hits(multiProbe: Boolean): Long =
+      Similarity.lshTopK(em, "vec_id", "embedding", q, "vec_id", "embedding",
+        dim = 64, k = 10, planes = 8, multiProbe = multiProbe).count()
+    val single = hits(multiProbe = false)
+    val multi = hits(multiProbe = true)
+    assert(multi >= single, s"multi=$multi < single=$single")
+    // self (cos=1, identical signature) always survives either way
+    val self = Similarity.lshTopK(em, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 64, k = 1, planes = 8, multiProbe = true)
+      .filter($"rank" === 1)
+      .filter($"query_id" === $"neighbor_id").count()
+    assert(self == 10)
+  }
+
   test("lshTopK recall against brute force") {
     val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = em.filter($"vec_id" < 5)

@@ -598,6 +598,67 @@ object SparkEntry {
         WHERE o_orderkey < 200
         ORDER BY o_orderkey"""
     ),
+    "q52_cte_chain" -> pipe("orders", "lineitem")(
+      """WITH big AS (
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+        ), items AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT b.o_orderkey, b.o_custkey, i.n_items, i.qty
+        FROM big b JOIN items i ON b.o_orderkey = i.l_orderkey
+        ORDER BY b.o_orderkey"""
+    ),
+    "q54_union_distinct" -> pipe("customer", "orders")(
+      """SELECT custkey FROM (
+          SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+          UNION
+          SELECT o_custkey FROM orders WHERE o_totalprice > 300000) t
+        ORDER BY custkey"""
+    ),
+    "q56_conditional_window" -> pipe("orders")(
+      """SELECT o_orderkey, o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS f_so_far,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+        FROM orders
+        WHERE o_orderkey < 400
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey"""
+    ),
+    "q58_correlated_agg" -> pipe("orders")(
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > (
+          SELECT AVG(o2.o_totalprice) * 1.5 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey"""
+    ),
+    "q66_date_arithmetic" -> pipe("orders", "lineitem")(
+      """SELECT o.o_orderkey, l.l_linenumber,
+               CAST(DATEDIFF(l.l_shipdate, o.o_orderdate) AS BIGINT) AS days_to_ship,
+               CAST(MONTH(o.o_orderdate) AS BIGINT) AS order_month,
+               CAST(QUARTER(o.o_orderdate) AS BIGINT) AS order_quarter,
+               CAST(DAYOFWEEK(o.o_orderdate) AS BIGINT) AS order_dow
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey < 120
+        ORDER BY o.o_orderkey, l.l_linenumber, l.l_shipdate, l.l_quantity"""
+    ),
+    "q67_string_parts" -> pipe("part")(
+      """SELECT p_partkey,
+               SPLIT_PART(p_type, ' ', 1) AS type_head,
+               SPLIT_PART(p_type, ' ', 3) AS type_tail,
+               CAST(SIZE(SPLIT(p_type, ' ')) AS BIGINT) AS n_words,
+               TRANSLATE(p_name, ' ', '_') AS name_tag
+        FROM part
+        WHERE p_partkey < 300
+        ORDER BY p_partkey"""
+    ),
     "q62_similarity_ivf" -> withViews("embeddings") { (spark, ctx) =>
       // IVF ANN (KMeans coarse quantizer) — engine-specific clustering, so
       // rows-only + ScalaTest recall evidence (LlmSpec "ivfTopK").
@@ -945,6 +1006,61 @@ object SparkEntry {
         FROM orders
         WHERE o_orderkey < 200
         ORDER BY o_orderkey""",
+    "q52_cte_chain" ->
+      """WITH big AS (
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+        ), items AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT b.o_orderkey, b.o_custkey, i.n_items, i.qty
+        FROM big b JOIN items i ON b.o_orderkey = i.l_orderkey
+        ORDER BY b.o_orderkey""",
+    "q54_union_distinct" ->
+      """SELECT custkey FROM (
+          SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+          UNION
+          SELECT o_custkey FROM orders WHERE o_totalprice > 300000) t
+        ORDER BY custkey""",
+    "q56_conditional_window" ->
+      """SELECT o_orderkey, o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS f_so_far,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+        FROM orders
+        WHERE o_orderkey < 400
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey""",
+    "q58_correlated_agg" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > (
+          SELECT AVG(o2.o_totalprice) * 1.5 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey""",
+    "q66_date_arithmetic" ->
+      """SELECT o.o_orderkey, l.l_linenumber,
+               CAST(DATE_DIFF('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days_to_ship,
+               CAST(MONTH(o.o_orderdate) AS BIGINT) AS order_month,
+               CAST(QUARTER(o.o_orderdate) AS BIGINT) AS order_quarter,
+               CAST(DAYOFWEEK(o.o_orderdate) + 1 AS BIGINT) AS order_dow
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey < 120
+        ORDER BY o.o_orderkey, l.l_linenumber, l.l_shipdate, l.l_quantity""",
+    "q67_string_parts" ->
+      """SELECT p_partkey,
+               SPLIT_PART(p_type, ' ', 1) AS type_head,
+               SPLIT_PART(p_type, ' ', 3) AS type_tail,
+               CAST(LEN(STRING_SPLIT(p_type, ' ')) AS BIGINT) AS n_words,
+               TRANSLATE(p_name, ' ', '_') AS name_tag
+        FROM part
+        WHERE p_partkey < 300
+        ORDER BY p_partkey""",
     "q65_dedup_cc" ->
       """SELECT doc_id,
                MIN(doc_id) OVER (

@@ -38,7 +38,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — the native fused expression (one traversal for dot
+    * AND both norms; graft.functions.CosineSimilarity). Bit-identical to the
+    * composable form below (same accumulation order).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vec_cosine(a, b)
+
+  /** Built-ins-only cosine (kept for cross-checking the native expression). */
+  def cosineComposable(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }

@@ -47,6 +47,37 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("vec_cosine matches the composable cosine bit-for-bit") {
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(100)
+    val pairs = em.select($"vec_id".as("ia"), $"embedding".as("a"))
+      .crossJoin(em.select($"vec_id".as("ib"), $"embedding".as("b")))
+      .limit(500)
+    val diff = pairs.select(
+      (VectorExpressions.vec_cosine($"a", $"b") - Similarity.cosineComposable($"a", $"b")).as("d")
+    ).agg(max(abs($"d"))).head().getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("vec_cosine known values, zero vector, SQL registration, codegen") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.0, 0.0)))
+      .toDF("a", "b", "c", "z")
+    val r = df.select(
+      VectorExpressions.vec_cosine($"a", $"b"),
+      VectorExpressions.vec_cosine($"a", $"c"),
+      VectorExpressions.vec_cosine($"a", $"z")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+    assert(math.abs(r.getDouble(1)) < 1e-15)
+    assert(r.getDouble(2) == 0.0) // zero-norm guard
+    graft.udf.Udfs.register(spark)
+    spark.read.parquet(s"${sf()}/embeddings.parquet").createOrReplaceTempView("emb_vc")
+    val plan = spark.sql("SELECT VEC_COSINE(embedding, embedding) FROM emb_vc")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val self = spark.sql(
+      "SELECT VEC_COSINE(embedding, embedding) AS c FROM emb_vc LIMIT 5").collect()
+    assert(self.forall(r2 => math.abs(r2.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("type mismatch is rejected at analysis") {
     val df = Seq((1, Seq(1.0))).toDF("n", "v")
     intercept[org.apache.spark.sql.AnalysisException] {

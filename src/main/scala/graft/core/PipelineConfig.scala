@@ -92,6 +92,10 @@ object PipelineConfig {
     case "ImageExtract" =>
       ImageExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
         persist = o.bool("persist"))
+    case "XMLExtract" =>
+      XMLExtract(o.req("name"), o.req("inputURI"), o.req("outputView"),
+        rowTag = o.str("rowTag", "row"), persist = o.bool("persist"),
+        numPartitions = o.intOpt("numPartitions"))
     case "RateExtract" =>
       RateExtract(o.req("name"), o.req("outputView"),
         rowsPerSecond = o.intOpt("rowsPerSecond").getOrElse(1).toLong,

@@ -433,3 +433,45 @@ final case class StatisticsExtract(
     Some(publish(ctx, df, outputView, None, Nil, persist))
   }
 }
+
+/** XMLExtract — XML documents → rows, without the external spark-xml jar
+  * (absent from /opt/spark/jars): whole files are read distributed
+  * (`wholetext`), each document is parsed on the executors with scala-xml,
+  * and every `rowTag` element becomes one row whose columns are its child
+  * elements' text (all-string contract, like DelimitedExtract — follow with
+  * TypingTransform). Column set = union of child tags across the corpus
+  * (one driver-side pass over tag NAMES only, never data).
+  *
+  * Repeated child tags within one row concatenate with ','; nested elements
+  * flatten to their text. Entity resolution is never performed on external
+  * URLs (offline parser defaults).
+  */
+final case class XMLExtract(
+    name: String,
+    inputURI: String,
+    outputView: String,
+    rowTag: String = "row",
+    persist: Boolean = false,
+    numPartitions: Option[Int] = None
+) extends Stage {
+  val stageType = "XMLExtract"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val tag = rowTag
+    val docs = spark.read.option("wholetext", "true").text(inputURI).as[String]
+    val maps: org.apache.spark.sql.Dataset[Map[String, String]] = docs.flatMap { xml =>
+      val root = scala.xml.XML.loadString(xml)
+      val rows = if (root.label == tag) Seq(root) else (root \\ tag)
+      rows.map { r =>
+        r.child.collect { case e: scala.xml.Elem => e.label -> e.text }
+          .groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).mkString(",") }
+      }
+    }
+    val cols = maps.flatMap(_.keys).distinct().collect().sorted
+    require(cols.nonEmpty, s"XMLExtract $name: no <$rowTag> elements found under $inputURI")
+    val df = maps.select(cols.map(c => org.apache.spark.sql.functions.col("value").getItem(c).as(c)): _*)
+    Some(publish(ctx, df, outputView, numPartitions, Nil, persist))
+  }
+}

@@ -1,5 +1,34 @@
 package graft
 
+class XmlSpec extends SparkSpec {
+  test("XMLExtract parses rowTag elements into all-string columns") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlx")
+    java.nio.file.Files.writeString(dir.resolve("a.xml"),
+      """<orders>
+        |  <order><id>1</id><price>10.5</price><tag>x</tag><tag>y</tag></order>
+        |  <order><id>2</id><price>20.0</price></order>
+        |</orders>""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("b.xml"),
+      """<orders><order><id>3</id><note>hello</note></order></orders>""")
+    val ctx = new graft.core.PipelineContext(spark)
+    val df = graft.extract.XMLExtract("x", dir.toString, "xml_v", rowTag = "order")
+      .execute(ctx).get
+    assert(df.columns.toSeq == Seq("id", "note", "price", "tag"))
+    assert(df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("tag") == "x,y") // repeated tags concatenate
+    assert(rows(2).getAs[String]("note") == "hello")
+    assert(rows(2).getAs[String]("price") == null || rows(2).isNullAt(df.columns.indexOf("price")))
+    // constructible from HOCON config too
+    val stages = graft.core.PipelineConfig.parse(
+      s"""{stages: [{type = "XMLExtract", name = "x2", inputURI = "$dir",
+         outputView = "xml_v2", rowTag = "order"}]}""")
+    graft.core.Runner.run(stages, ctx)
+    assert(spark.table("xml_v2").count() == 3)
+  }
+}
+
 import org.apache.spark.sql.functions._
 import graft.core.{PipelineContext, Runner}
 import graft.extract.{DelimitedExtract, JSONExtract, ORCExtract, ParquetExtract, TextExtract, BytesExtract, HTTPExtract}

@@ -60,6 +60,33 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** Resize media blobs to target dimensions. STUB(no codecs): the output
+    * bytes are a deterministic function of (input bytes, target dims) with
+    * size proportional to the target area — byte-level plumbing only; a real
+    * impl decodes, scales, re-encodes. Output: input columns + `resized`
+    * binary + `resized_meta` struct carrying the target dimensions.
+    */
+  def resize(df: DataFrame, binaryCol: String, targetWidth: Int, targetHeight: Int): DataFrame = {
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"no column $binaryCol")
+    val outSchema = df.schema
+      .add("resized", BinaryType)
+      .add("resized_meta", mediaMetaSchema)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val (tw, th) = (targetWidth, targetHeight)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = Option(row.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
+        val targetLen = math.max(1, (tw * th) / 64) // fake: area-proportional payload
+        val out = Array.tabulate(targetLen) { i =>
+          (if (bytes.isEmpty) i else bytes(i % bytes.length) ^ (i & 0x7f)).toByte
+        }
+        val meta = Row("application/octet-stream", tw, th, null)
+        Row.fromSeq(row.toSeq :+ out :+ meta)
+      }
+    }(enc).toDF()
+  }
+
   /** Deterministic frame sampling for video-ish blobs: pick `n` evenly spaced
     * byte offsets as stand-in "frames" (STUB — a real impl samples decoded
     * frames). Demonstrates the explode-to-rows shape used for frame corpora.

@@ -250,6 +250,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == again)
   }
 
+  test("resize emits target-dim metadata and deterministic payload") {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "blob")
+    val out = Multimodal.resize(df, "blob", 64, 64)
+    assert(out.columns.toSeq == Seq("id", "blob", "resized", "resized_meta"))
+    val r = out.head()
+    val meta = r.getStruct(r.fieldIndex("resized_meta"))
+    assert(meta.getAs[Int]("width") == 64 && meta.getAs[Int]("height") == 64)
+    val p1 = r.getAs[Array[Byte]]("resized")
+    val p2 = Multimodal.resize(df, "blob", 64, 64).head().getAs[Array[Byte]]("resized")
+    assert(p1.sameElements(p2)) // deterministic
+    assert(p1.length == 64 * 64 / 64)
+  }
+
   test("sampleFrames yields n rows per blob") {
     val df = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))).toDF("id", "blob")
     val out = Multimodal.sampleFrames(df, "blob", 3)

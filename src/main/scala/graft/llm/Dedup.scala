@@ -270,26 +270,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over
-    * token hashes. One explode + one groupBy shuffle; the 64 bit-sums are a
-    * single vectorized aggregate over `sequence(0,63)`.
+    * token hashes, computed as a single per-row `aggregate` over the token
+    * array — a pure narrow map with ZERO shuffle (the earlier explode +
+    * 64-column groupBy shuffled every token of the corpus; at 100 TB that is
+    * ~20× the corpus moving through the exchange for a per-document value).
+    * The bit masks ride as one literal array; the vote lambda touches only
+    * lambda variables, so nothing recomputes per element (see Let).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(
-      col(idCol),
-      explode(tokens(col(textCol))).as("_tok")
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val votes = aggregate(
+      transform(tokens(col(textCol)), t => xxhash64(t)),
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, masks, (v, m) => v + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1))
     )
-    val hashed = tok.withColumn("_h", xxhash64(col("_tok")))
-    // For each bit j: sum(+1 if bit set else -1); fingerprint bit j = sign>0.
-    // Bit positions are compile-time constants, so each vote/assemble step is
-    // a plain codegen'd shift — 64 aggregate columns in one groupBy pass.
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$j")
-    }
-    val bitVotes = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val fingerprint = (0 until 64)
-      .map(j => when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    bitVotes.select(col(idCol), fingerprint.as("simhash"))
+    val fingerprint = aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L),
+      (a, x) => a.bitwiseOR(x)
+    )
+    df.select(col(idCol), fingerprint.as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDistance.

@@ -50,6 +50,39 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perKey matches the window formulation's score multisets") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    def scoresOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.select($"o_custkey".cast("long"), $"o_totalprice")
+        .as[(Long, Double)].collect().groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).sorted.toSeq }
+    val viaOp = graft.operators.TopK.perKey(orders, Seq("o_custkey"), "o_totalprice", 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+    val viaWindow = orders
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rank" <= 3)
+    assert(scoresOf(viaOp) == scoresOf(viaWindow))
+    // rank column is 1..k per key
+    val ranks = viaOp.groupBy("o_custkey").agg(
+      org.apache.spark.sql.functions.max("rank").as("m"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(ranks.filter($"m" =!= $"n").count() == 0)
+  }
+
+  test("perKey prunes before the shuffle: survivors are bounded") {
+    val df = spark.range(0, 100000).selectExpr("id % 5 AS key", "CAST(id AS DOUBLE) AS score")
+    val out = graft.operators.TopK.perKey(df, Seq("key"), "score", 10)
+    assert(out.count() == 50)
+    // the winners are the true global top-10 per key
+    val top = out.filter($"key" === 0).select("score").as[Double].collect().toSet
+    assert(top == (0 until 10).map(i => (99995 - i * 5).toDouble).toSet)
+  }
+}
+
 class HoconSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.json4s._
   import graft.core.Hocon

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off scale probe: synthetic corpus with heavy template duplication
+  * (the boilerplate-rich shape that breaks uncapped LSH), far above the
+  * driver's sf0.1. Measures minhash dedup, simhash pairs, and CC end-to-end.
+  * Usage: runMain graft.tools.ScaleProbe [nDocs]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 400000
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // 100 templates × small per-doc mutation; ~25% of docs share one hot
+    // template (the hot-bucket case), plus a long tail.
+    val docs = spark.range(0, n).select(
+      col("id"),
+      concat(
+        lit("the quick brown fox jumps over the lazy dog near the river bank "),
+        when(pmod(col("id"), lit(4)) === 0, lit("hot template shared by a quarter of the corpus "))
+          .otherwise(concat(lit("template "), pmod(col("id"), lit(100)).cast("string"), lit(" "))),
+        lit("with suffix token "), pmod(col("id"), lit(17)).cast("string")
+      ).as("text")
+    )
+    def time[T](label: String)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs ($r)")
+    }
+    time(s"minhashDedup n=$n")(
+      graft.llm.Dedup.minhashDedup(docs, "id", "text", shingleLen = 3).count())
+    time(s"simhashPairs n=$n maxDistance=3")(
+      graft.llm.Dedup.simhashPairs(docs, "id", "text", maxDistance = 3).count())
+    time(s"cc over fingerprint stars n=$n") {
+      val fp = docs.withColumn("_fp", xxhash64(col("text")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("_fp")
+      val pairs = fp.withColumn("_m", min(col("id")).over(w))
+        .filter(col("id") =!= col("_m"))
+        .select(col("_m").as("idA"), col("id").as("idB"))
+      graft.llm.Dedup.connectedComponents(pairs).count()
+    }
+    spark.stop()
+  }
+}

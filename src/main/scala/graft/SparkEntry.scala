@@ -659,6 +659,22 @@ object SparkEntry {
         WHERE p_partkey < 300
         ORDER BY p_partkey"""
     ),
+    "q68_rank_fractions" -> pipe("orders")(
+      """SELECT o_orderkey,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+               PERCENT_RANK() OVER w AS prk,
+               CUME_DIST() OVER w AS cd
+        FROM orders
+        WHERE o_orderkey < 300
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        ORDER BY o_orderkey"""
+    ),
+    "q69_limit_offset" -> pipe("customer")(
+      """SELECT c_custkey, c_name
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 20 OFFSET 40"""
+    ),
     "q62_similarity_ivf" -> withViews("embeddings") { (spark, ctx) =>
       // IVF ANN (KMeans coarse quantizer) — engine-specific clustering, so
       // rows-only + ScalaTest recall evidence (LlmSpec "ivfTopK").
@@ -1061,6 +1077,20 @@ object SparkEntry {
         FROM part
         WHERE p_partkey < 300
         ORDER BY p_partkey""",
+    "q68_rank_fractions" ->
+      """SELECT o_orderkey,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+               PERCENT_RANK() OVER w AS prk,
+               CUME_DIST() OVER w AS cd
+        FROM orders
+        WHERE o_orderkey < 300
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        ORDER BY o_orderkey""",
+    "q69_limit_offset" ->
+      """SELECT c_custkey, c_name
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 20 OFFSET 40""",
     "q65_dedup_cc" ->
       """SELECT doc_id,
                MIN(doc_id) OVER (

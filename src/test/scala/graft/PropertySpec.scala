@@ -53,6 +53,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Hocon parses arbitrary rendered JSON identically to the JSON parser") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val leaf: Gen[JValue] = Gen.oneOf(
+      Gen.alphaNumStr.map(s => JString(s.take(12))),
+      Gen.chooseNum(-1000000L, 1000000L).map(n => JInt(BigInt(n))),
+      Gen.chooseNum(-1e6, 1e6).map(JDouble(_)),
+      Gen.oneOf(JBool(true), JBool(false), JNull)
+    )
+    def jvalue(depth: Int): Gen[JValue] =
+      if (depth <= 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        1 -> Gen.listOfN(3, jvalue(depth - 1)).map(JArray(_)),
+        1 -> Gen.listOfN(3, Gen.zip(Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty), jvalue(depth - 1)))
+          .map(kvs => JObject(kvs.distinctBy(_._1)))
+      )
+    val rootGen: Gen[JValue] = Gen.listOfN(4,
+      Gen.zip(Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty), jvalue(2)))
+      .map(kvs => JObject(kvs.distinctBy(_._1)))
+    checkProp(Prop.forAll(rootGen) { j =>
+      val rendered = JsonMethods.compact(JsonMethods.render(j))
+      graft.core.Hocon.parse(rendered) == JsonMethods.parse(rendered)
+    })
+  }
+
   test("metadata schema JSON round-trip preserves name/type/nullable") {
     import graft.schema.{FieldSpec, MetadataSchema}
     import org.apache.spark.sql.types._

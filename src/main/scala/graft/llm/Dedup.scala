@@ -332,17 +332,32 @@ object Dedup {
     val pairsIdx = for { i <- 0 until chunks; j <- (i + 1) until chunks } yield (i, j)
     val banded = fp.select(
       col(idCol).as("_id"),
+      col(fpCol).as("_fp"),
       posexplode(
         array(pairsIdx.map { case (i, j) =>
           xxhash64(lit(i), lit(j), chunkVal(i), chunkVal(j))
         }: _*)
       ).as(Seq("_band", "_key"))
     )
-    val candidates = bucketCandidates(banded, Seq("_band", "_key"), "_id", maxBucketSize)
-    val fps = fp.select(col(idCol).as("_id"), col(fpCol).as("_fp"))
-    candidates
-      .join(fps.select(col("_id").as("idA"), col("_fp").as("_fpA")), Seq("idA"))
-      .join(fps.select(col("_id").as("idB"), col("_fp").as("_fpB")), Seq("idB"))
+    // The 8-byte fingerprint rides THROUGH the band join (unlike minhash,
+    // whose shingle arrays must stay out and join back): verification needs
+    // no extra shuffle at all.
+    val keys = Seq("_band", "_key")
+    val w = Window.partitionBy(keys.map(col): _*)
+    val counted = banded
+      .withColumn("_bn", count(lit(1)).over(w))
+      .withColumn("_bmin", min(col("_id")).over(w))
+      .withColumn("_bminFp", min_by(col("_fp"), col("_id")).over(w))
+    val small = counted.filter(col("_bn") <= maxBucketSize)
+    val a = small.select(keys.map(col) :+ col("_id").as("idA") :+ col("_fp").as("_fpA"): _*)
+    val b = small.select(keys.map(col) :+ col("_id").as("idB") :+ col("_fp").as("_fpB"): _*)
+    val smallPairs = a.join(b, keys).filter(col("idA") < col("idB"))
+      .select("idA", "idB", "_fpA", "_fpB")
+    val hotPairs = counted
+      .filter(col("_bn") > maxBucketSize && col("_id") =!= col("_bmin"))
+      .select(col("_bmin").as("idA"), col("_id").as("idB"),
+        col("_bminFp").as("_fpA"), col("_fp").as("_fpB"))
+    smallPairs.unionByName(hotPairs).distinct()
       .select(col("idA"), col("idB"), bit_count(col("_fpA").bitwiseXOR(col("_fpB"))).as("hamming"))
       .filter(col("hamming") <= maxDistance)
   }

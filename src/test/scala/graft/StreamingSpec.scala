@@ -118,6 +118,29 @@ class StreamingSpec extends SparkSpec {
     assert(lastPerUser.forall { case (u, n) => batchCounts(u) == n })
   }
 
+  test("foreachBatch sink: per-microbatch parquet append with batch dedup") {
+    val schema = spark.read.parquet(eventsPath).schema
+    val outDir = "/tmp/graft_test_fb_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    // foreachBatch = the arbitrary-sink shape (JDBC upserts, dual writes):
+    // each micro-batch is a normal DataFrame; batchId enables idempotent
+    // retry handling in a real sink.
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.dropDuplicates("event_id")
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val written = spark.read.parquet(outDir)
+    assert(written.columns.contains("batch_id"))
+    assert(written.select("event_id").distinct().count() ==
+      spark.read.parquet(eventsPath).select("event_id").distinct().count())
+  }
+
   test("streaming dedup with dropDuplicates on stream") {
     val schema = spark.read.parquet(eventsPath).schema
     val stream = spark.readStream.schema(schema).parquet(eventsPath)

@@ -1,0 +1,74 @@
+package graft
+
+import graft.core.PipelineContext
+
+/** Previously compile-only stages, tested against what the classpath really
+  * provides: embedded Derby (ships with Spark) for the JDBC stages, JDK
+  * ImageIO for ImageExtract fixtures, MLlib for a saved PipelineModel.
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JDBCExecute DDL, JDBCLoad write, JDBCExtract read — embedded Derby round-trip") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val ctx = new PipelineContext(spark)
+    // DDL through JDBCExecute
+    graft.execute.JDBCExecute("ddl", url,
+      "CREATE TABLE settings (k VARCHAR(20), v VARCHAR(20))").execute(ctx)
+    graft.execute.JDBCExecute("dml", url,
+      "INSERT INTO settings VALUES ('mode', 'fast')").execute(ctx)
+    // Spark-side write: let the JDBC writer create the table
+    Seq((1, "ada"), (2, "grace")).toDF("id", "name").createOrReplaceTempView("people_src")
+    graft.load.JDBCLoad("load", "people_src", url, "people", saveMode = "Overwrite").execute(ctx)
+    // and read both back through JDBCExtract
+    val people = graft.extract.JDBCExtract("ex", url, "people", "people_v").execute(ctx).get
+    assert(people.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "ada"), (2, "grace")))
+    val settings = graft.extract.JDBCExtract("ex2", url, "settings", "settings_v").execute(ctx).get
+    assert(settings.head().getString(1) == "fast")
+    // partitioned read path (numPartitions + bounds)
+    val ranged = graft.extract.JDBCExtract("ex3", url, "people", "people_ranged",
+      partitionColumn = Some("id"), lowerBound = Some(0L), upperBound = Some(10L),
+      numPartitions = Some(2)).execute(ctx).get
+    assert(ranged.count() == 2 && ranged.rdd.getNumPartitions == 2)
+  }
+}
+
+class ImageSpec extends SparkSpec {
+  test("ImageExtract decodes generated PNG fixtures (JDK ImageIO)") {
+    val dir = java.nio.file.Files.createTempDirectory("imgs")
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    javax.imageio.ImageIO.write(img, "png", dir.resolve("a.png").toFile)
+    javax.imageio.ImageIO.write(img, "png", dir.resolve("b.png").toFile)
+    val ctx = new PipelineContext(spark)
+    val df = graft.extract.ImageExtract("img", dir.toString, "img_v").execute(ctx).get
+    assert(df.count() == 2)
+    val r = df.select("image.width", "image.height", "image.nChannels").head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2)
+  }
+}
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MLTransform applies a saved PipelineModel and appends predictions") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.VectorAssembler
+    val train = Seq((0.0, 0.1), (0.1, 0.0), (5.0, 5.1), (5.1, 5.0)).toDF("x", "y")
+    val pipeline = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("x", "y")).setOutputCol("features"),
+      new KMeans().setK(2).setSeed(7)
+    ))
+    val modelPath = java.nio.file.Files.createTempDirectory("mlmodel").toString + "/model"
+    pipeline.fit(train).write.overwrite().save(modelPath)
+    val ctx = new PipelineContext(spark)
+    train.createOrReplaceTempView("ml_in")
+    val out = graft.transform.MLTransform("ml", modelPath, "ml_in", "ml_out").execute(ctx).get
+    assert(out.columns.contains("prediction"))
+    // the two clusters separate the two point groups
+    val preds = out.orderBy("x").select("prediction").as[Int].collect()
+    assert(preds(0) == preds(1) && preds(2) == preds(3) && preds(0) != preds(2))
+  }
+}

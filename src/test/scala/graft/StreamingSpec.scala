@@ -141,6 +141,16 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(eventsPath).select("event_id").distinct().count())
   }
 
+  test("ConsoleLoad drains a bounded file stream through the console sink") {
+    val schema = spark.read.parquet(eventsPath).schema
+    val ctx = new graft.core.PipelineContext(spark)
+    spark.readStream.schema(schema).parquet(eventsPath)
+      .limit(5).createOrReplaceTempView("console_in")
+    // completes without error: starts the console sink, processes all
+    // available input, stops
+    graft.load.ConsoleLoad("c", "console_in", outputMode = "append").execute(ctx)
+  }
+
   test("streaming dedup with dropDuplicates on stream") {
     val schema = spark.read.parquet(eventsPath).schema
     val stream = spark.readStream.schema(schema).parquet(eventsPath)

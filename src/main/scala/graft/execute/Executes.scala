@@ -90,8 +90,8 @@ final case class JDBCExecute(
 
 /** HTTPExecute — POST a payload to an endpoint at pipeline position, failing
   * the pipeline on an unexpected status (reference HTTPExecute: key/value
-  * payload + validStatusCodes). Zero-egress environment: the transport is
-  * pluggable, default stub returns 200 with an empty body.
+  * payload + validStatusCodes). Default transport is a REAL HTTP POST
+  * (graft.core.Http, JDK client).
   */
 final case class HTTPExecute(
     name: String,
@@ -99,8 +99,8 @@ final case class HTTPExecute(
     payload: String = "",
     headers: Map[String, String] = Map.empty,
     validStatusCodes: Seq[Int] = Seq(200, 201, 202),
-    // STUB(offline): (uri, headers, body) => (statusCode, responseBody).
-    transport: (String, Map[String, String], String) => (Int, String) = (_, _, _) => (200, "")
+    transport: (String, Map[String, String], String) => (Int, String) =
+      (u, h, b) => graft.core.Http.postString(u, b, h)
 ) extends Stage {
   val stageType = "HTTPExecute"
   def execute(ctx: PipelineContext): Option[DataFrame] = {

@@ -299,10 +299,10 @@ final case class JDBCExtract(
 }
 
 /** HTTPExtract — GET a URI per input row (or the single configured URI) and
-  * emit the response body as rows. The environment has no network egress, so
-  * the transport is pluggable; the default stub reads local `file:` URIs and
-  * returns empty otherwise (clearly marked). The Spark shape is the real
-  * design: URIs distributed across partitions, one client per partition.
+  * emit the response body as rows. The default transport is a REAL HTTP GET
+  * (graft.core.Http, JDK client, pooled per executor); `file:` URIs read the
+  * local filesystem. URIs distribute across partitions, one shared client per
+  * executor JVM.
   */
 final case class HTTPExtract(
     name: String,
@@ -310,10 +310,11 @@ final case class HTTPExtract(
     outputView: String,
     numPartitions: Option[Int] = None,
     persist: Boolean = false,
-    // STUB(offline): replace with a real HTTP GET in a networked deploy.
     transport: String => Array[Byte] = u =>
-      try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(u)))
-      catch { case _: Throwable => Array.emptyByteArray }
+      if (u.startsWith("http")) graft.core.Http.get(u)._2
+      else
+        try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(u)))
+        catch { case _: Throwable => Array.emptyByteArray }
 ) extends Stage {
   val stageType = "HTTPExtract"
   def execute(ctx: PipelineContext): Option[DataFrame] = {

@@ -180,8 +180,13 @@ final case class HTTPLoad(
     inputView: String,
     uri: String,
     batchSize: Int = 100,
-    // STUB(offline): replace with a real HTTP POST in a networked deploy.
-    transport: (String, Seq[String]) => Unit = (_, _) => ()
+    // default: REAL HTTP POST of the newline-joined JSON batch
+    // (graft.core.Http — shared JDK client per executor)
+    transport: (String, Seq[String]) => Unit = (u, batch) => {
+      val (code, body) = graft.core.Http.postString(u, batch.mkString("\n"))
+      if (code < 200 || code >= 300)
+        throw new RuntimeException(s"HTTPLoad POST $u returned $code: $body")
+    }
 ) extends Stage {
   val stageType = "HTTPLoad"
   def execute(ctx: PipelineContext): Option[DataFrame] = {

@@ -303,9 +303,9 @@ final case class MLTransform(
 }
 
 /** HTTPTransform — POST row batches to an endpoint, append the response as a
-  * column. The environment has no network egress, so the transport is a
-  * pluggable function; the default stub echoes the payload (clearly marked).
-  * The Spark-side shape is real: one connection per partition, batched POSTs.
+  * column. The default transport is a REAL HTTP POST per row value
+  * (graft.core.Http — one shared JDK client per executor, batched iteration);
+  * swap the function for batch-protocol endpoints.
   */
 final case class HTTPTransform(
     name: String,
@@ -315,8 +315,8 @@ final case class HTTPTransform(
     inputField: String = "value",
     batchSize: Int = 100,
     persist: Boolean = false,
-    // STUB(offline): replace with a real HTTP client in a networked deploy.
-    transport: (String, Seq[String]) => Seq[String] = (_, batch) => batch
+    transport: (String, Seq[String]) => Seq[String] =
+      (u, batch) => batch.map(v => graft.core.Http.postString(u, v)._2)
 ) extends Stage {
   val stageType = "HTTPTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
@@ -408,4 +408,12 @@ final case class TensorFlowServingTransform(
     }(enc)
     Some(publish(ctx, out.toDF(), outputView, None, Nil, persist))
   }
+}
+
+object TensorFlowServingTransform {
+  /** Real REST transport for a live TensorFlow Serving endpoint
+    * (the offline default above is a deterministic fake).
+    */
+  val http: (String, String) => String =
+    (u, body) => graft.core.Http.postString(u, body)._2
 }

@@ -24,18 +24,50 @@ object Multimodal {
     StructField("duration_ms", LongType)
   ))
 
-  /** STUB(no codecs in container): deterministic fake decode — derives
-    * "dimensions" and a fixed-length feature vector from the bytes alone, so
-    * tests are reproducible. Replace with a real image/audio codec call; the
-    * signature (bytes in, meta + features out) is the deployment contract.
+  /** Decode: REAL for JDK-supported image formats (PNG/JPEG/GIF/BMP via
+    * ImageIO — width/height and an 8-bin luminance histogram as features);
+    * deterministic hash-derived fake for anything else (audio/video codecs
+    * aren't in this container — that branch is the documented stub, same
+    * signature, so a real codec slots in without touching the Spark side).
     */
   private[llm] def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-    val h = if (bytes == null || bytes.isEmpty) 0L
-            else bytes.take(64).foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-    val width = (math.abs(h) % 1920 + 1).toInt
-    val height = (math.abs(h / 7) % 1080 + 1).toInt
-    val features = Array.tabulate(8)(i => ((math.abs(h / (i + 1)) % 1000) / 1000.0f))
-    (width, height, features)
+    val real: Option[(Int, Int, Array[Float])] =
+      if (bytes == null || bytes.length < 8) None
+      else
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            // 8-bin luminance histogram over a bounded sample grid
+            val bins = new Array[Float](8)
+            val (sx, sy) = (math.max(1, w / 32), math.max(1, h / 32))
+            var n = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                bins(math.min(7, lum / 32)) += 1f
+                n += 1
+                x += sx
+              }
+              y += sy
+            }
+            if (n > 0) { var i = 0; while (i < 8) { bins(i) /= n; i += 1 } }
+            Some((w, h, bins))
+          }
+        } catch { case _: Throwable => None }
+    real.getOrElse {
+      // STUB(no audio/video codecs): deterministic fake from the bytes alone
+      val h = if (bytes == null || bytes.isEmpty) 0L
+              else bytes.take(64).foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+      val width = (math.abs(h) % 1920 + 1).toInt
+      val height = (math.abs(h / 7) % 1080 + 1).toInt
+      val features = Array.tabulate(8)(i => ((math.abs(h / (i + 1)) % 1000) / 1000.0f))
+      (width, height, features)
+    }
   }
 
   /** Attach decode metadata + an 8-dim feature vector to a binary column.

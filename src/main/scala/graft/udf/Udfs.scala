@@ -69,13 +69,15 @@ object Udfs {
       "get_json_long_array",
       (json: String, path: String) => numArray(json, path).map(_.map(_.toLong).toArray).orNull
     )
-    // STUB(offline): the reference fetches URI content over the network; this
-    // environment has zero egress, so only local files are readable.
+    // http(s) URIs fetch over real HTTP (graft.core.Http, pooled JDK client);
+    // file URIs read the local filesystem.
     spark.udf.register(
       "get_uri",
       (uri: String) =>
-        try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(uri)))
-        catch { case _: Throwable => null }
+        try {
+          if (uri.startsWith("http")) graft.core.Http.get(uri)._2
+          else java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(uri)))
+        } catch { case _: Throwable => null }
     )
     // STUB(offline): like get_uri but for a glob — returns the bytes of every
     // matching local file, sorted by path for determinism (the reference

@@ -250,6 +250,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == again)
   }
 
+  test("decodeAndFeaturize decodes real PNG bytes: true dimensions + histogram") {
+    val img = new java.awt.image.BufferedImage(16, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(x => (0 until 9).foreach(y => img.setRGB(x, y, 0xffffff))) // all white
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray)).toDF("id", "blob")
+    val r = Multimodal.decodeAndFeaturize(df, "blob").head()
+    val meta = r.getStruct(r.fieldIndex("media_meta"))
+    assert(meta.getAs[Int]("width") == 16 && meta.getAs[Int]("height") == 9)
+    val feats = r.getSeq[Float](r.fieldIndex("features"))
+    assert(math.abs(feats(7) - 1.0f) < 1e-6) // all-white → everything in the top luminance bin
+  }
+
   test("resize emits target-dim metadata and deterministic payload") {
     val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "blob")
     val out = Multimodal.resize(df, "blob", 64, 64)

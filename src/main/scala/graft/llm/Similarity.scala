@@ -110,9 +110,11 @@ object Similarity {
     * explicitly (√n lists is the usual rule), so the index GROWS with the
     * corpus.
     *
-    * Plan shape: centroids are tiny (nlist × dim, driver-held); the
-    * query→list fan-out is a broadcast; the only corpus shuffle is the
-    * hash-join on list id.
+    * Plan shape: centroids ride as ONE literal array expression (their
+    * half-norms precomputed on the driver), so list assignment is a pure
+    * narrow map on both sides — `array_sort` over per-centroid distance
+    * structs, no crossJoin, no window; the only shuffle in the whole operator
+    * is the candidates hash-join on list id.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -129,28 +131,29 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train = corpus.select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(train)
-    // centroid table: tiny, broadcast everywhere
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("_list", "_centroid")
-    def nearestLists(df: DataFrame, vec: String, n: Int, out: String): DataFrame = {
-      val w = Window.partitionBy(df.columns.map(col): _*)
-        .orderBy(col("_d"), col("_list"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("_d", -dot(col(vec), col("_centroid"))
-          + lit(0.5) * dot(col("_centroid"), col("_centroid")))
-        .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") <= n)
-        .select(df.columns.map(col) :+ col("_list").as(out): _*)
-    }
-    // corpus: single nearest list (the IVF assignment); queries: nprobe lists
-    val c = nearestLists(
-      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv")), "_cv", 1, "_list")
-    val q = nearestLists(
-      queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv")), "_qv", nprobe, "_list")
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    // centroids as one literal: (list id, vector, 0.5·‖c‖² precomputed).
+    // argmin_c ‖x−c‖² = argmin_c (0.5‖c‖² − x·c); structs sort by (d, list).
+    val centLit = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(0.5 * c.dot(c)).as("halfNorm"),
+        lit(i).as("list"),
+        array(c.toArray.map(v => lit(v.toFloat)): _*).as("vec"))
+    }: _*)
+    def rankedLists(vec: Column): Column = array_sort(
+      transform(centLit, c =>
+        struct(
+          (c.getField("halfNorm") - dot(vec, c.getField("vec"))).as("d"),
+          c.getField("list").as("list"))))
+    val c = corpus.select(
+      col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("_cv"),
+      element_at(rankedLists(col(corpusVec)), 1).getField("list").as("_list"))
+    val q = queries.select(
+      col(queryId).as("query_id"),
+      col(queryVec).as("_qv"),
+      explode(transform(slice(rankedLists(col(queryVec)), 1, nprobe), s => s.getField("list")))
+        .as("_list"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     c.join(q, Seq("_list"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("score"))

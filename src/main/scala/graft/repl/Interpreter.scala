@@ -284,6 +284,15 @@ final class Interpreter(initialSpark: SparkSession) {
         .execute(ctx).get
       display(df, args)
 
+    case "explain" =>
+      // formatted physical plan of a registered view — pushdown/pruning/
+      // join-strategy visibility from inside the notebook
+      CellResult(
+        success = true,
+        text = ctx.view(argLine.trim.split("\\s+").head).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString(
+            args.getOrElse("mode", "formatted"))))
+
     case "version" =>
       CellResult(success = true, text = s"graft ${BuildInfo.version} (Spark ${spark.version})")
 
@@ -313,6 +322,7 @@ object Help {
       |%log                       — SQL result → structured log (visible via showLog=true)
       |%summary <view>            — per-column statistics
       |%arc / bare HOCON or JSON  — run a stage-config pipeline cell
+      |%explain <view> [mode=]    — formatted physical plan of a view
       |%version  %help""".stripMargin
 }
 

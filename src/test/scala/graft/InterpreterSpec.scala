@@ -101,6 +101,14 @@ class InterpreterSpec extends SparkSpec {
     assert(!r.text.contains("s3cr3tv4l"), r.text)
   }
 
+  test("%explain shows the physical plan of a view") {
+    interp.execute("%sql outputView=expl_v\nSELECT n_name FROM nation_repl WHERE n_nationkey > 3")
+    val r = interp.execute("%explain expl_v")
+    assert(r.success)
+    assert(r.text.contains("Physical Plan"), r.text.take(200))
+    assert(r.text.contains("Filter") || r.text.contains("PushedFilters"), r.text.take(500))
+  }
+
   test("%conf environment= switches the %arc stage filter") {
     interp.execute("%conf environment=test")
     val r = interp.execute(

@@ -36,6 +36,7 @@ object Completions {
         "  {type = \"SQLTransform\", name = \"q\", environments = [production]\n" +
         "   sql = \"\"\"SELECT 1 AS x\"\"\", outputView = \"v\"}\n" +
         "]}"),
+    Completion("%explain", "%explain viewName mode=formatted"),
     Completion("%version", "%version"),
     Completion("%help", "%help")
   )

@@ -88,6 +88,16 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converge on a long chain (pointer jumping)") {
+    // a 60-node path has diameter 59: one-hop propagation alone would need
+    // 59 rounds and silently mislabel under the iteration cap; pointer
+    // jumping converges in O(log n)
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val cc = Dedup.connectedComponents(chain, maxIterations = 12).collect()
+    assert(cc.length == 60)
+    assert(cc.forall(_.getLong(1) == 1L), cc.take(5).mkString(","))
+  }
+
   test("minhashDedupClusters keeps one doc per transitive cluster") {
     // 1~2 and 2~5 are near-dups; 1~5 may never be a direct pair — the
     // transitive closure must still collapse {1,2,5} to {1}.

@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  private def bucket(t: Column): Column = date_trunc("month", t)
-
   /** Unkeyed as-of: adds `outputCol` = max(build.buildTime) ≤ probe.probeTime
     * (null when no build row precedes the probe). Output columns:
     * (probeId, outputCol).
+    *
+    * `granularity` sets the time-bucket width (any `date_trunc` unit:
+    * "year"…"hour"…"minute") — pick it so the densest bucket fits one task;
+    * the carry-forward pass stays tiny either way (one row per distinct
+    * bucket).
     */
   def latestBefore(
       probe: DataFrame,
@@ -30,8 +33,10 @@ object AsOfJoin {
       probeId: String,
       build: DataFrame,
       buildTime: String,
-      outputCol: String = "last_order_date"
+      outputCol: String = "last_order_date",
+      granularity: String = "month"
   ): DataFrame = {
+    def bucket(t: Column): Column = date_trunc(granularity, t)
     // side '0' (build) sorts before '1' (probe) at equal timestamps, so a
     // build row landing exactly on a probe's timestamp is visible to it (>=).
     val p = probe.select(

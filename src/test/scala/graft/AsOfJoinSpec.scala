@@ -29,6 +29,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("latestBefore gives identical answers at day granularity") {
+    val probes = Seq((1L, ts("2024-01-15 12:00:00")), (2L, ts("2024-03-01 00:00:00")))
+      .toDF("pid", "t")
+    val builds = Seq(Tuple1(ts("2024-01-12 09:00:00")), Tuple1(ts("2024-04-01 00:00:00")))
+      .toDF("bt")
+    val monthly = AsOfJoin.latestBefore(probes, "t", "pid", builds, "bt", "last_bt")
+      .as[(Long, Option[Timestamp])].collect().toMap
+    val daily = AsOfJoin.latestBefore(probes, "t", "pid", builds, "bt", "last_bt",
+      granularity = "day").as[(Long, Option[Timestamp])].collect().toMap
+    assert(monthly == daily)
+    assert(daily(1L).contains(ts("2024-01-12 09:00:00")))
+  }
+
   test("keyedLatestBefore partitions the as-of by key") {
     val trades = Seq(
       ("AAPL", ts("2024-01-01 10:00:05"), 1L),

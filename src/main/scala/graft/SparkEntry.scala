@@ -298,7 +298,25 @@ object SparkEntry {
   // queries: name → (spark, sfDir) => DataFrame
   // ---------------------------------------------------------------------------
 
+  private val q70 = """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_join_5way_reorder" ->
+      pipe("customer", "orders", "lineitem", "supplier", "nation", "region")(q70),
     "q01_agg_pricing_summary" -> pipe("lineitem")(q01),
     "q02_filter_project" -> pipe("lineitem")(q02),
     "q03_join_inner_3way" -> pipe("lineitem", "orders", "customer")(q03),
@@ -778,6 +796,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q70_join_5way_reorder" -> q70,
     "q01_agg_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_join_inner_3way" -> q03,

@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   * result materialization. A warmup pass on the flagship query pays the
   * one-time codegen/JIT cost so per-query numbers reflect steady-state
   * execution.
+  *
+  * Each query is timed twice and the MIN is reported: steady-state cost,
+  * robust to one-off stalls (GC pause, ambient machine contention — r03 saw a
+  * 3 s query read 353 s from a single such stall).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,10 +33,17 @@ object Bench {
     // warmup: JIT + codegen + filesystem metadata
     try force(SparkEntry.queries("q01_agg_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args: run only the named queries (ad-hoc profiling).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -787,6 +787,118 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx")
         )
         .orderBy("l_returnflag")
+    },
+    "q72_exists_correlated" -> pipe("customer", "orders")(
+      """SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        ORDER BY c_custkey"""
+    ),
+    "q73_map_struct_ops" -> pipe("orders")(
+      // Map/struct construction + field access (oracle computes the flattened
+      // values directly — the check is that Spark's collection ops are
+      // value-preserving round trips).
+      """SELECT o_orderkey,
+               element_at(map_from_arrays(array('status','priority'),
+                                          array(o_orderstatus, o_orderpriority)), 'status') AS status_v,
+               (named_struct('k', o_orderkey, 'p', o_totalprice)).p AS price_v,
+               map_keys(map_from_arrays(array('a','b'), array(1, 2)))[0] AS first_key
+        FROM orders
+        WHERE o_orderkey <= 300
+        ORDER BY o_orderkey"""
+    ),
+    "q74_decimal_exact" -> pipe("lineitem")(
+      // unit_price scale 8, not 6: price(2dp)/int-quantity terminates within
+      // 7dp, so scale 8 represents every terminating quotient exactly and the
+      // engines' different tie-rounding modes (Spark HALF_UP vs DuckDB
+      // HALF_EVEN, e.g. 28377.05/32 = 886.7828125) can never fire.
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS disc_amt,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / NULLIF(CAST(l_quantity AS DECIMAL(18,2)), 0) AS DECIMAL(38,8)) AS unit_price
+        FROM lineitem
+        WHERE l_orderkey <= 100
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
+    ),
+    "q75_unpivot" -> pipe("orders")(
+      """WITH base AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, metric, val
+        FROM base UNPIVOT (val FOR metric IN (n_orders, n_f, n_o))
+        ORDER BY o_orderpriority, metric"""
+    ),
+    "q76_nullsafe_join" -> pipe("orders")(
+      """SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+        FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS s
+              FROM orders WHERE o_orderkey <= 100) a
+        JOIN (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS s
+              FROM orders WHERE o_orderkey BETWEEN 101 AND 200) b
+          ON a.s <=> b.s
+        ORDER BY k1, k2"""
+    ),
+    "q77_gap_fill" -> pipe("orders")(
+      """WITH days AS (
+          SELECT explode(sequence(DATE'1995-01-01', DATE'1995-03-01', interval 1 day)) AS d
+        ), daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY CAST(o_orderdate AS DATE))
+        SELECT days.d, COALESCE(daily.n, 0) AS n_orders
+        FROM days LEFT JOIN daily ON days.d = daily.d
+        ORDER BY days.d"""
+    ),
+    "q78_regexp_extract_all" -> pipe("documents")(
+      """SELECT doc_id,
+               CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT) AS n_words,
+               array_join(slice(regexp_extract_all(text, '[0-9]+', 0), 1, 3), ',') AS first_nums
+        FROM documents
+        WHERE doc_id < 200
+        ORDER BY doc_id"""
+    ),
+    "q79_median" -> pipe("orders")(
+      """SELECT o_orderpriority,
+               CAST(MEDIAN(o_totalprice) AS DOUBLE) AS med_price,
+               CAST(MEDIAN(o_orderkey) AS DOUBLE) AS med_key
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""
+    ),
+    "q80_bitwise" -> pipe("orders")(
+      """SELECT o_orderkey,
+               CAST(o_orderkey & 255 AS BIGINT) AS band,
+               CAST(o_orderkey | 4096 AS BIGINT) AS bor,
+               CAST(o_orderkey ^ 21 AS BIGINT) AS bxor,
+               CAST(SHIFTLEFT(o_orderkey, 3) AS BIGINT) AS shl
+        FROM orders
+        WHERE o_orderkey <= 300
+        ORDER BY o_orderkey"""
+    ),
+    "q71_range_join" -> withViews("orders", "lineitem") { (spark, ctx) =>
+      // Unkeyed range join: per early order, how many lineitems (any order)
+      // shipped within [o_orderdate, o_orderdate + 7 days). Spark's native
+      // plan for a pure BETWEEN predicate is a BroadcastNestedLoopJoin —
+      // O(n·m) at scale; RangeJoin tiles the time axis and runs a shuffled
+      // equi-join on the bucket id instead (plan pinned in RangeJoinSpec).
+      val week = 7L * 86400L * 1000000L // micros
+      val ordersF = ctx.view("orders").filter(col("o_orderkey") <= 2000)
+      val intervals = ordersF.select(
+        col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("_lo"),
+        (unix_micros(col("o_orderdate")) + week).as("_hi")
+      )
+      val points = ctx.view("lineitem").select(unix_micros(col("l_shipdate")).as("_t"))
+      val counts = graft.operators.RangeJoin
+        .pointInInterval(points, "_t", intervals, "_lo", "_hi", bucketWidth = week)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_in_window"))
+      ordersF
+        .select("o_orderkey")
+        .join(counts, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("n_in_window"), lit(0L)).as("n_in_window"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -796,6 +908,87 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q72_exists_correlated" ->
+      """SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        ORDER BY c_custkey""",
+    "q73_map_struct_ops" ->
+      // DuckDB computes the flattened values directly; the Spark side must
+      // round-trip them through map/struct construction unchanged.
+      """SELECT o_orderkey,
+               o_orderstatus AS status_v,
+               o_totalprice AS price_v,
+               'a' AS first_key
+        FROM orders
+        WHERE o_orderkey <= 300
+        ORDER BY o_orderkey""",
+    "q74_decimal_exact" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS disc_amt,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / NULLIF(CAST(l_quantity AS DECIMAL(18,2)), 0) AS DECIMAL(38,8)) AS unit_price
+        FROM lineitem
+        WHERE l_orderkey <= 100
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""",
+    "q75_unpivot" ->
+      """WITH base AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, metric, val
+        FROM base UNPIVOT (val FOR metric IN (n_orders, n_f, n_o))
+        ORDER BY o_orderpriority, metric""",
+    "q76_nullsafe_join" ->
+      """SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+        FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS s
+              FROM orders WHERE o_orderkey <= 100) a
+        JOIN (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS s
+              FROM orders WHERE o_orderkey BETWEEN 101 AND 200) b
+          ON a.s IS NOT DISTINCT FROM b.s
+        ORDER BY k1, k2""",
+    "q77_gap_fill" ->
+      """WITH days AS (
+          SELECT CAST(UNNEST(GENERATE_SERIES(DATE '1995-01-01', DATE '1995-03-01', INTERVAL 1 DAY)) AS DATE) AS d
+        ), daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY CAST(o_orderdate AS DATE))
+        SELECT days.d, COALESCE(daily.n, 0) AS n_orders
+        FROM days LEFT JOIN daily ON days.d = daily.d
+        ORDER BY days.d""",
+    "q78_regexp_extract_all" ->
+      """SELECT doc_id,
+               CAST(LEN(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+               COALESCE(ARRAY_TO_STRING(LIST_SLICE(regexp_extract_all(text, '[0-9]+'), 1, 3), ','), '') AS first_nums
+        FROM documents
+        WHERE doc_id < 200
+        ORDER BY doc_id""",
+    "q79_median" ->
+      """SELECT o_orderpriority,
+               CAST(MEDIAN(o_totalprice) AS DOUBLE) AS med_price,
+               CAST(MEDIAN(o_orderkey) AS DOUBLE) AS med_key
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""",
+    "q80_bitwise" ->
+      """SELECT o_orderkey,
+               CAST(o_orderkey & 255 AS BIGINT) AS band,
+               CAST(o_orderkey | 4096 AS BIGINT) AS bor,
+               CAST(XOR(o_orderkey, 21) AS BIGINT) AS bxor,
+               CAST(o_orderkey << 3 AS BIGINT) AS shl
+        FROM orders
+        WHERE o_orderkey <= 300
+        ORDER BY o_orderkey""",
+    "q71_range_join" ->
+      """SELECT o.o_orderkey, CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_in_window
+        FROM orders o LEFT JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        WHERE o.o_orderkey <= 2000
+        GROUP BY o.o_orderkey
+        ORDER BY o.o_orderkey""",
     "q70_join_5way_reorder" -> q70,
     "q01_agg_pricing_summary" -> q01,
     "q02_filter_project" -> q02,

@@ -168,4 +168,71 @@ class StreamingSpec extends SparkSpec {
     val total = spark.table("stream_dedup_test").count()
     assert(total == users) // each user exactly once
   }
+
+  test("stream-stream interval join with watermarks matches the batch join") {
+    val schema = spark.read.parquet(eventsPath).schema
+    def side(tpe: String) = spark.readStream
+      .schema(schema)
+      .parquet(eventsPath)
+      .filter(col("event_type") === tpe)
+    // purchases within 30 minutes after a click by the same user: both sides
+    // watermarked, join condition time-bounded — Spark can expire state for
+    // rows older than (watermark - bound), the scalable stream-join shape.
+    val clicks = side("click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = side("purchase")
+      .select(col("user_id").as("pu"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    val joined = clicks.join(
+      purchases,
+      expr("cu = pu AND buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 30 MINUTES")
+    )
+    val q = joined.writeStream
+      .format("memory")
+      .outputMode("append")
+      .queryName("stream_ss_join_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val batch = {
+      val ev = spark.read.parquet(eventsPath)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("buy_ts"))
+      c.join(p, col("cu") === col("pu") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .count()
+    }
+    val streamed = spark.table("stream_ss_join_test").count()
+    assert(batch > 0, "degenerate data: no click->purchase pairs in 30 min")
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups (event_id) but keeps late re-keys") {
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("memory")
+      .outputMode("append")
+      .queryName("stream_dedup_wm_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("stream_dedup_wm_test")
+    val total = out.count()
+    val distinctIds = out.select("event_id").distinct().count()
+    val input = spark.read.parquet(eventsPath).count()
+    // event_id is unique in the synthetic data, so within-watermark dedup
+    // must pass everything through exactly once; the assertion shape still
+    // holds if duplicates exist (never more rows than input, none dropped
+    // beyond true duplicates within the watermark).
+    assert(total == distinctIds, s"total=$total distinct=$distinctIds")
+    assert(total <= input && total > 0)
+  }
 }

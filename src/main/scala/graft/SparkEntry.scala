@@ -876,6 +876,38 @@ object SparkEntry {
         WHERE o_orderkey <= 300
         ORDER BY o_orderkey"""
     ),
+    "q81_hash_sample" -> withViews("documents") { (spark, ctx) =>
+      // Deterministic md5-prefix sampling (retry-stable, cross-table aligned);
+      // oracle replays the identical hash threshold in DuckDB.
+      graft.llm.Sampling
+        .hashSample(ctx.view("documents"), col("doc_id"), 0.1, "s1")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    "q82_sequence_packing" -> withViews("documents") { (spark, ctx) =>
+      // Greedy whole-doc packing into 512-token windows, 8 shards; the oracle
+      // replays the same sequential recurrence as a recursive CTE.
+      val base = ctx.view("documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      graft.llm.Packing
+        .packGreedy(base, "shard", "doc_id", "toks", 512)
+        .select(col("shard"), col("doc_id"), col("toks"), col("pack_id"))
+        .orderBy("shard", "doc_id")
+    },
+    "q83_group_cap" -> withViews("orders") { (spark, ctx) =>
+      graft.llm.Sampling
+        .groupCap(ctx.view("orders"), Seq("o_orderpriority"), Seq(col("o_orderkey")), 50)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+    "q84_stratified_sample" -> withViews("customer") { (spark, ctx) =>
+      graft.llm.Sampling
+        .stratifiedExact(ctx.view("customer"), Seq("c_mktsegment"), col("c_custkey"), 0.1, "z")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
     "q71_range_join" -> withViews("orders", "lineitem") { (spark, ctx) =>
       // Unkeyed range join: per early order, how many lineitems (any order)
       // shipped within [o_orderdate, o_orderdate + 7 days). Spark's native
@@ -908,6 +940,45 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q81_hash_sample" ->
+      // 0x1999999a = round(0.1 * 0xffffffff): same threshold hashSample derives
+      """SELECT doc_id FROM documents
+        WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) < '1999999a'
+        ORDER BY doc_id""",
+    "q82_sequence_packing" ->
+      """WITH RECURSIVE base AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS toks,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+          FROM documents WHERE doc_id < 1000
+        ), packed AS (
+          SELECT shard, doc_id, toks, rn, CAST(0 AS BIGINT) AS pack_id, toks AS fill
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.shard, b.doc_id, b.toks, b.rn,
+                 CASE WHEN p.fill + b.toks <= 512 THEN p.pack_id ELSE p.pack_id + 1 END,
+                 CASE WHEN p.fill + b.toks <= 512 THEN p.fill + b.toks ELSE b.toks END
+          FROM base b JOIN packed p ON b.shard = p.shard AND b.rn = p.rn + 1
+        )
+        SELECT shard, doc_id, toks, pack_id
+        FROM packed ORDER BY shard, doc_id""",
+    "q83_group_cap" ->
+      """SELECT o_orderkey, o_orderpriority FROM (
+          SELECT o_orderkey, o_orderpriority,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 50
+        ORDER BY o_orderkey""",
+    "q84_stratified_sample" ->
+      """WITH t AS (
+          SELECT c_custkey, c_mktsegment,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                   ORDER BY MD5(CAST(c_custkey AS VARCHAR) || 'z')) AS rn,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM customer)
+        SELECT c_custkey, c_mktsegment FROM t
+        WHERE rn <= CEIL(n * 0.1)
+        ORDER BY c_custkey""",
     "q72_exists_correlated" ->
       """SELECT c_custkey, c_name
         FROM customer c

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data pipelines.
+  *
+  * All three are deterministic: re-running the pipeline (or re-running one
+  * failed partition, which Spark does silently) yields the same sample —
+  * `df.sample()` does not guarantee that across retries, which corrupts
+  * train/eval splits. Reference arc-jupyter exposes no sampling stages; these
+  * are scale-path extensions shaped for 100 TB:
+  * - hash sampling is a narrow map (no shuffle, pushes nothing, scans once);
+  * - group caps and stratified sampling are one window shuffle each, with the
+  *   per-group work fully parallel across groups.
+  */
+object Sampling {
+
+  /** Keep ~`rate` of rows, chosen by a salted md5 of `key` — deterministic,
+    * stable under retries, and consistent ACROSS TABLES: sampling documents
+    * and their embeddings with the same key/salt keeps them aligned.
+    *
+    * Uses the first 8 hex digits (32 bits) of md5: rate resolution 1/2^32.
+    */
+  def hashSample(df: DataFrame, key: Column, rate: Double, salt: String = ""): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    val threshold = f"${math.round(rate * 0xffffffffL)}%08x"
+    df.filter(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8) < lit(threshold))
+  }
+
+  /** At most `cap` rows per group, keeping the first by `order` — the
+    * "no domain may dominate the corpus" guard. One shuffle on `groupCols`;
+    * heavy groups stay single-task only up to the window sort, which AQE
+    * skew-splits; for pathological groups pre-filter with hashSample.
+    */
+  def groupCap(df: DataFrame, groupCols: Seq[String], order: Seq[Column], cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
+  /** Exact stratified sample: ceil(rate × |stratum|) rows from every stratum,
+    * deterministically ordered by the salted hash (so it is an unbiased
+    * within-stratum choice, not "first rows win"). Unlike
+    * `DataFrameStatFunctions.sampleBy`, counts are exact, small strata are
+    * never emptied, and retries reproduce the same rows.
+    */
+  def stratifiedExact(df: DataFrame, strataCols: Seq[String], key: Column, rate: Double,
+      salt: String = ""): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    val h = md5(concat(key.cast("string"), lit(salt)))
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(h)
+    val cw = Window.partitionBy(strataCols.map(col): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .filter(col("_rn") <= ceil(col("_n") * rate))
+      .drop("_rn", "_n")
+  }
+}

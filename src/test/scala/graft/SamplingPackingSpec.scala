@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Packing, Sampling}
+
+class SamplingPackingSpec extends SparkSpec {
+
+  private lazy val docs = {
+    spark.read.parquet(s"${sf()}/documents.parquet")
+  }
+
+  test("hashSample: deterministic, near the target rate, and aligned across tables") {
+    val a = Sampling.hashSample(docs, col("doc_id"), 0.2, "s1").select("doc_id")
+    val b = Sampling.hashSample(docs, col("doc_id"), 0.2, "s1").select("doc_id")
+    val idsA = a.collect().map(_.getLong(0)).toSet
+    assert(idsA == b.collect().map(_.getLong(0)).toSet) // retry-stable
+    val n = docs.count().toDouble
+    assert(math.abs(idsA.size / n - 0.2) < 0.05, s"rate off: ${idsA.size / n}")
+    // same key+salt on a projected "other table" selects the same ids
+    val other = docs.select(col("doc_id"), length(col("text")).as("len"))
+    val idsC = Sampling.hashSample(other, col("doc_id"), 0.2, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(idsC == idsA)
+    // different salt gives a (mostly) different sample
+    val idsD = Sampling.hashSample(docs, col("doc_id"), 0.2, "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(idsD != idsA)
+  }
+
+  test("hashSample: rate 0 keeps nothing, rate 1 keeps all") {
+    assert(Sampling.hashSample(docs, col("doc_id"), 0.0).count() == 0)
+    assert(Sampling.hashSample(docs, col("doc_id"), 1.0).count() == docs.count())
+  }
+
+  test("groupCap: every group at most cap, lowest order keys kept") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val capped = Sampling.groupCap(orders, Seq("o_orderpriority"), Seq(col("o_orderkey")), 50)
+    val sizes = capped.groupBy("o_orderpriority").count().collect()
+    assert(sizes.nonEmpty && sizes.forall(_.getLong(1) <= 50))
+    // kept rows are exactly the 50 smallest o_orderkey per priority
+    val minKept = capped.groupBy("o_orderpriority").agg(max("o_orderkey").as("mx"))
+    val viol = minKept
+      .join(orders, Seq("o_orderpriority"))
+      .filter(col("o_orderkey") < col("mx"))
+      .groupBy("o_orderpriority").count()
+      .filter(col("count") > lit(49))
+      .count()
+    assert(viol == 0)
+  }
+
+  test("stratifiedExact: exact ceil(n*rate) per stratum, deterministic") {
+    val customer = spark.read.parquet(s"${sf()}/customer.parquet")
+    val rate = 0.1
+    val got = Sampling.stratifiedExact(customer, Seq("c_mktsegment"), col("c_custkey"), rate, "z")
+    val bySeg = got.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = customer.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> math.ceil(r.getLong(1) * rate).toLong).toMap
+    assert(bySeg == want, s"got $bySeg want $want")
+    val again = Sampling.stratifiedExact(customer, Seq("c_mktsegment"), col("c_custkey"), rate, "z")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("c_custkey").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("packGreedy matches the sequential reference and respects maxTokens") {
+    val maxTokens = 512L
+    val withToks = docs
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    val packed = Packing.packGreedy(withToks, "shard", "doc_id", "toks", maxTokens)
+      .select("shard", "doc_id", "toks", "pack_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sequential reference per shard
+    val ref = packed
+      .groupBy(_._1)
+      .iterator
+      .flatMap { case (_, rows) =>
+        var pack = 0L; var fill = 0L; var first = true
+        rows.sortBy(_._2).map { case (s, id, tok, _) =>
+          if (first) { first = false; fill = tok }
+          else if (fill + tok <= maxTokens) fill += tok
+          else { pack += 1; fill = tok }
+          (s, id) -> pack
+        }
+      }
+      .toMap
+    packed.foreach { case (s, id, _, got) =>
+      assert(ref((s, id)) == got, s"shard=$s doc=$id: got $got want ${ref((s, id))}")
+    }
+    // every pack fits, except packs that consist of a single oversized doc
+    val byPack = packed.groupBy(p => (p._1, p._4)).values
+    byPack.foreach { rows =>
+      val tot = rows.map(_._3).sum
+      assert(tot <= maxTokens || rows.size == 1, s"overfull multi-doc pack: $rows")
+    }
+    assert(byPack.exists(_.size > 1), "degenerate: no pack got more than one doc")
+  }
+}

@@ -37,18 +37,40 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Returns (seconds, succeeded). A query that throws must NOT be reported
+    // with a normal-looking timing — min-of-2 would otherwise let one green
+    // run mask one crash entirely.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { force(fn(spark, sfDir)); true } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] query failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false
+      }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val (t1, ok1) = timeOnce(fn)
+      val (t2, ok2) = timeOnce(fn)
+      val succeeded = Seq((t1, ok1), (t2, ok2)).filter(_._2).map(_._1)
+      // min of the successful runs; a query with zero successful runs is an err
+      (name, if (succeeded.nonEmpty) Some(succeeded.min) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, None)    => "\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val total = results.flatMap(_._2).sum
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // Truncation-proofing: the driver tails a verbose sbt log, and r04 lost
+    // the head of this (single, very long) line. Persist to a file first,
+    // then print.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable => System.err.println(s"[bench] file write failed: ${t.getMessage}") }
+    println(json)
     spark.stop()
   }
 }

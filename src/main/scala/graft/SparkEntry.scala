@@ -809,13 +809,14 @@ object SparkEntry {
         ORDER BY o_orderkey"""
     ),
     "q74_decimal_exact" -> pipe("lineitem")(
-      // unit_price scale 8, not 6: price(2dp)/int-quantity terminates within
-      // 7dp, so scale 8 represents every terminating quotient exactly and the
-      // engines' different tie-rounding modes (Spark HALF_UP vs DuckDB
-      // HALF_EVEN, e.g. 28377.05/32 = 886.7828125) can never fire.
+      // disc_amt is exact: decimal multiplication never rounds at (38,4).
+      // unit_price deliberately divides in DOUBLE: engines disagree on the
+      // intermediate type/scale of DECIMAL/DECIMAL division (and round
+      // non-terminating quotients differently before any final cast), while
+      // IEEE-754 double division is bit-identical across engines.
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS disc_amt,
-               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / NULLIF(CAST(l_quantity AS DECIMAL(18,2)), 0) AS DECIMAL(38,8)) AS unit_price
+               CAST(l_extendedprice AS DOUBLE) / CAST(NULLIF(l_quantity, 0) AS DOUBLE) AS unit_price
         FROM lineitem
         WHERE l_orderkey <= 100
         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
@@ -998,7 +999,7 @@ object SparkEntry {
     "q74_decimal_exact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS disc_amt,
-               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / NULLIF(CAST(l_quantity AS DECIMAL(18,2)), 0) AS DECIMAL(38,8)) AS unit_price
+               CAST(l_extendedprice AS DOUBLE) / CAST(NULLIF(l_quantity, 0) AS DOUBLE) AS unit_price
         FROM lineitem
         WHERE l_orderkey <= 100
         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""",

@@ -129,21 +129,40 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Int = 256
   ): DataFrame = {
-    val numHashes = bands * rowsPerBand
     // Shingles are hashed to longs immediately: the band join and Jaccard
     // verification then shuffle 8-byte hashes instead of shingle strings
     // (~10× smaller payload at scale; 64-bit collisions are negligible for
     // set-overlap estimation).
+    val hashedShingles =
+      array_distinct(transform(shingles(col(textCol), shingleLen), s => xxhash64(s)))
+    minhashPairsFromHashedShingles(
+      df.select(col(idCol).as("_id"), hashedShingles.as("_sh")),
+      "_id", "_sh", bands, rowsPerBand, threshold, maxBucketSize)
+  }
+
+  /** Banded MinHash-LSH candidate generation + exact Jaccard verification over
+    * PRE-HASHED shingle sets — the shared engine behind `minhashPairs` (word
+    * shingles) and `SimilarityJoinTransform` (character shingles, cross-view).
+    * Input: (idCol, shCol: array<long>). Returns (idA, idB, jaccard), idA<idB.
+    */
+  def minhashPairsFromHashedShingles(
+      df: DataFrame,
+      idCol: String,
+      shCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxBucketSize: Int
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
     // The repartition is load-bearing: without an exchange, Catalyst collapses
     // the projections and the band-explode below would inline (and recompute)
     // the whole shingle+minhash expression once per band per hash — measured
     // ~60× slowdown. The shuffle materializes (_id, _sh, _sig) exactly once;
     // at cluster scale this exchange also spreads the corpus before the
     // bucket join.
-    val hashedShingles =
-      array_distinct(transform(shingles(col(textCol), shingleLen), s => xxhash64(s)))
     val withSig = df
-      .select(col(idCol).as("_id"), hashedShingles.as("_sh"))
+      .select(col(idCol).as("_id"), col(shCol).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
       .repartition(col("_id"))

@@ -104,7 +104,10 @@ object TextStats {
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** `sequence(1, count)` that is empty (not descending) when count < 1. */
-  private[llm] def safeSeq(count: Column): Column =
+  /** `sequence(1, count)` that degrades to an empty array when count < 1
+    * (plain `sequence` would throw or produce a descending range).
+    */
+  def safeSeq(count: Column): Column =
     when(count >= 1, sequence(lit(1), count)).otherwise(array().cast("array<int>"))
 
   /** Winnowing fingerprint set (MOSS-style): rolling hashes of character

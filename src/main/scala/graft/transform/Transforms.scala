@@ -227,13 +227,23 @@ final case class DiffTransform(
 }
 
 /** SimilarityJoinTransform — fuzzy join of two views on concatenated text
-  * columns (SURVEY.md §2.2; reference CHANGELOG.md:237): Spark ML chain
-  * RegexTokenizer → NGram(shingleLength) → HashingTF → MinHashLSH
-  * .approxSimilarityJoin(threshold).
+  * columns (SURVEY.md §2.2; reference CHANGELOG.md:237). Character-shingle
+  * MinHash-LSH banding with exact Jaccard verification, built on the shared
+  * capped engine `Dedup.minhashPairsFromHashedShingles`.
+  *
+  * The Arc argument surface is preserved and mapped onto banding:
+  * bands = numHashTables, rowsPerBand from the threshold via the standard
+  * S-curve tuning t* ≈ (1/b)^(1/r) (so the recall knee sits at `threshold`),
+  * clamped so bands·rowsPerBand ≤ 32. `similarity` is the EXACT Jaccard of
+  * the character-shingle sets (the ML approxSimilarityJoin this replaces
+  * reported the same quantity via HashingTF feature sets).
   *
   * Scale shape: LSH banding turns the quadratic all-pairs problem into a
-  * shuffle on hash buckets — candidate pairs only within equal bands — which
-  * is the standard 100 TB-safe design (no cross join anywhere in the plan).
+  * shuffle on hash buckets — and unlike Spark ML's approxSimilarityJoin, the
+  * bucket self-join is SIZE-CAPPED (hot buckets degrade to linear star links,
+  * see Dedup.bucketCandidates), so one boilerplate-heavy bucket can no longer
+  * go quadratic. Shingle payloads stay out of the band join (ids only); rows
+  * join back by id for the surviving pairs only.
   */
 final case class SimilarityJoinTransform(
     name: String,
@@ -246,40 +256,60 @@ final case class SimilarityJoinTransform(
     shingleLength: Int = 3,
     numHashTables: Int = 5,
     caseSensitive: Boolean = false,
+    maxBucketSize: Int = 256,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "SimilarityJoinTransform"
 
-  import org.apache.spark.ml.Pipeline
-  import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, MinHashLSHModel, NGram, RegexTokenizer}
+  import graft.llm.{Dedup, TextStats}
 
-  private def featurize(df: DataFrame, fields: Seq[String]): DataFrame = {
+  /** Hashed character shingles of the concatenated fields. */
+  private def charShingles(fields: Seq[String]): Column = {
     val joined = concat_ws(" ", fields.map(col): _*)
     val text = if (caseSensitive) joined else lower(joined)
-    val base = df.withColumn("_text", text).filter(length(col("_text")) > 0)
-    val tokenizer = new RegexTokenizer()
-      .setInputCol("_text").setOutputCol("_tokens").setPattern("")
-      .setMinTokenLength(1).setToLowercase(!caseSensitive)
-    val ngram = new NGram().setInputCol("_tokens").setOutputCol("_shingles").setN(shingleLength)
-    val tf = new HashingTF().setInputCol("_shingles").setOutputCol("_features")
-      .setNumFeatures(1 << 18)
-    new Pipeline().setStages(Array(tokenizer, ngram, tf)).fit(base).transform(base)
-      .filter(col("_shingles").getItem(0).isNotNull)
+    graft.functions.Let.bind(
+      text,
+      s =>
+        array_distinct(
+          transform(
+            TextStats.safeSeq(length(s) - (shingleLength - 1)),
+            i => xxhash64(s.substr(i, lit(shingleLength))))))
   }
 
   def execute(ctx: PipelineContext): Option[DataFrame] = {
-    val l = featurize(ctx.view(leftView), leftFields)
-    val r = featurize(ctx.view(rightView), rightFields)
-    val lsh = new MinHashLSH().setInputCol("_features").setOutputCol("_hashes")
-      .setNumHashTables(numHashTables)
-    val model: MinHashLSHModel = lsh.fit(l)
-    val joined = model
-      .approxSimilarityJoin(model.transform(l), model.transform(r), 1.0 - threshold, "_distance")
-    val leftCols = ctx.view(leftView).columns.map(c => col(s"datasetA.$c").as(c))
-    val rightCols = ctx.view(rightView).columns
-      .map(c => col(s"datasetB.$c").as(if (ctx.view(leftView).columns.contains(c)) s"${c}_right" else c))
-    val out = joined
-      .select(leftCols ++ rightCols :+ (lit(1.0) - col("_distance")).as("similarity"): _*)
+    val lSrc = ctx.view(leftView)
+    val rSrc = ctx.view(rightView)
+    // Synthetic ids: left rows even, right rows odd — both sides share one
+    // LSH corpus and cross-side pairs are recovered by parity. The id is
+    // partition-index + row-position, deterministic across the two scans of
+    // the same leaf (signature side and join-back side see identical ids).
+    val lRows = lSrc.withColumn("_gid", shiftleft(monotonically_increasing_id(), 1))
+    val rRows = rSrc.withColumn("_gid",
+      shiftleft(monotonically_increasing_id(), 1).bitwiseOR(lit(1L)))
+    def corpus(df: DataFrame, fields: Seq[String]): DataFrame =
+      df.select(col("_gid"), charShingles(fields).as("_sh")).filter(size(col("_sh")) > 0)
+    // S-curve tuning: threshold ≈ (1/b)^(1/r)  ⇒  r ≈ ln(b) / -ln(t).
+    val bands = math.max(1, numHashTables)
+    val t = math.min(0.95, math.max(0.05, threshold))
+    val rowsPerBand =
+      math.max(1, math.min(32 / bands, math.round(math.log(bands) / -math.log(t)).toInt))
+    val pairs = Dedup.minhashPairsFromHashedShingles(
+      corpus(lRows, leftFields).unionByName(corpus(rRows, rightFields)),
+      "_gid", "_sh", bands, rowsPerBand, threshold, maxBucketSize)
+    // keep cross-side pairs only; normalize to (left id, right id)
+    val cross = pairs
+      .filter(col("idA").bitwiseAND(lit(1L)) =!= col("idB").bitwiseAND(lit(1L)))
+      .select(
+        when(col("idA").bitwiseAND(lit(1L)) === 0, col("idA")).otherwise(col("idB")).as("_lgid"),
+        when(col("idA").bitwiseAND(lit(1L)) === 0, col("idB")).otherwise(col("idA")).as("_rgid"),
+        col("jaccard").as("similarity"))
+    def rName(c: String): String = if (lSrc.columns.contains(c)) s"${c}_right" else c
+    val lKeyed = lRows.select(col("_gid").as("_lgid") +: lSrc.columns.map(col): _*)
+    val rKeyed = rRows.select(col("_gid").as("_rgid") +: rSrc.columns.map(c => col(c).as(rName(c))): _*)
+    val out = cross
+      .join(lKeyed, Seq("_lgid"))
+      .join(rKeyed, Seq("_rgid"))
+      .select((lSrc.columns.map(col) ++ rSrc.columns.map(c => col(rName(c)))) :+ col("similarity"): _*)
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }

@@ -64,6 +64,42 @@ class DedupSpec extends SparkSpec {
     assert(kept == 1)
   }
 
+  test("SimilarityJoinTransform survives a 10k-identical-docs hot bucket (capped, not quadratic)") {
+    // Through the STAGE (not just Dedup): 10k identical docs on each side
+    // would be ~100M result pairs under an uncapped LSH join. The capped
+    // engine star-links the hot bucket instead: pair count stays linear.
+    val n = 10000
+    val ctx = new graft.core.PipelineContext(spark)
+    spark.range(1, n + 1)
+      .selectExpr("id AS doc_id", "'the same boilerplate text repeated in every single document' AS text")
+      .createOrReplaceTempView("hot_docs")
+    val out = graft.transform.SimilarityJoinTransform(
+      "sim", "hot_docs", "hot_docs", Seq("text"), Seq("text"), "hot_out",
+      threshold = 0.8, shingleLength = 3, numHashTables = 5, maxBucketSize = 64
+    ).execute(ctx).get
+    val pairs = out.count()
+    assert(pairs > 0 && pairs <= 2L * n, s"expected linear pair count, got $pairs")
+    // every surviving pair is an exact dup here: similarity must be 1.0
+    assert(out.agg(min($"similarity")).head().getDouble(0) == 1.0)
+  }
+
+  test("SimilarityJoinTransform finds cross-view near-dups with exact similarity") {
+    val ctx = new graft.core.PipelineContext(spark)
+    docs.createOrReplaceTempView("sim_left")
+    docs.createOrReplaceTempView("sim_right")
+    val out = graft.transform.SimilarityJoinTransform(
+      "sim", "sim_left", "sim_right", Seq("text"), Seq("text"), "sim_pairs",
+      threshold = 0.5, shingleLength = 3, numHashTables = 5
+    ).execute(ctx).get.cache()
+    val hits = out.select($"id".as[Long], $"id_right".as[Long], $"similarity".as[Double]).collect()
+    // exact dup pair (1,4) present in both directions with similarity 1.0
+    assert(hits.exists { case (a, b, s) => a == 1L && b == 4L && s == 1.0 })
+    assert(hits.exists { case (a, b, s) => a == 4L && b == 1L && s == 1.0 })
+    // unrelated doc 3 never pairs with others
+    assert(!hits.exists { case (a, b, _) => (a == 3L) != (b == 3L) })
+    out.unpersist()
+  }
+
   test("simhash banding has full recall at maxDistance=8") {
     // Fingerprints crafted at exact Hamming distances: 8 (must be found),
     // 9 (must be filtered), 0 (exact dup, must be found).

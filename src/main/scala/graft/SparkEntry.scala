@@ -1142,6 +1142,37 @@ object SparkEntry {
                CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS BIGINT) AS n_unique
         FROM documents
         ORDER BY doc_id""",
+    "q34_text_quality" ->
+      // Mirrors TextStats.qualityScore feature-by-feature: same tokenizer
+      // regexes, same EN stopword list, same penalty arithmetic in DOUBLE
+      // (left-associated, literals cast to DOUBLE so DuckDB's decimal
+      // literals can't change the accumulation).
+      """WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens_ws,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS toks,
+                 CAST(length(text) AS DOUBLE) AS chars,
+                 CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+                 CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct
+          FROM documents),
+        f AS (
+          SELECT doc_id, n_tokens_ws,
+                 CAST(len(toks) AS DOUBLE) AS n_tok,
+                 CASE WHEN chars > 0 THEN alpha / chars ELSE 0.0 END AS alpha_ratio,
+                 CASE WHEN chars > 0 THEN punct / chars ELSE 0.0 END AS punct_ratio,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   ['the','and','of','to','in','is','that','it','for','with','was','are'])) AS DOUBLE) AS stop_hits
+          FROM t)
+        SELECT doc_id,
+               CAST(n_tokens_ws AS BIGINT) AS n_tokens,
+               round(
+                 (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END) * CAST(0.25 AS DOUBLE)
+                 + least(alpha_ratio / CAST(0.7 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.25 AS DOUBLE)
+                 + (CASE WHEN punct_ratio <= CAST(0.2 AS DOUBLE) THEN CAST(1.0 AS DOUBLE)
+                         ELSE greatest(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE) - (punct_ratio - CAST(0.2 AS DOUBLE)) * 2) END) * CAST(0.25 AS DOUBLE)
+                 + (CASE WHEN stop_hits >= 2 THEN 1.0 WHEN stop_hits >= 1 THEN 0.7 ELSE 0.3 END) * CAST(0.25 AS DOUBLE), 4) AS quality
+        FROM f
+        ORDER BY doc_id""",
     "q35_similarity_bruteforce" ->
       """SELECT query_id, rank, neighbor_id, score FROM (
           SELECT q.vec_id AS query_id,
@@ -1154,6 +1185,33 @@ object SparkEntry {
           WHERE q.vec_id < 5) t
         WHERE rank <= 5
         ORDER BY query_id, rank""",
+    "q38_text_langid" ->
+      // argmax over per-language stopword hits; ties break to the
+      // lexicographically largest language (Spark's array_max over
+      // (hits, lang) structs), hence the it→fr→es→en→de CASE order.
+      """WITH t AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 len(list_intersect(toks, ['der','die','das','und','ist','von','nicht','mit','ein','eine','zu','den'])) AS h_de,
+                 len(list_intersect(toks, ['the','and','of','to','in','is','that','it','for','with','was','are'])) AS h_en,
+                 len(list_intersect(toks, ['el','la','los','las','es','en','que','una','por','con','para','del'])) AS h_es,
+                 len(list_intersect(toks, ['le','la','les','et','est','dans','pour','que','une','des','pas','sur'])) AS h_fr,
+                 len(list_intersect(toks, ['il','la','che','di','è','per','con','una','sono','non','più','come'])) AS h_it
+          FROM t)
+        SELECT lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+          SELECT CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_it) = 0 THEN 'und'
+                      WHEN h_it = greatest(h_de,h_en,h_es,h_fr,h_it) THEN 'it'
+                      WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_it) THEN 'fr'
+                      WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_it) THEN 'es'
+                      WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_it) THEN 'en'
+                      ELSE 'de' END AS lang_guess
+          FROM h)
+        GROUP BY lang_guess
+        ORDER BY lang_guess""",
     "q39_stats_extract" ->
       """SELECT "column", "count", nulls, "distinct", "min", "max" FROM (
           SELECT 'l_orderkey' AS "column", CAST(COUNT(l_orderkey) AS BIGINT) AS "count",

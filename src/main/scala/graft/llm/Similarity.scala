@@ -110,11 +110,18 @@ object Similarity {
     * explicitly (√n lists is the usual rule), so the index GROWS with the
     * corpus.
     *
-    * Plan shape: centroids ride as ONE literal array expression (their
-    * half-norms precomputed on the driver), so list assignment is a pure
-    * narrow map on both sides — `array_sort` over per-centroid distance
-    * structs, no crossJoin, no window; the only shuffle in the whole operator
-    * is the candidates hash-join on list id.
+    * Plan shape: list assignment is a narrow map on both sides — `array_sort`
+    * over per-centroid distance structs, no window; the only shuffle in the
+    * whole operator is the candidates hash-join on list id. How the centroid
+    * table reaches the executors depends on nlist:
+    *  - nlist ≤ broadcastThreshold: ONE literal array expression (half-norms
+    *    precomputed on the driver) — zero joins, everything codegen'd.
+    *  - nlist > broadcastThreshold: a literal of nlist×dim constants would
+    *    blow up the plan/codegen constant pool (at the √n rule a real corpus
+    *    wants nlist 10⁴–10⁵), so the centroids ship as a single-row DataFrame
+    *    through a broadcast cross join instead — the array is DATA, not plan
+    *    constants, and each side still sees exactly one extra (broadcast,
+    *    non-shuffling) operator.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -126,33 +133,50 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 2,
-      seed: Long = 42L
+      seed: Long = 42L,
+      broadcastThreshold: Int = 256
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train = corpus.select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
-    // centroids as one literal: (list id, vector, 0.5·‖c‖² precomputed).
-    // argmin_c ‖x−c‖² = argmin_c (0.5‖c‖² − x·c); structs sort by (d, list).
-    val centLit = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(
-        lit(0.5 * c.dot(c)).as("halfNorm"),
-        lit(i).as("list"),
-        array(c.toArray.map(v => lit(v.toFloat)): _*).as("vec"))
-    }: _*)
-    def rankedLists(vec: Column): Column = array_sort(
-      transform(centLit, c =>
+    // (0.5·‖c‖², list id, vector) per centroid; argmin_c ‖x−c‖² =
+    // argmin_c (0.5‖c‖² − x·c), structs sort by (d, list).
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (0.5 * c.dot(c), i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    // Attach the centroid array to every row of `df`, returning (df', centsCol).
+    def attach(df: DataFrame): (DataFrame, Column) =
+      if (nlist <= broadcastThreshold) {
+        val centLit = array(cents.map { case (hn, i, v) =>
+          struct(lit(hn).as("halfNorm"), lit(i).as("list"),
+            array(v.map(lit(_)): _*).as("vec"))
+        }: _*)
+        (df, centLit)
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val centDf = Seq(Tuple1(cents)).toDF("_raw")
+          .select(transform(col("_raw"), c =>
+            struct(c.getField("_1").as("halfNorm"), c.getField("_2").as("list"),
+              c.getField("_3").as("vec"))).as("_cents"))
+        (df.crossJoin(broadcast(centDf)), col("_cents"))
+      }
+    def rankedLists(vec: Column, centsCol: Column): Column = array_sort(
+      transform(centsCol, c =>
         struct(
           (c.getField("halfNorm") - dot(vec, c.getField("vec"))).as("d"),
           c.getField("list").as("list"))))
-    val c = corpus.select(
+    val (cIn, cCents) = attach(corpus)
+    val c = cIn.select(
       col(corpusId).as("neighbor_id"),
       col(corpusVec).as("_cv"),
-      element_at(rankedLists(col(corpusVec)), 1).getField("list").as("_list"))
-    val q = queries.select(
+      element_at(rankedLists(col(corpusVec), cCents), 1).getField("list").as("_list"))
+    val (qIn, qCents) = attach(queries)
+    val q = qIn.select(
       col(queryId).as("query_id"),
       col(queryVec).as("_qv"),
-      explode(transform(slice(rankedLists(col(queryVec)), 1, nprobe), s => s.getField("list")))
+      explode(transform(slice(rankedLists(col(queryVec), qCents), 1, nprobe), s => s.getField("list")))
         .as("_list"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     c.join(q, Seq("_list"))

@@ -103,7 +103,6 @@ object TextStats {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** `sequence(1, count)` that is empty (not descending) when count < 1. */
   /** `sequence(1, count)` that degrades to an empty array when count < 1
     * (plain `sequence` would throw or produce a descending range).
     */

@@ -199,6 +199,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("ivfTopK above broadcastThreshold: centroids broadcast-joined, no literal blowup, self recalled") {
+    // 4000 deterministic pseudo-random vectors, nlist=1024 (the √n-rule
+    // regime where a literal centroid array would bloat the codegen constant
+    // pool). The centroid table must ship as a broadcast join instead.
+    val corpus = spark.range(4000).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => (pmod(xxhash64($"id", i), lit(1000L)).cast("double") / 500.0 - 1.0).cast("float"))
+        .as("embedding"))
+    val q = corpus.filter($"vec_id" < 5)
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 1, nlist = 1024, nprobe = 2)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "expected a broadcast join for the centroid table")
+    // the plan string must not embed thousands of centroid constants
+    assert(plan.length < 200000, s"plan string unexpectedly large: ${plan.length}")
+    val self = ivf.filter($"rank" === 1).filter($"query_id" === $"neighbor_id").count()
+    assert(self == 5, s"self-recall through broadcast centroids: got $self/5")
+  }
+
   test("multi-probe lshTopK recalls at least as much as single-probe") {
     val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = em.filter($"vec_id" < 10)

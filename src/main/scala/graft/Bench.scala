@@ -56,21 +56,28 @@ object Bench {
       // min of the successful runs; a query with zero successful runs is an err
       (name, if (succeeded.nonEmpty) Some(succeeded.min) else None)
     }
-    val qs = results.map {
-      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
-      case (k, None)    => "\"" + k + "\":\"err\""
+    def queriesJson(key: String => String): String = results.map {
+      case (k, Some(v)) => "\"" + key(k) + "\":" + f"$v%.3f"
+      case (k, None)    => "\"" + key(k) + "\":\"err\""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    // Truncation-proofing: the driver tails a verbose sbt log, and r04 lost
-    // the head of this (single, very long) line. Persist to a file first,
-    // then print.
+    def jsonLine(qs: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // Full query names → a file (env-configurable, CWD-relative by default —
+    // running from another checkout must not write into /root/repo).
+    val full = jsonLine(queriesJson(identity))
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => System.err.println(s"[bench] file write failed: ${t.getMessage}") }
-    println(json)
+    // stdout gets the SHORT form: the driver tails a bounded window of a
+    // verbose sbt log, and the 84-query full-name line (~3.1 KB) overflowed
+    // it in r04/r05 ("parsed": null — head of the line cut off). Short keys
+    // ("q74" for "q74_decimal_exact") keep the line ~1.2 KB. The qNN prefix
+    // is unique per query; full names are in the file above.
+    println(jsonLine(queriesJson(k => k.takeWhile(_ != '_'))))
     spark.stop()
   }
 }

@@ -809,13 +809,25 @@ object SparkEntry {
         ORDER BY o_orderkey"""
     ),
     "q74_decimal_exact" -> pipe("lineitem")(
-      // disc_amt is exact: decimal multiplication never rounds at (38,4).
-      // unit_price deliberately divides in DOUBLE: engines disagree on the
-      // intermediate type/scale of DECIMAL/DECIMAL division (and round
-      // non-terminating quotients differently before any final cast), while
-      // IEEE-754 double division is bit-identical across engines.
+      // Cross-engine decimal parity is only guaranteed where NO step rounds:
+      //  - CAST(double AS DECIMAL(p,s)) is engine-dependent when it must
+      //    round (Spark rounds the shortest decimal repr HALF_UP, other
+      //    engines round the binary value), so every decimal here is derived
+      //    from FLOOR(double) — an exact IEEE operation — and exact integer/
+      //    decimal multiplication. disc_amt therefore never rounds at all.
+      //  - quarter_cents pins decimal DIVISION on a dyadic, terminating
+      //    quotient (integer cents / 4, ≤ 2 fractional digits): exact under
+      //    any intermediate — Spark's scale-16 decimal, DuckDB 1.0's DOUBLE
+      //    (cents < 2^53), or any decimal intermediate with scale ≥ the
+      //    scale-8 dividend. Non-terminating quotients are deliberately NOT
+      //    oracle-checked: engines round them at different intermediate
+      //    scales (DecimalSpec pins Spark's own semantics instead).
+      //  - unit_price divides in DOUBLE: IEEE-754 division is bit-identical
+      //    across engines.
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS disc_amt,
+               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2)) AS price_d,
+               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(FLOOR(l_discount * 100) AS BIGINT) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS disc_amt,
+               CAST(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS DECIMAL(30,8)) / 4 AS DECIMAL(38,4)) AS quarter_cents,
                CAST(l_extendedprice AS DOUBLE) / CAST(NULLIF(l_quantity, 0) AS DOUBLE) AS unit_price
         FROM lineitem
         WHERE l_orderkey <= 100
@@ -998,7 +1010,9 @@ object SparkEntry {
         ORDER BY o_orderkey""",
     "q74_decimal_exact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS disc_amt,
+               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2)) AS price_d,
+               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(FLOOR(l_discount * 100) AS BIGINT) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS disc_amt,
+               CAST(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS DECIMAL(30,8)) / 4 AS DECIMAL(38,4)) AS quarter_cents,
                CAST(l_extendedprice AS DOUBLE) / CAST(NULLIF(l_quantity, 0) AS DOUBLE) AS unit_price
         FROM lineitem
         WHERE l_orderkey <= 100

@@ -232,9 +232,12 @@ final case class DiffTransform(
   * capped engine `Dedup.minhashPairsFromHashedShingles`.
   *
   * The Arc argument surface is preserved and mapped onto banding:
-  * bands = numHashTables, rowsPerBand from the threshold via the standard
-  * S-curve tuning t* ≈ (1/b)^(1/r) (so the recall knee sits at `threshold`),
-  * clamped so bands·rowsPerBand ≤ 32. `similarity` is the EXACT Jaccard of
+  * bands = numHashTables (clamped to ≤ 32), rowsPerBand from the threshold
+  * via the standard S-curve tuning t* ≈ (1/b)^(1/r) with the knee placed at
+  * 0.9·threshold so recall AT the requested threshold stays high, clamped so
+  * bands·rowsPerBand ≤ 32. Hot-bucket capping trades a small amount of
+  * recall (cross-side pairs between non-representative members of a capped
+  * bucket are dropped) for a hard bound on bucket-join fan-out. `similarity` is the EXACT Jaccard of
   * the character-shingle sets (the ML approxSimilarityJoin this replaces
   * reported the same quantity via HashingTF feature sets).
   *
@@ -280,17 +283,33 @@ final case class SimilarityJoinTransform(
     val lSrc = ctx.view(leftView)
     val rSrc = ctx.view(rightView)
     // Synthetic ids: left rows even, right rows odd — both sides share one
-    // LSH corpus and cross-side pairs are recovered by parity. The id is
-    // partition-index + row-position, deterministic across the two scans of
-    // the same leaf (signature side and join-back side see identical ids).
+    // LSH corpus and cross-side pairs are recovered by parity.
+    // monotonically_increasing_id is only stable per MATERIALIZATION: the
+    // corpus branch and the join-back branch below would otherwise evaluate
+    // it in two separate plan subtrees, and any upstream shuffle feeding the
+    // view (or a task retry) can reorder rows between the two scans —
+    // silently attaching scores to the wrong rows. localCheckpoint (eager)
+    // pins the ids: both branches read the same materialized partitions.
+    // Lineage is cut, so a lost executor fails the job loudly instead of
+    // recomputing with different ids — loud failure over silent corruption.
     val lRows = lSrc.withColumn("_gid", shiftleft(monotonically_increasing_id(), 1))
+      .localCheckpoint()
     val rRows = rSrc.withColumn("_gid",
       shiftleft(monotonically_increasing_id(), 1).bitwiseOR(lit(1L)))
+      .localCheckpoint()
     def corpus(df: DataFrame, fields: Seq[String]): DataFrame =
       df.select(col("_gid"), charShingles(fields).as("_sh")).filter(size(col("_sh")) > 0)
-    // S-curve tuning: threshold ≈ (1/b)^(1/r)  ⇒  r ≈ ln(b) / -ln(t).
-    val bands = math.max(1, numHashTables)
-    val t = math.min(0.95, math.max(0.05, threshold))
+    // S-curve tuning: t* ≈ (1/b)^(1/r)  ⇒  r ≈ ln(b) / -ln(t*). The knee is
+    // placed at 0.9·threshold, NOT at threshold: a pair sitting exactly at
+    // the knee collides with only ~(1-1/e)≈63-78% probability, so tuning the
+    // knee below the user threshold keeps recall AT the threshold high (the
+    // exact-Jaccard verification step already removes false positives, so a
+    // lower knee costs candidates, not precision).
+    // bands itself is clamped to 32: the fused signature computes at most 32
+    // hashes (Dedup.minhashSignature), so numHashTables > 32 must degrade to
+    // 32 single-row bands rather than throw at runtime.
+    val bands = math.min(32, math.max(1, numHashTables))
+    val t = math.min(0.95, math.max(0.05, threshold * 0.9))
     val rowsPerBand =
       math.max(1, math.min(32 / bands, math.round(math.log(bands) / -math.log(t)).toInt))
     val pairs = Dedup.minhashPairsFromHashedShingles(

@@ -83,6 +83,43 @@ class DedupSpec extends SparkSpec {
     assert(out.agg(min($"similarity")).head().getDouble(0) == 1.0)
   }
 
+  test("SimilarityJoinTransform clamps numHashTables > 32 instead of throwing") {
+    val ctx = new graft.core.PipelineContext(spark)
+    docs.createOrReplaceTempView("clamp_left")
+    val out = graft.transform.SimilarityJoinTransform(
+      "sim", "clamp_left", "clamp_left", Seq("text"), Seq("text"), "clamp_out",
+      threshold = 0.5, shingleLength = 3, numHashTables = 64
+    ).execute(ctx).get
+    // exact dup pair (1,4) must still be found under the clamped banding
+    assert(out.filter($"id" === 1L && $"id_right" === 4L && $"similarity" === 1.0).count() == 1)
+  }
+
+  test("SimilarityJoinTransform attaches scores to the right rows behind a shuffled upstream") {
+    // Regression for the r5 advisory: _gid was monotonically_increasing_id
+    // evaluated in two separate plan subtrees — a shuffle feeding the view
+    // could reorder rows between the scans and silently join scores back to
+    // the WRONG payload rows. The views here sit behind a repartition (round
+    // robin, order not preserved); every doc matches ONLY its own copy on
+    // the other view at threshold 0.95, so any id mix-up shows up as a pair
+    // whose two payload texts differ.
+    val ctx = new graft.core.PipelineContext(spark)
+    val base = spark.range(0, 200).selectExpr(
+      "id AS doc_id",
+      "concat('unique document number ', id % 1000, ' with its own distinct words ', " +
+        "md5(cast(id % 1000 AS STRING))) AS text")
+    base.repartition(7).createOrReplaceTempView("shuf_left")
+    base.repartition(5).createOrReplaceTempView("shuf_right")
+    val out = graft.transform.SimilarityJoinTransform(
+      "sim", "shuf_left", "shuf_right", Seq("text"), Seq("text"), "shuf_out",
+      threshold = 0.95, shingleLength = 3, numHashTables = 8
+    ).execute(ctx).get.cache()
+    assert(out.count() > 0)
+    assert(out.filter($"text" =!= $"text_right").count() == 0,
+      "a reported pair joined back to payloads that are not actually similar")
+    assert(out.filter($"doc_id" % 1000 =!= $"doc_id_right" % 1000).count() == 0)
+    out.unpersist()
+  }
+
   test("SimilarityJoinTransform finds cross-view near-dups with exact similarity") {
     val ctx = new graft.core.PipelineContext(spark)
     docs.createOrReplaceTempView("sim_left")

@@ -32,11 +32,81 @@ object PipelineConfig {
       json: String,
       environment: String = "production",
       params: Map[String, String] = Map.empty
-  ): Seq[Stage] = {
+  ): Seq[Stage] = parseWithPlugins(json, environment, params)._1
+
+  /** Full cell parse: stages plus any `plugins.lifecycle` registrations —
+    * the reference wraps every config cell in a document with a
+    * `plugins.lifecycle` list and registers the plugins of a zero-stage cell
+    * for all later cells (reference ArcInterpreter.scala:404-434).
+    *
+    * A plugin entry's `type` is the fully-qualified name of a classpath
+    * class implementing [[LifecycleHook]] — the analog of the reference's
+    * dynamically-resolved lifecycle plugins (plugins outside the classpath
+    * are out of scope under zero egress). Scalar fields besides `type` /
+    * `environments` are passed to a `(Map[String,String])` constructor when
+    * one exists, else a no-arg constructor is used. `environments` filters
+    * like it does for stages.
+    */
+  def parseWithPlugins(
+      json: String,
+      environment: String = "production",
+      params: Map[String, String] = Map.empty
+  ): (Seq[Stage], Seq[LifecycleHook]) = {
     val root =
       try JsonMethods.parse(json)
       catch { case _: Throwable => Hocon.parse(json, params) }
-    parseValue(root, environment, params)
+    (parseValue(root, environment, params), parsePlugins(root \ "plugins" \ "lifecycle", environment))
+  }
+
+  /** A `%lifecycleplugin` cell: the body is the plugin list itself — either
+    * a full `{plugins: {lifecycle: [...]}}` document, a bare array, or a
+    * single plugin object (reference magic at ArcInterpreter.scala:259-264).
+    */
+  def parseLifecycleCell(
+      json: String,
+      environment: String = "production",
+      params: Map[String, String] = Map.empty
+  ): Seq[LifecycleHook] = {
+    val root =
+      try JsonMethods.parse(json)
+      catch { case _: Throwable => Hocon.parse(json, params) }
+    root \ "plugins" \ "lifecycle" match {
+      case JNothing => parsePlugins(root, environment)
+      case nested   => parsePlugins(nested, environment)
+    }
+  }
+
+  private def parsePlugins(entries: JValue, environment: String): Seq[LifecycleHook] =
+    (entries match {
+      case JArray(xs)   => xs
+      case o: JObject   => List(o)
+      case JNothing     => Nil
+      case other => throw new IllegalArgumentException(s"'plugins.lifecycle' is not a list: $other")
+    }).flatMap { jv =>
+      val o = StageFields(jv)
+      val envs = o.strList("environments")
+      if (envs.nonEmpty && !envs.contains(environment)) None
+      else Some(instantiateHook(o))
+    }
+
+  private def instantiateHook(o: StageFields): LifecycleHook = {
+    val className = o.req("type")
+    val cls =
+      try Class.forName(className)
+      catch {
+        case _: ClassNotFoundException =>
+          throw new IllegalArgumentException(s"lifecycle plugin class not found on classpath: $className")
+      }
+    if (!classOf[LifecycleHook].isAssignableFrom(cls))
+      throw new IllegalArgumentException(s"$className does not implement graft.core.LifecycleHook")
+    val pluginParams = o.allStrings - "type"
+    val ctors = cls.getConstructors
+    val inst = ctors.find(_.getParameterTypes.sameElements(Array(classOf[Map[_, _]])))
+      .map(_.newInstance(pluginParams))
+      .orElse(ctors.find(_.getParameterCount == 0).map(_.newInstance()))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$className needs a (Map[String,String]) or no-arg public constructor"))
+    inst.asInstanceOf[LifecycleHook]
   }
 
   private def parseValue(
@@ -46,6 +116,9 @@ object PipelineConfig {
   ): Seq[Stage] = {
     val stages = root \ "stages" match {
       case JArray(xs) => xs
+      // plugins-only document: a zero-stage cell that registers lifecycle
+      // plugins is valid (reference ArcInterpreter.scala:427-434)
+      case JNothing if (root \ "plugins") != JNothing => Nil
       case JNothing   => root match {
         case JArray(xs) => xs // bare array of stages
         case obj: JObject => List(obj) // single stage object

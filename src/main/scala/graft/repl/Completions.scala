@@ -36,6 +36,10 @@ object Completions {
         "  {type = \"SQLTransform\", name = \"q\", environments = [production]\n" +
         "   sql = \"\"\"SELECT 1 AS x\"\"\", outputView = \"v\"}\n" +
         "]}"),
+    Completion("%lifecycleplugin",
+      "{plugins: {lifecycle: [\n" +
+        "  {type = \"my.pkg.HookClass\", environments = [production]}\n" +
+        "]}}"),
     Completion("%explain", "%explain viewName mode=formatted"),
     Completion("%version", "%version"),
     Completion("%help", "%help")

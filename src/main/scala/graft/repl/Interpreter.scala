@@ -181,15 +181,32 @@ final class Interpreter(initialSpark: SparkSession) {
       display(df, args)
 
     case "arc" =>
-      val stages = PipelineConfig.parse(
+      val (stages, plugins) = PipelineConfig.parseWithPlugins(
         if (body.nonEmpty) body else argLine,
         environment = confEnvironment,
         params = ctx.sqlParams)
+      // Plugins registered by a cell stay active for every LATER cell, like
+      // the reference's activeLifecyclePlugins (ArcInterpreter.scala:427-434)
+      // — and also apply to this cell's own stages (hooks run post-stage).
+      ctx.hooks ++= plugins
       val last = Runner.run(stages, ctx)
       last match {
         case Some(df) => display(df, args)
-        case None     => CellResult(success = true, text = s"${stages.size} stage(s) executed")
+        case None if stages.isEmpty && plugins.nonEmpty =>
+          CellResult(success = true, text = s"${plugins.size} lifecycle plugin(s) registered")
+        case None => CellResult(success = true, text = s"${stages.size} stage(s) executed")
       }
+
+    case "lifecycleplugin" =>
+      // dedicated magic: the body IS the plugin list (reference
+      // ArcInterpreter.scala:259-264 routes %lifecycleplugin into the same
+      // config parse)
+      val plugins = PipelineConfig.parseLifecycleCell(
+        if (body.nonEmpty) body else argLine,
+        environment = confEnvironment,
+        params = ctx.sqlParams)
+      ctx.hooks ++= plugins
+      CellResult(success = true, text = s"${plugins.size} lifecycle plugin(s) registered")
 
     case "sqlvalidate" =>
       graft.validate.SQLValidate(args.getOrElse("name", "sqlvalidate"), body).execute(ctx)

@@ -921,6 +921,47 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy("c_custkey")
     },
+    "q85_ngram_jaccard" -> withViews("documents") { (spark, ctx) =>
+      // Exact token-bigram Jaccard via the scalable inverted-index shape:
+      // explode grams → equi-join on the gram (one shuffle, no all-pairs
+      // cross product) → per-pair intersection counts → union by inclusion-
+      // exclusion. This is the ORACLE-CHECKED companion of q36: at corpus
+      // scale the same pair generation runs through MinHash banding with
+      // capped buckets (Dedup.minhashPairs); hot grams here are the same
+      // skew hazard stop-gram filtering / capping addresses there. The
+      // doc_id bound keeps the oracle comparison tractable; jaccard divides
+      // BIGINT counts in DOUBLE (IEEE-identical across engines).
+      //
+      // DataFrame (not pipe/SQL) deliberately: the SQL form benched 13 s at
+      // sf0.1 on 128 docs — InferFiltersFromGenerate + CollapseProject
+      // inline the whole gram expression into lambdas, and interpreted HOFs
+      // re-evaluate captured subtrees per ELEMENT (the round-3 cliff).
+      // Let.bind makes the token array a lambda VARIABLE (once per row) and
+      // the repartition is a collapse barrier before explode: ~0.5 s.
+      val bigrams = graft.functions.Let.bind(
+        filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= lit("")),
+        t =>
+          array_distinct(transform(
+            sequence(lit(1), size(t) - 1),
+            i => concat(element_at(t, i), lit(" "), element_at(t, i + lit(1))))))
+      val grams = ctx.view("documents").filter(col("doc_id") < 128)
+        .select(col("doc_id"), bigrams.as("g"))
+        .filter(size(col("g")) > 0)
+        .repartition(col("doc_id"))
+      val ex = grams.select(col("doc_id"), explode(col("g")).as("gram"))
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = ex.as("a")
+        .join(ex.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter_cnt"))
+      inter.join(sizes.as("sa"), col("sa.doc_id") === col("id_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("id_b"))
+        .select(col("id_a"), col("id_b"), col("inter_cnt"),
+          (col("sa.n") + col("sb.n") - col("inter_cnt")).as("union_cnt"))
+        .withColumn("jaccard", col("inter_cnt").cast("double") / col("union_cnt").cast("double"))
+        .filter(col("jaccard") >= 0.08)
+        .orderBy("id_a", "id_b")
+    },
     "q71_range_join" -> withViews("orders", "lineitem") { (spark, ctx) =>
       // Unkeyed range join: per early order, how many lineitems (any order)
       // shipped within [o_orderdate, o_orderdate + 7 days). Spark's native
@@ -992,6 +1033,26 @@ object SparkEntry {
         SELECT c_custkey, c_mktsegment FROM t
         WHERE rn <= CEIL(n * 0.1)
         ORDER BY c_custkey""",
+    "q85_ngram_jaccard" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents WHERE doc_id < 128
+        ), grams AS (
+          SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+          FROM toks WHERE len(t) >= 2
+        ), ex AS (
+          SELECT doc_id, unnest(g) AS gram FROM grams
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter_cnt
+          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sizes AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n FROM grams)
+        SELECT inter.id_a, inter.id_b, inter.inter_cnt,
+               sa.n + sb.n - inter.inter_cnt AS union_cnt,
+               CAST(inter.inter_cnt AS DOUBLE) / CAST(sa.n + sb.n - inter.inter_cnt AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a JOIN sizes sb ON sb.doc_id = inter.id_b
+        WHERE CAST(inter.inter_cnt AS DOUBLE) / CAST(sa.n + sb.n - inter.inter_cnt AS DOUBLE) >= 0.08
+        ORDER BY id_a, id_b""",
     "q72_exists_correlated" ->
       """SELECT c_custkey, c_name
         FROM customer c

@@ -962,6 +962,35 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.08)
         .orderBy("id_a", "id_b")
     },
+    "q86_repetition_stats" -> withViews("documents") { (spark, ctx) =>
+      // Gopher-style repetition signals (TextStats.repetitionStats): explode →
+      // two map-side-combinable aggregations; fractions derived in DOUBLE from
+      // BIGINT counts (IEEE-identical across engines).
+      graft.llm.TextStats
+        .repetitionStats(ctx.view("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "q87_pii_scrub" -> pipe("customer")(
+      // PII scrubbing: mask multi-digit runs (ids, phone digits, account
+      // numbers) and count masked tokens — the redaction pass a training
+      // pipeline runs before ingestion. Pure codegen'd regexp functions
+      // (narrow map, scan speed); group 0 passed explicitly (Spark's
+      // regexp_extract_all defaults to group 1).
+      """SELECT c_custkey,
+               regexp_replace(c_name || ' ref=' || CAST(c_custkey * 7919 AS STRING), '[0-9]{2,}', '[NUM]') AS scrubbed,
+               CAST(size(regexp_extract_all(c_name || ' ref=' || CAST(c_custkey * 7919 AS STRING), '[0-9]{2,}', 0)) AS BIGINT) AS n_masked
+        FROM customer
+        ORDER BY c_custkey"""),
+    "q88_last_nonnull_window" -> pipe("events")(
+      // Forward-fill of a sparse signal: last click value carried forward per
+      // user. IGNORE NULLS window semantics (Spark: clause after the call;
+      // DuckDB oracle spells it inside the parens).
+      """SELECT event_id, user_id,
+               last_value(CASE WHEN event_type = 'click' THEN value END) IGNORE NULLS
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+        FROM events
+        ORDER BY event_id"""),
     "q71_range_join" -> withViews("orders", "lineitem") { (spark, ctx) =>
       // Unkeyed range join: per early order, how many lineitems (any order)
       // shipped within [o_orderdate, o_orderdate + 7 days). Spark's native
@@ -1053,6 +1082,28 @@ object SparkEntry {
         FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a JOIN sizes sb ON sb.doc_id = inter.id_b
         WHERE CAST(inter.inter_cnt AS DOUBLE) / CAST(sa.n + sb.n - inter.inter_cnt AS DOUBLE) >= 0.08
         ORDER BY id_a, id_b""",
+    "q86_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nd,
+                     CAST(MAX(cnt) AS BIGINT) AS top
+              FROM c GROUP BY 1)
+        SELECT doc_id, n AS n_words, CAST(nd AS DOUBLE) / n AS distinct_frac,
+               CAST(top AS DOUBLE) / n AS top_word_frac
+        FROM a ORDER BY doc_id""",
+    "q87_pii_scrub" ->
+      """SELECT c_custkey,
+               regexp_replace(c_name || ' ref=' || CAST(c_custkey * 7919 AS VARCHAR), '[0-9]{2,}', '[NUM]', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(c_name || ' ref=' || CAST(c_custkey * 7919 AS VARCHAR), '[0-9]{2,}')) AS BIGINT) AS n_masked
+        FROM customer
+        ORDER BY c_custkey""",
+    "q88_last_nonnull_window" ->
+      """SELECT event_id, user_id,
+               last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+        FROM events
+        ORDER BY event_id""",
     "q72_exists_correlated" ->
       """SELECT c_custkey, c_name
         FROM customer c

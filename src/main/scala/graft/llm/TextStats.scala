@@ -18,6 +18,40 @@ object TextStats {
   def tokenCount(text: Column): Column =
     size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
 
+  /** Word-level repetition statistics per document — the "repetitious
+    * document" filter signals from published web-corpus cleaning pipelines
+    * (duplicate-word fraction, most-common-word fraction): heavily templated
+    * or keyword-stuffed documents score low on `distinct_frac` and high on
+    * `top_word_frac` and get filtered before training.
+    *
+    * Returns (idCol, n_words, distinct_frac, top_word_frac).
+    *
+    * Shape: explode → two hash aggregations, both map-side combinable (one
+    * shuffle keyed (id, word) whose fan-in is per-document distinct words,
+    * then one keyed id over the already-tiny per-word counts). Deliberately
+    * NOT a per-row higher-order function: counting occurrences of every
+    * distinct word inside one `aggregate` lambda is O(words²) per row and
+    * recomputes under interpreted HOF evaluation — the explode shape stays
+    * linear and whole-stage-codegen'd at any document length.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("_w"))
+      .groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).as("_cnt"))
+    counts
+      .groupBy(col(idCol))
+      .agg(
+        sum("_cnt").as("n_words"),
+        count(lit(1)).as("_nd"),
+        max("_cnt").as("_top"))
+      .select(
+        col(idCol),
+        col("n_words"),
+        (col("_nd").cast("double") / col("n_words")).as("distinct_frac"),
+        (col("_top").cast("double") / col("n_words")).as("top_word_frac"))
+  }
+
   /** BPE-ish subword count: word-piece regex (letters / digits / single
     * punctuation), the usual pre-tokenizer shape for byte-pair encoders.
     */

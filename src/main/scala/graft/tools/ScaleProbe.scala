@@ -46,6 +46,28 @@ object ScaleProbe {
         .select(col("_m").as("idA"), col("id").as("idB"))
       graft.llm.Dedup.connectedComponents(pairs).count()
     }
+    // Range join under interval-length skew: 99% of intervals span ~1 bucket,
+    // 1% span ~1000 buckets (the explode fan-out hazard — a long interval
+    // multiplies build rows by its span). Points uniform over the domain.
+    time(s"rangeJoin skewed intervals n=$n") {
+      val points = spark.range(0, n).select(col("id"), (col("id") * 100L).as("t"))
+      val intervals = spark.range(0, n / 10).select(
+        col("id").as("iid"),
+        (col("id") * 1000L).as("lo"),
+        (col("id") * 1000L +
+          when(pmod(col("id"), lit(100)) === 0, 1000L * 1000L).otherwise(800L)).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(points, "t", intervals, "lo", "hi", 1000L).count()
+    }
+    // Greedy packing with one hot shard: 25% of all docs land in shard 0
+    // (the straggler shape — packing is sequential per shard, so the hot
+    // shard bounds wall-clock; the probe confirms cost is linear, not worse).
+    time(s"packGreedy hot shard n=$n") {
+      val sized = docs.select(
+        col("id"),
+        when(pmod(col("id"), lit(4)) === 0, lit(0L)).otherwise(pmod(col("id"), lit(64))).as("shard"),
+        (pmod(col("id"), lit(900)) + 100L).as("tokens"))
+      graft.llm.Packing.packGreedy(sized, "shard", "id", "tokens", 4096L).count()
+    }
     spark.stop()
   }
 }

@@ -295,6 +295,23 @@ class TextStatsSpec extends SparkSpec {
     assert(out == Seq(2, 1, 0))
   }
 
+  test("repetitionStats: counts, distinct fraction, top-word fraction") {
+    val df = Seq(
+      (1L, "a a a b"),      // 4 words, 2 distinct, top=3
+      (2L, "x y z"),        // 3 words, all distinct, top=1
+      (3L, "w w")           // 2 words, 1 distinct, top=2
+    ).toDF("id", "text")
+    val out = TextStats.repetitionStats(df, "id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Double, Double)]
+      .collect()
+      .toSeq
+    assert(out == Seq(
+      (1L, 4L, 2.0 / 4, 3.0 / 4),
+      (2L, 3L, 1.0, 1.0 / 3),
+      (3L, 2L, 1.0 / 2, 1.0)))
+  }
+
   test("language id picks the stopword-dominant language") {
     val df = Seq(
       "the cat and the dog are in the house for it is warm",

@@ -36,6 +36,53 @@ class PlanSpec extends SparkSpec {
     assert(singles <= 1, s"$singles single-partition exchanges:\n$plan")
   }
 
+  // formatted explain: exchanges appear as numbered node headers "(N) Exchange";
+  // their partitioning is in the details section ("Arguments: hashpartitioning(…")
+  private def exchanges(plan: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+
+  test("hashSample is a pure narrow map — zero exchanges") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = formatted(graft.llm.Sampling.hashSample(docs, org.apache.spark.sql.functions.col("doc_id"), 0.1, "s"))
+    assert(exchanges(plan) == 0, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("packGreedy shuffles exactly once — the shard co-location repartition") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .withColumn("_shard", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.lit(8)))
+    val packed = graft.llm.Packing.packGreedy(docs, "_shard", "doc_id", "n_chars", 4096)
+    val plan = formatted(packed)
+    assert(exchanges(plan) == 1, s"expected exactly 1 exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(_shard"), plan)
+    // the shard sort must be partition-local, not a global range sort
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("minhashPairs keeps its load-bearing signature exchange on _id") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val pairs = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text")
+    val plan = formatted(pairs)
+    // exactly one repartition(_id): it materializes (_id, _sh, _sig) once —
+    // without it Catalyst collapses the projections and recomputes the
+    // whole shingle+minhash expression per band (measured ~60× slower)
+    val idExchanges = plan.linesIterator.count(_.contains("hashpartitioning(_id"))
+    assert(idExchanges >= 1, s"signature repartition collapsed away:\n$plan")
+    // The signature must only ever be computed BELOW its repartition — one
+    // aggregate(transform(…)) per _id exchange, never inlined into the band
+    // explode (the round-3 ~60× cliff). The static AQE plan prints the
+    // materialization subtree once per consuming branch; at runtime those
+    // identical exchanges dedupe (ReusedExchange, asserted below).
+    val sigComputations = "aggregate\\(transform\\(".r.findAllIn(plan).size
+    assert(sigComputations <= idExchanges,
+      s"minhash signature computed $sigComputations times but only $idExchanges _id exchanges:\n$plan")
+    pairs.collect() // finalize THIS QueryExecution's adaptive plan
+    val executed = pairs.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || idExchanges == 1,
+      s"duplicate signature exchanges not reused at runtime:\n$executed")
+  }
+
   test("bucketed tables sort-merge join with zero exchange") {
     val orders = spark.read.parquet(s"${sf()}/orders.parquet")
     val lineitem = spark.read.parquet(s"${sf()}/lineitem.parquet")

@@ -224,11 +224,13 @@ object PipelineConfig {
     case "ParquetLoad" =>
       ParquetLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),
-        partitionBy = o.strList("partitionBy"))
+        partitionBy = o.strList("partitionBy"), clusterBy = o.strList("clusterBy"),
+        zOrderBy = o.strList("zOrderBy"))
     case "ORCLoad" =>
       ORCLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),
-        partitionBy = o.strList("partitionBy"))
+        partitionBy = o.strList("partitionBy"), clusterBy = o.strList("clusterBy"),
+        zOrderBy = o.strList("zOrderBy"))
     case "DelimitedLoad" =>
       DelimitedLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         delimiter = o.str("delimiter", ","), header = o.bool("header", default = true),

@@ -19,16 +19,27 @@ trait FileLoad extends Stage {
   def numPartitions: Option[Int]
   def partitionBy: Seq[String]
   def saveMode: String
+  /** Range-cluster the data on these keys before writing (columnar formats:
+    * narrow per-file min/max → row-group skipping at read). See core.Layout.
+    */
+  def clusterBy: Seq[String] = Nil
+  /** Z-order-cluster on these keys (multi-dimensional locality). Wins over
+    * clusterBy when both are set.
+    */
+  def zOrderBy: Seq[String] = Nil
 
   protected def writer(ctx: PipelineContext): DataFrameWriter[Row] = {
     import org.apache.spark.sql.functions.col
     val src = ctx.view(inputView)
-    val shaped = (numPartitions, partitionBy) match {
-      case (Some(n), Nil)  => src.repartition(n)
-      case (Some(n), by)   => src.repartition(n, by.map(col): _*)
-      case (None, Nil)     => src
-      case (None, by)      => src.repartition(by.map(col): _*)
-    }
+    val shaped =
+      if (zOrderBy.nonEmpty) graft.core.Layout.zorder(src, zOrderBy, numPartitions = numPartitions)
+      else if (clusterBy.nonEmpty) graft.core.Layout.cluster(src, clusterBy, numPartitions)
+      else (numPartitions, partitionBy) match {
+        case (Some(n), Nil) => src.repartition(n)
+        case (Some(n), by)  => src.repartition(n, by.map(col): _*)
+        case (None, Nil)    => src
+        case (None, by)     => src.repartition(by.map(col): _*)
+      }
     val w = shaped.write.mode(saveMode)
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
   }
@@ -40,7 +51,9 @@ final case class ParquetLoad(
     outputURI: String,
     saveMode: String = "Overwrite",
     numPartitions: Option[Int] = None,
-    partitionBy: Seq[String] = Nil
+    partitionBy: Seq[String] = Nil,
+    override val clusterBy: Seq[String] = Nil,
+    override val zOrderBy: Seq[String] = Nil
 ) extends FileLoad {
   val stageType = "ParquetLoad"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
@@ -54,7 +67,9 @@ final case class ORCLoad(
     outputURI: String,
     saveMode: String = "Overwrite",
     numPartitions: Option[Int] = None,
-    partitionBy: Seq[String] = Nil
+    partitionBy: Seq[String] = Nil,
+    override val clusterBy: Seq[String] = Nil,
+    override val zOrderBy: Seq[String] = Nil
 ) extends FileLoad {
   val stageType = "ORCLoad"
   def execute(ctx: PipelineContext): Option[DataFrame] = {

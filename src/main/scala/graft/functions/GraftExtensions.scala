@@ -29,5 +29,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))
     ))
+    ext.injectFunction((
+      FunctionIdentifier("winnowing_fingerprints"),
+      new ExpressionInfo(classOf[WinnowingFingerprintsExpr].getName, "winnowing_fingerprints"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowingFingerprintsExpr.fromExprs(exprs)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64Expr].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Simhash64Expr(exprs.head)
+    ))
   }
 }

@@ -1,0 +1,316 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native winnowing fingerprints (MOSS-style): rolling xxhash64 of character
+  * k-grams, minimum per sliding window of `w`, distinct in first-occurrence
+  * order.
+  *
+  * The composable form (`transform(sequence…, i -> xxhash64(substr…))` nested
+  * under a second `transform` + `array_min(slice…)` + `array_distinct`) is
+  * semantically identical but runs on Catalyst's INTERPRETED higher-order-
+  * function path: every k-gram evaluates an expression subtree and allocates
+  * a substring, every window allocates a slice array — the single most
+  * expensive per-row computation in the engine (bench q59). This expression
+  * does one pass: char→byte offsets computed once, each k-gram hashed
+  * directly from the original UTF-8 buffer (no substring allocation), window
+  * minima over a primitive array. Bit-identical to the composable form
+  * (same XXH64 seed 42 over the same UTF-8 bytes — pinned by the parity
+  * test), ~an order of magnitude less work per row, and it keeps the whole
+  * stage inside codegen (`doGenCode` delegates to the same static
+  * `compute`, so eval and codegen cannot drift).
+  */
+case class WinnowingFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(w >= 1, s"w must be >= 1, got $w")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnowing_fingerprints requires a string, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowingFingerprintsExpr.compute(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowingFingerprintsExpr.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnowing_fingerprints"
+}
+
+object WinnowingFingerprintsExpr {
+
+  private val EMPTY = new GenericArrayData(Array.emptyLongArray)
+
+  /** One-pass winnowing over the UTF-8 buffer. Shared by interpreted eval and
+    * generated code. Complexity O(chars·w) with zero per-gram allocation
+    * (w is small — 4 by default; a monotonic deque would be O(chars) but
+    * loses to the simple loop's branch predictability at these widths).
+    */
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val numBytes = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // char index -> byte offset, one UTF-8 walk (substr semantics are
+    // per-CHARACTER: a multi-byte char counts once, same as SQL substr)
+    var chars = 0
+    var i = 0
+    while (i < numBytes) {
+      i += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + i))
+      chars += 1
+    }
+    val n = chars - k + 1 // k-gram count
+    if (n < 1 || n - w + 1 < 1) return EMPTY
+    val offsets = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < numBytes) {
+      offsets(c) = i
+      i += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + i))
+      c += 1
+    }
+    offsets(chars) = numBytes
+    val hashes = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val bs = offsets(j)
+      hashes(j) = XXH64.hashUnsafeBytes(base, off + bs, offsets(j + k) - bs, 42L)
+      j += 1
+    }
+    val m = n - w + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    j = 0
+    while (j < m) {
+      var min = hashes(j)
+      var t = j + 1
+      while (t < j + w) {
+        if (hashes(t) < min) min = hashes(t)
+        t += 1
+      }
+      seen.add(min)
+      j += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Register `winnowing_fingerprints(text, k, w)` for SQL use (k, w must be
+    * integer literals — they shape the computation, not the data).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnowing_fingerprints",
+      exprs => fromExprs(exprs),
+      "built-in")
+
+  private[functions] def fromExprs(exprs: Seq[Expression]): Expression = {
+    def lit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other =>
+        throw new IllegalArgumentException(s"winnowing_fingerprints: $name must be an int literal, got $other")
+    }
+    exprs match {
+      case Seq(t)       => WinnowingFingerprintsExpr(t, 8, 4)
+      case Seq(t, a)    => WinnowingFingerprintsExpr(t, lit(a, "k"), 4)
+      case Seq(t, a, b) => WinnowingFingerprintsExpr(t, lit(a, "k"), lit(b, "w"))
+      case _ => throw new IllegalArgumentException("winnowing_fingerprints takes 1-3 args")
+    }
+  }
+
+  /** Column-level constructor (classic-session bridge). */
+  def winnowing_fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      WinnowingFingerprintsExpr(GraftColumnBridge.expression(text), k, w))
+  }
+}
+
+/** Native MinHash signature over pre-hashed shingles (array<long> →
+  * array<long> of length `numHashes`).
+  *
+  * Semantics are EXACTLY graft.llm.Dedup's composable form: the i-th hash
+  * function is `(v & (2^62-1)) + i * (xxhash64(v, golden) & (2^57-1))`, the
+  * minimum taken per i over all shingles; null elements are skipped (the
+  * composable `least(m, null)` keeps m); an empty array yields Long.MaxValue
+  * everywhere. The composable `aggregate(…zip_with…)` runs interpreted and
+  * allocates two boxed arrays per SHINGLE; this is one primitive-array loop
+  * per row — the inner kernel of every MinHash query and of
+  * SimilarityJoinTransform. Parity pinned by TextExpressionsSpec.
+  */
+case class MinhashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes >= 1 && numHashes <= 32, s"numHashes must be in [1,32], got $numHashes")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature requires array<bigint>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashSignatureExpr.compute(a.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashSignatureExpr.compute($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinhashSignatureExpr {
+  private val GOLDEN = 0x9e3779b97f4a7c15L
+  private val MASK62 = (1L << 62) - 1
+  private val MASK57 = (1L << 57) - 1
+
+  def compute(a: ArrayData, numHashes: Int): ArrayData = {
+    val n = a.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!a.isNullAt(j)) {
+        val v = a.getLong(j)
+        val h1 = v & MASK62
+        // Spark's xxhash64(v, lit(GOLDEN)) CHAINS its arguments (each value
+        // hashed with the running result as seed, starting at 42), it does
+        // not take GOLDEN as the seed — replicate that exactly for parity
+        // with the composable form.
+        val h2 = XXH64.hashLong(GOLDEN, XXH64.hashLong(v, 42L)) & MASK57
+        var i = 0
+        var h = h1
+        while (i < numHashes) {
+          if (h < sig(i)) sig(i) = h
+          i += 1
+          h += h2
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      {
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, IntegerType)) =>
+          MinhashSignatureExpr(t, n)
+        case _ =>
+          throw new IllegalArgumentException(
+            "minhash_signature(arr, numHashes) requires an int literal numHashes")
+      },
+      "built-in")
+
+  def minhash_signature(shingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      MinhashSignatureExpr(GraftColumnBridge.expression(shingles), numHashes))
+  }
+}
+
+/** Native 64-bit SimHash over a token array (array<string> → bigint).
+  *
+  * Per-bit majority vote over xxhash64(token, seed 42): bit j of the result
+  * is set when more token hashes have bit j set than clear. Exactly
+  * graft.llm.Dedup's composable form, including its null quirk (a null token
+  * votes −1 on every bit — `when(null, 1).otherwise(-1)` takes the
+  * otherwise branch). The composable form allocates a 64-element boxed
+  * vote array per TOKEN under interpreted HOF evaluation; this is one
+  * int[64] per row. Parity pinned by TextExpressionsSpec.
+  */
+case class Simhash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    Simhash64Expr.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Simhash64Expr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object Simhash64Expr {
+
+  def compute(a: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) {
+        var j = 0
+        while (j < 64) { votes(j) -= 1; j += 1 }
+      } else {
+        val t = a.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => Simhash64Expr(exprs.head),
+      "built-in")
+
+  def simhash64(tokens: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(Simhash64Expr(GraftColumnBridge.expression(tokens)))
+  }
+}

@@ -54,18 +54,26 @@ object Dedup {
         )
     )
 
-  /** MinHash signature over already-hashed shingles, computed in ONE pass.
+  /** MinHash signature over already-hashed shingles, computed in ONE pass by
+    * the native expression (graft.functions.MinhashSignatureExpr — a
+    * primitive-array loop, whole-stage-codegen'd).
     *
     * The i-th hash function is `h1 + i*h2` (two independent 64-bit hashes
-    * combined — the standard 2-universal construction), so each shingle costs
-    * one extra xxhash64 plus `numHashes` fused multiply-add/min steps inside a
-    * single `aggregate`, instead of `numHashes` full `array_min(transform(…))`
-    * passes over the array (measured ~4× cheaper at numHashes=32).
+    * combined — the standard 2-universal construction). Masks keep
+    * `h1 + i*h2` inside the Long range (62-bit + 5-bit·57-bit < 2^63).
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
     require(numHashes <= 32, s"numHashes must be <= 32, got $numHashes")
-    // Masks keep h1 + i*h2 inside the Long range (62-bit + 5-bit·57-bit < 2^63)
-    // — ANSI mode would otherwise raise on the intended wrap-around.
+    graft.functions.MinhashSignatureExpr.minhash_signature(shingleCol, numHashes)
+  }
+
+  /** Reference implementation of [[minhashSignature]] from composable
+    * built-ins (single `aggregate`, fused multiply-add/min per shingle) —
+    * interpreted HOF evaluation; used by TextExpressionsSpec to pin the
+    * native expression's semantics bit-for-bit.
+    */
+  private[graft] def minhashSignatureComposable(shingleCol: Column, numHashes: Int): Column = {
+    require(numHashes <= 32, s"numHashes must be <= 32, got $numHashes")
     aggregate(
       transform(
         shingleCol,
@@ -306,26 +314,33 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over
-    * token hashes, computed as a single per-row `aggregate` over the token
-    * array — a pure narrow map with ZERO shuffle (the earlier explode +
-    * 64-column groupBy shuffled every token of the corpus; at 100 TB that is
-    * ~20× the corpus moving through the exchange for a per-document value).
-    * The bit masks ride as one literal array; the vote lambda touches only
-    * lambda variables, so nothing recomputes per element (see Let).
+    * token hashes — a pure narrow map with ZERO shuffle (the earlier explode
+    * + 64-column groupBy shuffled every token of the corpus; at 100 TB that
+    * is ~20× the corpus moving through the exchange for a per-document
+    * value). The vote runs in the native expression
+    * (graft.functions.Simhash64Expr — one int[64] per row, codegen'd);
+    * tokenization stays in composable built-ins.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.Simhash64Expr.simhash64(tokens(col(textCol))).as("simhash"))
+
+  /** Reference implementation of the [[simhash]] fingerprint from composable
+    * built-ins (aggregate majority vote) — interpreted HOF evaluation; used
+    * by TextExpressionsSpec to pin the native expression bit-for-bit.
+    */
+  private[graft] def simhashComposable(text: Column): Column = {
     val masks = array((0 until 64).map(j => lit(1L << j)): _*)
     val votes = aggregate(
-      transform(tokens(col(textCol)), t => xxhash64(t)),
+      transform(tokens(text), t => xxhash64(t)),
       array_repeat(lit(0), 64),
       (acc, h) => zip_with(acc, masks, (v, m) => v + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1))
     )
-    val fingerprint = aggregate(
+    aggregate(
       zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
       lit(0L),
       (a, x) => a.bitwiseOR(x)
     )
-    df.select(col(idCol), fingerprint.as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDistance.

@@ -146,8 +146,23 @@ object TextStats {
   /** Winnowing fingerprint set (MOSS-style): rolling hashes of character
     * k-grams, then the minimum hash in each sliding window of `w` — a
     * position-robust signature for plagiarism/near-dup detection.
+    *
+    * Computed by the native one-pass expression
+    * (graft.functions.WinnowingFingerprintsExpr — char→byte offsets once,
+    * grams hashed in place, no per-element HOF interpretation); the
+    * composable form below is kept as the independent reference the parity
+    * test compares against bit-for-bit.
     */
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.WinnowingFingerprintsExpr.winnowing_fingerprints(
+      regexp_replace(lower(trim(text)), "\\s+", " "), k, w)
+
+  /** Reference implementation of [[winnowingFingerprints]] from composable
+    * built-ins — interpreted HOF evaluation, ~10× the per-row cost; used by
+    * TextExpressionsSpec to pin the native expression's semantics.
+    */
+  private[graft] def winnowingFingerprintsComposable(
+      text: Column, k: Int = 8, w: Int = 4): Column =
     // Nested let-bindings: without them the normalized text re-runs its regex
     // per k-gram AND the whole k-gram array rebuilds per window element —
     // O(len²) regex evaluations per document.

@@ -115,5 +115,8 @@ object Udfs {
       "built-in"
     )
     graft.functions.VectorExpressions.register(spark)
+    graft.functions.WinnowingFingerprintsExpr.register(spark)
+    graft.functions.MinhashSignatureExpr.register(spark)
+    graft.functions.Simhash64Expr.register(spark)
   }
 }

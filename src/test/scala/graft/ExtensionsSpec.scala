@@ -20,9 +20,13 @@ class ExtensionsSpec extends SparkSpec {
     try {
       val r = s.sql(
         "SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d, " +
-          "vec_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c").head()
+          "vec_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c, " +
+          "size(winnowing_fingerprints('the quick brown fox jumps')) AS w, " +
+          "simhash64(array('alpha', 'beta')) AS s").head()
       assert(r.getDouble(0) == 11.0)
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
+      assert(r.getInt(2) > 0)
+      assert(r.getLong(3) != 0L)
     } finally s.stop()
   }
 }

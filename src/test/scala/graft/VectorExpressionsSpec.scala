@@ -85,3 +85,106 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 }
+
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "The   Quick  BROWN fox ",                       // normalization collapses to the same prefix
+    "ascii and unicode: żółć 画像データ mixed in — ok?", // multi-byte chars exercise the offset walk
+    "short",                                          // < k+w-1 chars → empty set
+    "tiny",                                           // < k chars → empty set
+    "",                                               // empty → empty set
+    "exactly11ch"                                     // == k+w-1: exactly one window
+  ).toDF("t")
+
+  test("native winnowing matches the composable HOF form bit-for-bit") {
+    val native = docs.select(graft.llm.TextStats.winnowingFingerprints(col("t")).as("f"))
+    val hof = docs.select(graft.llm.TextStats.winnowingFingerprintsComposable(col("t")).as("f"))
+    val n = native.as[Seq[Long]].collect().toSeq
+    val h = hof.as[Seq[Long]].collect().toSeq
+    assert(n == h, s"native=$n\nhof=$h")
+    assert(n(3).isEmpty && n(4).isEmpty && n(5).isEmpty)
+    assert(n(6).size == 1)
+    // normalized variants share their common-prefix fingerprints
+    assert(n(0).toSet.intersect(n(1).toSet).nonEmpty)
+  }
+
+  test("native winnowing: null in, null out; non-default k/w parity") {
+    val withNull = Seq[(Integer, String)]((1, "abcdefghijklmnop"), (2, null)).toDF("id", "t")
+    val out = withNull
+      .select(col("id"), graft.llm.TextStats.winnowingFingerprints(col("t"), k = 5, w = 3).as("f"))
+      .orderBy("id").collect()
+    assert(out(1).isNullAt(1), "null text must yield null, not empty")
+    val hof = withNull
+      .select(col("id"), graft.llm.TextStats.winnowingFingerprintsComposable(col("t"), k = 5, w = 3).as("f"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1) == hof(0).getSeq[Long](1))
+  }
+
+  test("winnowing_fingerprints registered for SQL, stays in whole-stage codegen") {
+    graft.udf.Udfs.register(spark)
+    spark.read.parquet(s"${sf()}/documents.parquet").createOrReplaceTempView("docs_wf")
+    val r = spark.sql(
+      "SELECT size(winnowing_fingerprints(text, 8, 4)) AS n FROM docs_wf LIMIT 5").collect()
+    assert(r.map(_.getInt(0)).max > 5)
+    val plan = spark.sql("SELECT winnowing_fingerprints(text) FROM docs_wf")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+}
+
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog and the dog sleeps",
+    "one",
+    "",
+    "unicode żółć 画像 tokens too"
+  ).toDF("t")
+
+  test("native minhash_signature matches the composable aggregate bit-for-bit") {
+    val sh = graft.llm.Dedup.shingles(col("t"), 2)
+    val hashed = texts.select(
+      array_distinct(transform(sh, s => xxhash64(s))).as("h"))
+    for (n <- Seq(1, 8, 32)) {
+      val nat = hashed.select(graft.llm.Dedup.minhashSignature(col("h"), n)).as[Seq[Long]].collect().toSeq
+      val ref = hashed.select(graft.llm.Dedup.minhashSignatureComposable(col("h"), n)).as[Seq[Long]].collect().toSeq
+      assert(nat == ref, s"numHashes=$n\nnative=$nat\nref=$ref")
+    }
+    // empty shingle set → all Long.MaxValue (both forms)
+    val empty = Seq(Seq.empty[Long]).toDF("h")
+      .select(graft.llm.Dedup.minhashSignature(col("h"), 4)).as[Seq[Long]].head()
+    assert(empty == Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("native simhash64 matches the composable vote bit-for-bit") {
+    val nat = texts.select(graft.functions.Simhash64Expr.simhash64(graft.llm.Dedup.tokens(col("t"))))
+      .as[Long].collect().toSeq
+    val ref = texts.select(graft.llm.Dedup.simhashComposable(col("t"))).as[Long].collect().toSeq
+    assert(nat == ref, s"native=$nat\nref=$ref")
+  }
+
+  test("simhash64/minhash_signature SQL registration + codegen, null semantics") {
+    graft.udf.Udfs.register(spark)
+    spark.read.parquet(s"${sf()}/documents.parquet").createOrReplaceTempView("docs_hx")
+    val r = spark.sql(
+      """SELECT simhash64(split(lower(text), ' ')) AS s,
+               minhash_signature(array(xxhash64(text)), 4) AS m
+        FROM docs_hx LIMIT 3""").collect()
+    assert(r.length == 3 && r.forall(x => x.getSeq[Long](1).size == 4))
+    val plan = spark.sql("SELECT simhash64(split(text, ' ')) FROM docs_hx")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    // null array in, null out for both
+    val nulls = spark.sql(
+      """SELECT simhash64(CAST(NULL AS ARRAY<STRING>)) AS s,
+               minhash_signature(CAST(NULL AS ARRAY<BIGINT>), 2) AS m""").head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+}

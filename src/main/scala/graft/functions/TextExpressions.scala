@@ -145,6 +145,89 @@ object WinnowingFingerprintsExpr {
   }
 }
 
+/** Native one-pass character-class counts: string →
+  * struct<n_chars, n_alpha, n_digit, n_punct> (ints, code-point counts).
+  *
+  * Replaces three full regex passes (`regexp_replace(text, "[^\p{L}]", "")`
+  * + length, ditto `\p{N}` and `\p{Punct}`) each of which runs the regex
+  * engine over the whole document AND allocates the stripped copy — with a
+  * single code-point walk. Class semantics replicate Java regex exactly
+  * (pinned by the parity test): `\p{L}` = Character.isLetter (the five L*
+  * categories), `\p{N}` = Nd|Nl|No, `\p{Punct}` = the 32 POSIX ASCII
+  * punctuation characters (Java's \p{Punct} is ASCII-only without
+  * UNICODE_CHARACTER_CLASS).
+  */
+case class CharClassCountsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_class_counts requires a string, got ${other.sql}")
+    }
+
+  override def dataType: DataType = CharClassCountsExpr.schema
+
+  override def nullSafeEval(s: Any): Any =
+    CharClassCountsExpr.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharClassCountsExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_class_counts"
+}
+
+object CharClassCountsExpr {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("n_digit", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false)))
+
+  private def isPosixPunct(cp: Int): Boolean =
+    cp < 128 && "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".indexOf(cp) >= 0
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    var chars = 0
+    var alpha = 0
+    var digit = 0
+    var punct = 0
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      chars += 1
+      if (Character.isLetter(cp)) alpha += 1
+      else {
+        val t = Character.getType(cp)
+        if (t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+          t == Character.OTHER_NUMBER) digit += 1
+        else if (isPosixPunct(cp)) punct += 1
+      }
+      i += Character.charCount(cp)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(chars, alpha, digit, punct)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_class_counts",
+      exprs => CharClassCountsExpr(exprs.head),
+      "built-in")
+
+  def char_class_counts(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(CharClassCountsExpr(GraftColumnBridge.expression(text)))
+  }
+}
+
 /** Native MinHash signature over pre-hashed shingles (array<long> →
   * array<long> of length `numHashes`).
   *

@@ -94,7 +94,37 @@ object TextStats {
   /** Quality features: character/token counts and ratios used for corpus
     * filtering (C4/Gopher-style rules).
     */
-  def qualityFeatures(text: Column): Column = {
+  def qualityFeatures(text: Column): Column =
+    // The three char-class ratios come from ONE native code-point walk
+    // (graft.functions.CharClassCountsExpr) instead of three full regex
+    // passes that each allocate a stripped copy of the document; Let-bound so
+    // the walk runs once per row. Class semantics are pinned to the regex
+    // reference form by TextExpressionsSpec.
+    graft.functions.Let.bind(
+      graft.functions.CharClassCountsExpr.char_class_counts(text), cc => {
+        val chars = cc.getField("n_chars").cast("double")
+        val alpha = cc.getField("n_alpha").cast("double")
+        val digits = cc.getField("n_digit").cast("double")
+        val punct = cc.getField("n_punct").cast("double")
+        val toks = Dedup.tokens(text)
+        val nTok = size(toks).cast("double")
+        val stopHits = size(array_intersect(array_distinct(toks), array(stopwords("en").map(lit): _*)))
+        struct(
+          chars.as("n_chars"),
+          nTok.as("n_tokens"),
+          when(chars > 0, alpha / chars).otherwise(0.0).as("alpha_ratio"),
+          when(chars > 0, digits / chars).otherwise(0.0).as("digit_ratio"),
+          when(chars > 0, punct / chars).otherwise(0.0).as("punct_ratio"),
+          when(nTok > 0, chars / nTok).otherwise(0.0).as("mean_token_len"),
+          stopHits.cast("double").as("stopword_hits")
+        )
+      })
+
+  /** Reference implementation of [[qualityFeatures]] from composable
+    * built-ins (three regex passes) — used by TextExpressionsSpec to pin the
+    * native char-class counter's semantics.
+    */
+  private[graft] def qualityFeaturesComposable(text: Column): Column = {
     val chars = length(text).cast("double")
     val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
     val digits = length(regexp_replace(text, "[^\\p{N}]", "")).cast("double")

@@ -118,5 +118,6 @@ object Udfs {
     graft.functions.WinnowingFingerprintsExpr.register(spark)
     graft.functions.MinhashSignatureExpr.register(spark)
     graft.functions.Simhash64Expr.register(spark)
+    graft.functions.CharClassCountsExpr.register(spark)
   }
 }

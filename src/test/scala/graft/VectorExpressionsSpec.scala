@@ -188,3 +188,33 @@ class HashExpressionsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 }
+
+class CharClassCountsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("native char-class counts match the regex reference on adversarial input") {
+    val texts = Seq(
+      "plain ascii words 123, punct! (all) of? it.",
+      "unicode letters żółć ßÜÉ 画像データ — «guillemets» aren't \\p{Punct}",
+      "numbers beyond Nd: Ⅷ ½ ¾ ³ vs 42",      // Nl and No categories
+      "symbols +<=> $ @ # ^ _ | ~ are punct; € © ± × are NOT",
+      "", " ", "\t\n",
+      "emoji \ud83d\ude00 and \ud835\udc9c math letter (supplementary planes)"
+    ).toDF("t")
+    val native = texts.select(graft.llm.TextStats.qualityFeatures(col("t")).as("f")).collect()
+    val ref = texts.select(graft.llm.TextStats.qualityFeaturesComposable(col("t")).as("f")).collect()
+    native.zip(ref).zipWithIndex.foreach { case ((n, r), i) =>
+      assert(n == r, s"row $i:\nnative=$n\nref=$r")
+    }
+  }
+
+  test("char_class_counts SQL registration and null propagation") {
+    graft.udf.Udfs.register(spark)
+    val r = spark.sql(
+      "SELECT char_class_counts('ab1!'), char_class_counts(CAST(NULL AS STRING))").head()
+    val s = r.getStruct(0)
+    assert((s.getInt(0), s.getInt(1), s.getInt(2), s.getInt(3)) == ((4, 2, 1, 1)))
+    assert(r.isNullAt(1))
+  }
+}

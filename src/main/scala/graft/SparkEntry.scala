@@ -991,6 +991,20 @@ object SparkEntry {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
         FROM events
         ORDER BY event_id"""),
+    "q89_corpus_report" -> pipe("documents")(
+      // The standard pre-training corpus audit: per (source, language) doc
+      // counts, size totals and exact length percentiles — one partial-agg
+      // shuffle on the group keys; the percentile is the only per-group
+      // sort-bound term (same cross-engine parity as q47).
+      """SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               PERCENTILE(n_chars, 0.5) AS p50_chars,
+               PERCENTILE(n_chars, 0.9) AS p90_chars,
+               CAST(SUM(SIZE(SPLIT(TRIM(text), '\\s+'))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY source, lang
+        ORDER BY source, lang"""),
     "q71_range_join" -> withViews("orders", "lineitem") { (spark, ctx) =>
       // Unkeyed range join: per early order, how many lineitems (any order)
       // shipped within [o_orderdate, o_orderdate + 7 days). Spark's native
@@ -1082,6 +1096,16 @@ object SparkEntry {
         FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a JOIN sizes sb ON sb.doc_id = inter.id_b
         WHERE CAST(inter.inter_cnt AS DOUBLE) / CAST(sa.n + sb.n - inter.inter_cnt AS DOUBLE) >= 0.08
         ORDER BY id_a, id_b""",
+    "q89_corpus_report" ->
+      """SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               QUANTILE_CONT(n_chars, 0.5) AS p50_chars,
+               QUANTILE_CONT(n_chars, 0.9) AS p90_chars,
+               CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY source, lang
+        ORDER BY source, lang""",
     "q86_repetition_stats" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),

@@ -235,4 +235,45 @@ class StreamingSpec extends SparkSpec {
     assert(total == distinctIds, s"total=$total distinct=$distinctIds")
     assert(total <= input && total > 0)
   }
+
+  test("streaming corpus ingest: native quality/fingerprint exprs + dedup on a stream") {
+    // The LLM scoring path on a STREAM: the native expressions
+    // (char_class_counts behind qualityScore, xxhash64 fingerprint) are pure
+    // per-row projections, so they apply to streaming frames unchanged;
+    // fingerprint dedup runs through streaming dropDuplicates state.
+    import graft.llm.TextStats
+    // the streaming file source needs a DIRECTORY; the test corpus is a
+    // single parquet file — materialize a directory copy once
+    val docsPath = "/tmp/graft_test_docs_dir.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      spark.read.parquet(s"${sf()}/documents.parquet")
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(docsPath)
+      .withColumn("quality", TextStats.qualityScore(col("text")))
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .filter(col("quality") >= 0.25)
+      .dropDuplicates("fp")
+    assert(stream.isStreaming)
+    val q = stream.writeStream
+      .format("memory")
+      .outputMode("append")
+      .queryName("stream_corpus_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("stream_corpus_test")
+    val batch = spark.read.parquet(docsPath)
+      .withColumn("quality", TextStats.qualityScore(col("text")))
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .filter(col("quality") >= 0.25)
+      .dropDuplicates("fp")
+    // same survivor fingerprint SET (dropDuplicates keeps an arbitrary row
+    // per key, but the key set is deterministic)
+    val sFp = streamed.select("fp").collect().map(_.getLong(0)).toSet
+    val bFp = batch.select("fp").collect().map(_.getLong(0)).toSet
+    assert(sFp == bFp, s"stream kept ${sFp.size} fingerprints, batch ${bFp.size}")
+    assert(sFp.nonEmpty)
+  }
 }

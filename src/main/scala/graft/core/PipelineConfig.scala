@@ -225,12 +225,14 @@ object PipelineConfig {
       ParquetLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),
         partitionBy = o.strList("partitionBy"), clusterBy = o.strList("clusterBy"),
-        zOrderBy = o.strList("zOrderBy"))
+        zOrderBy = o.strList("zOrderBy"),
+        zOrderSampleFraction = o.dbl("zOrderSampleFraction", 1.0))
     case "ORCLoad" =>
       ORCLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),
         partitionBy = o.strList("partitionBy"), clusterBy = o.strList("clusterBy"),
-        zOrderBy = o.strList("zOrderBy"))
+        zOrderBy = o.strList("zOrderBy"),
+        zOrderSampleFraction = o.dbl("zOrderSampleFraction", 1.0))
     case "DelimitedLoad" =>
       DelimitedLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         delimiter = o.str("delimiter", ","), header = o.bool("header", default = true),

@@ -121,6 +121,23 @@ object Dedup {
     smallPairs.unionByName(hotPairs).distinct()
   }
 
+  /** Word shingles hashed to longs immediately: every downstream band join
+    * and Jaccard verification then shuffles 8-byte hashes instead of shingle
+    * strings (~10× smaller payload at scale; 64-bit collisions are
+    * negligible for set-overlap estimation).
+    */
+  private[llm] def hashedShingles(text: Column, shingleLen: Int): Column =
+    array_distinct(transform(shingles(text, shingleLen), s => xxhash64(s)))
+
+  /** Per-band bucket keys of a minhash signature: hash of each band's slice,
+    * seeded by the band index. Shared by the self-join path and the
+    * incremental index (both sides MUST derive keys identically).
+    */
+  private[llm] def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(slice(sigCol, b * rowsPerBand + 1, rowsPerBand), lit(b))
+    }: _*)
+
   /** Candidate near-duplicate pairs via MinHash-LSH banding + exact Jaccard
     * verification. Returns (idA, idB, jaccard) with idA < idB.
     *
@@ -137,14 +154,8 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Int = 256
   ): DataFrame = {
-    // Shingles are hashed to longs immediately: the band join and Jaccard
-    // verification then shuffle 8-byte hashes instead of shingle strings
-    // (~10× smaller payload at scale; 64-bit collisions are negligible for
-    // set-overlap estimation).
-    val hashedShingles =
-      array_distinct(transform(shingles(col(textCol), shingleLen), s => xxhash64(s)))
     minhashPairsFromHashedShingles(
-      df.select(col(idCol).as("_id"), hashedShingles.as("_sh")),
+      df.select(col(idCol).as("_id"), hashedShingles(col(textCol), shingleLen).as("_sh")),
       "_id", "_sh", bands, rowsPerBand, threshold, maxBucketSize)
   }
 
@@ -178,11 +189,7 @@ object Dedup {
     // shingle arrays stay out of the band join entirely
     val banded = withSig.select(
       col("_id"),
-      posexplode(
-        array((0 until bands).map { b =>
-          xxhash64(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
-        }: _*)
-      ).as(Seq("_band", "_bucket"))
+      posexplode(bandKeys(col("_sig"), bands, rowsPerBand)).as(Seq("_band", "_bucket"))
     )
     // bucket self-join on (band, bucket): candidates only, 16 bytes per row,
     // bucket sizes capped (hot buckets degrade to star links — see

@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent MinHash-LSH index for INCREMENTAL near-dedup — the daily-ingest
+  * shape: the corpus is LSH'd once and saved; each new batch is banded and
+  * joined against the saved buckets. Re-LSHing a 100 TB corpus per ingest
+  * batch is a non-starter; querying the index costs
+  * O(|batch| + matched buckets) instead.
+  *
+  * Layout under `path` (all parquet, partition-friendly):
+  *  - `bands/`    — (_band, _bucket, _id): the corpus band buckets, bucket
+  *                  size capped at build time (a >cap bucket is boilerplate;
+  *                  keeping `cap` deterministic members preserves match-any
+  *                  semantics for dedup while bounding query fan-out — the
+  *                  same recall trade the self-join path's star links make).
+  *  - `shingles/` — (_id, _sh): hashed shingle sets for exact Jaccard
+  *                  verification of candidates.
+  *  - `params/`   — one JSON row pinning (shingleLen, bands, rowsPerBand,
+  *                  maxBucketSize); queries READ these instead of trusting
+  *                  caller arguments, so index and query banding can never
+  *                  drift.
+  *
+  * Reference arc-jupyter has no incremental dedup (SURVEY.md §2); this is a
+  * scale-path extension composing the same engine as `Dedup.minhashPairs`.
+  */
+object MinhashIndex {
+
+  /** Build and save the index over `df`. Overwrites `path`. */
+  def write(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 256
+  ): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol).cast("long").as("_id"),
+        Dedup.hashedShingles(col(textCol), shingleLen).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_sig", Dedup.minhashSignature(col("_sh"), numHashes))
+      .repartition(col("_id")) // materialize (_sh, _sig) once — see minhashPairs
+    val banded = withSig.select(
+      col("_id"),
+      posexplode(Dedup.bandKeys(col("_sig"), bands, rowsPerBand)).as(Seq("_band", "_bucket")))
+    val capped = banded
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("_band", "_bucket").orderBy("_id")))
+      .filter(col("_rn") <= maxBucketSize)
+      .drop("_rn")
+    capped.write.mode("overwrite").parquet(s"$path/bands")
+    withSig.select(col("_id"), col("_sh")).write.mode("overwrite").parquet(s"$path/shingles")
+    Seq((shingleLen, bands, rowsPerBand, maxBucketSize))
+      .toDF("shingleLen", "bands", "rowsPerBand", "maxBucketSize")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+  }
+
+  private case class Params(shingleLen: Int, bands: Int, rowsPerBand: Int, maxBucketSize: Int)
+
+  private def readParams(spark: SparkSession, path: String): Params = {
+    val r = spark.read.json(s"$path/params").head()
+    Params(
+      r.getAs[Long]("shingleLen").toInt,
+      r.getAs[Long]("bands").toInt,
+      r.getAs[Long]("rowsPerBand").toInt,
+      r.getAs[Long]("maxBucketSize").toInt)
+  }
+
+  /** Near-duplicate matches of `newDf` against the saved corpus:
+    * (new_id, corpus_id, jaccard), jaccard ≥ threshold. Banding parameters
+    * come from the index itself.
+    */
+  def matches(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val spark = newDf.sparkSession
+    val p = readParams(spark, path)
+    val numHashes = p.bands * p.rowsPerBand
+    val corpusBands = spark.read.parquet(s"$path/bands")
+    val corpusSh = spark.read.parquet(s"$path/shingles")
+    val newSig = newDf
+      .select(col(idCol).cast("long").as("_nid"),
+        Dedup.hashedShingles(col(textCol), p.shingleLen).as("_nsh"))
+      .filter(size(col("_nsh")) > 0)
+      .withColumn("_sig", Dedup.minhashSignature(col("_nsh"), numHashes))
+      .repartition(col("_nid"))
+    val newBands = newSig.select(
+      col("_nid"),
+      posexplode(Dedup.bandKeys(col("_sig"), p.bands, p.rowsPerBand)).as(Seq("_band", "_bucket")))
+    // candidates: ids only ride the band join; pairs dedupe BEFORE the
+    // shingle fetch (a pair colliding in k bands pays the Jaccard once)
+    val cand = newBands
+      .join(corpusBands, Seq("_band", "_bucket"))
+      .select(col("_nid"), col("_id"))
+      .distinct()
+    cand
+      .join(newSig.select(col("_nid"), col("_nsh")), Seq("_nid"))
+      .join(corpusSh, Seq("_id"))
+      .select(
+        col("_nid").as("new_id"),
+        col("_id").as("corpus_id"),
+        Dedup.jaccard(col("_nsh"), col("_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Rows of `newDf` with NO near-duplicate in the indexed corpus — the
+    * ingest filter. One anti-join on the matched new ids.
+    */
+  def dedupAgainst(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val losers = matches(newDf, idCol, textCol, path, threshold)
+      .select(col("new_id").cast("long").as(idCol))
+      .distinct()
+    newDf.join(losers, Seq(idCol), "left_anti")
+  }
+}

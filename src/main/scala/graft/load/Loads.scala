@@ -27,12 +27,20 @@ trait FileLoad extends Stage {
     * clusterBy when both are set.
     */
   def zOrderBy: Seq[String] = Nil
+  /** Fraction of the input the z-order quantile pass reads (seeded,
+    * deterministic). 1.0 = exact boundaries but a full extra scan — at
+    * 100 TB set this to ~0.01; equi-depth binning only needs approximate
+    * boundaries.
+    */
+  def zOrderSampleFraction: Double = 1.0
 
   protected def writer(ctx: PipelineContext): DataFrameWriter[Row] = {
     import org.apache.spark.sql.functions.col
     val src = ctx.view(inputView)
     val shaped =
-      if (zOrderBy.nonEmpty) graft.core.Layout.zorder(src, zOrderBy, numPartitions = numPartitions)
+      if (zOrderBy.nonEmpty)
+        graft.core.Layout.zorder(src, zOrderBy, numPartitions = numPartitions,
+          sampleFraction = zOrderSampleFraction)
       else if (clusterBy.nonEmpty) graft.core.Layout.cluster(src, clusterBy, numPartitions)
       else (numPartitions, partitionBy) match {
         case (Some(n), Nil) => src.repartition(n)
@@ -53,7 +61,8 @@ final case class ParquetLoad(
     numPartitions: Option[Int] = None,
     partitionBy: Seq[String] = Nil,
     override val clusterBy: Seq[String] = Nil,
-    override val zOrderBy: Seq[String] = Nil
+    override val zOrderBy: Seq[String] = Nil,
+    override val zOrderSampleFraction: Double = 1.0
 ) extends FileLoad {
   val stageType = "ParquetLoad"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
@@ -69,7 +78,8 @@ final case class ORCLoad(
     numPartitions: Option[Int] = None,
     partitionBy: Seq[String] = Nil,
     override val clusterBy: Seq[String] = Nil,
-    override val zOrderBy: Seq[String] = Nil
+    override val zOrderBy: Seq[String] = Nil,
+    override val zOrderSampleFraction: Double = 1.0
 ) extends FileLoad {
   val stageType = "ORCLoad"
   def execute(ctx: PipelineContext): Option[DataFrame] = {

@@ -404,3 +404,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select("frame_id").as[Int].collect().toSet == Set(1, 2, 3))
   }
 }
+
+class MinhashIndexSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("incremental dedup: new batch against a saved corpus index") {
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpus = docs.filter($"doc_id" < 400).select($"doc_id", $"text")
+    graft.llm.MinhashIndex.write(corpus, "doc_id", "text", path)
+
+    // batch = exact copies of 50 corpus docs (new ids) + 100 genuinely new docs
+    val copies = corpus.filter($"doc_id" < 50).select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val novel = docs.filter($"doc_id" >= 400).select($"doc_id", $"text")
+    val batch = copies.unionByName(novel)
+
+    val m = graft.llm.MinhashIndex.matches(batch, "doc_id", "text", path, threshold = 0.8)
+    val matchedIds = m.select("new_id").distinct().as[Long].collect().toSet
+    // every exact copy must match its corpus original (identical shingle sets
+    // collide in every band — LSH cannot miss them)
+    assert((10000L until 10050L).forall(matchedIds.contains), s"missed copies: ${
+      (10000L until 10050L).filterNot(matchedIds.contains)}")
+    // a copy's best match is its original at jaccard 1.0
+    val perfect = m.filter($"new_id" === 10007 && $"jaccard" === 1.0)
+      .select("corpus_id").as[Long].collect()
+    assert(perfect.contains(7L))
+
+    val kept = graft.llm.MinhashIndex.dedupAgainst(batch, "doc_id", "text", path)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.intersect((10000L until 10050L).toSet).isEmpty, "copies survived dedup")
+    // incremental result == one-shot self-join result on corpus+batch for
+    // the same pairs: every kept novel doc has no >=0.8 partner in corpus
+    val oneShot = graft.llm.Dedup.minhashPairs(
+      corpus.unionByName(batch), "doc_id", "text")
+      .filter(($"idA" >= 400 && $"idA" < 10000) =!= ($"idB" >= 400 && $"idB" < 10000))
+    val novelWithCorpusPartner = oneShot
+      .select(when($"idA" >= 400 && $"idA" < 10000, $"idA").otherwise($"idB").as("nid"))
+      .filter($"nid".isNotNull).distinct().as[Long].collect().toSet
+    assert(novelWithCorpusPartner.intersect(keptIds).isEmpty,
+      "kept a doc the one-shot self-join pairs with the corpus")
+  }
+}

@@ -84,9 +84,14 @@ object Layout {
     }: _*)
     val allBounds = casted.stat.approxQuantile(
       cols.indices.map(i => s"_zq$i").toArray, probs, 1e-3)
+    // Native binary search per value (graft.functions.QuantileBinExpr) — the
+    // composable size(filter(...)) form would run 2^bits-1 interpreted lambda
+    // evaluations per row per column. Nulls bin to 0 (coalesce).
     val bins: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
-      val boundsArr = array(allBounds(i).toSeq.map(lit): _*)
-      size(filter(boundsArr, b => b <= col(c).cast("double"))).cast("long")
+      coalesce(
+        graft.functions.QuantileBinExpr.quantile_bin(col(c).cast("double"), allBounds(i)),
+        lit(0)
+      ).cast("long")
     }
     // interleave: result bit (j*width + i) = bit j of column i's bin
     val width = cols.size

@@ -42,22 +42,28 @@ object MinhashIndex {
     val spark = df.sparkSession
     import spark.implicits._
     val numHashes = bands * rowsPerBand
+    // The shingle+signature pass is the expensive part and feeds TWO write
+    // jobs (bands + shingles); persist so the corpus is read and hashed once,
+    // spilling to disk if it outgrows memory.
     val withSig = df
       .select(col(idCol).cast("long").as("_id"),
         Dedup.hashedShingles(col(textCol), shingleLen).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .withColumn("_sig", Dedup.minhashSignature(col("_sh"), numHashes))
       .repartition(col("_id")) // materialize (_sh, _sig) once — see minhashPairs
-    val banded = withSig.select(
-      col("_id"),
-      posexplode(Dedup.bandKeys(col("_sig"), bands, rowsPerBand)).as(Seq("_band", "_bucket")))
-    val capped = banded
-      .withColumn("_rn",
-        row_number().over(Window.partitionBy("_band", "_bucket").orderBy("_id")))
-      .filter(col("_rn") <= maxBucketSize)
-      .drop("_rn")
-    capped.write.mode("overwrite").parquet(s"$path/bands")
-    withSig.select(col("_id"), col("_sh")).write.mode("overwrite").parquet(s"$path/shingles")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val banded = withSig.select(
+        col("_id"),
+        posexplode(Dedup.bandKeys(col("_sig"), bands, rowsPerBand)).as(Seq("_band", "_bucket")))
+      val capped = banded
+        .withColumn("_rn",
+          row_number().over(Window.partitionBy("_band", "_bucket").orderBy("_id")))
+        .filter(col("_rn") <= maxBucketSize)
+        .drop("_rn")
+      capped.write.mode("overwrite").parquet(s"$path/bands")
+      withSig.select(col("_id"), col("_sh")).write.mode("overwrite").parquet(s"$path/shingles")
+    } finally withSig.unpersist()
     Seq((shingleLen, bands, rowsPerBand, maxBucketSize))
       .toDF("shingleLen", "bands", "rowsPerBand", "maxBucketSize")
       .coalesce(1).write.mode("overwrite").json(s"$path/params")

@@ -105,3 +105,23 @@ class LayoutSpec extends SparkSpec {
     }
   }
 }
+
+class QuantileBinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("native binary-search bin matches the composable filter-count form") {
+    val bounds = Array(1.0, 2.0, 2.0, 5.5, 9.0) // duplicates: approxQuantile emits them
+    val vals = Seq[java.lang.Double](0.0, 1.0, 1.5, 2.0, 5.5, 8.0, 9.0, 99.0,
+      Double.NaN, null).toDF("v")
+    val native = vals.select(
+      coalesce(graft.functions.QuantileBinExpr.quantile_bin($"v", bounds), lit(0)).as("b"))
+      .as[Int].collect().toSeq
+    val composable = vals.select(
+      size(filter(array(bounds.toSeq.map(lit): _*), b => b <= $"v")).as("b"))
+      .as[Int].collect().toSeq
+    assert(native == composable, s"native=$native composable=$composable")
+    // Spark double ordering: NaN above everything → top bin; null → 0
+    assert(native(8) == bounds.length && native(9) == 0)
+  }
+}

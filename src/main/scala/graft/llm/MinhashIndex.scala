@@ -56,9 +56,14 @@ object MinhashIndex {
       val banded = withSig.select(
         col("_id"),
         posexplode(Dedup.bandKeys(col("_sig"), bands, rowsPerBand)).as(Seq("_band", "_bucket")))
+      // Cap order = hash of the id: an unbiased DETERMINISTIC sample of each
+      // bucket. Ordering by raw _id would keep the same lowest-id docs in
+      // every hot bucket — systematically correlated, so a query doc's own
+      // identical-text group would be crowded out of every bucket at once.
       val capped = banded
         .withColumn("_rn",
-          row_number().over(Window.partitionBy("_band", "_bucket").orderBy("_id")))
+          row_number().over(
+            Window.partitionBy("_band", "_bucket").orderBy(xxhash64(col("_id")), col("_id"))))
         .filter(col("_rn") <= maxBucketSize)
         .drop("_rn")
       capped.write.mode("overwrite").parquet(s"$path/bands")
@@ -83,13 +88,23 @@ object MinhashIndex {
   /** Near-duplicate matches of `newDf` against the saved corpus:
     * (new_id, corpus_id, jaccard), jaccard ≥ threshold. Banding parameters
     * come from the index itself.
+    *
+    * `maxCandidatesPerDoc` bounds exact-Jaccard verifications per new doc
+    * (deterministic hash-ordered choice among bucket-mates): a new doc
+    * landing in a boilerplate-heavy cluster would otherwise verify against
+    * every capped bucket member in every band — measured 4× of query cost at
+    * the 400k probe. True near-dups share most buckets, so the cap costs
+    * recall only for barely-at-threshold pairs in hot clusters (same trade
+    * as Dedup.bucketCandidates' star links); for ingest DEDUP any one match
+    * suffices.
     */
   def matches(
       newDf: DataFrame,
       idCol: String,
       textCol: String,
       path: String,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxCandidatesPerDoc: Int = 64
   ): DataFrame = {
     val spark = newDf.sparkSession
     val p = readParams(spark, path)
@@ -111,6 +126,10 @@ object MinhashIndex {
       .join(corpusBands, Seq("_band", "_bucket"))
       .select(col("_nid"), col("_id"))
       .distinct()
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_nid").orderBy(xxhash64(col("_nid"), col("_id")))))
+      .filter(col("_rn") <= maxCandidatesPerDoc)
+      .drop("_rn")
     cand
       .join(newSig.select(col("_nid"), col("_nsh")), Seq("_nid"))
       .join(corpusSh, Seq("_id"))
@@ -129,9 +148,10 @@ object MinhashIndex {
       idCol: String,
       textCol: String,
       path: String,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxCandidatesPerDoc: Int = 64
   ): DataFrame = {
-    val losers = matches(newDf, idCol, textCol, path, threshold)
+    val losers = matches(newDf, idCol, textCol, path, threshold, maxCandidatesPerDoc)
       .select(col("new_id").cast("long").as(idCol))
       .distinct()
     newDf.join(losers, Seq(idCol), "left_anti")

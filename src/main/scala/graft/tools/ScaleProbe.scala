@@ -58,6 +58,16 @@ object ScaleProbe {
           when(pmod(col("id"), lit(100)) === 0, 1000L * 1000L).otherwise(800L)).as("hi"))
       graft.operators.RangeJoin.pointInInterval(points, "t", intervals, "lo", "hi", 1000L).count()
     }
+    // Incremental ingest: index the corpus once, then dedup a 10% batch
+    // against it — the daily-ingest path must cost O(batch), not O(corpus).
+    val idx = "/tmp/graft_scaleprobe_mhidx"
+    time(s"minhashIndex build n=$n")(
+      graft.llm.MinhashIndex.write(docs, "id", "text", idx))
+    time(s"minhashIndex query batch n=${n / 10}") {
+      val batch = docs.filter(pmod(col("id"), lit(10)) === 0)
+        .select((col("id") + 10000000L).as("id"), col("text"))
+      graft.llm.MinhashIndex.dedupAgainst(batch, "id", "text", idx).count()
+    }
     // Greedy packing with one hot shard: 25% of all docs land in shard 0
     // (the straggler shape — packing is sequential per shard, so the hot
     // shard bounds wall-clock; the probe confirms cost is linear, not worse).

@@ -1028,6 +1028,66 @@ object SparkEntry {
         .join(counts, Seq("o_orderkey"), "left")
         .select(col("o_orderkey"), coalesce(col("n_in_window"), lit(0L)).as("n_in_window"))
         .orderBy("o_orderkey")
+    },
+    "q90_decontaminate" -> withViews("documents") { (spark, ctx) =>
+      // Benchmark decontamination (Decontaminate.overlap): eval set = every
+      // 17th doc, train = the rest; a train doc is contaminated when it
+      // shares a word 4-gram with any eval doc. hashed=false here so the
+      // gram strings themselves are the join keys — bit-exact vs the SQL
+      // oracle; the at-scale path hashes grams to 8-byte keys
+      // (DecontaminateSpec pins hashed ≡ string results).
+      val docs = ctx.view("documents")
+      val evalSet = docs.filter(col("doc_id") % 17 === 0)
+      val train = docs.filter(col("doc_id") % 17 =!= 0)
+      graft.llm.Decontaminate
+        .overlap(train, "doc_id", "text", evalSet, "text", n = 4, hashed = false)
+        .orderBy("doc_id")
+    },
+    "q91_tfidf_topk" -> withViews("documents") { (spark, ctx) =>
+      // Top-5 TF-IDF terms per document (Relevance.tfIdfTopK, rational idf:
+      // (tf·N)/df — every step an exact-rounded IEEE double op, so the score
+      // is bit-identical across engines; the log-idf variant is spec-tested
+      // instead). nDocs is a corpus constant, counted once up front.
+      val docs = ctx.view("documents")
+      val n = docs.count()
+      graft.llm.Relevance
+        .tfIdfTopK(docs, "doc_id", "text", n, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("doc_id", "rank")
+    },
+    "q92_normalized_dedup" -> withViews("documents") { (spark, ctx) =>
+      // Near-exact dedup via canonical normalization (TextStats.normalize):
+      // the corpus is augmented with a deterministically perturbed copy of
+      // every 7th doc (upper-cased + punctuation noise — the "same document,
+      // different formatting" duplicate class); normalization collapses each
+      // copy back onto its original. One hash-agg shuffle on the normalized
+      // key, exactly the exact-dedup cost.
+      val docs = ctx.view("documents").select("doc_id", "text")
+      val noisy = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text"))
+      docs.unionByName(noisy)
+        .groupBy(graft.llm.TextStats.normalize(col("text")).as("_norm"))
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).cast("long").as("n_copies"))
+        .select(col("keeper_id"), col("n_copies"),
+          length(col("_norm")).cast("long").as("norm_len"))
+        .orderBy("keeper_id")
+    },
+    "q93_salted_join" -> withViews("lineitem", "part") { (spark, ctx) =>
+      // Skew-safe shuffle join parity: Skew.saltedJoin spreads each key over
+      // `factor` reducers (deterministic payload-hash salt, right side
+      // exploded factor×) and must be a pure plan transformation — the
+      // oracle is the plain unsalted join. Decimal-summed quantities (exact,
+      // order-independent) per the q01 cross-engine pattern.
+      val li = ctx.view("lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_quantity"))
+      val pt = ctx.view("part")
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.core.Skew.saltedJoin(li, pt, Seq("partkey"), factor = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("p_brand")
     }
   )
 
@@ -1609,6 +1669,63 @@ object SparkEntry {
                MIN(ts) AS session_start, MAX(ts) AS session_end
         FROM numbered
         GROUP BY user_id, session_id
-        ORDER BY user_id, session_id"""
+        ORDER BY user_id, session_id""",
+    "q90_decontaminate" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 4 + 2),
+                   i -> array_to_string(list_slice(t, i, i + 4 - 1), ' ')))) AS g
+          FROM toks WHERE len(t) >= 4
+        ), ev AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+        )
+        SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM grams tg JOIN ev USING (g)
+        WHERE tg.doc_id % 17 <> 0
+        GROUP BY tg.doc_id
+        ORDER BY tg.doc_id""",
+    "q91_tfidf_topk" ->
+      """WITH tc AS (
+          SELECT doc_id, g AS term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS g
+                FROM documents)
+          GROUP BY doc_id, g
+        ), dfreq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY term
+        ), nn AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+        ), ranked AS (
+          SELECT tc.doc_id, tc.term, tc.tf, dfreq.df,
+                 CAST(tc.tf AS DOUBLE) * (SELECT n FROM nn) / CAST(dfreq.df AS DOUBLE) AS score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY tc.doc_id
+                        ORDER BY CAST(tc.tf AS DOUBLE) * (SELECT n FROM nn) / CAST(dfreq.df AS DOUBLE) DESC,
+                                 tc.term) AS BIGINT) AS rank
+          FROM tc JOIN dfreq USING (term)
+        )
+        SELECT doc_id, term, tf, df, score, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY doc_id, rank""",
+    "q92_normalized_dedup" ->
+      """WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, upper(text) || '!!' FROM documents WHERE doc_id % 7 = 0
+        ), n AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+          FROM all_docs
+        )
+        SELECT MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(LENGTH(norm) AS BIGINT) AS norm_len
+        FROM n GROUP BY norm
+        ORDER BY keeper_id""",
+    "q93_salted_join" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand"""
   )
 }

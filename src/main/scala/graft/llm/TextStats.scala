@@ -187,6 +187,17 @@ object TextStats {
     graft.functions.WinnowingFingerprintsExpr.winnowing_fingerprints(
       regexp_replace(lower(trim(text)), "\\s+", " "), k, w)
 
+  /** Canonical text normalization for near-exact dedup: lowercase, collapse
+    * every non-alphanumeric run (punctuation, whitespace, markup debris) to
+    * a single space, trim. Catches the "same document, different casing /
+    * punctuation / whitespace" duplicates exact hashing misses while staying
+    * a pure codegen'd narrow map — dedup on `xxhash64(normalize(text))` adds
+    * zero cost over exact dedup. ASCII classes deliberately (cross-engine
+    * RE2/Java parity; the oracle uses the identical pattern).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Reference implementation of [[winnowingFingerprints]] from composable
     * built-ins — interpreted HOF evaluation, ~10× the per-row cost; used by
     * TextExpressionsSpec to pin the native expression's semantics.

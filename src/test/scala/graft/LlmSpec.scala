@@ -445,4 +445,21 @@ class MinhashIndexSpec extends SparkSpec {
     assert(novelWithCorpusPartner.intersect(keptIds).isEmpty,
       "kept a doc the one-shot self-join pairs with the corpus")
   }
+
+  test("candidate cap: maxCandidatesPerDoc=1 still catches exact copies in a hot cluster") {
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    // 200 near-identical corpus docs — every band bucket is hot, so caps bite
+    val corpus = spark.range(200).select($"id".as("doc_id"),
+      concat(lit("shared boilerplate header repeated across the whole cluster body text "),
+        $"id".cast("string")).as("text"))
+    graft.llm.MinhashIndex.write(corpus, "doc_id", "text", path, maxBucketSize = 8)
+    val batch = corpus.filter($"doc_id" < 20)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    val kept = graft.llm.MinhashIndex
+      .dedupAgainst(batch, "doc_id", "text", path, maxCandidatesPerDoc = 1)
+    // every batch doc is a verbatim copy of a cluster member; with one
+    // verification per doc the verified candidate is a bucket-mate from the
+    // same boilerplate cluster — jaccard ≈ 1 — so all are dropped
+    assert(kept.count() == 0, "exact copies survived a capped ingest dedup")
+  }
 }

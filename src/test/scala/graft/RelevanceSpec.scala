@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Decontaminate, Relevance, TextStats}
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def train = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely unrelated content about spark plans"),
+    (3L, "short"),
+    (4L, "Quick Brown FOX jumps --- over punctuation")
+  ).toDF("id", "text")
+
+  private def eval = Seq(
+    (100L, "a quick brown fox jumps across")
+  ).toDF("id", "text")
+
+  test("overlap flags docs sharing a word n-gram, case/punct-insensitively") {
+    val hits = Decontaminate.overlap(train, "id", "text", eval, "text", n = 4)
+      .orderBy("id").as[(Long, Long)].collect()
+    // 4-grams of eval include "quick brown fox jumps": doc 1 and (after
+    // lowercasing + punctuation split) doc 4 contain it; docs 2/3 don't.
+    assert(hits.map(_._1).toSeq == Seq(1L, 4L))
+    assert(hits.forall(_._2 >= 1L))
+  }
+
+  test("clean removes exactly the flagged rows and keeps sub-n-gram docs") {
+    val kept = Decontaminate.clean(train, "id", "text", eval, "text", n = 4)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
+  test("hashed and string gram paths agree") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val ev = docs.filter(col("doc_id") % 17 === 0)
+    val tr = docs.filter(col("doc_id") % 17 =!= 0)
+    def rows(hashed: Boolean) =
+      Decontaminate.overlap(tr, "doc_id", "text", ev, "text", n = 4, hashed = hashed)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(rows(hashed = true) == rows(hashed = false))
+  }
+
+  test("overlap is empty when the eval set shares nothing") {
+    val ev = Seq((9L, "zz yy xx ww vv uu")).toDF("id", "text")
+    assert(Decontaminate.overlap(train, "id", "text", ev, "text", n = 4).count() == 0L)
+  }
+}
+
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark spark catalyst plan"),
+    (2L, "spark shuffle"),
+    (3L, "catalyst expression codegen codegen")
+  ).toDF("id", "text")
+
+  test("termCounts and docFreq") {
+    val tc = Relevance.termCounts(docs, "id", "text")
+    assert(tc.filter($"id" === 1L && $"term" === "spark").select("tf").as[Long].head() == 2L)
+    val df = Relevance.docFreq(tc, "id")
+    assert(df.filter($"term" === "spark").select("df").as[Long].head() == 2L)
+    assert(df.filter($"term" === "codegen").select("df").as[Long].head() == 1L)
+  }
+
+  test("tfIdfTopK rational: rare terms outrank common ones at equal tf") {
+    val top = Relevance.tfIdfTopK(docs, "id", "text", nDocs = 3L, k = 2)
+    // doc 2: shuffle (tf=1, df=1, score 3.0) beats spark (tf=1, df=2, 1.5)
+    val d2 = top.filter($"id" === 2L).orderBy("rank").select("term").as[String].collect()
+    assert(d2.toSeq == Seq("shuffle", "spark"))
+    // doc 1: plan (tf=1, df=1) and spark (tf=2, df=2) tie at 3.0 — the
+    // lexicographic tiebreak puts plan first, deterministically.
+    val d1 = top.filter($"id" === 1L).orderBy("rank").select("term").as[String].collect()
+    assert(d1.take(2).toSeq == Seq("plan", "spark"))
+  }
+
+  test("tfIdfTopK log variant: repetition outweighs rarity across the knee") {
+    // log idf compresses rarity: spark scores 2·(ln(4/3)+1) ≈ 2.58 vs
+    // plan 1·(ln(4/2)+1) ≈ 1.69 — the rational-variant tie breaks the other
+    // way, which is exactly the semantic difference between the variants.
+    val d1 = Relevance.tfIdfTopK(docs, "id", "text", 3L, k = 3, idf = "log")
+      .filter($"id" === 1L).orderBy("rank").select("term").as[String].collect()
+    assert(d1.take(2).toSeq == Seq("spark", "plan"))
+    intercept[IllegalArgumentException](Relevance.tfIdfTopK(docs, "id", "text", 3L, 1, "bogus"))
+  }
+
+  test("bm25 ranks the term-dense short doc first and omits non-matching docs") {
+    val scored = Relevance.bm25(docs, "id", "text", Seq("spark"), nDocs = 3L, avgdl = 10.0 / 3)
+      .orderBy(desc("bm25")).as[(Long, Double)].collect()
+    assert(scored.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 has no 'spark'
+    assert(scored.forall(_._2 > 0.0))
+  }
+
+  test("normalize collapses case, punctuation and whitespace runs") {
+    val out = Seq("  The,, QUICK--fox!! ", "the quick fox").toDF("t")
+      .select(TextStats.normalize($"t").as("n")).as[String].collect()
+    assert(out.toSet == Set("the quick fox"))
+  }
+}

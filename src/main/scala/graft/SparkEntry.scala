@@ -1088,6 +1088,28 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("p_brand")
+    },
+    "q94_weighted_sample" -> withViews("documents") { (spark, ctx) =>
+      // Quality-weighted downsampling (Sampling.weightedHashSample): keep
+      // probability ∝ document length here (stand-in for a quality score).
+      // Narrow map, no shuffle; threshold arithmetic is exact in doubles so
+      // the oracle reproduces the sample bit-for-bit.
+      graft.llm.Sampling
+        .weightedHashSample(ctx.view("documents"), col("doc_id"),
+          col("n_chars").cast("double") / 1000.0, salt = "w1")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    "q95_mixture_sample" -> withViews("documents") { (spark, ctx) =>
+      // Target-mixture resampling (Sampling.mixtureExact): upweight two
+      // curated sources, downsample the rest to 5% — the "data mix" step
+      // before training. Exact per-group counts, hash-ordered choice.
+      graft.llm.Sampling
+        .mixtureExact(ctx.view("documents"), "source",
+          Map("src0" -> 0.5, "src1" -> 0.25), default = 0.05,
+          key = col("doc_id"), salt = "m1")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1726,6 +1748,31 @@ object SparkEntry {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
-        ORDER BY p_brand"""
+        ORDER BY p_brand""",
+    "q94_weighted_sample" ->
+      // per-row threshold = lpad(hex(floor(clamp(w)·(2^32−1))), 8): every
+      // step exact in IEEE doubles → identical keep set on both engines
+      """SELECT doc_id, n_chars FROM documents
+        WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'w1'), 1, 8) <
+              LPAD(LOWER(TO_HEX(CAST(FLOOR(
+                LEAST(1.0, GREATEST(0.0, CAST(n_chars AS DOUBLE) / 1000.0)) * 4294967295.0
+              ) AS BIGINT))), 8, '0')
+        ORDER BY doc_id""",
+    "q95_mixture_sample" ->
+      // rates CAST AS DOUBLE so ceil(n·rate) runs in the same IEEE
+      // arithmetic as the engine (a DECIMAL rate would ceil exactly and
+      // disagree at representation boundaries)
+      """WITH t AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR) || 'm1')) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n,
+                 CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                             WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+                             ELSE CAST(0.05 AS DOUBLE) END AS rate
+          FROM documents)
+        SELECT doc_id, source FROM t
+        WHERE rn <= CEIL(n * rate)
+        ORDER BY doc_id"""
   )
 }

@@ -59,4 +59,53 @@ object Sampling {
       .filter(col("_rn") <= ceil(col("_n") * rate))
       .drop("_rn", "_n")
   }
+
+  /** Keep each row with probability `weight` (a per-row column in [0,1],
+    * values outside clamped) — quality-weighted corpus downsampling: rows
+    * scored by a quality model survive in proportion to their score, chosen
+    * by the same salted md5 as [[hashSample]] so the choice is deterministic,
+    * retry-stable, and consistent across tables sharing the key.
+    *
+    * Still a pure narrow map (no shuffle): the row's 32-bit hash fraction is
+    * compared against a per-row 8-hex-digit threshold string derived from
+    * the weight. Every arithmetic step (clamp, ×2^32, floor) is exact in
+    * IEEE doubles, so a SQL oracle reproduces the sample bit-for-bit.
+    */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column, salt: String = ""): DataFrame = {
+    val p = least(lit(1.0), greatest(lit(0.0), weight.cast("double")))
+    val threshold =
+      lpad(lower(hex(floor(p * lit(0xffffffffL.toDouble)).cast("long"))), 8, "0")
+    df.filter(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8) < threshold)
+  }
+
+  /** Mixture sampling toward a target source distribution: from each group
+    * (e.g. each corpus source), keep exactly ceil(frac_g × |group|) rows,
+    * with `fracs` giving per-group keep fractions and `default` applying to
+    * unlisted groups. The standard "re-weight the data mix" step before
+    * training (e.g. upweight curated sources, downsample web crawl).
+    *
+    * Same shape as [[stratifiedExact]] — one window shuffle on the group
+    * column, per-group work parallel across groups — with the per-group rate
+    * resolved from a literal map (groups are few; the map travels with the
+    * plan, no join needed).
+    */
+  def mixtureExact(df: DataFrame, groupCol: String, fracs: Map[String, Double],
+      default: Double, key: Column, salt: String = ""): DataFrame = {
+    require((fracs.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]")
+    val rate =
+      if (fracs.isEmpty) lit(default)
+      else coalesce(
+        element_at(
+          map(fracs.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+          col(groupCol).cast("string")),
+        lit(default))
+    val h = md5(concat(key.cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h)
+    val cw = Window.partitionBy(col(groupCol))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .filter(col("_rn") <= ceil(col("_n") * rate))
+      .drop("_rn", "_n")
+  }
 }

@@ -62,6 +62,46 @@ class SamplingPackingSpec extends SparkSpec {
     assert(again == got.select("c_custkey").collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedHashSample: keep rate tracks the weight, deterministic, clamped") {
+    // weight 1 keeps everything, weight 0 nothing (clamping covers >1 / <0)
+    assert(Sampling.weightedHashSample(docs, col("doc_id"), lit(5.0)).count() == docs.count())
+    assert(Sampling.weightedHashSample(docs, col("doc_id"), lit(-1.0)).count() == 0)
+    // constant weight w ≈ hashSample at rate w (same md5, same salt)
+    val w = Sampling.weightedHashSample(docs, col("doc_id"), lit(0.2), "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val h = Sampling.hashSample(docs, col("doc_id"), 0.2, "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(w == h)
+    // graded weights: the heavy half must survive more often than the light
+    val graded = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, 0.8).otherwise(0.1).as("q"))
+    val kept = Sampling.weightedHashSample(graded, col("doc_id"), col("q"), "g")
+      .select("doc_id").collect().map(_.getLong(0))
+    val (even, odd) = kept.partition(_ % 2 == 0)
+    assert(even.length > odd.length * 3, s"even=${even.length} odd=${odd.length}")
+  }
+
+  test("mixtureExact: exact per-group counts from the target mix, default applied") {
+    val out = Sampling.mixtureExact(docs, "source",
+      Map("src0" -> 0.5, "src1" -> 0.25), default = 0.05, key = col("doc_id"), salt = "m")
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      val rate = src match { case "src0" => 0.5; case "src1" => 0.25; case _ => 0.05 }
+      val want = math.ceil(n * rate).toLong
+      assert(got.getOrElse(src, 0L) == want, s"$src: got ${got.getOrElse(src, 0L)} want $want")
+    }
+    // deterministic across runs
+    val again = Sampling.mixtureExact(docs, "source",
+      Map("src0" -> 0.5, "src1" -> 0.25), default = 0.05, key = col("doc_id"), salt = "m")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException](
+      Sampling.mixtureExact(docs, "source", Map("src0" -> 1.5), 0.1, col("doc_id")))
+  }
+
   test("packGreedy matches the sequential reference and respects maxTokens") {
     val maxTokens = 512L
     val withToks = docs

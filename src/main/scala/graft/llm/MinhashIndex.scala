@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   *                  same recall trade the self-join path's star links make).
   *  - `shingles/` — (_id, _sh): hashed shingle sets for exact Jaccard
   *                  verification of candidates.
+  *  - `exact/`    — (_fp, _id): xxhash64 of the raw text per corpus doc.
+  *                  Queries drop exact copies via this table FIRST (a batch-
+  *                  sized join on an 8-byte key), so verbatim duplicates are
+  *                  caught with probability 1 regardless of any LSH cap —
+  *                  caps only ever trade recall on genuine NEAR-dups.
   *  - `params/`   — one JSON row pinning (shingleLen, bands, rowsPerBand,
   *                  maxBucketSize); queries READ these instead of trusting
   *                  caller arguments, so index and query banding can never
@@ -69,6 +74,8 @@ object MinhashIndex {
       capped.write.mode("overwrite").parquet(s"$path/bands")
       withSig.select(col("_id"), col("_sh")).write.mode("overwrite").parquet(s"$path/shingles")
     } finally withSig.unpersist()
+    df.select(xxhash64(col(textCol)).as("_fp"), col(idCol).cast("long").as("_id"))
+      .write.mode("overwrite").parquet(s"$path/exact")
     Seq((shingleLen, bands, rowsPerBand, maxBucketSize))
       .toDF("shingleLen", "bands", "rowsPerBand", "maxBucketSize")
       .coalesce(1).write.mode("overwrite").json(s"$path/params")
@@ -85,18 +92,31 @@ object MinhashIndex {
       r.getAs[Long]("maxBucketSize").toInt)
   }
 
+  /** Exact-copy matches via the fingerprint table: (new_id, corpus_id, 1.0).
+    * A batch-sized equi-join on an 8-byte key — no LSH involved, so exact
+    * duplicates are found with probability 1 at any cap setting.
+    */
+  def exactMatches(newDf: DataFrame, idCol: String, textCol: String, path: String): DataFrame = {
+    val corpusFp = newDf.sparkSession.read.parquet(s"$path/exact")
+    newDf
+      .select(col(idCol).cast("long").as("new_id"), xxhash64(col(textCol)).as("_fp"))
+      .join(corpusFp, Seq("_fp"))
+      .select(col("new_id"), col("_id").as("corpus_id"), lit(1.0).as("jaccard"))
+  }
+
   /** Near-duplicate matches of `newDf` against the saved corpus:
     * (new_id, corpus_id, jaccard), jaccard ≥ threshold. Banding parameters
-    * come from the index itself.
+    * come from the index itself. Tiered: exact copies come from the
+    * fingerprint table (always found), near-dups from the capped LSH query.
     *
     * `maxCandidatesPerDoc` bounds exact-Jaccard verifications per new doc
     * (deterministic hash-ordered choice among bucket-mates): a new doc
     * landing in a boilerplate-heavy cluster would otherwise verify against
     * every capped bucket member in every band — measured 4× of query cost at
-    * the 400k probe. True near-dups share most buckets, so the cap costs
-    * recall only for barely-at-threshold pairs in hot clusters (same trade
-    * as Dedup.bucketCandidates' star links); for ingest DEDUP any one match
-    * suffices.
+    * the 400k probe. True near-dups share most buckets, so the caps cost
+    * recall only for at-threshold pairs in hot clusters (same trade as
+    * Dedup.bucketCandidates' star links); exact copies are exempt via the
+    * fingerprint tier, and for ingest DEDUP any one match suffices.
     */
   def matches(
       newDf: DataFrame,
@@ -105,6 +125,18 @@ object MinhashIndex {
       path: String,
       threshold: Double = 0.8,
       maxCandidatesPerDoc: Int = 64
+  ): DataFrame =
+    exactMatches(newDf, idCol, textCol, path)
+      .unionByName(lshMatches(newDf, idCol, textCol, path, threshold, maxCandidatesPerDoc))
+      .dropDuplicates("new_id", "corpus_id")
+
+  private def lshMatches(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      threshold: Double,
+      maxCandidatesPerDoc: Int
   ): DataFrame = {
     val spark = newDf.sparkSession
     val p = readParams(spark, path)
@@ -120,10 +152,28 @@ object MinhashIndex {
     val newBands = newSig.select(
       col("_nid"),
       posexplode(Dedup.bandKeys(col("_sig"), p.bands, p.rowsPerBand)).as(Seq("_band", "_bucket")))
+    // The per-doc cap alone is not enough: in a boilerplate-heavy corpus a
+    // whole batch lands in the SAME hot buckets, and batch×bucketCap×bands
+    // candidate rows exist before any per-doc window can prune them
+    // (measured: a 40k batch against the 400k templated probe corpus built
+    // ~80M candidate rows — the query cost 4.5× the index BUILD). So corpus
+    // bucket membership is first shrunk per (band, bucket) to the per-band
+    // share of the candidate budget — one window over the bands table the
+    // join shuffles anyway. Normal buckets are smaller than the share and
+    // keep full membership; hot buckets degrade to deterministic
+    // representatives, the same trade bucket capping already makes.
+    val perBandCap = math.max(1, math.ceil(maxCandidatesPerDoc.toDouble / p.bands).toInt)
+    val corpusBandsCapped = corpusBands
+      .withColumn("_qrn", row_number().over(
+        Window.partitionBy("_band", "_bucket").orderBy(xxhash64(col("_id")), col("_id"))))
+      .filter(col("_qrn") <= perBandCap)
+      .drop("_qrn")
     // candidates: ids only ride the band join; pairs dedupe BEFORE the
-    // shingle fetch (a pair colliding in k bands pays the Jaccard once)
+    // shingle fetch (a pair colliding in k bands pays the Jaccard once);
+    // the per-doc window then enforces the exact budget over ≤ bands ×
+    // perBandCap ≈ maxCandidatesPerDoc rows per doc
     val cand = newBands
-      .join(corpusBands, Seq("_band", "_bucket"))
+      .join(corpusBandsCapped, Seq("_band", "_bucket"))
       .select(col("_nid"), col("_id"))
       .distinct()
       .withColumn("_rn", row_number().over(
@@ -141,7 +191,10 @@ object MinhashIndex {
   }
 
   /** Rows of `newDf` with NO near-duplicate in the indexed corpus — the
-    * ingest filter. One anti-join on the matched new ids.
+    * ingest filter. Tiered: the exact-fingerprint anti-join runs FIRST, so
+    * verbatim copies never reach the LSH query (they are both the most
+    * common duplicate class in real ingest and the ones that made hot
+    * clusters hot), then the capped LSH pass filters the remainder.
     */
   def dedupAgainst(
       newDf: DataFrame,
@@ -151,9 +204,12 @@ object MinhashIndex {
       threshold: Double = 0.8,
       maxCandidatesPerDoc: Int = 64
   ): DataFrame = {
-    val losers = matches(newDf, idCol, textCol, path, threshold, maxCandidatesPerDoc)
+    val exactLosers = exactMatches(newDf, idCol, textCol, path)
+      .select(col("new_id").cast("long").as(idCol)).distinct()
+    val survivors = newDf.join(exactLosers, Seq(idCol), "left_anti")
+    val nearLosers = lshMatches(survivors, idCol, textCol, path, threshold, maxCandidatesPerDoc)
       .select(col("new_id").cast("long").as(idCol))
       .distinct()
-    newDf.join(losers, Seq(idCol), "left_anti")
+    survivors.join(nearLosers, Seq(idCol), "left_anti")
   }
 }

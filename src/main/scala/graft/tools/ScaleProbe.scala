@@ -68,6 +68,21 @@ object ScaleProbe {
         .select((col("id") + 10000000L).as("id"), col("text"))
       graft.llm.MinhashIndex.dedupAgainst(batch, "id", "text", idx).count()
     }
+    // Decontamination: full corpus vs a 1% eval set. The hot hazard is the
+    // TEMPLATED corpus — every doc shares the 11-token boilerplate prefix, so
+    // prefix 4-grams are massively hot join keys; cost must stay join-bound
+    // linear, not fan out quadratically (grams are distinct per doc and the
+    // eval side dedupes before the semi-join).
+    time(s"decontaminate n=$n vs eval=${n / 100}") {
+      val eval = docs.filter(pmod(col("id"), lit(100)) === 0).select(col("text"))
+      graft.llm.Decontaminate.clean(docs, "id", "text", eval, "text", n = 4).count()
+    }
+    // TF-IDF over the corpus: explode-heavy (every token travels once into
+    // the (doc,term) agg, once into df) — confirms the two-agg shape stays
+    // shuffle-bound with 17 distinct terms × n docs and a top-5 window.
+    time(s"tfIdfTopK n=$n") {
+      graft.llm.Relevance.tfIdfTopK(docs, "id", "text", n.toLong, k = 5).count()
+    }
     // Greedy packing with one hot shard: 25% of all docs land in shard 0
     // (the straggler shape — packing is sequential per shard, so the hot
     // shard bounds wall-clock; the probe confirms cost is linear, not worse).

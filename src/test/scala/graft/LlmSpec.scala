@@ -462,4 +462,29 @@ class MinhashIndexSpec extends SparkSpec {
     // same boilerplate cluster — jaccard ≈ 1 — so all are dropped
     assert(kept.count() == 0, "exact copies survived a capped ingest dedup")
   }
+
+  test("tiered dedup: exact tier is cap-proof, LSH tier still catches mutations") {
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    val corpus = spark.range(200).select($"id".as("doc_id"),
+      concat(lit("shared boilerplate header repeated across the whole cluster body text "),
+        $"id".cast("string")).as("text"))
+    graft.llm.MinhashIndex.write(corpus, "doc_id", "text", path, maxBucketSize = 4)
+    // batch: one VERBATIM copy (the exact tier must catch it even if doc 137
+    // was sampled out of every capped bucket), one MUTATED near-dup (exact
+    // tier misses — only the LSH tier can drop it), one genuinely new doc
+    val batch = Seq(
+      (1000L, "shared boilerplate header repeated across the whole cluster body text 137"),
+      (1001L, "shared boilerplate header repeated across the whole cluster body text 5 extra"),
+      (1002L, "completely different content with no overlap whatsoever at all here")
+    ).toDF("doc_id", "text")
+    val exact = graft.llm.MinhashIndex.exactMatches(batch, "doc_id", "text", path)
+    assert(exact.select("new_id").as[Long].collect().toSet == Set(1000L))
+    assert(exact.filter($"new_id" === 1000L).select("corpus_id").as[Long].head() == 137L)
+    // threshold 0.7: the mutated doc verifies against capped-bucket
+    // REPRESENTATIVES (digit + suffix both differ, jaccard ≈ 0.75-0.85),
+    // not necessarily its closest twin — which is the documented cap trade
+    val kept = graft.llm.MinhashIndex.dedupAgainst(batch, "doc_id", "text", path, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1002L), s"want only the novel doc kept, got $kept")
+  }
 }

@@ -83,6 +83,41 @@ class PlanSpec extends SparkSpec {
       s"duplicate signature exchanges not reused at runtime:\n$executed")
   }
 
+  test("runtime bloom filter: a selective dim filter reaches the fact scan side") {
+    // At 100 TB the shuffle join's fact side should be pre-filtered by a
+    // bloom filter built from the filtered dimension (Spark's
+    // InjectRuntimeFilter). Local datasets sit under the production size
+    // thresholds, so the thresholds are lowered to observe the rewrite —
+    // the assertion is that our join SHAPES are eligible (equi-join keys,
+    // selective creation-side predicate), which is what survives scale-up.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def joined = {
+      val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      val ords = spark.read.parquet(s"${sf()}/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000)
+      li.join(ords, li("l_orderkey") === ords("o_orderkey"))
+    }
+    val expected = joined.count() // default plan, no runtime filter
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val j = joined
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$opt")
+      assert(opt.contains("bloom_filter_agg"),
+        s"no bloom filter built from the filtered dim:\n$opt")
+      assert(j.count() == expected) // the rewrite must not change results
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables sort-merge join with zero exchange") {
     val orders = spark.read.parquet(s"${sf()}/orders.parquet")
     val lineitem = spark.read.parquet(s"${sf()}/lineitem.parquet")

@@ -202,6 +202,26 @@ object PipelineConfig {
         shingleLength = o.intOpt("shingleLength").getOrElse(3),
         numHashTables = o.intOpt("numHashTables").getOrElse(5),
         caseSensitive = o.bool("caseSensitive"))
+    case "DeduplicateTransform" =>
+      DeduplicateTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        idField = o.req("idField"), textField = o.str("textField", ""),
+        method = o.str("method", "exact"), keyFields = o.strList("keyFields"),
+        threshold = o.dbl("threshold", 0.8),
+        shingleLength = o.intOpt("shingleLength").getOrElse(3),
+        persist = o.bool("persist"))
+    case "DecontaminateTransform" =>
+      DecontaminateTransform(o.req("name"), o.req("inputView"), o.req("evalView"),
+        o.req("outputView"), idField = o.req("idField"), textField = o.req("textField"),
+        evalTextField = o.str("evalTextField", ""),
+        ngram = o.intOpt("ngram").getOrElse(8),
+        action = o.str("action", "filter"), persist = o.bool("persist"))
+    case "SampleTransform" =>
+      SampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        method = o.str("method", "hash"), keyField = o.req("keyField"),
+        rate = o.dbl("rate", 0.1), weightField = o.str("weightField", ""),
+        strataFields = o.strList("strataFields"), fractions = o.dblMap("fractions"),
+        cap = o.intOpt("cap").getOrElse(0), salt = o.str("salt", ""),
+        persist = o.bool("persist"))
     case "MetadataTransform" =>
       MetadataTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         fieldMetadata = (o.jv \ "fieldMetadata") match {
@@ -305,6 +325,13 @@ object PipelineConfig {
     }.getOrElse(Nil)
     def strMap(k: String): Map[String, String] = obj.get(k).collect {
       case JObject(kvs) => kvs.collect { case (key, JString(v)) => key -> v }.toMap
+    }.getOrElse(Map.empty)
+    def dblMap(k: String): Map[String, Double] = obj.get(k).collect {
+      case JObject(kvs) => kvs.collect {
+        case (key, JDouble(v)) => key -> v
+        case (key, JInt(v))    => key -> v.toDouble
+        case (key, JString(v)) => key -> v.toDouble
+      }.toMap
     }.getOrElse(Map.empty)
     def allStrings: Map[String, String] = obj.collect { case (k, JString(v)) => k -> v }
     def watermark: Option[graft.extract.Watermark] = obj.get("watermark").collect {

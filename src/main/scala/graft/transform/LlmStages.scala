@@ -1,0 +1,135 @@
+package graft.transform
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{PipelineContext, Stage}
+import graft.llm.{Decontaminate, Dedup, Sampling, TextStats}
+
+/** Pipeline-surface wrappers for the training-data operators, so the
+  * magic-cell / HOCON config surface (the reference's user-facing layer —
+  * `/root/reference/src/main/scala/ai/tripl/arc/jupyter/ArcInterpreter.scala`
+  * executes stages, not library calls) can run dedup, decontamination and
+  * sampling without writing Scala. Thin: each stage resolves views and
+  * delegates to the `graft.llm` engine, so the REPL path and the library
+  * path execute identical plans.
+  */
+final case class DeduplicateTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    idField: String,
+    textField: String = "",
+    method: String = "exact",
+    keyFields: Seq[String] = Nil,
+    threshold: Double = 0.8,
+    shingleLength: Int = 3,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "DeduplicateTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = method match {
+      case "exact" =>
+        val keys = if (keyFields.nonEmpty) keyFields else Seq(textField)
+        require(keys.forall(_.nonEmpty), s"$name: exact dedup needs keyFields or textField")
+        Dedup.exact(in, keys, tiebreaker = idField)
+      case "normalized" =>
+        // near-exact at exact cost: group key is the normalized-text hash
+        require(textField.nonEmpty, s"$name: normalized dedup needs textField")
+        Dedup.exact(
+          in.withColumn("_nfp", xxhash64(TextStats.normalize(col(textField)))),
+          Seq("_nfp"), tiebreaker = idField).drop("_nfp")
+      case "minhash" =>
+        require(textField.nonEmpty, s"$name: minhash dedup needs textField")
+        Dedup.minhashDedup(in, idField, textField,
+          shingleLen = shingleLength, threshold = threshold)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown dedup method '$other' (exact|normalized|minhash)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** Flag or drop training rows sharing a word n-gram with an eval view —
+  * [[graft.llm.Decontaminate]] behind the config surface. `action=filter`
+  * outputs only clean rows; `action=flag` keeps all rows and appends
+  * `n_matched` (0 for clean rows).
+  */
+final case class DecontaminateTransform(
+    name: String,
+    inputView: String,
+    evalView: String,
+    outputView: String,
+    idField: String,
+    textField: String,
+    evalTextField: String = "",
+    ngram: Int = 8,
+    action: String = "filter",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "DecontaminateTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val train = ctx.view(inputView)
+    val eval = ctx.view(evalView)
+    val evalText = if (evalTextField.nonEmpty) evalTextField else textField
+    val out = action match {
+      case "filter" =>
+        Decontaminate.clean(train, idField, textField, eval, evalText, n = ngram)
+      case "flag" =>
+        train
+          .join(Decontaminate.overlap(train, idField, textField, eval, evalText, n = ngram),
+            Seq(idField), "left")
+          .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      case other =>
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|flag)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** Deterministic sampling behind the config surface —
+  * [[graft.llm.Sampling]]. Methods: `hash` (rate), `weighted` (per-row
+  * weightField), `stratified` (rate within strataFields), `mixture`
+  * (per-group fractions toward a target mix), `groupCap` (at most cap rows
+  * per group, ordered by idField).
+  */
+final case class SampleTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String = "hash",
+    keyField: String = "",
+    rate: Double = 0.1,
+    weightField: String = "",
+    strataFields: Seq[String] = Nil,
+    fractions: Map[String, Double] = Map.empty,
+    cap: Int = 0,
+    salt: String = "",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "SampleTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    require(keyField.nonEmpty, s"$name: keyField is required (deterministic sampling key)")
+    val out = method match {
+      case "hash" => Sampling.hashSample(in, col(keyField), rate, salt)
+      case "weighted" =>
+        require(weightField.nonEmpty, s"$name: weighted sampling needs weightField")
+        Sampling.weightedHashSample(in, col(keyField), col(weightField), salt)
+      case "stratified" =>
+        require(strataFields.nonEmpty, s"$name: stratified sampling needs strataFields")
+        Sampling.stratifiedExact(in, strataFields, col(keyField), rate, salt)
+      case "mixture" =>
+        require(strataFields.size == 1, s"$name: mixture sampling needs exactly one strata field")
+        Sampling.mixtureExact(in, strataFields.head, fractions, rate, col(keyField), salt)
+      case "groupCap" =>
+        require(strataFields.nonEmpty && cap > 0, s"$name: groupCap needs strataFields and cap > 0")
+        Sampling.groupCap(in, strataFields, Seq(col(keyField)), cap)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}

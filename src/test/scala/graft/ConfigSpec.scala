@@ -89,6 +89,74 @@ class ConfigSpec extends SparkSpec {
     assert(spark.table("hocon_out").count() == 5)
   }
 
+  test("LLM stages run from a config cell: dedup -> decontaminate -> sample") {
+    val hocon =
+      s"""{
+        stages: [
+          {
+            type = "ParquetExtract"
+            name = "extract docs"
+            inputURI = "${sf()}/documents.parquet"
+            outputView = llm_docs
+          }
+          {
+            type = "DeduplicateTransform"
+            name = "normalized dedup"
+            inputView = llm_docs
+            outputView = llm_deduped
+            idField = doc_id
+            textField = text
+            method = normalized
+          }
+          {
+            type = "SQLTransform"
+            name = "eval slice"
+            sql = "SELECT * FROM llm_docs WHERE doc_id % 17 = 0"
+            outputView = llm_eval
+          }
+          {
+            type = "DecontaminateTransform"
+            name = "decontaminate"
+            inputView = llm_deduped
+            evalView = llm_eval
+            outputView = llm_clean
+            idField = doc_id
+            textField = text
+            ngram = 4
+            action = flag
+          }
+          {
+            type = "SampleTransform"
+            name = "mixture"
+            inputView = llm_clean
+            outputView = llm_mixed
+            method = mixture
+            keyField = doc_id
+            strataFields = [source]
+            fractions = { src0 = 0.5 }
+            rate = 0.1
+          }
+        ]
+      }"""
+    val ctx = new PipelineContext(spark)
+    val out = Runner.run(PipelineConfig.parse(hocon), ctx)
+    assert(out.isDefined)
+    val clean = spark.table("llm_clean")
+    assert(clean.columns.contains("n_matched"))
+    // eval members flag themselves (every 4-gram overlaps), train rows vary
+    assert(clean.filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 0)
+      .filter(org.apache.spark.sql.functions.col("n_matched") === 0).count() == 0)
+    val mixed = spark.table("llm_mixed")
+    assert(mixed.count() > 0 && mixed.count() < clean.count())
+    // mixture: src0 kept at 50%, others at the 10% default rate
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = clean.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == math.ceil(totals("src0") * 0.5).toLong)
+    assert(bySrc("src1") == math.ceil(totals("src1") * 0.1).toLong)
+  }
+
   test("HOCON substitutions resolve against session params") {
     val hocon =
       s"""stages = [

@@ -276,4 +276,38 @@ class StreamingSpec extends SparkSpec {
     assert(sFp == bFp, s"stream kept ${sFp.size} fingerprints, batch ${bFp.size}")
     assert(sFp.nonEmpty)
   }
+
+  test("streaming ingest against a persistent MinHash index via foreachBatch") {
+    // The daily-ingest loop as a stream: each micro-batch dedups against the
+    // SAVED corpus index (MinhashIndex.dedupAgainst is plain batch logic, so
+    // it runs inside foreachBatch — the standard pattern for joining a
+    // stream against slowly-changing reference data too big to broadcast).
+    val dir = java.nio.file.Files.createTempDirectory("mhstream").toString
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("doc_id") < 400).select(col("doc_id"), col("text"))
+    graft.llm.MinhashIndex.write(corpus, "doc_id", "text", s"$dir/idx")
+    // incoming batch: 30 verbatim copies of corpus docs + the novel tail
+    val incoming = corpus.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+      .unionByName(spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") >= 400).select(col("doc_id"), col("text")))
+    incoming.write.mode("overwrite").parquet(s"$dir/in")
+    val kept = new java.util.concurrent.atomic.AtomicLong(-1)
+    val copies = new java.util.concurrent.atomic.AtomicLong(-1)
+    val q = spark.readStream.schema(incoming.schema).parquet(s"$dir/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val surv = graft.llm.MinhashIndex.dedupAgainst(batch, "doc_id", "text", s"$dir/idx")
+        kept.set(surv.count())
+        copies.set(surv.filter(col("doc_id") >= 5000).count())
+        (): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(copies.get() == 0L, s"${copies.get()} verbatim copies survived the ingest filter")
+    // novel docs may legitimately near-dup the corpus; just require the
+    // filter actually let novel content through
+    assert(kept.get() > 0L, "ingest filter dropped every novel doc")
+  }
 }

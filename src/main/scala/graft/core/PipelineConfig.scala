@@ -246,7 +246,8 @@ object PipelineConfig {
         saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),
         partitionBy = o.strList("partitionBy"), clusterBy = o.strList("clusterBy"),
         zOrderBy = o.strList("zOrderBy"),
-        zOrderSampleFraction = o.dbl("zOrderSampleFraction", 1.0))
+        zOrderSampleFraction = o.dbl("zOrderSampleFraction", 1.0),
+        dynamicPartitionOverwrite = o.bool("dynamicPartitionOverwrite"))
     case "ORCLoad" =>
       ORCLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"),

@@ -33,6 +33,14 @@ trait FileLoad extends Stage {
     * boundaries.
     */
   def zOrderSampleFraction: Double = 1.0
+  /** With saveMode=Overwrite and partitionBy set, replace ONLY the
+    * partitions present in the input instead of truncating the whole
+    * dataset — the idempotent daily-ingest pattern (re-running a day's load
+    * rewrites that day's partitions and leaves the other 10 years alone).
+    * Maps to the per-writer `partitionOverwriteMode=dynamic` option, so the
+    * session-wide conf is untouched.
+    */
+  def dynamicPartitionOverwrite: Boolean = false
 
   protected def writer(ctx: PipelineContext): DataFrameWriter[Row] = {
     import org.apache.spark.sql.functions.col
@@ -48,7 +56,8 @@ trait FileLoad extends Stage {
         case (None, Nil)    => src
         case (None, by)     => src.repartition(by.map(col): _*)
       }
-    val w = shaped.write.mode(saveMode)
+    val w0 = shaped.write.mode(saveMode)
+    val w = if (dynamicPartitionOverwrite) w0.option("partitionOverwriteMode", "dynamic") else w0
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
   }
 }
@@ -62,7 +71,8 @@ final case class ParquetLoad(
     partitionBy: Seq[String] = Nil,
     override val clusterBy: Seq[String] = Nil,
     override val zOrderBy: Seq[String] = Nil,
-    override val zOrderSampleFraction: Double = 1.0
+    override val zOrderSampleFraction: Double = 1.0,
+    override val dynamicPartitionOverwrite: Boolean = false
 ) extends FileLoad {
   val stageType = "ParquetLoad"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
@@ -79,7 +89,8 @@ final case class ORCLoad(
     partitionBy: Seq[String] = Nil,
     override val clusterBy: Seq[String] = Nil,
     override val zOrderBy: Seq[String] = Nil,
-    override val zOrderSampleFraction: Double = 1.0
+    override val zOrderSampleFraction: Double = 1.0,
+    override val dynamicPartitionOverwrite: Boolean = false
 ) extends FileLoad {
   val stageType = "ORCLoad"
   def execute(ctx: PipelineContext): Option[DataFrame] = {

@@ -65,6 +65,28 @@ class LoadsSpec extends SparkSpec {
     assert(dirs.count(_.startsWith("n_regionkey=")) == 5)
   }
 
+  test("ParquetLoad dynamic partition overwrite replaces only the incoming partitions") {
+    val ctx = ctxWithNation()
+    val out = s"$tmp/nation_dpo"
+    ParquetLoad("l", "nation_src", out, partitionBy = Seq("n_regionkey")).execute(ctx)
+    // incremental batch: region 2 only, with rewritten names
+    spark.table("nation_src").filter(col("n_regionkey") === 2)
+      .withColumn("n_name", lit("REWRITTEN"))
+      .createOrReplaceTempView("nation_r2")
+    ParquetLoad("l2", "nation_r2", out, partitionBy = Seq("n_regionkey"),
+      dynamicPartitionOverwrite = true).execute(ctx)
+    val back = spark.read.parquet(out)
+    // all five regions still present — static overwrite would have truncated
+    assert(back.select(countDistinct(col("n_regionkey"))).head().getLong(0) == 5)
+    assert(back.count() == 25)
+    // region 2 was replaced, others untouched
+    assert(back.filter(col("n_regionkey") === 2 && col("n_name") =!= "REWRITTEN").count() == 0)
+    assert(back.filter(col("n_regionkey") =!= 2 && col("n_name") === "REWRITTEN").count() == 0)
+    // and WITHOUT the flag, overwrite truncates the whole dataset
+    ParquetLoad("l3", "nation_r2", out, partitionBy = Seq("n_regionkey")).execute(ctx)
+    assert(spark.read.parquet(out).select(countDistinct(col("n_regionkey"))).head().getLong(0) == 1)
+  }
+
   test("ORCLoad -> ORCExtract round-trip") {
     val ctx = ctxWithNation()
     ORCLoad("l", "nation_src", s"$tmp/nation_orc").execute(ctx)

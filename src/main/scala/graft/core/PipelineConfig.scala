@@ -208,6 +208,7 @@ object PipelineConfig {
         method = o.str("method", "exact"), keyFields = o.strList("keyFields"),
         threshold = o.dbl("threshold", 0.8),
         shingleLength = o.intOpt("shingleLength").getOrElse(3),
+        maxDistance = o.intOpt("maxDistance").getOrElse(3),
         persist = o.bool("persist"))
     case "DecontaminateTransform" =>
       DecontaminateTransform(o.req("name"), o.req("inputView"), o.req("evalView"),

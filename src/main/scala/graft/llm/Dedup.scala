@@ -232,6 +232,23 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Single-link SimHash dedup: drop the higher id of every pair within
+    * `maxDistance` Hamming bits — same keep-lowest semantics as
+    * [[minhashDedup]], over [[simhashPairs]]' capped banded candidates.
+    */
+  def simhashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 256
+  ): DataFrame = {
+    val losers = simhashPairs(df, idCol, textCol, maxDistance, maxBucketSize)
+      .select(col("idB").as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over near-duplicate pairs: iterative min-label
     * propagation WITH pointer-jumping. Neighbor propagation alone moves a
     * label one hop per round (a chain of length L would need L rounds — a

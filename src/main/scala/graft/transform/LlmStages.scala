@@ -23,6 +23,7 @@ final case class DeduplicateTransform(
     keyFields: Seq[String] = Nil,
     threshold: Double = 0.8,
     shingleLength: Int = 3,
+    maxDistance: Int = 3,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "DeduplicateTransform"
@@ -43,9 +44,12 @@ final case class DeduplicateTransform(
         require(textField.nonEmpty, s"$name: minhash dedup needs textField")
         Dedup.minhashDedup(in, idField, textField,
           shingleLen = shingleLength, threshold = threshold)
+      case "simhash" =>
+        require(textField.nonEmpty, s"$name: simhash dedup needs textField")
+        Dedup.simhashDedup(in, idField, textField, maxDistance = maxDistance)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown dedup method '$other' (exact|normalized|minhash)")
+          s"$name: unknown dedup method '$other' (exact|normalized|minhash|simhash)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

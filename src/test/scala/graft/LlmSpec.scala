@@ -19,6 +19,19 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"text".contains("today")).select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("simhashDedup drops near-dups within distance, keeps distinct docs") {
+    val out = Dedup.simhashDedup(docs, "id", "text", maxDistance = 8)
+    val kept = out.select("id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(3L)) // lowest of the cluster + the distinct doc
+    assert(!kept.contains(4L), "exact dup survived") // identical fingerprint
+    // stage surface reaches the same engine
+    val ctx = new graft.core.PipelineContext(spark)
+    docs.createOrReplaceTempView("simdocs")
+    graft.transform.DeduplicateTransform("d", "simdocs", "simdocs_out",
+      idField = "id", textField = "text", method = "simhash", maxDistance = 8).execute(ctx)
+    assert(spark.table("simdocs_out").select("id").as[Long].collect().toSet == kept)
+  }
+
   test("shingles are distinct ordered n-grams") {
     val sh = docs.filter($"id" === 3).select(Dedup.shingles($"text", 3).as("s")).head().getSeq[String](0)
     assert(sh.contains("completely different content"))

@@ -1110,6 +1110,24 @@ object SparkEntry {
           key = col("doc_id"), salt = "m1")
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
+    },
+    "q96_filtered_ann" -> withViews("embeddings") { (spark, ctx) =>
+      // Filtered retrieval: top-k cosine neighbors among corpus vectors
+      // passing a metadata predicate — the filter composes BEFORE scoring
+      // (Catalyst pushes it into the corpus scan), so the brute-force pass
+      // reads and scores only the eligible partition of the corpus. Same
+      // float-parity discipline as q35 (round 6dp, IEEE ops).
+      val em = ctx.view("embeddings")
+      graft.llm.Similarity
+        .bruteForceTopK(
+          em.filter(col("label").isin(0, 1, 2)), "vec_id", "embedding",
+          em.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .select(
+          col("query_id"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -1773,6 +1791,18 @@ object SparkEntry {
           FROM documents)
         SELECT doc_id, source FROM t
         WHERE rn <= CEIL(n * rate)
-        ORDER BY doc_id"""
+        ORDER BY doc_id""",
+    "q96_filtered_ann" ->
+      """SELECT query_id, rank, neighbor_id, score FROM (
+          SELECT q.vec_id AS query_id,
+                 c.vec_id AS neighbor_id,
+                 ROUND(LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT) AS rank
+          FROM embeddings c, embeddings q
+          WHERE q.vec_id < 5 AND c.label IN (0, 1, 2)) t
+        WHERE rank <= 3
+        ORDER BY query_id, rank"""
   )
 }

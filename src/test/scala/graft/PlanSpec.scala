@@ -83,6 +83,23 @@ class PlanSpec extends SparkSpec {
       s"duplicate signature exchanges not reused at runtime:\n$executed")
   }
 
+  test("weightedHashSample is a pure narrow map — zero exchanges") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = formatted(graft.llm.Sampling.weightedHashSample(
+      docs, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("n_chars").cast("double") / 1000.0, "w"))
+    assert(exchanges(plan) == 0, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("q96: the label filter pushes into the corpus scan below the ANN scoring") {
+    val plan = formatted(SparkEntry.queries("q96_filtered_ann")(spark, sf()))
+    // predicate reaches the parquet source, not a post-scan Filter only
+    assert(plan.contains("PushedFilters: [In(label"), plan)
+    // corpus side never shuffles for the scoring join (broadcast queries)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("runtime bloom filter: a selective dim filter reaches the fact scan side") {
     // At 100 TB the shuffle join's fact side should be pre-filtered by a
     // bloom filter built from the filtered dimension (Spark's

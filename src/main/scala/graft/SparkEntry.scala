@@ -1128,6 +1128,18 @@ object SparkEntry {
           col("neighbor_id"),
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
+    },
+    "q97_chunking" -> withViews("documents") { (spark, ctx) =>
+      // Context-window chunking (Chunking.chunkByTokens): 32-token windows,
+      // 8-token overlap — documents become training-window pieces in one
+      // narrow map + explode, no shuffle. Window COUNT arithmetic runs in
+      // IEEE doubles on both engines (same ceil((n-32)/24) tree).
+      graft.llm.Chunking
+        .chunkByTokens(ctx.view("documents").select(col("doc_id"), col("text")),
+          "text", chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunks"),
+          col("chunk_tokens"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
     }
   )
 
@@ -1803,6 +1815,25 @@ object SparkEntry {
           FROM embeddings c, embeddings q
           WHERE q.vec_id < 5 AND c.label IN (0, 1, 2)) t
         WHERE rank <= 3
-        ORDER BY query_id, rank"""
+        ORDER BY query_id, rank""",
+    "q97_chunking" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+          FROM documents
+        ), numbered AS (
+          SELECT doc_id, t,
+                 CAST(CEIL(GREATEST(0, len(t) - 32) / CAST(24 AS DOUBLE)) AS BIGINT) AS last_i
+          FROM toks
+        ), exploded AS (
+          SELECT doc_id, t, last_i, unnest(range(0, last_i + 1)) AS i
+          FROM numbered
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               last_i + 1 AS n_chunks,
+               CAST(LEAST(len(t) - i * 24, 32) AS BIGINT) AS chunk_tokens,
+               array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+        FROM exploded
+        ORDER BY doc_id, chunk_id"""
   )
 }

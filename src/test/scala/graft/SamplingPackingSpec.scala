@@ -102,6 +102,34 @@ class SamplingPackingSpec extends SparkSpec {
       Sampling.mixtureExact(docs, "source", Map("src0" -> 1.5), 0.1, col("doc_id")))
   }
 
+  test("chunkByTokens: windows, overlap, short docs, and reconstruction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens → 4 chunks at 32/8
+      (2L, "a b c"),                                   // shorter than one window
+      (3L, (1 to 32).map(i => s"x$i").mkString(" "))   // exactly one window
+    ).toDF("id", "text")
+    val out = graft.llm.Chunking.chunkByTokens(df, "text", chunkSize = 32, overlap = 8)
+      .orderBy("id", "chunk_id").collect()
+    val byId = out.groupBy(_.getLong(0))
+    assert(byId(1L).length == 4 && byId(1L).head.getLong(2) == 4)
+    assert(byId(2L).length == 1 && byId(2L).head.getString(3) == "a b c"
+      && byId(2L).head.getLong(4) == 3)
+    assert(byId(3L).length == 1 && byId(3L).head.getLong(4) == 32)
+    // consecutive chunks share exactly `overlap` tokens at the seam
+    val c = byId(1L).map(_.getString(3).split(" ").toSeq)
+    (0 until 3).foreach { i =>
+      assert(c(i).takeRight(8) == c(i + 1).take(8), s"seam $i overlap broken")
+    }
+    // stride-aligned reconstruction: drop each chunk's leading overlap
+    val rebuilt = (c.head ++ c.tail.flatMap(_.drop(8))).mkString(" ")
+    assert(rebuilt == (1 to 100).map(i => s"t$i").mkString(" "))
+    // chunk_tokens: full windows then the remainder (100 = 32 + 3*24 → last is 28)
+    assert(byId(1L).map(_.getLong(4)).toSeq == Seq(32L, 32L, 32L, 28L))
+    intercept[IllegalArgumentException](
+      graft.llm.Chunking.chunkByTokens(df, "text", chunkSize = 8, overlap = 8))
+  }
+
   test("packGreedy matches the sequential reference and respects maxTokens") {
     val maxTokens = 512L
     val withToks = docs

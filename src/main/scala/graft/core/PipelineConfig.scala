@@ -216,6 +216,11 @@ object PipelineConfig {
         evalTextField = o.str("evalTextField", ""),
         ngram = o.intOpt("ngram").getOrElse(8),
         action = o.str("action", "filter"), persist = o.bool("persist"))
+    case "ChunkTransform" =>
+      ChunkTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        textField = o.req("textField"),
+        chunkSize = o.intOpt("chunkSize").getOrElse(2048),
+        overlap = o.intOpt("overlap").getOrElse(0), persist = o.bool("persist"))
     case "SampleTransform" =>
       SampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         method = o.str("method", "hash"), keyField = o.req("keyField"),

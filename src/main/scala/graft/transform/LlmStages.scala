@@ -92,6 +92,27 @@ final case class DecontaminateTransform(
   }
 }
 
+/** Context-window chunking behind the config surface —
+  * [[graft.llm.Chunking.chunkByTokens]]: each input row becomes one row per
+  * token window (chunk_id, n_chunks, chunk_text, chunk_tokens; the text
+  * column is replaced by the chunk columns).
+  */
+final case class ChunkTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    textField: String,
+    chunkSize: Int = 2048,
+    overlap: Int = 0,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "ChunkTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val out = graft.llm.Chunking.chunkByTokens(ctx.view(inputView), textField, chunkSize, overlap)
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Deterministic sampling behind the config surface —
   * [[graft.llm.Sampling]]. Methods: `hash` (rate), `weighted` (per-row
   * weightField), `stratified` (rate within strataFields), `mixture`

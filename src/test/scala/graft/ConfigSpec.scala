@@ -126,6 +126,15 @@ class ConfigSpec extends SparkSpec {
             action = flag
           }
           {
+            type = "ChunkTransform"
+            name = "chunk"
+            inputView = llm_clean
+            outputView = llm_chunked
+            textField = text
+            chunkSize = 32
+            overlap = 8
+          }
+          {
             type = "SampleTransform"
             name = "mixture"
             inputView = llm_clean
@@ -146,6 +155,9 @@ class ConfigSpec extends SparkSpec {
     // eval members flag themselves (every 4-gram overlaps), train rows vary
     assert(clean.filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 0)
       .filter(org.apache.spark.sql.functions.col("n_matched") === 0).count() == 0)
+    val chunked = spark.table("llm_chunked")
+    assert(chunked.count() >= clean.count(), "chunking must not lose documents")
+    assert(chunked.columns.contains("chunk_text") && !chunked.columns.contains("text"))
     val mixed = spark.table("llm_mixed")
     assert(mixed.count() > 0 && mixed.count() < clean.count())
     // mixture: src0 kept at 50%, others at the 10% default rate

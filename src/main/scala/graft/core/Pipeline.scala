@@ -96,6 +96,17 @@ trait LifecycleHook {
   def after(stage: Stage, index: Int, total: Int, result: Option[DataFrame]): Unit
 }
 
+/** Dynamic parameter provider — the analog of the reference's config
+  * plugins (`%configplugin`, ArcInterpreter.scala:259-261): a classpath
+  * class whose values are merged into the session parameters at
+  * registration, so later cells resolve them via `${key}` substitution
+  * (the reference uses these for e.g. secret/endpoint resolution; under
+  * zero egress ours resolve from code or the local environment only).
+  */
+trait ConfigPlugin {
+  def values(environment: String): Map[String, String]
+}
+
 /** Raised by validate stages; aborts the pipeline (SURVEY.md §2.2 SQLValidate). */
 final class ValidationException(message: String) extends RuntimeException(message)
 

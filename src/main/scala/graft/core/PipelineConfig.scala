@@ -76,6 +76,36 @@ object PipelineConfig {
     }
   }
 
+  /** A `%configplugin` cell: `plugins.config` entries (or a bare list /
+    * single object) instantiating [[ConfigPlugin]] classes — reference
+    * ArcInterpreter.scala:259-261 routes `%configplugin` into the same
+    * config parse as `%lifecycleplugin`.
+    */
+  def parseConfigCell(
+      json: String,
+      environment: String = "production",
+      params: Map[String, String] = Map.empty
+  ): Seq[ConfigPlugin] = {
+    val root =
+      try JsonMethods.parse(json)
+      catch { case _: Throwable => Hocon.parse(json, params) }
+    val entries = root \ "plugins" \ "config" match {
+      case JNothing => root
+      case nested   => nested
+    }
+    (entries match {
+      case JArray(xs) => xs
+      case o: JObject => List(o)
+      case JNothing   => Nil
+      case other => throw new IllegalArgumentException(s"'plugins.config' is not a list: $other")
+    }).flatMap { jv =>
+      val o = StageFields(jv)
+      val envs = o.strList("environments")
+      if (envs.nonEmpty && !envs.contains(environment)) None
+      else Some(instantiate[ConfigPlugin](o, classOf[ConfigPlugin], "config plugin"))
+    }
+  }
+
   private def parsePlugins(entries: JValue, environment: String): Seq[LifecycleHook] =
     (entries match {
       case JArray(xs)   => xs
@@ -89,16 +119,19 @@ object PipelineConfig {
       else Some(instantiateHook(o))
     }
 
-  private def instantiateHook(o: StageFields): LifecycleHook = {
+  private def instantiateHook(o: StageFields): LifecycleHook =
+    instantiate[LifecycleHook](o, classOf[LifecycleHook], "lifecycle plugin")
+
+  private def instantiate[T](o: StageFields, iface: Class[T], what: String): T = {
     val className = o.req("type")
     val cls =
       try Class.forName(className)
       catch {
         case _: ClassNotFoundException =>
-          throw new IllegalArgumentException(s"lifecycle plugin class not found on classpath: $className")
+          throw new IllegalArgumentException(s"$what class not found on classpath: $className")
       }
-    if (!classOf[LifecycleHook].isAssignableFrom(cls))
-      throw new IllegalArgumentException(s"$className does not implement graft.core.LifecycleHook")
+    if (!iface.isAssignableFrom(cls))
+      throw new IllegalArgumentException(s"$className does not implement ${iface.getName}")
     val pluginParams = o.allStrings - "type"
     val ctors = cls.getConstructors
     val inst = ctors.find(_.getParameterTypes.sameElements(Array(classOf[Map[_, _]])))
@@ -106,7 +139,7 @@ object PipelineConfig {
       .orElse(ctors.find(_.getParameterCount == 0).map(_.newInstance()))
       .getOrElse(throw new IllegalArgumentException(
         s"$className needs a (Map[String,String]) or no-arg public constructor"))
-    inst.asInstanceOf[LifecycleHook]
+    inst.asInstanceOf[T]
   }
 
   private def parseValue(

@@ -208,6 +208,20 @@ final class Interpreter(initialSpark: SparkSession) {
       ctx.hooks ++= plugins
       CellResult(success = true, text = s"${plugins.size} lifecycle plugin(s) registered")
 
+    case "configplugin" =>
+      // dynamic parameter providers (reference ArcInterpreter.scala:259-261):
+      // each plugin's values merge into the session params, so later cells
+      // resolve them via ${key}. Values are NOT echoed (they may be secrets).
+      val plugins = PipelineConfig.parseConfigCell(
+        if (body.nonEmpty) body else argLine,
+        environment = confEnvironment,
+        params = ctx.sqlParams)
+      val provided = plugins.flatMap(_.values(confEnvironment)).toMap
+      provided.foreach { case (k, v) => ctx.params(k) = graft.core.ConfigValue(v) }
+      CellResult(success = true,
+        text = s"${plugins.size} config plugin(s) registered, " +
+          s"${provided.size} parameter(s) provided: ${provided.keys.toSeq.sorted.mkString(", ")}")
+
     case "sqlvalidate" =>
       graft.validate.SQLValidate(args.getOrElse("name", "sqlvalidate"), body).execute(ctx)
       CellResult(success = true, text = "valid")
@@ -337,6 +351,7 @@ object Help {
       |%conf [numRows= truncate= streaming= streamingDuration= master= environment=]
       |                           — master= restarts the session; environment= filters %arc stages
       |%log                       — SQL result → structured log (visible via showLog=true)
+      |%lifecycleplugin / %configplugin — register classpath plugins (hooks / param providers)
       |%summary <view>            — per-column statistics
       |%arc / bare HOCON or JSON  — run a stage-config pipeline cell
       |%explain <view> [mode=]    — formatted physical plan of a view

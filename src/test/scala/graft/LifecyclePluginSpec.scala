@@ -87,4 +87,36 @@ class LifecyclePluginSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("does not implement"))
   }
+
+  test("%configplugin provides parameters to later cells via ${k}") {
+    val interp = new Interpreter(spark)
+    val r = interp.execute(
+      """%configplugin
+        |{plugins: {config: [{type = "graft.FixedParamsPlugin", base = "41"}]}}""".stripMargin)
+    assert(r.success, r.text)
+    assert(r.text.contains("1 config plugin(s) registered"), r.text)
+    assert(r.text.contains("answer"), r.text)
+    val r2 = interp.execute("%sql\nSELECT ${answer} AS a, '${env_name}' AS e")
+    assert(r2.success, r2.text)
+    assert(r2.text.contains("42") && r2.text.contains("production"), r2.text)
+  }
+
+  test("configplugin cells honor environments and reject non-plugins") {
+    assert(PipelineConfig.parseConfigCell(
+      """[{type = "graft.FixedParamsPlugin", environments = [dev]}]""").isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.parseConfigCell("""[{type = "graft.NoArgHook"}]""")
+    }
+    assert(e.getMessage.contains("does not implement"))
+  }
+}
+
+/** A classpath config plugin: computes a param from its construction args
+  * and reports the active environment (the zero-egress analog of the
+  * reference's dynamic config resolution).
+  */
+class FixedParamsPlugin(params: Map[String, String]) extends graft.core.ConfigPlugin {
+  def values(environment: String): Map[String, String] = Map(
+    "answer" -> (params.getOrElse("base", "0").toInt + 1).toString,
+    "env_name" -> environment)
 }

@@ -107,6 +107,22 @@ trait ConfigPlugin {
   def values(environment: String): Map[String, String]
 }
 
+/** Built-in [[ConfigPlugin]]: imports environment variables whose name
+  * starts with `prefix` (default `ETL_CONF_`, the reference's convention for
+  * pipeline configuration) as session parameters, prefix stripped — e.g.
+  * `ETL_CONF_BASE_URI` becomes `${BASE_URI}`.
+  */
+final class EnvConfigPlugin(params: Map[String, String]) extends ConfigPlugin {
+  def this() = this(Map.empty)
+  def values(environment: String): Map[String, String] = {
+    val prefix = params.getOrElse("prefix", "ETL_CONF_")
+    sys.env.collect {
+      case (k, v) if k.startsWith(prefix) && k.length > prefix.length =>
+        k.stripPrefix(prefix) -> v
+    }
+  }
+}
+
 /** Raised by validate stages; aborts the pipeline (SURVEY.md §2.2 SQLValidate). */
 final class ValidationException(message: String) extends RuntimeException(message)
 

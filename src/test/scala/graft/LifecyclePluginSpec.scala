@@ -101,6 +101,18 @@ class LifecyclePluginSpec extends SparkSpec {
     assert(r2.text.contains("42") && r2.text.contains("production"), r2.text)
   }
 
+  test("built-in EnvConfigPlugin imports prefixed environment variables") {
+    val hits = sys.env.keys.filter(_.startsWith("HO")).toSeq // e.g. HOME
+    assume(hits.nonEmpty)
+    val got = new graft.core.EnvConfigPlugin(Map("prefix" -> "HO")).values("production")
+    assert(got.keySet == hits.map(_.stripPrefix("HO")).toSet)
+    assert(got.forall { case (k, v) => sys.env("HO" + k) == v })
+    // default prefix: only ETL_CONF_ vars (none in the test env → empty)
+    val dflt = new graft.core.EnvConfigPlugin().values("production")
+    assert(dflt.keySet == sys.env.keySet.filter(_.startsWith("ETL_CONF_"))
+      .map(_.stripPrefix("ETL_CONF_")))
+  }
+
   test("configplugin cells honor environments and reject non-plugins") {
     assert(PipelineConfig.parseConfigCell(
       """[{type = "graft.FixedParamsPlugin", environments = [dev]}]""").isEmpty)

@@ -46,6 +46,23 @@ class DecontaminateSpec extends SparkSpec {
     val ev = Seq((9L, "zz yy xx ww vv uu")).toDF("id", "text")
     assert(Decontaminate.overlap(train, "id", "text", ev, "text", n = 4).count() == 0L)
   }
+
+  test("randomized corpus: clean and flagged partition the train set exactly") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def doc() = Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val tr = (0L until 200L).map(i => (i, doc())).toDF("id", "text")
+    val ev = (1000L until 1015L).map(i => (i, doc())).toDF("id", "text")
+    val trainIds = tr.select("id").as[Long].collect().toSet
+    val flagged = Decontaminate.overlap(tr, "id", "text", ev, "text", n = 5)
+      .select("id").as[Long].collect().toSet
+    val cleanIds = Decontaminate.clean(tr, "id", "text", ev, "text", n = 5)
+      .select("id").as[Long].collect().toSet
+    assert((flagged & cleanIds).isEmpty, "a doc was both flagged and clean")
+    assert((flagged | cleanIds) == trainIds, "a doc was neither flagged nor clean")
+    // small vocab → 5-gram collisions must actually occur, or the test is vacuous
+    assert(flagged.nonEmpty, "randomized corpus produced no overlap; weaken n")
+  }
 }
 
 class RelevanceSpec extends SparkSpec {

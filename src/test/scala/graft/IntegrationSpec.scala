@@ -127,4 +127,44 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rerun.exceptAll(packed).count() == 0 && packed.exceptAll(rerun).count() == 0,
       "pipeline is not deterministic across reruns")
   }
+
+  test("decontaminate -> chunk -> weighted sample -> pack compose deterministically") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Chunking, Decontaminate, Packing, Sampling}
+
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") % 17 === 0)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+
+    val clean = Decontaminate.clean(train, "doc_id", "text", evalSet, "text", n = 4)
+    assert(clean.count() > 0 && clean.count() < train.count(),
+      "decontamination should drop some but not all docs on this corpus")
+
+    val chunks = Chunking.chunkByTokens(clean, "text", chunkSize = 64, overlap = 8)
+      .withColumn("cid", col("doc_id") * 100 + col("chunk_id"))
+    assert(chunks.filter(col("chunk_tokens") > 64).count() == 0)
+    assert(chunks.select("doc_id").distinct().count() == clean.count(),
+      "chunking lost documents")
+
+    // longer chunks more likely kept — quality-weighted downsampling stand-in
+    val sampled = Sampling.weightedHashSample(
+      chunks, col("cid"), col("chunk_tokens").cast("double") / 64.0, salt = "it")
+    assert(sampled.count() > 0 && sampled.count() < chunks.count())
+
+    val packed = Packing.packGreedy(
+      sampled.withColumn("shard", pmod(col("doc_id"), lit(4))),
+      "shard", "cid", "chunk_tokens", maxTokens = 256)
+    val overflow = packed.groupBy("shard", "pack_id")
+      .agg(sum("chunk_tokens").as("fill"), count(lit(1)).as("n"))
+      .filter(col("fill") > 256 && col("n") > 1).count()
+    assert(overflow == 0, "a multi-chunk pack exceeds the window")
+
+    val rerun = Packing.packGreedy(
+      Sampling.weightedHashSample(
+        chunks, col("cid"), col("chunk_tokens").cast("double") / 64.0, salt = "it")
+        .withColumn("shard", pmod(col("doc_id"), lit(4))),
+      "shard", "cid", "chunk_tokens", maxTokens = 256)
+    assert(rerun.exceptAll(packed).count() == 0 && packed.exceptAll(rerun).count() == 0,
+      "composed pipeline is not deterministic")
+  }
 }

@@ -1140,6 +1140,19 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_id"), col("n_chunks"),
           col("chunk_tokens"), col("chunk_text"))
         .orderBy("doc_id", "chunk_id")
+    },
+    "q98_deterministic_shuffle" -> withViews("documents") { (spark, ctx) =>
+      // Deterministic training-order shuffle with explicit positions
+      // (GlobalOrder.withGlobalPosition): salted-md5 rank, reproducible
+      // across reruns/retries, computed WITHOUT a SinglePartition window
+      // (range repartition + per-partition offsets; plan pinned in
+      // PlanSpec). The oracle is the naive global ROW_NUMBER.
+      graft.core.GlobalOrder
+        .withGlobalPosition(
+          ctx.view("documents").select(col("doc_id")),
+          Seq(md5(concat(col("doc_id").cast("string"), lit("sh1"))), col("doc_id")))
+        .select(col("pos"), col("doc_id"))
+        .orderBy("pos")
     }
   )
 
@@ -1834,6 +1847,12 @@ object SparkEntry {
                CAST(LEAST(len(t) - i * 24, 32) AS BIGINT) AS chunk_tokens,
                array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
         FROM exploded
-        ORDER BY doc_id, chunk_id"""
+        ORDER BY doc_id, chunk_id""",
+    "q98_deterministic_shuffle" ->
+      """SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY MD5(CAST(doc_id AS VARCHAR) || 'sh1'), doc_id) - 1 AS BIGINT) AS pos,
+               doc_id
+        FROM documents
+        ORDER BY pos"""
   )
 }

@@ -249,6 +249,20 @@ object PipelineConfig {
         evalTextField = o.str("evalTextField", ""),
         ngram = o.intOpt("ngram").getOrElse(8),
         action = o.str("action", "filter"), persist = o.bool("persist"))
+    case "MinhashIndexLoad" =>
+      MinhashIndexLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
+        idField = o.req("idField"), textField = o.req("textField"),
+        shingleLength = o.intOpt("shingleLength").getOrElse(3),
+        bands = o.intOpt("bands").getOrElse(8),
+        rowsPerBand = o.intOpt("rowsPerBand").getOrElse(4),
+        maxBucketSize = o.intOpt("maxBucketSize").getOrElse(256))
+    case "IndexDedupTransform" =>
+      IndexDedupTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        indexURI = o.req("indexURI"), idField = o.req("idField"),
+        textField = o.req("textField"), threshold = o.dbl("threshold", 0.8),
+        action = o.str("action", "filter"),
+        maxCandidatesPerDoc = o.intOpt("maxCandidatesPerDoc").getOrElse(64),
+        persist = o.bool("persist"))
     case "ChunkTransform" =>
       ChunkTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"),

@@ -92,6 +92,62 @@ final case class DecontaminateTransform(
   }
 }
 
+/** Build and persist a [[graft.llm.MinhashIndex]] over a view — the
+  * corpus-side half of incremental ingest dedup (a Load in spirit: writes
+  * files, registers no view).
+  */
+final case class MinhashIndexLoad(
+    name: String,
+    inputView: String,
+    outputURI: String,
+    idField: String,
+    textField: String,
+    shingleLength: Int = 3,
+    bands: Int = 8,
+    rowsPerBand: Int = 4,
+    maxBucketSize: Int = 256
+) extends Stage {
+  val stageType = "MinhashIndexLoad"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    graft.llm.MinhashIndex.write(ctx.view(inputView), idField, textField, outputURI,
+      shingleLength, bands, rowsPerBand, maxBucketSize)
+    None
+  }
+}
+
+/** Ingest-side incremental dedup against a saved MinHash index: `filter`
+  * keeps only rows with no exact or near duplicate in the indexed corpus;
+  * `matches` outputs the (new_id, corpus_id, jaccard) match pairs instead.
+  */
+final case class IndexDedupTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    indexURI: String,
+    idField: String,
+    textField: String,
+    threshold: Double = 0.8,
+    action: String = "filter",
+    maxCandidatesPerDoc: Int = 64,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "IndexDedupTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = action match {
+      case "filter" =>
+        graft.llm.MinhashIndex.dedupAgainst(in, idField, textField, indexURI,
+          threshold, maxCandidatesPerDoc)
+      case "matches" =>
+        graft.llm.MinhashIndex.matches(in, idField, textField, indexURI,
+          threshold, maxCandidatesPerDoc)
+      case other =>
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|matches)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Context-window chunking behind the config surface —
   * [[graft.llm.Chunking.chunkByTokens]]: each input row becomes one row per
   * token window (chunk_id, n_chunks, chunk_text, chunk_tokens; the text

@@ -499,5 +499,14 @@ class MinhashIndexSpec extends SparkSpec {
     val kept = graft.llm.MinhashIndex.dedupAgainst(batch, "doc_id", "text", path, threshold = 0.7)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1002L), s"want only the novel doc kept, got $kept")
+    // the config-surface stages drive the same engine
+    val ctx = new graft.core.PipelineContext(spark)
+    corpus.createOrReplaceTempView("mh_corpus")
+    batch.createOrReplaceTempView("mh_batch")
+    graft.transform.MinhashIndexLoad("b", "mh_corpus", s"$path-stage",
+      idField = "doc_id", textField = "text", maxBucketSize = 4).execute(ctx)
+    graft.transform.IndexDedupTransform("f", "mh_batch", "mh_kept", s"$path-stage",
+      idField = "doc_id", textField = "text", threshold = 0.7).execute(ctx)
+    assert(spark.table("mh_kept").select("doc_id").as[Long].collect().toSet == kept)
   }
 }

@@ -100,6 +100,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("globalPosition never plans a SinglePartition window over the data") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id")
+    val ranked = graft.core.GlobalOrder.withGlobalPosition(
+      docs, Seq(md5(concat(col("doc_id").cast("string"), lit("s"))), col("doc_id")))
+    val plan = formatted(ranked)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    // positions are the exact permutation 0..n-1
+    val pos = ranked.select("pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (0L until pos.length).toSeq)
+  }
+
   test("runtime bloom filter: a selective dim filter reaches the fact scan side") {
     // At 100 TB the shuffle join's fact side should be pre-filtered by a
     // bloom filter built from the filtered dimension (Spark's

@@ -40,6 +40,28 @@ object Completions {
       "{plugins: {lifecycle: [\n" +
         "  {type = \"my.pkg.HookClass\", environments = [production]}\n" +
         "]}}"),
+    Completion("%configplugin",
+      "{plugins: {config: [\n" +
+        "  {type = \"graft.core.EnvConfigPlugin\", prefix = \"ETL_CONF_\"}\n" +
+        "]}}"),
+    Completion("DeduplicateTransform",
+      "{type = \"DeduplicateTransform\", name = \"dedup\", inputView = \"v\", outputView = \"v2\",\n" +
+        " idField = \"id\", textField = \"text\", method = \"minhash\", threshold = 0.8}"),
+    Completion("DecontaminateTransform",
+      "{type = \"DecontaminateTransform\", name = \"decon\", inputView = \"train\", evalView = \"eval\",\n" +
+        " outputView = \"clean\", idField = \"id\", textField = \"text\", ngram = 8, action = \"filter\"}"),
+    Completion("SampleTransform",
+      "{type = \"SampleTransform\", name = \"sample\", inputView = \"v\", outputView = \"v2\",\n" +
+        " method = \"hash\", keyField = \"id\", rate = 0.1}"),
+    Completion("ChunkTransform",
+      "{type = \"ChunkTransform\", name = \"chunk\", inputView = \"v\", outputView = \"v2\",\n" +
+        " textField = \"text\", chunkSize = 2048, overlap = 0}"),
+    Completion("MinhashIndexLoad",
+      "{type = \"MinhashIndexLoad\", name = \"index\", inputView = \"corpus\", outputURI = \"/path/idx\",\n" +
+        " idField = \"id\", textField = \"text\"}"),
+    Completion("IndexDedupTransform",
+      "{type = \"IndexDedupTransform\", name = \"ingest\", inputView = \"batch\", outputView = \"kept\",\n" +
+        " indexURI = \"/path/idx\", idField = \"id\", textField = \"text\", action = \"filter\"}"),
     Completion("%explain", "%explain viewName mode=formatted"),
     Completion("%version", "%version"),
     Completion("%help", "%help")

@@ -1153,7 +1153,131 @@ object SparkEntry {
           Seq(md5(concat(col("doc_id").cast("string"), lit("sh1"))), col("doc_id")))
         .select(col("pos"), col("doc_id"))
         .orderBy("pos")
-    }
+    },
+    "q99_segment_dedup" -> withViews("documents") { (spark, ctx) =>
+      // Paragraph/segment-level dedup stats (Dedup.segmentDupStats,
+      // CCNet/C4-style): docs scored by how many of their 8-word segments
+      // occur in other docs. Text never shuffles — only (doc_id, md5) pairs.
+      graft.llm.Dedup
+        .segmentDupStats(ctx.view("documents"), "doc_id", "text", segWords = 8)
+        .orderBy("doc_id")
+    },
+    "q100_vocab_topk" -> withViews("documents") { (spark, ctx) =>
+      // Corpus vocabulary build (Relevance.vocabulary): global top-50 tokens.
+      // One map-side-combined shuffle on token; the sort-limit runs over the
+      // distinct-token table only (TakeOrderedAndProject).
+      graft.llm.Relevance
+        .vocabulary(ctx.view("documents"), "text", 50)
+        .select(col("token"), col("n"), col("rank"))
+        .orderBy("rank")
+    },
+    "q101_resample_interpolate" -> withViews("events") { (spark, ctx) =>
+      // Time-series resample to a 6-hour grid with linear interpolation
+      // (Resample.resampleLinear): grid via per-key bounds agg + sequence()
+      // explode, surrounding observations via IGNORE NULLS windows,
+      // interpolation in exact epoch-micros + one IEEE divide (oracle-exact).
+      graft.operators.Resample
+        .resampleLinear(
+          ctx.view("events").filter(col("event_type") === "click"),
+          "user_id", "ts", "value", step = "6 hours")
+        .orderBy("user_id", "ts")
+    },
+    "q102_stats_profile" -> pipe("lineitem")(
+      // Correlation / covariance / regression-slope profile per group, all
+      // derived from EXACT integer power sums over cent units (a straight
+      // corr() over doubles is partition-order-dependent and would not
+      // oracle-match); the final combining arithmetic is the same IEEE
+      // expression tree on both engines. Cent units (scale-0 decimals)
+      // rather than DECIMAL(18,2) sums because a scaled decimal whose
+      // unscaled value exceeds 2^53 is cast to DOUBLE by dividing — TWO
+      // roundings in DuckDB vs one in Spark/BigDecimal; a scale-0 decimal is
+      // one correctly-rounded conversion in both. This is also how corr
+      // aggregates distribute: five power sums, one partial+final agg.
+      """WITH c AS (
+           SELECT l_returnflag,
+                  CAST(FLOOR(l_quantity * 100) AS BIGINT) AS qc,
+                  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS pc
+           FROM lineitem),
+         s AS (
+           SELECT l_returnflag,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(qc) AS DOUBLE) AS sx,
+                  CAST(SUM(pc) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(qc AS DECIMAL(19,0)) * CAST(qc AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(pc AS DECIMAL(19,0)) * CAST(pc AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+                  CAST(SUM(CAST(qc AS DECIMAL(19,0)) * CAST(pc AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+           FROM c GROUP BY l_returnflag)
+         SELECT l_returnflag,
+                (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+                ((n * sxy - sx * sy) / (n * n)) / 10000.0 AS covar_pop,
+                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope
+         FROM s ORDER BY l_returnflag"""
+    ),
+    "q103_late_supplier_chain" -> pipe("supplier", "lineitem", "orders")(
+      // TPC-H Q21 shape (adapted to this schema: lateness = shipped >60 days
+      // after order date): join + EXISTS + NOT-EXISTS-with-join, the classic
+      // multi-semijoin optimizer stress. Catalyst plans both subqueries as
+      // hash semi/anti joins on l_orderkey — no per-row re-execution.
+      """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         WHERE o.o_orderstatus = 'F'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 20"""
+    ),
+    "q104_min_cost_supplier" -> pipe("part", "lineitem", "supplier")(
+      // TPC-H Q2 shape: correlated scalar MIN subquery selecting, per part,
+      // the supplier(s) quoting the minimum unit price. Catalyst decorrelates
+      // to an aggregate + join; unit-price division is per-row IEEE double
+      // (bit-identical across engines).
+      """SELECT p.p_partkey, p.p_name, s.s_name, l.l_extendedprice / l.l_quantity AS unit_price
+         FROM part p
+         JOIN lineitem l ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         WHERE p.p_size <= 5
+           AND l.l_quantity > 0
+           AND l.l_extendedprice / l.l_quantity = (
+             SELECT MIN(l2.l_extendedprice / l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey AND l2.l_quantity > 0)
+         ORDER BY p_partkey, s_name, unit_price"""
+    ),
+    "q105_profit_by_nation" -> pipe("lineitem", "part", "supplier", "nation", "orders")(
+      // TPC-H Q9 shape: 5-way join with a LIKE filter on the dimension and a
+      // per-nation-per-year profit rollup. Every term is cast to
+      // DECIMAL(30,6) (scales ≤ 5, so the casts never round) before the
+      // subtraction/sum so the aggregate is exact on both engines.
+      """SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+                CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(30,6))
+                         - CAST(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(p.p_retailprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * CAST(0.1 AS DECIMAL(2,1)) AS DECIMAL(30,6))) AS DOUBLE) AS profit
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE p.p_name LIKE '%a%'
+         GROUP BY n.n_name, YEAR(o.o_orderdate)
+         ORDER BY nation, o_year"""
+    ),
+    "q106_argmax_by" -> pipe("customer", "nation")(
+      // argmax/argmin per group via max_by/min_by over a composite ordering
+      // struct (deterministic tie-break on the key). The oracle expresses the
+      // same thing as MAX/MIN of a struct — both are one partial+final agg.
+      """SELECT n.n_name,
+                max_by(c.c_name, named_struct('bal', c.c_acctbal, 'key', c.c_custkey)) AS top_customer,
+                MAX(c.c_acctbal) AS top_balance,
+                min_by(c.c_name, named_struct('bal', c.c_acctbal, 'key', c.c_custkey)) AS bottom_customer
+         FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+         GROUP BY n.n_name
+         ORDER BY n_name"""
+    )
   )
 
   // ---------------------------------------------------------------------------
@@ -1854,5 +1978,131 @@ object SparkEntry {
                doc_id
         FROM documents
         ORDER BY pos"""
+  ,
+    "q99_segment_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         segs AS (
+           SELECT doc_id, md5(array_to_string(w[((i-1)*8+1):(i*8)], ' ')) AS h
+           FROM words, LATERAL (SELECT UNNEST(generate_series(1, CAST(CEIL(len(w)/8.0) AS BIGINT))) AS i) t
+         ),
+         freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY h)
+         SELECT s.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_segments,
+                CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_segments
+         FROM segs s JOIN freq f ON s.h = f.h
+         GROUP BY s.doc_id
+         HAVING SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) > 0
+         ORDER BY doc_id""",
+    "q100_vocab_topk" ->
+      """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+         counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok WHERE token <> '' GROUP BY token),
+         ranked AS (SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank FROM counts)
+         SELECT token, n, rank FROM ranked WHERE rank <= 50 ORDER BY rank""",
+    "q101_resample_interpolate" ->
+      """WITH obs AS (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+         ),
+         bounds AS (
+           SELECT user_id,
+                  date_trunc('day', MIN(ts)) + INTERVAL 1 DAY AS t0,
+                  date_trunc('day', MAX(ts)) AS t1
+           FROM obs GROUP BY user_id
+           HAVING date_trunc('day', MIN(ts)) + INTERVAL 1 DAY <= date_trunc('day', MAX(ts))
+         ),
+         grid AS (
+           SELECT user_id, UNNEST(generate_series(t0, t1, INTERVAL 6 HOUR)) AS gts FROM bounds
+         ),
+         merged AS (
+           SELECT user_id, gts AS ts, NULL AS value, TRUE AS is_grid FROM grid
+           UNION ALL
+           SELECT user_id, ts, value, FALSE AS is_grid FROM obs
+         ),
+         w AS (
+           SELECT user_id, ts, is_grid,
+             LAST_VALUE(CASE WHEN NOT is_grid THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN NOT is_grid THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             FIRST_VALUE(CASE WHEN NOT is_grid THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN NOT is_grid THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM merged
+         )
+         SELECT user_id, ts,
+           CASE WHEN pt IS NULL THEN nv
+                WHEN nt IS NULL THEN pv
+                WHEN nt = pt THEN pv
+                ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+           END AS interp_value
+         FROM w WHERE is_grid
+         ORDER BY user_id, ts""",
+    "q102_stats_profile" ->
+      """WITH c AS (
+           SELECT l_returnflag,
+                  CAST(FLOOR(l_quantity * 100) AS BIGINT) AS qc,
+                  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS pc
+           FROM lineitem),
+         s AS (
+           SELECT l_returnflag,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(qc) AS DOUBLE) AS sx,
+                  CAST(SUM(pc) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(qc AS DECIMAL(19,0)) * CAST(qc AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(pc AS DECIMAL(19,0)) * CAST(pc AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+                  CAST(SUM(CAST(qc AS DECIMAL(19,0)) * CAST(pc AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+           FROM c GROUP BY l_returnflag)
+         SELECT l_returnflag,
+                (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+                ((n * sxy - sx * sy) / (n * n)) / 10000.0 AS covar_pop,
+                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope
+         FROM s ORDER BY l_returnflag""",
+    "q103_late_supplier_chain" ->
+      """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         WHERE o.o_orderstatus = 'F'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 20""",
+    "q104_min_cost_supplier" ->
+      """SELECT p.p_partkey, p.p_name, s.s_name, l.l_extendedprice / l.l_quantity AS unit_price
+         FROM part p
+         JOIN lineitem l ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         WHERE p.p_size <= 5
+           AND l.l_quantity > 0
+           AND l.l_extendedprice / l.l_quantity = (
+             SELECT MIN(l2.l_extendedprice / l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey AND l2.l_quantity > 0)
+         ORDER BY p_partkey, s_name, unit_price""",
+    "q105_profit_by_nation" ->
+      """SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+                CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(30,6))
+                         - CAST(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(p.p_retailprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * CAST(0.1 AS DECIMAL(2,1)) AS DECIMAL(30,6))) AS DOUBLE) AS profit
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE p.p_name LIKE '%a%'
+         GROUP BY n.n_name, YEAR(o.o_orderdate)
+         ORDER BY nation, o_year""",
+    "q106_argmax_by" ->
+      """WITH g AS (
+           SELECT n.n_name,
+                  MAX({'bal': c.c_acctbal, 'key': c.c_custkey, 'nm': c.c_name}) AS mx,
+                  MIN({'bal': c.c_acctbal, 'key': c.c_custkey, 'nm': c.c_name}) AS mn
+           FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+           GROUP BY n.n_name)
+         SELECT n_name, mx.nm AS top_customer, mx.bal AS top_balance, mn.nm AS bottom_customer
+         FROM g ORDER BY n_name"""
   )
 }

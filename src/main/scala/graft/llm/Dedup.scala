@@ -34,6 +34,55 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Segment-level duplication stats (CCNet/C4-style paragraph dedup, scored
+    * at document granularity): cut each document into consecutive
+    * `segWords`-word segments, fingerprint every segment (md5 — cheap, stable
+    * across engines), and count how many of a document's segments also occur
+    * in at least one OTHER document.
+    *
+    * Shape at scale: explode → one shuffle keyed on the 128-bit segment hash
+    * for the global frequency aggregate (partial map-side combine collapses
+    * repeats before the exchange), then one shuffle back on the doc id. Text
+    * itself never shuffles — only (doc_id, hash) pairs. A boilerplate segment
+    * shared by millions of docs is a single hot aggregate key (fine under
+    * partial agg) and never a join: the frequency table is joined back by
+    * hash with counts only.
+    *
+    * Output: `idCol, n_segments, n_shared_segments` for documents with at
+    * least one shared segment.
+    */
+  def segmentDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWords: Int = 8): DataFrame = {
+    val segs = df
+      .select(
+        col(idCol),
+        explode(
+          graft.functions.Let.bind(
+            split(col(textCol), " "),
+            w =>
+              transform(
+                TextStats.safeSeq(ceil(size(w).cast("double") / segWords).cast("int")),
+                i => md5(concat_ws(" ", slice(w, (i - 1) * segWords + 1, lit(segWords))))
+              )
+          )
+        ).as("_h"))
+
+    val freq = segs
+      .groupBy(col("_h"))
+      .agg(count_distinct(col(idCol)).as("_nd"))
+
+    segs
+      .join(freq, "_h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_shared_segments"))
+      .filter(col("n_shared_segments") > 0)
+  }
+
   /** Normalized word tokens. */
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)

@@ -43,6 +43,31 @@ object Relevance {
   def docFreq(termCounts: DataFrame, idCol: String): DataFrame =
     termCounts.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
 
+  /** Global vocabulary: the top-k tokens corpus-wide with total counts and a
+    * dense 1-based rank (ties broken lexicographically — deterministic).
+    * Tokenization is a raw single-space split (the corpus-count view of the
+    * text, matching [[Dedup.segmentDupStats]]), not the lowercased term
+    * normalization above.
+    *
+    * Shape at scale: explode → ONE shuffle on token for the partial+final
+    * count (map-side combine collapses each partition's repeats first, so
+    * the exchange carries ≈ distinct-tokens-per-partition rows, not corpus
+    * tokens), then a top-k sort over the distinct-token table only. The
+    * final global sort-limit runs on |vocab| rows, not |corpus| — Spark
+    * plans it as TakeOrderedAndProject, no single-partition sort of data.
+    */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select(explode(filter(split(col(textCol), " "), t => t =!= lit(""))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    counts
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+  }
+
   /** Top-k terms per document by TF-IDF. Returns
     * (idCol, term, tf, df, score, rank); ties broken lexicographically so
     * results are deterministic. `nDocs` is passed by the caller (it is a

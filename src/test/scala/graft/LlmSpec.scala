@@ -19,6 +19,34 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"text".contains("today")).select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("segmentDupStats counts segments shared across documents") {
+    // 4-word segments: doc 1 and doc 2 share their first 4-word segment
+    // exactly; tails differ. doc 3 shares nothing.
+    val d = Seq(
+      (1L, "a b c d e f g h"),   // segs: "a b c d", "e f g h"
+      (2L, "a b c d x y z w"),   // segs: "a b c d", "x y z w"
+      (3L, "p q r s t u v m")    // segs: "p q r s", "t u v m"
+    ).toDF("id", "text")
+    val out = Dedup.segmentDupStats(d, "id", "text", segWords = 4)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L))) // doc 3 filtered out
+  }
+
+  test("segmentDupStats: ragged tail segment counts; within-doc repeats are not shared") {
+    val d = Seq(
+      (1L, "a b c d e"),      // segs: "a b c d", "e" (ragged tail)
+      (2L, "q q q q q q q q") // both segs identical WITHIN the doc only
+    ).toDF("id", "text")
+    val stats = Dedup.segmentDupStats(d, "id", "text", segWords = 4)
+    // "q q q q" appears twice but only in doc 2 -> count_distinct(doc)=1 -> not shared
+    assert(stats.count() == 0)
+    // now make doc 3 share doc 1's tail segment "e"
+    val d2 = d.union(Seq((3L, "x y z w e")).toDF("id", "text"))
+    val out = Dedup.segmentDupStats(d2, "id", "text", segWords = 4)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1L), (3L, 2L, 1L)))
+  }
+
   test("simhashDedup drops near-dups within distance, keeps distinct docs") {
     val out = Dedup.simhashDedup(docs, "id", "text", maxDistance = 8)
     val kept = out.select("id").as[Long].collect().toSet

@@ -82,6 +82,15 @@ class RelevanceSpec extends SparkSpec {
     assert(df.filter($"term" === "codegen").select("df").as[Long].head() == 1L)
   }
 
+  test("vocabulary ranks tokens by count with lexicographic tie-break") {
+    val out = Relevance.vocabulary(docs, "text", 3)
+      .orderBy("rank").as[(String, Long, Long)].collect()
+    // counts: spark 3, catalyst 2, codegen 2 — tie broken catalyst < codegen
+    assert(out.toSeq == Seq(("spark", 3L, 1L), ("catalyst", 2L, 2L), ("codegen", 2L, 3L)))
+    // k caps the vocabulary
+    assert(Relevance.vocabulary(docs, "text", 1).count() == 1)
+  }
+
   test("tfIdfTopK rational: rare terms outrank common ones at equal tf") {
     val top = Relevance.tfIdfTopK(docs, "id", "text", nDocs = 3L, k = 2)
     // doc 2: shuffle (tf=1, df=1, score 3.0) beats spark (tf=1, df=2, 1.5)

@@ -100,6 +100,40 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q103: EXISTS/NOT EXISTS plan as hash semi/anti joins — no nested loops") {
+    val plan = formatted(SparkEntry.queries("q103_late_supplier_chain")(spark, sf()))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q104: the correlated scalar MIN decorrelates — joins only, no per-row subquery") {
+    val plan = formatted(SparkEntry.queries("q104_min_cost_supplier")(spark, sf()))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // the decorrelated MIN shows up as an aggregate keyed on the join column
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q105: every dimension broadcasts — the fact table never shuffles pre-agg") {
+    val plan = formatted(SparkEntry.queries("q105_profit_by_nation")(spark, sf()))
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4, plan)
+  }
+
+  test("q101: resample windows are key-partitioned, never SinglePartition") {
+    val plan = formatted(SparkEntry.queries("q101_resample_interpolate")(spark, sf()))
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
+
+  test("q99: the segment-frequency shuffle is keyed on the hash, text never exchanges") {
+    val plan = formatted(SparkEntry.queries("q99_segment_dedup")(spark, sf()))
+    assert(plan.contains("hashpartitioning(_h"), plan)
+    // the only columns alive at any exchange are the id and the segment hash
+    val exchangeArgs = plan.linesIterator.filter(_.contains("hashpartitioning(")).mkString("\n")
+    assert(!exchangeArgs.contains("text"), exchangeArgs)
+  }
+
   test("globalPosition never plans a SinglePartition window over the data") {
     import org.apache.spark.sql.functions.{col, concat, lit, md5}
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id")

@@ -263,6 +263,18 @@ object PipelineConfig {
         action = o.str("action", "filter"),
         maxCandidatesPerDoc = o.intOpt("maxCandidatesPerDoc").getOrElse(64),
         persist = o.bool("persist"))
+    case "SegmentDedupTransform" =>
+      SegmentDedupTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        idField = o.req("idField"), textField = o.req("textField"),
+        segmentWords = o.intOpt("segmentWords").getOrElse(8),
+        action = o.str("action", "stats"),
+        maxSharedFraction = o.dbl("maxSharedFraction", 0.5),
+        persist = o.bool("persist"))
+    case "ResampleTransform" =>
+      ResampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        keyField = o.req("keyField"), timeField = o.req("timeField"),
+        valueField = o.req("valueField"),
+        step = o.str("step", "1 hour"), persist = o.bool("persist"))
     case "ChunkTransform" =>
       ChunkTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"),

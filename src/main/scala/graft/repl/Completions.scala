@@ -56,6 +56,12 @@ object Completions {
     Completion("ChunkTransform",
       "{type = \"ChunkTransform\", name = \"chunk\", inputView = \"v\", outputView = \"v2\",\n" +
         " textField = \"text\", chunkSize = 2048, overlap = 0}"),
+    Completion("SegmentDedupTransform",
+      "{type = \"SegmentDedupTransform\", name = \"segdedup\", inputView = \"v\", outputView = \"v2\",\n" +
+        " idField = \"id\", textField = \"text\", segmentWords = 8, action = \"filter\", maxSharedFraction = 0.5}"),
+    Completion("ResampleTransform",
+      "{type = \"ResampleTransform\", name = \"resample\", inputView = \"v\", outputView = \"v2\",\n" +
+        " keyField = \"id\", timeField = \"ts\", valueField = \"value\", step = \"1 hour\"}"),
     Completion("MinhashIndexLoad",
       "{type = \"MinhashIndexLoad\", name = \"index\", inputView = \"corpus\", outputURI = \"/path/idx\",\n" +
         " idField = \"id\", textField = \"text\"}"),

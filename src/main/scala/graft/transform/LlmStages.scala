@@ -153,6 +153,66 @@ final case class IndexDedupTransform(
   * token window (chunk_id, n_chunks, chunk_text, chunk_tokens; the text
   * column is replaced by the chunk columns).
   */
+/** Segment/paragraph-level dedup behind the config surface —
+  * [[graft.llm.Dedup.segmentDupStats]]. `action=stats` outputs per-document
+  * segment counts (`n_segments`, `n_shared_segments`) for documents sharing
+  * at least one segment; `action=filter` keeps only input rows whose shared
+  * fraction stays UNDER `maxSharedFraction` (docs with no shared segments
+  * pass untouched).
+  */
+final case class SegmentDedupTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    idField: String,
+    textField: String,
+    segmentWords: Int = 8,
+    action: String = "stats",
+    maxSharedFraction: Double = 0.5,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "SegmentDedupTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val stats = Dedup.segmentDupStats(in, idField, textField, segmentWords)
+    val out = action match {
+      case "stats" => stats
+      case "filter" =>
+        val flagged = stats
+          .filter(col("n_shared_segments").cast("double") >=
+            col("n_segments").cast("double") * maxSharedFraction)
+          .select(col(idField))
+        in.join(flagged, Seq(idField), "left_anti")
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown segment-dedup action '$other' (stats|filter)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** Time-series resampling behind the config surface —
+  * [[graft.operators.Resample.resampleLinear]]: per-key fixed grid with
+  * linear interpolation between the surrounding observations.
+  */
+final case class ResampleTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    keyField: String,
+    timeField: String,
+    valueField: String,
+    step: String = "1 hour",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "ResampleTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val out = graft.operators.Resample
+      .resampleLinear(ctx.view(inputView), keyField, timeField, valueField, step)
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 final case class ChunkTransform(
     name: String,
     inputView: String,

@@ -169,6 +169,70 @@ class ConfigSpec extends SparkSpec {
     assert(bySrc("src1") == math.ceil(totals("src1") * 0.1).toLong)
   }
 
+  test("SegmentDedupTransform and ResampleTransform run from a config cell") {
+    val hocon =
+      s"""{
+        stages: [
+          {
+            type = "ParquetExtract"
+            name = "extract docs"
+            inputURI = "${sf()}/documents.parquet"
+            outputView = seg_docs
+          }
+          {
+            type = "SegmentDedupTransform"
+            name = "segment stats"
+            inputView = seg_docs
+            outputView = seg_stats
+            idField = doc_id
+            textField = text
+            segmentWords = 8
+          }
+          {
+            type = "SegmentDedupTransform"
+            name = "segment filter"
+            inputView = seg_docs
+            outputView = seg_kept
+            idField = doc_id
+            textField = text
+            segmentWords = 8
+            action = filter
+            maxSharedFraction = 0.5
+          }
+        ]
+      }"""
+    val ctx = new PipelineContext(spark)
+    assert(Runner.run(PipelineConfig.parse(hocon), ctx).isDefined)
+    val stats = spark.table("seg_stats")
+    assert(stats.columns.toSeq == Seq("doc_id", "n_segments", "n_shared_segments"))
+    val docs = spark.table("seg_docs")
+    val kept = spark.table("seg_kept")
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    // filter drops exactly the docs at/over the shared-fraction threshold
+    val dropped = stats.filter(
+      org.apache.spark.sql.functions.col("n_shared_segments") * 2 >=
+        org.apache.spark.sql.functions.col("n_segments")).count()
+    assert(kept.count() == docs.count() - dropped)
+    assert(dropped > 0, "fixture corpus should contain heavily-shared docs")
+
+    // Resample over a tiny synthetic series through the config surface
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 48.0))
+      .toDF("k", "ts", "v").createOrReplaceTempView("rs_in")
+    val hocon2 =
+      """{stages: [{
+        type = "ResampleTransform", name = "rs", inputView = rs_in,
+        outputView = rs_out, keyField = k, timeField = ts, valueField = v,
+        step = "12 hours"
+      }]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon2), new PipelineContext(spark)).isDefined)
+    val rs = spark.table("rs_out").orderBy("ts")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    // grid Jan 2 00:00 .. Jan 3 00:00 every 12h, linear 0→48 over 48h
+    assert(rs.map(_._3).toSeq == Seq(24.0, 36.0, 48.0))
+  }
+
   test("HOCON substitutions resolve against session params") {
     val hocon =
       s"""stages = [

@@ -1277,6 +1277,44 @@ object SparkEntry {
          FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
          GROUP BY n.n_name
          ORDER BY n_name"""
+    ),
+    "q107_recursive_calendar" -> pipe("orders")(
+      // Recursive CTE (Spark 4 WITH RECURSIVE): build a month spine from the
+      // data's own bounds, LEFT JOIN back for a gap-free monthly rollup —
+      // empty months surface as zero rows. Recursion depth = #months
+      // (bounded, driver-side plan growth only); the heavy side stays one
+      // hash aggregate + join. Money sums travel as exact cent BIGINTs.
+      """WITH RECURSIVE bounds AS (
+           SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m0,
+                  CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS m1
+           FROM orders),
+         months(m, mend) AS (
+           SELECT m0, m1 FROM bounds
+           UNION ALL
+           SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mend FROM months WHERE m < mend
+         )
+         SELECT months.m, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+                CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+         FROM months
+         LEFT JOIN orders o ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = months.m
+         GROUP BY months.m
+         ORDER BY months.m"""
+    ),
+    "q108_time_range_window" -> pipe("orders")(
+      // Time-interval RANGE frame: trailing 28-day count/sum per customer —
+      // the moving-window-over-real-time shape (sessionized spend, rate
+      // limiting). RANGE frames include timestamp peers, so results are
+      // deterministic without a unique order key in the frame spec.
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                CAST(COUNT(*) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 28 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_28d,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 28 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_28d
+         FROM orders
+         WHERE o_custkey < 200
+         ORDER BY o_custkey, o_orderdate, o_orderkey"""
     )
   )
 
@@ -2103,6 +2141,33 @@ object SparkEntry {
            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
            GROUP BY n.n_name)
          SELECT n_name, mx.nm AS top_customer, mx.bal AS top_balance, mn.nm AS bottom_customer
-         FROM g ORDER BY n_name"""
+         FROM g ORDER BY n_name""",
+    "q107_recursive_calendar" ->
+      """WITH RECURSIVE bounds AS (
+           SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m0,
+                  CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS m1
+           FROM orders),
+         months(m, mend) AS (
+           SELECT m0, m1 FROM bounds
+           UNION ALL
+           SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mend FROM months WHERE m < mend
+         )
+         SELECT months.m, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+                CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+         FROM months
+         LEFT JOIN orders o ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = months.m
+         GROUP BY months.m
+         ORDER BY months.m""",
+    "q108_time_range_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                CAST(COUNT(*) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 28 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_28d,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 28 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_28d
+         FROM orders
+         WHERE o_custkey < 200
+         ORDER BY o_custkey, o_orderdate, o_orderkey"""
   )
 }

@@ -45,8 +45,11 @@ object Dedup {
     * repeats before the exchange), then one shuffle back on the doc id. Text
     * itself never shuffles — only (doc_id, hash) pairs. A boilerplate segment
     * shared by millions of docs is a single hot aggregate key (fine under
-    * partial agg) and never a join: the frequency table is joined back by
-    * hash with counts only.
+    * partial agg). The flag join back to instances reuses the frequency
+    * exchange; when the distinct-segment table is small AQE converts it to a
+    * broadcast join at runtime (observed at 400k docs), and when it is huge
+    * the sort-merge join's hot-key partition is a sequential merge, not a
+    * blow-up — instances of one hash meet exactly one count row.
     *
     * Output: `idCol, n_segments, n_shared_segments` for documents with at
     * least one shared segment.

@@ -30,6 +30,11 @@ object ScaleProbe {
       ).as("text")
     )
     def time[T](label: String)(f: => T): Unit = {
+      // Isolate probes: drop cached blocks and let the heap settle so a
+      // later probe isn't taxed by its predecessors' GC debt (observed 15×
+      // inflation on the last probes of a long battery without this).
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       val r = f
       println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs ($r)")
@@ -82,6 +87,24 @@ object ScaleProbe {
     // shuffle-bound with 17 distinct terms × n docs and a top-5 window.
     time(s"tfIdfTopK n=$n") {
       graft.llm.Relevance.tfIdfTopK(docs, "id", "text", n.toLong, k = 5).count()
+    }
+    // Segment-level dedup on the templated corpus: the boilerplate prefix
+    // makes one 8-word segment hash shared by EVERY doc (maximally hot
+    // aggregate key + join key). Cost must stay linear: partial agg absorbs
+    // the hot key, and the join back ships counts, never text.
+    time(s"segmentDupStats n=$n") {
+      graft.llm.Dedup.segmentDupStats(docs, "id", "text", segWords = 8).count()
+    }
+    // Resample under key skew: one device emits 50% of all readings (hot
+    // window partition), 1000 normal devices. Grid size is span-bound, so
+    // the hot key's output stays identical to a normal key's — the probe
+    // confirms the window sort, not the grid, is the scaling term.
+    time(s"resampleLinear n=$n hot key") {
+      val obs = spark.range(0, n).select(
+        when(pmod(col("id"), lit(2)) === 0, 0L).otherwise(pmod(col("id"), lit(1000))).as("k"),
+        expr("TIMESTAMP_MICROS(CAST(1704067200000000 + (id % 2592000) * 1000000 AS BIGINT))").as("ts"),
+        (col("id") % 97).cast("double").as("v"))
+      graft.operators.Resample.resampleLinear(obs, "k", "ts", "v", step = "6 hours").count()
     }
     // Greedy packing with one hot shard: 25% of all docs land in shard 0
     // (the straggler shape — packing is sequential per shard, so the hot

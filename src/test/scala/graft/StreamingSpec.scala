@@ -46,6 +46,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed > 0 && streamed <= batch)
   }
 
+  test("stream-static broadcast join enriches a stream against a dimension") {
+    // The dimension-enrichment shape: a streaming fact joined to a static
+    // dim. The static side broadcasts per micro-batch — no stream state, no
+    // shuffle of the stream beyond the batch itself; this is the plan that
+    // holds at 1000 executors (dim ships once per batch, stream stays put).
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    val dim = spark.read.parquet(s"${sf()}/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val joined = stream.join(broadcast(dim), Seq("user_id"), "inner")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val q = joined.writeStream
+      .format("memory")
+      .outputMode("complete")
+      .queryName("stream_static_join_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("stream_static_join_test")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(eventsPath)
+      .join(broadcast(dim), Seq("user_id"), "inner")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("rate source produces rows through RateExtract") {
     val ctx = new graft.core.PipelineContext(spark)
     val df = graft.extract.RateExtract("rate", "rate_view", rowsPerSecond = 100).execute(ctx).get

@@ -1315,6 +1315,43 @@ object SparkEntry {
          FROM orders
          WHERE o_custkey < 200
          ORDER BY o_custkey, o_orderdate, o_orderkey"""
+    ),
+    "q109_histogram_bins" -> pipe("orders")(
+      // Equal-width histogram per group with a generated bin spine so empty
+      // bins surface as zero rows (the width_bucket recipe, written as
+      // explicit FLOOR arithmetic — the same IEEE expression both engines).
+      // bounds is a 1-row broadcast; the spine CROSS JOIN is |groups|×bins.
+      """WITH bounds AS (
+           SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+         binned AS (
+           SELECT o_orderpriority AS pri,
+                  CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT) AS b
+           FROM orders CROSS JOIN bounds),
+         spine AS (
+           SELECT pri, sb
+           FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders) p
+           CROSS JOIN (SELECT explode(sequence(0, 9)) AS sb) bs)
+         SELECT spine.pri AS o_orderpriority, CAST(spine.sb AS BIGINT) AS bin,
+                CAST(COUNT(binned.b) AS BIGINT) AS n
+         FROM spine LEFT JOIN binned
+           ON binned.pri = spine.pri AND binned.b = spine.sb
+         GROUP BY spine.pri, spine.sb
+         ORDER BY 1, 2"""
+    ),
+    "q110_try_arithmetic" -> pipe("lineitem")(
+      // Error-safe arithmetic (ANSI try_* family): divide-by-zero, bad
+      // string→int casts, and BIGINT overflow all degrade to NULL instead of
+      // failing the job — the semantics a 100 TB batch needs (one poison row
+      // must not kill a stage). The oracle spells the same semantics with
+      // NULLIF/CASE/TRY_CAST.
+      """SELECT l_orderkey, l_linenumber,
+                try_divide(CAST(l_extendedprice AS DOUBLE), CAST(FLOOR(l_quantity) AS BIGINT) - 25) AS safe_div,
+                TRY_CAST(l_returnflag AS INTEGER) AS flag_num,
+                TRY_CAST(CONCAT(CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING)) AS INTEGER) AS digits,
+                try_add(9223372036854775707L, l_orderkey) AS near_max
+         FROM lineitem
+         WHERE l_orderkey <= 200
+         ORDER BY l_orderkey, l_linenumber"""
     )
   )
 
@@ -2168,6 +2205,32 @@ object SparkEntry {
                   RANGE BETWEEN INTERVAL 28 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_28d
          FROM orders
          WHERE o_custkey < 200
-         ORDER BY o_custkey, o_orderdate, o_orderkey"""
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q109_histogram_bins" ->
+      """WITH bounds AS (
+           SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+         binned AS (
+           SELECT o_orderpriority AS pri,
+                  CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT) AS b
+           FROM orders CROSS JOIN bounds),
+         spine AS (
+           SELECT pri, sb
+           FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders) p
+           CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS sb) bs)
+         SELECT spine.pri AS o_orderpriority, CAST(spine.sb AS BIGINT) AS bin,
+                CAST(COUNT(binned.b) AS BIGINT) AS n
+         FROM spine LEFT JOIN binned
+           ON binned.pri = spine.pri AND binned.b = spine.sb
+         GROUP BY spine.pri, spine.sb
+         ORDER BY 1, 2""",
+    "q110_try_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(l_extendedprice AS DOUBLE) / NULLIF(CAST(FLOOR(l_quantity) AS BIGINT) - 25, 0) AS safe_div,
+                TRY_CAST(l_returnflag AS INTEGER) AS flag_num,
+                TRY_CAST(CONCAT(CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)) AS INTEGER) AS digits,
+                CASE WHEN l_orderkey > 100 THEN NULL ELSE 9223372036854775707 + l_orderkey END AS near_max
+         FROM lineitem
+         WHERE l_orderkey <= 200
+         ORDER BY l_orderkey, l_linenumber"""
   )
 }

@@ -538,3 +538,63 @@ class MinhashIndexSpec extends SparkSpec {
     assert(spark.table("mh_kept").select("doc_id").as[Long].collect().toSet == kept)
   }
 }
+
+class SketchStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.SketchStats
+
+  private def corpus(n: Int, offset: Long = 0L) =
+    spark.range(offset, offset + n).select(
+      (col("id") % 3).cast("string").as("source"),
+      col("id").as("doc_id"),
+      (col("id") % 500).cast("string").as("token"))
+
+  test("estimate is within HLL error of exact distinct counts") {
+    val est = SketchStats.estimate(corpus(30000), Seq("source"), Seq("doc_id", "token"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = corpus(30000).groupBy("source")
+      .agg(count(lit(1)), count_distinct(col("doc_id")), count_distinct(col("token")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for ((src, (n, dDoc, dTok)) <- est) {
+      val (en, eDoc, eTok) = exact(src)
+      assert(n == en)
+      assert(math.abs(dDoc - eDoc).toDouble / eDoc < 0.05, s"$src doc_id: $dDoc vs $eDoc")
+      assert(math.abs(dTok - eTok).toDouble / eTok < 0.05, s"$src token: $dTok vs $eTok")
+    }
+  }
+
+  test("segment merge is batch-invariant: split segments equal the one-shot estimate") {
+    val a = SketchStats.segment(corpus(10000), Seq("source"), Seq("doc_id"))
+    val b = SketchStats.segment(corpus(10000, offset = 5000), Seq("source"), Seq("doc_id"))
+    val merged = SketchStats.merge(a.unionByName(b), Seq("source"), Seq("doc_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // overlapping ranges: 20k rows, 15k distinct ids; register-max union must
+    // match the single-pass sketch over the union EXACTLY (associativity)
+    val oneShot = SketchStats.estimate(
+      corpus(10000).unionByName(corpus(10000, offset = 5000)), Seq("source"), Seq("doc_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged.keySet == oneShot.keySet)
+    for ((src, (n, d)) <- merged) {
+      assert(n == oneShot(src)._1)
+      assert(d == oneShot(src)._2, s"$src: merged $d != one-shot ${oneShot(src)._2}")
+    }
+  }
+
+  test("sketch segments round-trip through parquet and keep merging") {
+    val dir = java.nio.file.Files.createTempDirectory("sketchseg").toString
+    SketchStats.segment(corpus(8000), Seq("source"), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/b1")
+    SketchStats.segment(corpus(8000, offset = 8000), Seq("source"), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/b2")
+    val segs = spark.read.parquet(s"$dir/b1").unionByName(spark.read.parquet(s"$dir/b2"))
+    val merged = SketchStats.merge(segs, Seq("source"), Seq("doc_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = corpus(8000).unionByName(corpus(8000, offset = 8000)).groupBy("source")
+      .agg(count(lit(1)), count_distinct(col("doc_id")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((src, (n, d)) <- merged) {
+      assert(n == exact(src)._1)
+      assert(math.abs(d - exact(src)._2).toDouble / exact(src)._2 < 0.05)
+    }
+  }
+}

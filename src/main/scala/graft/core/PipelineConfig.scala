@@ -331,6 +331,12 @@ object PipelineConfig {
     case "TextLoad" =>
       TextLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         saveMode = o.str("saveMode", "Overwrite"), numPartitions = o.intOpt("numPartitions"))
+    case "BucketedTableLoad" =>
+      BucketedTableLoad(o.req("name"), o.req("inputView"), table = o.req("table"),
+        bucketByFields = o.strList("bucketByFields"),
+        numBuckets = o.intOpt("numBuckets").getOrElse(32),
+        sortByFields = o.strList("sortByFields"),
+        format = o.str("format", "parquet"))
     case "ConsoleLoad" =>
       ConsoleLoad(o.req("name"), o.req("inputView"), o.str("outputMode", "append"))
     case "SQLValidate" =>

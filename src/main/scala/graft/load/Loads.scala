@@ -158,6 +158,29 @@ final case class TextLoad(
   }
 }
 
+/** BucketedTableLoad — write a view as a BUCKETED catalog table
+  * ([[graft.core.Bucketing]]): two tables bucketed by the same key into the
+  * same bucket count sort-merge join with zero exchange, so the shuffle of
+  * every recurring join on the key is paid once at write time. Requires the
+  * session catalog (bucket metadata does not survive a plain path write).
+  */
+final case class BucketedTableLoad(
+    name: String,
+    inputView: String,
+    table: String,
+    bucketByFields: Seq[String],
+    numBuckets: Int = 32,
+    sortByFields: Seq[String] = Nil,
+    format: String = "parquet"
+) extends Stage {
+  val stageType = "BucketedTableLoad"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    graft.core.Bucketing.writeBucketed(
+      ctx.view(inputView), table, bucketByFields, numBuckets, sortByFields, format)
+    None
+  }
+}
+
 /** JDBCLoad — `df.write.jdbc` (no reachable database here; compiles, untested). */
 final case class JDBCLoad(
     name: String,

@@ -56,6 +56,9 @@ object Completions {
     Completion("ChunkTransform",
       "{type = \"ChunkTransform\", name = \"chunk\", inputView = \"v\", outputView = \"v2\",\n" +
         " textField = \"text\", chunkSize = 2048, overlap = 0}"),
+    Completion("BucketedTableLoad",
+      "{type = \"BucketedTableLoad\", name = \"bucket\", inputView = \"v\", table = \"t_bucketed\",\n" +
+        " bucketByFields = [\"key\"], numBuckets = 32}"),
     Completion("SegmentDedupTransform",
       "{type = \"SegmentDedupTransform\", name = \"segdedup\", inputView = \"v\", outputView = \"v2\",\n" +
         " idField = \"id\", textField = \"text\", segmentWords = 8, action = \"filter\", maxSharedFraction = 0.5}"),

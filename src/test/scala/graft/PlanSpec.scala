@@ -206,4 +206,31 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("BucketedTableLoad stage writes a co-located-joinable table from a config cell") {
+    val ctx = new graft.core.PipelineContext(spark)
+    val hocon =
+      s"""{stages: [
+        {type = "ParquetExtract", name = "e1", inputURI = "${sf()}/orders.parquet", outputView = bt_orders}
+        {type = "BucketedTableLoad", name = "b1", inputView = bt_orders, table = "orders_bt",
+         bucketByFields = [o_orderkey], numBuckets = 8}
+        {type = "ParquetExtract", name = "e2", inputURI = "${sf()}/lineitem.parquet", outputView = bt_lineitem}
+        {type = "BucketedTableLoad", name = "b2", inputView = bt_lineitem, table = "lineitem_bt",
+         bucketByFields = [l_orderkey], numBuckets = 8}
+      ]}"""
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      graft.core.Runner.run(graft.core.PipelineConfig.parse(hocon), ctx)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = formatted(spark.sql(
+        "SELECT * FROM lineitem_bt JOIN orders_bt ON l_orderkey = o_orderkey"))
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), s"stage-written bucketed join shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_bt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bt")
+    }
+  }
 }

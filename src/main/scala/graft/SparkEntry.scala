@@ -1352,6 +1352,31 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey <= 200
          ORDER BY l_orderkey, l_linenumber"""
+    ),
+    "q111_count_distribution" -> pipe("customer", "orders")(
+      // TPC-H Q13 shape: distribution of per-customer order counts — a LEFT
+      // JOIN with a join-time filter (not a WHERE, which would drop the
+      // zero-order customers), then an aggregate OF an aggregate. Two
+      // shuffles: custkey, then c_count.
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+           SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey) t
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC"""
+    ),
+    "q112_distinct_listagg" -> pipe("orders")(
+      // Distinct ordered list aggregation: Spark spells it
+      // collect_set → sort_array → array_join (deterministic output without
+      // a listagg DISTINCT form); the oracle uses DuckDB's native
+      // string_agg(DISTINCT ... ORDER BY ...).
+      """SELECT o_orderpriority,
+                array_join(sort_array(collect_set(o_orderstatus)), ',') AS statuses,
+                CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority"""
     )
   )
 
@@ -2231,6 +2256,21 @@ object SparkEntry {
                 CASE WHEN l_orderkey > 100 THEN NULL ELSE 9223372036854775707 + l_orderkey END AS near_max
          FROM lineitem
          WHERE l_orderkey <= 200
-         ORDER BY l_orderkey, l_linenumber"""
+         ORDER BY l_orderkey, l_linenumber""",
+    "q111_count_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+           SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey) t
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q112_distinct_listagg" ->
+      """SELECT o_orderpriority,
+                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+                CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority"""
   )
 }

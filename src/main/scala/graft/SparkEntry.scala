@@ -1377,7 +1377,37 @@ object SparkEntry {
          FROM orders
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority"""
-    )
+    ),
+    "q113_token_gini" -> pipe("documents")(
+      // Per-source token-distribution diversity via Gini impurity
+      // (1 − Σ pᵢ² = 1 − Σcᵢ²/n²) — entropy's rational-arithmetic cousin.
+      // Σcᵢ² is summed as an EXACT integer (a float Σpᵢ² would be
+      // partition-order-dependent), leaving one IEEE divide at the end —
+      // bit-identical across engines and shuffles. The data-mixing signal:
+      // low diversity = templated/boilerplate source.
+      """WITH tc AS (
+           SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT source, explode(split(text, ' ')) AS token FROM documents)
+           WHERE token <> '' GROUP BY source, token),
+         tot AS (
+           SELECT source, SUM(c) AS n, SUM(c * c) AS sum_c2,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct
+           FROM tc GROUP BY source)
+         SELECT source,
+                CAST(n AS BIGINT) AS n_tokens,
+                n_distinct,
+                1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini_diversity
+         FROM tot
+         ORDER BY source"""
+    ),
+    "q114_source_overlap" -> withViews("documents") { (spark, ctx) =>
+      // Cross-source contamination matrix (Dedup.crossGroupOverlap): distinct
+      // shared 8-word segments per source pair; fan-out bounded by the group
+      // count per segment, never by document counts.
+      graft.llm.Dedup
+        .crossGroupOverlap(ctx.view("documents"), "source", "text", segWords = 8)
+        .orderBy("source_a", "source_b")
+    }
   )
 
   // ---------------------------------------------------------------------------
@@ -2271,6 +2301,32 @@ object SparkEntry {
                 CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
          FROM orders
          GROUP BY o_orderpriority
-         ORDER BY o_orderpriority"""
+         ORDER BY o_orderpriority""",
+    "q113_token_gini" ->
+      """WITH tc AS (
+           SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT source, UNNEST(string_split(text, ' ')) AS token FROM documents)
+           WHERE token <> '' GROUP BY source, token),
+         tot AS (
+           SELECT source, SUM(c) AS n, SUM(c * c) AS sum_c2,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct
+           FROM tc GROUP BY source)
+         SELECT source,
+                CAST(n AS BIGINT) AS n_tokens,
+                n_distinct,
+                1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini_diversity
+         FROM tot
+         ORDER BY source""",
+    "q114_source_overlap" ->
+      """WITH words AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         segs AS (
+           SELECT DISTINCT source, md5(array_to_string(w[((i-1)*8+1):(i*8)], ' ')) AS h
+           FROM words, LATERAL (SELECT UNNEST(generate_series(1, CAST(CEIL(len(w)/8.0) AS BIGINT))) AS i) t),
+         pairs AS (
+           SELECT a.source AS source_a, b.source AS source_b
+           FROM segs a JOIN segs b ON a.h = b.h AND a.source < b.source)
+         SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS shared_segments
+         FROM pairs GROUP BY source_a, source_b
+         ORDER BY source_a, source_b"""
   )
 }

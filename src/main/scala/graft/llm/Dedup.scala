@@ -54,24 +54,26 @@ object Dedup {
     * Output: `idCol, n_segments, n_shared_segments` for documents with at
     * least one shared segment.
     */
+  /** md5 of every consecutive `segWords`-word segment of `text`, as an array
+    * (md5 rather than xxhash64 so the DuckDB oracle can replicate it).
+    */
+  private def segmentHashes(text: Column, segWords: Int): Column =
+    graft.functions.Let.bind(
+      split(text, " "),
+      w =>
+        transform(
+          TextStats.safeSeq(ceil(size(w).cast("double") / segWords).cast("int")),
+          i => md5(concat_ws(" ", slice(w, (i - 1) * segWords + 1, lit(segWords))))
+        )
+    )
+
   def segmentDupStats(
       df: DataFrame,
       idCol: String,
       textCol: String,
       segWords: Int = 8): DataFrame = {
     val segs = df
-      .select(
-        col(idCol),
-        explode(
-          graft.functions.Let.bind(
-            split(col(textCol), " "),
-            w =>
-              transform(
-                TextStats.safeSeq(ceil(size(w).cast("double") / segWords).cast("int")),
-                i => md5(concat_ws(" ", slice(w, (i - 1) * segWords + 1, lit(segWords))))
-              )
-          )
-        ).as("_h"))
+      .select(col(idCol), explode(segmentHashes(col(textCol), segWords)).as("_h"))
 
     val freq = segs
       .groupBy(col("_h"))
@@ -84,6 +86,31 @@ object Dedup {
         count(lit(1)).as("n_segments"),
         sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_shared_segments"))
       .filter(col("n_shared_segments") > 0)
+  }
+
+  /** Cross-group contamination audit: for every pair of groups (sources,
+    * train/eval splits, snapshots), the number of distinct `segWords`-word
+    * segments they share — the paragraph-level overlap matrix a pipeline
+    * checks before mixing sources or trusting a split boundary.
+    *
+    * Shape at scale: segments dedupe to DISTINCT (group, hash) pairs first
+    * (map-side combinable aggregate), so the self-join's per-key fan-out is
+    * bounded by the number of GROUPS carrying the segment, never by document
+    * counts — a boilerplate segment in every doc of all G groups contributes
+    * G·(G−1)/2 pairs, not |docs|². Output is at most G² rows.
+    */
+  def crossGroupOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      segWords: Int = 8): DataFrame = {
+    val segs = df
+      .select(col(groupCol).as("_g"), explode(segmentHashes(col(textCol), segWords)).as("_h"))
+      .distinct()
+    segs.as("a")
+      .join(segs.as("b"), col("a._h") === col("b._h") && col("a._g") < col("b._g"))
+      .groupBy(col("a._g").as(s"${groupCol}_a"), col("b._g").as(s"${groupCol}_b"))
+      .agg(count(lit(1)).as("shared_segments"))
   }
 
   /** Normalized word tokens. */

@@ -47,6 +47,22 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1L), (3L, 2L, 1L)))
   }
 
+  test("crossGroupOverlap counts distinct shared segments per group pair") {
+    val d = Seq(
+      ("train", "a b c d e f g h"),  // segs: "a b c d", "e f g h"
+      ("train", "a b c d q q q q"),  // repeats "a b c d" within train
+      ("eval",  "a b c d x y z w"),  // shares "a b c d" with train
+      ("eval",  "e f g h n o p r"),  // shares "e f g h" with train
+      ("test",  "m m m m n n n n")   // shares nothing
+    ).toDF("split", "text")
+    val out = Dedup.crossGroupOverlap(d, "split", "text", segWords = 4)
+      .orderBy("split_a", "split_b")
+      .as[(String, String, Long)].collect()
+    // distinct (group, segment): train∩eval = {"a b c d", "e f g h"} = 2,
+    // counted ONCE despite train's duplicate segment; test pairs absent.
+    assert(out.toSeq == Seq(("eval", "train", 2L)))
+  }
+
   test("simhashDedup drops near-dups within distance, keeps distinct docs") {
     val out = Dedup.simhashDedup(docs, "id", "text", maxDistance = 8)
     val kept = out.select("id").as[Long].collect().toSet

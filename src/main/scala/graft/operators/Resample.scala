@@ -35,8 +35,9 @@ object Resample {
   /** Resample `valCol` onto a fixed `step` grid per `keyCol`, linearly
     * interpolating between the nearest observations on each side. Grid points
     * outside the observation range take the nearest observed value (flat
-    * extrapolation). Grid bounds are the first/last whole `truncUnit` inside
-    * each key's observed span.
+    * extrapolation). Grid bounds are the first/last whole `truncUnit`
+    * (a unit name valid in both `date_trunc` and `INTERVAL`, e.g. DAY/HOUR)
+    * inside each key's observed span.
     *
     * Output: `keyCol, ts, interp_value`, one row per grid point.
     */
@@ -52,7 +53,7 @@ object Resample {
     val bounds = df
       .groupBy(k)
       .agg(
-        (date_trunc(truncUnit, min(col(tsCol))) + expr("INTERVAL 1 DAY")).as("_t0"),
+        (date_trunc(truncUnit, min(col(tsCol))) + expr(s"INTERVAL 1 $truncUnit")).as("_t0"),
         date_trunc(truncUnit, max(col(tsCol))).as("_t1"))
       .filter(col("_t0") <= col("_t1"))
 

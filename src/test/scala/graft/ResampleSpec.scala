@@ -57,6 +57,21 @@ class ResampleSpec extends SparkSpec {
     assert(Resample.resampleLinear(tiny, "k", "ts", "v").count() == 0)
   }
 
+  test("truncUnit anchors the grid: HOUR bounds start one hour in, not one day") {
+    val obs = Seq(
+      (5L, ts("2024-01-01 10:30:00"), 0.0),
+      (5L, ts("2024-01-01 14:30:00"), 4.0)
+    ).toDF("k", "ts", "v")
+    val out = Resample.resampleLinear(obs, "k", "ts", "v",
+      step = "1 hour", truncUnit = "HOUR")
+      .orderBy("ts").as[(Long, Timestamp, Double)].collect()
+    // trunc(min,HOUR)+1h = 11:00 .. trunc(max,HOUR) = 14:00
+    assert(out.map(_._2).toSeq == Seq(
+      ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"),
+      ts("2024-01-01 13:00:00"), ts("2024-01-01 14:00:00")))
+    assert(math.abs(out.head._3 - 0.5) < 1e-12) // 30min into a 4h 0→4 ramp
+  }
+
   test("keys do not bleed into each other") {
     val obs = Seq(
       (1L, ts("2024-01-01 00:00:00"), 0.0),

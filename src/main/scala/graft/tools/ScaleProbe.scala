@@ -106,6 +106,25 @@ object ScaleProbe {
         (col("id") % 97).cast("double").as("v"))
       graft.operators.Resample.resampleLinear(obs, "k", "ts", "v", step = "6 hours").count()
     }
+    // Cross-group overlap on the templated corpus: the boilerplate segment
+    // lives in EVERY group, but the distinct-(group,hash) reduction bounds
+    // its join fan-out to G·(G−1)/2 pairs (G = 100 template groups here),
+    // independent of n.
+    time(s"crossGroupOverlap n=$n groups=100") {
+      val grouped = docs.withColumn("grp", pmod(col("id"), lit(100)).cast("string"))
+      graft.llm.Dedup.crossGroupOverlap(grouped, "grp", "text", segWords = 8).count()
+    }
+    // Sketch segments: per-group HLL build over the full corpus, then a
+    // merge of two half-corpus segments — merge input is segment ROWS
+    // (groups × batches), so the refresh path never rescans the corpus.
+    time(s"sketchStats segment+merge n=$n") {
+      val grouped = docs.withColumn("grp", pmod(col("id"), lit(16)).cast("string"))
+      val a = graft.llm.SketchStats.segment(
+        grouped.filter(col("id") % 2 === 0), Seq("grp"), Seq("text"))
+      val b = graft.llm.SketchStats.segment(
+        grouped.filter(col("id") % 2 === 1), Seq("grp"), Seq("text"))
+      graft.llm.SketchStats.merge(a.unionByName(b), Seq("grp"), Seq("text")).count()
+    }
     // Greedy packing with one hot shard: 25% of all docs land in shard 0
     // (the straggler shape — packing is sequential per shard, so the hot
     // shard bounds wall-clock; the probe confirms cost is linear, not worse).

@@ -275,6 +275,11 @@ object PipelineConfig {
         keyField = o.req("keyField"), timeField = o.req("timeField"),
         valueField = o.req("valueField"),
         step = o.str("step", "1 hour"), persist = o.bool("persist"))
+    case "SketchTransform" =>
+      SketchTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        groupFields = o.strList("groupFields"), sketchFields = o.strList("sketchFields"),
+        mode = o.str("mode", "estimate"),
+        lgK = o.intOpt("lgK").getOrElse(12), persist = o.bool("persist"))
     case "ChunkTransform" =>
       ChunkTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"),

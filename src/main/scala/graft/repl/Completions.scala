@@ -65,6 +65,9 @@ object Completions {
     Completion("ResampleTransform",
       "{type = \"ResampleTransform\", name = \"resample\", inputView = \"v\", outputView = \"v2\",\n" +
         " keyField = \"id\", timeField = \"ts\", valueField = \"value\", step = \"1 hour\"}"),
+    Completion("SketchTransform",
+      "{type = \"SketchTransform\", name = \"ndv\", inputView = \"v\", outputView = \"v2\",\n" +
+        " groupFields = [\"source\"], sketchFields = [\"doc_id\"], mode = \"estimate\"}"),
     Completion("MinhashIndexLoad",
       "{type = \"MinhashIndexLoad\", name = \"index\", inputView = \"corpus\", outputURI = \"/path/idx\",\n" +
         " idField = \"id\", textField = \"text\"}"),

@@ -213,6 +213,37 @@ final case class ResampleTransform(
   }
 }
 
+/** Mergeable distinct-count sketches behind the config surface —
+  * [[graft.llm.SketchStats]]. `mode=segment` emits per-group sketch rows
+  * (write them like any table; a daily batch costs O(batch)); `mode=merge`
+  * combines previously-built segment rows into estimates; `mode=estimate`
+  * is the one-shot build+merge.
+  */
+final case class SketchTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    groupFields: Seq[String],
+    sketchFields: Seq[String],
+    mode: String = "estimate",
+    lgK: Int = 12,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "SketchTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = mode match {
+      case "segment"  => graft.llm.SketchStats.segment(in, groupFields, sketchFields, lgK)
+      case "merge"    => graft.llm.SketchStats.merge(in, groupFields, sketchFields)
+      case "estimate" => graft.llm.SketchStats.estimate(in, groupFields, sketchFields, lgK)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown sketch mode '$other' (segment|merge|estimate)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 final case class ChunkTransform(
     name: String,
     inputView: String,

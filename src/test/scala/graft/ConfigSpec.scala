@@ -233,6 +233,32 @@ class ConfigSpec extends SparkSpec {
     assert(rs.map(_._3).toSeq == Seq(24.0, 36.0, 48.0))
   }
 
+  test("SketchTransform: segment rows written then merged equal the one-shot estimate") {
+    val hocon =
+      s"""{
+        stages: [
+          {type = "ParquetExtract", name = "e", inputURI = "${sf()}/documents.parquet", outputView = sk_docs}
+          {type = "SQLTransform", name = "h1", sql = "SELECT * FROM sk_docs WHERE doc_id % 2 = 0", outputView = sk_half1}
+          {type = "SQLTransform", name = "h2", sql = "SELECT * FROM sk_docs WHERE doc_id % 2 = 1", outputView = sk_half2}
+          {type = "SketchTransform", name = "s1", inputView = sk_half1, outputView = sk_seg1,
+           groupFields = [source], sketchFields = [text], mode = segment}
+          {type = "SketchTransform", name = "s2", inputView = sk_half2, outputView = sk_seg2,
+           groupFields = [source], sketchFields = [text], mode = segment}
+          {type = "SQLTransform", name = "u", sql = "SELECT * FROM sk_seg1 UNION ALL SELECT * FROM sk_seg2", outputView = sk_segs}
+          {type = "SketchTransform", name = "m", inputView = sk_segs, outputView = sk_merged,
+           groupFields = [source], sketchFields = [text], mode = merge}
+          {type = "SketchTransform", name = "one", inputView = sk_docs, outputView = sk_oneshot,
+           groupFields = [source], sketchFields = [text], mode = estimate}
+        ]
+      }"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val merged = spark.table("sk_merged").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val oneShot = spark.table("sk_oneshot").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == oneShot && merged.nonEmpty)
+  }
+
   test("HOCON substitutions resolve against session params") {
     val hocon =
       s"""stages = [

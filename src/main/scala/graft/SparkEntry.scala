@@ -1407,7 +1407,18 @@ object SparkEntry {
       graft.llm.Dedup
         .crossGroupOverlap(ctx.view("documents"), "source", "text", segWords = 8)
         .orderBy("source_a", "source_b")
-    }
+    },
+    "q115_lateral_topk" -> pipe("customer", "orders")(
+      // Correlated LATERAL subquery with ORDER BY + LIMIT: per-customer
+      // top-2 orders. Catalyst decorrelates to a ranked window join —
+      // no per-row subquery execution (same class as q104's scalar MIN).
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
+    )
   )
 
   // ---------------------------------------------------------------------------
@@ -2327,6 +2338,13 @@ object SparkEntry {
            FROM segs a JOIN segs b ON a.h = b.h AND a.source < b.source)
          SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS shared_segments
          FROM pairs GROUP BY source_a, source_b
-         ORDER BY source_a, source_b"""
+         ORDER BY source_a, source_b""",
+    "q115_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
   )
 }

@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 Test / fork := true
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked program's stdout straight through instead of routing it
+// via sbt's logger: the logger prefixes every line with "[info] ", and the
+// driver's bench/verify parsers only recognize lines that START with '{'
+// (r03 — unprefixed — parsed; r04-r06 — "[info] {"-prefixed — read as
+// "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

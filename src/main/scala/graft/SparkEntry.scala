@@ -809,25 +809,26 @@ object SparkEntry {
         ORDER BY o_orderkey"""
     ),
     "q74_decimal_exact" -> pipe("lineitem")(
-      // Cross-engine decimal parity is only guaranteed where NO step rounds:
-      //  - CAST(double AS DECIMAL(p,s)) is engine-dependent when it must
-      //    round (Spark rounds the shortest decimal repr HALF_UP, other
-      //    engines round the binary value), so every decimal here is derived
-      //    from FLOOR(double) — an exact IEEE operation — and exact integer/
-      //    decimal multiplication. disc_amt therefore never rounds at all.
-      //  - quarter_cents pins decimal DIVISION on a dyadic, terminating
-      //    quotient (integer cents / 4, ≤ 2 fractional digits): exact under
-      //    any intermediate — Spark's scale-16 decimal, DuckDB 1.0's DOUBLE
-      //    (cents < 2^53), or any decimal intermediate with scale ≥ the
-      //    scale-8 dividend. Non-terminating quotients are deliberately NOT
-      //    oracle-checked: engines round them at different intermediate
-      //    scales (DecimalSpec pins Spark's own semantics instead).
-      //  - unit_price divides in DOUBLE: IEEE-754 division is bit-identical
-      //    across engines.
+      // Decimal arithmetic under test, INTEGER transport across the oracle
+      // boundary. Three rounds of hash-mismatch taught the lesson: the
+      // driver's DuckDB is a different build than the local 1.0.0 (the r05
+      // formulation was verified bit-identical locally yet still failed the
+      // driver), and decimal division/representation semantics vary by
+      // engine VERSION, not just by engine. So the Spark side exercises the
+      // full decimal path — FLOOR-derived exact decimals, exact multiply,
+      // dyadic-terminating divide, widening casts — and then converts each
+      // result to scale-0 integer units (×10^scale → BIGINT, exact because
+      // every value terminates within its scale). The oracle computes the
+      // SAME integers with pure BIGINT arithmetic: no decimal type ever
+      // crosses the comparison, so there is nothing version-dependent left
+      // to disagree on. unit_price stays DOUBLE: IEEE-754 division is
+      // bit-identical across engines (same approach as q35/q79).
+      // Spark's own decimal semantics (scales, HALF_UP, overflow) are
+      // pinned separately in DecimalSpec.
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2)) AS price_d,
-               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(FLOOR(l_discount * 100) AS BIGINT) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS disc_amt,
-               CAST(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS DECIMAL(30,8)) / 4 AS DECIMAL(38,4)) AS quarter_cents,
+               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(0.01 AS DECIMAL(3,2)) * 100 AS BIGINT) AS price_cents,
+               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(FLOOR(l_discount * 100) AS BIGINT) * CAST(0.0001 AS DECIMAL(5,4)) * 10000 AS BIGINT) AS disc_amt_du,
+               CAST(CAST(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS DECIMAL(30,8)) / 4 AS DECIMAL(38,4)) * 100 AS BIGINT) AS quarter_centi,
                CAST(l_extendedprice AS DOUBLE) / CAST(NULLIF(l_quantity, 0) AS DOUBLE) AS unit_price
         FROM lineitem
         WHERE l_orderkey <= 100
@@ -1534,11 +1535,16 @@ object SparkEntry {
         FROM orders
         WHERE o_orderkey <= 300
         ORDER BY o_orderkey""",
+    // Oracle side is PURE BIGINT arithmetic — provably equal to the Spark
+    // side's decimal pipeline (cents * 0.01 * 100 == cents; cents * dc *
+    // 0.0001 * 10000 == cents*dc; (cents/4) * 100 == cents*25 exactly, the
+    // quotient terminates in 2 digits), with no decimal type crossing the
+    // engine-version-sensitive comparison.
     "q74_decimal_exact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2)) AS price_d,
-               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(FLOOR(l_discount * 100) AS BIGINT) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS disc_amt,
-               CAST(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS DECIMAL(30,8)) / 4 AS DECIMAL(38,4)) AS quarter_cents,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_amt_du,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * 25 AS quarter_centi,
                CAST(l_extendedprice AS DOUBLE) / CAST(NULLIF(l_quantity, 0) AS DOUBLE) AS unit_price
         FROM lineitem
         WHERE l_orderkey <= 100

@@ -27,7 +27,7 @@ class DecimalSpec extends SparkSpec {
   }
 
   test("terminating quotient is exact through the intermediate") {
-    // cents/4 terminates at scale 4 — the q74 quarter_cents contract
+    // cents/4 terminates at scale 4 — the q74 quarter_centi contract
     assert(one("CAST(CAST(3764497 AS DECIMAL(30,8)) / 4 AS DECIMAL(38,4))") == "941124.2500")
   }
 

@@ -1419,7 +1419,136 @@ object SparkEntry {
                   WHERE o.o_custkey = c.c_custkey
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
          ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
-    )
+    ),
+    "q116_line_filter" -> withViews("documents") { (spark, ctx) =>
+      // C4-style line filtering (LineFilter.clean): keep lines with ≥3 words
+      // ending in terminal punctuation, flag code/lorem docs. Pure narrow
+      // projection — zero shuffles, scan-speed at 100 TB.
+      graft.llm.LineFilter
+        .clean(ctx.view("documents"), "doc_id", "text", minWords = 3, minLines = 1)
+        .orderBy("doc_id")
+    },
+    "q117_quantize_int8" -> withViews("embeddings") { (spark, ctx) =>
+      // Symmetric absmax int8 quantization (Quantize.quantStats): integer
+      // code checksums + order-independent max reconstruction error. Narrow
+      // projection, zero shuffles; every arithmetic step a single IEEE op →
+      // bit-identical to the oracle.
+      graft.llm.Quantize
+        .quantStats(ctx.view("embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
+    },
+    "q118_token_rarity" -> withViews("documents") { (spark, ctx) =>
+      // Corpus-frequency rarity profile (Relevance.tokenRarity): the
+      // LM-free stand-in for a perplexity filter. Integer sums all the way;
+      // one (doc,term) shuffle + one term-keyed frequency join.
+      graft.llm.Relevance
+        .tokenRarity(ctx.view("documents"), "doc_id", "text", rareThreshold = 2L)
+        .orderBy("doc_id")
+    },
+    "q119_segment_clean" -> withViews("documents") { (spark, ctx) =>
+      // CCNet-style boilerplate-segment REMOVAL (Dedup.segmentClean): drop
+      // 8-word segments shared by >1 documents, re-join survivors in order.
+      // Text enters exactly one shuffle; frequency table is (hash, count).
+      graft.llm.Dedup
+        .segmentClean(ctx.view("documents"), "doc_id", "text", segWords = 8, maxDocFreq = 1L)
+        .orderBy("doc_id")
+    },
+    "q120_correlated_avg_filter" -> pipe("lineitem", "part")(
+      // TPC-H Q17 shape: correlated per-part average threshold. Catalyst
+      // decorrelates the scalar subquery into an aggregate + join on
+      // l_partkey — one pass over lineitem for the averages, no per-row
+      // subquery. Revenue carried as exact integer cents.
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_small
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""
+    ),
+    "q121_grouped_having_in" -> pipe("customer", "orders", "lineitem")(
+      // TPC-H Q18 shape: IN over a grouped-HAVING subquery (large-quantity
+      // orders), then a 3-way join + re-aggregation. The IN materializes as
+      // a semi-join on o_orderkey; quantities are integer-valued doubles →
+      // BIGINT sums are exact.
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+               CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey
+                               HAVING SUM(l_quantity) > 150)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        ORDER BY sum_qty DESC, o_orderkey"""
+    ),
+    "q122_exists_notexists_chain" -> pipe("supplier", "lineitem", "orders", "nation")(
+      // TPC-H Q21 shape: EXISTS (another supplier contributed to the order)
+      // AND NOT EXISTS (another supplier's line was returned) — two
+      // correlated set-predicates on the same join key, planned as one
+      // semi- and one anti-join on l_orderkey.
+      """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+          AND n.n_nationkey < 15
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name"""
+    ),
+    "q123_global_avg_antijoin" -> pipe("customer", "orders")(
+      // TPC-H Q22 shape: segment buckets + uncorrelated scalar AVG threshold
+      // + NOT EXISTS anti-join. Balances compare as exact integer cents (a
+      // double AVG of raw balances would be partition-order-dependent).
+      """WITH cents AS (
+          SELECT c_custkey, c_custkey % 7 AS segment,
+                 CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer)
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal_cents) AS BIGINT) AS totbal_cents
+        FROM cents c
+        WHERE segment IN (1, 3, 5)
+          AND bal_cents > (SELECT AVG(bal_cents) FROM cents WHERE bal_cents > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P' AND o.o_totalprice > 200000)
+        GROUP BY segment
+        ORDER BY segment"""
+    ),
+    "q124_quantized_topk" -> withViews("embeddings") { (spark, ctx) =>
+      // Retrieval over QUANTIZED vectors: int8 codes, INTEGER dot-product
+      // scoring (exact, order-independent — quantization makes ANN scoring
+      // oracle-checkable, the float path q35 needs IEEE-parity care for).
+      // Same broadcast shape as bruteForceTopK: queries broadcast, corpus
+      // never shuffles.
+      import org.apache.spark.sql.expressions.Window
+      val emb = ctx.view("embeddings")
+      val codes = emb.select(
+        col("vec_id"),
+        graft.llm.Quantize.int8Codes(col("embedding")).as("codes"))
+      val q = codes.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
+      val scored = codes
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id"),
+          aggregate(
+            zip_with(col("codes"), col("q_codes"), (a, b) => a.cast("long") * b.cast("long")),
+            lit(0L), (acc, x) => acc + x).as("dot_q"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("dot_q").desc, col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    }
   )
 
   // ---------------------------------------------------------------------------
@@ -2351,6 +2480,144 @@ object SparkEntry {
          LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-         ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+    "q116_line_filter" ->
+      """WITH k AS (
+          SELECT doc_id, text,
+                 string_split(text, chr(10)) AS lines,
+                 list_filter(string_split(text, chr(10)),
+                   l -> len(list_filter(regexp_split_to_array(trim(l), '\s+'), w -> len(w) > 0)) >= 3
+                        AND right(trim(l), 1) IN ('.', '!', '?', '"', '''')
+                        AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept_lines,
+               COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+               (contains(text, '{') OR contains(lower(text), 'lorem ipsum') OR len(kept) < 1) AS drop_doc
+        FROM k
+        ORDER BY doc_id""",
+    "q117_quantize_int8" ->
+      """WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings),
+        c AS (
+          SELECT vec_id, embedding, scale,
+                 list_transform(embedding,
+                   x -> CAST(COALESCE(floor(CAST(x AS DOUBLE) * 127 / nullif(scale, 0) + 0.5), 0) AS INT)) AS codes
+          FROM s)
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS n_dim,
+               scale,
+               CAST(list_sum(codes) AS BIGINT) AS code_sum,
+               CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1,
+               list_max(list_transform(generate_series(1, len(embedding)),
+                 i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale / 127))) AS max_abs_err
+        FROM c
+        ORDER BY vec_id""",
+    "q118_token_rarity" ->
+      """WITH tc AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+                FROM documents)
+          GROUP BY doc_id, term),
+        cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tc GROUP BY term)
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf * c) AS BIGINT) AS freq_sum,
+               CAST(SUM(CASE WHEN c <= 2 THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+               CAST(SUM(CASE WHEN c <= 2 THEN tf ELSE 0 END) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS rare_frac
+        FROM tc JOIN cf USING (term)
+        GROUP BY doc_id
+        ORDER BY doc_id""",
+    "q119_segment_clean" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        segs AS (
+          SELECT doc_id, i, array_to_string(w[((i-1)*8+1):(i*8)], ' ') AS seg
+          FROM words, LATERAL (SELECT UNNEST(generate_series(1, CAST(CEIL(len(w)/8.0) AS BIGINT))) AS i) t
+        ),
+        freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               COALESCE(string_agg(CASE WHEN f.nd <= 1 THEN s.seg END, ' ' ORDER BY s.i), '') AS clean_text
+        FROM segs s JOIN freq f ON s.seg = f.seg
+        GROUP BY s.doc_id
+        ORDER BY doc_id""",
+    "q120_correlated_avg_filter" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_small
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
+    "q121_grouped_having_in" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+               CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey
+                               HAVING SUM(l_quantity) > 150)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        ORDER BY sum_qty DESC, o_orderkey""",
+    "q122_exists_notexists_chain" ->
+      """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+          AND n.n_nationkey < 15
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name""",
+    "q123_global_avg_antijoin" ->
+      """WITH cents AS (
+          SELECT c_custkey, c_custkey % 7 AS segment,
+                 CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer)
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal_cents) AS BIGINT) AS totbal_cents
+        FROM cents c
+        WHERE segment IN (1, 3, 5)
+          AND bal_cents > (SELECT AVG(bal_cents) FROM cents WHERE bal_cents > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P' AND o.o_totalprice > 200000)
+        GROUP BY segment
+        ORDER BY segment""",
+    "q124_quantized_topk" ->
+      """WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings),
+        c AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(COALESCE(floor(CAST(x AS DOUBLE) * 127 / nullif(scale, 0) + 0.5), 0) AS INT)) AS codes
+          FROM s),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(c.codes)),
+                   i -> CAST(c.codes[i] AS BIGINT) * CAST(q.codes[i] AS BIGINT))) AS BIGINT) AS dot_q
+          FROM c, c q
+          WHERE q.vec_id <= 2 AND c.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT query_id, vec_id, dot_q,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, dot_q, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""
   )
 }

@@ -269,7 +269,18 @@ object PipelineConfig {
         segmentWords = o.intOpt("segmentWords").getOrElse(8),
         action = o.str("action", "stats"),
         maxSharedFraction = o.dbl("maxSharedFraction", 0.5),
+        maxDocFreq = o.intOpt("maxDocFreq").getOrElse(1).toLong,
         persist = o.bool("persist"))
+    case "LineFilterTransform" =>
+      LineFilterTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        idField = o.req("idField"), textField = o.req("textField"),
+        minWords = o.intOpt("minWords").getOrElse(3),
+        minLines = o.intOpt("minLines").getOrElse(1),
+        action = o.str("action", "report"), persist = o.bool("persist"))
+    case "QuantizeTransform" =>
+      QuantizeTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        idField = o.req("idField"), vectorField = o.req("vectorField"),
+        action = o.str("action", "codes"), persist = o.bool("persist"))
     case "ResampleTransform" =>
       ResampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         keyField = o.req("keyField"), timeField = o.req("timeField"),

@@ -113,6 +113,61 @@ object Dedup {
       .agg(count(lit(1)).as("shared_segments"))
   }
 
+  /** Segment-level CLEANING (the removal counterpart of
+    * [[segmentDupStats]], CCNet/C4-style): split every document into
+    * consecutive `segWords`-word segments, count how many distinct documents
+    * carry each segment corpus-wide, DROP segments carried by more than
+    * `maxDocFreq` documents (boilerplate headers/footers/cookie banners),
+    * and re-join the survivors in order. Returns
+    * (idCol, n_segments, n_dropped, clean_text).
+    *
+    * Scale shape: the frequency table is built from (id, hash) pairs only —
+    * document text enters exactly ONE shuffle (hash-join of segments with
+    * their global frequency is keyed by the 16-byte md5; per-key fan-out is
+    * carrying-documents, the quantity being counted), and the ordered
+    * reassembly is a map-side-combinable struct collect re-sorted per
+    * document, not a window. Documents never meet each other except through
+    * the md5 key.
+    */
+  def segmentClean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWords: Int = 8,
+      maxDocFreq: Long = 1L): DataFrame = {
+    // (id, idx, segment text) — same slicing as segmentHashes, text retained
+    val segs = df
+      .select(
+        col(idCol),
+        posexplode(
+          graft.functions.Let.bind(
+            split(col(textCol), " "),
+            w =>
+              transform(
+                TextStats.safeSeq(ceil(size(w).cast("double") / segWords).cast("int")),
+                i => concat_ws(" ", slice(w, (i - 1) * segWords + 1, lit(segWords)))
+              )
+          )
+        ).as(Seq("_idx", "_seg")))
+      .withColumn("_h", md5(col("_seg")))
+    val freq = segs
+      .groupBy(col("_h"))
+      .agg(count_distinct(col(idCol)).as("_nd"))
+    segs
+      .join(freq, "_h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("_nd") > maxDocFreq, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(
+              collect_list(
+                when(col("_nd") <= maxDocFreq, struct(col("_idx"), col("_seg"))))),
+            s => s.getField("_seg")),
+          " ").as("clean_text"))
+  }
+
   /** Normalized word tokens. */
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)

@@ -100,6 +100,41 @@ object Relevance {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Token-rarity profile per document against corpus-wide frequencies — a
+    * language-model-free proxy for the "perplexity filter" stage of published
+    * pipelines (CCNet, RefinedWeb): documents dominated by tokens the corpus
+    * has barely seen are gibberish/OCR noise; documents made ONLY of
+    * ultra-common tokens are boilerplate. Returns
+    * (idCol, n_tokens, freq_sum, n_rare, rare_frac) where `freq_sum` is the
+    * exact integer sum of each token occurrence's corpus frequency (mean
+    * corpus frequency = freq_sum / n_tokens) and `n_rare` counts occurrences
+    * of tokens appearing ≤ `rareThreshold` times corpus-wide.
+    *
+    * Everything except the final `rare_frac` division is integer arithmetic —
+    * order-independent, partition-layout-proof, oracle-exact.
+    *
+    * Scale shape: the explode is shuffled ONCE on (doc, term) into per-doc
+    * term counts; corpus frequencies aggregate from those distinct pairs
+    * (map-side combinable); the frequency join is keyed by term — per-key
+    * fan-out is documents-carrying-the-term, weight is two longs (text never
+    * shuffles). The per-doc rollup then combines counts, not occurrences.
+    */
+  def tokenRarity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rareThreshold: Long = 2L): DataFrame = {
+    val tc = termCounts(df, idCol, textCol)
+    val corpusFreq = tc.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("_cf"))
+    tc.join(corpusFreq, Seq("term"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * col("_cf")).cast("long").as("freq_sum"),
+        sum(when(col("_cf") <= rareThreshold, col("tf")).otherwise(0L)).cast("long").as("n_rare"))
+      .withColumn("rare_frac", col("n_rare").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** BM25 score of each document against a set of query terms:
     * sum over query terms of idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
     *

@@ -169,12 +169,13 @@ final case class SegmentDedupTransform(
     segmentWords: Int = 8,
     action: String = "stats",
     maxSharedFraction: Double = 0.5,
+    maxDocFreq: Long = 1L,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "SegmentDedupTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     val in = ctx.view(inputView)
-    val stats = Dedup.segmentDupStats(in, idField, textField, segmentWords)
+    lazy val stats = Dedup.segmentDupStats(in, idField, textField, segmentWords)
     val out = action match {
       case "stats" => stats
       case "filter" =>
@@ -183,9 +184,17 @@ final case class SegmentDedupTransform(
             col("n_segments").cast("double") * maxSharedFraction)
           .select(col(idField))
         in.join(flagged, Seq(idField), "left_anti")
+      case "clean" =>
+        // CCNet-style removal: rewrite textField with over-shared segments
+        // dropped instead of dropping whole documents
+        in.drop(textField)
+          .join(
+            Dedup.segmentClean(in, idField, textField, segmentWords, maxDocFreq)
+              .select(col(idField), col("clean_text").as(textField)),
+            Seq(idField))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown segment-dedup action '$other' (stats|filter)")
+          s"$name: unknown segment-dedup action '$other' (stats|filter|clean)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
@@ -301,6 +310,72 @@ final case class SampleTransform(
       case other =>
         throw new IllegalArgumentException(
           s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** C4-style line filtering behind the config surface —
+  * [[graft.llm.LineFilter.clean]]: per-line word-count/punctuation/
+  * boilerplate rules, document-level code/placeholder flags. `action=report`
+  * emits the full per-document report; `action=filter` returns the input
+  * rows that survive with `textField` replaced by the cleaned text.
+  */
+final case class LineFilterTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    idField: String,
+    textField: String,
+    minWords: Int = 3,
+    minLines: Int = 1,
+    action: String = "report",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "LineFilterTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val report = graft.llm.LineFilter.clean(in, idField, textField, minWords, minLines)
+    val out = action match {
+      case "report" => report
+      case "filter" =>
+        in.drop(textField)
+          .join(
+            report.filter(!col("drop_doc")).select(col(idField), col("clean_text").as(textField)),
+            Seq(idField))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown line-filter action '$other' (report|filter)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** Int8 embedding quantization behind the config surface —
+  * [[graft.llm.Quantize]]: `action=codes` appends the code array + scale
+  * (the compact form an ANN index stores); `action=stats` emits the
+  * per-vector quantization report (checksums + max reconstruction error).
+  */
+final case class QuantizeTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    idField: String,
+    vectorField: String,
+    action: String = "codes",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "QuantizeTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = action match {
+      case "codes" =>
+        in.withColumn("codes", graft.llm.Quantize.int8Codes(col(vectorField)))
+          .withColumn("scale", graft.llm.Quantize.absmaxScale(col(vectorField)))
+      case "stats" => graft.llm.Quantize.quantStats(in, idField, vectorField)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown quantize action '$other' (codes|stats)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

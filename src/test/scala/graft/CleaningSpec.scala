@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, LineFilter, Quantize, Relevance}
+
+/** Round-7 corpus-cleaning operators: C4-style line filtering, int8
+  * quantization, token rarity, segment-level cleaning.
+  */
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------------- LineFilter
+
+  private def lineDocs = Seq(
+    (1L, "This line has enough words.\nshort\nAnother good line stays here!\nno terminal punct here at all"),
+    (2L, "Enable javascript to continue reading.\nA perfectly fine sentence stays."),
+    (3L, "function f() { return 1; }\nA good sentence in a code doc."),
+    (4L, "word"),
+    (5L, "Lorem ipsum dolor sit amet.\nThe placeholder doc gets flagged.")
+  ).toDF("doc_id", "text")
+
+  test("line filter keeps punctuated multi-word lines only") {
+    val out = LineFilter.clean(lineDocs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Int, Int, String, Boolean)].collect()
+    val d1 = out(0)
+    assert(d1._2 == 4 && d1._3 == 2)
+    assert(d1._4 == "This line has enough words.\nAnother good line stays here!")
+    assert(!d1._5)
+    // javascript line dropped, clean sentence kept
+    assert(out(1)._4 == "A perfectly fine sentence stays.")
+    // curly brace flags the whole doc even though one line is fine
+    assert(out(2)._5)
+    // single word: nothing survives -> empty text + dropped
+    assert(out(3)._3 == 0 && out(3)._4 == "" && out(3)._5)
+    // lorem ipsum flags the doc
+    assert(out(4)._5)
+  }
+
+  test("line filter stage filter action rewrites text and drops flagged docs") {
+    val ctx = new graft.core.PipelineContext(spark)
+    lineDocs.createOrReplaceTempView("docs_lf")
+    val out = graft.transform.LineFilterTransform(
+      "lf", "docs_lf", "docs_clean", "doc_id", "text", action = "filter")
+      .execute(ctx).get
+    val rows = out.orderBy("doc_id").select("doc_id", "text").as[(Long, String)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+    assert(rows(1)._2 == "A perfectly fine sentence stays.")
+  }
+
+  // ---------------------------------------------------------------- Quantize
+
+  test("int8 codes are bounded, exact at extremes, and zero-vector safe") {
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-2.5f))
+    ).toDF("id", "v")
+    val codes = df.select($"id", Quantize.int8Codes($"v").as("c"))
+      .orderBy("id").as[(Long, Seq[Int])].collect()
+    assert(codes(0)._2 == Seq(127, -127, 64, 0)) // 0.5*127=63.5 -> floor(64.0)=64
+    assert(codes(1)._2 == Seq(0, 0))             // zero scale -> zero codes
+    assert(codes(2)._2 == Seq(-127))
+    val stats = Quantize.quantStats(df, "id", "v").orderBy("id")
+      .select("n_dim", "code_sum", "code_l1", "max_abs_err").as[(Int, Long, Long, Double)].collect()
+    assert(stats(0) == ((4, 64L, 318L, 64.0 * 1.0 / 127 - 0.5)))
+    assert(stats(1) == ((2, 0L, 0L, 0.0)))
+    // reconstruction error is bounded by half a quantization step
+    assert(stats.forall { case (_, _, _, err) => err <= 2.5 / 127 / 2 + 1e-12 })
+  }
+
+  test("quantized dot ranking approximates float cosine ranking on aligned vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("id", "v")
+    val codes = df.select($"id", Quantize.int8Codes($"v").as("c"))
+    val q = codes.filter($"id" === 1L).select($"c".as("qc"))
+    val scored = codes.crossJoin(q)
+      .select($"id",
+        aggregate(zip_with($"c", $"qc", (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+      .orderBy(desc("dot")).as[(Long, Long)].collect()
+    assert(scored.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  // ------------------------------------------------------------- tokenRarity
+
+  test("token rarity counts corpus frequencies exactly") {
+    val df = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "zzz")
+    ).toDF("id", "text")
+    // corpus freq: alpha=3, beta=1, gamma=1, zzz=1
+    val out = Relevance.tokenRarity(df, "id", "text", rareThreshold = 1L)
+      .orderBy("id").select("n_tokens", "freq_sum", "n_rare").as[(Long, Long, Long)].collect()
+    assert(out(0) == ((3L, 7L, 1L))) // 3+3+1; beta rare
+    assert(out(1) == ((2L, 4L, 1L))) // 3+1; gamma rare
+    assert(out(2) == ((1L, 1L, 1L)))
+  }
+
+  // ------------------------------------------------------------ segmentClean
+
+  test("segment clean drops shared segments and preserves unique text") {
+    val boiler = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"$boiler unique alpha text here only doc one x"),
+      (2L, s"$boiler other beta words appear solely doc two y"),
+      (3L, "completely different content with no repeats at all")
+    ).toDF("id", "text")
+    val out = Dedup.segmentClean(df, "id", "text", segWords = 8, maxDocFreq = 1L)
+      .orderBy("id").select("n_segments", "n_dropped", "clean_text")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) == ((2L, 1L, "unique alpha text here only doc one x")))
+    assert(out(1) == ((2L, 1L, "other beta words appear solely doc two y")))
+    // untouched doc reconstructs exactly
+    assert(out(2) == ((1L, 0L, "completely different content with no repeats at all")))
+  }
+
+  test("segment clean stage action rewrites the text column") {
+    val ctx = new graft.core.PipelineContext(spark)
+    Seq(
+      (1L, "a b c d e f g h tail one"),
+      (2L, "a b c d e f g h tail two")
+    ).toDF("doc_id", "text").createOrReplaceTempView("docs_sc")
+    val out = graft.transform.SegmentDedupTransform(
+      "sc", "docs_sc", "docs_sc_clean", "doc_id", "text",
+      segmentWords = 8, action = "clean")
+      .execute(ctx).get
+    val rows = out.orderBy("doc_id").select("text").as[String].collect()
+    assert(rows.toSeq == Seq("tail one", "tail two"))
+  }
+}

@@ -233,6 +233,52 @@ class ConfigSpec extends SparkSpec {
     assert(rs.map(_._3).toSeq == Seq(24.0, 36.0, 48.0))
   }
 
+  test("LineFilterTransform and QuantizeTransform run from a config cell") {
+    val hocon =
+      s"""{
+        stages: [
+          {
+            type = "ParquetExtract"
+            name = "extract docs"
+            inputURI = "${sf()}/documents.parquet"
+            outputView = lf_docs
+          }
+          {
+            type = "LineFilterTransform"
+            name = "c4 lines"
+            inputView = lf_docs
+            outputView = lf_report
+            idField = doc_id
+            textField = text
+            minWords = 3
+          }
+          {
+            type = "ParquetExtract"
+            name = "extract embeddings"
+            inputURI = "${sf()}/embeddings.parquet"
+            outputView = qt_emb
+          }
+          {
+            type = "QuantizeTransform"
+            name = "sq8"
+            inputView = qt_emb
+            outputView = qt_codes
+            idField = vec_id
+            vectorField = embedding
+          }
+        ]
+      }"""
+    val ctx = new PipelineContext(spark)
+    assert(Runner.run(PipelineConfig.parse(hocon), ctx).isDefined)
+    assert(spark.table("lf_report").columns.toSeq ==
+      Seq("doc_id", "n_lines", "n_kept_lines", "clean_text", "drop_doc"))
+    val codes = spark.table("qt_codes")
+    assert(codes.columns.contains("codes") && codes.columns.contains("scale"))
+    // every code within int8 range
+    import org.apache.spark.sql.functions._
+    assert(codes.filter(exists(col("codes"), c => abs(c) > 127)).count() == 0)
+  }
+
   test("SketchTransform: segment rows written then merged equal the one-shot estimate") {
     val hocon =
       s"""{

@@ -134,6 +134,29 @@ class PlanSpec extends SparkSpec {
     assert(!exchangeArgs.contains("text"), exchangeArgs)
   }
 
+  test("line filter and int8 quantization are pure narrow maps — zero exchanges") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val lfPlan = formatted(graft.llm.LineFilter.clean(docs, "doc_id", "text"))
+    assert(exchanges(lfPlan) == 0, lfPlan)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val qPlan = formatted(graft.llm.Quantize.quantStats(emb, "vec_id", "embedding"))
+    assert(exchanges(qPlan) == 0, qPlan)
+    assert(!qPlan.contains("SinglePartition"), qPlan)
+  }
+
+  test("segmentClean: frequency exchange carries hashes, reassembly is keyed by id") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = formatted(
+      graft.llm.Dedup.segmentClean(docs, "doc_id", "text", segWords = 8, maxDocFreq = 1L))
+    // frequency table is built from (id, hash) only — its exchange must not
+    // carry segment text; the reassembly aggregate is keyed on doc_id
+    assert(plan.contains("hashpartitioning(_h"), plan)
+    assert(plan.contains("hashpartitioning(doc_id"), plan)
+    val freqExchange = plan.linesIterator
+      .filter(l => l.contains("hashpartitioning(_h")).mkString("\n")
+    assert(!freqExchange.contains("_seg"), freqExchange)
+  }
+
   test("globalPosition never plans a SinglePartition window over the data") {
     import org.apache.spark.sql.functions.{col, concat, lit, md5}
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id")

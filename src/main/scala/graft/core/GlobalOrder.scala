@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * across a partition boundary would otherwise make positions
   * partitioning-dependent.
   *
+  * Two jobs run over the ranged frame: the offsets collect and the final
+  * window pass. By default the ranged frame is pinned ([[Lineage.pin]])
+  * between them, so both jobs are guaranteed to see the SAME partitioning —
+  * without the pin, a nondeterministic upstream (shuffle-retried input,
+  * `rand()`, stateful `mapPartitions`) could range-partition differently on
+  * the second execution and silently misnumber rows. `pin = false` skips
+  * the materialization; callers opting out assert their input is
+  * deterministic.
+  *
   * Main use: deterministic corpus shuffling for training order —
   * `withGlobalPosition(docs, Seq(md5(concat(id, lit(salt))), id))` gives
   * every doc a stable pseudo-random rank, reproducible across reruns and
@@ -32,13 +41,15 @@ object GlobalOrder {
       df: DataFrame,
       order: Seq[Column],
       posCol: String = "pos",
-      numPartitions: Option[Int] = None
+      numPartitions: Option[Int] = None,
+      pin: Boolean = true
   ): DataFrame = {
     require(order.nonEmpty, "order columns required")
-    val ranged = numPartitions
+    val shaped = numPartitions
       .map(n => df.repartitionByRange(n, order: _*))
       .getOrElse(df.repartitionByRange(order: _*))
       .withColumn("_gp", spark_partition_id())
+    val ranged = if (pin) Lineage.pin(shaped) else shaped
     // partition sizes: tiny job, one row per partition
     val sizes = ranged.groupBy(col("_gp")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

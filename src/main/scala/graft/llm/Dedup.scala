@@ -404,15 +404,17 @@ object Dedup {
       idBCol: String = "idB",
       maxIterations: Int = 25
   ): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs
+    // undirected edge list, both directions. Lineage is cut every round
+    // (Lineage.pin): executor-local checkpoint by default; when the session
+    // has a reliable checkpoint dir configured the pin automatically
+    // upgrades to a fault-tolerant checkpoint, so a long CC job on a real
+    // cluster survives executor loss mid-iteration.
+    val edges = graft.core.Lineage.pin(pairs
       .select(col(idACol).as("src"), col(idBCol).as("dst"))
       .unionAll(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = graft.core.Lineage.pin(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -428,14 +430,14 @@ object Dedup {
           least(col("component"), coalesce(col("_offer"), col("component"))).as("component"))
       // 2. pointer jump: follow the label one more level (component of my
       //    component) — halves the remaining chain depth every round
-      val next = propagated.as("a")
+      val jumped = propagated.as("a")
         .join(
           propagated.select(col("id").as("_cid"), col("component").as("_ccomp")),
           col("a.component") === col("_cid"),
           "left")
         .select(col("a.id").as("id"),
           least(col("a.component"), coalesce(col("_ccomp"), col("a.component"))).as("component"))
-        .localCheckpoint(true)
+      val next = graft.core.Lineage.pin(jumped)
       val changed = next
         .join(labels.withColumnRenamed("component", "_old"), Seq("id"))
         .filter(col("component") =!= col("_old"))

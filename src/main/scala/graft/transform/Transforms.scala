@@ -3,7 +3,7 @@ package graft.transform
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.core.{Params, PipelineContext, Stage}
+import graft.core.{Lineage, Params, PipelineContext, Stage}
 import graft.schema.FieldSpec
 
 /** SQLTransform — the workhorse (SURVEY.md §2.2): execute Spark SQL with
@@ -292,11 +292,13 @@ final case class SimilarityJoinTransform(
     // pins the ids: both branches read the same materialized partitions.
     // Lineage is cut, so a lost executor fails the job loudly instead of
     // recomputing with different ids — loud failure over silent corruption.
-    val lRows = lSrc.withColumn("_gid", shiftleft(monotonically_increasing_id(), 1))
-      .localCheckpoint()
-    val rRows = rSrc.withColumn("_gid",
-      shiftleft(monotonically_increasing_id(), 1).bitwiseOR(lit(1L)))
-      .localCheckpoint()
+    // (Lineage.pin upgrades to a reliable checkpoint when the session has a
+    // checkpoint dir, so cluster runs survive executor loss too.)
+    val lRows = Lineage.pin(
+      lSrc.withColumn("_gid", shiftleft(monotonically_increasing_id(), 1)))
+    val rRows = Lineage.pin(
+      rSrc.withColumn("_gid",
+        shiftleft(monotonically_increasing_id(), 1).bitwiseOR(lit(1L))))
     def corpus(df: DataFrame, fields: Seq[String]): DataFrame =
       df.select(col("_gid"), charShingles(fields).as("_sh")).filter(size(col("_sh")) > 0)
     // S-curve tuning: t* ≈ (1/b)^(1/r)  ⇒  r ≈ ln(b) / -ln(t*). The knee is

@@ -228,6 +228,30 @@ class DedupSpec extends SparkSpec {
     assert(cc.forall(_.getLong(1) == 1L), cc.take(5).mkString(","))
   }
 
+  test("connected components: reliable-checkpoint mode matches local mode") {
+    // With a checkpoint dir configured, Lineage.pin upgrades every
+    // per-iteration cut to a fault-tolerant checkpoint (survives executor
+    // loss on a real cluster). Labels must be identical in both modes.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 3L)).toDF("idA", "idB")
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val reliable = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      assert(new java.io.File(dir).listFiles != null && new java.io.File(dir).listFiles.nonEmpty,
+        "reliable mode must have written checkpoint data")
+    } finally {
+      // clear the dir so later suites keep the (default) local-checkpoint
+      // path; no public unset API — the accessor is private[spark]
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(sc, None)
+    }
+  }
+
   test("minhashDedupClusters keeps one doc per transitive cluster") {
     // 1~2 and 2~5 are near-dups; 1~5 may never be a direct pair — the
     // transitive closure must still collapse {1,2,5} to {1}.

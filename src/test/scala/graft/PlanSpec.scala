@@ -160,14 +160,49 @@ class PlanSpec extends SparkSpec {
   test("globalPosition never plans a SinglePartition window over the data") {
     import org.apache.spark.sql.functions.{col, concat, lit, md5}
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id")
-    val ranked = graft.core.GlobalOrder.withGlobalPosition(
-      docs, Seq(md5(concat(col("doc_id").cast("string"), lit("s"))), col("doc_id")))
-    val plan = formatted(ranked)
+    // pin = false exposes the full logical shape to the plan assertions
+    // (the default pin checkpoints the ranged frame, which truncates the
+    // visible plan at the checkpoint scan)
+    val unpinned = graft.core.GlobalOrder.withGlobalPosition(
+      docs, Seq(md5(concat(col("doc_id").cast("string"), lit("s"))), col("doc_id")),
+      pin = false)
+    val plan = formatted(unpinned)
     assert(!plan.contains("SinglePartition"), plan)
     assert(plan.contains("rangepartitioning"), plan)
+    // default (pinned) path: window side must still avoid SinglePartition
+    val ranked = graft.core.GlobalOrder.withGlobalPosition(
+      docs, Seq(md5(concat(col("doc_id").cast("string"), lit("s"))), col("doc_id")))
+    assert(!formatted(ranked).contains("SinglePartition"))
     // positions are the exact permutation 0..n-1
     val pos = ranked.select("pos").collect().map(_.getLong(0)).sorted
     assert(pos.toSeq == (0L until pos.length).toSeq)
+  }
+
+  test("globalPosition executes a nondeterministic upstream exactly once") {
+    import org.apache.spark.sql.functions.{col, udf}
+    // Nondeterministic upstream: per-execution random sort keys mean a
+    // recomputation would range-partition differently between the offsets
+    // job and the window job. The accumulator proves single execution; the
+    // permutation + rank checks prove the numbering is still exact.
+    val acc = spark.sparkContext.longAccumulator("rowsSeen")
+    val noise = udf(() => scala.util.Random.nextDouble()).asNondeterministic()
+    val seen = udf((id: Long) => { acc.add(1L); id })
+    val n = 500L
+    val base = spark.range(0, n).toDF("id")
+      .withColumn("id", seen(col("id")))
+      .withColumn("_r", noise())
+      .repartition(7, col("_r"))
+      .drop("_r")
+    val ranked = graft.core.GlobalOrder.withGlobalPosition(
+      base, Seq(col("id")), numPartitions = Some(5))
+    val rows = ranked.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // one materialization = n row-reads (the range exchange's boundary
+    // sampling reads the upstream's first shuffle OUTPUT, not the UDF
+    // projection); an unpinned recompute would double this
+    assert(acc.value == n, s"upstream executed ${acc.value} row-reads for $n rows")
+    assert(rows.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // total order by id ⇒ pos must equal id itself
+    assert(rows.forall { case (id, pos) => id == pos })
   }
 
   test("runtime bloom filter: a selective dim filter reaches the fact scan side") {

@@ -1548,6 +1548,22 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .orderBy("query_id", "rank")
+    },
+    "q125_bm25" -> withViews("documents") { (spark, ctx) =>
+      // BM25 scoring against a fixed query-term set (Relevance.bm25,
+      // rational idf n/df — every step an exact-rounded IEEE double op).
+      // Contributions fold in term-lexicographic order, so the doc score is
+      // bit-identical across engines AND across Spark reruns; corpus
+      // constants (n, avgdl) are counted once up front like q91's.
+      val docs = ctx.view("documents")
+      val n = docs.count()
+      val tc = graft.llm.Relevance.termCounts(docs, "doc_id", "text")
+      val totalTokens = tc.agg(sum(col("tf"))).head().getLong(0)
+      graft.llm.Relevance
+        .bm25(docs, "doc_id", "text",
+          Seq("query", "scan", "spark", "window"),
+          nDocs = n, avgdl = totalTokens.toDouble / n.toDouble)
+        .orderBy("doc_id")
     }
   )
 
@@ -2618,6 +2634,38 @@ object SparkEntry {
           FROM scored)
         SELECT query_id, vec_id, dot_q, rank
         FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank"""
+        ORDER BY query_id, rank""",
+    "q125_bm25" ->
+      // expression structure mirrors Relevance.bm25 exactly — same IEEE op
+      // sequence ((n/df) * (tf*(k1+1))) / (tf + k1*((1-b) + (b*dl)/avgdl)),
+      // contributions folded in term order (list ORDER BY term, left fold;
+      // the Spark side seeds at 0.0 — adding 0.0 to a positive double is
+      // exact, so the folds agree bitwise)
+      """WITH tc AS (
+          SELECT doc_id, g AS term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS g
+                FROM documents)
+          GROUP BY doc_id, g
+        ), dl AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id
+        ), dfreq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY term
+        ), consts AS (
+          SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+                 CAST((SELECT SUM(tf) FROM tc) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+        ), contrib AS (
+          SELECT tc.doc_id, tc.term,
+                 ((SELECT n FROM consts) / CAST(dfreq.df AS DOUBLE))
+                   * (CAST(tc.tf AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(tc.tf AS DOUBLE)
+                      + 1.2 * ((1.0 - 0.75)
+                               + (0.75 * CAST(dl.dl AS DOUBLE)) / (SELECT avgdl FROM consts))) AS c
+          FROM tc JOIN dfreq USING (term) JOIN dl USING (doc_id)
+          WHERE tc.term IN ('query', 'scan', 'spark', 'window')
+        )
+        SELECT doc_id, list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS bm25
+        FROM contrib GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -167,10 +167,21 @@ object Relevance {
     val tfD = col("tf").cast("double")
     val term = idfCol * (tfD * (k1 + 1.0)) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / lit(avgdl)))
+    // Deterministic summation: double addition is order-sensitive, and a
+    // plain sum() accumulates in partition-arrival order — bitwise results
+    // would vary across reruns/retries. Contributions are instead folded in
+    // term-lexicographic order (sort_array on (term, contrib) structs, then
+    // a left fold from 0.0) — reproducible at any scale, and exactly
+    // mirrorable by the oracle (`list_reduce(list(c ORDER BY term), ...)`).
+    // Bounded state: at most |queryTerms| entries per document.
     tc.filter(col("term").isInCollection(queryTerms))
       .join(dfreq, Seq("term"))
       .join(dl, Seq(idCol))
       .groupBy(col(idCol))
-      .agg(sum(term).as("bm25"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("term"), term.as("_c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("_c")).as("bm25"))
   }
 }

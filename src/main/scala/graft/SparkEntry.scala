@@ -431,14 +431,44 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
     "q36_dedup_minhash" -> withViews("documents") { (spark, ctx) =>
-      graft.llm.Dedup
-        .minhashDedup(ctx.view("documents"), "doc_id", "text", shingleLen = 3, threshold = 0.8)
-        .select(col("doc_id"))
+      // Self-verifying (no SQL oracle for LSH): every doc is emitted with a
+      // kept flag; a REMOVED doc carries its removal evidence — the partner
+      // id and the EXACT Jaccard the engine verified internally — and `ok`
+      // asserts the evidence meets the threshold. A pair surviving on a hash
+      // collision alone would surface as ok=false in the driver's capture.
+      val docs = ctx.view("documents")
+      val pairs = graft.llm.Dedup
+        .minhashPairs(docs, "doc_id", "text", shingleLen = 3, threshold = 0.8)
+      val removed = pairs.groupBy(col("idB").as("doc_id"))
+        .agg(min(col("idA")).as("partner"), max(col("jaccard")).as("jaccard"))
+      docs.select(col("doc_id"))
+        .join(removed, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("partner"),
+          round(col("jaccard"), 4).as("jaccard"),
+          col("partner").isNull.as("kept"),
+          (col("partner").isNull ||
+            (col("jaccard") >= 0.8 && col("partner") < col("doc_id"))).as("ok"))
         .orderBy("doc_id")
     },
     "q37_dedup_simhash" -> withViews("documents") { (spark, ctx) =>
-      graft.llm.Dedup
-        .simhashPairs(ctx.view("documents"), "doc_id", "text", maxDistance = 8)
+      // Self-verifying: the reported Hamming distance is recomputed
+      // INDEPENDENTLY from per-doc fingerprints joined back by id — this
+      // cross-checks the banded/star-link candidate path (a bug attaching
+      // the wrong fingerprint to an id would make ok=false) — and `ok` also
+      // asserts the distance contract and pair normalization.
+      val docs = ctx.view("documents")
+      val pairs = graft.llm.Dedup
+        .simhashPairs(docs, "doc_id", "text", maxDistance = 8)
+      val fps = graft.llm.Dedup.simhash(docs, "doc_id", "text")
+        .select(col("doc_id"), col("simhash"))
+      pairs
+        .join(fps.select(col("doc_id").as("idA"), col("simhash").as("_fa")), Seq("idA"))
+        .join(fps.select(col("doc_id").as("idB"), col("simhash").as("_fb")), Seq("idB"))
+        .select(
+          col("idA"), col("idB"), col("hamming"),
+          (col("hamming") === bit_count(col("_fa").bitwiseXOR(col("_fb"))) &&
+            col("hamming") <= 8 && col("idA") < col("idB")).as("ok"))
         .orderBy("idA", "idB")
     },
     "q38_text_langid" -> withViews("documents") { (spark, ctx) =>
@@ -544,7 +574,10 @@ object SparkEntry {
       ).execute(ctx)
       ctx.view("sim_out")
         .filter(col("doc_id") =!= col("doc_id_right"))
-        .select(col("doc_id"), col("doc_id_right"), round(col("similarity"), 4).as("similarity"))
+        .select(col("doc_id"), col("doc_id_right"), round(col("similarity"), 4).as("similarity"),
+          // self-verifying: the emitted similarity is the EXACT char-shingle
+          // Jaccard the engine verified — ok pins the threshold contract
+          (col("similarity") >= 0.5).as("ok"))
         .orderBy("doc_id", "doc_id_right")
     },
     "q47_percentile_exact" -> pipe("orders")(
@@ -696,12 +729,26 @@ object SparkEntry {
     "q62_similarity_ivf" -> withViews("embeddings") { (spark, ctx) =>
       // IVF ANN (KMeans coarse quantizer) — engine-specific clustering, so
       // rows-only + ScalaTest recall evidence (LlmSpec "ivfTopK").
+      // Self-verifying: every ANN hit carries its BRUTE-FORCE rank (exact
+      // cosine over the full corpus) — approximation quality is visible per
+      // row — and `ok` asserts the reported score IS the true cosine of
+      // that (query, neighbor) pair (bit-level scoring correctness; only
+      // the candidate set is approximate in IVF).
       val em = ctx.view("embeddings")
-      graft.llm.Similarity
-        .ivfTopK(em, "vec_id", "embedding", em.filter(col("vec_id") < 5), "vec_id", "embedding",
+      val queries = em.filter(col("vec_id") < 5)
+      val ann = graft.llm.Similarity
+        .ivfTopK(em, "vec_id", "embedding", queries, "vec_id", "embedding",
           k = 5, nlist = 16, nprobe = 2)
+      val exact = graft.llm.Similarity
+        .bruteForceTopK(em, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = Int.MaxValue)
+        .select(col("query_id"), col("neighbor_id"),
+          col("score").as("_bf_score"), col("rank").cast("long").as("bf_rank"))
+      ann
+        .join(exact, Seq("query_id", "neighbor_id"))
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
-          round(col("score"), 6).as("score"))
+          round(col("score"), 6).as("score"), col("bf_rank"),
+          (abs(col("score") - col("_bf_score")) < 1e-12).as("ok"))
         .orderBy("query_id", "rank")
     },
     "q63_sessionization" -> pipe("events")(
@@ -727,13 +774,22 @@ object SparkEntry {
         ORDER BY user_id, session_id"""
     ),
     "q59_fingerprints" -> withViews("documents") { (spark, ctx) =>
-      // xxhash64-based fingerprints have no DuckDB equivalent — rows-only.
+      // xxhash64-based fingerprints have no DuckDB equivalent — rows-only,
+      // but self-verifying: `ok` asserts the fingerprint is collision-free
+      // on this corpus (all docs sharing an fp have the SAME normalized
+      // text — a degenerate fingerprint would collide distinct texts) and
+      // that winnowing yields fingerprints for any non-trivial text.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
       ctx.view("documents")
         .select(
           col("doc_id"),
           graft.llm.TextStats.fingerprint(col("text")).as("fp"),
-          size(graft.llm.TextStats.winnowingFingerprints(col("text"))).cast("long").as("n_winnow")
-        )
+          size(graft.llm.TextStats.winnowingFingerprints(col("text"))).cast("long").as("n_winnow"),
+          graft.llm.TextStats.normalize(col("text")).as("_norm"))
+        .withColumn("ok",
+          (size(collect_set(col("_norm")).over(w)) === 1) &&
+            (col("n_winnow") >= 1 || length(col("_norm")) < 32))
+        .select(col("doc_id"), col("fp"), col("n_winnow"), col("ok"))
         .orderBy("doc_id")
     },
     "q60_embedding_neardup" -> withViews("embeddings") { (spark, ctx) =>
@@ -744,7 +800,10 @@ object SparkEntry {
       graft.llm.Dedup
         .embeddingNearDupPairs(em.unionAll(shifted), "vec_id", "embedding",
           dim = 64, planes = 6, threshold = 0.99)
-        .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine"))
+        .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine"),
+          // self-verifying: cosine is the EXACT similarity computed after
+          // candidate generation — ok pins the threshold + normalization
+          (col("cosine") >= 0.99 && col("idA") < col("idB")).as("ok"))
         .orderBy("idA", "idB")
     },
     "q61_multimodal_decode" -> withViews("documents") { (spark, ctx) =>
@@ -756,7 +815,14 @@ object SparkEntry {
       graft.llm.Multimodal
         .decodeAndFeaturize(blobs, "blob")
         .select(col("doc_id"), col("media_meta.width").as("width"),
-          col("media_meta.height").as("height"), size(col("features")).cast("long").as("n_features"))
+          col("media_meta.height").as("height"), size(col("features")).cast("long").as("n_features"),
+          // self-verifying: the stub codec's contract — plausible dims, an
+          // 8-dim feature vector, every feature in [0,1] — checks the
+          // mapPartitions plumbing (schema, batch shape, row alignment)
+          (col("media_meta.width").between(1, 1920) &&
+            col("media_meta.height").between(1, 1080) &&
+            size(col("features")) === 8 &&
+            forall(col("features"), f => f >= 0f && f <= 1f)).as("ok"))
         .orderBy("doc_id")
     },
     "q65_dedup_cc" -> withViews("documents") { (spark, ctx) =>
@@ -779,13 +845,25 @@ object SparkEntry {
     },
     "q64_approx_sketches" -> withViews("lineitem") { (spark, ctx) =>
       // HLL + approximate percentile: nondeterministic across engines by
-      // design — rows-only sanity (exact bounds asserted in ScalaTest).
+      // design — rows-only, but self-verifying: the EXACT distinct count and
+      // exact percentile bracket ride next to each estimate, and `ok`
+      // asserts the estimates sit inside their error bounds (HLL default
+      // rsd 0.05 → 3σ = 15%; percentile_approx(accuracy=1000) must land
+      // within the exact p45..p55 bracket).
       ctx.view("lineitem")
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx")
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile(col("l_extendedprice"), lit(0.45)).as("_p45"),
+          percentile(col("l_extendedprice"), lit(0.55)).as("_p55")
         )
+        .select(
+          col("l_returnflag"), col("approx_parts"), col("exact_parts"), col("p50_approx"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts").cast("double") <= 0.15 &&
+            col("p50_approx").between(col("_p45"), col("_p55"))).as("ok"))
         .orderBy("l_returnflag")
     },
     "q72_exists_correlated" -> pipe("customer", "orders")(

@@ -27,4 +27,33 @@ class QueriesSpec extends SparkSpec {
       assert(df.columns.nonEmpty)
     }
   }
+
+  // The 8 queries without a DuckDB oracle (LSH / approx sketches / binary
+  // decode) are SELF-verifying instead: each emits an `ok` column carrying
+  // its own internal invariant (exact Jaccard/Hamming/cosine vs threshold,
+  // HLL/percentile error bounds, brute-force score parity, codec contract).
+  // This is the enforcement: no row may fail its own invariant.
+  private val selfVerifying = Seq(
+    "q36_dedup_minhash", "q37_dedup_simhash", "q46_similarity_join_lsh",
+    "q59_fingerprints", "q60_embedding_neardup", "q61_multimodal_decode",
+    "q62_similarity_ivf", "q64_approx_sketches")
+
+  for (name <- selfVerifying) {
+    test(s"$name: every row passes its own invariant (ok column)") {
+      val df = SparkEntry.queries(name)(spark, sf())
+      assert(df.columns.contains("ok"), s"$name lost its ok column")
+      val bad = df.filter(!org.apache.spark.sql.functions.col("ok")).count()
+      assert(bad == 0, s"$name has $bad rows failing their own invariant")
+    }
+  }
+
+  test("q62_similarity_ivf: ANN hits rank near the brute-force top at sf0.001") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("q62_similarity_ivf")(spark, sf())
+    val n = df.count()
+    val near = df.filter(col("bf_rank") <= 10).count()
+    // nprobe=2 of nlist=16 — recall isn't 1.0 by design, but the majority
+    // of returned neighbors must sit in the true top-10
+    assert(near * 2 >= n, s"only $near of $n IVF hits are in the brute-force top-10")
+  }
 }

@@ -58,6 +58,10 @@ object Bench {
       // battery vs 1.1 s isolated — same pattern ScaleProbe hit, fixed the
       // same way). Runs OUTSIDE the timed window, so reported numbers are
       // per-query steady-state cost.
+      // MEASUREMENT-REGIME NOTE: this isolation landed in r7 — BENCH_r01..r06
+      // per-query numbers were taken under accumulated heap/cache state and
+      // are NOT apples-to-apples with r7+ (they overstate tail-query cost);
+      // compare totals across that boundary only directionally.
       spark.catalog.clearCache()
       System.gc()
       val succeeded = Seq((t1, ok1), (t2, ok2)).filter(_._2).map(_._1)

@@ -2597,9 +2597,12 @@ object SparkEntry {
                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
           FROM embeddings),
         c AS (
+          -- the CASE mirrors int8Codes' nanvl guard: NaN/Inf elements code
+          -- to 0 on both engines instead of relying on cast semantics
           SELECT vec_id, embedding, scale,
                  list_transform(embedding,
-                   x -> CAST(COALESCE(floor(CAST(x AS DOUBLE) * 127 / nullif(scale, 0) + 0.5), 0) AS INT)) AS codes
+                   x -> CAST(COALESCE(CASE WHEN isnan(floor(CAST(x AS DOUBLE) * 127 / nullif(scale, 0) + 0.5)) THEN 0
+                                           ELSE floor(CAST(x AS DOUBLE) * 127 / nullif(scale, 0) + 0.5) END, 0) AS INT)) AS codes
           FROM s)
         SELECT vec_id,
                CAST(len(embedding) AS INT) AS n_dim,
@@ -2698,7 +2701,8 @@ object SparkEntry {
         c AS (
           SELECT vec_id,
                  list_transform(embedding,
-                   x -> CAST(COALESCE(floor(CAST(x AS DOUBLE) * 127 / nullif(scale, 0) + 0.5), 0) AS INT)) AS codes
+                   x -> CAST(COALESCE(CASE WHEN isnan(floor(CAST(x AS DOUBLE) * 127 / nullif(scale, 0) + 0.5)) THEN 0
+                                           ELSE floor(CAST(x AS DOUBLE) * 127 / nullif(scale, 0) + 0.5) END, 0) AS INT)) AS codes
           FROM s),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id,

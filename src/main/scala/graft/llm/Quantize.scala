@@ -28,7 +28,13 @@ object Quantize {
   def absmaxScale(vec: Column): Column =
     array_max(transform(vec, x => abs(x.cast("double"))))
 
-  /** int8 codes (as array<int> for lossless transport). */
+  /** int8 codes (as array<int> for lossless transport). Non-finite inputs
+    * are guarded explicitly: a NaN/±Inf element (or a NaN-poisoned scale)
+    * makes the per-element expression NaN, and `nanvl` maps it to code 0 —
+    * the same code a null element gets. Without the guard Spark's non-ANSI
+    * NaN→int cast silently yields 0 while strict engines (DuckDB, ANSI
+    * mode) raise — an engine-parity trap (q117's oracle mirrors the guard).
+    */
   def int8Codes(vec: Column): Column =
     Let.bind(
       absmaxScale(vec),
@@ -37,8 +43,8 @@ object Quantize {
           vec,
           x =>
             coalesce(
-              floor(x.cast("double") * 127d / nullif(s, lit(0d)) + 0.5d).cast("int"),
-              lit(0))))
+              nanvl(floor(x.cast("double") * 127d / nullif(s, lit(0d)) + 0.5d), lit(0d)),
+              lit(0d)).cast("int")))
 
   /** Per-vector quantization report: dimension, scale, integer code
     * checksums (exact, order-independent), and the max absolute

@@ -158,7 +158,11 @@ final case class IndexDedupTransform(
   * segment counts (`n_segments`, `n_shared_segments`) for documents sharing
   * at least one segment; `action=filter` keeps only input rows whose shared
   * fraction stays UNDER `maxSharedFraction` (docs with no shared segments
-  * pass untouched).
+  * pass untouched); `action=clean` rewrites `textField` with over-shared
+  * segments removed (docs with null/empty text pass through unchanged).
+  *
+  * Contract: `idField` must be unique per row — filter/clean join the
+  * per-document report back on it, and a duplicated id would multiply rows.
   */
 final case class SegmentDedupTransform(
     name: String,
@@ -186,12 +190,17 @@ final case class SegmentDedupTransform(
         in.join(flagged, Seq(idField), "left_anti")
       case "clean" =>
         // CCNet-style removal: rewrite textField with over-shared segments
-        // dropped instead of dropping whole documents
-        in.drop(textField)
+        // dropped instead of dropping whole documents. LEFT join + coalesce:
+        // a null-text doc never reaches the segment report (posexplode of a
+        // null array yields no rows) and must pass through with its original
+        // text rather than silently vanish.
+        in.withColumnRenamed(textField, "_orig_text")
           .join(
             Dedup.segmentClean(in, idField, textField, segmentWords, maxDocFreq)
-              .select(col(idField), col("clean_text").as(textField)),
-            Seq(idField))
+              .select(col(idField), col("clean_text")),
+            Seq(idField), "left")
+          .withColumn(textField, coalesce(col("clean_text"), col("_orig_text")))
+          .select(in.columns.map(col): _*) // original column order
       case other =>
         throw new IllegalArgumentException(
           s"$name: unknown segment-dedup action '$other' (stats|filter|clean)")
@@ -319,7 +328,12 @@ final case class SampleTransform(
   * [[graft.llm.LineFilter.clean]]: per-line word-count/punctuation/
   * boilerplate rules, document-level code/placeholder flags. `action=report`
   * emits the full per-document report; `action=filter` returns the input
-  * rows that survive with `textField` replaced by the cleaned text.
+  * rows that survive with `textField` replaced by the cleaned text. A
+  * null-text doc is dropped by `filter` deliberately: its report row carries
+  * `drop_doc=true` (no lines can satisfy `minLines >= 1`).
+  *
+  * Contract: `idField` must be unique per row — `filter` joins the report
+  * back on it, and a duplicated id would multiply rows.
   */
 final case class LineFilterTransform(
     name: String,

@@ -68,6 +68,19 @@ class CleaningSpec extends SparkSpec {
     assert(stats.forall { case (_, _, _, err) => err <= 2.5 / 127 / 2 + 1e-12 })
   }
 
+  test("int8 codes map non-finite elements to 0 (NaN guard, engine parity)") {
+    val df = Seq(
+      (1L, Array(Float.NaN, 1.0f)),       // NaN poisons the absmax scale
+      (2L, Array(Float.PositiveInfinity, 1.0f)), // Inf/Inf = NaN on its own element
+      (3L, Array(1.0f, -0.5f))            // finite control
+    ).toDF("id", "v")
+    val codes = df.select($"id", Quantize.int8Codes($"v").as("c"))
+      .orderBy("id").as[(Long, Seq[Int])].collect()
+    assert(codes(0)._2 == Seq(0, 0))
+    assert(codes(1)._2 == Seq(0, 0))
+    assert(codes(2)._2 == Seq(127, -63))
+  }
+
   test("quantized dot ranking approximates float cosine ranking on aligned vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)),

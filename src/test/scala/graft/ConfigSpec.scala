@@ -233,6 +233,31 @@ class ConfigSpec extends SparkSpec {
     assert(rs.map(_._3).toSeq == Seq(24.0, 36.0, 48.0))
   }
 
+  test("SegmentDedupTransform action=clean with maxDocFreq runs from a config cell") {
+    import spark.implicits._
+    // doc 1/2 share their first 8-word segment (docFreq 2 > maxDocFreq 1 →
+    // removed); their distinct tails survive. Doc 3 has NULL text — it never
+    // reaches the segment report and must pass through unchanged (left-join
+    // contract), not vanish.
+    Seq(
+      (1L, "shared segment words here repeated across both docs tail one alpha"),
+      (2L, "shared segment words here repeated across both docs tail one beta"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text").createOrReplaceTempView("sc_in")
+    val hocon =
+      """{stages: [{
+        type = "SegmentDedupTransform", name = "clean", inputView = sc_in,
+        outputView = sc_out, idField = doc_id, textField = text,
+        segmentWords = 8, action = clean, maxDocFreq = 1
+      }]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val out = spark.table("sc_out").orderBy("doc_id").as[(Long, String)].collect()
+    assert(out.length == 3, "null-text doc must not be dropped by the clean join")
+    assert(out(0) == ((1L, "tail one alpha")))
+    assert(out(1) == ((2L, "tail one beta")))
+    assert(out(2)._1 == 3L && out(2)._2 == null)
+  }
+
   test("LineFilterTransform and QuantizeTransform run from a config cell") {
     val hocon =
       s"""{

@@ -470,9 +470,16 @@ final case class XMLExtract(
           .map { case (k, vs) => k -> vs.map(_._2).mkString(",") }
       }
     }
-    val cols = maps.flatMap(_.keys).distinct().collect().sorted
+    // Single parse: pin the parsed maps before column discovery — without
+    // this the tag-name collect AND the projection below would each execute
+    // the XML parse (the corpus parsed twice). Only tag NAMES reach the
+    // driver; the parsed rows stay distributed in block storage.
+    import org.apache.spark.sql.functions.{col => fcol, explode, map_keys}
+    val parsed = graft.core.Lineage.pin(maps.toDF())
+    val cols = parsed.select(explode(map_keys(fcol("value"))).as("k"))
+      .distinct().as[String].collect().sorted
     require(cols.nonEmpty, s"XMLExtract $name: no <$rowTag> elements found under $inputURI")
-    val df = maps.select(cols.map(c => org.apache.spark.sql.functions.col("value").getItem(c).as(c)): _*)
+    val df = parsed.select(cols.map(c => fcol("value").getItem(c).as(c)): _*)
     Some(publish(ctx, df, outputView, numPartitions, Nil, persist))
   }
 }

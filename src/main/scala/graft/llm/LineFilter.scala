@@ -46,7 +46,9 @@ object LineFilter {
     contains(text, lit("{")) || contains(lower(text), lit("lorem ipsum"))
 
   /** Full per-document cleaning report: original/kept line counts, the
-    * cleaned text, and the document-level flag. One narrow projection.
+    * cleaned text, and the document-level flag. One narrow projection over a
+    * SINGLE split — the line array is let-bound once and feeds both the
+    * original count and the filtered view.
     */
   def clean(
       df: DataFrame,
@@ -54,20 +56,23 @@ object LineFilter {
       textCol: String,
       minWords: Int = 3,
       minLines: Int = 1): DataFrame = {
-    val keptLines = Let.bind(
-      filter(split(col(textCol), "\n"), l => keepLine(l, minWords)),
-      kept =>
-        struct(
-          size(kept).as("n_kept"),
-          array_join(kept, "\n").as("clean_text")))
+    val report = Let.bind(
+      split(col(textCol), "\n"),
+      lines =>
+        Let.bind(
+          filter(lines, l => keepLine(l, minWords)),
+          kept =>
+            struct(
+              size(lines).as("n_lines"),
+              size(kept).as("n_kept"),
+              array_join(kept, "\n").as("clean_text"))))
     df.select(
         col(idCol),
-        size(split(col(textCol), "\n")).as("n_lines"),
-        keptLines.as("_k"),
+        report.as("_k"),
         docFlagged(col(textCol)).as("doc_flagged"))
       .select(
         col(idCol),
-        col("n_lines"),
+        col("_k.n_lines").as("n_lines"),
         col("_k.n_kept").as("n_kept_lines"),
         col("_k.clean_text").as("clean_text"),
         (col("doc_flagged") || col("_k.n_kept") < minLines).as("drop_doc"))

@@ -36,6 +36,16 @@ class CleaningSpec extends SparkSpec {
     assert(out(4)._5)
   }
 
+  test("line filter plans a single split of the text column (let-bound)") {
+    // parquet-backed input — a local Seq would constant-fold to a
+    // LocalTableScan and hide the projection
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = LineFilter.clean(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val n = "split\\(text".r.findAllIn(plan).length
+    assert(n == 1, s"expected one split(text...) in the plan, found $n:\n$plan")
+  }
+
   test("line filter stage filter action rewrites text and drops flagged docs") {
     val ctx = new graft.core.PipelineContext(spark)
     lineDocs.createOrReplaceTempView("docs_lf")

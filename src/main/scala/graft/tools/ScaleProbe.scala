@@ -135,6 +135,35 @@ object ScaleProbe {
         (pmod(col("id"), lit(900)) + 100L).as("tokens"))
       graft.llm.Packing.packGreedy(sized, "shard", "id", "tokens", 4096L).count()
     }
+    // C4 line filtering over a multi-line variant of the corpus (every 4th
+    // space becomes a newline): pure narrow projection, must run at scan
+    // speed — no shuffle, no cliff.
+    time(s"lineFilterClean n=$n") {
+      val multiline = docs.select(col("id"),
+        regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+) ", "$1\n").as("text"))
+      graft.llm.LineFilter.clean(multiline, "id", "text")
+        .filter(col("drop_doc")).count()
+    }
+    // int8 quantization report over synthetic 64-dim vectors: narrow map —
+    // the probe's only job is confirming linear scan-speed behavior.
+    time(s"quantStats n=$n dim=64") {
+      val vecs = spark.range(0, n).select(col("id"),
+        expr("transform(sequence(1, 64), i -> CAST(((id % 1000) * i) % 255 - 127 AS FLOAT) / 127.0F)")
+          .as("v"))
+      graft.llm.Quantize.quantStats(vecs, "id", "v")
+        .agg(sum(col("code_sum"))).collect()
+    }
+    // Token rarity on the templated corpus: one (doc,term) shuffle + corpus
+    // frequency join; the boilerplate tokens are maximally hot join keys —
+    // cost must stay join-bound linear.
+    time(s"tokenRarity n=$n") {
+      graft.llm.Relevance.tokenRarity(docs, "id", "text").count()
+    }
+    // Global vocabulary top-k: explode → ONE token shuffle (map-side
+    // combined) → TakeOrderedAndProject over the distinct-token table only.
+    time(s"vocabulary n=$n k=1000") {
+      graft.llm.Relevance.vocabulary(docs, "text", k = 1000).count()
+    }
     spark.stop()
   }
 }

@@ -64,6 +64,9 @@ object Relevance {
     counts
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+      // Global (unpartitioned) Window: safe ONLY because it runs after
+      // limit(k) — at most k rows pass through the single partition. Do not
+      // copy this shape onto unbounded data; use GlobalOrder instead.
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
   }

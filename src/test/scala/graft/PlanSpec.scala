@@ -205,6 +205,24 @@ class PlanSpec extends SparkSpec {
     assert(rows.forall { case (id, pos) => id == pos })
   }
 
+  test("q130: edit-distance near-dup plans a blocked equi-join, never a cross product") {
+    // The length-bucket key must carry the join; the doc_id inequality and
+    // the levenshtein threshold ride as join/post filters. An unblocked
+    // CartesianProduct/BNLJ here is exactly the quadratic shape the
+    // blocking exists to prevent — at corpus scale it would be fatal.
+    val plan = formatted(SparkEntry.queries("q130_editdist_neardup")(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q126: the revenue view's global MAX is a subquery over the agg, not a rescan of lineitem") {
+    // TPC-H Q15 shape: lineitem must be scanned for the revenue agg; the
+    // MAX comparison is a scalar subquery/join over the tiny grouped view.
+    val plan = formatted(SparkEntry.queries("q126_tpch_q15_top_supplier")(spark, sf()))
+    val scans = plan.linesIterator.count(l => l.contains("lineitem.parquet") && l.contains("Scan"))
+    assert(scans <= 2, s"lineitem scanned $scans times:\n$plan")
+  }
+
   test("runtime bloom filter: a selective dim filter reaches the fact scan side") {
     // At 100 TB the shuffle join's fact side should be pre-filtered by a
     // bloom filter built from the filtered dimension (Spark's

@@ -304,6 +304,35 @@ class StreamingSpec extends SparkSpec {
     assert(sFp.nonEmpty)
   }
 
+  test("streaming line filter + quantization: pure projections equal their batch results") {
+    // The r7 cleaning/quantization ops are narrow projections with zero
+    // shuffles — they must compose onto a stream unchanged and produce
+    // EXACTLY the batch result (same rows, not just same counts).
+    val docsPath = "/tmp/graft_test_docs_dir.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      spark.read.parquet(s"${sf()}/documents.parquet")
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val schema = spark.read.parquet(docsPath).schema
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.LineFilter.clean(df, "doc_id", "text", minWords = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"), col("drop_doc"),
+          graft.llm.Quantize.int8Codes(
+            org.apache.spark.sql.functions.array(
+              col("n_lines").cast("float"), col("n_kept_lines").cast("float"))).as("codes"))
+    val stream = shape(spark.readStream.schema(schema).parquet(docsPath))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").outputMode("append")
+      .queryName("stream_linefilter_test").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("stream_linefilter_test")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = shape(spark.read.parquet(docsPath))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"stream rows (${streamed.size}) != batch rows (${batch.size})")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming ingest against a persistent MinHash index via foreachBatch") {
     // The daily-ingest loop as a stream: each micro-batch dedups against the
     // SAVED corpus index (MinhashIndex.dedupAgainst is plain batch logic, so

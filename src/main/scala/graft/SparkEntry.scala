@@ -380,7 +380,10 @@ object SparkEntry {
 
   // Edit-distance near-dup: levenshtein within length-bucket blocks (the
   // classic blocked-pairs shape — the equi-join on the bucket key keeps the
-  // candidate set linear-ish; never an unblocked cross join).
+  // candidate set linear-ish; never an unblocked cross join). The length
+  // difference lower-bounds edit distance, so |lenA−lenB| ≤ maxDist is a
+  // free pre-filter that spares the O(len²) levenshtein on hopeless pairs —
+  // provably result-preserving.
   private val q130 = """
     SELECT a.doc_id AS idA, b.doc_id AS idB,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
@@ -388,6 +391,7 @@ object SparkEntry {
       ON CAST(FLOOR(a.n_chars / 20) AS BIGINT) = CAST(FLOOR(b.n_chars / 20) AS BIGINT)
      AND a.doc_id < b.doc_id
     WHERE a.doc_id < 200 AND b.doc_id < 200
+      AND abs(a.n_chars - b.n_chars) <= 25
       AND levenshtein(a.text, b.text) <= 25
     ORDER BY idA, idB"""
 
@@ -1717,6 +1721,21 @@ object SparkEntry {
         .filter(col("rank") <= 5)
         .orderBy("query_id", "rank")
     },
+    "q131_asof_forward" -> withViews("events") { (spark, ctx) =>
+      // FORWARD as-of (AsOfJoin.keyedEarliestAfter): for each view event,
+      // the same user's next purchase at-or-after it — one shuffle keyed on
+      // user_id, mirrored union+window, no single-partition operator.
+      // Oracle: DuckDB keyed ASOF with the reversed inequality (ts <= ts).
+      val ev = ctx.view("events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      graft.operators.AsOfJoin
+        .keyedEarliestAfter(views, "ts", Seq("user_id"), purchases, "pts", "next_purchase_ts")
+        .select(col("event_id"), col("next_purchase_ts"))
+        .orderBy("event_id")
+    },
     "q125_bm25" -> withViews("documents") { (spark, ctx) =>
       // BM25 scoring against a fixed query-term set (Relevance.bm25,
       // rational idf n/df — every step an exact-rounded IEEE double op).
@@ -1741,6 +1760,13 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q131_asof_forward" ->
+      """SELECT e.event_id, p.next_purchase_ts
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') e
+        ASOF LEFT JOIN (SELECT user_id, ts AS next_purchase_ts FROM events
+                        WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts <= p.next_purchase_ts
+        ORDER BY e.event_id""",
     "q126_tpch_q15_top_supplier" -> q126,
     "q127_tpch_q16_supplier_cnt" -> q127,
     "q128_dominant_share" -> q128,

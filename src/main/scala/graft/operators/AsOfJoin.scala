@@ -118,4 +118,39 @@ object AsOfJoin {
       .filter(col("_side") === "1")
       .select((probeCols.map(col) :+ col(outputCol)): _*)
   }
+
+  /** Keyed FORWARD as-of: for each probe row, the earliest build time
+    * at-or-after the probe's timestamp (DuckDB `ASOF ... ON probe.t <=
+    * build.t`). Same one-shuffle union+window shape as [[keyedLatestBefore]],
+    * mirrored: probe rows sort BEFORE build rows at equal timestamps (so an
+    * exactly-simultaneous build row matches), and the frame looks forward.
+    */
+  def keyedEarliestAfter(
+      probe: DataFrame,
+      probeTime: String,
+      keys: Seq[String],
+      build: DataFrame,
+      buildTime: String,
+      outputCol: String = "asof_time"
+  ): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val p = probe
+      .withColumn("_side", lit("0"))
+      .withColumn("_t", col(probeTime))
+      .withColumn("_bt", lit(null).cast("timestamp"))
+    val b0 = build.select((keys.map(col) :+ col(buildTime).as("_t")): _*)
+    val b = probeCols.filterNot(c => keys.contains(c)).foldLeft(b0) { (df, c) =>
+      df.withColumn(c, lit(null).cast(probe.schema(c).dataType))
+    }
+      .withColumn("_side", lit("1"))
+      .withColumn("_bt", col("_t"))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    p.unionByName(b.select(p.columns.map(col): _*))
+      .withColumn(outputCol, first(col("_bt"), ignoreNulls = true).over(w))
+      .filter(col("_side") === "0")
+      .select((probeCols.map(col) :+ col(outputCol)): _*)
+  }
 }

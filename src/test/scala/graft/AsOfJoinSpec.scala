@@ -61,6 +61,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3L).contains(ts("2024-01-01 10:00:03")))
     assert(out(4L).isEmpty) // key never quoted
   }
+
+  test("keyedEarliestAfter mirrors forward: first build time >= probe time per key") {
+    val views = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1L), // purchase at exactly this instant
+      ("u1", ts("2024-01-01 10:00:04"), 2L), // next purchase is 10:00:06
+      ("u2", ts("2024-01-01 10:00:05"), 3L), // u2's only purchase is EARLIER -> null
+      ("u3", ts("2024-01-01 10:00:05"), 4L)  // no purchases at all -> null
+    ).toDF("user", "t", "view_id")
+    val purchases = Seq(
+      ("u1", ts("2024-01-01 10:00:00")),
+      ("u1", ts("2024-01-01 10:00:06")),
+      ("u2", ts("2024-01-01 09:59:00"))
+    ).toDF("user", "pt")
+    val out = AsOfJoin.keyedEarliestAfter(views, "t", Seq("user"), purchases, "pt", "next_p")
+      .select("view_id", "next_p").as[(Long, Option[Timestamp])].collect().toMap
+    assert(out(1L).contains(ts("2024-01-01 10:00:00"))) // <= semantics: simultaneous matches
+    assert(out(2L).contains(ts("2024-01-01 10:00:06")))
+    assert(out(3L).isEmpty) // only earlier builds
+    assert(out(4L).isEmpty) // key never built
+  }
 }
 
 class TopKSpec extends SparkSpec {

@@ -658,12 +658,25 @@ object SparkEntry {
         "sim", "docs_a", "docs_b", Seq("text"), Seq("text"), "sim_out",
         threshold = 0.5, shingleLength = 3, numHashTables = 5
       ).execute(ctx)
+      // Self-verifying two ways: the similarity is recomputed INDEPENDENTLY
+      // from the source texts (same 3-char-shingle Jaccard recipe) and must
+      // equal the transform's reported value — this cross-checks the
+      // synthetic-id alignment inside the transform (scores attached to the
+      // wrong rows would mismatch) — and the threshold contract is pinned.
+      val shing = (c: org.apache.spark.sql.Column) => graft.functions.Let.bind(lower(c), s =>
+        array_distinct(transform(
+          graft.llm.TextStats.safeSeq(length(s) - 2),
+          i => xxhash64(s.substr(i, lit(3))))))
+      val docsAB = ctx.view("documents").filter(col("doc_id") < 100)
       ctx.view("sim_out")
         .filter(col("doc_id") =!= col("doc_id_right"))
+        .join(docsAB.select(col("doc_id"), shing(col("text")).as("_sa")), Seq("doc_id"))
+        .join(docsAB.select(col("doc_id").as("doc_id_right"), shing(col("text")).as("_sb")),
+          Seq("doc_id_right"))
         .select(col("doc_id"), col("doc_id_right"), round(col("similarity"), 4).as("similarity"),
-          // self-verifying: the emitted similarity is the EXACT char-shingle
-          // Jaccard the engine verified — ok pins the threshold contract
-          (col("similarity") >= 0.5).as("ok"))
+          (col("similarity") >= 0.5 &&
+            abs(col("similarity") - graft.llm.Dedup.jaccard(col("_sa"), col("_sb"))) < 1e-9)
+            .as("ok"))
         .orderBy("doc_id", "doc_id_right")
     },
     "q47_percentile_exact" -> pipe("orders")(

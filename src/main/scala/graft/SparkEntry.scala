@@ -1734,6 +1734,22 @@ object SparkEntry {
         .filter(col("rank") <= 5)
         .orderBy("query_id", "rank")
     },
+    "q132_unicode_normalize" -> withViews("documents") { (spark, ctx) =>
+      // Native unicode_normalize (UnicodeNormalizeExpr — Spark has no
+      // built-in): every doc gets a DECOMPOSED suffix (e + combining acute,
+      // 2 code points) that NFC composes to é (1 code point) — n_nfc is
+      // exactly n_raw − 1 and the composed tail must read 'café' on both
+      // engines. Oracle: DuckDB nfc_normalize.
+      import graft.functions.UnicodeNormalizeExpr.unicode_normalize
+      val suffixed = concat(col("text"), lit(" café"))
+      ctx.view("documents")
+        .select(
+          col("doc_id"),
+          length(suffixed).cast("long").as("n_raw"),
+          length(unicode_normalize(suffixed)).cast("long").as("n_nfc"),
+          substring(unicode_normalize(suffixed), -4, 4).as("tail"))
+        .orderBy("doc_id")
+    },
     "q131_asof_forward" -> withViews("events") { (spark, ctx) =>
       // FORWARD as-of (AsOfJoin.keyedEarliestAfter): for each view event,
       // the same user's next purchase at-or-after it — one shuffle keyed on
@@ -1773,6 +1789,12 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q132_unicode_normalize" ->
+      """SELECT doc_id,
+               CAST(length(text || ' café') AS BIGINT) AS n_raw,
+               CAST(length(nfc_normalize(text || ' café')) AS BIGINT) AS n_nfc,
+               right(nfc_normalize(text || ' café'), 4) AS tail
+        FROM documents ORDER BY doc_id""",
     "q131_asof_forward" ->
       """SELECT e.event_id, p.next_purchase_ts
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') e

@@ -397,3 +397,84 @@ object Simhash64Expr {
     GraftColumnBridge.column(Simhash64Expr(GraftColumnBridge.expression(tokens)))
   }
 }
+
+/** Native Unicode normalization (NFC/NFD/NFKC/NFKD) — Spark has no built-in
+  * for it, yet it is the FIRST transform a multilingual training corpus
+  * needs: visually identical strings with different code-point sequences
+  * (composed é vs e+U+0301) break exact dedup, fingerprinting and
+  * tokenization unless canonicalized.
+  *
+  * Fast path: `Normalizer.isNormalized` is a cheap scan that avoids the
+  * allocation entirely for already-normalized text (the overwhelmingly
+  * common case for web corpora) — the input UTF8String is returned as-is.
+  * `doGenCode` delegates to the same static `compute`, so eval and codegen
+  * cannot drift. Oracle parity: DuckDB's `nfc_normalize` (q132).
+  */
+case class UnicodeNormalizeExpr(child: Expression, form: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if UnicodeNormalizeExpr.forms.contains(form) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unicode_normalize: unknown form '$form' (NFC|NFD|NFKC|NFKD)")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unicode_normalize requires a string, got ${other.sql}")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(s: Any): Any =
+    UnicodeNormalizeExpr.compute(s.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.UnicodeNormalizeExpr.compute($c, "$form");""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "unicode_normalize"
+}
+
+object UnicodeNormalizeExpr {
+
+  private[functions] val forms = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  def compute(s: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+
+  private[functions] def fromExprs(exprs: Seq[Expression]): Expression = {
+    def formOf(e: Expression): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+        v.toString.toUpperCase
+      case other =>
+        throw new IllegalArgumentException(
+          s"unicode_normalize: form must be a string literal, got $other")
+    }
+    exprs match {
+      case Seq(t)    => UnicodeNormalizeExpr(t, "NFC")
+      case Seq(t, f) => UnicodeNormalizeExpr(t, formOf(f))
+      case _ => throw new IllegalArgumentException("unicode_normalize takes 1-2 args")
+    }
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_normalize",
+      exprs => fromExprs(exprs),
+      "built-in")
+
+  def unicode_normalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      UnicodeNormalizeExpr(GraftColumnBridge.expression(text), form))
+  }
+}

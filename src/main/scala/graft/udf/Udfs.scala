@@ -119,5 +119,6 @@ object Udfs {
     graft.functions.MinhashSignatureExpr.register(spark)
     graft.functions.Simhash64Expr.register(spark)
     graft.functions.CharClassCountsExpr.register(spark)
+    graft.functions.UnicodeNormalizeExpr.register(spark)
   }
 }

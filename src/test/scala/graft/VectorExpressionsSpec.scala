@@ -217,4 +217,39 @@ class CharClassCountsSpec extends SparkSpec {
     assert((s.getInt(0), s.getInt(1), s.getInt(2), s.getInt(3)) == ((4, 2, 1, 1)))
     assert(r.isNullAt(1))
   }
+
+  test("unicode_normalize matches java.text.Normalizer across forms") {
+    import graft.functions.UnicodeNormalizeExpr.unicode_normalize
+    val decomposed = "cafe\u0301 n\u0303 A\u030Angstro\u0308m"
+    val composed = "caf\u00e9 \u00f1 \u00c5ngstr\u00f6m"
+    val compat = "ﬁle ½ Ⅷ"                                    // ligature, fractions (NFKC targets)
+    val df = Seq(decomposed, composed, compat).toDF("t")
+    val out = df.select(
+      unicode_normalize(col("t")).as("nfc"),
+      unicode_normalize(col("t"), "NFD").as("nfd"),
+      unicode_normalize(col("t"), "NFKC").as("nfkc")).collect()
+    import java.text.Normalizer
+    Seq(decomposed, composed, compat).zip(out).foreach { case (in, r) =>
+      assert(r.getString(0) == Normalizer.normalize(in, Normalizer.Form.NFC))
+      assert(r.getString(1) == Normalizer.normalize(in, Normalizer.Form.NFD))
+      assert(r.getString(2) == Normalizer.normalize(in, Normalizer.Form.NFKC))
+    }
+    // canonical equivalence collapses under NFC
+    assert(out(0).getString(0) == out(1).getString(0))
+  }
+
+  test("unicode_normalize SQL registration, codegen, null, and bad-form rejection") {
+    graft.udf.Udfs.register(spark)
+    val df = spark.sql(
+      "SELECT unicode_normalize('café') AS a, " +
+        "unicode_normalize('ﬁle', 'NFKC') AS b, " +
+        "unicode_normalize(CAST(NULL AS STRING)) AS c")
+    assert(df.head() == org.apache.spark.sql.Row("café", "file", null))
+    // stays inside whole-stage codegen (no UDF barrier)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), plan)
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+  }
 }

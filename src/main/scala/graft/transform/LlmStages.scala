@@ -40,6 +40,18 @@ final case class DeduplicateTransform(
         Dedup.exact(
           in.withColumn("_nfp", xxhash64(TextStats.normalize(col(textField)))),
           Seq("_nfp"), tiebreaker = idField).drop("_nfp")
+      case "canonical" =>
+        // normalized + Unicode canonicalization (NFC): composed and
+        // decomposed spellings of the SAME text (é vs e+U+0301) collapse
+        // onto one key — what a multilingual corpus needs before dedup.
+        // Same single-shuffle exact-dedup cost; the NFC pass is a narrow
+        // codegen'd expression with an isNormalized fast path.
+        require(textField.nonEmpty, s"$name: canonical dedup needs textField")
+        Dedup.exact(
+          in.withColumn("_nfp",
+            xxhash64(TextStats.normalize(
+              graft.functions.UnicodeNormalizeExpr.unicode_normalize(col(textField))))),
+          Seq("_nfp"), tiebreaker = idField).drop("_nfp")
       case "minhash" =>
         require(textField.nonEmpty, s"$name: minhash dedup needs textField")
         Dedup.minhashDedup(in, idField, textField,
@@ -49,7 +61,7 @@ final case class DeduplicateTransform(
         Dedup.simhashDedup(in, idField, textField, maxDistance = maxDistance)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown dedup method '$other' (exact|normalized|minhash|simhash)")
+          s"$name: unknown dedup method '$other' (exact|normalized|canonical|minhash|simhash)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

@@ -233,6 +233,27 @@ class ConfigSpec extends SparkSpec {
     assert(rs.map(_._3).toSeq == Seq(24.0, 36.0, 48.0))
   }
 
+  test("DeduplicateTransform method=canonical collapses composed/decomposed spellings") {
+    import spark.implicits._
+    // rows 1 and 2 are the SAME text in NFC vs NFD spelling (plus case and
+    // spacing noise the normalizer folds); row 3 is genuinely different
+    Seq(
+      (1L, "Caf\u00e9 menu"),
+      (2L, "café   MENU"),
+      (3L, "restaurant menu")
+    ).toDF("doc_id", "text").createOrReplaceTempView("cn_in")
+    val hocon =
+      """{stages: [{
+        type = "DeduplicateTransform", name = "cn", inputView = cn_in,
+        outputView = cn_out, idField = doc_id, textField = text,
+        method = canonical
+      }]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val kept = spark.table("cn_out").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"canonical dedup kept $kept")
+  }
+
   test("SegmentDedupTransform action=clean with maxDocFreq runs from a config cell") {
     import spark.implicits._
     // doc 1/2 share their first 8-word segment (docFreq 2 > maxDocFreq 1 →

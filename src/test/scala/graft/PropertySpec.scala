@@ -79,6 +79,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("withGlobalPosition yields the exact rank permutation for arbitrary sizes/partitionings") {
+    // Spark-backed property (few iterations — each runs real jobs): for any
+    // corpus size and partition count, positions must be exactly the rank of
+    // the order key — 0..n-1, no repeats, no gaps, pin or no pin.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, pmod}
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      parts <- Gen.choose(1, 8)
+      pin <- Gen.oneOf(true, false)
+    } yield (n, parts, pin)
+    val prop = Prop.forAll(gen) { case (n, parts, pin) =>
+      val df = spark.range(0, n.toLong).toDF("id")
+        .repartition(pmod(col("id"), org.apache.spark.sql.functions.lit(3)).cast("int"))
+      val ranked = graft.core.GlobalOrder.withGlobalPosition(
+        df, Seq(col("id")), numPartitions = Some(parts), pin = pin)
+      val rows = ranked.collect().map(r => (r.getLong(0), r.getLong(1)))
+      rows.length == n && rows.forall { case (id, pos) => id == pos }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("metadata schema JSON round-trip preserves name/type/nullable") {
     import graft.schema.{FieldSpec, MetadataSchema}
     import org.apache.spark.sql.types._

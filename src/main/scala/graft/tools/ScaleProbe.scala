@@ -164,6 +164,19 @@ object ScaleProbe {
     time(s"vocabulary n=$n k=1000") {
       graft.llm.Relevance.vocabulary(docs, "text", k = 1000).count()
     }
+    // Unicode canonicalization: narrow codegen'd map; the ASCII corpus takes
+    // the isNormalized fast path (no allocation), a decomposed suffix forces
+    // the normalize path on every row — both must run at scan speed.
+    time(s"unicodeNormalize n=$n fast path") {
+      import graft.functions.UnicodeNormalizeExpr.unicode_normalize
+      docs.select(length(unicode_normalize(col("text"))).as("l"))
+        .agg(sum(col("l"))).collect()
+    }
+    time(s"unicodeNormalize n=$n decomposed") {
+      import graft.functions.UnicodeNormalizeExpr.unicode_normalize
+      docs.select(length(unicode_normalize(concat(col("text"), lit(" café")))).as("l"))
+        .agg(sum(col("l"))).collect()
+    }
     spark.stop()
   }
 }

@@ -245,9 +245,13 @@ class CharClassCountsSpec extends SparkSpec {
         "unicode_normalize('ﬁle', 'NFKC') AS b, " +
         "unicode_normalize(CAST(NULL AS STRING)) AS c")
     assert(df.head() == org.apache.spark.sql.Row("café", "file", null))
-    // stays inside whole-stage codegen (no UDF barrier)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), plan)
+    // literal inputs CONSTANT-FOLD (the expression is pure); codegen is
+    // asserted over a real scan, like the other native expressions
+    spark.read.parquet(s"${sf()}/documents.parquet").createOrReplaceTempView("docs_un")
+    val plan = spark.sql("SELECT unicode_normalize(text) FROM docs_un")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
     intercept[Exception] {
       spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
     }

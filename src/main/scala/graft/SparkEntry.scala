@@ -395,9 +395,141 @@ object SparkEntry {
       AND levenshtein(a.text, b.text) <= 25
     ORDER BY idA, idB"""
 
+  // TPC-H Q7 shape (volume shipping): revenue flowing between two nation
+  // groups in either direction, by supplier nation / customer nation /
+  // ship year. Two aliases of the same `nation` dimension (supplier side and
+  // customer side) — both broadcast; the fact table never shuffles before
+  // the final group-by. Money travels as exact integer cent-units (see q126).
+  private val q133 = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_3', 'NATION_4'))
+        OR (sn.n_name IN ('NATION_3', 'NATION_4') AND cn.n_name IN ('NATION_1', 'NATION_2')))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3"""
+
+  // TPC-H Q8 shape (market share): one nation's share of a region's PROMO
+  // revenue per order year. The share is a SINGLE IEEE division of two
+  // exactly-summed BIGINTs (both emitted for auditability) — engine-parity
+  // safe; a double SUM ratio would be order-dependent on both sides.
+  private val q134 = """
+    WITH base AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT)) AS vol_u,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN region r   ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_u ELSE 0 END) AS BIGINT) AS nation_u,
+           CAST(SUM(vol_u) AS BIGINT) AS total_u,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_u ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(vol_u) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year"""
+
+  // TPC-H Q11 shape (important stock) adapted to this schema (no partsupp):
+  // parts whose lineitem value exceeds 1.2× the uniform share, against a
+  // scalar-subquery total. The threshold is an exact integer cross-ratio
+  // (v·n·5 > t·6) — scale-invariant (uniform share shrinks as parts grow)
+  // and free of double rounding on either engine.
+  private val q135 = """
+    WITH val AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS value_u
+      FROM lineitem l GROUP BY l.l_partkey),
+    tot AS (
+      SELECT CAST(SUM(value_u) AS BIGINT) AS total_u, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM val)
+    SELECT l_partkey, value_u
+    FROM val, tot
+    WHERE value_u * n_parts * 5 > total_u * 6
+    ORDER BY value_u DESC, l_partkey"""
+
+  // TPC-H Q12 shape (shipping-delay priority split) adapted: lines shipped
+  // >30 days after the order date, split per return-flag class into
+  // high/low-priority conditional counts. The theta predicate
+  // (shipdate > orderdate + interval) rides the equi-join on l_orderkey —
+  // a hash join with a residual filter, never a nested loop.
+  private val q136 = """
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1"""
+
+  // TPC-H Q14 shape (promo revenue share) by ship month: conditional-sum
+  // ratio. Numerator/denominator are exact BIGINT cent-unit sums (emitted
+  // too); the share is 100·num/den — two IEEE ops on exact inputs, so both
+  // engines produce the identical double.
+  private val q137 = """
+    SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS y,
+           CAST(EXTRACT(MONTH FROM l.l_shipdate) AS BIGINT) AS m,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))
+                         ELSE 0 END) AS BIGINT) AS promo_u,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS total_u,
+           100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                                      * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))
+                                 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))) AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // TPC-H Q19 shape (disjunctive brand/size/quantity predicates): the OR of
+  // three conjunct groups spans both join sides. Catalyst keeps the
+  // l_partkey equi-join and extracts the brand/size disjunction as a
+  // pushable part-scan filter (PlanSpec pins PushedFilters on the part
+  // scan) — the naive reading would be a nested-loop over the OR.
+  private val q138 = """
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_join_5way_reorder" ->
       pipe("customer", "orders", "lineitem", "supplier", "nation", "region")(q70),
+    "q133_tpch_q7_volume_shipping" ->
+      pipe("lineitem", "orders", "customer", "supplier", "nation")(q133),
+    "q134_tpch_q8_market_share" ->
+      pipe("lineitem", "orders", "customer", "supplier", "nation", "region", "part")(q134),
+    "q135_tpch_q11_value_concentration" -> pipe("lineitem")(q135),
+    "q136_tpch_q12_priority_split" -> pipe("lineitem", "orders")(q136),
+    "q137_tpch_q14_promo_share" -> pipe("lineitem", "part")(q137),
+    "q138_tpch_q19_disjunctive" -> pipe("lineitem", "part")(q138),
     "q126_tpch_q15_top_supplier" -> pipe("lineitem", "supplier")(q126),
     "q127_tpch_q16_supplier_cnt" -> pipe("part", "lineitem", "supplier")(q127),
     "q128_dominant_share" -> pipe("lineitem", "supplier")(q128),
@@ -1807,6 +1939,12 @@ object SparkEntry {
     "q128_dominant_share" -> q128,
     "q129_window_distribution" -> q129,
     "q130_editdist_neardup" -> q130,
+    "q133_tpch_q7_volume_shipping" -> q133,
+    "q134_tpch_q8_market_share" -> q134,
+    "q135_tpch_q11_value_concentration" -> q135,
+    "q136_tpch_q12_priority_split" -> q136,
+    "q137_tpch_q14_promo_share" -> q137,
+    "q138_tpch_q19_disjunctive" -> q138,
     "q81_hash_sample" ->
       // 0x1999999a = round(0.1 * 0xffffffff): same threshold hashSample derives
       """SELECT doc_id FROM documents

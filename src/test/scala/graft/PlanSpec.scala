@@ -215,6 +215,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q138: the disjunctive predicates keep the equi-join and push the brand/size OR to the part scan") {
+    // TPC-H Q19 shape: the OR of three conjunct groups spans both join
+    // sides. Catalyst must still join on l_partkey (hash join, never a
+    // nested loop over the disjunction) and extract the part-only
+    // disjunction (brand = X AND size <= Y, OR'd) as a pushed scan filter
+    // — at 100 TB that filter is the difference between scanning 3 brands'
+    // row groups and scanning the whole part table.
+    val plan = formatted(SparkEntry.queries("q138_tpch_q19_disjunctive")(spark, sf()))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // formatted explain puts the file path on the node's Location: line —
+    // find the scan's detail block by splitting on blank lines
+    val partScan = plan.split("\n\n")
+      .find(b => b.contains("Scan parquet") && b.contains("part.parquet"))
+      .getOrElse("")
+    assert(partScan.contains("Or(") && partScan.contains("PushedFilters") &&
+      partScan.contains("p_brand"),
+      s"part scan missing pushed disjunction:\n$partScan\n\nfull plan:\n$plan")
+    // the lineitem side gets its own implied quantity disjunction
+    val lineScan = plan.split("\n\n")
+      .find(b => b.contains("Scan parquet") && b.contains("lineitem.parquet"))
+      .getOrElse("")
+    assert(lineScan.contains("Or(") && lineScan.contains("l_quantity"),
+      s"lineitem scan missing implied quantity disjunction:\n$lineScan")
+  }
+
   test("q126: the revenue view's global MAX is a subquery over the agg, not a rescan of lineitem") {
     // TPC-H Q15 shape: lineitem must be scanned for the revenue agg; the
     // MAX comparison is a scalar subquery/join over the tiny grouped view.

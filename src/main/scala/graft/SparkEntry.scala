@@ -384,15 +384,20 @@ object SparkEntry {
   // difference lower-bounds edit distance, so |lenA−lenB| ≤ maxDist is a
   // free pre-filter that spares the O(len²) levenshtein on hopeless pairs —
   // provably result-preserving.
+  // The inner select computes levenshtein ONCE (the filter above references
+  // the alias, so the expensive O(len²) kernel runs a single time per
+  // surviving candidate — spelling it in both SELECT and WHERE would
+  // evaluate it twice per pair).
   private val q130 = """
-    SELECT a.doc_id AS idA, b.doc_id AS idB,
-           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-    FROM documents a JOIN documents b
-      ON CAST(FLOOR(a.n_chars / 20) AS BIGINT) = CAST(FLOOR(b.n_chars / 20) AS BIGINT)
-     AND a.doc_id < b.doc_id
-    WHERE a.doc_id < 200 AND b.doc_id < 200
-      AND abs(a.n_chars - b.n_chars) <= 25
-      AND levenshtein(a.text, b.text) <= 25
+    SELECT idA, idB, dist FROM (
+      SELECT a.doc_id AS idA, b.doc_id AS idB,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      FROM documents a JOIN documents b
+        ON CAST(FLOOR(a.n_chars / 20) AS BIGINT) = CAST(FLOOR(b.n_chars / 20) AS BIGINT)
+       AND a.doc_id < b.doc_id
+      WHERE a.doc_id < 200 AND b.doc_id < 200
+        AND abs(a.n_chars - b.n_chars) <= 25) c
+    WHERE dist <= 25
     ORDER BY idA, idB"""
 
   // TPC-H Q7 shape (volume shipping): revenue flowing between two nation
@@ -1427,6 +1432,16 @@ object SparkEntry {
           Map("src0" -> 0.5, "src1" -> 0.25), default = 0.05,
           key = col("doc_id"), salt = "m1")
         .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    "q139_temperature_sample" -> withViews("documents") { (spark, ctx) =>
+      // Temperature-scaled mixture (Sampling.temperatureSample, α=0.5):
+      // kept counts ∝ √|group| over the skewed `lang` column — the dominant
+      // language is downweighted hardest, small ones kept nearly whole.
+      graft.llm.Sampling
+        .temperatureSample(ctx.view("documents"), "lang", scale = 3,
+          key = col("doc_id"), salt = "t1")
+        .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
     "q96_filtered_ann" -> withViews("embeddings") { (spark, ctx) =>
@@ -2604,6 +2619,19 @@ object SparkEntry {
           FROM documents)
         SELECT doc_id, source FROM t
         WHERE rn <= CEIL(n * rate)
+        ORDER BY doc_id""",
+    "q139_temperature_sample" ->
+      // ceil(sqrt(n)·scale): sqrt and multiply are single correctly-rounded
+      // IEEE ops on an exact integer count — both engines produce the
+      // identical target, hence the identical md5-ranked kept set
+      """WITH t AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR) || 't1')) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT doc_id, lang FROM t
+        WHERE rn <= LEAST(n, CAST(CEIL(SQRT(CAST(n AS DOUBLE)) * CAST(3 AS DOUBLE)) AS BIGINT))
         ORDER BY doc_id""",
     "q96_filtered_ann" ->
       """SELECT query_id, rank, neighbor_id, score FROM (

@@ -108,4 +108,37 @@ object Sampling {
       .filter(col("_rn") <= ceil(col("_n") * rate))
       .drop("_rn", "_n")
   }
+
+  /** Temperature-scaled mixture sampling (α = 0.5): keep
+    * ceil(scale·√|group|) rows per group, so kept counts are proportional
+    * to |group|^α — the standard "flatten the source distribution" step in
+    * published training-data mixes (dominant sources downweighted, small
+    * sources kept nearly whole). Rows are chosen by the salted-md5 rank,
+    * like every sampler here: deterministic, retry-stable.
+    *
+    * The target is defined as ceil(√n · scale): sqrt and multiply are both
+    * correctly-rounded single IEEE ops (n is an exact integer < 2^53), so
+    * any engine reproduces the exact kept set — deliberately NOT n^α pow
+    * (last bit is libm-dependent) and NOT a normalizing Σ n_g^α (float
+    * summation order is engine-dependent; callers wanting a fixed output
+    * total pick `scale` ≈ total ⁄ Σ√n_g).
+    *
+    * Shape at scale: a map-side-combined count per group (tiny), broadcast
+    * back; rows shuffle ONCE for the per-group rank window.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, scale: Long, key: Column,
+      salt: String = ""): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val targets = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .select(
+        col(groupCol),
+        least(col("_n"),
+          ceil(sqrt(col("_n").cast("double")) * lit(scale.toDouble)).cast("long")).as("_t"))
+    val h = md5(concat(key.cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h)
+    df.withColumn("_rn", row_number().over(w))
+      .join(broadcast(targets), Seq(groupCol))
+      .filter(col("_rn") <= col("_t"))
+      .drop("_rn", "_t")
+  }
 }

@@ -102,6 +102,29 @@ class SamplingPackingSpec extends SparkSpec {
       Sampling.mixtureExact(docs, "source", Map("src0" -> 1.5), 0.1, col("doc_id")))
   }
 
+  test("temperatureSample: kept counts are exactly ceil(sqrt(n)*scale), skew flattened") {
+    val out = Sampling.temperatureSample(docs, "lang", scale = 3, key = col("doc_id"), salt = "t")
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      val want = math.min(n, math.ceil(math.sqrt(n.toDouble) * 3.0).toLong)
+      assert(got.getOrElse(lang, 0L) == want, s"$lang: got ${got.getOrElse(lang, 0L)} want $want")
+    }
+    // α=0.5 flattens the mix: the dominant group's kept SHARE must shrink
+    val (bigLang, bigN) = sizes.maxBy(_._2)
+    val rawShare = bigN.toDouble / sizes.values.sum
+    val keptShare = got(bigLang).toDouble / got.values.sum
+    assert(keptShare < rawShare, s"dominant $bigLang share $rawShare -> $keptShare did not shrink")
+    // deterministic across runs
+    val again = Sampling.temperatureSample(docs, "lang", scale = 3, key = col("doc_id"), salt = "t")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureSample(docs, "lang", 0, col("doc_id")))
+  }
+
   test("chunkByTokens: windows, overlap, short docs, and reconstruction") {
     import spark.implicits._
     val df = Seq(

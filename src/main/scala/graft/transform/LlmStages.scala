@@ -328,9 +328,14 @@ final case class SampleTransform(
       case "groupCap" =>
         require(strataFields.nonEmpty && cap > 0, s"$name: groupCap needs strataFields and cap > 0")
         Sampling.groupCap(in, strataFields, Seq(col(keyField)), cap)
+      case "temperature" =>
+        require(strataFields.size == 1,
+          s"$name: temperature sampling needs exactly one strata field")
+        require(cap > 0, s"$name: temperature sampling needs cap > 0 (the sqrt scale)")
+        Sampling.temperatureSample(in, strataFields.head, cap, col(keyField), salt)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap)")
+          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap|temperature)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

@@ -279,6 +279,24 @@ class ConfigSpec extends SparkSpec {
     assert(out(2)._1 == 3L && out(2)._2 == null)
   }
 
+  test("SampleTransform method=temperature flattens the group mix from a config cell") {
+    import spark.implicits._
+    // 64 rows of group a, 4 of group b: α=0.5 keeps ceil(√64·2)=16 of a and
+    // all 4 of b (target 4 = group size) — the dominant group is flattened
+    (1L to 64L).map(i => (i, "a")).concat((65L to 68L).map(i => (i, "b")))
+      .toDF("doc_id", "grp").createOrReplaceTempView("ts_in")
+    val hocon =
+      """{stages: [{
+        type = "SampleTransform", name = "temp", inputView = ts_in,
+        outputView = ts_out, method = temperature, keyField = doc_id,
+        strataFields = [grp], cap = 2, salt = "t"
+      }]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val byGrp = spark.table("ts_out").groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("a" -> 16L, "b" -> 4L), s"got $byGrp")
+  }
+
   test("LineFilterTransform and QuantizeTransform run from a config cell") {
     val hocon =
       s"""{

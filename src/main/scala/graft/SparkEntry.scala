@@ -1434,6 +1434,27 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
+    "q140_pii_redaction" -> withViews("documents") { (spark, ctx) =>
+      // PII scrub (llm/Redact): deterministic synthetic PII is appended from
+      // doc_id (the corpus itself is clean), then redacted and counted.
+      // Pure narrow projection — the oracle reproduces the redaction
+      // byte-for-byte because the patterns stay in the Java∩RE2 subset.
+      import graft.llm.Redact
+      val s = concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or +1 (415) 555-0199 at 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".5 via https://ex.com/p/"), col("doc_id").cast("string"))
+      ctx.view("documents")
+        .withColumn("_s", s)
+        .withColumn("_red", Redact.redact(col("_s")))
+        .withColumn("_c", Redact.piiCounts(col("_s")))
+        .selectExpr("doc_id", "right(_red, 70) AS tail",
+          "_c.n_urls AS n_urls", "_c.n_emails AS n_emails",
+          "_c.n_phones AS n_phones", "_c.n_ips AS n_ips")
+        .orderBy("doc_id")
+    },
     "q139_temperature_sample" -> withViews("documents") { (spark, ctx) =>
       // Temperature-scaled mixture (Sampling.temperatureSample, α=0.5):
       // kept counts ∝ √|group| over the skewed `lang` column — the dominant
@@ -2620,6 +2641,30 @@ object SparkEntry {
         SELECT doc_id, source FROM t
         WHERE rn <= CEIL(n * rate)
         ORDER BY doc_id""",
+    "q140_pii_redaction" ->
+      // same pattern strings as Redact.scala; RE2 'g' flag = Java replaceAll
+      """WITH t AS (
+          SELECT doc_id,
+                 text || ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1 (415) 555-0199 at 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR)
+                      || '.5 via https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS s
+          FROM documents)
+        SELECT doc_id,
+               right(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(s, 'https?://[^ \t\n]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                 70) AS tail,
+               CAST(len(regexp_extract_all(s, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(s, '\+[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(s, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+        FROM t ORDER BY doc_id""",
     "q139_temperature_sample" ->
       // ceil(sqrt(n)·scale): sqrt and multiply are single correctly-rounded
       // IEEE ops on an exact integer count — both engines produce the

@@ -281,6 +281,10 @@ object PipelineConfig {
       QuantizeTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         idField = o.req("idField"), vectorField = o.req("vectorField"),
         action = o.str("action", "codes"), persist = o.bool("persist"))
+    case "RedactTransform" =>
+      RedactTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        textField = o.req("textField"), counts = o.bool("counts"),
+        persist = o.bool("persist"))
     case "ResampleTransform" =>
       ResampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         keyField = o.req("keyField"), timeField = o.req("timeField"),

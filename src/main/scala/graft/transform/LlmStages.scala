@@ -411,3 +411,38 @@ final case class QuantizeTransform(
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }
+
+/** PII scrub behind the config surface — [[graft.llm.Redact]]: rewrites
+  * `textField` in place with emails/IPv4s/phones/URLs replaced by typed
+  * tokens; `counts = true` appends the per-class raw-text match counts
+  * (n_urls/n_emails/n_phones/n_ips). A pure narrow projection — safe on
+  * batch and streaming frames alike.
+  */
+final case class RedactTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    textField: String,
+    counts: Boolean = false,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "RedactTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val redacted = in.withColumn(textField, graft.llm.Redact.redact(col(textField)))
+    val out =
+      if (!counts) redacted
+      else {
+        // counts are over the RAW text — compute before the rewrite
+        val c = graft.llm.Redact.piiCounts(col(textField))
+        in.withColumn("_pii", c)
+          .withColumn(textField, graft.llm.Redact.redact(col(textField)))
+          .withColumn("n_urls", col("_pii.n_urls"))
+          .withColumn("n_emails", col("_pii.n_emails"))
+          .withColumn("n_phones", col("_pii.n_phones"))
+          .withColumn("n_ips", col("_pii.n_ips"))
+          .drop("_pii")
+      }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, LineFilter, Quantize, Relevance}
+import graft.llm.{Dedup, LineFilter, Quantize, Redact, Relevance}
 
 /** Round-7 corpus-cleaning operators: C4-style line filtering, int8
   * quantization, token rarity, segment-level cleaning.
@@ -153,5 +153,43 @@ class CleaningSpec extends SparkSpec {
       .execute(ctx).get
     val rows = out.orderBy("doc_id").select("text").as[String].collect()
     assert(rows.toSeq == Seq("tail one", "tail two"))
+  }
+
+  // ------------------------------------------------------------------ Redact
+
+  test("redact replaces every PII class and respects URL-before-email order") {
+    val df = Seq(
+      (1L, "mail a.b+c@corp.example.org now"),
+      (2L, "see https://user@host.example/path?q=1 and http://plain.example/x"),
+      (3L, "call +1 (415) 555-0100 or +44 20 7946 0958 today"),
+      (4L, "host 10.0.12.5 peer 192.168.1.300x version 1.2.3.4000"),
+      (5L, "clean text stays byte-identical."),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Redact.redact(col("text")).as("r"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got(0)._2 == "mail <EMAIL> now")
+    // the email-shaped userinfo inside the URL is swallowed by <URL>, not
+    // split into scheme + <EMAIL>
+    assert(got(1)._2 == "see <URL> and <URL>")
+    assert(got(2)._2 == "call <PHONE> or <PHONE> today")
+    // 192.168.1.300x fails the word boundary; 1.2.3.4000 too
+    assert(got(3)._2 == "host <IP> peer 192.168.1.300x version 1.2.3.4000")
+    assert(got(4)._2 == "clean text stays byte-identical.")
+    assert(got(5)._2 == null)
+  }
+
+  test("piiCounts counts raw-text matches per class") {
+    val df = Seq((1L, "a@b.co c@d.io at 10.0.0.1 via https://e.f/g call +12345678901")).toDF("doc_id", "text")
+    val c = df.select(Redact.piiCounts(col("text")).as("c"))
+      .selectExpr("c.n_urls", "c.n_emails", "c.n_phones", "c.n_ips")
+      .collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) == ((1L, 2L, 1L, 1L)))
+  }
+
+  test("redact is a pure narrow projection — zero exchanges over a scan") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = docs.select(Redact.redact(col("text"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 }

@@ -297,6 +297,26 @@ class ConfigSpec extends SparkSpec {
     assert(byGrp == Map("a" -> 16L, "b" -> 4L), s"got $byGrp")
   }
 
+  test("RedactTransform scrubs PII and appends counts from a config cell") {
+    import spark.implicits._
+    Seq(
+      (1L, "mail a@b.co at 10.0.0.1"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text").createOrReplaceTempView("rd_in")
+    val hocon =
+      """{stages: [{
+        type = "RedactTransform", name = "rd", inputView = rd_in,
+        outputView = rd_out, textField = text, counts = true
+      }]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val out = spark.table("rd_out").orderBy("doc_id")
+      .selectExpr("text", "n_emails", "n_ips").collect()
+    assert(out(0).getString(0) == "mail <EMAIL> at <IP>")
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 1L)
+    assert(out(1).getString(0) == "nothing sensitive here")
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L)
+  }
+
   test("LineFilterTransform and QuantizeTransform run from a config cell") {
     val hocon =
       s"""{

@@ -1434,6 +1434,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
+    "q141_cms_frequency" -> withViews("lineitem") { (spark, ctx) =>
+      // Count-min sketch (llm/CmsSketch): per-supplier frequency estimates
+      // from a 4×256 matrix (width deliberately small so collisions occur
+      // and the one-sided error is exercised). Deterministic md5 hashing →
+      // the oracle rebuilds the identical matrix; `ok` carries the CMS
+      // guarantee est ≥ exact in-band.
+      import graft.llm.CmsSketch
+      val li = ctx.view("lineitem")
+      val sk = CmsSketch.build(li, col("l_suppkey"), depth = 4, width = 256)
+      val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+      CmsSketch.estimate(sk, exact, col("l_suppkey"), depth = 4, width = 256)
+        .withColumn("ok", col("est") >= col("exact_cnt"))
+        .orderBy("l_suppkey")
+    },
     "q140_pii_redaction" -> withViews("documents") { (spark, ctx) =>
       // PII scrub (llm/Redact): deterministic synthetic PII is appended from
       // doc_id (the corpus itself is clean), then redacted and counted.
@@ -2641,6 +2655,28 @@ object SparkEntry {
         SELECT doc_id, source FROM t
         WHERE rn <= CEIL(n * rate)
         ORDER BY doc_id""",
+    "q141_cms_frequency" ->
+      // same md5-mod layout as CmsSketch.bucket: '0x'||hex8 cast ≡ Spark's
+      // conv(hex8,16,10) — both the unsigned 32-bit prefix
+      """WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        sk AS (
+          SELECT ds.d AS d,
+                 CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || ':' || CAST(ds.d AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS b,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem, ds GROUP BY 1, 2),
+        exact AS (
+          SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+          FROM lineitem GROUP BY 1),
+        probe AS (
+          SELECT e.l_suppkey, e.exact_cnt, ds.d AS d,
+                 CAST('0x' || substr(md5(CAST(e.l_suppkey AS VARCHAR) || ':' || CAST(ds.d AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS b
+          FROM exact e, ds)
+        SELECT p.l_suppkey, p.exact_cnt,
+               MIN(COALESCE(s.cnt, 0)) AS est,
+               MIN(COALESCE(s.cnt, 0)) >= p.exact_cnt AS ok
+        FROM probe p LEFT JOIN sk s ON s.d = p.d AND s.b = p.b
+        GROUP BY 1, 2
+        ORDER BY 1""",
     "q140_pii_redaction" ->
       // same pattern strings as Redact.scala; RE2 'g' flag = Java replaceAll
       """WITH t AS (

@@ -638,3 +638,53 @@ class SketchStatsSpec extends SparkSpec {
     }
   }
 }
+
+class CmsSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.CmsSketch
+
+  // Zipf-ish key stream: key k appears ~1000/k times — heavy hitters plus a
+  // long tail, deterministic.
+  private lazy val stream = spark.range(1, 101)
+    .selectExpr("id AS k", "CAST(1000 / id AS INT) AS reps")
+    .selectExpr("k", "explode(sequence(1, reps)) AS _i")
+    .select(col("k"))
+
+  test("estimates are one-sided: est >= exact for every key, within 2N/width") {
+    val sk = CmsSketch.build(stream, col("k"), depth = 4, width = 512)
+    val exact = stream.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+    val est = CmsSketch.estimate(sk, exact, col("k"), depth = 4, width = 512)
+      .select(col("k").cast("long"), col("exact_cnt"), col("est"))
+      .as[(Long, Long, Long)].collect()
+    val n = stream.count()
+    assert(est.length == 100)
+    est.foreach { case (k, ex, e) =>
+      assert(e >= ex, s"key $k: est $e < exact $ex — CMS guarantee broken")
+      assert(e - ex <= 2 * n / 512 + 1, s"key $k: overestimate ${e - ex} beyond bound")
+    }
+  }
+
+  test("merge of segment sketches equals the one-shot sketch (linearity)") {
+    val (a, b) = (stream.filter(col("k") <= 50), stream.filter(col("k") > 50))
+    val merged = CmsSketch.merge(
+      CmsSketch.build(a, col("k"), 4, 128).unionByName(CmsSketch.build(b, col("k"), 4, 128)))
+    val oneShot = CmsSketch.build(stream, col("k"), 4, 128)
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    val o = oneShot.as[(Int, Long, Long)].collect().toSet
+    assert(m == o, s"merged ${m.size} cells != one-shot ${o.size}")
+  }
+
+  test("weighted build: weights sum into cells like repeated rows") {
+    val rows = Seq(("a", 5L), ("b", 3L), ("a", 2L)).toDF("k", "w")
+    val sk = CmsSketch.build(rows, col("k"), 4, 64, weight = col("w"))
+    val keys = Seq("a", "b").toDF("k")
+    val est = CmsSketch.estimate(sk, keys, col("k"), 4, 64)
+      .as[(String, Long)].collect().toMap
+    assert(est("a") == 7L && est("b") == 3L, s"got $est")
+  }
+
+  test("the sketch never exceeds depth*width rows no matter the input size") {
+    val sk = CmsSketch.build(stream, col("k"), depth = 4, width = 32)
+    assert(sk.count() <= 4L * 32)
+  }
+}

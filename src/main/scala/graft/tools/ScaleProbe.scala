@@ -177,6 +177,31 @@ object ScaleProbe {
       docs.select(length(unicode_normalize(concat(col("text"), lit(" café")))).as("l"))
         .agg(sum(col("l"))).collect()
     }
+    // Temperature sampling over a skewed group column (25% of docs in one
+    // group): a tiny count agg + broadcast + ONE rank-window shuffle —
+    // the hot group sorts in parallel, no cliff.
+    time(s"temperatureSample n=$n skewed groups") {
+      val grouped = docs.withColumn("grp",
+        when(pmod(col("id"), lit(4)) === 0, lit("hot"))
+          .otherwise(pmod(col("id"), lit(64)).cast("string")))
+      graft.llm.Sampling.temperatureSample(grouped, "grp", scale = 50, col("id")).count()
+    }
+    // PII redaction: four regexp_replace passes, pure narrow projection —
+    // must track scan speed even with per-row synthetic PII forcing real
+    // replacements on every document.
+    time(s"redact n=$n") {
+      val pii = docs.select(col("id"),
+        concat(col("text"), lit(" u"), col("id").cast("string"),
+          lit("@example.com 10.0.0."), pmod(col("id"), lit(256)).cast("string")).as("text"))
+      pii.select(length(graft.llm.Redact.redact(col("text"))).as("l"))
+        .agg(sum(col("l"))).collect()
+    }
+    // Count-min sketch build over the doc ids (400k distinct keys into a
+    // 4×1024 matrix): the (d,b) shuffle is map-side combined down to ≤4096
+    // cells — cost is the narrow hash map, not the agg.
+    time(s"cmsBuild n=$n depth=4 width=1024") {
+      graft.llm.CmsSketch.build(docs, col("id"), depth = 4, width = 1024).count()
+    }
     spark.stop()
   }
 }

@@ -168,6 +168,33 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(eventsPath).select("event_id").distinct().count())
   }
 
+  test("streaming CMS: per-microbatch sketch segments merge to the batch sketch") {
+    // The incremental-corpus-stats path for frequencies: each micro-batch
+    // builds a tiny CMS segment (foreachBatch), segments append to a store,
+    // and the merged store must equal the one-shot batch sketch exactly —
+    // CMS is linear, so batch splits can't change any cell.
+    import org.apache.spark.sql.functions.col
+    val schema = spark.read.parquet(eventsPath).schema
+    val segDir = "/tmp/graft_test_cms_segs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(segDir))
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1).schema(schema).parquet(eventsPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.llm.CmsSketch.build(batch, col("user_id"), depth = 4, width = 128)
+          .write.mode("append").parquet(segDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val merged = graft.llm.CmsSketch.merge(spark.read.parquet(segDir))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = graft.llm.CmsSketch
+      .build(spark.read.parquet(eventsPath), col("user_id"), depth = 4, width = 128)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == oneShot, s"merged ${merged.size} cells != batch ${oneShot.size}")
+  }
+
   test("ConsoleLoad drains a bounded file stream through the console sink") {
     val schema = spark.read.parquet(eventsPath).schema
     val ctx = new graft.core.PipelineContext(spark)

@@ -285,6 +285,12 @@ object PipelineConfig {
       RedactTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"), counts = o.bool("counts"),
         persist = o.bool("persist"))
+    case "CmsTransform" =>
+      CmsTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        keyField = o.str("keyField", ""), weightField = o.str("weightField", ""),
+        sketchView = o.str("sketchView", ""), mode = o.str("mode", "build"),
+        depth = o.intOpt("depth").getOrElse(4), width = o.intOpt("width").getOrElse(1024),
+        persist = o.bool("persist"))
     case "ResampleTransform" =>
       ResampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         keyField = o.req("keyField"), timeField = o.req("timeField"),

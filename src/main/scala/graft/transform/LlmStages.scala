@@ -274,6 +274,45 @@ final case class SketchTransform(
   }
 }
 
+/** Count-min sketch behind the config surface — [[graft.llm.CmsSketch]]:
+  * `mode=build` turns the input view into a (d, b, cnt) matrix over
+  * `keyField` (optionally weighted by `weightField`); `mode=merge` sums
+  * sketch segments cell-wise; `mode=estimate` reads probe keys from the
+  * input view and joins the sketch named by `sketchView`.
+  */
+final case class CmsTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    keyField: String = "",
+    weightField: String = "",
+    sketchView: String = "",
+    mode: String = "build",
+    depth: Int = 4,
+    width: Int = 1024,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "CmsTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = mode match {
+      case "build" =>
+        require(keyField.nonEmpty, s"$name: build needs keyField")
+        val w = if (weightField.isEmpty) lit(1L) else col(weightField)
+        graft.llm.CmsSketch.build(in, col(keyField), depth, width, w)
+      case "merge" => graft.llm.CmsSketch.merge(in)
+      case "estimate" =>
+        require(keyField.nonEmpty && sketchView.nonEmpty,
+          s"$name: estimate needs keyField and sketchView")
+        graft.llm.CmsSketch.estimate(ctx.view(sketchView), in, col(keyField), depth, width)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown cms mode '$other' (build|merge|estimate)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 final case class ChunkTransform(
     name: String,
     inputView: String,

@@ -317,6 +317,26 @@ class ConfigSpec extends SparkSpec {
     assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L)
   }
 
+  test("CmsTransform build + estimate run from a config cell") {
+    import spark.implicits._
+    Seq("a", "a", "a", "b").toDF("k").createOrReplaceTempView("cms_in")
+    Seq("a", "b", "zzz").toDF("k").createOrReplaceTempView("cms_probe")
+    val hocon =
+      """{stages: [
+        { type = "CmsTransform", name = "build", inputView = cms_in,
+          outputView = cms_sk, keyField = k, mode = build, width = 64 },
+        { type = "CmsTransform", name = "est", inputView = cms_probe,
+          outputView = cms_est, keyField = k, mode = estimate,
+          sketchView = cms_sk, width = 64 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val est = spark.table("cms_est").as[(String, Long)].collect().toMap
+    assert(est("a") == 3L && est("b") == 1L, s"got $est")
+    // an unseen key's estimate is bounded by collisions (0 here: width 64,
+    // 2 occupied cells per row)
+    assert(est("zzz") <= 1L)
+  }
+
   test("LineFilterTransform and QuantizeTransform run from a config cell") {
     val hocon =
       s"""{

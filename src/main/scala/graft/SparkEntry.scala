@@ -1434,6 +1434,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
+    "q142_hist_quantiles" -> withViews("documents") { (spark, ctx) =>
+      // Mergeable histogram quantiles (llm/HistSketch): doc-length
+      // distribution binned 0..640 into 64 cells, p50/p90/p99 read off the
+      // cumulative histogram. Deterministic binning (3 IEEE ops) → the
+      // oracle rebuilds histogram and quantiles exactly.
+      import graft.llm.HistSketch
+      val hist = HistSketch.segment(ctx.view("documents"), col("n_chars"),
+        lo = 0.0, hi = 640.0, bins = 64)
+      HistSketch.quantiles(hist, Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 640.0, bins = 64)
+        .orderBy("p")
+    },
     "q141_cms_frequency" -> withViews("lineitem") { (spark, ctx) =>
       // Count-min sketch (llm/CmsSketch): per-supplier frequency estimates
       // from a 4×256 matrix (width deliberately small so collisions occur
@@ -2655,6 +2666,20 @@ object SparkEntry {
         SELECT doc_id, source FROM t
         WHERE rn <= CEIL(n * rate)
         ORDER BY doc_id""",
+    "q142_hist_quantiles" ->
+      // same binning arithmetic as HistSketch.binOf, same edge formula
+      """WITH hist AS (
+          SELECT LEAST(63, GREATEST(0,
+                   CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 640.0 * 64) AS BIGINT))) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1),
+        cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+        ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+        SELECT p, 0.0 + CAST(MIN(bin) + 1 AS DOUBLE) * 640.0 / 64 AS est
+        FROM ps, cum, tot
+        WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
+        GROUP BY p ORDER BY p""",
     "q141_cms_frequency" ->
       // same md5-mod layout as CmsSketch.bucket: '0x'||hex8 cast ≡ Spark's
       // conv(hex8,16,10) — both the unsigned 32-bit prefix

@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-bin histogram segments for quantile monitoring: track the
+  * distribution of a numeric column (doc length, quality score,
+  * tokens-per-doc) across ingest batches without keeping raw data. The
+  * third leg of the mergeable-segment family — [[SketchStats]] (HLL,
+  * distincts), [[CmsSketch]] (frequencies), this (quantiles) — all linear
+  * structures: per-batch segments sum cell-wise into the corpus view.
+  *
+  * Deterministic by construction, unlike `approx_percentile` (whose
+  * KLL-sketch internals are implementation-specific): the bin of a value is
+  * `clamp(floor((x − lo) ÷ (hi − lo) × bins))` — three correctly-rounded
+  * IEEE ops, so any engine assigns the identical bin and the q142 DuckDB
+  * oracle rebuilds the histogram and its quantiles exactly. Quantile
+  * estimates are bin upper edges: error ≤ one bin width, chosen by the
+  * caller via (lo, hi, bins).
+  *
+  * Scale shape: segment build is a narrow map into ONE map-side-combined
+  * shuffle bounded by `bins` cells. Quantile extraction runs a cumulative
+  * window over the ≤`bins`-row histogram — single-partition but bounded by
+  * construction (like vocabulary's post-limit rank), never over data.
+  */
+object HistSketch {
+
+  private def binOf(value: Column, lo: Double, hi: Double, bins: Int): Column =
+    least(lit(bins - 1L), greatest(lit(0L),
+      floor((value.cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)).cast("long")))
+
+  /** Histogram segment over `value`: (bin, cnt), at most `bins` rows.
+    * Values outside [lo, hi) clamp into the edge bins (a monitoring
+    * histogram must never drop rows — a drifting tail shows up as edge-bin
+    * mass, which is the signal).
+    */
+  def segment(df: DataFrame, value: Column, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo, got $bins, [$lo, $hi)")
+    df.select(binOf(value, lo, hi, bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise sum of segments (same lo/hi/bins). */
+  def merge(segments: DataFrame): DataFrame =
+    segments.groupBy("bin").agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates from a histogram: for each p, the upper edge of the
+    * first bin whose cumulative count reaches ceil(p·N). Output (p, est),
+    * one row per requested quantile.
+    */
+  def quantiles(hist: DataFrame, ps: Seq[Double], lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles must be in (0,1]: $ps")
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum("cnt").over(w))
+    val total = hist.agg(sum("cnt")).collect()(0).getLong(0)
+    val pDf = hist.sparkSession.createDataFrame(
+      ps.map(p => Tuple1(p))).toDF("p")
+    pDf.crossJoin(cum)
+      .filter(col("_cum") >= ceil(col("p") * lit(total.toDouble)))
+      .groupBy("p").agg(min("bin").as("_bin"))
+      .select(col("p"),
+        (lit(lo) + (col("_bin") + 1L).cast("double") * lit((hi - lo)) / lit(bins)).as("est"))
+  }
+}

@@ -639,6 +639,42 @@ class SketchStatsSpec extends SparkSpec {
   }
 }
 
+class HistSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.HistSketch
+
+  private lazy val values = spark.range(1, 1001).select((col("id") % 500).as("v"))
+
+  test("quantile estimates bracket the exact percentile within one bin width") {
+    val hist = HistSketch.segment(values, col("v"), 0.0, 500.0, bins = 50)
+    val est = HistSketch.quantiles(hist, Seq(0.5, 0.9), 0.0, 500.0, 50)
+      .as[(Double, Double)].collect().toMap
+    val exact = values.stat.approxQuantile("v", Array(0.5, 0.9), 0.0)
+    assert(math.abs(est(0.5) - exact(0)) <= 10.0, s"p50 est ${est(0.5)} exact ${exact(0)}")
+    assert(math.abs(est(0.9) - exact(1)) <= 10.0, s"p90 est ${est(0.9)} exact ${exact(1)}")
+  }
+
+  test("segments merge to the one-shot histogram (linearity)") {
+    val (a, b) = (values.filter(col("v") < 250), values.filter(col("v") >= 250))
+    val merged = HistSketch.merge(
+      HistSketch.segment(a, col("v"), 0.0, 500.0, 50)
+        .unionByName(HistSketch.segment(b, col("v"), 0.0, 500.0, 50)))
+      .as[(Long, Long)].collect().toSet
+    val oneShot = HistSketch.segment(values, col("v"), 0.0, 500.0, 50)
+      .as[(Long, Long)].collect().toSet
+    assert(merged == oneShot)
+  }
+
+  test("out-of-range values clamp into edge bins, never dropped") {
+    val df = Seq(-100.0, 0.0, 250.0, 499.0, 500.0, 9999.0).toDF("v")
+    val hist = HistSketch.segment(df, col("v"), 0.0, 500.0, 50)
+      .as[(Long, Long)].collect().toMap
+    assert(hist.values.sum == 6, s"histogram lost rows: $hist")
+    assert(hist(0L) == 2L, "underflow + exact-lo must land in bin 0")
+    assert(hist(49L) == 3L, "hi, overflow, and last-bin values must land in bin 49")
+  }
+}
+
 class CmsSketchSpec extends SparkSpec {
   import spark.implicits._
   import graft.llm.CmsSketch

@@ -291,6 +291,16 @@ object PipelineConfig {
         sketchView = o.str("sketchView", ""), mode = o.str("mode", "build"),
         depth = o.intOpt("depth").getOrElse(4), width = o.intOpt("width").getOrElse(1024),
         persist = o.bool("persist"))
+    case "HistogramTransform" =>
+      HistogramTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        valueField = o.str("valueField", ""), mode = o.str("mode", "segment"),
+        lo = o.dbl("lo", 0.0), hi = o.dbl("hi", 1.0),
+        bins = o.intOpt("bins").getOrElse(64),
+        quantiles = {
+          val qs = o.dblList("quantiles")
+          if (qs.isEmpty) Seq(0.5, 0.9, 0.99) else qs
+        },
+        persist = o.bool("persist"))
     case "ResampleTransform" =>
       ResampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         keyField = o.req("keyField"), timeField = o.req("timeField"),
@@ -420,6 +430,12 @@ object PipelineConfig {
     def intOpt(k: String): Option[Int] = obj.get(k).collect { case JInt(i) => i.toInt }
     def strList(k: String): Seq[String] = obj.get(k).collect {
       case JArray(xs) => xs.collect { case JString(s) => s }
+    }.getOrElse(Nil)
+    def dblList(k: String): Seq[Double] = obj.get(k).collect {
+      case JArray(xs) => xs.collect {
+        case JDouble(d) => d
+        case JInt(i)    => i.toDouble
+      }
     }.getOrElse(Nil)
     def strMap(k: String): Map[String, String] = obj.get(k).collect {
       case JObject(kvs) => kvs.collect { case (key, JString(v)) => key -> v }.toMap

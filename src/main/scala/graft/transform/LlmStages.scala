@@ -313,6 +313,41 @@ final case class CmsTransform(
   }
 }
 
+/** Histogram-quantile segments behind the config surface —
+  * [[graft.llm.HistSketch]]: `mode=segment` bins `valueField` into a
+  * (bin, cnt) histogram, `mode=merge` sums segments, `mode=quantiles`
+  * reads a histogram view and emits (p, est) for `quantiles`. The same
+  * lo/hi/bins must be used across a segment family.
+  */
+final case class HistogramTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    valueField: String = "",
+    mode: String = "segment",
+    lo: Double = 0.0,
+    hi: Double = 1.0,
+    bins: Int = 64,
+    quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "HistogramTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = mode match {
+      case "segment" =>
+        require(valueField.nonEmpty, s"$name: segment needs valueField")
+        graft.llm.HistSketch.segment(in, col(valueField), lo, hi, bins)
+      case "merge" => graft.llm.HistSketch.merge(in)
+      case "quantiles" => graft.llm.HistSketch.quantiles(in, quantiles, lo, hi, bins)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown histogram mode '$other' (segment|merge|quantiles)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 final case class ChunkTransform(
     name: String,
     inputView: String,

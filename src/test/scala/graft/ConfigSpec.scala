@@ -317,6 +317,62 @@ class ConfigSpec extends SparkSpec {
     assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L)
   }
 
+  test("full corpus-prep pipeline runs from one config cell (scrub -> clean -> dedup -> mix -> monitor)") {
+    // The reference-user migration story: an entire training-data prep
+    // pass authored as ONE stage document — PII scrub, boilerplate segment
+    // cleaning, near-exact dedup, temperature mix flattening, and
+    // distribution monitoring (histogram segment + frequency sketch) — no
+    // Scala. (The C4 line filter is config-tested separately; this fixture's
+    // text has no terminal punctuation, so action=filter would drop all.)
+    val hocon =
+      s"""{
+        stages: [
+          { type = "ParquetExtract", name = "ex",
+            inputURI = "${sf()}/documents.parquet", outputView = pp_docs },
+          { type = "RedactTransform", name = "scrub", inputView = pp_docs,
+            outputView = pp_scrubbed, textField = text, counts = true },
+          { type = "SegmentDedupTransform", name = "boiler", inputView = pp_scrubbed,
+            outputView = pp_clean, idField = doc_id, textField = text,
+            segmentWords = 4, action = clean, maxDocFreq = 2 },
+          { type = "DeduplicateTransform", name = "dedup", inputView = pp_clean,
+            outputView = pp_deduped, idField = doc_id, textField = text,
+            method = canonical },
+          { type = "SampleTransform", name = "mix", inputView = pp_deduped,
+            outputView = pp_mixed, method = temperature, keyField = doc_id,
+            strataFields = [lang], cap = 5, salt = "pp" },
+          { type = "HistogramTransform", name = "monitor_len", inputView = pp_mixed,
+            outputView = pp_hist, valueField = n_chars, lo = 0, hi = 640, bins = 64 },
+          { type = "CmsTransform", name = "monitor_freq", inputView = pp_mixed,
+            outputView = pp_freq, keyField = lang, width = 64 }
+        ]
+      }"""
+    val ctx = new PipelineContext(spark)
+    assert(Runner.run(PipelineConfig.parse(hocon), ctx).isDefined)
+    val mixed = spark.table("pp_mixed")
+    val kept = mixed.count()
+    assert(kept > 0 && kept < spark.table("pp_docs").count(), "pipeline must downselect")
+    // scrub stage threaded its count columns through to the end
+    assert(mixed.columns.contains("n_emails"))
+    // temperature mix: kept counts per lang are exactly ceil(sqrt(n)*5)
+    val byLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = spark.table("pp_deduped").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (l, n) =>
+      val want = math.min(n, math.ceil(math.sqrt(n.toDouble) * 5.0).toLong)
+      assert(byLang.getOrElse(l, 0L) == want, s"$l: got ${byLang.getOrElse(l, 0L)} want $want")
+    }
+    // monitors are bounded structures over the mixed output
+    assert(spark.table("pp_hist").count() <= 64)
+    assert(spark.table("pp_freq").count() <= 4L * 64)
+    // rerunning the whole document reproduces the identical kept set
+    val ctx2 = new PipelineContext(spark)
+    assert(Runner.run(PipelineConfig.parse(hocon), ctx2).isDefined)
+    val again = spark.table("pp_mixed").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == mixed.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("CmsTransform build + estimate run from a config cell") {
     import spark.implicits._
     Seq("a", "a", "a", "b").toDF("k").createOrReplaceTempView("cms_in")

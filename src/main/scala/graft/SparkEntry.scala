@@ -25,8 +25,9 @@ object SparkEntry {
   /** Session read settings for oracle parity:
     *  - no TimestampNTZ inference (plain TimestampType + UTC session ⇒ same
     *    instants as DuckDB);
-    *  - the `events` table stores nanosecond timestamps, which Spark's parquet
-    *    reader rejects — read them as long and convert below (DuckDB
+    *  - `events.ts` has been generated both as nanosecond int64 (which
+    *    Spark's parquet reader rejects unless read as long) and as a native
+    *    µs timestamp — read the footer schema and adapt below (DuckDB
     *    truncates ns→µs the same way).
     */
   private def configureReads(spark: SparkSession): Unit = {
@@ -34,16 +35,24 @@ object SparkEntry {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
-  private def extractStages(dir: String, tables: Seq[String]): Seq[Stage] =
+  private def extractStages(spark: SparkSession, dir: String, tables: Seq[String]): Seq[Stage] =
     tables.flatMap {
       case "events" =>
+        // Footer-only schema probe: ts arrives as LongType when the file
+        // stores int64 nanos (legacy generator + nanosAsLong), or as a real
+        // timestamp when the file stores µs. Normalize to TimestampType
+        // either way so every downstream query sees one schema.
+        val tsIsRawNanos = spark.read.parquet(s"$dir/events.parquet")
+          .schema("ts").dataType == org.apache.spark.sql.types.LongType
+        val tsExpr =
+          // ns→µs with integer DIV (a double division would lose precision
+          // on 1.7e18-scale nanos)
+          if (tsIsRawNanos) "TIMESTAMP_MICROS(ts DIV 1000)" else "ts"
         Seq(
           ParquetExtract("extract_events_raw", s"$dir/events.parquet", "events_raw"),
           SQLTransform(
             "events_ns_to_ts",
-            // ns→µs with integer DIV (a double division would lose precision
-            // on 1.7e18-scale nanos)
-            """SELECT event_id, TIMESTAMP_MICROS(ts DIV 1000) AS ts, user_id,
+            s"""SELECT event_id, $tsExpr AS ts, user_id,
                       event_type, value, props
                FROM events_raw""",
             "events"
@@ -59,7 +68,7 @@ object SparkEntry {
     (spark, dir) => {
       configureReads(spark)
       val ctx = new PipelineContext(spark)
-      Runner.run(extractStages(dir, tables) :+ SQLTransform("q", sql, "result"), ctx).get
+      Runner.run(extractStages(spark, dir, tables) :+ SQLTransform("q", sql, "result"), ctx).get
     }
 
   /** Same tables registered, custom DataFrame logic. */
@@ -69,7 +78,7 @@ object SparkEntry {
     (spark, dir) => {
       configureReads(spark)
       val ctx = new PipelineContext(spark)
-      Runner.run(extractStages(dir, tables), ctx)
+      Runner.run(extractStages(spark, dir, tables), ctx)
       f(spark, ctx)
     }
 

@@ -5,16 +5,20 @@ import org.apache.spark.sql.streaming.Trigger
 
 class StreamingSpec extends SparkSpec {
 
-  /** The raw events table stores ns timestamps (unreadable by Spark's parquet
-    * reader); materialize a µs-timestamp copy once for the streaming tests.
+  /** The events table has been generated both with ns-int64 timestamps
+    * (unreadable by Spark's parquet reader without nanosAsLong) and native µs
+    * timestamps; materialize a µs-timestamp copy once for the streaming tests.
     */
   private lazy val eventsPath: String = {
     val out = "/tmp/graft_test_events_us.parquet"
     if (!new java.io.File(out).exists()) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"${sf()}/events.parquet")
-        .withColumn("ts", expr("TIMESTAMP_MICROS(ts DIV 1000)"))
-        .write.mode("overwrite").parquet(out)
+      val raw = spark.read.parquet(s"${sf()}/events.parquet")
+      val fixed =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("TIMESTAMP_MICROS(ts DIV 1000)"))
+        else raw
+      fixed.write.mode("overwrite").parquet(out)
     }
     out
   }

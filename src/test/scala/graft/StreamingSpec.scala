@@ -7,17 +7,23 @@ class StreamingSpec extends SparkSpec {
 
   /** The events table has been generated both with ns-int64 timestamps
     * (unreadable by Spark's parquet reader without nanosAsLong) and native µs
-    * timestamps; materialize a µs-timestamp copy once for the streaming tests.
+    * timestamps; materialize a copy whose `ts` is session-local TimestampType
+    * (watermarks reject TIMESTAMP_NTZ, which the shared test session would
+    * otherwise infer). Rebuilt whenever the source is newer than the cache —
+    * a driver-side testdata regeneration must invalidate the copy, not
+    * silently test stale data.
     */
   private lazy val eventsPath: String = {
     val out = "/tmp/graft_test_events_us.parquet"
-    if (!new java.io.File(out).exists()) {
+    val src = new java.io.File(s"${sf()}/events.parquet")
+    val outDir = new java.io.File(out)
+    if (!outDir.exists() || src.lastModified() > outDir.lastModified()) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"${sf()}/events.parquet")
+      val raw = spark.read.parquet(src.getPath)
       val fixed =
         if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", expr("TIMESTAMP_MICROS(ts DIV 1000)"))
-        else raw
+        else raw.withColumn("ts", col("ts").cast("timestamp"))
       fixed.write.mode("overwrite").parquet(out)
     }
     out

@@ -12,10 +12,56 @@ import org.apache.spark.sql.functions._
   * train/eval splits. Reference arc-jupyter exposes no sampling stages; these
   * are scale-path extensions shaped for 100 TB:
   * - hash sampling is a narrow map (no shuffle, pushes nothing, scans once);
-  * - group caps and stratified sampling are one window shuffle each, with the
-  *   per-group work fully parallel across groups.
+  * - the exact-count samplers rank via [[rankedByHash]], which splits a hot
+  *   group across partitions instead of sorting it in one task — a training
+  *   mix where one source holds 90% of the corpus ranks in parallel.
   */
 object Sampling {
+
+  /** Per-group hash rank and group size WITHOUT a per-group window over the
+    * data. `row_number() OVER (PARTITION BY group ORDER BY h)` puts an
+    * entire group through ONE task — with a dominant source (80–90% of a
+    * real training mix) that is a guaranteed sort/spill wall at 100 TB.
+    *
+    * Shape (the [[graft.core.GlobalOrder]] idea, per group): range-partition
+    * on (group, h) so a hot group's rows split across MANY partitions in
+    * hash order; aggregate per-(partition, group) counts — a tiny table,
+    * ≤ #groups + #partitions rows, because each range partition holds a
+    * contiguous (group, h) slice; turn counts into each slice's rank offset
+    * (a window over the counts TABLE, never the data) and each group's
+    * total; broadcast-join those back and add the slice-local row_number.
+    * Every window here partitions by (_gp, group) or runs over the bounded
+    * counts table — a dominant group sorts in parallel across its slices.
+    *
+    * Two jobs read the ranged frame (the broadcast of the counts table and
+    * the final pass), so it is lineage-pinned ([[graft.core.Lineage.pin]])
+    * to guarantee both see the same partitioning.
+    *
+    * Output: the input columns plus `_rn` (1-based rank of `h` within the
+    * group) and `_n` (group size). Ties in `h` rank arbitrarily but count
+    * correctly (same contract as a window rank); callers use a unique key.
+    */
+  private def rankedByHash(df: DataFrame, groupCols: Seq[String], h: Column): DataFrame = {
+    val gcols = groupCols.map(col)
+    val ranged = graft.core.Lineage.pin(
+      df.withColumn("_h", h)
+        .repartitionByRange(gcols :+ col("_h"): _*)
+        .withColumn("_gp", spark_partition_id()))
+    val counts = ranged.groupBy(col("_gp") +: gcols: _*).agg(count(lit(1)).as("_c"))
+    val perGroup = Window.partitionBy(gcols: _*)
+    val stats = counts
+      .withColumn("_off", coalesce(
+        sum("_c").over(perGroup.orderBy("_gp").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_n", sum("_c").over(perGroup))
+      .select(col("_gp") +: gcols :+ col("_off") :+ col("_n"): _*)
+    val sliceW = Window.partitionBy(col("_gp") +: gcols: _*).orderBy(col("_h"))
+    ranged
+      .withColumn("_lrn", row_number().over(sliceW))
+      .join(broadcast(stats), "_gp" +: groupCols)
+      .withColumn("_rn", col("_lrn").cast("long") + col("_off"))
+      .select(df.columns.map(col) :+ col("_rn") :+ col("_n"): _*)
+  }
 
   /** Keep ~`rate` of rows, chosen by a salted md5 of `key` — deterministic,
     * stable under retries, and consistent ACROSS TABLES: sampling documents
@@ -30,9 +76,13 @@ object Sampling {
   }
 
   /** At most `cap` rows per group, keeping the first by `order` — the
-    * "no domain may dominate the corpus" guard. One shuffle on `groupCols`;
-    * heavy groups stay single-task only up to the window sort, which AQE
-    * skew-splits; for pathological groups pre-filter with hashSample.
+    * "no domain may dominate the corpus" guard. One shuffle on `groupCols`.
+    * Because `cap` is a LITERAL, Catalyst's InferWindowGroupLimit rewrites
+    * the rank filter into a WindowGroupLimit: each map partition keeps at
+    * most `cap` rows per group BEFORE the shuffle, so a hot group ships
+    * ≤ cap × #partitions rows into its (single-task) final window — bounded
+    * by the cap, not the group (PlanSpec pins the rewrite). For caps large
+    * enough that cap × #partitions still hurts, pre-filter with hashSample.
     */
   def groupCap(df: DataFrame, groupCols: Seq[String], order: Seq[Column], cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
@@ -52,10 +102,7 @@ object Sampling {
       salt: String = ""): DataFrame = {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
     val h = md5(concat(key.cast("string"), lit(salt)))
-    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(h)
-    val cw = Window.partitionBy(strataCols.map(col): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(cw))
+    rankedByHash(df, strataCols, h)
       .filter(col("_rn") <= ceil(col("_n") * rate))
       .drop("_rn", "_n")
   }
@@ -84,10 +131,9 @@ object Sampling {
     * unlisted groups. The standard "re-weight the data mix" step before
     * training (e.g. upweight curated sources, downsample web crawl).
     *
-    * Same shape as [[stratifiedExact]] — one window shuffle on the group
-    * column, per-group work parallel across groups — with the per-group rate
-    * resolved from a literal map (groups are few; the map travels with the
-    * plan, no join needed).
+    * Same shape as [[stratifiedExact]] — the [[rankedByHash]] parallel rank —
+    * with the per-group rate resolved from a literal map (groups are few;
+    * the map travels with the plan, no join needed).
     */
   def mixtureExact(df: DataFrame, groupCol: String, fracs: Map[String, Double],
       default: Double, key: Column, salt: String = ""): DataFrame = {
@@ -101,10 +147,7 @@ object Sampling {
           col(groupCol).cast("string")),
         lit(default))
     val h = md5(concat(key.cast("string"), lit(salt)))
-    val w = Window.partitionBy(col(groupCol)).orderBy(h)
-    val cw = Window.partitionBy(col(groupCol))
-    df.withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(cw))
+    rankedByHash(df, Seq(groupCol), h)
       .filter(col("_rn") <= ceil(col("_n") * rate))
       .drop("_rn", "_n")
   }
@@ -123,22 +166,16 @@ object Sampling {
     * summation order is engine-dependent; callers wanting a fixed output
     * total pick `scale` ≈ total ⁄ Σ√n_g).
     *
-    * Shape at scale: a map-side-combined count per group (tiny), broadcast
-    * back; rows shuffle ONCE for the per-group rank window.
+    * Shape at scale: the [[rankedByHash]] parallel rank (which also yields
+    * the per-group count — no separate aggregation pass).
     */
   def temperatureSample(df: DataFrame, groupCol: String, scale: Long, key: Column,
       salt: String = ""): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
-    val targets = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
-      .select(
-        col(groupCol),
-        least(col("_n"),
-          ceil(sqrt(col("_n").cast("double")) * lit(scale.toDouble)).cast("long")).as("_t"))
     val h = md5(concat(key.cast("string"), lit(salt)))
-    val w = Window.partitionBy(col(groupCol)).orderBy(h)
-    df.withColumn("_rn", row_number().over(w))
-      .join(broadcast(targets), Seq(groupCol))
-      .filter(col("_rn") <= col("_t"))
-      .drop("_rn", "_t")
+    rankedByHash(df, Seq(groupCol), h)
+      .filter(col("_rn") <= least(col("_n"),
+        ceil(sqrt(col("_n").cast("double")) * lit(scale.toDouble)).cast("long")))
+      .drop("_rn", "_n")
   }
 }

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** One-off scale probe: synthetic corpus with heavy template duplication
   * (the boilerplate-rich shape that breaks uncapped LSH), far above the
   * driver's sf0.1. Measures minhash dedup, simhash pairs, and CC end-to-end.
-  * Usage: runMain graft.tools.ScaleProbe [nDocs]
+  * Usage: runMain graft.tools.ScaleProbe [nDocs] [labelSubstring]
+  * (the optional second arg runs only probes whose label contains it)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 400000
+    val labelFilter = if (args.length > 1) args(1) else ""
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,6 +32,7 @@ object ScaleProbe {
       ).as("text")
     )
     def time[T](label: String)(f: => T): Unit = {
+      if (!label.contains(labelFilter)) return
       // Isolate probes: drop cached blocks and let the heap settle so a
       // later probe isn't taxed by its predecessors' GC debt (observed 15×
       // inflation on the last probes of a long battery without this).
@@ -178,13 +181,25 @@ object ScaleProbe {
         .agg(sum(col("l"))).collect()
     }
     // Temperature sampling over a skewed group column (25% of docs in one
-    // group): a tiny count agg + broadcast + ONE rank-window shuffle —
-    // the hot group sorts in parallel, no cliff.
+    // group): the rankedByHash slice rank — range-partition on (group, hash),
+    // per-slice row_number + broadcast offsets — keeps the hot group's sort
+    // parallel across slices, no single-task cliff.
     time(s"temperatureSample n=$n skewed groups") {
       val grouped = docs.withColumn("grp",
         when(pmod(col("id"), lit(4)) === 0, lit("hot"))
           .otherwise(pmod(col("id"), lit(64)).cast("string")))
       graft.llm.Sampling.temperatureSample(grouped, "grp", scale = 50, col("id")).count()
+    }
+    // Exact stratified sampling with a DOMINANT stratum: 90% of all docs in
+    // one group — the shape that used to single-task the per-group rank
+    // window (the 100 TB OOM wall). The slice rank must keep it parallel:
+    // cost tracks corpus size, and the kept count stays exactly
+    // ceil(0.1 · |stratum|) per stratum.
+    time(s"stratifiedExact n=$n 90%-hot stratum") {
+      val grouped = docs.withColumn("grp",
+        when(pmod(col("id"), lit(10)) < 9, lit("hot"))
+          .otherwise(pmod(col("id"), lit(64)).cast("string")))
+      graft.llm.Sampling.stratifiedExact(grouped, Seq("grp"), col("id"), 0.1, "s").count()
     }
     // PII redaction: four regexp_replace passes, pure narrow projection —
     // must track scan speed even with per-row synthetic PII forcing real
@@ -201,6 +216,47 @@ object ScaleProbe {
     // cells — cost is the narrow hash map, not the agg.
     time(s"cmsBuild n=$n depth=4 width=1024") {
       graft.llm.CmsSketch.build(docs, col("id"), depth = 4, width = 1024).count()
+    }
+    // Sketch-segment refresh at daily-batch cadence: ~3 years of daily
+    // segments in one parquet store — 1000 CMS segments × 4×1024 cells
+    // (4.1M rows) and 1000 histogram segments × 64 bins (64k rows). The
+    // stores are synthesized at EXACTLY the cardinality the daily builds
+    // would produce (merge cost depends only on store rows; build-side
+    // correctness is pinned by the StreamingSpec per-microbatch parity
+    // cases and the q141/q142 oracles). Merge must be segment-row-bound —
+    // it reads the store, never the corpus that produced it — and linear
+    // in segment count: 100 → 1000 must scale ~10×, no cliff.
+    def cmsStore(nSegs: Int): String = {
+      val dir = s"/tmp/graft_scaleprobe_cms_segs_$nSegs"
+      val cells = spark.range(0, 4).select(col("id").cast("int").as("d"))
+        .crossJoin(spark.range(0, 1024).select(col("id").as("b")))
+      spark.range(0, nSegs).select(col("id").as("_seg")).crossJoin(cells)
+        .select(col("d"), col("b"),
+          (pmod(col("_seg") * 31L + col("b") * 7L + col("d"), lit(1000)) + 1L).as("cnt"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    if ("cmsMerge segments".contains(labelFilter) || labelFilter == "cmsMerge") {
+      val d100 = cmsStore(100)
+      val d1000 = cmsStore(1000)
+      time(s"cmsMerge 100 segments 4x1024") {
+        graft.llm.CmsSketch.merge(spark.read.parquet(d100)).count()
+      }
+      time(s"cmsMerge 1000 segments 4x1024") {
+        graft.llm.CmsSketch.merge(spark.read.parquet(d1000)).count()
+      }
+    }
+    if ("histMerge+quantiles segments".contains(labelFilter) || labelFilter == "histMerge") {
+      val dir = "/tmp/graft_scaleprobe_hist_segs"
+      spark.range(0, 1000).select(col("id").as("_seg"))
+        .crossJoin(spark.range(0, 64).select(col("id").as("bin")))
+        .select(col("bin"), (pmod(col("_seg") * 13L + col("bin") * 3L, lit(500)) + 1L).as("cnt"))
+        .write.mode("overwrite").parquet(dir)
+      time(s"histMerge+quantiles 1000 segments 64 bins") {
+        val merged = graft.llm.HistSketch.merge(spark.read.parquet(dir))
+        graft.llm.HistSketch.quantiles(merged, Seq(0.5, 0.9, 0.99), 0.0, 640.0, 64)
+          .collect().map(r => f"${r.getDouble(0)}:${r.getDouble(1)}%.1f").mkString(",")
+      }
     }
     spark.stop()
   }

@@ -334,4 +334,41 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_bt")
     }
   }
+
+  test("exact samplers: no window partitioned solely by the group column over the data") {
+    // The hot-group guarantee: a dominant source (90% of the corpus) must
+    // never sort inside one task. Every Window in the sampler plans either
+    // partitions by (slice, group) — the parallel per-slice rank — or runs
+    // over the per-(slice, group) counts Aggregate, which is bounded by
+    // #partitions + #groups rows, never by data.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val outs = Seq(
+      graft.llm.Sampling.stratifiedExact(docs, Seq("source"), col("doc_id"), 0.1, "z"),
+      graft.llm.Sampling.mixtureExact(docs, "source", Map("src0" -> 0.5), 0.05, col("doc_id")),
+      graft.llm.Sampling.temperatureSample(docs, "lang", 3, col("doc_id")))
+    outs.foreach { out =>
+      val windows = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        val overCounts = w.child.collectFirst { case a: Aggregate => a }.isDefined
+        assert(w.partitionSpec.size >= 2 || overCounts,
+          s"window over raw data partitioned only by ${w.partitionSpec}:\n${out.queryExecution}")
+      }
+      assert(!formatted(out).contains("SinglePartition"))
+    }
+  }
+
+  test("groupCap: the literal cap rewrites into a WindowGroupLimit pre-shuffle prune") {
+    // InferWindowGroupLimit turns `row_number <= <literal>` into a
+    // WindowGroupLimit below the window: each map partition keeps ≤ cap rows
+    // per group BEFORE the shuffle, so a hot group ships ≤ cap × #partitions
+    // rows — the bound the groupCap scaladoc promises.
+    import org.apache.spark.sql.functions.col
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val plan = formatted(
+      graft.llm.Sampling.groupCap(orders, Seq("o_orderpriority"), Seq(col("o_orderkey")), 50))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }

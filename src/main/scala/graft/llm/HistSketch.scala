@@ -48,17 +48,22 @@ object HistSketch {
   /** Quantile estimates from a histogram: for each p, the upper edge of the
     * first bin whose cumulative count reaches ceil(p·N). Output (p, est),
     * one row per requested quantile.
+    *
+    * One job, no driver collect: the total N is the running sum's maximum,
+    * read off the same cumulative window — both windows run over the
+    * ≤`bins`-row histogram, never over data.
     */
   def quantiles(hist: DataFrame, ps: Seq[Double], lo: Double, hi: Double,
       bins: Int): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles must be in (0,1]: $ps")
     val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("_cum", sum("cnt").over(w))
-    val total = hist.agg(sum("cnt")).collect()(0).getLong(0)
+      .withColumn("_total", max("_cum").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val pDf = hist.sparkSession.createDataFrame(
       ps.map(p => Tuple1(p))).toDF("p")
     pDf.crossJoin(cum)
-      .filter(col("_cum") >= ceil(col("p") * lit(total.toDouble)))
+      .filter(col("_cum") >= ceil(col("p") * col("_total").cast("double")))
       .groupBy("p").agg(min("bin").as("_bin"))
       .select(col("p"),
         (lit(lo) + (col("_bin") + 1L).cast("double") * lit((hi - lo)) / lit(bins)).as("est"))

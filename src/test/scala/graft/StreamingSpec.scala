@@ -205,6 +205,35 @@ class StreamingSpec extends SparkSpec {
     assert(merged == oneShot, s"merged ${merged.size} cells != batch ${oneShot.size}")
   }
 
+  test("streaming histogram: per-microbatch segments merge to the one-shot histogram") {
+    // The third mergeable-sketch leg (HLL and CMS have this case; the
+    // histogram must too): each micro-batch bins `value` into a tiny
+    // segment, segments append to a store, and the merged store must equal
+    // the one-shot batch histogram EXACTLY — binning is per-row and the
+    // merge is a cell-wise sum, both linear, so batch splits can't move a
+    // count between bins.
+    import org.apache.spark.sql.functions.col
+    val schema = spark.read.parquet(eventsPath).schema
+    val segDir = "/tmp/graft_test_hist_segs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(segDir))
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1).schema(schema).parquet(eventsPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.llm.HistSketch.segment(batch, col("value"), lo = 0.0, hi = 1000.0, bins = 32)
+          .write.mode("append").parquet(segDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val merged = graft.llm.HistSketch.merge(spark.read.parquet(segDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.llm.HistSketch
+      .segment(spark.read.parquet(eventsPath), col("value"), lo = 0.0, hi = 1000.0, bins = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == oneShot, s"merged ${merged.size} bins != batch ${oneShot.size}")
+  }
+
   test("ConsoleLoad drains a bounded file stream through the console sink") {
     val schema = spark.read.parquet(eventsPath).schema
     val ctx = new graft.core.PipelineContext(spark)

@@ -38,16 +38,30 @@ object SparkEntry {
   private def extractStages(spark: SparkSession, dir: String, tables: Seq[String]): Seq[Stage] =
     tables.flatMap {
       case "events" =>
-        // Footer-only schema probe: ts arrives as LongType when the file
-        // stores int64 nanos (legacy generator + nanosAsLong), or as a real
-        // timestamp when the file stores µs. Normalize to TimestampType
-        // either way so every downstream query sees one schema.
-        val tsIsRawNanos = spark.read.parquet(s"$dir/events.parquet")
-          .schema("ts").dataType == org.apache.spark.sql.types.LongType
-        val tsExpr =
-          // ns→µs with integer DIV (a double division would lose precision
-          // on 1.7e18-scale nanos)
-          if (tsIsRawNanos) "TIMESTAMP_MICROS(ts DIV 1000)" else "ts"
+        // Schema probe: ts arrives as LongType when the file stores an
+        // unannotated int64 (legacy ns generator + nanosAsLong), or as a
+        // real timestamp when the file stores µs. Normalize to
+        // TimestampType either way so every downstream query sees one
+        // schema. LongType alone can't name the unit — a generator writing
+        // raw micros (or seconds) would be silently shifted 1000× by a ns
+        // DIV — so the unit is inferred from value magnitude with a
+        // one-row read (epoch values: ns ~1.7e18, µs ~1.7e15, ms ~1.7e12,
+        // s ~1.7e9); the footer-only fast path still covers today's native
+        // µs files with zero data reads.
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        val tsExpr = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            val mag = raw.select("ts").filter("ts IS NOT NULL").limit(1)
+              .collect().headOption.map(r => math.abs(r.getLong(0)).toDouble)
+              .getOrElse(2e18) // empty table: any unit works; keep ns
+            // ns→µs with integer DIV (a double division would lose
+            // precision on 1.7e18-scale nanos)
+            if (mag > 3e16) "TIMESTAMP_MICROS(ts DIV 1000)"
+            else if (mag > 3e13) "TIMESTAMP_MICROS(ts)"
+            else if (mag > 3e10) "TIMESTAMP_MILLIS(ts)"
+            else "CAST(ts AS TIMESTAMP)"
+          case _ => "ts"
+        }
         Seq(
           ParquetExtract("extract_events_raw", s"$dir/events.parquet", "events_raw"),
           SQLTransform(
@@ -1454,6 +1468,31 @@ object SparkEntry {
       HistSketch.quantiles(hist, Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 640.0, bins = 64)
         .orderBy("p")
     },
+    "q143_json_roundtrip" -> pipe("documents")(
+      // Schema'd JSON round-trip — the TO_JSON(NAMED_STRUCT(...)) display
+      // idiom (reference Common.scala:373-377) plus the typed FROM_JSON
+      // read-back: serialize a nested struct + array per row, parse it back
+      // with an explicit schema, and surface BOTH the wire string and the
+      // re-extracted fields. The oracle pins the JSON byte-for-byte (both
+      // engines emit compact struct-ordered JSON) and the extraction
+      // value-for-value — a daily-hit surface previously covered only by
+      // get_json_object (q23).
+      """WITH enc AS (
+          SELECT doc_id,
+                 TO_JSON(NAMED_STRUCT(
+                   'id', doc_id, 'lang', lang,
+                   'xs', ARRAY(CAST(n_chars AS BIGINT), CAST(n_chars AS BIGINT) + 1),
+                   'meta', NAMED_STRUCT('src', source, 'bucket', doc_id % 7))) AS js
+          FROM documents),
+        dec AS (
+          SELECT doc_id, js,
+                 FROM_JSON(js,
+                   'id BIGINT, lang STRING, xs ARRAY<BIGINT>, meta STRUCT<src: STRING, bucket: BIGINT>') AS p
+          FROM enc)
+        SELECT doc_id, js, p.id AS rt_id, ELEMENT_AT(p.xs, 2) AS rt_x2,
+               p.meta.src AS rt_src, p.meta.bucket AS rt_bucket
+        FROM dec ORDER BY doc_id"""
+    ),
     "q141_cms_frequency" -> withViews("lineitem") { (spark, ctx) =>
       // Count-min sketch (llm/CmsSketch): per-supplier frequency estimates
       // from a 4×256 matrix (width deliberately small so collisions occur
@@ -2689,6 +2728,20 @@ object SparkEntry {
         FROM ps, cum, tot
         WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
         GROUP BY p ORDER BY p""",
+    "q143_json_roundtrip" ->
+      // DuckDB builds the same JSON with struct_pack (compact, struct field
+      // order — byte-identical to Spark's TO_JSON) and re-derives the
+      // round-tripped fields from the source columns: if Spark's FROM_JSON
+      // loses or reshapes anything, the value compare catches it
+      """SELECT doc_id,
+               CAST(to_json(struct_pack(id := doc_id, lang := lang,
+                 xs := [CAST(n_chars AS BIGINT), CAST(n_chars AS BIGINT) + 1],
+                 meta := struct_pack(src := source, bucket := doc_id % 7))) AS VARCHAR) AS js,
+               doc_id AS rt_id,
+               CAST(n_chars AS BIGINT) + 1 AS rt_x2,
+               source AS rt_src,
+               doc_id % 7 AS rt_bucket
+        FROM documents ORDER BY doc_id""",
     "q141_cms_frequency" ->
       // same md5-mod layout as CmsSketch.bucket: '0x'||hex8 cast ≡ Spark's
       // conv(hex8,16,10) — both the unsigned 32-bit prefix

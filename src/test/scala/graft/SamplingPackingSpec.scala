@@ -48,6 +48,30 @@ class SamplingPackingSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("sliced rank keeps exactly the window-rank set on a 90%-hot group") {
+    // Equivalence pin for the hot-group-proof rank: on a skewed input
+    // (one group holds 90% of rows), the sliced parallel rank must keep
+    // EXACTLY the rows the naive per-group window formulation keeps —
+    // same rows, not just same counts — since the oracle SQL is the
+    // window formulation.
+    import org.apache.spark.sql.expressions.Window
+    val skewed = spark.range(0, 2000).select(
+      col("id"),
+      when(col("id") % 10 < 9, lit("hot")).otherwise((col("id") % 7).cast("string")).as("grp"))
+    val got = Sampling.stratifiedExact(skewed, Seq("grp"), col("id"), 0.13, "eq")
+      .collect().map(_.getLong(0)).toSet
+    val h = md5(concat(col("id").cast("string"), lit("eq")))
+    val naive = skewed
+      .withColumn("_rn", row_number().over(Window.partitionBy("grp").orderBy(h)))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("grp")))
+      .filter(col("_rn") <= ceil(col("_n") * 0.13))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == naive,
+      s"sliced rank diverges from window rank: extra=${(got -- naive).take(5)}, missing=${(naive -- got).take(5)}")
+    assert(got.size == math.ceil(1800 * 0.13).toInt + // hot group
+      (0 until 7).map(g => math.ceil((0 until 2000).count(i => i % 10 == 9 && i % 7 == g) * 0.13).toInt).sum)
+  }
+
   test("stratifiedExact: exact ceil(n*rate) per stratum, deterministic") {
     val customer = spark.read.parquet(s"${sf()}/customer.parquet")
     val rate = 0.1

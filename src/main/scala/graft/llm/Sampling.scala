@@ -56,9 +56,15 @@ object Sampling {
       .withColumn("_n", sum("_c").over(perGroup))
       .select(col("_gp") +: gcols :+ col("_off") :+ col("_n"): _*)
     val sliceW = Window.partitionBy(col("_gp") +: gcols: _*).orderBy(col("_h"))
+    // No broadcast hint on the stats join, deliberately: with millions of
+    // strata the counts table outgrows any broadcast budget. The windowed
+    // side is already hash-partitioned AND sorted on (_gp, group, _h), so a
+    // sort-merge join on (_gp, group) reuses that exchange and sort order —
+    // zero extra work on the data side — while AQE still promotes the tiny
+    // stats side to a runtime broadcast in the common few-groups case.
     ranged
       .withColumn("_lrn", row_number().over(sliceW))
-      .join(broadcast(stats), "_gp" +: groupCols)
+      .join(stats, "_gp" +: groupCols)
       .withColumn("_rn", col("_lrn").cast("long") + col("_off"))
       .select(df.columns.map(col) :+ col("_rn") :+ col("_n"): _*)
   }

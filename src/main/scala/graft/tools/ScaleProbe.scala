@@ -201,6 +201,15 @@ object ScaleProbe {
           .otherwise(pmod(col("id"), lit(64)).cast("string")))
       graft.llm.Sampling.stratifiedExact(grouped, Seq("grp"), col("id"), 0.1, "s").count()
     }
+    // The opposite extreme: 100k DISTINCT strata (domain-level sampling).
+    // The per-(slice, group) counts table is ~100k rows here — far past any
+    // broadcast budget comfort zone at real scale — so the unhinted stats
+    // join must stay cheap (the windowed side is pre-partitioned and
+    // pre-sorted on the join keys; only the tiny stats side moves).
+    time(s"stratifiedExact n=$n 100k strata") {
+      val grouped = docs.withColumn("grp", pmod(col("id"), lit(100000)).cast("string"))
+      graft.llm.Sampling.stratifiedExact(grouped, Seq("grp"), col("id"), 0.25, "s").count()
+    }
     // PII redaction: four regexp_replace passes, pure narrow projection —
     // must track scan speed even with per-row synthetic PII forcing real
     // replacements on every document.

@@ -1468,6 +1468,20 @@ object SparkEntry {
       HistSketch.quantiles(hist, Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 640.0, bins = 64)
         .orderBy("p")
     },
+    "q144_grouped_hist" -> withViews("documents") { (spark, ctx) =>
+      // Per-source histogram quantiles (HistSketch.segmentBy/quantilesBy):
+      // the length-distribution drift monitor — p50/p90 per corpus source,
+      // read off per-group cumulative histograms. Binning arithmetic is
+      // identical to q142 (3 correctly-rounded IEEE ops), so the oracle
+      // rebuilds every group's histogram and quantiles exactly; all windows
+      // are bounded by groups × bins, never by data.
+      import graft.llm.HistSketch
+      val hist = HistSketch.segmentBy(ctx.view("documents"), Seq("source"),
+        col("n_chars"), lo = 0.0, hi = 640.0, bins = 64)
+      HistSketch.quantilesBy(hist, Seq("source"), Seq(0.5, 0.9),
+        lo = 0.0, hi = 640.0, bins = 64)
+        .orderBy("source", "p")
+    },
     "q143_json_roundtrip" -> pipe("documents")(
       // Schema'd JSON round-trip — the TO_JSON(NAMED_STRUCT(...)) display
       // idiom (reference Common.scala:373-377) plus the typed FROM_JSON
@@ -2728,6 +2742,21 @@ object SparkEntry {
         FROM ps, cum, tot
         WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
         GROUP BY p ORDER BY p""",
+    "q144_grouped_hist" ->
+      // q142's binning arithmetic with PARTITION BY source — same bins,
+      // same edge formula, per-group cumulative reach
+      """WITH hist AS (
+          SELECT source, LEAST(63, GREATEST(0,
+                   CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 640.0 * 64) AS BIGINT))) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2),
+        cum AS (SELECT source, bin, SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum FROM hist),
+        tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+        ps AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS p)
+        SELECT c.source, p, 0.0 + CAST(MIN(c.bin) + 1 AS DOUBLE) * 640.0 / 64 AS est
+        FROM cum c JOIN tot t ON c.source = t.source CROSS JOIN ps
+        WHERE c.cum >= CEIL(p * CAST(t.n AS DOUBLE))
+        GROUP BY c.source, p ORDER BY c.source, p""",
     "q143_json_roundtrip" ->
       // DuckDB builds the same JSON with struct_pack (compact, struct field
       // order — byte-identical to Spark's TO_JSON) and re-derives the

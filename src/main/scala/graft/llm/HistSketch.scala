@@ -45,6 +45,46 @@ object HistSketch {
   def merge(segments: DataFrame): DataFrame =
     segments.groupBy("bin").agg(sum("cnt").as("cnt"))
 
+  /** Per-group histogram segments: (groupCols…, bin, cnt), at most
+    * #groups × bins rows — the per-source drift monitor (one length/score
+    * distribution per corpus source, language, or shard), mergeable like
+    * the global form and the same shape as [[SketchStats]]' per-group HLL
+    * segments. One map-side-combined shuffle bounded by groups × bins.
+    */
+  def segmentBy(df: DataFrame, groupCols: Seq[String], value: Column, lo: Double,
+      hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo, got $bins, [$lo, $hi)")
+    require(groupCols.nonEmpty, "group columns required (use segment for the global form)")
+    df.select(groupCols.map(col) :+ binOf(value, lo, hi, bins).as("bin"): _*)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise sum of per-group segments (same groupCols/lo/hi/bins). */
+  def mergeBy(segments: DataFrame, groupCols: Seq[String]): DataFrame =
+    segments.groupBy(groupCols.map(col) :+ col("bin"): _*).agg(sum("cnt").as("cnt"))
+
+  /** Per-group quantile estimates: for each group and p, the upper edge of
+    * the first bin whose cumulative count reaches ceil(p·N_group). Output
+    * (groupCols…, p, est). Both windows partition by group over the
+    * ≤ #groups × bins histogram — bounded by construction, never over data,
+    * and parallel across groups.
+    */
+  def quantilesBy(hist: DataFrame, groupCols: Seq[String], ps: Seq[Double], lo: Double,
+      hi: Double, bins: Int): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles must be in (0,1]: $ps")
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum("cnt").over(w))
+      .withColumn("_total", max("_cum").over(Window.partitionBy(gcols: _*)))
+    val pDf = hist.sparkSession.createDataFrame(ps.map(p => Tuple1(p))).toDF("p")
+    cum.crossJoin(pDf)
+      .filter(col("_cum") >= ceil(col("p") * col("_total").cast("double")))
+      .groupBy(gcols :+ col("p"): _*).agg(min("bin").as("_bin"))
+      .select(gcols :+ col("p") :+
+        (lit(lo) + (col("_bin") + 1L).cast("double") * lit((hi - lo)) / lit(bins)).as("est"): _*)
+  }
+
   /** Quantile estimates from a histogram: for each p, the upper edge of the
     * first bin whose cumulative count reaches ceil(p·N). Output (p, est),
     * one row per requested quantile.

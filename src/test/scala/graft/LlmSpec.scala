@@ -673,6 +673,41 @@ class HistSketchSpec extends SparkSpec {
     assert(hist(0L) == 2L, "underflow + exact-lo must land in bin 0")
     assert(hist(49L) == 3L, "hi, overflow, and last-bin values must land in bin 49")
   }
+
+  test("per-group form: each group's histogram and quantiles equal the global form on that group") {
+    // Two groups with different distributions; segmentBy/quantilesBy on the
+    // union must reproduce segment/quantiles run per group in isolation.
+    val grouped = spark.range(1, 1001).select(
+      when(col("id") % 2 === 0, "even").otherwise("odd").as("g"),
+      (col("id") % 500).as("v"))
+    val byG = HistSketch.segmentBy(grouped, Seq("g"), col("v"), 0.0, 500.0, 50)
+    for (g <- Seq("even", "odd")) {
+      val fromBy = byG.filter(col("g") === g).select("bin", "cnt")
+        .as[(Long, Long)].collect().toSet
+      val solo = HistSketch.segment(grouped.filter(col("g") === g), col("v"), 0.0, 500.0, 50)
+        .as[(Long, Long)].collect().toSet
+      assert(fromBy == solo, s"group $g histogram differs")
+      val qBy = HistSketch.quantilesBy(byG.filter(col("g") === g), Seq("g"),
+        Seq(0.5, 0.9), 0.0, 500.0, 50).select("p", "est").as[(Double, Double)].collect().toMap
+      val qSolo = HistSketch.quantiles(solo.toSeq.toDF("bin", "cnt"),
+        Seq(0.5, 0.9), 0.0, 500.0, 50).as[(Double, Double)].collect().toMap
+      assert(qBy == qSolo, s"group $g quantiles differ: $qBy vs $qSolo")
+    }
+  }
+
+  test("per-group segments merge to the one-shot per-group histogram") {
+    val grouped = spark.range(1, 1001).select(
+      when(col("id") % 2 === 0, "even").otherwise("odd").as("g"),
+      (col("id") % 500).as("v"))
+    val (a, b) = (grouped.filter(col("v") < 250), grouped.filter(col("v") >= 250))
+    val merged = HistSketch.mergeBy(
+      HistSketch.segmentBy(a, Seq("g"), col("v"), 0.0, 500.0, 50)
+        .unionByName(HistSketch.segmentBy(b, Seq("g"), col("v"), 0.0, 500.0, 50)), Seq("g"))
+      .as[(String, Long, Long)].collect().toSet
+    val oneShot = HistSketch.segmentBy(grouped, Seq("g"), col("v"), 0.0, 500.0, 50)
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == oneShot)
+  }
 }
 
 class CmsSketchSpec extends SparkSpec {

@@ -1468,6 +1468,20 @@ object SparkEntry {
       HistSketch.quantiles(hist, Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 640.0, bins = 64)
         .orderBy("p")
     },
+    "q145_weighted_interleave" -> withViews("documents") { (spark, ctx) =>
+      // Deterministic training-mix interleave (llm/Interleave): one total
+      // order where src0 appears at 4x and src1 at 2x the base rate —
+      // weighted round-robin via virtual time rank/weight, uniformly mixed
+      // from the first row. Exact-integer / literal-double division → both
+      // engines compute identical virtual times, hence the identical
+      // permutation.
+      graft.llm.Interleave
+        .weightedInterleave(ctx.view("documents"), "source",
+          Map("src0" -> 4.0, "src1" -> 2.0), default = 1.0,
+          key = col("doc_id"), salt = "i1")
+        .select(col("doc_id"), col("source"), col("pos"))
+        .orderBy("doc_id")
+    },
     "q144_grouped_hist" -> withViews("documents") { (spark, ctx) =>
       // Per-source histogram quantiles (HistSketch.segmentBy/quantilesBy):
       // the length-distribution drift monitor — p50/p90 per corpus source,
@@ -2742,6 +2756,21 @@ object SparkEntry {
         FROM ps, cum, tot
         WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
         GROUP BY p ORDER BY p""",
+    "q145_weighted_interleave" ->
+      // same stride schedule: per-source md5 rank, vtime = rn/w, global
+      // enumeration by (vtime, source, rn) — a total order both engines
+      // compute bit-identically
+      """WITH t AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR) || 'i1')) AS rn,
+                 CASE source WHEN 'src0' THEN CAST(4.0 AS DOUBLE)
+                             WHEN 'src1' THEN CAST(2.0 AS DOUBLE)
+                             ELSE CAST(1.0 AS DOUBLE) END AS w
+          FROM documents)
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (ORDER BY CAST(rn AS DOUBLE) / w, source, rn) - 1 AS BIGINT) AS pos
+        FROM t ORDER BY doc_id""",
     "q144_grouped_hist" ->
       // q142's binning arithmetic with PARTITION BY source — same bins,
       // same edge formula, per-group cumulative reach

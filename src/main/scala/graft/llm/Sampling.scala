@@ -41,7 +41,7 @@ object Sampling {
     * group) and `_n` (group size). Ties in `h` rank arbitrarily but count
     * correctly (same contract as a window rank); callers use a unique key.
     */
-  private def rankedByHash(df: DataFrame, groupCols: Seq[String], h: Column): DataFrame = {
+  private[llm] def rankedByHash(df: DataFrame, groupCols: Seq[String], h: Column): DataFrame = {
     val gcols = groupCols.map(col)
     val ranged = graft.core.Lineage.pin(
       df.withColumn("_h", h)

@@ -360,6 +360,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("weightedInterleave never plans a SinglePartition window over the data") {
+    // the global enumeration must stay the range-partitioned GlobalOrder
+    // shape even composed behind the sliced per-source rank
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = graft.llm.Interleave.weightedInterleave(
+      docs, "source", Map("src0" -> 4.0), 1.0, col("doc_id"), "p")
+    assert(!formatted(out).contains("SinglePartition"), formatted(out))
+  }
+
   test("groupCap: the literal cap rewrites into a WindowGroupLimit pre-shuffle prune") {
     // InferWindowGroupLimit turns `row_number <= <literal>` into a
     // WindowGroupLimit below the window: each map partition keeps ≤ cap rows

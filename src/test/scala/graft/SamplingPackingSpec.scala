@@ -72,6 +72,24 @@ class SamplingPackingSpec extends SparkSpec {
       (0 until 7).map(g => math.ceil((0 until 2000).count(i => i % 10 == 9 && i % 7 == g) * 0.13).toInt).sum)
   }
 
+  test("weightedInterleave: exact stride mix in every prefix, deterministic permutation") {
+    // 20 sources x 25 docs; src0 at 4x, src1 at 2x, rest 1x. The stride
+    // schedule admits an EXACT check: the prefix of all rows with virtual
+    // time <= 5 holds floor(w*5) rows per source -> 20 + 10 + 18*5 = 120
+    // rows with src0=20, src1=10, others=5.
+    def run() = graft.llm.Interleave.weightedInterleave(
+        docs, "source", Map("src0" -> 4.0, "src1" -> 2.0), 1.0, col("doc_id"), "i")
+      .select("pos", "doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val rows = run()
+    assert(rows.map(_._1).toSeq == (0L until rows.length).toSeq, "pos must be a permutation")
+    val prefix = rows.take(120).groupBy(_._3).view.mapValues(_.length).toMap
+    assert(prefix.size == 20 && prefix.forall { case (s, c) =>
+      c == (if (s == "src0") 20 else if (s == "src1") 10 else 5) }, s"prefix mix off: $prefix")
+    // retry-stable: the whole permutation reproduces exactly
+    assert(run().toSeq == rows.toSeq)
+  }
+
   test("stratifiedExact: exact ceil(n*rate) per stratum, deterministic") {
     val customer = spark.read.parquet(s"${sf()}/customer.parquet")
     val rate = 0.1

@@ -201,6 +201,17 @@ object ScaleProbe {
           .otherwise(pmod(col("id"), lit(64)).cast("string")))
       graft.llm.Sampling.stratifiedExact(grouped, Seq("grp"), col("id"), 0.1, "s").count()
     }
+    // Weighted training-mix interleave with a 25%-hot source: the sliced
+    // per-source rank + range-partitioned global enumeration must keep both
+    // the hot source's rank and the final total order parallel — cost
+    // tracks corpus size, no single-task sort anywhere.
+    time(s"weightedInterleave n=$n hot source") {
+      val grouped = docs.withColumn("src",
+        when(pmod(col("id"), lit(4)) === 0, lit("hot"))
+          .otherwise(pmod(col("id"), lit(16)).cast("string")))
+      graft.llm.Interleave.weightedInterleave(
+        grouped, "src", Map("hot" -> 0.5), 1.0, col("id")).count()
+    }
     // The opposite extreme: 100k DISTINCT strata (domain-level sampling).
     // The per-(slice, group) counts table is ~100k rows here — far past any
     // broadcast budget comfort zone at real scale — so the unhinted stats

@@ -1468,6 +1468,17 @@ object SparkEntry {
       HistSketch.quantiles(hist, Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 640.0, bins = 64)
         .orderBy("p")
     },
+    "q146_hash_split" -> withViews("documents") { (spark, ctx) =>
+      // Deterministic train/val/test split (Sampling.hashSplit): banded
+      // salted-md5 labels, 80/10/10. Narrow map, no shuffle; the band
+      // thresholds are the same literals on both engines, so the oracle
+      // reproduces every label bit-for-bit.
+      graft.llm.Sampling
+        .hashSplit(ctx.view("documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
     "q145_weighted_interleave" -> withViews("documents") { (spark, ctx) =>
       // Deterministic training-mix interleave (llm/Interleave): one total
       // order where src0 appears at 4x and src1 at 2x the base rate —
@@ -2756,6 +2767,19 @@ object SparkEntry {
         FROM ps, cum, tot
         WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
         GROUP BY p ORDER BY p""",
+    "q146_hash_split" -> {
+      // thresholds computed with the SAME cumulative-sum arithmetic as
+      // hashSplit (0.8+0.1 in IEEE, not the literal 0.9), then embedded as
+      // the identical hex literals both engines compare against
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = f"${math.round(cum(0) * 0xffffffffL)}%08x"
+      val t2 = f"${math.round(cum(1) * 0xffffffffL)}%08x"
+      s"""SELECT doc_id,
+            CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'sp'), 1, 8) < '$t1' THEN 'train'
+                 WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'sp'), 1, 8) < '$t2' THEN 'val'
+                 ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id"""
+    },
     "q145_weighted_interleave" ->
       // same stride schedule: per-source md5 rank, vtime = rn/w, global
       // enumeration by (vtime, source, rn) — a total order both engines

@@ -81,6 +81,35 @@ object Sampling {
     df.filter(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8) < lit(threshold))
   }
 
+  /** Deterministic train/val/test split: label every row with the name of
+    * the hash band its salted md5 falls into — the canonical split step.
+    * `splits` maps labels to fractions summing to 1 (±1e-9); bands are
+    * consecutive 32-bit ranges in the listed order, so the first band of a
+    * (label, rate) split keeps exactly the rows `hashSample(rate)` keeps.
+    *
+    * Same discipline as [[hashSample]]: a pure narrow map (no shuffle),
+    * retry-stable, and consistent ACROSS TABLES — documents and their
+    * embeddings split identically under the same key/salt, so no example
+    * ever straddles train and eval. Changing the fraction of one band never
+    * reshuffles rows between the OTHER bands (band edges move, interiors
+    * stay put).
+    */
+  def hashSplit(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+      salt: String = "", splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), s"fractions must be >= 0: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // upper hex threshold of each band but the last (which is a catch-all:
+    // rounding must never leave a row unlabeled)
+    val label = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), other) =>
+        when(h < lit(f"${math.round(c * 0xffffffffL)}%08x"), lit(name)).otherwise(other)
+    }
+    df.withColumn(splitCol, label)
+  }
+
   /** At most `cap` rows per group, keeping the first by `order` — the
     * "no domain may dominate the corpus" guard. One shuffle on `groupCols`.
     * Because `cap` is a LITERAL, Catalyst's InferWindowGroupLimit rewrites

@@ -72,6 +72,31 @@ class SamplingPackingSpec extends SparkSpec {
       (0 until 7).map(g => math.ceil((0 until 2000).count(i => i % 10 == 9 && i % 7 == g) * 0.13).toInt).sum)
   }
 
+  test("hashSplit: total partition, cross-table aligned, first band = hashSample") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Sampling.hashSplit(docs, col("doc_id"), splits, "sp")
+    val byLabel = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(byLabel.values.sum == n, "every row must get exactly one label")
+    assert(math.abs(byLabel("train") / n.toDouble - 0.8) < 0.06, s"split sizes: $byLabel")
+    // the first band keeps exactly the hashSample(0.8) rows — same hash,
+    // same threshold, so samples and splits compose consistently
+    val trainIds = labeled.filter(col("split") === "train")
+      .collect().map(_.getLong(0)).toSet
+    val sampleIds = Sampling.hashSample(docs, col("doc_id"), 0.8, "sp")
+      .collect().map(_.getLong(0)).toSet
+    assert(trainIds == sampleIds)
+    // same key+salt on another table assigns the same labels
+    val other = docs.select(col("doc_id"), length(col("text")).as("len"))
+    val otherTrain = Sampling.hashSplit(other, col("doc_id"), splits, "sp")
+      .filter(col("split") === "train").collect().map(_.getLong(0)).toSet
+    assert(otherTrain == trainIds)
+    // invalid fractions rejected
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(docs, col("doc_id"), Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
   test("weightedInterleave: exact stride mix in every prefix, deterministic permutation") {
     // 20 sources x 25 docs; src0 at 4x, src1 at 2x, rest 1x. The stride
     // schedule admits an EXACT check: the prefix of all rows with virtual

@@ -300,6 +300,7 @@ object PipelineConfig {
           val qs = o.dblList("quantiles")
           if (qs.isEmpty) Seq(0.5, 0.9, 0.99) else qs
         },
+        groupFields = o.strList("groupFields"),
         persist = o.bool("persist"))
     case "ResampleTransform" =>
       ResampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

@@ -316,8 +316,10 @@ final case class CmsTransform(
 /** Histogram-quantile segments behind the config surface —
   * [[graft.llm.HistSketch]]: `mode=segment` bins `valueField` into a
   * (bin, cnt) histogram, `mode=merge` sums segments, `mode=quantiles`
-  * reads a histogram view and emits (p, est) for `quantiles`. The same
-  * lo/hi/bins must be used across a segment family.
+  * reads a histogram view and emits (p, est) for `quantiles`. With
+  * `groupFields` every mode switches to the per-group form (one histogram
+  * per group — the per-source drift monitor). The same lo/hi/bins must be
+  * used across a segment family.
   */
 final case class HistogramTransform(
     name: String,
@@ -329,17 +331,24 @@ final case class HistogramTransform(
     hi: Double = 1.0,
     bins: Int = 64,
     quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+    groupFields: Seq[String] = Nil,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "HistogramTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     val in = ctx.view(inputView)
+    val grouped = groupFields.nonEmpty
     val out = mode match {
       case "segment" =>
         require(valueField.nonEmpty, s"$name: segment needs valueField")
-        graft.llm.HistSketch.segment(in, col(valueField), lo, hi, bins)
-      case "merge" => graft.llm.HistSketch.merge(in)
-      case "quantiles" => graft.llm.HistSketch.quantiles(in, quantiles, lo, hi, bins)
+        if (grouped) graft.llm.HistSketch.segmentBy(in, groupFields, col(valueField), lo, hi, bins)
+        else graft.llm.HistSketch.segment(in, col(valueField), lo, hi, bins)
+      case "merge" =>
+        if (grouped) graft.llm.HistSketch.mergeBy(in, groupFields)
+        else graft.llm.HistSketch.merge(in)
+      case "quantiles" =>
+        if (grouped) graft.llm.HistSketch.quantilesBy(in, groupFields, quantiles, lo, hi, bins)
+        else graft.llm.HistSketch.quantiles(in, quantiles, lo, hi, bins)
       case other =>
         throw new IllegalArgumentException(
           s"$name: unknown histogram mode '$other' (segment|merge|quantiles)")
@@ -368,7 +377,11 @@ final case class ChunkTransform(
   * [[graft.llm.Sampling]]. Methods: `hash` (rate), `weighted` (per-row
   * weightField), `stratified` (rate within strataFields), `mixture`
   * (per-group fractions toward a target mix), `groupCap` (at most cap rows
-  * per group, ordered by idField).
+  * per group, ordered by idField), `temperature` (kept ∝ √|group|, cap =
+  * scale), `split` (train/val/test labels from `fractions`, bands in
+  * lexicographic label order so configs reproduce across runs), and
+  * `interleave` ([[graft.llm.Interleave]] — `fractions` as per-group
+  * weights, `rate` the default weight, adds a `pos` ordering column).
   */
 final case class SampleTransform(
     name: String,
@@ -407,9 +420,17 @@ final case class SampleTransform(
           s"$name: temperature sampling needs exactly one strata field")
         require(cap > 0, s"$name: temperature sampling needs cap > 0 (the sqrt scale)")
         Sampling.temperatureSample(in, strataFields.head, cap, col(keyField), salt)
+      case "split" =>
+        require(fractions.nonEmpty, s"$name: split needs fractions (label -> fraction)")
+        Sampling.hashSplit(in, col(keyField), fractions.toSeq.sortBy(_._1), salt)
+      case "interleave" =>
+        require(strataFields.size == 1,
+          s"$name: interleave needs exactly one strata field (the source column)")
+        graft.llm.Interleave.weightedInterleave(
+          in, strataFields.head, fractions, rate, col(keyField), salt)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap|temperature)")
+          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap|temperature|split|interleave)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

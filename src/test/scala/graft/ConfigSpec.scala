@@ -297,6 +297,54 @@ class ConfigSpec extends SparkSpec {
     assert(byGrp == Map("a" -> 16L, "b" -> 4L), s"got $byGrp")
   }
 
+  test("SampleTransform method=split and method=interleave from a config cell") {
+    import spark.implicits._
+    (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "src").createOrReplaceTempView("sp_in")
+    val hocon =
+      """{stages: [
+        { type = "SampleTransform", name = "split", inputView = sp_in,
+          outputView = sp_split, method = split, keyField = doc_id,
+          fractions = { train = 0.8, val = 0.1, test = 0.1 }, salt = "s" }
+        { type = "SampleTransform", name = "mix", inputView = sp_in,
+          outputView = sp_mix, method = interleave, keyField = doc_id,
+          strataFields = [src], fractions = { a = 3.0 }, rate = 1.0 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val labels = spark.table("sp_split").groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels.values.sum == 200 && labels.keySet == Set("train", "val", "test"), s"$labels")
+    // library parity: the stage emits exactly Sampling.hashSplit's labels
+    val direct = graft.llm.Sampling.hashSplit(spark.table("sp_in"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      Seq("test" -> 0.1, "train" -> 0.8, "val" -> 0.1), "s")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels == direct)
+    // interleave: pos is a permutation and the 4-row prefix holds 3 a's, 1 b
+    val mix = spark.table("sp_mix").orderBy("pos").select("src").as[String].collect()
+    assert(mix.length == 200)
+    assert(mix.take(4).count(_ == "a") == 3, s"prefix: ${mix.take(8).mkString(",")}")
+  }
+
+  test("HistogramTransform groupFields emits one histogram and quantile set per group") {
+    import spark.implicits._
+    (1L to 100L).map(i => (if (i % 2 == 0) "a" else "b", (i % 50).toDouble))
+      .toDF("g", "v").createOrReplaceTempView("gh_in")
+    val hocon =
+      """{stages: [
+        { type = "HistogramTransform", name = "seg", inputView = gh_in,
+          outputView = gh_hist, valueField = v, lo = 0.0, hi = 50.0,
+          bins = 10, groupFields = [g] }
+        { type = "HistogramTransform", name = "q", inputView = gh_hist,
+          outputView = gh_q, mode = quantiles, lo = 0.0, hi = 50.0,
+          bins = 10, quantiles = [0.5], groupFields = [g] }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    assert(spark.table("gh_hist").select("g").distinct().count() == 2)
+    val q = spark.table("gh_q").select("g", "est").as[(String, Double)].collect().toMap
+    assert(q.keySet == Set("a", "b") && q.values.forall(e => e > 0 && e <= 50), s"$q")
+  }
+
   test("RedactTransform scrubs PII and appends counts from a config cell") {
     import spark.implicits._
     Seq(

@@ -72,6 +72,20 @@ class SamplingPackingSpec extends SparkSpec {
       (0 until 7).map(g => math.ceil((0 until 2000).count(i => i % 10 == 9 && i % 7 == g) * 0.13).toInt).sum)
   }
 
+  test("sliced-rank samplers and interleave handle empty and single-group inputs") {
+    val empty = docs.filter(col("doc_id") < 0)
+    assert(Sampling.stratifiedExact(empty, Seq("source"), col("doc_id"), 0.5).count() == 0)
+    assert(graft.llm.Interleave
+      .weightedInterleave(empty, "source", Map.empty, 1.0, col("doc_id")).count() == 0)
+    // one group, no weights map: a plain deterministic shuffle — pos is the
+    // full permutation
+    val one = docs.limit(50).withColumn("only", lit("x"))
+    val pos = graft.llm.Interleave
+      .weightedInterleave(one, "only", Map.empty, 1.0, col("doc_id"))
+      .select("pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (0L until 50L).toSeq)
+  }
+
   test("hashSplit: total partition, cross-table aligned, first band = hashSample") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val labeled = Sampling.hashSplit(docs, col("doc_id"), splits, "sp")

@@ -1010,6 +1010,30 @@ object SparkEntry {
           (abs(col("score") - col("_bf_score")) < 1e-12).as("ok"))
         .orderBy("query_id", "rank")
     },
+    "q147_ivf_index" -> withViews("embeddings") { (spark, ctx) =>
+      // Persistent IVF index (llm/IvfIndex): training + corpus assignment
+      // paid once at write, retrieval reads ONLY the probed inverted-list
+      // parquet partitions (partition pruning as the inverted-file
+      // structure). KMeans is engine-specific → rows-only. Self-verifying
+      // like q62: with nprobe = nlist the probe is exhaustive, so `ok`
+      // asserts the indexed result IS the brute-force result — same
+      // neighbor at the same rank with the same score.
+      val em = ctx.view("embeddings")
+      val queries = em.filter(col("vec_id") < 5)
+      val dir = "/tmp/graft_q147_ivfindex"
+      graft.llm.IvfIndex.write(em, "vec_id", "embedding", dir, nlist = 8)
+      val ann = graft.llm.IvfIndex.topK(queries, "vec_id", "embedding", dir, k = 5, nprobe = 8)
+      val exact = graft.llm.Similarity
+        .bruteForceTopK(em, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("score").as("_bf_score"), col("rank").cast("long").as("bf_rank"))
+      ann
+        .join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"),
+          (col("bf_rank") === col("rank") && abs(col("score") - col("_bf_score")) < 1e-12).as("ok"))
+        .orderBy("query_id", "rank")
+    },
     "q63_sessionization" -> pipe("events")(
       """WITH marked AS (
           SELECT user_id, ts, event_id,

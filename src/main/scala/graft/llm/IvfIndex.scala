@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index: the repeated-retrieval path for embedding search.
+  *
+  * [[Similarity.ivfTopK]] trains the coarse quantizer and assigns the whole
+  * corpus on EVERY call — right for one-shot joins, wasteful when the same
+  * corpus serves query batch after query batch (retrieval-augmented data
+  * curation, dedup-against-corpus, eval-set mining). This index pays
+  * training + assignment once at [[write]]:
+  *
+  *  - `path/vectors/` — (id, vec) parquet PARTITIONED BY the inverted-list
+  *    id, so a query batch that probes `nprobe` of `nlist` lists reads only
+  *    those directories: Spark's partition pruning turns the inverted-file
+  *    structure into skipped I/O, no custom reader needed (the same
+  *    mechanism as a date-partitioned fact table — this is deliberately a
+  *    LAYOUT, not a format).
+  *  - `path/centroids/` — (list, halfNorm, vec), `nlist` rows.
+  *
+  * [[topK]] then: reads the tiny centroid table, ranks each query's
+  * `nprobe` nearest lists (narrow map — same argmin_c(0.5‖c‖² − x·c) trick
+  * as ivfTopK), prunes the vectors read to the union of probed lists, and
+  * reranks candidates exactly (fused native cosine). The only shuffle is
+  * the candidates join keyed on list id.
+  *
+  * With `nprobe = nlist` the probe is exhaustive and the result equals
+  * [[Similarity.bruteForceTopK]] exactly (same scoring, same
+  * (score desc, id) tiebreak) — IvfIndexSpec pins that equivalence, plus
+  * recall under partial probes and the partition-pruned scan.
+  */
+object IvfIndex {
+
+  /** Train a KMeans coarse quantizer on the corpus and persist the
+    * list-partitioned vectors + centroid table. `nlist` follows the usual
+    * √n rule at scale.
+    */
+  def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nlist: Int = 16, seed: Long = 42L): Unit = {
+    require(nlist > 0, s"nlist must be positive, got $nlist")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, 0.5 * c.dot(c), c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    import spark.implicits._
+    cents.toDF("list", "halfNorm", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = attachCentroids(corpus, spark, cents)
+    assigned
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        element_at(rankedLists(col(vecCol), col("_cents")), 1).getField("list").as("_list"))
+      .write.mode("overwrite").partitionBy("_list").parquet(s"$path/vectors")
+  }
+
+  // centroids travel as a single-row broadcast DataFrame (data, not plan
+  // constants — nlist at the √n rule would blow the codegen constant pool)
+  private def attachCentroids(df: DataFrame, spark: SparkSession,
+      cents: Seq[(Int, Double, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    val centDf = Seq(Tuple1(cents.map { case (i, hn, v) => (hn, i, v) }))
+      .toDF("_raw")
+      .select(transform(col("_raw"), c =>
+        struct(c.getField("_1").as("halfNorm"), c.getField("_2").as("list"),
+          c.getField("_3").as("vec"))).as("_cents"))
+    df.crossJoin(broadcast(centDf))
+  }
+
+  private def rankedLists(vec: Column, centsCol: Column): Column = array_sort(
+    transform(centsCol, c =>
+      struct(
+        (c.getField("halfNorm") - Similarity.dot(vec, c.getField("vec"))).as("d"),
+        c.getField("list").as("list"))))
+
+  /** Top-k cosine neighbors for a query batch against the persisted index.
+    * Reads only the probed inverted-list partitions.
+    */
+  def topK(queries: DataFrame, queryId: String, queryVec: String, path: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    require(k > 0 && nprobe > 0, s"k/nprobe must be positive, got $k/$nprobe")
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Float](2))).toSeq
+      .sortBy(_._1)
+    val q = attachCentroids(queries, spark, cents)
+      .select(
+        col(queryId).as("query_id"),
+        col(queryVec).as("_qv"),
+        explode(transform(
+          slice(rankedLists(col(queryVec), col("_cents")), 1, math.min(nprobe, cents.size)),
+          s => s.getField("list"))).as("_list"))
+    // the probed lists of THIS batch: ≤ nlist values, collected from the
+    // (tiny) per-query ranking — the isin filter is a partition filter on
+    // the vectors layout, so unprobed list directories are never read
+    val probed = q.select("_list").distinct().collect().map(_.getInt(0))
+    val candidates = spark.read.parquet(s"$path/vectors")
+      .filter(col("_list").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .select(col("id").as("neighbor_id"), col("vec").as("_cv"), col("_list"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    candidates
+      .join(q, Seq("_list"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("_qv"), col("_cv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

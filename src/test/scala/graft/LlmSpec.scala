@@ -759,3 +759,49 @@ class CmsSketchSpec extends SparkSpec {
     assert(sk.count() <= 4L * 32)
   }
 }
+
+class IvfIndexSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.llm.{IvfIndex, Similarity}
+
+  private lazy val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+  private lazy val idx = {
+    val path = "/tmp/graft_test_ivfindex"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em, "vec_id", "embedding", path, nlist = 8)
+    path
+  }
+
+  private def key(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6))
+    .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("exhaustive probe (nprobe = nlist) equals bruteForceTopK exactly") {
+    val queries = em.filter(col("vec_id") < 10)
+    val fromIndex = key(IvfIndex.topK(queries, "vec_id", "embedding", idx, k = 5, nprobe = 8))
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(fromIndex == brute)
+  }
+
+  test("partial probe keeps recall and reads only probed list partitions") {
+    val queries = em.filter(col("vec_id") < 50)
+    val out = IvfIndex.topK(queries, "vec_id", "embedding", idx, k = 5, nprobe = 3)
+    val got = key(out)
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, f"recall $recall%.2f under 3/8 probes")
+    // the vectors scan must carry a partition filter on the list id — the
+    // inverted-file structure IS the parquet partition layout
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("_list"), plan.take(3000))
+  }
+
+  test("every query gets k results under any probe width (lists are non-empty)") {
+    val queries = em.filter(col("vec_id") < 5)
+    val out = IvfIndex.topK(queries, "vec_id", "embedding", idx, k = 3, nprobe = 1)
+    val byQ = out.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(byQ.nonEmpty && byQ.forall(_ <= 3))
+  }
+}

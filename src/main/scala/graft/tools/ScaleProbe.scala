@@ -256,6 +256,23 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(dir)
       dir
     }
+    // Persistent IVF index at 400k × 64-dim vectors: build (KMeans + full
+    // assignment + list-partitioned write) is the one-off cost; the query
+    // path must be probed-partition-bound — a 1k-query batch probing 4 of
+    // 64 lists reads ~1/16 of the corpus files, not all of them.
+    if ("ivfIndex build query".contains(labelFilter) || labelFilter == "ivfIndex") {
+      val vecs = spark.range(0, n).select(col("id"),
+        expr("transform(sequence(1, 64), i -> CAST(((id % 997) * i) % 255 - 127 AS FLOAT) / 127.0F)")
+          .as("v"))
+      val idxDir = "/tmp/graft_scaleprobe_ivfindex"
+      time(s"ivfIndex build n=$n dim=64 nlist=64") {
+        graft.llm.IvfIndex.write(vecs, "id", "v", idxDir, nlist = 64)
+      }
+      time(s"ivfIndex query batch=1000 nprobe=4") {
+        val queries = vecs.filter(pmod(col("id"), lit(400)) === 0)
+        graft.llm.IvfIndex.topK(queries, "id", "v", idxDir, k = 10, nprobe = 4).count()
+      }
+    }
     if ("cmsMerge segments".contains(labelFilter) || labelFilter == "cmsMerge") {
       val d100 = cmsStore(100)
       val d1000 = cmsStore(1000)

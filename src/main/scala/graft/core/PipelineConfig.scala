@@ -256,6 +256,19 @@ object PipelineConfig {
         bands = o.intOpt("bands").getOrElse(8),
         rowsPerBand = o.intOpt("rowsPerBand").getOrElse(4),
         maxBucketSize = o.intOpt("maxBucketSize").getOrElse(256))
+    case "IvfIndexLoad" =>
+      IvfIndexLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
+        idField = o.req("idField"), vectorField = o.req("vectorField"),
+        numLists = o.intOpt("numLists").getOrElse(16),
+        action = o.str("action", "write"),
+        seed = o.intOpt("seed").map(_.toLong).getOrElse(42L))
+    case "IvfQueryTransform" =>
+      IvfQueryTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        indexURI = o.req("indexURI"), idField = o.req("idField"),
+        vectorField = o.req("vectorField"),
+        k = o.intOpt("k").getOrElse(10),
+        numProbes = o.intOpt("numProbes").getOrElse(2),
+        persist = o.bool("persist"))
     case "IndexDedupTransform" =>
       IndexDedupTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         indexURI = o.req("indexURI"), idField = o.req("idField"),

@@ -77,6 +77,28 @@ object IvfIndex {
         (c.getField("halfNorm") - Similarity.dot(vec, c.getField("vec"))).as("d"),
         c.getField("list").as("list"))))
 
+  private def readCentroids(spark: SparkSession, path: String): Seq[(Int, Double, Seq[Float])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Float](2))).toSeq
+      .sortBy(_._1)
+
+  /** Assign a new batch against the EXISTING quantizer and append it to the
+    * list partitions — the daily-ingest path: O(batch) work, no retraining,
+    * no corpus rescan (the [[MinhashIndex.dedupAgainst]] discipline, for
+    * retrieval). Centroids drift from the true corpus centroids as the
+    * distribution shifts; re-[[write]] when partial-probe recall decays —
+    * exhaustive probes stay exact regardless, since assignment only shapes
+    * which partitions hold which rows.
+    */
+  def ingest(newVectors: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = readCentroids(spark, path)
+    attachCentroids(newVectors, spark, cents)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        element_at(rankedLists(col(vecCol), col("_cents")), 1).getField("list").as("_list"))
+      .write.mode("append").partitionBy("_list").parquet(s"$path/vectors")
+  }
+
   /** Top-k cosine neighbors for a query batch against the persisted index.
     * Reads only the probed inverted-list partitions.
     */
@@ -84,9 +106,7 @@ object IvfIndex {
       k: Int, nprobe: Int = 2): DataFrame = {
     require(k > 0 && nprobe > 0, s"k/nprobe must be positive, got $k/$nprobe")
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Float](2))).toSeq
-      .sortBy(_._1)
+    val cents = readCentroids(spark, path)
     val q = attachCentroids(queries, spark, cents)
       .select(
         col(queryId).as("query_id"),

@@ -71,6 +71,12 @@ object Completions {
     Completion("MinhashIndexLoad",
       "{type = \"MinhashIndexLoad\", name = \"index\", inputView = \"corpus\", outputURI = \"/path/idx\",\n" +
         " idField = \"id\", textField = \"text\"}"),
+    Completion("IvfIndexLoad",
+      "{type = \"IvfIndexLoad\", name = \"ivf\", inputView = \"corpus\", outputURI = \"/path/ivf\",\n" +
+        " idField = \"id\", vectorField = \"embedding\", numLists = 64}"),
+    Completion("IvfQueryTransform",
+      "{type = \"IvfQueryTransform\", name = \"retrieve\", inputView = \"queries\", outputView = \"hits\",\n" +
+        " indexURI = \"/path/ivf\", idField = \"id\", vectorField = \"embedding\", k = 10, numProbes = 4}"),
     Completion("IndexDedupTransform",
       "{type = \"IndexDedupTransform\", name = \"ingest\", inputView = \"batch\", outputView = \"kept\",\n" +
         " indexURI = \"/path/idx\", idField = \"id\", textField = \"text\", action = \"filter\"}"),

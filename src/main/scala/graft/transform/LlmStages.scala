@@ -373,6 +373,60 @@ final case class ChunkTransform(
   }
 }
 
+/** Build (or incrementally ingest into) a persistent [[graft.llm.IvfIndex]]
+  * over an embedding view — the corpus-side half of repeated retrieval
+  * (a Load in spirit: writes files, registers no view). `action=write`
+  * trains the quantizer and lays the corpus out by inverted list;
+  * `action=ingest` assigns a new batch against the existing quantizer and
+  * appends — O(batch), no retraining.
+  */
+final case class IvfIndexLoad(
+    name: String,
+    inputView: String,
+    outputURI: String,
+    idField: String,
+    vectorField: String,
+    numLists: Int = 16,
+    action: String = "write",
+    seed: Long = 42L
+) extends Stage {
+  val stageType = "IvfIndexLoad"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    action match {
+      case "write" =>
+        graft.llm.IvfIndex.write(ctx.view(inputView), idField, vectorField, outputURI,
+          numLists, seed)
+      case "ingest" =>
+        graft.llm.IvfIndex.ingest(ctx.view(inputView), idField, vectorField, outputURI)
+      case other =>
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (write|ingest)")
+    }
+    None
+  }
+}
+
+/** Query-side retrieval against a saved IVF index: top-k cosine neighbors
+  * per query row, reading only the probed inverted-list partitions.
+  */
+final case class IvfQueryTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    indexURI: String,
+    idField: String,
+    vectorField: String,
+    k: Int = 10,
+    numProbes: Int = 2,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "IvfQueryTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val out = graft.llm.IvfIndex.topK(ctx.view(inputView), idField, vectorField,
+      indexURI, k, numProbes)
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Deterministic sampling behind the config surface —
   * [[graft.llm.Sampling]]. Methods: `hash` (rate), `weighted` (per-row
   * weightField), `stratified` (rate within strataFields), `mixture`

@@ -345,6 +345,35 @@ class ConfigSpec extends SparkSpec {
     assert(q.keySet == Set("a", "b") && q.values.forall(e => e > 0 && e <= 50), s"$q")
   }
 
+  test("IvfIndexLoad + IvfQueryTransform: build, ingest, and retrieve from config cells") {
+    val dir = "/tmp/graft_test_ivf_stage"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    em.filter("vec_id % 2 = 0").createOrReplaceTempView("ivf_corpus")
+    em.filter("vec_id % 2 = 1").createOrReplaceTempView("ivf_batch")
+    em.filter("vec_id < 5").createOrReplaceTempView("ivf_queries")
+    val hocon =
+      s"""{stages: [
+        { type = "IvfIndexLoad", name = "build", inputView = ivf_corpus,
+          outputURI = "$dir", idField = vec_id, vectorField = embedding, numLists = 8 }
+        { type = "IvfIndexLoad", name = "daily", inputView = ivf_batch,
+          outputURI = "$dir", idField = vec_id, vectorField = embedding, action = ingest }
+        { type = "IvfQueryTransform", name = "ret", inputView = ivf_queries,
+          outputView = ivf_hits, indexURI = "$dir", idField = vec_id,
+          vectorField = embedding, k = 5, numProbes = 8 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    // exhaustive probe over the built+ingested index = brute force exactly
+    val got = spark.table("ivf_hits")
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = graft.llm.Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      spark.table("ivf_queries"), "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
   test("RedactTransform scrubs PII and appends counts from a config cell") {
     import spark.implicits._
     Seq(

@@ -804,4 +804,19 @@ class IvfIndexSpec extends SparkSpec {
     val byQ = out.groupBy("query_id").count().collect().map(_.getLong(1))
     assert(byQ.nonEmpty && byQ.forall(_ <= 3))
   }
+
+  test("ingest appends a batch without retraining; exhaustive probe stays exactly brute force") {
+    // Build on the first half, ingest the second half: O(batch) daily path.
+    // Assignment only shapes partition placement, so the exhaustive probe
+    // must equal brute force over the FULL corpus bit-for-bit.
+    val path = "/tmp/graft_test_ivfindex_ingest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path, nlist = 8)
+    IvfIndex.ingest(em.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+    val queries = em.filter(col("vec_id") < 10)
+    val fromIndex = key(IvfIndex.topK(queries, "vec_id", "embedding", path, k = 5, nprobe = 8))
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(fromIndex == brute)
+  }
 }

@@ -51,8 +51,11 @@ object SparkEntry {
         val raw = spark.read.parquet(s"$dir/events.parquet")
         val tsExpr = raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>
-            val mag = raw.select("ts").filter("ts IS NOT NULL").limit(1)
-              .collect().headOption.map(r => math.abs(r.getLong(0)).toDouble)
+            // max over a 100-row sample, not one arbitrary row: a single
+            // zero/sentinel timestamp must not reclassify the whole table
+            val mag = raw.select(abs(col("ts")).as("a")).filter("a IS NOT NULL")
+              .limit(100).agg(max("a")).collect().headOption
+              .filterNot(_.isNullAt(0)).map(_.getLong(0).toDouble)
               .getOrElse(2e18) // empty table: any unit works; keep ns
             // ns→µs with integer DIV (a double division would lose
             // precision on 1.7e18-scale nanos)
@@ -1031,7 +1034,11 @@ object SparkEntry {
         .join(exact, Seq("query_id", "neighbor_id"), "left")
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
           round(col("score"), 6).as("score"),
-          (col("bf_rank") === col("rank") && abs(col("score") - col("_bf_score")) < 1e-12).as("ok"))
+          // coalesce: a neighbor ABSENT from the brute-force top-k (left
+          // join miss) is a parity violation and must read false, not NULL
+          coalesce(
+            col("bf_rank") === col("rank") && abs(col("score") - col("_bf_score")) < 1e-12,
+            lit(false)).as("ok"))
         .orderBy("query_id", "rank")
     },
     "q63_sessionization" -> pipe("events")(

@@ -33,28 +33,26 @@ object HistSketch {
   /** Histogram segment over `value`: (bin, cnt), at most `bins` rows.
     * Values outside [lo, hi) clamp into the edge bins (a monitoring
     * histogram must never drop rows — a drifting tail shows up as edge-bin
-    * mass, which is the signal).
+    * mass, which is the signal). The global form of [[segmentBy]].
     */
-  def segment(df: DataFrame, value: Column, lo: Double, hi: Double, bins: Int): DataFrame = {
-    require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo, got $bins, [$lo, $hi)")
-    df.select(binOf(value, lo, hi, bins).as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
-  }
+  def segment(df: DataFrame, value: Column, lo: Double, hi: Double, bins: Int): DataFrame =
+    segmentBy(df, Nil, value, lo, hi, bins)
 
   /** Cell-wise sum of segments (same lo/hi/bins). */
   def merge(segments: DataFrame): DataFrame =
-    segments.groupBy("bin").agg(sum("cnt").as("cnt"))
+    mergeBy(segments, Nil)
 
   /** Per-group histogram segments: (groupCols…, bin, cnt), at most
     * #groups × bins rows — the per-source drift monitor (one length/score
     * distribution per corpus source, language, or shard), mergeable like
     * the global form and the same shape as [[SketchStats]]' per-group HLL
     * segments. One map-side-combined shuffle bounded by groups × bins.
+    * Empty `groupCols` = the global histogram (ONE definition of the
+    * binning arithmetic serves both — q142 and q144 pin the same ops).
     */
   def segmentBy(df: DataFrame, groupCols: Seq[String], value: Column, lo: Double,
       hi: Double, bins: Int): DataFrame = {
     require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo, got $bins, [$lo, $hi)")
-    require(groupCols.nonEmpty, "group columns required (use segment for the global form)")
     df.select(groupCols.map(col) :+ binOf(value, lo, hi, bins).as("bin"): _*)
       .groupBy(groupCols.map(col) :+ col("bin"): _*).agg(count(lit(1)).as("cnt"))
   }
@@ -67,7 +65,10 @@ object HistSketch {
     * the first bin whose cumulative count reaches ceil(p·N_group). Output
     * (groupCols…, p, est). Both windows partition by group over the
     * ≤ #groups × bins histogram — bounded by construction, never over data,
-    * and parallel across groups.
+    * and parallel across groups. Empty `groupCols` = the global quantiles
+    * (one job, no driver collect: N is the running sum's maximum read off
+    * the same window) — ONE definition of the oracle-pinned edge/reach
+    * arithmetic for q142 and q144.
     */
   def quantilesBy(hist: DataFrame, groupCols: Seq[String], ps: Seq[Double], lo: Double,
       hi: Double, bins: Int): DataFrame = {
@@ -87,25 +88,9 @@ object HistSketch {
 
   /** Quantile estimates from a histogram: for each p, the upper edge of the
     * first bin whose cumulative count reaches ceil(p·N). Output (p, est),
-    * one row per requested quantile.
-    *
-    * One job, no driver collect: the total N is the running sum's maximum,
-    * read off the same cumulative window — both windows run over the
-    * ≤`bins`-row histogram, never over data.
+    * one row per requested quantile. The global form of [[quantilesBy]].
     */
   def quantiles(hist: DataFrame, ps: Seq[Double], lo: Double, hi: Double,
-      bins: Int): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles must be in (0,1]: $ps")
-    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("_cum", sum("cnt").over(w))
-      .withColumn("_total", max("_cum").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val pDf = hist.sparkSession.createDataFrame(
-      ps.map(p => Tuple1(p))).toDF("p")
-    pDf.crossJoin(cum)
-      .filter(col("_cum") >= ceil(col("p") * col("_total").cast("double")))
-      .groupBy("p").agg(min("bin").as("_bin"))
-      .select(col("p"),
-        (lit(lo) + (col("_bin") + 1L).cast("double") * lit((hi - lo)) / lit(bins)).as("est"))
-  }
+      bins: Int): DataFrame =
+    quantilesBy(hist, Nil, ps, lo, hi, bins)
 }

@@ -44,13 +44,7 @@ object Interleave {
       default: Double, key: Column, salt: String = "", posCol: String = "pos"): DataFrame = {
     require(default > 0, s"default weight must be positive, got $default")
     require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
-    val w =
-      if (weights.isEmpty) lit(default)
-      else coalesce(
-        element_at(
-          map(weights.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
-          col(groupCol).cast("string")),
-        lit(default))
+    val w = Sampling.groupRate(groupCol, weights, default)
     val h = md5(concat(key.cast("string"), lit(salt)))
     val ranked = Sampling.rankedByHash(df, Seq(groupCol), h)
       .withColumn("_vt", col("_rn").cast("double") / w)

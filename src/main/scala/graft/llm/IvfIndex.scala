@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,42 +45,24 @@ object IvfIndex {
     val spark = corpus.sparkSession
     val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    // (halfNorm, list, vec) — the Similarity centroid-struct shape
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, 0.5 * c.dot(c), c.toArray.map(_.toFloat).toSeq)
+      (0.5 * c.dot(c), i, c.toArray.map(_.toFloat).toSeq)
     }.toSeq
     import spark.implicits._
-    cents.toDF("list", "halfNorm", "vec")
+    cents.map { case (hn, i, v) => (i, hn, v) }.toDF("list", "halfNorm", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val assigned = attachCentroids(corpus, spark, cents)
-    assigned
+    Similarity.attachCentroidData(corpus, cents)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        element_at(rankedLists(col(vecCol), col("_cents")), 1).getField("list").as("_list"))
+        element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
+          .getField("list").as("_list"))
       .write.mode("overwrite").partitionBy("_list").parquet(s"$path/vectors")
   }
 
-  // centroids travel as a single-row broadcast DataFrame (data, not plan
-  // constants — nlist at the √n rule would blow the codegen constant pool)
-  private def attachCentroids(df: DataFrame, spark: SparkSession,
-      cents: Seq[(Int, Double, Seq[Float])]): DataFrame = {
-    import spark.implicits._
-    val centDf = Seq(Tuple1(cents.map { case (i, hn, v) => (hn, i, v) }))
-      .toDF("_raw")
-      .select(transform(col("_raw"), c =>
-        struct(c.getField("_1").as("halfNorm"), c.getField("_2").as("list"),
-          c.getField("_3").as("vec"))).as("_cents"))
-    df.crossJoin(broadcast(centDf))
-  }
-
-  private def rankedLists(vec: Column, centsCol: Column): Column = array_sort(
-    transform(centsCol, c =>
-      struct(
-        (c.getField("halfNorm") - Similarity.dot(vec, c.getField("vec"))).as("d"),
-        c.getField("list").as("list"))))
-
-  private def readCentroids(spark: SparkSession, path: String): Seq[(Int, Double, Seq[Float])] =
+  private def readCentroids(spark: SparkSession, path: String): Seq[(Double, Int, Seq[Float])] =
     spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Float](2))).toSeq
-      .sortBy(_._1)
+      .collect().map(r => (r.getDouble(1), r.getInt(0), r.getSeq[Float](2))).toSeq
+      .sortBy(_._2)
 
   /** Assign a new batch against the EXISTING quantizer and append it to the
     * list partitions — the daily-ingest path: O(batch) work, no retraining,
@@ -93,9 +75,10 @@ object IvfIndex {
   def ingest(newVectors: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newVectors.sparkSession
     val cents = readCentroids(spark, path)
-    attachCentroids(newVectors, spark, cents)
+    Similarity.attachCentroidData(newVectors, cents)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        element_at(rankedLists(col(vecCol), col("_cents")), 1).getField("list").as("_list"))
+        element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
+          .getField("list").as("_list"))
       .write.mode("append").partitionBy("_list").parquet(s"$path/vectors")
   }
 
@@ -107,13 +90,19 @@ object IvfIndex {
     require(k > 0 && nprobe > 0, s"k/nprobe must be positive, got $k/$nprobe")
     val spark = queries.sparkSession
     val cents = readCentroids(spark, path)
-    val q = attachCentroids(queries, spark, cents)
-      .select(
-        col(queryId).as("query_id"),
-        col(queryVec).as("_qv"),
-        explode(transform(
-          slice(rankedLists(col(queryVec), col("_cents")), 1, math.min(nprobe, cents.size)),
-          s => s.getField("list"))).as("_list"))
+    // pinned: TWO jobs read this frame (the probed-lists collect below and
+    // the final join) — an unpinned nondeterministic query input could
+    // probe one set of lists but join with another (the Lineage.pin
+    // two-jobs-one-frame hazard)
+    val q = graft.core.Lineage.pin(
+      Similarity.attachCentroidData(queries, cents)
+        .select(
+          col(queryId).as("query_id"),
+          col(queryVec).as("_qv"),
+          explode(transform(
+            slice(Similarity.rankedCentroidLists(col(queryVec), col("_cents")),
+              1, math.min(nprobe, cents.size)),
+            s => s.getField("list"))).as("_list")))
     // the probed lists of THIS batch: ≤ nlist values, collected from the
     // (tiny) per-query ranking — the isin filter is a partition filter on
     // the vectors layout, so unprobed list directories are never read

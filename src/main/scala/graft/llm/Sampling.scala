@@ -62,9 +62,17 @@ object Sampling {
     // sort-merge join on (_gp, group) reuses that exchange and sort order —
     // zero extra work on the data side — while AQE still promotes the tiny
     // stats side to a runtime broadcast in the common few-groups case.
+    // Group keys join NULL-SAFE (<=>): a NULL group value is its own
+    // stratum — the window formulation this replaces treated it that way,
+    // and a plain equi-join would silently DROP every NULL-group row.
+    val statsR = stats.select(
+      col("_gp").as("_sgp") +: groupCols.map(g => col(g).as(s"_s_$g"))
+        :+ col("_off") :+ col("_n"): _*)
+    val cond = (col("_gp") === col("_sgp")) &&
+      groupCols.map(g => col(g) <=> col(s"_s_$g")).reduceOption(_ && _).getOrElse(lit(true))
     ranged
       .withColumn("_lrn", row_number().over(sliceW))
-      .join(stats, "_gp" +: groupCols)
+      .join(statsR, cond)
       .withColumn("_rn", col("_lrn").cast("long") + col("_off"))
       .select(df.columns.map(col) :+ col("_rn") :+ col("_n"): _*)
   }
@@ -102,10 +110,14 @@ object Sampling {
     val h = substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
     val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     // upper hex threshold of each band but the last (which is a catch-all:
-    // rounding must never leave a row unlabeled)
+    // rounding must never leave a row unlabeled); clamped to 32 bits — an
+    // intermediate cumulative fraction a hair above 1 (legal under the sum
+    // tolerance) would otherwise format to 9 hex chars and break the
+    // string comparison
     val label = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), c), other) =>
-        when(h < lit(f"${math.round(c * 0xffffffffL)}%08x"), lit(name)).otherwise(other)
+        val t = math.min(math.round(c * 0xffffffffL), 0xffffffffL)
+        when(h < lit(f"$t%08x"), lit(name)).otherwise(other)
     }
     df.withColumn(splitCol, label)
   }
@@ -170,17 +182,26 @@ object Sampling {
     * with the per-group rate resolved from a literal map (groups are few;
     * the map travels with the plan, no join needed).
     */
+  /** Per-row rate/weight from a literal (group value → number) map with a
+    * default for unlisted groups — shared by [[mixtureExact]] and
+    * [[graft.llm.Interleave.weightedInterleave]] so the lookup semantics
+    * (string-cast key, sorted literal map, coalesce default) stay in one
+    * place.
+    */
+  private[llm] def groupRate(groupCol: String, fracs: Map[String, Double],
+      default: Double): Column =
+    if (fracs.isEmpty) lit(default)
+    else coalesce(
+      element_at(
+        map(fracs.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col(groupCol).cast("string")),
+      lit(default))
+
   def mixtureExact(df: DataFrame, groupCol: String, fracs: Map[String, Double],
       default: Double, key: Column, salt: String = ""): DataFrame = {
     require((fracs.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
       s"fractions must be in [0,1]")
-    val rate =
-      if (fracs.isEmpty) lit(default)
-      else coalesce(
-        element_at(
-          map(fracs.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
-          col(groupCol).cast("string")),
-        lit(default))
+    val rate = groupRate(groupCol, fracs, default)
     val h = md5(concat(key.cast("string"), lit(salt)))
     rankedByHash(df, Seq(groupCol), h)
       .filter(col("_rn") <= ceil(col("_n") * rate))

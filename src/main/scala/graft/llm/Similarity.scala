@@ -154,19 +154,10 @@ object Similarity {
         }: _*)
         (df, centLit)
       } else {
-        val spark = df.sparkSession
-        import spark.implicits._
-        val centDf = Seq(Tuple1(cents)).toDF("_raw")
-          .select(transform(col("_raw"), c =>
-            struct(c.getField("_1").as("halfNorm"), c.getField("_2").as("list"),
-              c.getField("_3").as("vec"))).as("_cents"))
-        (df.crossJoin(broadcast(centDf)), col("_cents"))
+        (attachCentroidData(df, cents), col("_cents"))
       }
-    def rankedLists(vec: Column, centsCol: Column): Column = array_sort(
-      transform(centsCol, c =>
-        struct(
-          (c.getField("halfNorm") - dot(vec, c.getField("vec"))).as("d"),
-          c.getField("list").as("list"))))
+    def rankedLists(vec: Column, centsCol: Column): Column =
+      rankedCentroidLists(vec, centsCol)
     val (cIn, cCents) = attach(corpus)
     val c = cIn.select(
       col(corpusId).as("neighbor_id"),
@@ -184,6 +175,35 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Centroid structs as a broadcast single-row DataFrame cross-joined onto
+    * `df` (the array is DATA, not plan constants — a large nlist as
+    * literals would blow the codegen constant pool). `cents` rows are
+    * (halfNorm, list, vec). Shared by [[ivfTopK]]'s large-nlist path and
+    * the persistent [[IvfIndex]] so the assignment machinery has ONE
+    * definition.
+    */
+  private[llm] def attachCentroidData(df: DataFrame,
+      cents: Seq[(Double, Int, Seq[Float])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = Seq(Tuple1(cents)).toDF("_raw")
+      .select(transform(col("_raw"), c =>
+        struct(c.getField("_1").as("halfNorm"), c.getField("_2").as("list"),
+          c.getField("_3").as("vec"))).as("_cents"))
+    df.crossJoin(broadcast(centDf))
+  }
+
+  /** Per-row centroid ranking by L2 distance (argmin_c ‖x−c‖² via
+    * 0.5‖c‖² − x·c), ties broken by list id through the struct sort — the
+    * ONE definition of assignment order shared by [[ivfTopK]] and
+    * [[IvfIndex]]; a tie-break or precision change here reaches both.
+    */
+  private[llm] def rankedCentroidLists(vec: Column, centsCol: Column): Column = array_sort(
+    transform(centsCol, c =>
+      struct(
+        (c.getField("halfNorm") - dot(vec, c.getField("vec"))).as("d"),
+        c.getField("list").as("list"))))
 
   /** LSH-bucketed ANN: corpus and queries hashed with the same hyperplanes;
     * candidates are same-bucket rows, reranked exactly. Recall is tuned by

@@ -260,7 +260,11 @@ object ScaleProbe {
     // assignment + list-partitioned write) is the one-off cost; the query
     // path must be probed-partition-bound — a 1k-query batch probing 4 of
     // 64 lists reads ~1/16 of the corpus files, not all of them.
-    if ("ivfIndex build query".contains(labelFilter) || labelFilter == "ivfIndex") {
+    // block guards use the SAME predicate time() applies to each label
+    // inside, so a filter that would match a probe always runs its prep
+    def anySelected(labels: String*): Boolean = labels.exists(_.contains(labelFilter))
+    if (anySelected(s"ivfIndex build n=$n dim=64 nlist=64",
+        s"ivfIndex query batch=1000 nprobe=4")) {
       val vecs = spark.range(0, n).select(col("id"),
         expr("transform(sequence(1, 64), i -> CAST(((id % 997) * i) % 255 - 127 AS FLOAT) / 127.0F)")
           .as("v"))
@@ -273,7 +277,7 @@ object ScaleProbe {
         graft.llm.IvfIndex.topK(queries, "id", "v", idxDir, k = 10, nprobe = 4).count()
       }
     }
-    if ("cmsMerge segments".contains(labelFilter) || labelFilter == "cmsMerge") {
+    if (anySelected("cmsMerge 100 segments 4x1024", "cmsMerge 1000 segments 4x1024")) {
       val d100 = cmsStore(100)
       val d1000 = cmsStore(1000)
       time(s"cmsMerge 100 segments 4x1024") {
@@ -283,7 +287,7 @@ object ScaleProbe {
         graft.llm.CmsSketch.merge(spark.read.parquet(d1000)).count()
       }
     }
-    if ("histMerge+quantiles segments".contains(labelFilter) || labelFilter == "histMerge") {
+    if (anySelected("histMerge+quantiles 1000 segments 64 bins")) {
       val dir = "/tmp/graft_scaleprobe_hist_segs"
       spark.range(0, 1000).select(col("id").as("_seg"))
         .crossJoin(spark.range(0, 64).select(col("id").as("bin")))

@@ -36,13 +36,17 @@ class QueriesSpec extends SparkSpec {
   private val selfVerifying = Seq(
     "q36_dedup_minhash", "q37_dedup_simhash", "q46_similarity_join_lsh",
     "q59_fingerprints", "q60_embedding_neardup", "q61_multimodal_decode",
-    "q62_similarity_ivf", "q64_approx_sketches")
+    "q62_similarity_ivf", "q64_approx_sketches", "q147_ivf_index")
 
   for (name <- selfVerifying) {
     test(s"$name: every row passes its own invariant (ok column)") {
       val df = SparkEntry.queries(name)(spark, sf())
       assert(df.columns.contains("ok"), s"$name lost its ok column")
-      val bad = df.filter(!org.apache.spark.sql.functions.col("ok")).count()
+      // NULL ok counts as FAILING: a three-valued invariant (e.g. a left
+      // join miss) must not slip past the gate
+      val bad = df.filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col("ok"),
+        org.apache.spark.sql.functions.lit(false))).count()
       assert(bad == 0, s"$name has $bad rows failing their own invariant")
     }
   }

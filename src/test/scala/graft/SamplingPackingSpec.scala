@@ -72,6 +72,34 @@ class SamplingPackingSpec extends SparkSpec {
       (0 until 7).map(g => math.ceil((0 until 2000).count(i => i % 10 == 9 && i % 7 == g) * 0.13).toInt).sum)
   }
 
+  test("NULL group values form their own stratum — never silently dropped") {
+    import spark.implicits._
+    // 40 rows in group "a", 20 with a NULL group: the window formulation
+    // treated NULL as its own stratum; the sliced rank must too (a plain
+    // equi-join on the group key would drop every NULL-group row).
+    val d = (1L to 60L).map(i => (i, if (i <= 40) "a" else null)).toDF("id", "g")
+    val got = Sampling.stratifiedExact(d, Seq("g"), col("id"), 0.5, "n")
+    val byG = got.groupBy("g").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(byG == Map("a" -> 20L, "NULL" -> 10L), s"got $byG")
+    // interleave: the permutation covers ALL rows including the NULL group
+    val pos = graft.llm.Interleave
+      .weightedInterleave(d, "g", Map("a" -> 2.0), 1.0, col("id"))
+      .select("pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (0L until 60L).toSeq, s"permutation lost rows: ${pos.length}/60")
+  }
+
+  test("hashSplit: an above-one intermediate cumulative fraction stays in 32 bits") {
+    // sum tolerance admits cum fractions a hair above 1; the threshold must
+    // clamp to 8 hex chars or the string comparison breaks silently
+    val eps = 1e-10
+    val got = Sampling.hashSplit(docs, col("doc_id"),
+      Seq("a" -> 0.6, "b" -> (0.4 + eps), "c" -> 0.0), "cl")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("c", 0L) == 0L, s"band c declared 0%% but got $got")
+    assert(got("a") > 0 && got("b") > 0, s"bands collapsed: $got")
+  }
+
   test("sliced-rank samplers and interleave handle empty and single-group inputs") {
     val empty = docs.filter(col("doc_id") < 0)
     assert(Sampling.stratifiedExact(empty, Seq("source"), col("doc_id"), 0.5).count() == 0)

@@ -42,37 +42,40 @@ object Sampling {
     * correctly (same contract as a window rank); callers use a unique key.
     */
   private[llm] def rankedByHash(df: DataFrame, groupCols: Seq[String], h: Column): DataFrame = {
-    val gcols = groupCols.map(col)
+    // Group keys travel STRUCT-WRAPPED throughout: struct equality treats a
+    // null field as equal to a null field (row-comparison semantics), so a
+    // NULL group value is its own stratum — the window formulation this
+    // replaces treated it that way, and a plain equi-join on the raw column
+    // would silently DROP every NULL-group row. Wrapping (instead of a <=>
+    // join condition) keeps ONE key expression across the range partition,
+    // the window, and the join, preserving exchange reuse.
+    val gks = groupCols.indices.map(i => s"_gk$i")
+    val kcols = gks.map(col)
+    val withKeys = groupCols.zip(gks).foldLeft(df) { case (d, (g, k)) =>
+      d.withColumn(k, struct(col(g)))
+    }
     val ranged = graft.core.Lineage.pin(
-      df.withColumn("_h", h)
-        .repartitionByRange(gcols :+ col("_h"): _*)
+      withKeys.withColumn("_h", h)
+        .repartitionByRange(kcols :+ col("_h"): _*)
         .withColumn("_gp", spark_partition_id()))
-    val counts = ranged.groupBy(col("_gp") +: gcols: _*).agg(count(lit(1)).as("_c"))
-    val perGroup = Window.partitionBy(gcols: _*)
+    val counts = ranged.groupBy(col("_gp") +: kcols: _*).agg(count(lit(1)).as("_c"))
+    val perGroup = Window.partitionBy(kcols: _*)
     val stats = counts
       .withColumn("_off", coalesce(
         sum("_c").over(perGroup.orderBy("_gp").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("_n", sum("_c").over(perGroup))
-      .select(col("_gp") +: gcols :+ col("_off") :+ col("_n"): _*)
-    val sliceW = Window.partitionBy(col("_gp") +: gcols: _*).orderBy(col("_h"))
+      .select(col("_gp") +: kcols :+ col("_off") :+ col("_n"): _*)
+    val sliceW = Window.partitionBy(col("_gp") +: kcols: _*).orderBy(col("_h"))
     // No broadcast hint on the stats join, deliberately: with millions of
     // strata the counts table outgrows any broadcast budget. The windowed
-    // side is already hash-partitioned AND sorted on (_gp, group, _h), so a
-    // sort-merge join on (_gp, group) reuses that exchange and sort order —
+    // side is already hash-partitioned AND sorted on (_gp, _gk*, _h), so a
+    // sort-merge join on (_gp, _gk*) reuses that exchange and sort order —
     // zero extra work on the data side — while AQE still promotes the tiny
     // stats side to a runtime broadcast in the common few-groups case.
-    // Group keys join NULL-SAFE (<=>): a NULL group value is its own
-    // stratum — the window formulation this replaces treated it that way,
-    // and a plain equi-join would silently DROP every NULL-group row.
-    val statsR = stats.select(
-      col("_gp").as("_sgp") +: groupCols.map(g => col(g).as(s"_s_$g"))
-        :+ col("_off") :+ col("_n"): _*)
-    val cond = (col("_gp") === col("_sgp")) &&
-      groupCols.map(g => col(g) <=> col(s"_s_$g")).reduceOption(_ && _).getOrElse(lit(true))
     ranged
       .withColumn("_lrn", row_number().over(sliceW))
-      .join(statsR, cond)
+      .join(stats, "_gp" +: gks)
       .withColumn("_rn", col("_lrn").cast("long") + col("_off"))
       .select(df.columns.map(col) :+ col("_rn") :+ col("_n"): _*)
   }

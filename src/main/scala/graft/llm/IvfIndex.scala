@@ -52,12 +52,19 @@ object IvfIndex {
     import spark.implicits._
     cents.map { case (hn, i, v) => (i, hn, v) }.toDF("list", "halfNorm", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Similarity.attachCentroidData(corpus, cents)
+    assignAndWrite(corpus, idCol, vecCol, cents, path, "overwrite")
+  }
+
+  // ONE definition of the vectors layout (column names, assignment, the
+  // partition scheme) shared by write and ingest — build and daily append
+  // cannot drift apart
+  private def assignAndWrite(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Double, Int, Seq[Float])], path: String, mode: String): Unit =
+    Similarity.attachCentroidData(df, cents)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
           .getField("list").as("_list"))
-      .write.mode("overwrite").partitionBy("_list").parquet(s"$path/vectors")
-  }
+      .write.mode(mode).partitionBy("_list").parquet(s"$path/vectors")
 
   private def readCentroids(spark: SparkSession, path: String): Seq[(Double, Int, Seq[Float])] =
     spark.read.parquet(s"$path/centroids")
@@ -75,11 +82,7 @@ object IvfIndex {
   def ingest(newVectors: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newVectors.sparkSession
     val cents = readCentroids(spark, path)
-    Similarity.attachCentroidData(newVectors, cents)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
-          .getField("list").as("_list"))
-      .write.mode("append").partitionBy("_list").parquet(s"$path/vectors")
+    assignAndWrite(newVectors, idCol, vecCol, cents, path, "append")
   }
 
   /** Top-k cosine neighbors for a query batch against the persisted index.
@@ -90,19 +93,21 @@ object IvfIndex {
     require(k > 0 && nprobe > 0, s"k/nprobe must be positive, got $k/$nprobe")
     val spark = queries.sparkSession
     val cents = readCentroids(spark, path)
-    // pinned: TWO jobs read this frame (the probed-lists collect below and
+    // pinned BEFORE the explode (each query vector stored once, not nprobe
+    // times): TWO jobs read this frame (the probed-lists collect below and
     // the final join) — an unpinned nondeterministic query input could
     // probe one set of lists but join with another (the Lineage.pin
-    // two-jobs-one-frame hazard)
-    val q = graft.core.Lineage.pin(
+    // two-jobs-one-frame hazard); exploding a pinned input is deterministic
+    val qLists = graft.core.Lineage.pin(
       Similarity.attachCentroidData(queries, cents)
         .select(
           col(queryId).as("query_id"),
           col(queryVec).as("_qv"),
-          explode(transform(
+          transform(
             slice(Similarity.rankedCentroidLists(col(queryVec), col("_cents")),
               1, math.min(nprobe, cents.size)),
-            s => s.getField("list"))).as("_list")))
+            s => s.getField("list")).as("_lists")))
+    val q = qLists.select(col("query_id"), col("_qv"), explode(col("_lists")).as("_list"))
     // the probed lists of THIS batch: ≤ nlist values, collected from the
     // (tiny) per-query ranking — the isin filter is a partition filter on
     // the vectors layout, so unprobed list directories are never read

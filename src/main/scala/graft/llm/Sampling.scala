@@ -50,6 +50,10 @@ object Sampling {
     // join condition) keeps ONE key expression across the range partition,
     // the window, and the join, preserving exchange reuse.
     val gks = groupCols.indices.map(i => s"_gk$i")
+    val reserved = Set("_h", "_gp", "_lrn", "_off", "_n", "_rn", "_c") ++ gks
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with rankedByHash internals: ${clash.mkString(", ")} — rename them")
     val kcols = gks.map(col)
     val withKeys = groupCols.zip(gks).foldLeft(df) { case (d, (g, k)) =>
       d.withColumn(k, struct(col(g)))

@@ -263,16 +263,22 @@ object ScaleProbe {
     // block guards use the SAME predicate time() applies to each label
     // inside, so a filter that would match a probe always runs its prep
     def anySelected(labels: String*): Boolean = labels.exists(_.contains(labelFilter))
-    if (anySelected(s"ivfIndex build n=$n dim=64 nlist=64",
-        s"ivfIndex query batch=1000 nprobe=4")) {
+    val ivfBuildLabel = s"ivfIndex build n=$n dim=64 nlist=64"
+    val ivfQueryLabel = s"ivfIndex query batch=1000 nprobe=4"
+    if (anySelected(ivfBuildLabel, ivfQueryLabel)) {
       val vecs = spark.range(0, n).select(col("id"),
         expr("transform(sequence(1, 64), i -> CAST(((id % 997) * i) % 255 - 127 AS FLOAT) / 127.0F)")
           .as("v"))
       val idxDir = "/tmp/graft_scaleprobe_ivfindex"
-      time(s"ivfIndex build n=$n dim=64 nlist=64") {
+      time(ivfBuildLabel) {
         graft.llm.IvfIndex.write(vecs, "id", "v", idxDir, nlist = 64)
       }
-      time(s"ivfIndex query batch=1000 nprobe=4") {
+      // query-only filter: the build above was skipped by time()'s label
+      // check — run it UNTIMED so the query probe never reads a missing or
+      // stale-n index
+      if (!ivfBuildLabel.contains(labelFilter))
+        graft.llm.IvfIndex.write(vecs, "id", "v", idxDir, nlist = 64)
+      time(ivfQueryLabel) {
         val queries = vecs.filter(pmod(col("id"), lit(400)) === 0)
         graft.llm.IvfIndex.topK(queries, "id", "v", idxDir, k = 10, nprobe = 4).count()
       }

@@ -798,11 +798,16 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("_list"), plan.take(3000))
   }
 
-  test("every query gets k results under any probe width (lists are non-empty)") {
+  test("every query gets results under the narrowest probe (no query vanishes)") {
     val queries = em.filter(col("vec_id") < 5)
     val out = IvfIndex.topK(queries, "vec_id", "embedding", idx, k = 3, nprobe = 1)
-    val byQ = out.groupBy("query_id").count().collect().map(_.getLong(1))
-    assert(byQ.nonEmpty && byQ.forall(_ <= 3))
+    val byQ = out.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ALL five queries must appear: each query is a corpus member, so its
+    // own probed list is non-empty — a query returning zero rows means a
+    // probed partition went unreadable or the pruning filter over-pruned
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L), s"queries vanished: $byQ")
+    assert(byQ.values.forall(c => c >= 1 && c <= 3), s"counts out of range: $byQ")
   }
 
   test("ingest appends a batch without retraining; exhaustive probe stays exactly brute force") {

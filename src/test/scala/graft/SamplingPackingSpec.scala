@@ -91,8 +91,10 @@ class SamplingPackingSpec extends SparkSpec {
 
   test("hashSplit: an above-one intermediate cumulative fraction stays in 32 bits") {
     // sum tolerance admits cum fractions a hair above 1; the threshold must
-    // clamp to 8 hex chars or the string comparison breaks silently
-    val eps = 1e-10
+    // clamp to 8 hex chars or the string comparison breaks silently.
+    // eps must exceed 0.5/0xffffffff ≈ 1.17e-10 so the unclamped round
+    // actually overflows 32 bits (a smaller eps can't trigger the bug)
+    val eps = 9e-10
     val got = Sampling.hashSplit(docs, col("doc_id"),
       Seq("a" -> 0.6, "b" -> (0.4 + eps), "c" -> 0.0), "cl")
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap

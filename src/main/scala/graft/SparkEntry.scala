@@ -51,10 +51,12 @@ object SparkEntry {
         val raw = spark.read.parquet(s"$dir/events.parquet")
         val tsExpr = raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>
-            // max over a 100-row sample, not one arbitrary row: a single
-            // zero/sentinel timestamp must not reclassify the whole table
-            val mag = raw.select(abs(col("ts")).as("a")).filter("a IS NOT NULL")
-              .limit(100).agg(max("a")).collect().headOption
+            // max over a 10k-row sample of POSITIVE values: zero/sentinel
+            // timestamps are excluded up front, so a table whose first
+            // rows are all placeholders can't reclassify the unit (ns data
+            // read as seconds would shift every downstream events query)
+            val mag = raw.select(abs(col("ts")).as("a")).filter("a IS NOT NULL AND a > 0")
+              .limit(10000).agg(max("a")).collect().headOption
               .filterNot(_.isNullAt(0)).map(_.getLong(0).toDouble)
               .getOrElse(2e18) // empty table: any unit works; keep ns
             // ns→µs with integer DIV (a double division would lose
@@ -1546,13 +1548,16 @@ object SparkEntry {
       // re-extracted fields. The oracle pins the JSON byte-for-byte (both
       // engines emit compact struct-ordered JSON) and the extraction
       // value-for-value — a daily-hit surface previously covered only by
-      // get_json_object (q23).
+      // get_json_object (q23). Nullable inputs are COALESCEd on BOTH sides:
+      // Spark's TO_JSON drops null fields while DuckDB emits "f":null, so
+      // byte parity must not depend on the testdata containing no NULLs.
       """WITH enc AS (
           SELECT doc_id,
                  TO_JSON(NAMED_STRUCT(
-                   'id', doc_id, 'lang', lang,
-                   'xs', ARRAY(CAST(n_chars AS BIGINT), CAST(n_chars AS BIGINT) + 1),
-                   'meta', NAMED_STRUCT('src', source, 'bucket', doc_id % 7))) AS js
+                   'id', doc_id, 'lang', COALESCE(lang, ''),
+                   'xs', ARRAY(COALESCE(CAST(n_chars AS BIGINT), 0),
+                               COALESCE(CAST(n_chars AS BIGINT), 0) + 1),
+                   'meta', NAMED_STRUCT('src', COALESCE(source, ''), 'bucket', doc_id % 7))) AS js
           FROM documents),
         dec AS (
           SELECT doc_id, js,
@@ -2847,12 +2852,13 @@ object SparkEntry {
       // round-tripped fields from the source columns: if Spark's FROM_JSON
       // loses or reshapes anything, the value compare catches it
       """SELECT doc_id,
-               CAST(to_json(struct_pack(id := doc_id, lang := lang,
-                 xs := [CAST(n_chars AS BIGINT), CAST(n_chars AS BIGINT) + 1],
-                 meta := struct_pack(src := source, bucket := doc_id % 7))) AS VARCHAR) AS js,
+               CAST(to_json(struct_pack(id := doc_id, lang := COALESCE(lang, ''),
+                 xs := [COALESCE(CAST(n_chars AS BIGINT), 0),
+                        COALESCE(CAST(n_chars AS BIGINT), 0) + 1],
+                 meta := struct_pack(src := COALESCE(source, ''), bucket := doc_id % 7))) AS VARCHAR) AS js,
                doc_id AS rt_id,
-               CAST(n_chars AS BIGINT) + 1 AS rt_x2,
-               source AS rt_src,
+               COALESCE(CAST(n_chars AS BIGINT), 0) + 1 AS rt_x2,
+               COALESCE(source, '') AS rt_src,
                doc_id % 7 AS rt_bucket
         FROM documents ORDER BY doc_id""",
     "q141_cms_frequency" ->

@@ -22,13 +22,17 @@ import org.apache.spark.sql.functions._
   * partitioning-dependent.
   *
   * Two jobs run over the ranged frame: the offsets collect and the final
-  * window pass. By default the ranged frame is pinned ([[Lineage.pin]])
-  * between them, so both jobs are guaranteed to see the SAME partitioning —
-  * without the pin, a nondeterministic upstream (shuffle-retried input,
-  * `rand()`, stateful `mapPartitions`) could range-partition differently on
-  * the second execution and silently misnumber rows. `pin = false` skips
-  * the materialization; callers opting out assert their input is
-  * deterministic.
+  * window pass. The ranged frame is pinned ([[Lineage.pin]]) between them,
+  * so both jobs are guaranteed to see the SAME partitioning. The pin is
+  * required even for a fully deterministic input: `repartitionByRange`
+  * picks its boundaries by SAMPLING the data with a seed derived from the
+  * RDD id, which is assigned fresh per execution — once partitions are
+  * large enough that the sample is partial, two executions of the same
+  * plan can legally choose different boundaries, and the collected offsets
+  * would then misnumber the second job's rows (silent duplicates/gaps in
+  * `pos`). `pin = false` exists ONLY for plan inspection in tests (the
+  * checkpoint truncates the visible plan at a scan); never execute an
+  * unpinned frame twice.
   *
   * Main use: deterministic corpus shuffling for training order —
   * `withGlobalPosition(docs, Seq(md5(concat(id, lit(salt))), id))` gives

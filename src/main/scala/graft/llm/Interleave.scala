@@ -48,12 +48,14 @@ object Interleave {
     val h = md5(concat(key.cast("string"), lit(salt)))
     val ranked = Sampling.rankedByHash(df, Seq(groupCol), h)
       .withColumn("_vt", col("_rn").cast("double") / w)
-    // pin = false: rankedByHash already checkpoints its ranged frame, and
-    // everything downstream of that pin is deterministic — a second
-    // materialization would buy nothing
+    // pinned (the GlobalOrder default): rankedByHash's upstream checkpoint
+    // makes the INPUT deterministic, but GlobalOrder range-partitions again
+    // on _vt, and that boundary sampling is seeded per execution — without
+    // its own pin the offsets job and the window job could land on
+    // different boundaries and misnumber pos (duplicates/gaps) once
+    // partitions outgrow the boundary sample
     graft.core.GlobalOrder
-      .withGlobalPosition(ranked, Seq(col("_vt"), col(groupCol), col("_rn")), posCol,
-        pin = false)
+      .withGlobalPosition(ranked, Seq(col("_vt"), col(groupCol), col("_rn")), posCol)
       .drop("_vt", "_rn", "_n")
   }
 }

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persistent IVF index: the repeated-retrieval path for embedding search.
@@ -33,17 +32,36 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Train a KMeans coarse quantizer on the corpus and persist the
-    * list-partitioned vectors + centroid table. `nlist` follows the usual
-    * √n rule at scale.
+  /** Train a KMeans coarse quantizer on a hash-sample of the corpus and
+    * persist the list-partitioned vectors + centroid table. `nlist` follows
+    * the usual √n rule at scale.
+    *
+    * Sample training: KMeans makes ~maxIter passes over its training input,
+    * so full-corpus training costs ~10 corpus scans — at 100 TB that
+    * dominates the build for an outcome (centroid placement) that only
+    * needs a few hundred vectors per centroid. The quantizer trains on a
+    * deterministic [[Sampling.hashSample]] of ~`samplePerList × nlist`
+    * vectors; the full corpus is still scanned exactly once, for the
+    * assignment write. Exhaustive-probe exactness is assignment-independent
+    * (assignment only shapes which partitions hold which rows), and partial-
+    * probe recall depends on centroid QUALITY, which hundreds of samples per
+    * centroid already deliver. Corpora at or below the sample target train
+    * on every vector, unchanged. The sample sizing pays one `count()` pass —
+    * cheap against the ~10 scans it replaces.
     */
   def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      nlist: Int = 16, seed: Long = 42L): Unit = {
+      nlist: Int = 16, seed: Long = 42L, samplePerList: Int = 256): Unit = {
     require(nlist > 0, s"nlist must be positive, got $nlist")
+    require(samplePerList > 0, s"samplePerList must be positive, got $samplePerList")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val target = samplePerList.toLong * nlist
+    val n = corpus.count()
+    val trainSrc =
+      if (n > target) Sampling.hashSample(corpus, col(idCol), target.toDouble / n, salt = "ivf-train")
+      else corpus
+    val train = trainSrc.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
     // (halfNorm, list, vec) — the Similarity centroid-struct shape
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -115,12 +133,20 @@ object IvfIndex {
     val candidates = spark.read.parquet(s"$path/vectors")
       .filter(col("_list").isin(probed.map(Integer.valueOf).toSeq: _*))
       .select(col("id").as("neighbor_id"), col("vec").as("_cv"), col("_list"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
-    candidates
+    val scored = candidates
       .join(q, Seq("_list"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("_qv"), col("_cv")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // salted bounded rerank (operators/TopK.perKeySalted): a bare per-query
+    // row_number window would sort one query's ENTIRE candidate set in a
+    // single task — with a hot inverted list (skewed corpus) that is an
+    // unbounded single-task sort. The salted two-level window splits a hot
+    // query's candidates across the shuffle-partition count and stays in
+    // codegen (the heap-prune alternative measured 4× slower on 25M narrow
+    // candidates at the 400k ScaleProbe); the neighbor_id tiebreak keeps
+    // the result EXACTLY the (score desc, neighbor_id) window formulation —
+    // the brute-force parity contract is unchanged.
+    graft.operators.TopK.perKeySalted(scored, Seq("query_id"), "score", k,
+      descending = true, tiebreak = Seq("neighbor_id"))
   }
 }

@@ -263,24 +263,55 @@ object ScaleProbe {
     // block guards use the SAME predicate time() applies to each label
     // inside, so a filter that would match a probe always runs its prep
     def anySelected(labels: String*): Boolean = labels.exists(_.contains(labelFilter))
-    val ivfBuildLabel = s"ivfIndex build n=$n dim=64 nlist=64"
+    val ivfBuildLabel = s"ivfIndex build n=$n dim=64 nlist=64 sampled-train"
+    val ivfBuildFullLabel = s"ivfIndex build n=$n dim=64 nlist=64 full-train"
     val ivfQueryLabel = s"ivfIndex query batch=1000 nprobe=4"
-    if (anySelected(ivfBuildLabel, ivfQueryLabel)) {
+    val ivfQueryFullLabel = s"ivfIndex query batch=1000 nprobe=4 full-train index"
+    val ivfSkewLabel = s"ivfIndex skewed query batch=1000 nprobe=4 50%-hot list"
+    if (anySelected(ivfBuildLabel, ivfBuildFullLabel, ivfQueryLabel, ivfQueryFullLabel)) {
       val vecs = spark.range(0, n).select(col("id"),
         expr("transform(sequence(1, 64), i -> CAST(((id % 997) * i) % 255 - 127 AS FLOAT) / 127.0F)")
           .as("v"))
       val idxDir = "/tmp/graft_scaleprobe_ivfindex"
+      val idxDirFull = "/tmp/graft_scaleprobe_ivfindex_full"
       time(ivfBuildLabel) {
         graft.llm.IvfIndex.write(vecs, "id", "v", idxDir, nlist = 64)
       }
-      // query-only filter: the build above was skipped by time()'s label
-      // check — run it UNTIMED so the query probe never reads a missing or
-      // stale-n index
+      // the pre-sampling baseline: quantizer trained on every corpus vector
+      time(ivfBuildFullLabel) {
+        graft.llm.IvfIndex.write(vecs, "id", "v", idxDirFull, nlist = 64,
+          samplePerList = Int.MaxValue / 64)
+      }
+      // query-only filter: the builds above were skipped by time()'s label
+      // check — run them UNTIMED so the query probes never read a missing
+      // or stale-n index
       if (!ivfBuildLabel.contains(labelFilter))
         graft.llm.IvfIndex.write(vecs, "id", "v", idxDir, nlist = 64)
+      if (ivfQueryFullLabel.contains(labelFilter) && !ivfBuildFullLabel.contains(labelFilter))
+        graft.llm.IvfIndex.write(vecs, "id", "v", idxDirFull, nlist = 64,
+          samplePerList = Int.MaxValue / 64)
       time(ivfQueryLabel) {
         val queries = vecs.filter(pmod(col("id"), lit(400)) === 0)
         graft.llm.IvfIndex.topK(queries, "id", "v", idxDir, k = 10, nprobe = 4).count()
+      }
+      time(ivfQueryFullLabel) {
+        val queries = vecs.filter(pmod(col("id"), lit(400)) === 0)
+        graft.llm.IvfIndex.topK(queries, "id", "v", idxDirFull, k = 10, nprobe = 4).count()
+      }
+    }
+    // Skewed corpus: half of all vectors collapse onto ~8 dense patterns →
+    // one/few giant inverted lists. A bare per-query rerank window would
+    // sort a hot list's full candidate set in ONE task; the salted
+    // two-level rerank must keep cost near the uniform case.
+    if (anySelected(ivfSkewLabel)) {
+      val skew = spark.range(0, n).select(col("id"),
+        expr("transform(sequence(1, 64), i -> CAST((((CASE WHEN id % 2 = 0 THEN id % 8 ELSE id % 997 END)) * i) % 255 - 127 AS FLOAT) / 127.0F)")
+          .as("v"))
+      val skewDir = "/tmp/graft_scaleprobe_ivfindex_skew"
+      graft.llm.IvfIndex.write(skew, "id", "v", skewDir, nlist = 64) // untimed prep
+      time(ivfSkewLabel) {
+        val queries = skew.filter(pmod(col("id"), lit(400)) === 0)
+        graft.llm.IvfIndex.topK(queries, "id", "v", skewDir, k = 10, nprobe = 4).count()
       }
     }
     if (anySelected("cmsMerge 100 segments 4x1024", "cmsMerge 1000 segments 4x1024")) {

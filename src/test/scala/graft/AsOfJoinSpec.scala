@@ -106,6 +106,65 @@ class TopKSpec extends SparkSpec {
     assert(ranks.filter($"m" =!= $"n").count() == 0)
   }
 
+  test("perKey with explicit tiebreak equals the window formulation exactly under boundary ties") {
+    // 1000 rows, 10 keys, only 3 DISTINCT scores — every top-k boundary is
+    // tied, so the kept SET (not just the score multiset) is only exact if
+    // the local heap prune honors the tiebreak
+    val df = spark.range(0, 1000)
+      .selectExpr("id % 10 AS key", "CAST(id % 3 AS DOUBLE) AS score", "id AS uid")
+      .repartition(16)
+    val viaOp = graft.operators.TopK
+      .perKey(df, Seq("key"), "score", 7, descending = true, tiebreak = Seq("uid"))
+      .select("key", "score", "uid", "rank")
+      .as[(Long, Double, Long, Int)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"score".desc, $"uid")
+    val viaWindow = df
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rank" <= 7)
+      .select("key", "score", "uid", "rank")
+      .as[(Long, Double, Long, Int)].collect().toSet
+    assert(viaOp == viaWindow)
+    // ascending direction too (worst-first heap inverts)
+    val ascOp = graft.operators.TopK
+      .perKey(df, Seq("key"), "score", 5, descending = false, tiebreak = Seq("uid"))
+      .select("key", "score", "uid", "rank")
+      .as[(Long, Double, Long, Int)].collect().toSet
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"score".asc, $"uid")
+    val ascWindow = df
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(wAsc))
+      .filter($"rank" <= 5)
+      .select("key", "score", "uid", "rank")
+      .as[(Long, Double, Long, Int)].collect().toSet
+    assert(ascOp == ascWindow)
+  }
+
+  test("perKeySalted equals the window formulation exactly, ties included") {
+    val df = spark.range(0, 1000)
+      .selectExpr("id % 10 AS key", "CAST(id % 3 AS DOUBLE) AS score", "id AS uid")
+      .repartition(16)
+    def windowed(desc: Boolean, k: Int) = {
+      val s = if (desc) $"score".desc else $"score".asc
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"key").orderBy(s, $"uid")
+      df.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rank" <= k)
+        .select("key", "score", "uid", "rank")
+        .as[(Long, Double, Long, Int)].collect().toSet
+    }
+    def salted(desc: Boolean, k: Int, buckets: Int) = graft.operators.TopK
+      .perKeySalted(df, Seq("key"), "score", k, descending = desc,
+        tiebreak = Seq("uid"), buckets = buckets)
+      .select("key", "score", "uid", "rank")
+      .as[(Long, Double, Long, Int)].collect().toSet
+    assert(salted(desc = true, 7, 8) == windowed(desc = true, 7))
+    assert(salted(desc = false, 5, 8) == windowed(desc = false, 5))
+    // one salt bucket degenerates to the plain window; many buckets (more
+    // than rows per key) still exact
+    assert(salted(desc = true, 7, 1) == windowed(desc = true, 7))
+    assert(salted(desc = true, 7, 500) == windowed(desc = true, 7))
+  }
+
   test("perKey prunes before the shuffle: survivors are bounded") {
     val df = spark.range(0, 100000).selectExpr("id % 5 AS key", "CAST(id AS DOUBLE) AS score")
     val out = graft.operators.TopK.perKey(df, Seq("key"), "score", 10)

@@ -810,6 +810,44 @@ class IvfIndexSpec extends SparkSpec {
     assert(byQ.values.forall(c => c >= 1 && c <= 3), s"counts out of range: $byQ")
   }
 
+  test("sample-trained quantizer: exhaustive probe stays exactly brute force") {
+    // Force the sampling path (samplePerList × nlist well below corpus
+    // size): centroid placement changes, but exhaustive-probe exactness is
+    // assignment-independent — the parity contract must hold bit-for-bit.
+    val path = "/tmp/graft_test_ivfindex_sampled"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em, "vec_id", "embedding", path, nlist = 8, samplePerList = 4)
+    val queries = em.filter(col("vec_id") < 10)
+    val fromIndex = key(IvfIndex.topK(queries, "vec_id", "embedding", path, k = 5, nprobe = 8))
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(fromIndex == brute)
+    // partial probes over sample-trained centroids still find real neighbors
+    val partial = key(IvfIndex.topK(queries, "vec_id", "embedding", path, k = 5, nprobe = 3))
+    val recall = partial.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, f"recall $recall%.2f under 3/8 probes with sampled training")
+  }
+
+  test("rerank is the salted two-level window, not one sort per query over raw candidates") {
+    // Skewed shape: two inverted lists (KMeans floor), exhaustive probe —
+    // every query sees EVERY corpus vector as a candidate, the hot-list
+    // case where a bare per-query window would sort the whole candidate
+    // set in a single task. The plan must show the salted level-1 window
+    // (partitioned by (query_id, _tks) — a hot query's candidates sort
+    // across salt buckets) feeding the bounded level-2 ranking, and parity
+    // must hold.
+    val path = "/tmp/graft_test_ivfindex_hotlist"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em, "vec_id", "embedding", path, nlist = 2)
+    val queries = em.filter(col("vec_id") < 5)
+    val out = IvfIndex.topK(queries, "vec_id", "embedding", path, k = 5, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("_tks"), plan.take(3000))
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(key(out) == brute)
+  }
+
   test("ingest appends a batch without retraining; exhaustive probe stays exactly brute force") {
     // Build on the first half, ingest the second half: O(batch) daily path.
     // Assignment only shapes partition placement, so the exhaustive probe

@@ -1060,6 +1060,35 @@ object SparkEntry {
             lit(false)).as("ok"))
         .orderBy("query_id", "rank")
     },
+    "q148_ivf_quantized" -> { (spark: SparkSession, dir: String) =>
+      // IVF-SQ8 retrieval (IvfIndex.topKQuantized): int8-integer-dot
+      // shortlist over the stored codes column, exact float rescore of the
+      // shortlist only — the standard IVF-flat→IVF-quantized step. KMeans
+      // is engine-specific → rows-only. Self-verifying like q147: with
+      // nprobe = nlist AND a shortlist covering every candidate, the
+      // rescored result must equal brute force bit-for-bit — `ok` asserts
+      // same neighbor, same rank, same score.
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, Seq("embeddings")), ctx)
+      val em = ctx.view("embeddings")
+      val queries = em.filter(col("vec_id") < 5)
+      val idxDir = q147IndexDir(em, dir)
+      val ann = graft.llm.IvfIndex.topKQuantized(queries, "vec_id", "embedding", idxDir,
+        k = 5, nprobe = 8, shortlistFactor = 400)
+      val exact = graft.llm.Similarity
+        .bruteForceTopK(em, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("score").as("_bf_score"), col("rank").cast("long").as("bf_rank"))
+      ann
+        .join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"),
+          coalesce(
+            col("bf_rank") === col("rank") && abs(col("score") - col("_bf_score")) < 1e-12,
+            lit(false)).as("ok"))
+        .orderBy("query_id", "rank")
+    },
     "q63_sessionization" -> pipe("events")(
       """WITH marked AS (
           SELECT user_id, ts, event_id,

@@ -75,11 +75,15 @@ object IvfIndex {
 
   // ONE definition of the vectors layout (column names, assignment, the
   // partition scheme) shared by write and ingest — build and daily append
-  // cannot drift apart
+  // cannot drift apart. Each row also carries its int8 codes ([[Quantize]]
+  // symmetric absmax): [[topKQuantized]] shortlists by scanning ONLY the
+  // codes column — parquet's columnar layout makes the 4× shrink real I/O
+  // savings, not just a smaller cache footprint.
   private def assignAndWrite(df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Double, Int, Seq[Float])], path: String, mode: String): Unit =
     Similarity.attachCentroidData(df, cents)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        Quantize.int8Codes(col(vecCol)).as("codes"),
         element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
           .getField("list").as("_list"))
       .write.mode(mode).partitionBy("_list").parquet(s"$path/vectors")
@@ -147,6 +151,76 @@ object IvfIndex {
     // the result EXACTLY the (score desc, neighbor_id) window formulation —
     // the brute-force parity contract is unchanged.
     graft.operators.TopK.perKeySalted(scored, Seq("query_id"), "score", k,
+      descending = true, tiebreak = Seq("neighbor_id"))
+  }
+
+  /** IVF-SQ8 retrieval: shortlist by INTEGER dot product over the stored
+    * int8 codes, then exact-rescore only the shortlist against the float
+    * vectors — the standard IVF-flat → IVF-quantized step (faiss
+    * `IVF…,SQ8`). Why it wins at scale: the shortlist pass scans ONLY the
+    * `codes` column of the probed lists (4× fewer bytes than the float
+    * vectors, integer multiplies), and the float vectors are touched for
+    * just `shortlistFactor × k` candidates per query via a broadcast join
+    * of the (tiny) shortlist.
+    *
+    * `shortlistFactor` trades recall for speed: the int8 ranking can
+    * misorder near-ties, so the shortlist keeps `shortlistFactor × k`
+    * candidates before the exact rescore. With a shortlist that covers the
+    * whole candidate set and `nprobe = nlist`, the result equals
+    * [[Similarity.bruteForceTopK]] exactly (IvfIndexSpec pins it).
+    *
+    * Requires an index written at r12+ (the `codes` column in the vectors
+    * layout).
+    */
+  def topKQuantized(queries: DataFrame, queryId: String, queryVec: String, path: String,
+      k: Int, nprobe: Int = 2, shortlistFactor: Int = 4): DataFrame = {
+    require(k > 0 && nprobe > 0, s"k/nprobe must be positive, got $k/$nprobe")
+    require(shortlistFactor > 0, s"shortlistFactor must be positive, got $shortlistFactor")
+    val spark = queries.sparkSession
+    val cents = readCentroids(spark, path)
+    // pinned for the same two-jobs-one-frame reason as topK; queries carry
+    // their own int8 codes so the integer dot is symmetric with the stored
+    // corpus codes
+    val qLists = graft.core.Lineage.pin(
+      Similarity.attachCentroidData(queries, cents)
+        .select(
+          col(queryId).as("query_id"),
+          col(queryVec).as("_qv"),
+          Quantize.int8Codes(col(queryVec)).as("_qc"),
+          transform(
+            slice(Similarity.rankedCentroidLists(col(queryVec), col("_cents")),
+              1, math.min(nprobe, cents.size)),
+            s => s.getField("list")).as("_lists")))
+    val q = qLists.select(col("query_id"), col("_qc"), explode(col("_lists")).as("_list"))
+    val probed = q.select("_list").distinct().collect().map(_.getInt(0))
+    val listFilter = col("_list").isin(probed.map(Integer.valueOf).toSeq: _*)
+    // shortlist pass: codes column only — the narrow integer scan
+    val codes = spark.read.parquet(s"$path/vectors")
+      .filter(listFilter)
+      .select(col("id").as("neighbor_id"), col("codes").as("_cc"), col("_list"))
+    val scoredInt = codes
+      .join(q, Seq("_list"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("_qc"), col("_cc"), (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, x) => acc + x).as("_dot_q"))
+    val short = graft.operators.TopK
+      .perKeySalted(scoredInt, Seq("query_id"), "_dot_q", k * shortlistFactor,
+        descending = true, tiebreak = Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rescore: float vectors of the shortlist only. The shortlist is
+    // ≤ queries × k × shortlistFactor rows — broadcast it against the
+    // probed partitions, so the wide float column is read once and never
+    // shuffled.
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .filter(listFilter)
+      .select(col("id").as("neighbor_id"), col("vec").as("_cv"))
+    val rescored = vecs
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qLists.select(col("query_id"), col("_qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("_qv"), col("_cv")).as("score"))
+    graft.operators.TopK.perKeySalted(rescored, Seq("query_id"), "score", k,
       descending = true, tiebreak = Seq("neighbor_id"))
   }
 }

@@ -407,6 +407,10 @@ final case class IvfIndexLoad(
 
 /** Query-side retrieval against a saved IVF index: top-k cosine neighbors
   * per query row, reading only the probed inverted-list partitions.
+  * `quantized=true` takes the IVF-SQ8 path ([[graft.llm.IvfIndex
+  * .topKQuantized]]): int8 integer-dot shortlist over the stored codes
+  * column (`shortlistFactor × k` candidates), exact float rescore of the
+  * shortlist only.
   */
 final case class IvfQueryTransform(
     name: String,
@@ -417,12 +421,19 @@ final case class IvfQueryTransform(
     vectorField: String,
     k: Int = 10,
     numProbes: Int = 2,
+    quantized: Boolean = false,
+    shortlistFactor: Int = 4,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "IvfQueryTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
-    val out = graft.llm.IvfIndex.topK(ctx.view(inputView), idField, vectorField,
-      indexURI, k, numProbes)
+    val out =
+      if (quantized)
+        graft.llm.IvfIndex.topKQuantized(ctx.view(inputView), idField, vectorField,
+          indexURI, k, numProbes, shortlistFactor)
+      else
+        graft.llm.IvfIndex.topK(ctx.view(inputView), idField, vectorField,
+          indexURI, k, numProbes)
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }

@@ -361,17 +361,23 @@ class ConfigSpec extends SparkSpec {
         { type = "IvfQueryTransform", name = "ret", inputView = ivf_queries,
           outputView = ivf_hits, indexURI = "$dir", idField = vec_id,
           vectorField = embedding, k = 5, numProbes = 8 }
+        { type = "IvfQueryTransform", name = "retq", inputView = ivf_queries,
+          outputView = ivf_hits_q, indexURI = "$dir", idField = vec_id,
+          vectorField = embedding, k = 5, numProbes = 8,
+          quantized = true, shortlistFactor = 1000 }
       ]}"""
     assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
     // exhaustive probe over the built+ingested index = brute force exactly
-    val got = spark.table("ivf_hits")
+    def hits(view: String) = spark.table(view)
       .select("query_id", "rank", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val brute = graft.llm.Similarity.bruteForceTopK(em, "vec_id", "embedding",
       spark.table("ivf_queries"), "vec_id", "embedding", 5)
       .select("query_id", "rank", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(got == brute)
+    assert(hits("ivf_hits") == brute)
+    // quantized path with a covering shortlist: rescore restores exactness
+    assert(hits("ivf_hits_q") == brute)
   }
 
   test("RedactTransform scrubs PII and appends counts from a config cell") {

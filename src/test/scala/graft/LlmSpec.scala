@@ -848,6 +848,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(key(out) == brute)
   }
 
+  test("quantized retrieval: covering shortlist + exhaustive probe rescores to exact brute force") {
+    // IVF-SQ8 contract: the int8 shortlist only GATES candidates; scores
+    // come from the exact float rescore. With every candidate shortlisted
+    // and every list probed, the result must equal brute force bit-for-bit.
+    val queries = em.filter(col("vec_id") < 10)
+    val quant = key(IvfIndex.topKQuantized(queries, "vec_id", "embedding", idx,
+      k = 5, nprobe = 8, shortlistFactor = 1000))
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(quant == brute)
+  }
+
+  test("quantized retrieval: tight shortlist keeps recall; codes scan never reads float vectors") {
+    val queries = em.filter(col("vec_id") < 50)
+    val out = IvfIndex.topKQuantized(queries, "vec_id", "embedding", idx,
+      k = 5, nprobe = 8, shortlistFactor = 4)
+    // the shortlist pass must scan ONLY the codes column — the 4× I/O
+    // shrink is the point of storing codes in the layout
+    val plan = out.queryExecution.executedPlan.toString
+    // match the schema-field syntax "vec:" — the scan PATH (.../vectors)
+    // contains the substring "vec" on every line
+    val codesOnlyScan = plan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("codes:") && !l.contains("vec:"))
+    assert(codesOnlyScan, plan.take(4000))
+    val got = key(out)
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, f"recall $recall%.2f with a 4k shortlist under exhaustive probes")
+  }
+
   test("ingest appends a batch without retraining; exhaustive probe stays exactly brute force") {
     // Build on the first half, ingest the second half: O(batch) daily path.
     // Assignment only shapes partition placement, so the exhaustive probe

@@ -271,6 +271,13 @@ object PipelineConfig {
         quantized = o.bool("quantized"),
         shortlistFactor = o.intOpt("shortlistFactor").getOrElse(4),
         persist = o.bool("persist"))
+    case "IvfRecallTransform" =>
+      IvfRecallTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        indexURI = o.req("indexURI"), idField = o.req("idField"),
+        vectorField = o.req("vectorField"),
+        k = o.intOpt("k").getOrElse(10),
+        numProbes = o.intOpt("numProbes").getOrElse(2),
+        persist = o.bool("persist"))
     case "IndexDedupTransform" =>
       IndexDedupTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         indexURI = o.req("indexURI"), idField = o.req("idField"),

@@ -223,4 +223,35 @@ object IvfIndex {
     graft.operators.TopK.perKeySalted(rescored, Seq("query_id"), "score", k,
       descending = true, tiebreak = Seq("neighbor_id"))
   }
+
+  /** Index-freshness monitor: sampled partial-probe recall against brute
+    * force over the INDEXED corpus. [[ingest]] batches drift the data away
+    * from the quantizer's training distribution, and partial-probe recall
+    * decays silently — exhaustive probes stay exact regardless, so nothing
+    * else in the index surfaces the decay. Pipelines run this on a small
+    * query sample (the brute-force ground truth scans the corpus once per
+    * probe — size the sample, not the corpus) and trigger a re-[[write]]
+    * when recall drops below their threshold.
+    *
+    * Returns ONE row: (n_queries, k, nprobe, n_exact, n_hit, recall) where
+    * recall = |topK(nprobe) ∩ bruteForce| / |bruteForce| over the sampled
+    * queries, matched on (query_id, neighbor_id).
+    */
+  def recallProbe(sampleQueries: DataFrame, queryId: String, queryVec: String,
+      path: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = sampleQueries.sparkSession
+    val approx = topK(sampleQueries, queryId, queryVec, path, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = spark.read.parquet(s"$path/vectors").select(col("id"), col("vec"))
+    val exact = Similarity
+      .bruteForceTopK(corpus, "id", "vec", sampleQueries, queryId, queryVec, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nQueries = sampleQueries.select(col(queryId)).distinct().count()
+    val nExact = exact.count()
+    val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    import spark.implicits._
+    Seq((nQueries, k, nprobe, nExact, nHit,
+      if (nExact == 0) 1.0 else nHit.toDouble / nExact))
+      .toDF("n_queries", "k", "nprobe", "n_exact", "n_hit", "recall")
+  }
 }

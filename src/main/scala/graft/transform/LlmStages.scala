@@ -438,6 +438,31 @@ final case class IvfQueryTransform(
   }
 }
 
+/** Index-freshness recall monitor ([[graft.llm.IvfIndex.recallProbe]]):
+  * sampled partial-probe recall vs brute force over the indexed corpus —
+  * the trigger signal for re-writing an index whose `ingest` batches have
+  * drifted away from the quantizer's training distribution. Emits one row
+  * (n_queries, k, nprobe, n_exact, n_hit, recall).
+  */
+final case class IvfRecallTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    indexURI: String,
+    idField: String,
+    vectorField: String,
+    k: Int = 10,
+    numProbes: Int = 2,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "IvfRecallTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val out = graft.llm.IvfIndex.recallProbe(ctx.view(inputView), idField, vectorField,
+      indexURI, k, numProbes)
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Deterministic sampling behind the config surface —
   * [[graft.llm.Sampling]]. Methods: `hash` (rate), `weighted` (per-row
   * weightField), `stratified` (rate within strataFields), `mixture`

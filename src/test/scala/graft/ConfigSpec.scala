@@ -365,6 +365,9 @@ class ConfigSpec extends SparkSpec {
           outputView = ivf_hits_q, indexURI = "$dir", idField = vec_id,
           vectorField = embedding, k = 5, numProbes = 8,
           quantized = true, shortlistFactor = 1000 }
+        { type = "IvfRecallTransform", name = "mon", inputView = ivf_queries,
+          outputView = ivf_recall, indexURI = "$dir", idField = vec_id,
+          vectorField = embedding, k = 5, numProbes = 8 }
       ]}"""
     assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
     // exhaustive probe over the built+ingested index = brute force exactly
@@ -378,6 +381,9 @@ class ConfigSpec extends SparkSpec {
     assert(hits("ivf_hits") == brute)
     // quantized path with a covering shortlist: rescore restores exactness
     assert(hits("ivf_hits_q") == brute)
+    // recall monitor under the exhaustive probe must report exactly 1.0
+    val rec = spark.table("ivf_recall").collect().head
+    assert(rec.getAs[Double]("recall") == 1.0 && rec.getAs[Long]("n_queries") == 5, s"$rec")
   }
 
   test("RedactTransform scrubs PII and appends counts from a config cell") {

@@ -879,6 +879,39 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.2f with a 4k shortlist under exhaustive probes")
   }
 
+  test("recallProbe reports sampled recall correctly, including decay after drifted ingest") {
+    // Drifted daily batches: build on the real embeddings, ingest the
+    // NEGATED vectors (maximally far from the training distribution — each
+    // lands in the list whose centroid its negation is least unlike). The
+    // exhaustive probe must still report recall = 1.0 (assignment only
+    // shapes placement); the partial probe's reported recall must equal
+    // the manually recomputed value from topK vs brute force.
+    val path = "/tmp/graft_test_ivfindex_drift"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em, "vec_id", "embedding", path, nlist = 8)
+    val drifted = em.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    IvfIndex.ingest(drifted, "vec_id", "embedding", path)
+    val queries = drifted.filter(col("vec_id") < 100010L)
+    val full = IvfIndex.recallProbe(queries, "vec_id", "embedding", path, k = 5, nprobe = 8)
+      .collect().head
+    assert(full.getAs[Double]("recall") == 1.0, s"exhaustive probe must be exact: $full")
+    assert(full.getAs[Long]("n_queries") == 10 && full.getAs[Long]("n_exact") == 50, s"$full")
+    val partial = IvfIndex.recallProbe(queries, "vec_id", "embedding", path, k = 5, nprobe = 2)
+      .collect().head
+    // recompute the same recall by hand from the public operators
+    val corpus = spark.read.parquet(s"$path/vectors").select(col("id"), col("vec"))
+    val exact = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfIndex.topK(queries, "vec_id", "embedding", path, k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = approx.intersect(exact).size.toDouble / exact.size
+    assert(partial.getAs[Double]("recall") == manual,
+      s"reported ${partial.getAs[Double]("recall")} vs manual $manual")
+    assert(partial.getAs[Double]("recall") <= 1.0 && partial.getAs[Long]("n_hit") <= 50)
+  }
+
   test("ingest appends a batch without retraining; exhaustive probe stays exactly brute force") {
     // Build on the first half, ingest the second half: O(batch) daily path.
     // Assignment only shapes partition placement, so the exhaustive probe

@@ -102,6 +102,42 @@ class PropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("rankedByHash: per-group _rn is a hash-ordered permutation and _n the group size") {
+    // Spark-backed property (few iterations — each runs real jobs) over the
+    // slice-rank that underpins stratifiedExact/mixtureExact/temperatureSample
+    // and the interleave: for ANY grouping — NULL groups included — _rn must
+    // be exactly 1.._n within the group, _n the true group size, and (since
+    // the generated hashes are distinct within a group) _rn must follow the
+    // hash order — the same contract as row_number() OVER (PARTITION BY g
+    // ORDER BY h), which the slice formulation replaces.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rowGen = for {
+      g <- Gen.option(Gen.oneOf("a", "b", "c", "d"))
+      h <- Gen.identifier.map(_.take(12))
+    } yield (g, h)
+    val gen = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, rowGen))
+    val prop = Prop.forAll(gen) { rows0 =>
+      // distinct (group, hash) keeps the hash-order assertion well-defined;
+      // ties in h rank arbitrarily by contract, so equal hashes are dropped
+      val rows = rows0.distinct
+      val df = rows.zipWithIndex.map { case ((g, h), i) => (g, h, i.toLong) }
+        .toDF("src", "h", "id")
+      val got = graft.llm.LlmTestAccess.rankedByHash(df, Seq("src"), col("h"))
+        .select("src", "h", "id", "_rn", "_n")
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(3), r.getLong(4)))
+      got.length == rows.length && got.groupBy(_._1).forall { case (_, grp) =>
+        val n = grp.length.toLong
+        grp.forall(_._4 == n) &&
+        grp.sortBy(_._2).map(_._3).toSeq == (1L to n) // hash order ⇒ rank order
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("metadata schema JSON round-trip preserves name/type/nullable") {
     import graft.schema.{FieldSpec, MetadataSchema}
     import org.apache.spark.sql.types._

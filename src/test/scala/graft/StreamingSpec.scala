@@ -432,4 +432,52 @@ class StreamingSpec extends SparkSpec {
     // filter actually let novel content through
     assert(kept.get() > 0L, "ingest filter dropped every novel doc")
   }
+
+  test("streaming ingest into a persistent IVF index matches a one-shot batch build") {
+    // Daily-ingest parity for the newest persistent structure (the
+    // MinhashIndex discipline, for retrieval): seed the index with half the
+    // embeddings, stream the rest through foreachBatch → IvfIndex.ingest in
+    // multiple micro-batches, and the ingested index must answer EXACTLY
+    // like an index batch-built over the full corpus under exhaustive
+    // probes — quantizers differ (half-corpus vs full-corpus training), but
+    // exhaustive-probe exactness is assignment-independent, so both must
+    // equal brute force bit-for-bit.
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seed = em.filter(col("vec_id") % 2 === 0)
+    val incoming = em.filter(col("vec_id") % 2 === 1)
+    graft.llm.IvfIndex.write(seed, "vec_id", "embedding", s"$dir/streamed", nlist = 4)
+    graft.llm.IvfIndex.write(em, "vec_id", "embedding", s"$dir/batch", nlist = 4)
+    // several files + maxFilesPerTrigger=1 → several micro-batches, so the
+    // append path runs more than once
+    incoming.repartition(3).write.mode("overwrite").parquet(s"$dir/in")
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.llm.IvfIndex.ingest(batch, "vec_id", "embedding", s"$dir/streamed")
+          batches.incrementAndGet()
+        }
+        (): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(batches.get() >= 2, s"expected multiple ingest micro-batches, got ${batches.get()}")
+    val queries = em.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = key(graft.llm.IvfIndex.topK(
+      queries, "vec_id", "embedding", s"$dir/streamed", k = 5, nprobe = 4))
+    val batch = key(graft.llm.IvfIndex.topK(
+      queries, "vec_id", "embedding", s"$dir/batch", k = 5, nprobe = 4))
+    assert(streamed == batch, "ingested index diverged from the one-shot build")
+    val brute = key(graft.llm.Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(streamed == brute, "ingested index diverged from brute force")
+  }
 }

@@ -1,0 +1,12 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Test-side bridge to `private[llm]` internals: PropertySpec lives in
+  * package `graft` but pins properties of [[Sampling.rankedByHash]], the
+  * shared slice-rank that underpins five samplers and the interleave.
+  */
+object LlmTestAccess {
+  def rankedByHash(df: DataFrame, groupCols: Seq[String], h: Column): DataFrame =
+    Sampling.rankedByHash(df, groupCols, h)
+}

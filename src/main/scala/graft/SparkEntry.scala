@@ -1089,6 +1089,42 @@ object SparkEntry {
             lit(false)).as("ok"))
         .orderBy("query_id", "rank")
     },
+    "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
+      // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
+      // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
+      // positions → the oracle reproduces membership bit-for-bit (the
+      // bitmap doesn't remember WHICH hash set a bit, so membership ≡ "all
+      // k positions are in the set of positions any build key touched").
+      // `ok` carries the no-false-negatives contract in-band.
+      import graft.llm.BloomSketch
+      val docs = ctx.view("documents")
+      val members = docs.filter(col("doc_id") % 3 === 0)
+      val sk = BloomSketch.build(members, col("doc_id"), bits = 65536L, hashes = 3)
+      BloomSketch.mightContain(sk, docs.select(col("doc_id")), col("doc_id"),
+          bits = 65536L, hashes = 3)
+        .withColumn("is_member", col("doc_id") % 3 === 0)
+        .withColumn("ok", col("might_contain") || !col("is_member"))
+        .select("doc_id", "is_member", "might_contain", "ok")
+        .orderBy("doc_id")
+    },
+    "q150_bloom_antijoin" -> withViews("lineitem", "orders") { (spark, ctx) =>
+      // Decontamination shape at scale: drop every lineitem whose order is
+      // in the urgent blocklist WITHOUT joining the full fact table — the
+      // Bloom bitmap (broadcast, ≤ bits/64 words) discards definite-nots
+      // locally; only maybes reach the exact anti-join, which scrubs the
+      // false positives. Result is EXACTLY the anti-join — the oracle is
+      // the plain NOT IN aggregate.
+      import graft.llm.BloomSketch
+      val li = ctx.view("lineitem")
+      val urgent = ctx.view("orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      BloomSketch.antiJoin(li, col("l_orderkey"), urgent, col("o_orderkey"),
+          bits = 65536L, hashes = 3)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
     "q63_sessionization" -> pipe("events")(
       """WITH marked AS (
           SELECT user_id, ts, event_id,
@@ -2151,6 +2187,38 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q149_bloom_membership" ->
+      // same md5-prefix positions as BloomSketch (the CmsSketch '0x'||hex8
+      // trick); the bitmap forgets which hash set a bit, so membership ≡
+      // every probe position ∈ the DISTINCT set of positions touched at
+      // build time
+      """WITH hs AS (SELECT unnest([0, 1, 2]) AS i),
+        setbits AS (
+          SELECT DISTINCT
+                 CAST('0x' || substr(md5(CAST(m.doc_id AS VARCHAR) || ':' || CAST(hs.i AS VARCHAR)), 1, 8) AS BIGINT) % 65536 AS p
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) m, hs),
+        probes AS (
+          SELECT d.doc_id,
+                 CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(hs.i AS VARCHAR)), 1, 8) AS BIGINT) % 65536 AS p
+          FROM documents d, hs)
+        SELECT pr.doc_id,
+               pr.doc_id % 3 = 0 AS is_member,
+               BOOL_AND(s.p IS NOT NULL) AS might_contain,
+               BOOL_AND(s.p IS NOT NULL) OR NOT (pr.doc_id % 3 = 0) AS ok
+        FROM probes pr LEFT JOIN setbits s ON s.p = pr.p
+        GROUP BY pr.doc_id
+        ORDER BY pr.doc_id""",
+    "q150_bloom_antijoin" ->
+      // the Bloom pre-filter only prunes — the result is exactly the
+      // anti-join, so the oracle needs no hashing at all
+      """SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""",
     "q132_unicode_normalize" ->
       """SELECT doc_id,
                CAST(length(text || ' café') AS BIGINT) AS n_raw,

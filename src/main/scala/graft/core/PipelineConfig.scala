@@ -313,6 +313,15 @@ object PipelineConfig {
         sketchView = o.str("sketchView", ""), mode = o.str("mode", "build"),
         depth = o.intOpt("depth").getOrElse(4), width = o.intOpt("width").getOrElse(1024),
         persist = o.bool("persist"))
+    case "BloomTransform" =>
+      BloomTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        keyField = o.str("keyField", ""), sketchView = o.str("sketchView", ""),
+        filterView = o.str("filterView", ""),
+        filterKeyField = o.str("filterKeyField", ""),
+        mode = o.str("mode", "build"),
+        bits = o.intOpt("bits").map(_.toLong).getOrElse(1L << 22),
+        hashes = o.intOpt("hashes").getOrElse(5),
+        persist = o.bool("persist"))
     case "HistogramTransform" =>
       HistogramTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         valueField = o.str("valueField", ""), mode = o.str("mode", "segment"),

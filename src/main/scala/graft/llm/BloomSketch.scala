@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom filter as a DataFrame: compact set membership for
+  * dedup-against-set and decontamination pre-filters. The missing member of
+  * the mergeable-sketch family next to [[SketchStats]] (HLL),
+  * [[CmsSketch]] and [[HistSketch]]: a corpus of n keys compresses to an
+  * m-bit bitmap (`bits/8` bytes) with NO false negatives and false-positive
+  * rate ≈ (1 − e^(−k·n/m))^k — m = 8n bits and k = 5 gives ~2%.
+  *
+  * Why it matters at 100 TB: "drop every document whose fingerprint is in
+  * this blocklist / eval set" is an anti-join whose small side is often too
+  * big to broadcast (10^9 fingerprints) — so the big side pays a full
+  * shuffle. The Bloom bitmap of those 10^9 keys is ~1 GB at 1% fp (and the
+  * PROBED words of a partition far less): broadcast the bitmap, let every
+  * big-side partition discard its definite-nots locally, and only the
+  * ~fp·|big| maybes reach the exact join ([[antiJoin]] keeps the result
+  * EXACT — the filter only prunes, never decides). This is the same
+  * runtime-filter idea Spark applies to equi-joins internally, made
+  * persistable and incrementally mergeable.
+  *
+  * Deterministic by construction (the [[CmsSketch]] discipline): hash i of a
+  * key sets bit `hex32(md5(key ':' i)) mod bits` — md5 and the 32-bit hex
+  * prefix are engine-universal, so an external engine reproduces membership
+  * bit-for-bit (q149's DuckDB oracle does). Contrast
+  * `DataFrameStatFunctions.bloomFilter`, which materializes the bitmap on
+  * the DRIVER as a JVM object: not a DataFrame, not storable as a table,
+  * not mergeable from stored segments, and murmur-layout-specific.
+  *
+  * Scale shape: the build is a narrow map (key → k tiny (word, mask) pairs)
+  * into ONE map-side-combined `bit_or` shuffle bounded by ceil(bits/64)
+  * rows — keys never shuffle whole, and no driver state exists. Segments
+  * are plain DataFrames: persist per batch, [[merge]] (word-wise OR — the
+  * bitmap is a lattice join) to get the corpus filter without re-reading
+  * raw data.
+  */
+object BloomSketch {
+
+  /** Explode each key into its `hashes` bit positions `_p`, keeping `keep`
+    * alongside: position i is `hex32(md5(key ':' i)) mod bits` — the same
+    * engine-universal md5-prefix layout as [[CmsSketch]]'s bucket.
+    */
+  private def explodedPositions(df: DataFrame, key: Column, bits: Long, hashes: Int,
+      keep: Seq[(Column, String)]): DataFrame = {
+    val p = conv(substring(md5(concat(col("_k"), lit(":"), col("_i").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % bits
+    // keep-expressions evaluate in the FIRST select (they reference df's
+    // columns); later selects refer to them by alias only
+    val kept = keep.map { case (_, n) => col(n) }
+    df.select(keep.map { case (c, n) => c.as(n) } :+ key.cast("string").as("_k"): _*)
+      .select(kept :+ col("_k") :+ explode(array((0 until hashes).map(lit): _*)).as("_i"): _*)
+      .withColumn("_p", p)
+  }
+
+  /** Build the bitmap over `key`. Output schema: (word, bits) — a sparse
+    * 64-bit-word table, at most ceil(bits/64) rows regardless of input
+    * size (absent words are all-zero).
+    */
+  def build(df: DataFrame, key: Column, bits: Long = 1L << 22, hashes: Int = 5): DataFrame = {
+    require(bits > 0 && hashes > 0, s"bits/hashes must be positive, got $bits/$hashes")
+    explodedPositions(df, key, bits, hashes, Seq.empty)
+      .select(floor(col("_p") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, CAST(_p % 64 AS INT))").as("_mask"))
+      .groupBy("word").agg(bit_or(col("_mask")).as("bits"))
+  }
+
+  /** Word-wise OR of filter segments (all built with the same bits/hashes —
+    * the bitmap is a join-semilattice, so merge-then-probe ≡
+    * build-over-the-union).
+    */
+  def merge(segments: DataFrame): DataFrame =
+    segments.groupBy("word").agg(bit_or(col("bits")).as("bits"))
+
+  /** Membership probe: `resultCol` is true iff ALL `hashes` bits of the
+    * key are set — false means DEFINITELY absent (no false negatives),
+    * true means present-or-collision. The sketch is ≤ ceil(bits/64) rows —
+    * broadcast — so probing any number of keys is a narrow map plus a
+    * broadcast join; a word no build key ever touched is absent from the
+    * sparse table and contributes "bit unset" via the left join's coalesce.
+    */
+  def mightContain(sketch: DataFrame, keys: DataFrame, key: Column,
+      bits: Long = 1L << 22, hashes: Int = 5,
+      resultCol: String = "might_contain"): DataFrame = {
+    require(bits > 0 && hashes > 0, s"bits/hashes must be positive, got $bits/$hashes")
+    val probes = explodedPositions(keys, key, bits, hashes,
+        Seq(struct(keys.columns.map(col): _*) -> "_row"))
+      .select(col("_row"),
+        floor(col("_p") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, CAST(_p % 64 AS INT))").as("_mask"))
+    probes
+      .join(broadcast(sketch), Seq("word"), "left")
+      .groupBy("_row")
+      .agg(min(coalesce(col("bits").bitwiseAND(col("_mask")) =!= lit(0L), lit(false)))
+        .as(resultCol))
+      .select(col("_row.*"), col(resultCol))
+  }
+
+  /** EXACT anti-join (rows of `big` whose `bigKey` appears nowhere in
+    * `small`) with a Bloom pre-filter: definite-nots — the overwhelming
+    * majority when the sets barely overlap, the decontamination shape —
+    * short-circuit past the join entirely; only maybes (true members +
+    * ~fp·|big| collisions) reach the exact anti-join against `small`.
+    * No false negatives ⇒ every discarded-from-checking row is truly
+    * absent ⇒ the union is exactly the anti-join, at a fraction of the
+    * join input.
+    */
+  def antiJoin(big: DataFrame, bigKey: Column, small: DataFrame, smallKey: Column,
+      bits: Long = 1L << 22, hashes: Int = 5): DataFrame = {
+    val sketch = build(small, smallKey, bits, hashes)
+    val flagged = mightContain(sketch, big, bigKey, bits, hashes, "_mc")
+    val definiteNot = flagged.filter(!col("_mc")).drop("_mc")
+    val maybe = flagged.filter(col("_mc")).drop("_mc")
+    val checked = maybe.join(small.select(smallKey.cast("string").as("_sk")),
+      bigKey.cast("string") === col("_sk"), "left_anti")
+    definiteNot.unionByName(checked)
+  }
+}

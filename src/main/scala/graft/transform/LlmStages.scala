@@ -313,6 +313,53 @@ final case class CmsTransform(
   }
 }
 
+/** Bloom filter behind the config surface — [[graft.llm.BloomSketch]]:
+  * `mode=build` turns the input view into a (word, bits) bitmap over
+  * `keyField`; `mode=merge` ORs bitmap segments word-wise;
+  * `mode=mightContain` flags the input view's keys against the bitmap
+  * named by `sketchView`; `mode=antiJoin` keeps input rows whose key is
+  * NOT in the view named by `filterView` (exact — the bitmap only
+  * pre-prunes).
+  */
+final case class BloomTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    keyField: String = "",
+    sketchView: String = "",
+    filterView: String = "",
+    filterKeyField: String = "",
+    mode: String = "build",
+    bits: Long = 1L << 22,
+    hashes: Int = 5,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "BloomTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = mode match {
+      case "build" =>
+        require(keyField.nonEmpty, s"$name: build needs keyField")
+        graft.llm.BloomSketch.build(in, col(keyField), bits, hashes)
+      case "merge" => graft.llm.BloomSketch.merge(in)
+      case "mightContain" =>
+        require(keyField.nonEmpty && sketchView.nonEmpty,
+          s"$name: mightContain needs keyField and sketchView")
+        graft.llm.BloomSketch.mightContain(ctx.view(sketchView), in, col(keyField), bits, hashes)
+      case "antiJoin" =>
+        require(keyField.nonEmpty && filterView.nonEmpty,
+          s"$name: antiJoin needs keyField and filterView")
+        val fk = if (filterKeyField.isEmpty) keyField else filterKeyField
+        graft.llm.BloomSketch.antiJoin(in, col(keyField), ctx.view(filterView), col(fk),
+          bits, hashes)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown bloom mode '$other' (build|merge|mightContain|antiJoin)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Histogram-quantile segments behind the config surface —
   * [[graft.llm.HistSketch]]: `mode=segment` bins `valueField` into a
   * (bin, cnt) histogram, `mode=merge` sums segments, `mode=quantiles`

@@ -482,6 +482,30 @@ class ConfigSpec extends SparkSpec {
     assert(est("zzz") <= 1L)
   }
 
+  test("BloomTransform build + mightContain + antiJoin run from a config cell") {
+    import spark.implicits._
+    Seq("a", "b", "c").toDF("k").createOrReplaceTempView("bf_set")
+    Seq(("a", 1L), ("b", 2L), ("x", 3L), ("y", 4L)).toDF("k", "v")
+      .createOrReplaceTempView("bf_in")
+    val hocon =
+      """{stages: [
+        { type = "BloomTransform", name = "build", inputView = bf_set,
+          outputView = bf_sk, keyField = k, mode = build, bits = 4096, hashes = 3 },
+        { type = "BloomTransform", name = "probe", inputView = bf_in,
+          outputView = bf_mc, keyField = k, mode = mightContain,
+          sketchView = bf_sk, bits = 4096, hashes = 3 },
+        { type = "BloomTransform", name = "scrub", inputView = bf_in,
+          outputView = bf_clean, keyField = k, mode = antiJoin,
+          filterView = bf_set, bits = 4096, hashes = 3 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val mc = spark.table("bf_mc").select("k", "might_contain")
+      .as[(String, Boolean)].collect().toMap
+    assert(mc("a") && mc("b"), s"members must probe true: $mc")
+    val clean = spark.table("bf_clean").select("k").as[String].collect().toSet
+    assert(clean == Set("x", "y"), s"anti-join kept $clean")
+  }
+
   test("LineFilterTransform and QuantizeTransform run from a config cell") {
     val hocon =
       s"""{

@@ -760,6 +760,63 @@ class CmsSketchSpec extends SparkSpec {
   }
 }
 
+class BloomSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.BloomSketch
+
+  private lazy val members = spark.range(0, 500).selectExpr("id * 3 AS k")
+  private lazy val outsiders = spark.range(0, 500).selectExpr("id * 3 + 1 AS k")
+
+  test("no false negatives: every build key probes true, at any sizing") {
+    for (bits <- Seq(256L, 1L << 16)) {
+      val sk = BloomSketch.build(members, col("k"), bits = bits, hashes = 3)
+      val probed = BloomSketch.mightContain(sk, members, col("k"), bits = bits, hashes = 3)
+      assert(probed.filter(!col("might_contain")).count() == 0,
+        s"false negative at bits=$bits — Bloom contract broken")
+    }
+  }
+
+  test("well-sized filter rejects most non-members; tiny filter still sound") {
+    // m = 2^16 bits for 500 keys, k = 3 → fp rate ~1e-5: outsiders nearly
+    // all definite-not. m = 256 forces collisions — fp may be high but the
+    // probe must stay sound (exercised by the antiJoin exactness test).
+    val sk = BloomSketch.mightContain(
+      BloomSketch.build(members, col("k"), 1L << 16, 3),
+      outsiders, col("k"), 1L << 16, 3)
+    val fps = sk.filter(col("might_contain")).count()
+    assert(fps <= 10, s"$fps of 500 outsiders flagged — fp rate far beyond sizing")
+  }
+
+  test("merge of segment bitmaps equals the one-shot bitmap (semilattice)") {
+    val (a, b) = (members.filter(col("k") <= 750), members.filter(col("k") > 750))
+    val merged = BloomSketch.merge(
+      BloomSketch.build(a, col("k"), 4096, 3)
+        .unionByName(BloomSketch.build(b, col("k"), 4096, 3)))
+    val oneShot = BloomSketch.build(members, col("k"), 4096, 3)
+    assert(merged.as[(Long, Long)].collect().toSet ==
+      oneShot.as[(Long, Long)].collect().toSet)
+  }
+
+  test("antiJoin is exactly the anti-join, even with a collision-heavy filter") {
+    // 256 bits for 500 build keys: most probes collide to maybe — the
+    // exact-check path must scrub every false positive.
+    val big = spark.range(0, 1500).selectExpr("id AS k", "id % 7 AS tag")
+    val got = BloomSketch.antiJoin(big, col("k"), members, col("k"), bits = 256, hashes = 3)
+      .as[(Long, Long)].collect().toSet
+    val want = big.join(members, Seq("k"), "left_anti").as[(Long, Long)].collect().toSet
+    assert(got == want, s"bloom anti-join diverged: ${got.size} vs ${want.size} rows")
+  }
+
+  test("the bitmap never exceeds ceil(bits/64) words no matter the input size") {
+    val sk = BloomSketch.build(members, col("k"), bits = 1024, hashes = 5)
+    assert(sk.count() <= 16)
+    // and the plan is ONE map-side-combined shuffle: partial bit_or before
+    // the exchange — keys never shuffle whole
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bit_or") || plan.contains("bit_or"), plan.take(2000))
+  }
+}
+
 class IvfIndexSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import graft.llm.{IvfIndex, Similarity}

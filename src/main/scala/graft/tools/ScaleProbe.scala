@@ -336,6 +336,40 @@ object ScaleProbe {
           .collect().map(r => f"${r.getDouble(0)}:${r.getDouble(1)}%.1f").mkString(",")
       }
     }
+    // Bloom-prefiltered anti-join vs the plain anti-join at the blocklist
+    // shape: big corpus, 10% blocklist, ~2% overlap. The bitmap (sized 8
+    // bits/key) discards ~98% of big rows before any join; the exact scrub
+    // sees only true members + fp collisions. Both must return the same
+    // count — the probe confirms the pre-filter wins (or at least doesn't
+    // lose) at this scale and stays exact.
+    if (anySelected(s"bloomAntiJoin n=$n", s"plainAntiJoin n=$n",
+        s"bloomBuild n=$n", s"bloomFlag n=$n")) {
+      val big = docs.select(col("id"), col("text"))
+      // blocklist: every 50th corpus id (2% overlap) + disjoint tail to 10%
+      val block = spark.range(0, n / 10).select(
+        when(pmod(col("id"), lit(5)) === 0, col("id") * 50L)
+          .otherwise(col("id") + 10000000L).as("bid"))
+      val bits = 8L * (n / 10)
+      time(s"bloomBuild n=$n blocklist=${n / 10}") {
+        graft.llm.BloomSketch.build(block, col("bid"), bits, 5).count()
+      }
+      val sk = graft.llm.BloomSketch.build(block, col("bid"), bits, 5)
+        .localCheckpoint(true)
+      time(s"bloomFlag n=$n (maybes reaching the exact join)") {
+        graft.llm.BloomSketch.mightContain(sk, big, col("id"), bits, 5)
+          .filter(col("might_contain")).count()
+      }
+      time(s"bloomAntiJoin n=$n blocklist=${n / 10}") {
+        graft.llm.BloomSketch.antiJoin(big, col("id"), block, col("bid"),
+          bits = bits, hashes = 5).count()
+      }
+      time(s"plainAntiJoin n=$n blocklist=${n / 10} (broadcast — the blocklist fits here; at 10^9 keys it cannot)") {
+        big.join(block, col("id") === col("bid"), "left_anti").count()
+      }
+      time(s"plainAntiJoin n=$n blocklist=${n / 10} merge-join (the no-broadcast shape: big side fully shuffles)") {
+        big.join(block.hint("merge"), col("id") === col("bid"), "left_anti").count()
+      }
+    }
     spark.stop()
   }
 }

@@ -138,6 +138,48 @@ class PropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("perKey and perKeySalted equal the window formulation for arbitrary data") {
+    // Spark-backed property (few iterations): both bounded top-k shapes —
+    // the heap prune and the salted two-level window — must equal
+    // row_number() OVER (PARTITION BY key ORDER BY score, id) <= k
+    // bit-for-bit, for any data (heavy score ties by construction), any k,
+    // either direction, and any bucket count. The unique id tiebreak makes
+    // the ordering total per key, which is both operators' exactness
+    // precondition.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val rowGen = for {
+      key <- Gen.choose(0, 3)
+      score <- Gen.choose(0, 5) // few distinct scores → boundary ties everywhere
+    } yield (key, score)
+    val gen = for {
+      rows <- Gen.choose(1, 80).flatMap(n => Gen.listOfN(n, rowGen))
+      k <- Gen.choose(1, 6)
+      desc <- Gen.oneOf(true, false)
+      buckets <- Gen.choose(1, 5)
+    } yield (rows, k, desc, buckets)
+    val prop = Prop.forAll(gen) { case (rows, k, desc, buckets) =>
+      val df = rows.zipWithIndex
+        .map { case ((key, sc), i) => (key, sc.toDouble, i.toLong) }
+        .toDF("key", "score", "id")
+      def set(d: org.apache.spark.sql.DataFrame) = d
+        .select("key", "score", "id", "rank").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+      val sort = if (desc) col("score").desc else col("score").asc
+      val w = Window.partitionBy("key").orderBy(sort, col("id"))
+      val want = set(df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k))
+      val heap = set(graft.operators.TopK.perKey(
+        df, Seq("key"), "score", k, desc, Seq("id")))
+      val salted = set(graft.operators.TopK.perKeySalted(
+        df, Seq("key"), "score", k, desc, Seq("id"), buckets))
+      heap == want && salted == want
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("metadata schema JSON round-trip preserves name/type/nullable") {
     import graft.schema.{FieldSpec, MetadataSchema}
     import org.apache.spark.sql.types._

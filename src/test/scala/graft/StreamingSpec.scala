@@ -205,6 +205,35 @@ class StreamingSpec extends SparkSpec {
     assert(merged == oneShot, s"merged ${merged.size} cells != batch ${oneShot.size}")
   }
 
+  test("streaming Bloom: per-microbatch bitmap segments merge to the batch bitmap") {
+    // The fourth mergeable-sketch leg (HLL, CMS and the histogram have this
+    // case): each micro-batch builds a tiny bitmap segment, segments append
+    // to a store, and the word-wise OR of the store must equal the one-shot
+    // batch bitmap EXACTLY — bit positions are per-row and OR is
+    // commutative/idempotent, so batch splits (even overlapping ones)
+    // can't flip any bit.
+    import org.apache.spark.sql.functions.col
+    val schema = spark.read.parquet(eventsPath).schema
+    val segDir = "/tmp/graft_test_bloom_segs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(segDir))
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1).schema(schema).parquet(eventsPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.llm.BloomSketch.build(batch, col("user_id"), bits = 8192, hashes = 3)
+          .write.mode("append").parquet(segDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val merged = graft.llm.BloomSketch.merge(spark.read.parquet(segDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.llm.BloomSketch
+      .build(spark.read.parquet(eventsPath), col("user_id"), bits = 8192, hashes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == oneShot, s"merged ${merged.size} words != batch ${oneShot.size}")
+  }
+
   test("streaming histogram: per-microbatch segments merge to the one-shot histogram") {
     // The third mergeable-sketch leg (HLL and CMS have this case; the
     // histogram must too): each micro-batch bins `value` into a tiny

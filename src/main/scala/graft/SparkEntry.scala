@@ -1125,6 +1125,23 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     },
+    "q151_lm_novelty" -> withViews("documents") { (spark, ctx) =>
+      // Bigram LM novelty scoring (llm/LangModel): train counts on the
+      // English slice, score every document by exact unseen/rare-bigram
+      // statistics — the oracle-safe surface of the CCNet-style perplexity
+      // filter (ppl itself involves ln + a cross-partition double sum, so
+      // it is spec-tested, not oracle-hashed — the Relevance idf
+      // discipline).
+      import graft.llm.LangModel
+      val docs = ctx.view("documents")
+      val train = docs.filter(col("lang") === "en")
+      val bg = LangModel.bigramCounts(train, "text")
+      val ug = LangModel.unigramCounts(train, "text")
+      val v = ug.count()
+      LangModel.score(docs, "doc_id", "text", bg, ug, v)
+        .select("doc_id", "n_bigrams", "n_unseen", "n_rare", "novelty")
+        .orderBy("doc_id")
+    },
     "q63_sessionization" -> pipe("events")(
       """WITH marked AS (
           SELECT user_id, ts, event_id,
@@ -2187,6 +2204,37 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q151_lm_novelty" ->
+      // same tokenization as the Spark side (lower + split on
+      // non-alphanumerics, empties dropped); bigrams via zipped shifted
+      // list slices; counts and ratios are integer/exact-IEEE — engine-safe
+      """WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
+        tb AS (
+          SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS bg
+          FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+                FROM train)),
+        bgc AS (
+          SELECT bg[1] AS w1, bg[2] AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tb GROUP BY 1, 2),
+        probe AS (
+          SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS bg
+          FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+                FROM documents)),
+        j AS (
+          SELECT p.doc_id, c.cnt
+          FROM probe p LEFT JOIN bgc c ON c.w1 = p.bg[1] AND c.w2 = p.bg[2]),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+                 CAST(SUM(CASE WHEN COALESCE(cnt, 0) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+          FROM j GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               COALESCE(a.n_unseen, 0) AS n_unseen,
+               COALESCE(a.n_rare, 0) AS n_rare,
+               CAST(a.n_unseen AS DOUBLE) / a.n_bigrams AS novelty
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id""",
     "q149_bloom_membership" ->
       // same md5-prefix positions as BloomSketch (the CmsSketch '0x'||hex8
       // trick); the bitmap forgets which hash set a bit, so membership ≡

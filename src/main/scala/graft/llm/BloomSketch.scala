@@ -61,6 +61,10 @@ object BloomSketch {
   def build(df: DataFrame, key: Column, bits: Long = 1L << 22, hashes: Int = 5): DataFrame = {
     require(bits > 0 && hashes > 0, s"bits/hashes must be positive, got $bits/$hashes")
     explodedPositions(df, key, bits, hashes, Seq.empty)
+      // a NULL key hashes to a NULL position — drop it rather than emit a
+      // garbage NULL-word row (probes of NULL keys read false, matching
+      // left-anti semantics: NULL matches nothing)
+      .filter(col("_p").isNotNull)
       .select(floor(col("_p") / 64).cast("long").as("word"),
         expr("shiftleft(1L, CAST(_p % 64 AS INT))").as("_mask"))
       .groupBy("word").agg(bit_or(col("_mask")).as("bits"))

@@ -370,6 +370,25 @@ object ScaleProbe {
         big.join(block.hint("merge"), col("id") === col("bid"), "left_anti").count()
       }
     }
+    // LM scoring at corpus scale: train on half the templated corpus, score
+    // everything. The templated text makes most bigrams extremely hot join
+    // keys (the boilerplate prefix appears in every doc) — the probe
+    // confirms the (w1,w2)-keyed join + id-keyed agg stay shuffle-bound
+    // linear with maximally skewed gram frequencies.
+    if (anySelected(s"lmTrain n=$n", s"lmScore n=$n")) {
+      val train = docs.filter(pmod(col("id"), lit(2)) === 0)
+      time(s"lmTrain n=${n / 2}") {
+        graft.llm.LangModel.bigramCounts(train, "text").count() +
+          graft.llm.LangModel.unigramCounts(train, "text").count()
+      }
+      val bg = graft.llm.LangModel.bigramCounts(train, "text").localCheckpoint(true)
+      val ug = graft.llm.LangModel.unigramCounts(train, "text").localCheckpoint(true)
+      val v = ug.count()
+      time(s"lmScore n=$n vocab=$v") {
+        graft.llm.LangModel.score(docs, "id", "text", bg, ug, v)
+          .agg(sum("n_unseen"), count(lit(1))).collect().head.toSeq.mkString("/")
+      }
+    }
     spark.stop()
   }
 }

@@ -760,6 +760,83 @@ class CmsSketchSpec extends SparkSpec {
   }
 }
 
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.LangModel
+
+  // training corpus "a b a b c": bigrams (a,b)x2 (b,a)x1 (b,c)x1,
+  // unigrams a:2 b:2 c:1, V=3
+  private lazy val corpus = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+  private lazy val bg = LangModel.bigramCounts(corpus, "text")
+  private lazy val ug = LangModel.unigramCounts(corpus, "text")
+
+  test("bigram/unigram counts are exact (punctuation-splitting normalization)") {
+    val b = bg.as[(String, String, Long)].collect().toSet
+    assert(b == Set(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)))
+    val u = ug.as[(String, Long)].collect().toSet
+    assert(u == Set(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("score: hand-computed smoothed NLL, unseen/rare tallies, short-doc NULLs") {
+    val docs = Seq((10L, "a b. C!"), (11L, "c z"), (12L, "x")).toDF("doc_id", "text")
+    val got = LangModel.score(docs, "doc_id", "text", bg, ug, vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 10: bigrams (a,b) p=(2+1)/(2+3)=0.6 and (b,c) p=(1+1)/(2+3)=0.4;
+    // both are rare under rareMax=2 (counts 2 and 1)
+    val r10 = got(10L)
+    assert(r10.getLong(1) == 2 && r10.getLong(2) == 0 && r10.getLong(3) == 2)
+    assert(math.abs(r10.getAs[Double]("avg_nll") - (-(math.log(0.6) + math.log(0.4)) / 2)) < 1e-12)
+    assert(math.abs(r10.getAs[Double]("ppl") - 1.0 / math.sqrt(0.24)) < 1e-12)
+    assert(r10.getAs[Double]("novelty") == 0.0)
+    // doc 11: one unseen bigram (c,z): p=(0+1)/(1+3)=0.25 → ppl=4
+    val r11 = got(11L)
+    assert(r11.getLong(1) == 1 && r11.getLong(2) == 1 && r11.getLong(3) == 1)
+    assert(r11.getAs[Double]("novelty") == 1.0)
+    assert(math.abs(r11.getAs[Double]("ppl") - 4.0) < 1e-12)
+    // doc 12: under 2 tokens — zero counts, NULL ratios
+    val r12 = got(12L)
+    assert(r12.getLong(1) == 0 && r12.getLong(2) == 0 && r12.getLong(3) == 0)
+    assert(r12.isNullAt(r12.fieldIndex("novelty")) && r12.isNullAt(r12.fieldIndex("ppl")))
+  }
+
+  test("scoring the training corpus itself reports zero unseen bigrams everywhere") {
+    // exact invariant, corpus-independent: every bigram of a training doc
+    // is by construction in the trained counts; out-of-vocabulary text
+    // (impossible tokens) is 100% novel and strictly worse under the model
+    val train = spark.read.parquet(s"${sf()}/documents.parquet")
+    val b = LangModel.bigramCounts(train, "text")
+    val u = LangModel.unigramCounts(train, "text")
+    val v = u.count()
+    val self = LangModel.score(train, "doc_id", "text", b, u, v)
+    assert(self.filter(col("n_unseen") =!= 0L).count() == 0,
+      "a training doc scored unseen bigrams against its own model")
+    val oov = train.limit(50).select(col("doc_id"),
+      regexp_replace(col("text"), "[a-z]", "q").as("text"))
+    val scored = LangModel.score(oov, "doc_id", "text", b, u, v)
+    assert(scored.filter(col("n_bigrams") > 0 && col("novelty") =!= 1.0).count() == 0,
+      "impossible-token text must be 100% novel")
+  }
+
+  test("structured corpus: in-order text scores strictly lower perplexity than reordered") {
+    // a corpus with real bigram structure (the synthetic documents table is
+    // near-uniform word salad, where no LM separates — Jensen even pushes
+    // in-domain ppl slightly ABOVE the uniform 1/V): fixed sentence
+    // repeated, so the in-order probe hits only high-count bigrams and the
+    // reordered probe (same unigrams) hits zero-count ones
+    val train = spark.range(0, 200)
+      .select(col("id").as("doc_id"), lit("alpha beta gamma delta epsilon").as("text"))
+    val b = LangModel.bigramCounts(train, "text")
+    val u = LangModel.unigramCounts(train, "text")
+    val probes = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta beta epsilon alpha")).toDF("doc_id", "text")
+    val ppl = LangModel.score(probes, "doc_id", "text", b, u, vocabSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    assert(ppl(1L) < ppl(2L) / 10,
+      f"in-order ppl ${ppl(1L)}%.2f should be far below reordered ${ppl(2L)}%.2f")
+  }
+}
+
 class BloomSketchSpec extends SparkSpec {
   import spark.implicits._
   import graft.llm.BloomSketch
@@ -805,6 +882,37 @@ class BloomSketchSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     val want = big.join(members, Seq("k"), "left_anti").as[(Long, Long)].collect().toSet
     assert(got == want, s"bloom anti-join diverged: ${got.size} vs ${want.size} rows")
+  }
+
+  test("mightContain plan: k broadcast word-joins, probe side never shuffles") {
+    // probe against a materialized bitmap (the persisted-filter shape) so
+    // the plan shows only the probe path: every join must be a
+    // BroadcastHashJoin and NO shuffle exchange may touch the probe rows —
+    // the 100 TB contract is that definite-nots are discarded without the
+    // corpus ever entering an exchange
+    val sk = BloomSketch.build(members, col("k"), 4096, 3).localCheckpoint(true)
+    val out = BloomSketch.mightContain(sk, outsiders, col("k"), 4096, 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 3, plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
+  test("NULL keys: dropped from the build, probe false, kept by antiJoin (left-anti semantics)") {
+    val withNulls = spark.sql(
+      "SELECT CASE WHEN id % 2 = 0 THEN id END AS k, id AS v FROM range(10)")
+    val sk = BloomSketch.build(withNulls, col("k"), 4096, 3)
+    assert(sk.filter(col("word").isNull).count() == 0, "NULL key leaked a NULL-word row")
+    val probed = BloomSketch.mightContain(sk, withNulls, col("k"), 4096, 3)
+    assert(probed.filter(col("k").isNull && col("might_contain")).count() == 0,
+      "NULL key probed true")
+    // a NULL big-side key matches nothing, so the anti-join keeps it —
+    // exactly what left_anti does
+    val small = spark.range(0, 5).toDF("k")
+    val got = BloomSketch.antiJoin(withNulls, col("k"), small, col("k"), 4096, 3)
+      .select("v").as[Long].collect().toSet
+    val want = withNulls.join(small, Seq("k"), "left_anti")
+      .select("v").as[Long].collect().toSet
+    assert(got == want, s"NULL-key anti-join diverged: $got vs $want")
   }
 
   test("the bitmap never exceeds ceil(bits/64) words no matter the input size") {

@@ -1142,6 +1142,21 @@ object SparkEntry {
         .select("doc_id", "n_bigrams", "n_unseen", "n_rare", "novelty")
         .orderBy("doc_id")
     },
+    "q152_hist_drift" -> withViews("documents") { (spark, ctx) =>
+      // Distribution-drift monitor (HistSketch.drift): TV + L∞ distance
+      // between the English and non-English n_chars histograms, computed
+      // from ≤bins-row segments in exact common-denominator DECIMAL
+      // arithmetic (KL needs ln — not engine-safe; TV/L∞ are). COALESCE on
+      // lang so NULL-lang rows land deterministically in the non-English
+      // side in both engines.
+      import graft.llm.HistSketch
+      val docs = ctx.view("documents").filter(col("n_chars").isNotNull)
+      val en = docs.filter(coalesce(col("lang"), lit("")) === "en")
+      val rest = docs.filter(coalesce(col("lang"), lit("")) =!= "en")
+      HistSketch.drift(
+        HistSketch.segment(en, col("n_chars"), 0.0, 600.0, 32),
+        HistSketch.segment(rest, col("n_chars"), 0.0, 600.0, 32))
+    },
     "q63_sessionization" -> pipe("events")(
       """WITH marked AS (
           SELECT user_id, ts, event_id,
@@ -2204,6 +2219,30 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q152_hist_drift" ->
+      // same 3-IEEE-op binning as q142/q144; drift numerators in HUGEINT
+      // (exact, mirroring Spark's DECIMAL(38,0)), one double division last
+      """WITH ha AS (
+          SELECT LEAST(31, GREATEST(0, CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 600.0 * 32) AS BIGINT))) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS ca
+          FROM documents WHERE n_chars IS NOT NULL AND COALESCE(lang, '') = 'en'
+          GROUP BY 1),
+        hb AS (
+          SELECT LEAST(31, GREATEST(0, CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 600.0 * 32) AS BIGINT))) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS cb
+          FROM documents WHERE n_chars IS NOT NULL AND COALESCE(lang, '') <> 'en'
+          GROUP BY 1),
+        j AS (
+          SELECT COALESCE(ha.bin, hb.bin) AS bin,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+        t AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM j)
+        SELECT CAST(t.ta AS BIGINT) AS total_a, CAST(t.tb AS BIGINT) AS total_b,
+               CAST(SUM(ABS(CAST(j.ca AS HUGEINT) * t.tb - CAST(j.cb AS HUGEINT) * t.ta)) AS DOUBLE)
+                 / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)) / 2.0 AS tv,
+               CAST(MAX(ABS(CAST(j.ca AS HUGEINT) * t.tb - CAST(j.cb AS HUGEINT) * t.ta)) AS DOUBLE)
+                 / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)) AS linf
+        FROM j, t GROUP BY t.ta, t.tb""",
     "q151_lm_novelty" ->
       // same tokenization as the Spark side (lower + split on
       // non-alphanumerics, empties dropped); bigrams via zipped shifted

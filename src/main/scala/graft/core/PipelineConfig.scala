@@ -313,6 +313,15 @@ object PipelineConfig {
         sketchView = o.str("sketchView", ""), mode = o.str("mode", "build"),
         depth = o.intOpt("depth").getOrElse(4), width = o.intOpt("width").getOrElse(1024),
         persist = o.bool("persist"))
+    case "LangModelTransform" =>
+      LangModelTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        textField = o.str("textField", "text"), idField = o.str("idField", ""),
+        bigramView = o.str("bigramView", ""), unigramView = o.str("unigramView", ""),
+        mode = o.str("mode", "score"),
+        vocabSize = o.intOpt("vocabSize").map(_.toLong).getOrElse(0L),
+        alpha = o.dbl("alpha", 1.0),
+        rareMax = o.intOpt("rareMax").map(_.toLong).getOrElse(2L),
+        persist = o.bool("persist"))
     case "BloomTransform" =>
       BloomTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         keyField = o.str("keyField", ""), sketchView = o.str("sketchView", ""),

@@ -93,4 +93,43 @@ object HistSketch {
   def quantiles(hist: DataFrame, ps: Seq[Double], lo: Double, hi: Double,
       bins: Int): DataFrame =
     quantilesBy(hist, Nil, ps, lo, hi, bins)
+
+  /** Distribution drift between two histograms with the same binning — the
+    * "has this week's corpus shifted from last week's" monitor, computed
+    * from segments alone (no raw data). ONE row:
+    *  - total_a / total_b — the two histograms' masses;
+    *  - tv   — total-variation distance ∈ [0,1]:
+    *           ½ Σ_bins |cA/totA − cB/totB|;
+    *  - linf — the largest single-bin share shift, max_bins of the same
+    *           |difference|.
+    *
+    * Engine-exact by the same discipline as the binning: the per-bin
+    * difference is computed over common denominators —
+    * |cA·totB − cB·totA| in DECIMAL(38,0) (exact integer arithmetic; KL
+    * divergence needs `ln`, which is not bit-guaranteed across engines, so
+    * TV/L∞ are the oracle-checked drift metrics) — then ONE
+    * correctly-rounded double division at the end. NULL metrics when
+    * either histogram is empty. All frames here are ≤ `bins` rows.
+    */
+  def drift(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val zero = lit(0).cast("decimal(38,0)")
+    val j = histA.select(col("bin"), col("cnt").cast("decimal(38,0)").as("_ca"))
+      .join(histB.select(col("bin"), col("cnt").cast("decimal(38,0)").as("_cb")),
+        Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("_ca"), zero).as("_ca"),
+        coalesce(col("_cb"), zero).as("_cb"))
+    val tot = j.agg(sum("_ca").as("_ta"), sum("_cb").as("_tb"))
+    val denom = col("_ta").cast("double") * col("_tb").cast("double")
+    j.crossJoin(broadcast(tot))
+      .withColumn("_num", abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")))
+      .groupBy()
+      .agg(
+        first(col("_ta")).cast("long").as("total_a"),
+        first(col("_tb")).cast("long").as("total_b"),
+        when(min(denom) > 0d,
+          sum(col("_num")).cast("double") / min(denom) / 2.0).as("tv"),
+        when(min(denom) > 0d,
+          max(col("_num")).cast("double") / min(denom)).as("linf"))
+  }
 }

@@ -313,6 +313,47 @@ final case class CmsTransform(
   }
 }
 
+/** Bigram LM behind the config surface — [[graft.llm.LangModel]]:
+  * `mode=trainBigrams`/`mode=trainUnigrams` turn the input view into count
+  * tables over `textField`; `mode=score` scores the input view against the
+  * count views named by `bigramView`/`unigramView` (`vocabSize` ≤ 0 means
+  * "count the unigram view" — a corpus constant the pipeline usually knows).
+  */
+final case class LangModelTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    textField: String = "text",
+    idField: String = "",
+    bigramView: String = "",
+    unigramView: String = "",
+    mode: String = "score",
+    vocabSize: Long = 0L,
+    alpha: Double = 1.0,
+    rareMax: Long = 2L,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "LangModelTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = mode match {
+      case "trainBigrams" => graft.llm.LangModel.bigramCounts(in, textField)
+      case "trainUnigrams" => graft.llm.LangModel.unigramCounts(in, textField)
+      case "score" =>
+        require(idField.nonEmpty && bigramView.nonEmpty && unigramView.nonEmpty,
+          s"$name: score needs idField, bigramView and unigramView")
+        val ug = ctx.view(unigramView)
+        val v = if (vocabSize > 0) vocabSize else ug.count()
+        graft.llm.LangModel.score(in, idField, textField,
+          ctx.view(bigramView), ug, v, alpha, rareMax)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown langmodel mode '$other' (trainBigrams|trainUnigrams|score)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Bloom filter behind the config surface — [[graft.llm.BloomSketch]]:
   * `mode=build` turns the input view into a (word, bits) bitmap over
   * `keyField`; `mode=merge` ORs bitmap segments word-wise;

@@ -506,6 +506,28 @@ class ConfigSpec extends SparkSpec {
     assert(clean == Set("x", "y"), s"anti-join kept $clean")
   }
 
+  test("LangModelTransform train + score run from a config cell") {
+    import spark.implicits._
+    Seq((1L, "a b a b c")).toDF("doc_id", "text").createOrReplaceTempView("lm_train")
+    Seq((10L, "a b c"), (11L, "c z")).toDF("doc_id", "text")
+      .createOrReplaceTempView("lm_probe")
+    val hocon =
+      """{stages: [
+        { type = "LangModelTransform", name = "bg", inputView = lm_train,
+          outputView = lm_bg, mode = trainBigrams },
+        { type = "LangModelTransform", name = "ug", inputView = lm_train,
+          outputView = lm_ug, mode = trainUnigrams },
+        { type = "LangModelTransform", name = "score", inputView = lm_probe,
+          outputView = lm_scored, mode = score, idField = doc_id,
+          bigramView = lm_bg, unigramView = lm_ug }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val rows = spark.table("lm_scored").collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(10L).getLong(1) == 2 && rows(10L).getLong(2) == 0)
+    assert(rows(11L).getLong(1) == 1 && rows(11L).getLong(2) == 1)
+    assert(math.abs(rows(11L).getAs[Double]("ppl") - 4.0) < 1e-12)
+  }
+
   test("LineFilterTransform and QuantizeTransform run from a config cell") {
     val hocon =
       s"""{

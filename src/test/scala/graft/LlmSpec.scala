@@ -710,6 +710,56 @@ class HistSketchSpec extends SparkSpec {
   }
 }
 
+class HistDriftSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.HistSketch
+
+  private def drift1(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+    HistSketch.drift(a, b).collect().head
+
+  test("identical histograms drift zero; disjoint histograms drift one") {
+    val a = Seq((0L, 10L), (1L, 30L)).toDF("bin", "cnt")
+    val same = drift1(a, a.select((col("bin")), (col("cnt") * 5).as("cnt")))
+    // scaling mass doesn't change shares
+    assert(same.getAs[Double]("tv") == 0.0 && same.getAs[Double]("linf") == 0.0, same)
+    val b = Seq((2L, 7L)).toDF("bin", "cnt")
+    val far = drift1(a, b)
+    assert(far.getAs[Double]("tv") == 1.0 && far.getAs[Double]("linf") == 1.0, far)
+    assert(far.getAs[Long]("total_a") == 40L && far.getAs[Long]("total_b") == 7L)
+  }
+
+  test("hand-computed partial shift, exact common-denominator arithmetic") {
+    // A: bin0 3/4, bin1 1/4; B: bin0 1/2, bin1 1/2
+    // |3/4-1/2| = 1/4 per bin → tv = 1/4, linf = 1/4 — all powers of two,
+    // so even the double division is exact
+    val a = Seq((0L, 3L), (1L, 1L)).toDF("bin", "cnt")
+    val b = Seq((0L, 2L), (1L, 2L)).toDF("bin", "cnt")
+    val r = drift1(a, b)
+    assert(r.getAs[Double]("tv") == 0.25 && r.getAs[Double]("linf") == 0.25, r)
+  }
+
+  test("empty side yields NULL metrics, not a division blowup") {
+    val a = Seq((0L, 3L)).toDF("bin", "cnt")
+    val empty = a.filter(col("cnt") < 0)
+    val r = drift1(a, empty)
+    assert(r.isNullAt(r.fieldIndex("tv")) && r.isNullAt(r.fieldIndex("linf")), r)
+  }
+
+  test("drift of merged segments equals drift of one-shot histograms") {
+    val va = spark.range(0, 2000).select((col("id") % 97).cast("double").as("v"))
+    val vb = spark.range(0, 3000).select((col("id") % 83).cast("double").as("v"))
+    val oneShot = drift1(
+      HistSketch.segment(va, col("v"), 0.0, 100.0, 20),
+      HistSketch.segment(vb, col("v"), 0.0, 100.0, 20))
+    val seg = drift1(
+      HistSketch.merge(
+        HistSketch.segment(va.filter(col("v") < 50), col("v"), 0.0, 100.0, 20)
+          .unionByName(HistSketch.segment(va.filter(col("v") >= 50), col("v"), 0.0, 100.0, 20))),
+      HistSketch.segment(vb, col("v"), 0.0, 100.0, 20))
+    assert(oneShot.toSeq == seg.toSeq, s"$oneShot vs $seg")
+  }
+}
+
 class CmsSketchSpec extends SparkSpec {
   import spark.implicits._
   import graft.llm.CmsSketch

@@ -134,6 +134,26 @@ class PlanSpec extends SparkSpec {
     assert(!exchangeArgs.contains("text"), exchangeArgs)
   }
 
+  test("q151: LM-scoring exchanges carry (id, grams, counts) — never document text") {
+    val plan = formatted(SparkEntry.queries("q151_lm_novelty")(spark, sf()))
+    // walk each Exchange node's detail block: its Input column list is the
+    // schema that actually crosses the wire — none may include `text`
+    val lines = plan.linesIterator.toVector
+    val nodeHeader = "^\\(\\d+\\) (.*)$".r
+    var inExchange = false
+    val exchangeDetail = new StringBuilder
+    for (l <- lines) l.trim match {
+      case nodeHeader(name) =>
+        inExchange = name.startsWith("Exchange")
+        if (inExchange) exchangeDetail.append(l).append('\n')
+      case body =>
+        if (inExchange) exchangeDetail.append(body).append('\n')
+    }
+    val detail = exchangeDetail.toString
+    assert(detail.nonEmpty, plan)
+    assert(!detail.contains("text"), s"document text crossed an exchange:\n$detail")
+  }
+
   test("line filter and int8 quantization are pure narrow maps — zero exchanges") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val lfPlan = formatted(graft.llm.LineFilter.clean(docs, "doc_id", "text"))

@@ -2236,13 +2236,20 @@ object SparkEntry {
           SELECT COALESCE(ha.bin, hb.bin) AS bin,
                  COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
           FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+        jc AS (
+          SELECT bin, ca, cb,
+                 SUM(ca) OVER (ORDER BY bin) AS cuma,
+                 SUM(cb) OVER (ORDER BY bin) AS cumb
+          FROM j),
         t AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM j)
         SELECT CAST(t.ta AS BIGINT) AS total_a, CAST(t.tb AS BIGINT) AS total_b,
-               CAST(SUM(ABS(CAST(j.ca AS HUGEINT) * t.tb - CAST(j.cb AS HUGEINT) * t.ta)) AS DOUBLE)
+               CAST(SUM(ABS(CAST(jc.ca AS HUGEINT) * t.tb - CAST(jc.cb AS HUGEINT) * t.ta)) AS DOUBLE)
                  / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)) / 2.0 AS tv,
-               CAST(MAX(ABS(CAST(j.ca AS HUGEINT) * t.tb - CAST(j.cb AS HUGEINT) * t.ta)) AS DOUBLE)
-                 / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)) AS linf
-        FROM j, t GROUP BY t.ta, t.tb""",
+               CAST(MAX(ABS(CAST(jc.ca AS HUGEINT) * t.tb - CAST(jc.cb AS HUGEINT) * t.ta)) AS DOUBLE)
+                 / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)) AS linf,
+               CAST(MAX(ABS(CAST(jc.cuma AS HUGEINT) * t.tb - CAST(jc.cumb AS HUGEINT) * t.ta)) AS DOUBLE)
+                 / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)) AS ks
+        FROM jc, t GROUP BY t.ta, t.tb""",
     "q151_lm_novelty" ->
       // same tokenization as the Spark side (lower + split on
       // non-alphanumerics, empties dropped); bigrams via zipped shifted

@@ -101,15 +101,20 @@ object HistSketch {
     *  - tv   — total-variation distance ∈ [0,1]:
     *           ½ Σ_bins |cA/totA − cB/totB|;
     *  - linf — the largest single-bin share shift, max_bins of the same
-    *           |difference|.
+    *           |difference|;
+    *  - ks   — the Kolmogorov–Smirnov statistic, max over bin edges of
+    *           |cumA/totA − cumB/totB| (the standard two-sample drift
+    *           test, up to binning resolution).
     *
-    * Engine-exact by the same discipline as the binning: the per-bin
+    * Engine-exact by the same discipline as the binning: every per-bin
     * difference is computed over common denominators —
-    * |cA·totB − cB·totA| in DECIMAL(38,0) (exact integer arithmetic; KL
-    * divergence needs `ln`, which is not bit-guaranteed across engines, so
-    * TV/L∞ are the oracle-checked drift metrics) — then ONE
-    * correctly-rounded double division at the end. NULL metrics when
-    * either histogram is empty. All frames here are ≤ `bins` rows.
+    * |cA·totB − cB·totA| (cumulative counts for ks) in DECIMAL(38,0)
+    * exact integer arithmetic (KL divergence needs `ln`, which is not
+    * bit-guaranteed across engines, so TV/L∞/KS are the oracle-checked
+    * drift metrics) — then ONE correctly-rounded double division at the
+    * end. NULL metrics when either histogram is empty. All frames here
+    * are ≤ `bins` rows, so the cumulative window is bounded by
+    * construction, never over data.
     */
   def drift(histA: DataFrame, histB: DataFrame): DataFrame = {
     val zero = lit(0).cast("decimal(38,0)")
@@ -119,10 +124,15 @@ object HistSketch {
       .select(col("bin"),
         coalesce(col("_ca"), zero).as("_ca"),
         coalesce(col("_cb"), zero).as("_cb"))
+    val cw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = j
+      .withColumn("_cuma", sum("_ca").over(cw))
+      .withColumn("_cumb", sum("_cb").over(cw))
     val tot = j.agg(sum("_ca").as("_ta"), sum("_cb").as("_tb"))
     val denom = col("_ta").cast("double") * col("_tb").cast("double")
-    j.crossJoin(broadcast(tot))
+    cum.crossJoin(broadcast(tot))
       .withColumn("_num", abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")))
+      .withColumn("_knum", abs(col("_cuma") * col("_tb") - col("_cumb") * col("_ta")))
       .groupBy()
       .agg(
         first(col("_ta")).cast("long").as("total_a"),
@@ -130,6 +140,8 @@ object HistSketch {
         when(min(denom) > 0d,
           sum(col("_num")).cast("double") / min(denom) / 2.0).as("tv"),
         when(min(denom) > 0d,
-          max(col("_num")).cast("double") / min(denom)).as("linf"))
+          max(col("_num")).cast("double") / min(denom)).as("linf"),
+        when(min(denom) > 0d,
+          max(col("_knum")).cast("double") / min(denom)).as("ks"))
   }
 }

@@ -722,9 +722,11 @@ class HistDriftSpec extends SparkSpec {
     val same = drift1(a, a.select((col("bin")), (col("cnt") * 5).as("cnt")))
     // scaling mass doesn't change shares
     assert(same.getAs[Double]("tv") == 0.0 && same.getAs[Double]("linf") == 0.0, same)
+    assert(same.getAs[Double]("ks") == 0.0, same)
     val b = Seq((2L, 7L)).toDF("bin", "cnt")
     val far = drift1(a, b)
     assert(far.getAs[Double]("tv") == 1.0 && far.getAs[Double]("linf") == 1.0, far)
+    assert(far.getAs[Double]("ks") == 1.0, far)
     assert(far.getAs[Long]("total_a") == 40L && far.getAs[Long]("total_b") == 7L)
   }
 
@@ -736,13 +738,16 @@ class HistDriftSpec extends SparkSpec {
     val b = Seq((0L, 2L), (1L, 2L)).toDF("bin", "cnt")
     val r = drift1(a, b)
     assert(r.getAs[Double]("tv") == 0.25 && r.getAs[Double]("linf") == 0.25, r)
+    // cum at bin0: |3/4 - 1/2| = 1/4; at bin1: 0
+    assert(r.getAs[Double]("ks") == 0.25, r)
   }
 
   test("empty side yields NULL metrics, not a division blowup") {
     val a = Seq((0L, 3L)).toDF("bin", "cnt")
     val empty = a.filter(col("cnt") < 0)
     val r = drift1(a, empty)
-    assert(r.isNullAt(r.fieldIndex("tv")) && r.isNullAt(r.fieldIndex("linf")), r)
+    assert(r.isNullAt(r.fieldIndex("tv")) && r.isNullAt(r.fieldIndex("linf"))
+      && r.isNullAt(r.fieldIndex("ks")), r)
   }
 
   test("drift of merged segments equals drift of one-shot histograms") {

@@ -102,4 +102,53 @@ object Decontaminate {
       .distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** [[overlap]] for eval sets too large to broadcast (10^9-gram blocklists):
+    * the train gram stream pre-filters against the [[BloomSketch]] bitmap of
+    * eval grams — definite-nots, the overwhelming majority of a typical
+    * corpus, never reach the semi-join; only true hits + ~fp·|grams|
+    * collisions do, and the exact semi-join scrubs the collisions. No false
+    * negatives ⇒ the result EXACTLY equals [[overlap]] (spec-pinned). The
+    * bitmap is `bits/8` bytes regardless of eval size — broadcastable when
+    * the gram set itself is not.
+    */
+  def overlapBloom(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      bits: Long = 1L << 26,
+      hashes: Int = 5
+  ): DataFrame = {
+    val evalGrams = evalGramSet(eval, evalTextCol, n, hashed = true)
+    val sketch = BloomSketch.build(evalGrams, col("_gram"), bits, hashes)
+    val maybes = BloomSketch
+      .mightContain(sketch, explodedGrams(train, idCol, textCol, n, hashed = true),
+        col("_gram"), bits, hashes, "_mc")
+      .filter(col("_mc")).drop("_mc")
+    maybes
+      .join(evalGrams, Seq("_gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+  }
+
+  /** [[clean]] at blocklist scale — see [[overlapBloom]]; exactly equals
+    * [[clean]] with hashed keys.
+    */
+  def cleanBloom(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      bits: Long = 1L << 26,
+      hashes: Int = 5
+  ): DataFrame =
+    train.join(
+      overlapBloom(train, idCol, textCol, eval, evalTextCol, n, bits, hashes)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

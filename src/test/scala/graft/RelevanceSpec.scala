@@ -42,6 +42,30 @@ class DecontaminateSpec extends SparkSpec {
     assert(rows(hashed = true) == rows(hashed = false))
   }
 
+  test("bloom-prefiltered overlap/clean equal the exact paths, even collision-heavy") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val ev = docs.filter(col("doc_id") % 17 === 0)
+    val tr = docs.filter(col("doc_id") % 17 =!= 0)
+    // 512 bits for thousands of eval grams: nearly every probe reads maybe —
+    // the exact semi-join must scrub every collision; and a well-sized
+    // filter must produce the identical result by the no-false-negatives
+    // contract
+    for (bits <- Seq(512L, 1L << 20)) {
+      val got = Decontaminate.overlapBloom(tr, "doc_id", "text", ev, "text",
+          n = 4, bits = bits, hashes = 3)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      val want = Decontaminate.overlap(tr, "doc_id", "text", ev, "text", n = 4)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(got == want, s"overlapBloom(bits=$bits) diverged: ${got.size} vs ${want.size}")
+      val keptB = Decontaminate.cleanBloom(tr, "doc_id", "text", ev, "text",
+          n = 4, bits = bits, hashes = 3)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val kept = Decontaminate.clean(tr, "doc_id", "text", ev, "text", n = 4)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(keptB == kept, s"cleanBloom(bits=$bits) diverged")
+    }
+  }
+
   test("overlap is empty when the eval set shares nothing") {
     val ev = Seq((9L, "zz yy xx ww vv uu")).toDF("id", "text")
     assert(Decontaminate.overlap(train, "id", "text", ev, "text", n = 4).count() == 0L)

@@ -80,6 +80,12 @@ object Completions {
     Completion("IndexDedupTransform",
       "{type = \"IndexDedupTransform\", name = \"ingest\", inputView = \"batch\", outputView = \"kept\",\n" +
         " indexURI = \"/path/idx\", idField = \"id\", textField = \"text\", action = \"filter\"}"),
+    Completion("BloomTransform",
+      "{type = \"BloomTransform\", name = \"scrub\", inputView = \"corpus\", outputView = \"clean\",\n" +
+        " keyField = \"id\", mode = \"antiJoin\", filterView = \"blocklist\", bits = 4194304, hashes = 5}"),
+    Completion("LangModelTransform",
+      "{type = \"LangModelTransform\", name = \"score\", inputView = \"docs\", outputView = \"scored\",\n" +
+        " idField = \"doc_id\", textField = \"text\", mode = \"score\", bigramView = \"bg\", unigramView = \"ug\"}"),
     Completion("%explain", "%explain viewName mode=formatted"),
     Completion("%version", "%version"),
     Completion("%help", "%help")

@@ -2282,18 +2282,21 @@ object SparkEntry {
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id""",
     "q149_bloom_membership" ->
-      // same md5-prefix positions as BloomSketch (the CmsSketch '0x'||hex8
-      // trick); the bitmap forgets which hash set a bit, so membership ≡
-      // every probe position ∈ the DISTINCT set of positions touched at
-      // build time
+      // same Kirsch–Mitzenmacher positions as BloomSketch: (h1 + i·h2) mod
+      // bits with h1/h2 the two 32-bit halves of one md5 (the CmsSketch
+      // '0x'||hex8 trick, twice); the bitmap forgets which hash set a bit,
+      // so membership ≡ every probe position ∈ the DISTINCT set of
+      // positions touched at build time
       """WITH hs AS (SELECT unnest([0, 1, 2]) AS i),
         setbits AS (
           SELECT DISTINCT
-                 CAST('0x' || substr(md5(CAST(m.doc_id AS VARCHAR) || ':' || CAST(hs.i AS VARCHAR)), 1, 8) AS BIGINT) % 65536 AS p
+                 (CAST('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  + hs.i * CAST('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 9, 8) AS BIGINT)) % 65536 AS p
           FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) m, hs),
         probes AS (
           SELECT d.doc_id,
-                 CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(hs.i AS VARCHAR)), 1, 8) AS BIGINT) % 65536 AS p
+                 (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  + hs.i * CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 9, 8) AS BIGINT)) % 65536 AS p
           FROM documents d, hs)
         SELECT pr.doc_id,
                pr.doc_id % 3 = 0 AS is_member,

@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * runtime-filter idea Spark applies to equi-joins internally, made
   * persistable and incrementally mergeable.
   *
-  * Deterministic by construction (the [[CmsSketch]] discipline): hash i of a
-  * key sets bit `hex32(md5(key ':' i)) mod bits` — md5 and the 32-bit hex
-  * prefix are engine-universal, so an external engine reproduces membership
-  * bit-for-bit (q149's DuckDB oracle does). Contrast
+  * Deterministic by construction (the [[CmsSketch]] discipline): hash i of
+  * a key sets bit `(h1 + i·h2) mod bits`, with h1/h2 the two unsigned
+  * 32-bit halves of ONE md5 — Kirsch–Mitzenmacher double hashing, so k
+  * positions cost one string hash, and md5 + hex halves are
+  * engine-universal: an external engine reproduces membership bit-for-bit
+  * (q149's DuckDB oracle does). Contrast
   * `DataFrameStatFunctions.bloomFilter`, which materializes the bitmap on
   * the DRIVER as a JVM object: not a DataFrame, not storable as a table,
   * not mergeable from stored segments, and murmur-layout-specific.
@@ -38,20 +40,28 @@ import org.apache.spark.sql.functions._
   */
 object BloomSketch {
 
-  /** Explode each key into its `hashes` bit positions `_p`, keeping `keep`
-    * alongside: position i is `hex32(md5(key ':' i)) mod bits` — the same
-    * engine-universal md5-prefix layout as [[CmsSketch]]'s bucket.
+  /** Position of hash function `i` for the md5 of a key, by the standard
+    * Kirsch–Mitzenmacher double-hashing scheme: `(h1 + i·h2) mod bits`,
+    * with h1/h2 the two unsigned 32-bit halves of ONE md5 prefix. ONE md5
+    * per key serves all `hashes` positions — at 100 TB the probe side pays
+    * one string hash per row, not k — and the layout stays engine-exact
+    * (the q149 oracle splits the same hex). h1 + i·h2 < (i+1)·2^32 never
+    * overflows a long.
     */
+  private def kmPosition(md5Hex: Column, i: Column, bits: Long): Column =
+    (conv(substring(md5Hex, 1, 8), 16, 10).cast("long") +
+      i.cast("long") * conv(substring(md5Hex, 9, 8), 16, 10).cast("long")) % bits
+
+  /** Explode each key into its `hashes` bit positions `_p`, keeping `keep`
+    * alongside. */
   private def explodedPositions(df: DataFrame, key: Column, bits: Long, hashes: Int,
       keep: Seq[(Column, String)]): DataFrame = {
-    val p = conv(substring(md5(concat(col("_k"), lit(":"), col("_i").cast("string"))), 1, 8), 16, 10)
-      .cast("long") % bits
     // keep-expressions evaluate in the FIRST select (they reference df's
     // columns); later selects refer to them by alias only
     val kept = keep.map { case (_, n) => col(n) }
-    df.select(keep.map { case (c, n) => c.as(n) } :+ key.cast("string").as("_k"): _*)
-      .select(kept :+ col("_k") :+ explode(array((0 until hashes).map(lit): _*)).as("_i"): _*)
-      .withColumn("_p", p)
+    df.select(keep.map { case (c, n) => c.as(n) } :+ md5(key.cast("string")).as("_kh"): _*)
+      .select(kept :+ col("_kh") :+ explode(array((0 until hashes).map(lit): _*)).as("_i"): _*)
+      .withColumn("_p", kmPosition(col("_kh"), col("_i"), bits))
   }
 
   /** Build the bitmap over `key`. Output schema: (word, bits) — a sparse
@@ -95,15 +105,14 @@ object BloomSketch {
       bits: Long = 1L << 22, hashes: Int = 5,
       resultCol: String = "might_contain"): DataFrame = {
     require(bits > 0 && hashes > 0, s"bits/hashes must be positive, got $bits/$hashes")
-    val reserved = (0 until hashes).flatMap(i => Seq(s"_p$i", s"_w$i", s"_m$i", s"_b$i")) :+ "_k"
+    val reserved = (0 until hashes).flatMap(i => Seq(s"_p$i", s"_w$i", s"_m$i", s"_b$i")) :+ "_kh"
     val clash = keys.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"input columns collide with mightContain internals: ${clash.mkString(", ")}")
-    val withKey = keys.withColumn("_k", key.cast("string"))
+    // ONE md5 per probe row; each hash function is integer arithmetic on it
+    val withKey = keys.withColumn("_kh", md5(key.cast("string")))
     val joined = (0 until hashes).foldLeft(withKey) { (d, i) =>
-      val p = conv(substring(md5(concat(col("_k"), lit(s":$i"))), 1, 8), 16, 10)
-        .cast("long") % bits
-      d.withColumn(s"_p$i", p)
+      d.withColumn(s"_p$i", kmPosition(col("_kh"), lit(i), bits))
         .withColumn(s"_w$i", floor(col(s"_p$i") / 64).cast("long"))
         .withColumn(s"_m$i", expr(s"shiftleft(1L, CAST(_p$i % 64 AS INT))"))
         .join(broadcast(sketch.select(col("word").as(s"_w$i"), col("bits").as(s"_b$i"))),

@@ -116,24 +116,44 @@ object HistSketch {
     * are ≤ `bins` rows, so the cumulative window is bounded by
     * construction, never over data.
     */
-  def drift(histA: DataFrame, histB: DataFrame): DataFrame = {
+  def drift(histA: DataFrame, histB: DataFrame): DataFrame =
+    driftBy(histA, histB, Nil)
+
+  /** Per-group [[drift]]: one (groupCols…, total_a, total_b, tv, linf, ks)
+    * row per group appearing in either histogram — the per-source /
+    * per-language drift monitor over [[segmentBy]] output. Group keys
+    * travel struct-wrapped (the [[Sampling]] discipline) so a NULL group
+    * value is its own group on BOTH sides rather than silently failing the
+    * join. All frames are ≤ #groups × bins rows; every window partitions
+    * by group. A group present on only one side reports NULL metrics
+    * (nothing to compare against), like the empty-histogram case. Empty
+    * `groupCols` = the global [[drift]].
+    */
+  def driftBy(histA: DataFrame, histB: DataFrame, groupCols: Seq[String]): DataFrame = {
     val zero = lit(0).cast("decimal(38,0)")
-    val j = histA.select(col("bin"), col("cnt").cast("decimal(38,0)").as("_ca"))
-      .join(histB.select(col("bin"), col("cnt").cast("decimal(38,0)").as("_cb")),
-        Seq("bin"), "full_outer")
-      .select(col("bin"),
+    val gks = groupCols.indices.map(i => s"_gk$i")
+    val kcols = gks.map(col)
+    def wrap(h: DataFrame, cnt: String) = h.select(
+      groupCols.zip(gks).map { case (g, k) => struct(col(g)).as(k) }
+        ++ Seq(col("bin"), col("cnt").cast("decimal(38,0)").as(cnt)): _*)
+    val j = wrap(histA, "_ca")
+      .join(wrap(histB, "_cb"), (gks :+ "bin").toSeq, "full_outer")
+      .select(kcols ++ Seq(col("bin"),
         coalesce(col("_ca"), zero).as("_ca"),
-        coalesce(col("_cb"), zero).as("_cb"))
-    val cw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        coalesce(col("_cb"), zero).as("_cb")): _*)
+    val cw = Window.partitionBy(kcols: _*).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = j
       .withColumn("_cuma", sum("_ca").over(cw))
       .withColumn("_cumb", sum("_cb").over(cw))
-    val tot = j.agg(sum("_ca").as("_ta"), sum("_cb").as("_tb"))
+    val tw = Window.partitionBy(kcols: _*)
     val denom = col("_ta").cast("double") * col("_tb").cast("double")
-    cum.crossJoin(broadcast(tot))
+    val out = cum
+      .withColumn("_ta", sum("_ca").over(tw))
+      .withColumn("_tb", sum("_cb").over(tw))
       .withColumn("_num", abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")))
       .withColumn("_knum", abs(col("_cuma") * col("_tb") - col("_cumb") * col("_ta")))
-      .groupBy()
+      .groupBy(kcols: _*)
       .agg(
         first(col("_ta")).cast("long").as("total_a"),
         first(col("_tb")).cast("long").as("total_b"),
@@ -143,5 +163,8 @@ object HistSketch {
           max(col("_num")).cast("double") / min(denom)).as("linf"),
         when(min(denom) > 0d,
           max(col("_knum")).cast("double") / min(denom)).as("ks"))
+    out.select(
+      groupCols.zip(gks).map { case (g, k) => col(k).getField(g).as(g) }
+        ++ Seq(col("total_a"), col("total_b"), col("tv"), col("linf"), col("ks")): _*)
   }
 }

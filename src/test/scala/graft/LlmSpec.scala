@@ -750,6 +750,29 @@ class HistDriftSpec extends SparkSpec {
       && r.isNullAt(r.fieldIndex("ks")), r)
   }
 
+  test("driftBy matches per-group drift(), NULL groups included") {
+    val a = Seq(("s1", 0L, 3L), ("s1", 1L, 1L), ("s2", 0L, 5L), (null, 0L, 2L), (null, 1L, 2L))
+      .toDF("src", "bin", "cnt")
+    val b = Seq(("s1", 0L, 2L), ("s1", 1L, 2L), ("s3", 0L, 4L), (null, 0L, 4L), (null, 1L, 4L))
+      .toDF("src", "bin", "cnt")
+    val by = HistSketch.driftBy(a, b, Seq("src")).collect()
+      .map(r => Option(r.getString(0)) -> r).toMap
+    assert(by.keySet == Set(Some("s1"), Some("s2"), Some("s3"), None), by.keySet)
+    // s1 must equal the global drift of the s1 slices
+    val s1Global = drift1(a.filter(col("src") === "s1").drop("src"),
+      b.filter(col("src") === "s1").drop("src"))
+    assert(by(Some("s1")).getAs[Double]("tv") == s1Global.getAs[Double]("tv"))
+    assert(by(Some("s1")).getAs[Double]("ks") == s1Global.getAs[Double]("ks"))
+    // the NULL group is compared across sides, not dropped: identical
+    // shares scaled 2× → zero drift
+    assert(by(None).getAs[Double]("tv") == 0.0 && by(None).getAs[Double]("ks") == 0.0, by(None))
+    // one-sided groups report NULL metrics
+    assert(by(Some("s2")).isNullAt(by(Some("s2")).fieldIndex("tv")))
+    assert(by(Some("s3")).isNullAt(by(Some("s3")).fieldIndex("tv")))
+    assert(by(Some("s2")).getAs[Long]("total_a") == 5L
+      && by(Some("s2")).getAs[Long]("total_b") == 0L)
+  }
+
   test("drift of merged segments equals drift of one-shot histograms") {
     val va = spark.range(0, 2000).select((col("id") % 97).cast("double").as("v"))
     val vb = spark.range(0, 3000).select((col("id") % 83).cast("double").as("v"))

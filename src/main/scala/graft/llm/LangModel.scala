@@ -58,6 +58,18 @@ object LangModel {
     corpus.select(explode(tokens(col(textCol))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cnt"))
 
+  /** Sum of bigram-count segments — the counts are linear (like
+    * [[CmsSketch]]), so per-batch segments persisted to a store merge into
+    * exactly the one-shot corpus counts: the incremental-training-corpus
+    * path, no raw-data rescan.
+    */
+  def mergeBigrams(segments: DataFrame): DataFrame =
+    segments.groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
+
+  /** Sum of unigram-count segments; see [[mergeBigrams]]. */
+  def mergeUnigrams(segments: DataFrame): DataFrame =
+    segments.groupBy("w1").agg(sum("cnt").as("cnt"))
+
   /** Per-document LM score against trained counts. Output: the id column +
     *  - n_bigrams  — bigrams in the doc (0 for docs under 2 tokens);
     *  - n_unseen   — bigrams absent from the training counts;

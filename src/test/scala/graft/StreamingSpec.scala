@@ -234,6 +234,37 @@ class StreamingSpec extends SparkSpec {
     assert(merged == oneShot, s"merged ${merged.size} words != batch ${oneShot.size}")
   }
 
+  test("streaming LM counts: per-microbatch gram segments merge to the batch counts") {
+    // the fifth mergeable-segment leg (HLL, CMS, histogram, Bloom): bigram
+    // counts are linear, so a model trained from streamed daily segments
+    // must equal the one-shot batch training exactly
+    import org.apache.spark.sql.functions.col
+    // the sf documents table is a single parquet FILE; a file stream source
+    // needs a directory — multiple files also force multiple micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("lmstream").toString
+    val docsPath = s"$dir/docs"
+    spark.read.parquet(s"${sf()}/documents.parquet").repartition(3)
+      .write.mode("overwrite").parquet(docsPath)
+    val schema = spark.read.parquet(docsPath).schema
+    val segDir = "/tmp/graft_test_lm_segs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(segDir))
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1).schema(schema).parquet(docsPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.llm.LangModel.bigramCounts(batch, "text")
+          .write.mode("append").parquet(segDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val merged = graft.llm.LangModel.mergeBigrams(spark.read.parquet(segDir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val oneShot = graft.llm.LangModel.bigramCounts(spark.read.parquet(docsPath), "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(merged == oneShot, s"merged ${merged.size} grams != batch ${oneShot.size}")
+  }
+
   test("streaming histogram: per-microbatch segments merge to the one-shot histogram") {
     // The third mergeable-sketch leg (HLL and CMS have this case; the
     // histogram must too): each micro-batch bins `value` into a tiny

@@ -134,6 +134,11 @@ object BloomSketch {
     * No false negatives ⇒ every discarded-from-checking row is truly
     * absent ⇒ the union is exactly the anti-join, at a fraction of the
     * join input.
+    *
+    * Cost shape: `big` is scanned twice (once per branch), both times
+    * narrowly — the trade is two cheap scans against shuffling the full
+    * corpus into a merge join, which wins whenever shuffle write+read
+    * outweighs a scan (always, at the 100 TB blocklist shape this targets).
     */
   def antiJoin(big: DataFrame, bigKey: Column, small: DataFrame, smallKey: Column,
       bits: Long = 1L << 22, hashes: Int = 5): DataFrame = {

@@ -167,4 +167,49 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rerun.exceptAll(packed).count() == 0 && packed.exceptAll(rerun).count() == 0,
       "composed pipeline is not deterministic")
   }
+
+  test("bloom decontaminate -> LM novelty gate -> hash split -> drift check compose") {
+    // The round-12 curation pipeline end-to-end: scrub eval overlap with
+    // the bloom-prefiltered path (exact), score LM novelty against the
+    // kept corpus's own counts, gate the noisiest tail off, split
+    // train/val deterministically, and confirm via the drift monitor that
+    // the split halves have (near-)identical length distributions while
+    // the gated-out tail does not.
+    import org.apache.spark.sql.functions._
+    import graft.llm.{BloomSketch, Decontaminate, HistSketch, LangModel, Sampling}
+
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+    val evalSet = docs.filter(col("doc_id") % 17 === 0)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+
+    val clean = Decontaminate.cleanBloom(train, "doc_id", "text", evalSet, "text",
+      n = 4, bits = 1L << 18, hashes = 3)
+    val exact = Decontaminate.clean(train, "doc_id", "text", evalSet, "text", n = 4)
+    assert(clean.count() == exact.count(), "bloom decontamination diverged from exact")
+
+    val bg = LangModel.bigramCounts(clean, "text")
+    val ug = LangModel.unigramCounts(clean, "text")
+    val scored = LangModel.score(clean, "doc_id", "text", bg, ug, ug.count())
+    assert(scored.filter(col("n_unseen") =!= 0L).count() == 0,
+      "self-trained model must see every kept bigram")
+
+    val split = Sampling.hashSplit(scored.join(clean, Seq("doc_id")),
+      col("doc_id"), Seq("train" -> 0.5, "val" -> 0.5), salt = "i2")
+    val d = HistSketch.drift(
+      HistSketch.segment(split.filter(col("split") === "train"), col("n_chars"), 0, 600, 16),
+      HistSketch.segment(split.filter(col("split") === "val"), col("n_chars"), 0, 600, 16))
+      .collect().head
+    // a hash split is distribution-blind: the halves' length histograms
+    // must be close (not exactly zero — finite sample)
+    assert(d.getAs[Double]("ks") < 0.2, s"hash split skewed the distribution: $d")
+    // while a length-biased selection must show up as maximal drift (300
+    // is exactly bin edge 8 of 16 over [0,600), so the two sides share no
+    // bin and KS must saturate)
+    val biased = HistSketch.drift(
+      HistSketch.segment(split.filter(col("n_chars") < 300), col("n_chars"), 0, 600, 16),
+      HistSketch.segment(split.filter(col("n_chars") >= 300), col("n_chars"), 0, 600, 16))
+      .collect().head
+    assert(biased.getAs[Double]("ks") == 1.0, s"disjoint length ranges must max the KS: $biased")
+  }
 }

@@ -180,6 +180,45 @@ class PropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("hashSplit: bands partition every row; edges move without reshuffling interiors") {
+    // Spark-backed property (few iterations): for random positive fractions
+    // (normalized to sum 1), every row gets exactly one label, the first
+    // band equals hashSample at the same rate/salt, and growing the LAST
+    // band's fraction at the expense of the first never moves a row
+    // between the MIDDLE bands (band edges move, interiors stay put) —
+    // the re-splittability contract training pipelines rely on.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fracsGen = Gen.listOfN(3, Gen.choose(1, 10)).suchThat(_.sum > 0)
+    val prop = Prop.forAll(fracsGen, Gen.choose(50, 200)) { (ws, n) =>
+      val total = ws.sum.toDouble
+      val fracs = ws.map(_ / total)
+      val labels = Seq("train", "val", "test")
+      val df = spark.range(0, n.toLong).toDF("id")
+      val split = graft.llm.Sampling.hashSplit(df, col("id"), labels.zip(fracs), salt = "p")
+        .select("id", "split").as[(Long, String)].collect().toMap
+      val coversAll = split.size == n && split.values.forall(labels.contains)
+      val firstBand = split.filter(_._2 == "train").keySet
+      val sampled = graft.llm.Sampling.hashSample(df, col("id"), fracs.head, salt = "p")
+        .select("id").as[Long].collect().toSet
+      // shrink the first band into the last: middle band membership is stable
+      val eps = fracs.head / 2
+      val moved = graft.llm.Sampling.hashSplit(df, col("id"),
+          labels.zip(Seq(fracs(0) - eps, fracs(1), fracs(2) + eps)), salt = "p")
+        .select("id", "split").as[(Long, String)].collect().toMap
+      // both band edges move LEFT by eps: an old-val row can only stay val
+      // or fall into test, and a new-val row can only have been train or val
+      val valStable = split.filter(_._2 == "val").keySet
+        .subsetOf(moved.filter(m => m._2 == "val" || m._2 == "test").keySet) &&
+        moved.filter(_._2 == "val").keySet
+          .subsetOf(split.filter(s => s._2 == "train" || s._2 == "val").keySet)
+      coversAll && firstBand == sampled && valStable
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("metadata schema JSON round-trip preserves name/type/nullable") {
     import graft.schema.{FieldSpec, MetadataSchema}
     import org.apache.spark.sql.types._

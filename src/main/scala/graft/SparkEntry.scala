@@ -1118,8 +1118,11 @@ object SparkEntry {
       val li = ctx.view("lineitem")
       val urgent = ctx.view("orders")
         .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      // 2^20 bits ≈ 17/key for sf0.1's ~60k urgent orders (fp ≈ 0.4%);
+      // bits size only the pre-filter's selectivity — the result is exact
+      // at any sizing, so the oracle (plain NOT IN) is unaffected
       BloomSketch.antiJoin(li, col("l_orderkey"), urgent, col("o_orderkey"),
-          bits = 65536L, hashes = 3)
+          bits = 1L << 20, hashes = 3)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
@@ -1156,6 +1159,20 @@ object SparkEntry {
       HistSketch.drift(
         HistSketch.segment(en, col("n_chars"), 0.0, 600.0, 32),
         HistSketch.segment(rest, col("n_chars"), 0.0, 600.0, 32))
+    },
+    "q153_token_budget" -> withViews("documents") { (spark, ctx) =>
+      // Token-budget mixture (Sampling.tokenBudgetSample): each language
+      // contributes at most its token budget, rows chosen in salted-hash
+      // order — the unit real training mixes are specified in. Integer
+      // prefix sums are engine-exact, so the oracle reproduces the kept
+      // set bit-for-bit via the window formulation the slicedPrefix shape
+      // replaces at scale.
+      graft.llm.Sampling.tokenBudgetSample(
+          ctx.view("documents"), "lang", col("n_chars"),
+          Map("en" -> 60000L, "fr" -> 25000L), default = 15000L,
+          key = col("doc_id"), salt = "b1")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
     },
     "q63_sessionization" -> pipe("events")(
       """WITH marked AS (
@@ -2219,6 +2236,19 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q153_token_budget" ->
+      // the window formulation of the slicedPrefix shape: integer cumulative
+      // n_chars in salted-md5 order per language, kept while <= the budget
+      """WITH c AS (
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                 SUM(COALESCE(CAST(n_chars AS BIGINT), 0)) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'b1')
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+        SELECT doc_id, lang, n_chars FROM c
+        WHERE cum <= CASE lang WHEN 'en' THEN 60000 WHEN 'fr' THEN 25000 ELSE 15000 END
+        ORDER BY doc_id""",
     "q152_hist_drift" ->
       // same 3-IEEE-op binning as q142/q144; drift numerators in HUGEINT
       // (exact, mirroring Spark's DECIMAL(38,0)), one double division last

@@ -41,7 +41,22 @@ object Sampling {
     * group) and `_n` (group size). Ties in `h` rank arbitrarily but count
     * correctly (same contract as a window rank); callers use a unique key.
     */
-  private[llm] def rankedByHash(df: DataFrame, groupCols: Seq[String], h: Column): DataFrame = {
+  private[llm] def rankedByHash(df: DataFrame, groupCols: Seq[String], h: Column): DataFrame =
+    slicedPrefix(df, groupCols, h, lit(1L))
+      .withColumnRenamed("_cum", "_rn")
+      .withColumnRenamed("_tot", "_n")
+
+  /** The generalized slice engine behind [[rankedByHash]] and
+    * [[tokenBudgetSample]]: inclusive prefix sum of `w` in `h` order
+    * within each group, plus the group total — WITHOUT a per-group window
+    * over the data. With `w = 1` the prefix sum IS the rank and the total
+    * the group size. Output: the input columns + `_cum` + `_tot`.
+    *
+    * Ties in `h` accumulate in arbitrary order between the tied rows (the
+    * same contract as rankedByHash's rank ties); callers hash a unique key.
+    */
+  private[llm] def slicedPrefix(df: DataFrame, groupCols: Seq[String], h: Column,
+      w: Column): DataFrame = {
     // Group keys travel STRUCT-WRAPPED throughout: struct equality treats a
     // null field as equal to a null field (row-comparison semantics), so a
     // NULL group value is its own stratum — the window formulation this
@@ -50,27 +65,29 @@ object Sampling {
     // join condition) keeps ONE key expression across the range partition,
     // the window, and the join, preserving exchange reuse.
     val gks = groupCols.indices.map(i => s"_gk$i")
-    val reserved = Set("_h", "_gp", "_lrn", "_off", "_n", "_rn", "_c") ++ gks
+    val reserved = Set("_h", "_w", "_gp", "_lcum", "_off", "_tot", "_cum", "_c",
+      "_rn", "_n") ++ gks
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty,
-      s"input columns collide with rankedByHash internals: ${clash.mkString(", ")} — rename them")
+      s"input columns collide with slicedPrefix internals: ${clash.mkString(", ")} — rename them")
     val kcols = gks.map(col)
     val withKeys = groupCols.zip(gks).foldLeft(df) { case (d, (g, k)) =>
       d.withColumn(k, struct(col(g)))
     }
     val ranged = graft.core.Lineage.pin(
-      withKeys.withColumn("_h", h)
+      withKeys.withColumn("_h", h).withColumn("_w", coalesce(w.cast("long"), lit(0L)))
         .repartitionByRange(kcols :+ col("_h"): _*)
         .withColumn("_gp", spark_partition_id()))
-    val counts = ranged.groupBy(col("_gp") +: kcols: _*).agg(count(lit(1)).as("_c"))
+    val counts = ranged.groupBy(col("_gp") +: kcols: _*).agg(sum("_w").as("_c"))
     val perGroup = Window.partitionBy(kcols: _*)
     val stats = counts
       .withColumn("_off", coalesce(
         sum("_c").over(perGroup.orderBy("_gp").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .withColumn("_n", sum("_c").over(perGroup))
-      .select(col("_gp") +: kcols :+ col("_off") :+ col("_n"): _*)
+      .withColumn("_tot", sum("_c").over(perGroup))
+      .select(col("_gp") +: kcols :+ col("_off") :+ col("_tot"): _*)
     val sliceW = Window.partitionBy(col("_gp") +: kcols: _*).orderBy(col("_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // No broadcast hint on the stats join, deliberately: with millions of
     // strata the counts table outgrows any broadcast budget. The windowed
     // side is already hash-partitioned AND sorted on (_gp, _gk*, _h), so a
@@ -78,10 +95,10 @@ object Sampling {
     // zero extra work on the data side — while AQE still promotes the tiny
     // stats side to a runtime broadcast in the common few-groups case.
     ranged
-      .withColumn("_lrn", row_number().over(sliceW))
+      .withColumn("_lcum", sum("_w").over(sliceW))
       .join(stats, "_gp" +: gks)
-      .withColumn("_rn", col("_lrn").cast("long") + col("_off"))
-      .select(df.columns.map(col) :+ col("_rn") :+ col("_n"): _*)
+      .withColumn("_cum", col("_lcum") + col("_off"))
+      .select(df.columns.map(col) :+ col("_cum") :+ col("_tot"): _*)
   }
 
   /** Keep ~`rate` of rows, chosen by a salted md5 of `key` — deterministic,
@@ -240,5 +257,39 @@ object Sampling {
       .filter(col("_rn") <= least(col("_n"),
         ceil(sqrt(col("_n").cast("double")) * lit(scale.toDouble)).cast("long")))
       .drop("_rn", "_n")
+  }
+
+  /** Token-budget mixture: from each group keep rows, in salted-hash order,
+    * until the group's cumulative `weight` (a per-row token count — MUST be
+    * integer-valued; integer prefix sums are engine-exact where float sums
+    * are order-dependent) reaches its budget — the unit real training mixes
+    * are specified in ("this source contributes N billion tokens"), where
+    * [[mixtureExact]] speaks in row fractions. A row is kept iff the
+    * cumulative weight INCLUDING it is ≤ the budget, so the kept total
+    * never exceeds the budget (a first row larger than the whole budget is
+    * dropped). Deterministic, retry-stable, consistent across tables via
+    * (key, salt), and keeping a subset relationship: raising one group's
+    * budget only APPENDS rows to that group's kept set.
+    *
+    * Shape at scale: [[slicedPrefix]] — the rankedByHash slicing
+    * generalized to weighted prefix sums. A dominant source accumulates
+    * across its range slices in parallel; no per-group window ever sees
+    * the data.
+    */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, weight: Column,
+      budgets: Map[String, Long], default: Long, key: Column,
+      salt: String = ""): DataFrame = {
+    require((budgets.values ++ Seq(default)).forall(_ >= 0), "budgets must be >= 0")
+    val h = md5(concat(key.cast("string"), lit(salt)))
+    val budget =
+      if (budgets.isEmpty) lit(default)
+      else coalesce(
+        element_at(
+          map(budgets.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+          col(groupCol).cast("string")),
+        lit(default))
+    slicedPrefix(df, Seq(groupCol), h, weight)
+      .filter(col("_cum") <= budget)
+      .drop("_cum", "_tot")
   }
 }

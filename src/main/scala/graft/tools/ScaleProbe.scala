@@ -370,6 +370,21 @@ object ScaleProbe {
         big.join(block.hint("merge"), col("id") === col("bid"), "left_anti").count()
       }
     }
+    // Token-budget mixture under a 90%-hot group: the dominant source's
+    // weighted prefix sum must accumulate across its range slices in
+    // parallel (slicedPrefix), not in one task — same hazard class as the
+    // exact samplers, now with weights instead of counts.
+    if (anySelected(s"tokenBudgetSample n=$n")) {
+      val grouped = docs.select(col("id"),
+        when(pmod(col("id"), lit(10)) < 9, lit("hot")).otherwise(lit("tail")).as("src"),
+        (pmod(col("id"), lit(400)) + 100).as("toks"))
+      time(s"tokenBudgetSample n=$n 90%-hot source") {
+        graft.llm.Sampling.tokenBudgetSample(grouped, "src", col("toks"),
+          Map("hot" -> 10000000L), default = 3000000L, key = col("id"), salt = "sp")
+          .groupBy("src").agg(sum("toks"), count(lit(1))).collect()
+          .map(_.toSeq.mkString(":")).sorted.mkString(" ")
+      }
+    }
     // LM scoring at corpus scale: train on half the templated corpus, score
     // everything. The templated text makes most bigrams extremely hot join
     // keys (the boilerplate prefix appears in every doc) — the probe

@@ -236,6 +236,42 @@ class SamplingPackingSpec extends SparkSpec {
       Sampling.temperatureSample(docs, "lang", 0, col("doc_id")))
   }
 
+  test("tokenBudgetSample: kept totals under budget, window parity, append-only budget raise") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val budgets = Map("en" -> 20000L, "fr" -> 8000L)
+    val kept = Sampling.tokenBudgetSample(docs, "lang", col("n_chars"),
+      budgets, default = 5000L, key = col("doc_id"), salt = "tb")
+    // 1. no group exceeds its budget
+    val totals = kept.groupBy("lang").agg(sum("n_chars").as("t"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, t) =>
+      val b = lang.flatMap(budgets.get).getOrElse(5000L)
+      assert(t <= b, s"group $lang kept $t > budget $b")
+    }
+    // 2. exactly the window formulation's kept set
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(col("doc_id").cast("string"), lit("tb")))
+    val w = Window.partitionBy("lang").orderBy(h)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs.withColumn("_c", sum(col("n_chars").cast("long")).over(w))
+      .filter(col("_c") <= coalesce(
+        element_at(map(lit("en"), lit(20000L), lit("fr"), lit(8000L)), col("lang")),
+        lit(5000L)))
+      .select("doc_id").as[Long].collect().toSet
+    val got = kept.select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"diverged from the window formulation: ${got.size} vs ${want.size}")
+    // 3. raising one budget only APPENDS to that group's kept set
+    val raised = Sampling.tokenBudgetSample(docs, "lang", col("n_chars"),
+      budgets + ("en" -> 40000L), default = 5000L, key = col("doc_id"), salt = "tb")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.subsetOf(raised), "raising a budget must not evict previously kept rows")
+    // 4. a budget of zero keeps nothing from unlisted groups
+    val zeroed = Sampling.tokenBudgetSample(docs, "lang", col("n_chars"),
+      budgets, default = 0L, key = col("doc_id"), salt = "tb")
+    assert(zeroed.filter(!col("lang").isin("en", "fr")).count() == 0)
+  }
+
   test("chunkByTokens: windows, overlap, short docs, and reconstruction") {
     import spark.implicits._
     val df = Seq(

@@ -606,9 +606,17 @@ final case class SampleTransform(
           s"$name: interleave needs exactly one strata field (the source column)")
         graft.llm.Interleave.weightedInterleave(
           in, strataFields.head, fractions, rate, col(keyField), salt)
+      case "tokenBudget" =>
+        require(strataFields.size == 1,
+          s"$name: tokenBudget needs exactly one strata field (the source column)")
+        require(weightField.nonEmpty, s"$name: tokenBudget needs weightField (the token count)")
+        // fractions carry the per-group budgets (token counts); rate is the
+        // default budget for unlisted groups
+        Sampling.tokenBudgetSample(in, strataFields.head, col(weightField),
+          fractions.map { case (k, v) => k -> v.toLong }, rate.toLong, col(keyField), salt)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap|temperature|split|interleave)")
+          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap|temperature|split|interleave|tokenBudget)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

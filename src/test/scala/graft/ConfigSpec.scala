@@ -326,6 +326,25 @@ class ConfigSpec extends SparkSpec {
     assert(mix.take(4).count(_ == "a") == 3, s"prefix: ${mix.take(8).mkString(",")}")
   }
 
+  test("SampleTransform method=tokenBudget caps each source's token total") {
+    import spark.implicits._
+    (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("doc_id", "src", "toks").createOrReplaceTempView("tb_in")
+    val hocon =
+      """{stages: [
+        { type = "SampleTransform", name = "budget", inputView = tb_in,
+          outputView = tb_out, method = tokenBudget, keyField = doc_id,
+          strataFields = [src], weightField = toks,
+          fractions = { a = 300.0 }, rate = 120.0 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val totals = spark.table("tb_out").groupBy("src")
+      .agg(org.apache.spark.sql.functions.sum("toks").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // uniform weight 10: the kept totals hit the budgets exactly
+    assert(totals == Map("a" -> 300L, "b" -> 120L), s"$totals")
+  }
+
   test("HistogramTransform groupFields emits one histogram and quantile set per group") {
     import spark.implicits._
     (1L to 100L).map(i => (if (i % 2 == 0) "a" else "b", (i % 50).toDouble))

@@ -1174,6 +1174,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
     },
+    "q154_dedup_best_copy" -> withViews("documents") { (spark, ctx) =>
+      // Quality-aware duplicate retention (Dedup.exactBest): the q92
+      // duplicate class (formatting-perturbed copies, same normalized
+      // form), but the SURVIVOR is the longest raw copy — the perturbed
+      // one, 2 chars longer — not the smallest id. One shuffle on the
+      // normalized key, WindowGroupLimit-bounded.
+      val docs = ctx.view("documents").select(col("doc_id"), col("text"))
+      val noisy = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text"))
+      graft.llm.Dedup.exactBest(
+          docs.unionByName(noisy)
+            .withColumn("_norm", graft.llm.TextStats.normalize(col("text"))),
+          Seq("_norm"), quality = length(col("text")), tiebreaker = "doc_id")
+        .select(col("doc_id"), length(col("text")).cast("long").as("quality"))
+        .orderBy("doc_id")
+    },
     "q63_sessionization" -> pipe("events")(
       """WITH marked AS (
           SELECT user_id, ts, event_id,
@@ -2236,6 +2253,22 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q154_dedup_best_copy" ->
+      // same normalization as q92; survivor = argmax(length, min doc_id)
+      """WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, upper(text) || '!!' FROM documents WHERE doc_id % 7 = 0),
+        n AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+          FROM all_docs),
+        r AS (
+          SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS quality,
+                 ROW_NUMBER() OVER (PARTITION BY norm
+                   ORDER BY LENGTH(text) DESC, doc_id) AS rn
+          FROM n)
+        SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""",
     "q153_token_budget" ->
       // the window formulation of the slicedPrefix shape: integer cumulative
       // n_chars in salted-md5 order per language, kept while <= the budget

@@ -34,6 +34,20 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Exact dedup keeping the BEST copy per key: the row maximizing
+    * `quality` (ties broken by the smallest `tiebreaker`) — quality-aware
+    * retention, the curation-pipeline refinement of [[exact]]: formatting
+    * variants collapse onto the longest / highest-scored copy instead of
+    * whichever has the smallest id. Same single-shuffle shape as [[exact]]
+    * (Catalyst rewrites the rank-1 filter into a WindowGroupLimit, so each
+    * map partition forwards one candidate per key before the shuffle).
+    */
+  def exactBest(df: DataFrame, keys: Seq[String], quality: Column,
+      tiebreaker: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(quality.desc, col(tiebreaker))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Segment-level duplication stats (CCNet/C4-style paragraph dedup, scored
     * at document granularity): cut each document into consecutive
     * `segWords`-word segments, fingerprint every segment (md5 — cheap, stable

@@ -19,6 +19,20 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"text".contains("today")).select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("exactBest keeps the highest-quality copy per key, bounded by WindowGroupLimit") {
+    val scored = Seq(
+      (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L), // 2 wins: max quality, min id
+      (4L, "k2", 5L)
+    ).toDF("id", "key", "quality")
+    val out = Dedup.exactBest(scored, Seq("key"), col("quality"), "id")
+    assert(out.select("id").as[Long].collect().toSet == Set(2L, 4L))
+    // the rank-1 filter must rewrite into WindowGroupLimit: each map
+    // partition forwards one candidate per key before the shuffle — a
+    // million-copy boilerplate key ships partitions, not the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("segmentDupStats counts segments shared across documents") {
     // 4-word segments: doc 1 and doc 2 share their first 4-word segment
     // exactly; tails differ. doc 3 shares nothing.

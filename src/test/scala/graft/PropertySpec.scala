@@ -138,6 +138,38 @@ class PropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("slicedPrefix: _cum is the exact weighted running sum in hash order, _tot the group total") {
+    // Spark-backed property over the generalized slice engine (which now
+    // underpins every exact sampler, the interleave, AND the token-budget
+    // mixture): for arbitrary groupings (NULL included) and non-negative
+    // integer weights, _cum must equal the running sum of weights in hash
+    // order within the group and _tot the group's total weight.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rowGen = for {
+      g <- Gen.option(Gen.oneOf("a", "b", "c"))
+      h <- Gen.identifier.map(_.take(10))
+      w <- Gen.choose(0L, 9L)
+    } yield (g, h, w)
+    val gen = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, rowGen))
+    val prop = Prop.forAll(gen) { rows0 =>
+      val rows = rows0.distinctBy(r => (r._1, r._2)) // unique h per group: total order
+      val df = rows.toDF("src", "h", "w")
+      val got = graft.llm.LlmTestAccess.slicedPrefix(df, Seq("src"), col("h"), col("w"))
+        .select("src", "h", "w", "_cum", "_tot").collect()
+        .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      got.length == rows.length && got.groupBy(_._1).forall { case (_, grp) =>
+        val total = grp.map(_._3).sum
+        val sorted = grp.sortBy(_._2)
+        val want = sorted.map(_._3).scanLeft(0L)(_ + _).tail
+        grp.forall(_._5 == total) && sorted.map(_._4).toSeq == want.toSeq
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("perKey and perKeySalted equal the window formulation for arbitrary data") {
     // Spark-backed property (few iterations): both bounded top-k shapes —
     // the heap prune and the salted two-level window — must equal

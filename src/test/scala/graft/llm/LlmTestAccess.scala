@@ -9,4 +9,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 object LlmTestAccess {
   def rankedByHash(df: DataFrame, groupCols: Seq[String], h: Column): DataFrame =
     Sampling.rankedByHash(df, groupCols, h)
+  def slicedPrefix(df: DataFrame, groupCols: Seq[String], h: Column, w: Column): DataFrame =
+    Sampling.slicedPrefix(df, groupCols, h, w)
 }

@@ -239,6 +239,7 @@ object PipelineConfig {
       DeduplicateTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         idField = o.req("idField"), textField = o.str("textField", ""),
         method = o.str("method", "exact"), keyFields = o.strList("keyFields"),
+        qualityField = o.str("qualityField", ""),
         threshold = o.dbl("threshold", 0.8),
         shingleLength = o.intOpt("shingleLength").getOrElse(3),
         maxDistance = o.intOpt("maxDistance").getOrElse(3),
@@ -248,7 +249,9 @@ object PipelineConfig {
         o.req("outputView"), idField = o.req("idField"), textField = o.req("textField"),
         evalTextField = o.str("evalTextField", ""),
         ngram = o.intOpt("ngram").getOrElse(8),
-        action = o.str("action", "filter"), persist = o.bool("persist"))
+        action = o.str("action", "filter"),
+        bloomBits = o.intOpt("bloomBits").map(_.toLong).getOrElse(0L),
+        persist = o.bool("persist"))
     case "MinhashIndexLoad" =>
       MinhashIndexLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         idField = o.req("idField"), textField = o.req("textField"),

@@ -21,6 +21,7 @@ final case class DeduplicateTransform(
     textField: String = "",
     method: String = "exact",
     keyFields: Seq[String] = Nil,
+    qualityField: String = "",
     threshold: Double = 0.8,
     shingleLength: Int = 3,
     maxDistance: Int = 3,
@@ -34,6 +35,12 @@ final case class DeduplicateTransform(
         val keys = if (keyFields.nonEmpty) keyFields else Seq(textField)
         require(keys.forall(_.nonEmpty), s"$name: exact dedup needs keyFields or textField")
         Dedup.exact(in, keys, tiebreaker = idField)
+      case "best" =>
+        // quality-aware retention: survivors maximize qualityField
+        val keys = if (keyFields.nonEmpty) keyFields else Seq(textField)
+        require(keys.forall(_.nonEmpty), s"$name: best dedup needs keyFields or textField")
+        require(qualityField.nonEmpty, s"$name: best dedup needs qualityField")
+        Dedup.exactBest(in, keys, col(qualityField), tiebreaker = idField)
       case "normalized" =>
         // near-exact at exact cost: group key is the normalized-text hash
         require(textField.nonEmpty, s"$name: normalized dedup needs textField")
@@ -82,6 +89,7 @@ final case class DecontaminateTransform(
     evalTextField: String = "",
     ngram: Int = 8,
     action: String = "filter",
+    bloomBits: Long = 0L,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "DecontaminateTransform"
@@ -89,13 +97,22 @@ final case class DecontaminateTransform(
     val train = ctx.view(inputView)
     val eval = ctx.view(evalView)
     val evalText = if (evalTextField.nonEmpty) evalTextField else textField
+    // bloomBits > 0 switches to the bloom-prefiltered path (same results,
+    // for eval gram sets too large to broadcast)
     val out = action match {
+      case "filter" if bloomBits > 0 =>
+        Decontaminate.cleanBloom(train, idField, textField, eval, evalText,
+          n = ngram, bits = bloomBits)
       case "filter" =>
         Decontaminate.clean(train, idField, textField, eval, evalText, n = ngram)
       case "flag" =>
+        val hits =
+          if (bloomBits > 0)
+            Decontaminate.overlapBloom(train, idField, textField, eval, evalText,
+              n = ngram, bits = bloomBits)
+          else Decontaminate.overlap(train, idField, textField, eval, evalText, n = ngram)
         train
-          .join(Decontaminate.overlap(train, idField, textField, eval, evalText, n = ngram),
-            Seq(idField), "left")
+          .join(hits, Seq(idField), "left")
           .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
       case other =>
         throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|flag)")

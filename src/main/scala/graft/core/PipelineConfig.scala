@@ -280,6 +280,8 @@ object PipelineConfig {
         vectorField = o.req("vectorField"),
         k = o.intOpt("k").getOrElse(10),
         numProbes = o.intOpt("numProbes").getOrElse(2),
+        quantized = o.bool("quantized"),
+        shortlistFactor = o.intOpt("shortlistFactor").getOrElse(4),
         persist = o.bool("persist"))
     case "IndexDedupTransform" =>
       IndexDedupTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

@@ -233,14 +233,22 @@ object IvfIndex {
     * probe — size the sample, not the corpus) and trigger a re-[[write]]
     * when recall drops below their threshold.
     *
-    * Returns ONE row: (n_queries, k, nprobe, n_exact, n_hit, recall) where
-    * recall = |topK(nprobe) ∩ bruteForce| / |bruteForce| over the sampled
-    * queries, matched on (query_id, neighbor_id).
+    * Returns ONE row: (mode, n_queries, k, nprobe, n_exact, n_hit, recall)
+    * where recall = |topK(nprobe) ∩ bruteForce| / |bruteForce| over the
+    * sampled queries, matched on (query_id, neighbor_id). With
+    * `quantized = true` the probed path is [[topKQuantized]] (mode "sq8"),
+    * so the monitor also covers the shortlistFactor recall trade — the SQ8
+    * shortlist can drop true neighbors that nprobe alone would keep, and
+    * nothing else in the index surfaces that.
     */
   def recallProbe(sampleQueries: DataFrame, queryId: String, queryVec: String,
-      path: String, k: Int, nprobe: Int): DataFrame = {
+      path: String, k: Int, nprobe: Int,
+      quantized: Boolean = false, shortlistFactor: Int = 4): DataFrame = {
     val spark = sampleQueries.sparkSession
-    val approx = topK(sampleQueries, queryId, queryVec, path, k, nprobe)
+    val approx = (
+      if (quantized)
+        topKQuantized(sampleQueries, queryId, queryVec, path, k, nprobe, shortlistFactor)
+      else topK(sampleQueries, queryId, queryVec, path, k, nprobe))
       .select(col("query_id"), col("neighbor_id"))
     val corpus = spark.read.parquet(s"$path/vectors").select(col("id"), col("vec"))
     val exact = Similarity
@@ -250,8 +258,8 @@ object IvfIndex {
     val nExact = exact.count()
     val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
     import spark.implicits._
-    Seq((nQueries, k, nprobe, nExact, nHit,
+    Seq((if (quantized) "sq8" else "flat", nQueries, k, nprobe, nExact, nHit,
       if (nExact == 0) 1.0 else nHit.toDouble / nExact))
-      .toDF("n_queries", "k", "nprobe", "n_exact", "n_hit", "recall")
+      .toDF("mode", "n_queries", "k", "nprobe", "n_exact", "n_hit", "recall")
   }
 }

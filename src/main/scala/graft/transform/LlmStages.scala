@@ -547,7 +547,8 @@ final case class IvfQueryTransform(
   * sampled partial-probe recall vs brute force over the indexed corpus —
   * the trigger signal for re-writing an index whose `ingest` batches have
   * drifted away from the quantizer's training distribution. Emits one row
-  * (n_queries, k, nprobe, n_exact, n_hit, recall).
+  * (mode, n_queries, k, nprobe, n_exact, n_hit, recall); `quantized = true`
+  * probes the SQ8 path, covering the shortlistFactor recall trade too.
   */
 final case class IvfRecallTransform(
     name: String,
@@ -558,12 +559,14 @@ final case class IvfRecallTransform(
     vectorField: String,
     k: Int = 10,
     numProbes: Int = 2,
+    quantized: Boolean = false,
+    shortlistFactor: Int = 4,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "IvfRecallTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     val out = graft.llm.IvfIndex.recallProbe(ctx.view(inputView), idField, vectorField,
-      indexURI, k, numProbes)
+      indexURI, k, numProbes, quantized, shortlistFactor)
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }

@@ -1167,6 +1167,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(partial.getAs[Double]("recall") == manual,
       s"reported ${partial.getAs[Double]("recall")} vs manual $manual")
     assert(partial.getAs[Double]("recall") <= 1.0 && partial.getAs[Long]("n_hit") <= 50)
+    assert(full.getAs[String]("mode") == "flat")
+    // the SQ8 path is monitorable too: covering shortlist + exhaustive
+    // probe rescores to exact brute force, so recall must report 1.0
+    val q8 = IvfIndex.recallProbe(queries, "vec_id", "embedding", path, k = 5, nprobe = 8,
+      quantized = true, shortlistFactor = 100000)
+      .collect().head
+    assert(q8.getAs[String]("mode") == "sq8" && q8.getAs[Double]("recall") == 1.0, s"$q8")
+    // a tight shortlist may drop true neighbors — recall stays a valid
+    // fraction and the monitor surfaces the trade
+    val tight = IvfIndex.recallProbe(queries, "vec_id", "embedding", path, k = 5, nprobe = 8,
+      quantized = true, shortlistFactor = 1)
+      .collect().head
+    assert(tight.getAs[Double]("recall") >= 0.0 && tight.getAs[Double]("recall") <= 1.0)
   }
 
   test("ingest appends a batch without retraining; exhaustive probe stays exactly brute force") {

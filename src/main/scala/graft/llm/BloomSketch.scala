@@ -142,7 +142,10 @@ object BloomSketch {
     */
   def antiJoin(big: DataFrame, bigKey: Column, small: DataFrame, smallKey: Column,
       bits: Long = 1L << 22, hashes: Int = 5): DataFrame = {
-    val sketch = build(small, smallKey, bits, hashes)
+    // pin the bitmap: both union branches broadcast it, and a pinned
+    // ≤ bits/64-row frame materializes once instead of re-aggregating
+    // `small` per branch
+    val sketch = graft.core.Lineage.pin(build(small, smallKey, bits, hashes))
     val flagged = mightContain(sketch, big, bigKey, bits, hashes, "_mc")
     val definiteNot = flagged.filter(!col("_mc")).drop("_mc")
     val maybe = flagged.filter(col("_mc")).drop("_mc")

@@ -346,6 +346,7 @@ object PipelineConfig {
           if (qs.isEmpty) Seq(0.5, 0.9, 0.99) else qs
         },
         groupFields = o.strList("groupFields"),
+        compareView = o.str("compareView", ""),
         persist = o.bool("persist"))
     case "ResampleTransform" =>
       ResampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

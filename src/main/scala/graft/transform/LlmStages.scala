@@ -437,6 +437,7 @@ final case class HistogramTransform(
     bins: Int = 64,
     quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
     groupFields: Seq[String] = Nil,
+    compareView: String = "",
     persist: Boolean = false
 ) extends Stage {
   val stageType = "HistogramTransform"
@@ -454,9 +455,14 @@ final case class HistogramTransform(
       case "quantiles" =>
         if (grouped) graft.llm.HistSketch.quantilesBy(in, groupFields, quantiles, lo, hi, bins)
         else graft.llm.HistSketch.quantiles(in, quantiles, lo, hi, bins)
+      case "drift" =>
+        // inputView vs compareView: both must be histograms of the SAME
+        // binning (segment/merge outputs); emits tv/linf/ks per group
+        require(compareView.nonEmpty, s"$name: drift needs compareView")
+        graft.llm.HistSketch.driftBy(in, ctx.view(compareView), groupFields)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown histogram mode '$other' (segment|merge|quantiles)")
+          s"$name: unknown histogram mode '$other' (segment|merge|quantiles|drift)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

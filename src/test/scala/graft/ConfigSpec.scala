@@ -355,6 +355,27 @@ class ConfigSpec extends SparkSpec {
     assert(spark.table("bd_clean").count() == 3)
   }
 
+  test("HistogramTransform mode=drift compares two segment views from a config cell") {
+    import spark.implicits._
+    (1L to 100L).map(i => ("s", (i % 40).toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("dr_a")
+    (1L to 100L).map(i => ("s", (i % 40).toDouble + 50.0)).toDF("g", "v")
+      .createOrReplaceTempView("dr_b")
+    val hocon =
+      """{stages: [
+        { type = "HistogramTransform", name = "ha", inputView = dr_a,
+          outputView = dr_ha, valueField = v, lo = 0.0, hi = 100.0, bins = 10 },
+        { type = "HistogramTransform", name = "hb", inputView = dr_b,
+          outputView = dr_hb, valueField = v, lo = 0.0, hi = 100.0, bins = 10 },
+        { type = "HistogramTransform", name = "cmp", inputView = dr_ha,
+          outputView = dr_drift, mode = drift, compareView = dr_hb }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val r = spark.table("dr_drift").collect().head
+    // [0,40) vs [50,90): disjoint bins → maximal drift
+    assert(r.getAs[Double]("tv") == 1.0 && r.getAs[Double]("ks") == 1.0, r)
+  }
+
   test("SampleTransform method=tokenBudget caps each source's token total") {
     import spark.implicits._
     (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L))

@@ -138,6 +138,37 @@ class PropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("BloomSketch: no false negatives and exact anti-join for arbitrary key sets") {
+    // Spark-backed property (few iterations): whatever the build/probe key
+    // sets and however tiny the bitmap (64 bits forces mass collisions),
+    // every build key must probe true and antiJoin must equal the exact
+    // left-anti result.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keyGen = Gen.identifier.map(_.take(8))
+    val gen = for {
+      members <- Gen.listOf(keyGen).map(_.distinct.take(40))
+      probes <- Gen.listOf(keyGen).map(_.distinct.take(40))
+      bits <- Gen.oneOf(64L, 512L, 4096L)
+    } yield (members, probes, bits)
+    val prop = Prop.forAll(gen) { case (members, probes, bits) =>
+      val m = members.toDF("k")
+      val p = (probes ++ members.take(5)).distinct.toDF("k")
+      val sk = graft.llm.BloomSketch.build(m, col("k"), bits, 3)
+      val flagged = graft.llm.BloomSketch.mightContain(sk, p, col("k"), bits, 3)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      val sound = members.toSet.intersect(flagged.keySet)
+        .forall(k => flagged(k)) // no false negative
+      val got = graft.llm.BloomSketch.antiJoin(p, col("k"), m, col("k"), bits, 3)
+        .collect().map(_.getString(0)).toSet
+      val want = flagged.keySet -- members.toSet
+      sound && got == want
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("slicedPrefix: _cum is the exact weighted running sum in hash order, _tot the group total") {
     // Spark-backed property over the generalized slice engine (which now
     // underpins every exact sampler, the interleave, AND the token-budget

@@ -478,3 +478,76 @@ object UnicodeNormalizeExpr {
       UnicodeNormalizeExpr(GraftColumnBridge.expression(text), form))
   }
 }
+
+/** Native md5 64-bit prefix: the packed unsigned 32-bit halves of an md5,
+  * `(h1 << 32) | h2` with h1 = digest bytes 0–3 and h2 = bytes 4–7
+  * (big-endian) — EXACTLY `conv(substring(md5(s), 1, 8), 16, 10)` and
+  * `conv(substring(md5(s), 9, 8), 16, 10)` packed into one long.
+  *
+  * The composable form pays, per row: hex-encoding the 16-byte digest into
+  * a 32-char string, two substring allocations, and two base-16 string
+  * parses. This expression hashes the UTF-8 bytes and reads the prefix off
+  * the raw digest — no hex round-trip, one pass — which matters because the
+  * md5 prefix is the per-row cost of every Kirsch–Mitzenmacher Bloom probe
+  * ([[graft.llm.BloomSketch]]) at 100 TB. Values are bit-identical to the
+  * conv/substring formulation (parity-tested), so DuckDB oracles built on
+  * the hex form stay valid. `doGenCode` delegates to the same static
+  * `compute`, so eval and codegen cannot drift.
+  */
+case class Md5Prefix64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_prefix64 requires string, got ${other.sql}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(s: Any): Any =
+    Md5Prefix64Expr.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Prefix64Expr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_prefix64"
+}
+
+object Md5Prefix64Expr {
+
+  // MessageDigest is not thread-safe; one per task thread, reset per call
+  private val digests = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  def compute(s: UTF8String): Long = {
+    val d = digests.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    val h1 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    val h2 = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+    (h1 << 32) | h2
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix64",
+      exprs => Md5Prefix64Expr(exprs.head),
+      "built-in")
+
+  def md5_prefix64(s: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(Md5Prefix64Expr(GraftColumnBridge.expression(s)))
+  }
+}

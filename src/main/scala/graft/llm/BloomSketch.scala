@@ -40,17 +40,21 @@ import org.apache.spark.sql.functions._
   */
 object BloomSketch {
 
-  /** Position of hash function `i` for the md5 of a key, by the standard
-    * Kirsch–Mitzenmacher double-hashing scheme: `(h1 + i·h2) mod bits`,
-    * with h1/h2 the two unsigned 32-bit halves of ONE md5 prefix. ONE md5
-    * per key serves all `hashes` positions — at 100 TB the probe side pays
-    * one string hash per row, not k — and the layout stays engine-exact
-    * (the q149 oracle splits the same hex). h1 + i·h2 < (i+1)·2^32 never
-    * overflows a long.
+  /** Position of hash function `i` for the packed md5 prefix of a key, by
+    * the standard Kirsch–Mitzenmacher double-hashing scheme:
+    * `(h1 + i·h2) mod bits`, with h1/h2 the two unsigned 32-bit halves of
+    * ONE md5 prefix (the native [[graft.functions.Md5Prefix64Expr]] — no
+    * hex round-trip; bit-identical to the conv/substring formulation the
+    * q149 oracle uses, parity-pinned). ONE md5 per key serves all `hashes`
+    * positions — at 100 TB the probe side pays one string hash per row,
+    * not k. h1 + i·h2 < (i+1)·2^32 never overflows a long.
     */
-  private def kmPosition(md5Hex: Column, i: Column, bits: Long): Column =
-    (conv(substring(md5Hex, 1, 8), 16, 10).cast("long") +
-      i.cast("long") * conv(substring(md5Hex, 9, 8), 16, 10).cast("long")) % bits
+  private def kmPosition(packed: Column, i: Column, bits: Long): Column =
+    (shiftrightunsigned(packed, 32) +
+      i.cast("long") * packed.bitwiseAND(lit(0xffffffffL))) % bits
+
+  private def md5Packed(key: Column): Column =
+    graft.functions.Md5Prefix64Expr.md5_prefix64(key.cast("string"))
 
   /** Explode each key into its `hashes` bit positions `_p`, keeping `keep`
     * alongside. */
@@ -59,7 +63,7 @@ object BloomSketch {
     // keep-expressions evaluate in the FIRST select (they reference df's
     // columns); later selects refer to them by alias only
     val kept = keep.map { case (_, n) => col(n) }
-    df.select(keep.map { case (c, n) => c.as(n) } :+ md5(key.cast("string")).as("_kh"): _*)
+    df.select(keep.map { case (c, n) => c.as(n) } :+ md5Packed(key).as("_kh"): _*)
       .select(kept :+ col("_kh") :+ explode(array((0 until hashes).map(lit): _*)).as("_i"): _*)
       .withColumn("_p", kmPosition(col("_kh"), col("_i"), bits))
   }
@@ -110,7 +114,7 @@ object BloomSketch {
     require(clash.isEmpty,
       s"input columns collide with mightContain internals: ${clash.mkString(", ")}")
     // ONE md5 per probe row; each hash function is integer arithmetic on it
-    val withKey = keys.withColumn("_kh", md5(key.cast("string")))
+    val withKey = keys.withColumn("_kh", md5Packed(key))
     val joined = (0 until hashes).foldLeft(withKey) { (d, i) =>
       d.withColumn(s"_p$i", kmPosition(col("_kh"), lit(i), bits))
         .withColumn(s"_w$i", floor(col(s"_p$i") / 64).cast("long"))

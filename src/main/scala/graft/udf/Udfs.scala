@@ -120,5 +120,6 @@ object Udfs {
     graft.functions.Simhash64Expr.register(spark)
     graft.functions.CharClassCountsExpr.register(spark)
     graft.functions.UnicodeNormalizeExpr.register(spark)
+    graft.functions.Md5Prefix64Expr.register(spark)
   }
 }

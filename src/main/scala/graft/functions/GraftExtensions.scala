@@ -47,5 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         UnicodeNormalizeExpr.fromExprs(exprs)
     ))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix64"),
+      new ExpressionInfo(classOf[Md5Prefix64Expr].getName, "md5_prefix64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Prefix64Expr(exprs.head)
+    ))
   }
 }

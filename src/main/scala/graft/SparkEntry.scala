@@ -98,10 +98,14 @@ object SparkEntry {
     * parallel batteries never collide.
     */
   private val q147Index = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q155Codebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.llm.Pq.CodebookEntry]]()
   private def q147IndexDir(em: DataFrame, sfDir: String): String =
     q147Index.computeIfAbsent(sfDir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_q147_ivfindex_").toString
-      graft.llm.IvfIndex.write(em, "vec_id", "embedding", d, nlist = 8)
+      // pqSubspaces=8: the one shared index serves q147 (flat), q148 (SQ8
+      // codes), and q158 (PQ codes) — the layout carries all three tiers
+      graft.llm.IvfIndex.write(em, "vec_id", "embedding", d, nlist = 8, pqSubspaces = 8)
       d
     })
 
@@ -1089,6 +1093,34 @@ object SparkEntry {
             lit(false)).as("ok"))
         .orderBy("query_id", "rank")
     },
+    "q158_ivf_pq" -> { (spark: SparkSession, dir: String) =>
+      // IVF-PQ retrieval (IvfIndex.topKPq): ADC-lookup shortlist over the
+      // stored m-entry pq codes (the narrowest column in the layout), exact
+      // float rescore of the shortlist only — the faiss `IVFx,PQm` tier
+      // past q148's SQ8. KMeans is engine-specific → rows-only.
+      // Self-verifying like q148: with nprobe = nlist AND a covering
+      // shortlist the rescored result must equal brute force bit-for-bit.
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, Seq("embeddings")), ctx)
+      val em = ctx.view("embeddings")
+      val queries = em.filter(col("vec_id") < 5)
+      val idxDir = q147IndexDir(em, dir)
+      val ann = graft.llm.IvfIndex.topKPq(queries, "vec_id", "embedding", idxDir,
+        k = 5, nprobe = 8, shortlistFactor = 400)
+      val exact = graft.llm.Similarity
+        .bruteForceTopK(em, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("score").as("_bf_score"), col("rank").cast("long").as("bf_rank"))
+      ann
+        .join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"),
+          coalesce(
+            col("bf_rank") === col("rank") && abs(col("score") - col("_bf_score")) < 1e-12,
+            lit(false)).as("ok"))
+        .orderBy("query_id", "rank")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -1190,6 +1222,111 @@ object SparkEntry {
           Seq("_norm"), quality = length(col("text")), tiebreaker = "doc_id")
         .select(col("doc_id"), length(col("text")).cast("long").as("quality"))
         .orderBy("doc_id")
+    },
+    "q155_pq_topk" -> { (spark: SparkSession, dir: String) =>
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, Seq("embeddings")), ctx)
+      // Product-quantization retrieval (llm/Pq): per-subspace KMeans
+      // codebooks, ADC (lookup-table) shortlist over the m-byte codes,
+      // exact float rescore of the shortlist only. KMeans is
+      // engine-specific → rows-only. Self-verifying like q148: with a
+      // shortlist covering every candidate the rescored result must equal
+      // brute force bit-for-bit — `ok` asserts same neighbor, same rank,
+      // same score (only the candidate ORDER entering the shortlist is
+      // approximate, never a returned score).
+      val em = ctx.view("embeddings")
+      val queries = em.filter(col("vec_id") < 5)
+      // codebooks memoized per (JVM, sfDir) like q147's index build: the
+      // bench min-of-2 measures encode+shortlist+rescore, not repeated
+      // KMeans fits (the q147 honest-timing discipline)
+      val cbs = q155Codebooks.computeIfAbsent(dir, _ =>
+        graft.llm.Pq.trainCodebooks(em, "vec_id", "embedding", dim = 64, m = 8, ksub = 16))
+      val ann = graft.llm.Pq.pqTopK(em, "vec_id", "embedding",
+        queries, "vec_id", "embedding", dim = 64, k = 5, m = 8, ksub = 16,
+        shortlistFactor = 400, codebooks = Some(cbs))
+      val exact = graft.llm.Similarity
+        .bruteForceTopK(em, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("score").as("_bf_score"), col("rank").cast("long").as("bf_rank"))
+      ann
+        .join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"),
+          coalesce(
+            col("bf_rank") === col("rank") && abs(col("score") - col("_bf_score")) < 1e-12,
+            lit(false)).as("ok"))
+        .orderBy("query_id", "rank")
+    },
+    "q156_semdedup" -> withViews("embeddings") { (spark, ctx) =>
+      // SemDeDup (Dedup.semDedup): learned-cluster-bounded embedding dedup —
+      // only same-KMeans-cluster pairs are scored, transitive closure keeps
+      // each component's minimum id. The synthetic embeddings are i.i.d.
+      // (no natural near-dups, the q60 note), so exact copies of every 5th
+      // vector are unioned in as known duplicates. KMeans is
+      // engine-specific → rows-only. Self-verifying per row: a DROPPED
+      // vector must have a same-cluster partner with cosine ≥ tau (no
+      // false drops), and a KEPT vector must have no KEPT same-cluster
+      // partner ≥ tau (the dedup is maximal at pair level; the in-band
+      // check recomputes EXACT cosine over all same-cluster pairs).
+      val tau = 0.999
+      val em = ctx.view("embeddings").select(col("vec_id"), col("embedding"))
+      val dups = em.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val all = em.unionAll(dups)
+      // ONE training: the report's cluster column is the assignment the
+      // dedup actually paired within, so the in-band check can't diverge
+      val report = graft.llm.Dedup
+        .semDedupReport(all, "vec_id", "embedding", nclusters = 8, tau = tau)
+      val rows = all.join(report, Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"), col("embedding").as("_v"), col("kept"))
+      // exact within-cluster pair scores, both directions (a, partner)
+      val partners = rows.select(col("cluster"), col("vec_id"), col("_v"))
+        .join(rows.select(col("cluster"), col("vec_id").as("_pid"),
+          col("_v").as("_pv"), col("kept").as("_pkept")), Seq("cluster"))
+        .filter(col("vec_id") =!= col("_pid"))
+        .select(col("vec_id"),
+          graft.llm.Similarity.cosine(col("_v"), col("_pv")).as("_cos"),
+          col("_pkept"))
+      val verdict = partners.groupBy("vec_id").agg(
+        max(col("_cos")).as("_max_cos"),
+        max(when(col("_pkept"), col("_cos")).otherwise(lit(-2.0))).as("_max_kept_cos"))
+      rows.join(verdict, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("kept"),
+          when(col("kept"), coalesce(col("_max_kept_cos") < tau, lit(true)))
+            .otherwise(coalesce(col("_max_cos") >= tau, lit(false))).as("ok"))
+        .orderBy("vec_id")
+    },
+    "q157_heavy_hitters" -> withViews("lineitem") { (spark, ctx) =>
+      // Misra–Gries heavy hitters (llm/HeavyHitters): per-partition MG
+      // summaries merged by key-sum — deterministic error bounds with
+      // memory independent of key cardinality. Estimates are partition-
+      // layout-dependent within the proven bounds → rows-only. The key is
+      // deliberately skewed (70% of rows on 3 hot keys, the rest spread
+      // across order keys) so true heavy hitters exist at every sf. Output:
+      // one row per TRUE heavy hitter (count > n/(cap+1) — a deterministic
+      // set). Self-verifying: `ok` asserts the hitter IS present in the
+      // sketch, est ≤ true, the deficit bound (true−est)·(cap+1) ≤ n —
+      // integer-exact — and (global soundness, folded into every row) est ≤
+      // true for EVERY key the sketch reports.
+      val cap = 16
+      val li = ctx.view("lineitem")
+      val keyed = li.select(
+        when(col("l_orderkey") % 10 < 7,
+          concat(lit("hot-"), (col("l_orderkey") % 3).cast("string")))
+          .otherwise(concat(lit("cold-"), col("l_orderkey").cast("string"))).as("key"))
+      val est = graft.llm.HeavyHitters.heavyHitters(keyed, col("key"), cap)
+      val truth = keyed.groupBy("key").agg(count(lit(1)).as("cnt"))
+      val n = keyed.count()
+      val sound = est.join(truth, Seq("key"))
+        .agg(min(col("est") <= col("cnt")).as("_sound"))
+      truth.filter(col("cnt") * (cap + 1) > n)
+        .join(est, Seq("key"), "left")
+        .crossJoin(broadcast(sound))
+        .select(col("key"), col("cnt"), col("est"),
+          (col("est").isNotNull && col("est") <= col("cnt") &&
+            (col("cnt") - col("est")) * (cap + 1) <= n && col("_sound")).as("ok"))
+        .orderBy("key")
     },
     "q63_sessionization" -> pipe("events")(
       """WITH marked AS (

@@ -243,6 +243,8 @@ object PipelineConfig {
         threshold = o.dbl("threshold", 0.8),
         shingleLength = o.intOpt("shingleLength").getOrElse(3),
         maxDistance = o.intOpt("maxDistance").getOrElse(3),
+        vectorField = o.str("vectorField", ""),
+        numClusters = o.intOpt("numClusters").getOrElse(16),
         persist = o.bool("persist"))
     case "DecontaminateTransform" =>
       DecontaminateTransform(o.req("name"), o.req("inputView"), o.req("evalView"),
@@ -264,7 +266,9 @@ object PipelineConfig {
         idField = o.req("idField"), vectorField = o.req("vectorField"),
         numLists = o.intOpt("numLists").getOrElse(16),
         action = o.str("action", "write"),
-        seed = o.intOpt("seed").map(_.toLong).getOrElse(42L))
+        seed = o.intOpt("seed").map(_.toLong).getOrElse(42L),
+        pqSubspaces = o.intOpt("pqSubspaces").getOrElse(0),
+        pqCodesPerSub = o.intOpt("pqCodesPerSub").getOrElse(16))
     case "IvfQueryTransform" =>
       IvfQueryTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         indexURI = o.req("indexURI"), idField = o.req("idField"),
@@ -273,6 +277,7 @@ object PipelineConfig {
         numProbes = o.intOpt("numProbes").getOrElse(2),
         quantized = o.bool("quantized"),
         shortlistFactor = o.intOpt("shortlistFactor").getOrElse(4),
+        pq = o.bool("pq"),
         persist = o.bool("persist"))
     case "IvfRecallTransform" =>
       IvfRecallTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
@@ -282,6 +287,25 @@ object PipelineConfig {
         numProbes = o.intOpt("numProbes").getOrElse(2),
         quantized = o.bool("quantized"),
         shortlistFactor = o.intOpt("shortlistFactor").getOrElse(4),
+        pq = o.bool("pq"),
+        persist = o.bool("persist"))
+    case "PqQueryTransform" =>
+      PqQueryTransform(o.req("name"), o.req("inputView"), o.req("corpusView"),
+        o.req("outputView"), idField = o.req("idField"),
+        vectorField = o.req("vectorField"),
+        dim = o.intOpt("dim").getOrElse(
+          throw new IllegalArgumentException("PqQueryTransform: dim is required")),
+        k = o.intOpt("k").getOrElse(10),
+        numSubspaces = o.intOpt("numSubspaces").getOrElse(8),
+        numCodes = o.intOpt("numCodes").getOrElse(16),
+        shortlistFactor = o.intOpt("shortlistFactor").getOrElse(4),
+        seed = o.intOpt("seed").map(_.toLong).getOrElse(42L),
+        persist = o.bool("persist"))
+    case "HeavyHittersTransform" =>
+      HeavyHittersTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        keyField = o.str("keyField", ""),
+        cap = o.intOpt("cap").getOrElse(64),
+        action = o.str("action", "estimate"),
         persist = o.bool("persist"))
     case "IndexDedupTransform" =>
       IndexDedupTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

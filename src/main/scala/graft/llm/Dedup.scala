@@ -614,4 +614,119 @@ object Dedup {
       .select(col("idA"), col("idB"), Similarity.cosine(col("_vA"), col("_vB")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Per-row cluster assignment + within-cluster near-duplicate pairs — the
+    * SemDeDup recipe (Abbas et al. 2023): a sampled-trained KMeans coarse
+    * quantizer partitions the embedding space into `nclusters` semantic
+    * cells, and only SAME-CLUSTER pairs are scored, so the candidate join
+    * is bounded by cluster size instead of going corpus-quadratic. Where
+    * [[embeddingNearDupPairs]] buckets by random hyperplanes (oblivious,
+    * recall tuned by plane count), the learned clusters adapt to the data's
+    * density — the same centroid machinery as [[Similarity.ivfTopK]], used
+    * for dedup instead of retrieval.
+    *
+    * Scale shape: assignment is a narrow map (broadcast centroid data, the
+    * attachCentroidData pattern); candidates come from [[bucketCandidates]]
+    * with its hot-bucket star cap, so one dense cluster degrades to a
+    * star's linear pair count, never n². Vectors join candidates on id —
+    * the embedding column shuffles only for candidate rows.
+    *
+    * Returns (idA, idB, cluster, cosine) for same-cluster pairs with
+    * cosine ≥ tau, idA < idB. ([[semDedupPairs]] is the entry point;
+    * this helper holds the shared (id, vec, cluster) assignment.)
+    */
+  private def semAssigned(df: DataFrame, idCol: String, vecCol: String,
+      nclusters: Int, seed: Long, samplePerCluster: Int): DataFrame = {
+    val cents = Similarity.trainCoarseCentroids(
+      df, idCol, vecCol, nclusters, seed, samplePerCluster, salt = "semdedup-train")
+    Similarity.attachCentroidData(df, cents)
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
+          .getField("list").as("_cluster"))
+  }
+
+  /** The (id, cluster) assignment [[semDedupPairs]] pairs within —
+    * deterministic for a given corpus/seed, so callers can recompute it to
+    * inspect or verify cluster structure. */
+  def semClusters(df: DataFrame, idCol: String, vecCol: String,
+      nclusters: Int = 16, seed: Long = 42L, samplePerCluster: Int = 256): DataFrame =
+    semAssigned(df, idCol, vecCol, nclusters, seed, samplePerCluster)
+      .select(col("_id").as(idCol), col("_cluster").as("cluster"))
+
+  def semDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nclusters: Int = 16,
+      tau: Double = 0.95,
+      seed: Long = 42L,
+      maxClusterSize: Int = 1024,
+      samplePerCluster: Int = 256
+  ): DataFrame =
+    pairsFromAssigned(
+      semAssigned(df, idCol, vecCol, nclusters, seed, samplePerCluster), tau, maxClusterSize)
+
+  private def pairsFromAssigned(assigned: DataFrame, tau: Double,
+      maxClusterSize: Int): DataFrame = {
+    val candidates = bucketCandidates(
+      assigned.select(col("_cluster"), col("_id")), Seq("_cluster"), "_id", maxClusterSize)
+    val vecs = assigned.select(col("_id"), col("_v"), col("_cluster"))
+    candidates
+      .join(vecs.select(col("_id").as("idA"), col("_v").as("_vA"),
+        col("_cluster").as("cluster")), Seq("idA"))
+      .join(vecs.select(col("_id").as("idB"), col("_v").as("_vB")), Seq("idB"))
+      .select(col("idA"), col("idB"), col("cluster"),
+        Similarity.cosine(col("_vA"), col("_vB")).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Per-row SemDeDup verdict from ONE quantizer training: (id, cluster,
+    * kept). The cluster column is the assignment the dedup actually paired
+    * within — callers verifying or auditing the dedup (e.g. q156's in-band
+    * invariant) need the two to come from the same centroids, which two
+    * separate [[semClusters]]/[[semDedup]] calls wouldn't guarantee if the
+    * corpus changes between them.
+    */
+  def semDedupReport(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nclusters: Int = 16,
+      tau: Double = 0.95,
+      seed: Long = 42L,
+      maxClusterSize: Int = 1024,
+      samplePerCluster: Int = 256
+  ): DataFrame = {
+    val assigned = semAssigned(df, idCol, vecCol, nclusters, seed, samplePerCluster)
+    val pairs = pairsFromAssigned(assigned, tau, maxClusterSize)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("_lid"), lit(true).as("_lost"))
+    assigned.select(col("_id").as(idCol), col("_cluster").as("cluster"))
+      .join(losers, col(idCol) === col("_lid"), "left")
+      .select(col(idCol), col("cluster"), coalesce(!col("_lost"), lit(true)).as("kept"))
+  }
+
+  /** Transitive SemDeDup: within-cluster near-dup pairs → connected
+    * components → keep each component's minimum id (a chain a~b~c collapses
+    * to {a} even when (a,c) was never scored). Rows in no pair keep
+    * themselves. Same keep-lowest contract as [[minhashDedupClusters]].
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nclusters: Int = 16,
+      tau: Double = 0.95,
+      seed: Long = 42L,
+      maxClusterSize: Int = 1024,
+      samplePerCluster: Int = 256
+  ): DataFrame = {
+    val pairs = semDedupPairs(df, idCol, vecCol, nclusters, tau, seed,
+      maxClusterSize, samplePerCluster)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

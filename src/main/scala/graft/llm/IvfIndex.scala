@@ -32,45 +32,43 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Train a KMeans coarse quantizer on a hash-sample of the corpus and
-    * persist the list-partitioned vectors + centroid table. `nlist` follows
-    * the usual √n rule at scale.
-    *
-    * Sample training: KMeans makes ~maxIter passes over its training input,
-    * so full-corpus training costs ~10 corpus scans — at 100 TB that
-    * dominates the build for an outcome (centroid placement) that only
-    * needs a few hundred vectors per centroid. The quantizer trains on a
-    * deterministic [[Sampling.hashSample]] of ~`samplePerList × nlist`
-    * vectors; the full corpus is still scanned exactly once, for the
-    * assignment write. Exhaustive-probe exactness is assignment-independent
-    * (assignment only shapes which partitions hold which rows), and partial-
-    * probe recall depends on centroid QUALITY, which hundreds of samples per
-    * centroid already deliver. Corpora at or below the sample target train
-    * on every vector, unchanged. The sample sizing pays one `count()` pass —
-    * cheap against the ~10 scans it replaces.
+  /** Train a KMeans coarse quantizer on a hash-sample of the corpus
+    * ([[Similarity.trainCoarseCentroids]] — a few hundred vectors per
+    * centroid, never ~10 full-corpus passes) and persist the
+    * list-partitioned vectors + centroid table. `nlist` follows the usual
+    * √n rule at scale. The full corpus is still scanned exactly once, for
+    * the assignment write. Exhaustive-probe exactness is
+    * assignment-independent (assignment only shapes which partitions hold
+    * which rows), and partial-probe recall depends on centroid QUALITY,
+    * which hundreds of samples per centroid already deliver.
     */
   def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      nlist: Int = 16, seed: Long = 42L, samplePerList: Int = 256): Unit = {
-    require(nlist > 0, s"nlist must be positive, got $nlist")
-    require(samplePerList > 0, s"samplePerList must be positive, got $samplePerList")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      nlist: Int = 16, seed: Long = 42L, samplePerList: Int = 256,
+      pqSubspaces: Int = 0, pqCodesPerSub: Int = 16): Unit = {
     val spark = corpus.sparkSession
-    val target = samplePerList.toLong * nlist
-    val n = corpus.count()
-    val trainSrc =
-      if (n > target) Sampling.hashSample(corpus, col(idCol), target.toDouble / n, salt = "ivf-train")
-      else corpus
-    val train = trainSrc.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
     // (halfNorm, list, vec) — the Similarity centroid-struct shape
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (0.5 * c.dot(c), i, c.toArray.map(_.toFloat).toSeq)
-    }.toSeq
+    val cents = Similarity.trainCoarseCentroids(
+      corpus, idCol, vecCol, nlist, seed, samplePerList, salt = "ivf-train")
     import spark.implicits._
     cents.map { case (hn, i, v) => (i, hn, v) }.toDF("list", "halfNorm", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assignAndWrite(corpus, idCol, vecCol, cents, path, "overwrite")
+    // optional PQ codebooks (IVF-PQ, the faiss `IVFx,PQm` layout): trained
+    // on the same sampled discipline, persisted so ingest batches encode
+    // identically to the build
+    val cbs =
+      if (pqSubspaces <= 0) None
+      else {
+        val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+        require(dim % pqSubspaces == 0,
+          s"dim ($dim) must be divisible by pqSubspaces ($pqSubspaces)")
+        val entries = Pq.trainCodebooks(corpus, idCol, vecCol, dim,
+          pqSubspaces, pqCodesPerSub, seed)
+        entries.map(e => (e.sub, e.code, e.halfNorm, e.vec))
+          .toDF("sub", "code", "halfNorm", "vec")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+        Some((entries, pqSubspaces, dim / pqSubspaces))
+      }
+    assignAndWrite(corpus, idCol, vecCol, cents, cbs, path, "overwrite")
   }
 
   // ONE definition of the vectors layout (column names, assignment, the
@@ -78,20 +76,52 @@ object IvfIndex {
   // cannot drift apart. Each row also carries its int8 codes ([[Quantize]]
   // symmetric absmax): [[topKQuantized]] shortlists by scanning ONLY the
   // codes column — parquet's columnar layout makes the 4× shrink real I/O
-  // savings, not just a smaller cache footprint.
+  // savings, not just a smaller cache footprint. When the index was built
+  // with PQ codebooks, each row additionally carries its m-entry `pq` codes
+  // ([[topKPq]] shortlists over those — a further 4× under the SQ8 column).
   private def assignAndWrite(df: DataFrame, idCol: String, vecCol: String,
-      cents: Seq[(Double, Int, Seq[Float])], path: String, mode: String): Unit =
-    Similarity.attachCentroidData(df, cents)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        Quantize.int8Codes(col(vecCol)).as("codes"),
-        element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
-          .getField("list").as("_list"))
-      .write.mode(mode).partitionBy("_list").parquet(s"$path/vectors")
+      cents: Seq[(Double, Int, Seq[Float])],
+      cbs: Option[(Seq[Pq.CodebookEntry], Int, Int)],
+      path: String, mode: String): Unit = {
+    val base = cbs match {
+      case Some((entries, m, dsub)) =>
+        Pq.attachCodebooks(Similarity.attachCentroidData(df, cents), entries)
+          .select(col(idCol).as("id"), col(vecCol).as("vec"),
+            Quantize.int8Codes(col(vecCol)).as("codes"),
+            Pq.pqCodes(col(vecCol), col("_cb"), m, dsub).as("pq"),
+            element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
+              .getField("list").as("_list"))
+      case None =>
+        Similarity.attachCentroidData(df, cents)
+          .select(col(idCol).as("id"), col(vecCol).as("vec"),
+            Quantize.int8Codes(col(vecCol)).as("codes"),
+            element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
+              .getField("list").as("_list"))
+    }
+    base.write.mode(mode).partitionBy("_list").parquet(s"$path/vectors")
+  }
 
   private def readCentroids(spark: SparkSession, path: String): Seq[(Double, Int, Seq[Float])] =
     spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getDouble(1), r.getInt(0), r.getSeq[Float](2))).toSeq
       .sortBy(_._2)
+
+  /** The persisted PQ codebooks (None for an index built without PQ),
+    * plus (m, dsub) derived from the stored entries. */
+  private def readCodebooks(spark: SparkSession,
+      path: String): Option[(Seq[Pq.CodebookEntry], Int, Int)] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/pq_codebooks")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else {
+      val entries = spark.read.parquet(s"$path/pq_codebooks")
+        .collect()
+        .map(r => Pq.CodebookEntry(r.getInt(0), r.getInt(1), r.getDouble(2), r.getSeq[Float](3)))
+        .toSeq.sortBy(e => (e.sub, e.code))
+      val m = entries.map(_.sub).max + 1
+      Some((entries, m, entries.head.vec.size))
+    }
+  }
 
   /** Assign a new batch against the EXISTING quantizer and append it to the
     * list partitions — the daily-ingest path: O(batch) work, no retraining,
@@ -104,7 +134,10 @@ object IvfIndex {
   def ingest(newVectors: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newVectors.sparkSession
     val cents = readCentroids(spark, path)
-    assignAndWrite(newVectors, idCol, vecCol, cents, path, "append")
+    // encode against the PERSISTED codebooks (when present) so appended rows
+    // carry pq codes consistent with the build — the layouts cannot drift
+    assignAndWrite(newVectors, idCol, vecCol, cents, readCodebooks(spark, path),
+      path, "append")
   }
 
   /** Top-k cosine neighbors for a query batch against the persisted index.
@@ -224,6 +257,65 @@ object IvfIndex {
       descending = true, tiebreak = Seq("neighbor_id"))
   }
 
+  /** IVF-PQ retrieval (faiss `IVFx,PQm`): shortlist by ADC lookup tables
+    * over the stored m-entry `pq` codes, then exact-rescore only the
+    * shortlist against the float vectors. The shortlist pass scans ONLY the
+    * pq column of the probed lists — m small ints per row, a further ~4×
+    * under the SQ8 codes and ~32× under the floats at dim=64/m=8 — and each
+    * candidate costs m array lookups (the per-query LUT is computed once
+    * from the float query and the persisted codebooks). Same contract as
+    * [[topKQuantized]]: the shortlist only GATES candidates, scores come
+    * from the exact rescore, so a covering shortlist + exhaustive probe
+    * equals [[Similarity.bruteForceTopK]] bit-for-bit.
+    *
+    * Requires an index written with `pqSubspaces > 0`.
+    */
+  def topKPq(queries: DataFrame, queryId: String, queryVec: String, path: String,
+      k: Int, nprobe: Int = 2, shortlistFactor: Int = 4): DataFrame = {
+    require(k > 0 && nprobe > 0, s"k/nprobe must be positive, got $k/$nprobe")
+    require(shortlistFactor > 0, s"shortlistFactor must be positive, got $shortlistFactor")
+    val spark = queries.sparkSession
+    val cents = readCentroids(spark, path)
+    val (cbs, m, dsub) = readCodebooks(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path was written without PQ codebooks — rebuild with pqSubspaces > 0"))
+    val qLists = graft.core.Lineage.pin(
+      Pq.attachCodebooks(Similarity.attachCentroidData(queries, cents), cbs)
+        .select(
+          col(queryId).as("query_id"),
+          col(queryVec).as("_qv"),
+          Pq.adcLut(col(queryVec), col("_cb"), m, dsub).as("_lut"),
+          transform(
+            slice(Similarity.rankedCentroidLists(col(queryVec), col("_cents")),
+              1, math.min(nprobe, cents.size)),
+            s => s.getField("list")).as("_lists")))
+    val q = qLists.select(col("query_id"), col("_lut"), explode(col("_lists")).as("_list"))
+    val probed = q.select("_list").distinct().collect().map(_.getInt(0))
+    val listFilter = col("_list").isin(probed.map(Integer.valueOf).toSeq: _*)
+    // shortlist pass: pq column only — the narrowest scan the layout offers
+    val codes = spark.read.parquet(s"$path/vectors")
+      .filter(listFilter)
+      .select(col("id").as("neighbor_id"), col("pq").as("_pq"), col("_list"))
+    val scoredAdc = codes
+      .join(q, Seq("_list"))
+      .select(col("query_id"), col("neighbor_id"),
+        Pq.adcDot(col("_pq"), col("_lut")).as("_adc"))
+    val short = graft.operators.TopK
+      .perKeySalted(scoredAdc, Seq("query_id"), "_adc", k * shortlistFactor,
+        descending = true, tiebreak = Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .filter(listFilter)
+      .select(col("id").as("neighbor_id"), col("vec").as("_cv"))
+    val rescored = vecs
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qLists.select(col("query_id"), col("_qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("_qv"), col("_cv")).as("score"))
+    graft.operators.TopK.perKeySalted(rescored, Seq("query_id"), "score", k,
+      descending = true, tiebreak = Seq("neighbor_id"))
+  }
+
   /** Index-freshness monitor: sampled partial-probe recall against brute
     * force over the INDEXED corpus. [[ingest]] batches drift the data away
     * from the quantizer's training distribution, and partial-probe recall
@@ -239,14 +331,18 @@ object IvfIndex {
     * `quantized = true` the probed path is [[topKQuantized]] (mode "sq8"),
     * so the monitor also covers the shortlistFactor recall trade — the SQ8
     * shortlist can drop true neighbors that nprobe alone would keep, and
-    * nothing else in the index surfaces that.
+    * nothing else in the index surfaces that. `pq = true` probes [[topKPq]]
+    * (mode "pq") the same way.
     */
   def recallProbe(sampleQueries: DataFrame, queryId: String, queryVec: String,
       path: String, k: Int, nprobe: Int,
-      quantized: Boolean = false, shortlistFactor: Int = 4): DataFrame = {
+      quantized: Boolean = false, shortlistFactor: Int = 4,
+      pq: Boolean = false): DataFrame = {
+    require(!(quantized && pq), "pick ONE probed path: quantized (sq8) or pq")
     val spark = sampleQueries.sparkSession
     val approx = (
-      if (quantized)
+      if (pq) topKPq(sampleQueries, queryId, queryVec, path, k, nprobe, shortlistFactor)
+      else if (quantized)
         topKQuantized(sampleQueries, queryId, queryVec, path, k, nprobe, shortlistFactor)
       else topK(sampleQueries, queryId, queryVec, path, k, nprobe))
       .select(col("query_id"), col("neighbor_id"))
@@ -258,7 +354,8 @@ object IvfIndex {
     val nExact = exact.count()
     val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
     import spark.implicits._
-    Seq((if (quantized) "sq8" else "flat", nQueries, k, nprobe, nExact, nHit,
+    Seq((if (pq) "pq" else if (quantized) "sq8" else "flat",
+      nQueries, k, nprobe, nExact, nHit,
       if (nExact == 0) 1.0 else nHit.toDouble / nExact))
       .toDF("mode", "n_queries", "k", "nprobe", "n_exact", "n_hit", "recall")
   }

@@ -176,6 +176,35 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Train a KMeans coarse quantizer on a deterministic hash-sample of the
+    * corpus and return (halfNorm, list, vec) centroid tuples — the ONE
+    * sampled-training definition shared by [[IvfIndex.write]] and
+    * [[Dedup.semDedup]]. KMeans makes ~maxIter passes over its training
+    * input, so full-corpus training costs ~10 corpus scans; centroid
+    * PLACEMENT only needs a few hundred vectors per centroid, so training
+    * reads a [[Sampling.hashSample]] of ~`samplePer × k` vectors instead
+    * (corpora at or below the target train on every vector, unchanged).
+    * The sample sizing pays one `count()` pass — cheap against the ~10
+    * scans it replaces.
+    */
+  private[llm] def trainCoarseCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long, samplePer: Int, salt: String): Seq[(Double, Int, Seq[Float])] = {
+    require(k > 0, s"k must be positive, got $k")
+    require(samplePer > 0, s"samplePer must be positive, got $samplePer")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val target = samplePer.toLong * k
+    val n = corpus.count()
+    val src =
+      if (n > target) Sampling.hashSample(corpus, col(idCol), target.toDouble / n, salt = salt)
+      else corpus
+    val train = src.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(train)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (0.5 * c.dot(c), i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+  }
+
   /** Centroid structs as a broadcast single-row DataFrame cross-joined onto
     * `df` (the array is DATA, not plan constants — a large nlist as
     * literals would blow the codegen constant pool). `cents` rows are

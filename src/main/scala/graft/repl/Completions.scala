@@ -86,6 +86,12 @@ object Completions {
     Completion("LangModelTransform",
       "{type = \"LangModelTransform\", name = \"score\", inputView = \"docs\", outputView = \"scored\",\n" +
         " idField = \"doc_id\", textField = \"text\", mode = \"score\", bigramView = \"bg\", unigramView = \"ug\"}"),
+    Completion("PqQueryTransform",
+      "{type = \"PqQueryTransform\", name = \"pq\", inputView = \"queries\", corpusView = \"corpus\",\n" +
+        " outputView = \"hits\", idField = \"id\", vectorField = \"embedding\", dim = 64, k = 10}"),
+    Completion("HeavyHittersTransform",
+      "{type = \"HeavyHittersTransform\", name = \"hh\", inputView = \"v\", outputView = \"top\",\n" +
+        " keyField = \"key\", cap = 64, action = \"estimate\"}"),
     Completion("%explain", "%explain viewName mode=formatted"),
     Completion("%version", "%version"),
     Completion("%help", "%help")

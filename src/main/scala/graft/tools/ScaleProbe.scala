@@ -404,6 +404,60 @@ object ScaleProbe {
           .agg(sum("n_unseen"), count(lit(1))).collect().head.toSeq.mkString("/")
       }
     }
+    // PQ/ADC retrieval vs brute force at the linear-scan shape: PQ scores
+    // every candidate too (no inverted lists here), but each score is m=8
+    // array lookups over the codes instead of a 64-dim float dot — the probe
+    // confirms the ADC pass (including codebook training + encode) beats
+    // the float scan at the same batch, and stays exact via the rescore.
+    if (anySelected(s"pqTopK n=$n", s"bruteForceTopK n=$n", s"pqEncode n=$n")) {
+      val vecs = spark.range(0, n).select(col("id"),
+        expr("transform(sequence(1, 64), i -> CAST(((id % 997) * i) % 255 - 127 AS FLOAT) / 127.0F)")
+          .as("v"))
+      val queries = vecs.filter(pmod(col("id"), lit(4000)) === 0) // batch=100
+      time(s"pqEncode n=$n m=8 ksub=16 (train + narrow code scan)") {
+        val cbs = graft.llm.Pq.trainCodebooks(vecs, "id", "v", dim = 64, m = 8, ksub = 16)
+        graft.llm.Pq.encode(vecs, "id", "v", cbs, dim = 64, m = 8).count()
+      }
+      time(s"pqTopK n=$n batch=100 factor=4 (ADC shortlist + exact rescore)") {
+        graft.llm.Pq.pqTopK(vecs, "id", "v", queries, "id", "v",
+          dim = 64, k = 10, m = 8, ksub = 16, shortlistFactor = 4).count()
+      }
+      time(s"bruteForceTopK n=$n batch=100 (float scan baseline)") {
+        graft.llm.Similarity.bruteForceTopK(vecs, "id", "v", queries, "id", "v", 10).count()
+      }
+    }
+    // SemDeDup at the mass-duplication shape: 50% of vectors collapse onto 8
+    // dense patterns, the rest onto ~1000 repeated patterns — every cluster
+    // is duplicate-heavy, so the bucketCandidates star cap (not n²) and the
+    // CC rounds are what's probed. KMeans trains on the 256×64 hash-sample.
+    if (anySelected(s"semDedup n=$n")) {
+      val skew = spark.range(0, n).select(col("id"),
+        expr("transform(sequence(1, 64), i -> CAST((((CASE WHEN id % 2 = 0 THEN id % 8 ELSE id % 997 END)) * i) % 255 - 127 AS FLOAT) / 127.0F)")
+          .as("v"))
+      time(s"semDedup n=$n 8 dense patterns, nclusters=64") {
+        graft.llm.Dedup.semDedup(skew, "id", "v", nclusters = 64, tau = 0.999).count()
+      }
+    }
+    // Misra–Gries at corpus scale: one narrow scan, ≤ cap×partitions summary
+    // rows, no corpus shuffle — plus the 1000-segment compaction path.
+    if (anySelected(s"heavyHitters n=$n", "hhMerge 1000 segments")) {
+      val keyed = docs.select(
+        when(pmod(col("id"), lit(10)) < 7,
+          concat(lit("hot-"), pmod(col("id"), lit(3)).cast("string")))
+          .otherwise(concat(lit("cold-"), col("id").cast("string"))).as("key"))
+      time(s"heavyHitters n=$n cap=256") {
+        graft.llm.HeavyHitters.heavyHitters(keyed, col("key"), 256).count()
+      }
+      val segDir = "/tmp/graft_scaleprobe_hh_segs"
+      spark.range(0, 1000).select(col("id").as("_seg"))
+        .crossJoin(spark.range(0, 256).select(col("id").as("_k")))
+        .select(concat(lit("k"), pmod(col("_seg") * 7L + col("_k"), lit(5000)).cast("string")).as("key"),
+          (pmod(col("_seg") + col("_k"), lit(200)) + 1L).as("est"))
+        .write.mode("overwrite").parquet(segDir)
+      time(s"hhMerge 1000 segments cap=256") {
+        graft.llm.HeavyHitters.merge(spark.read.parquet(segDir), 256).count()
+      }
+    }
     spark.stop()
   }
 }

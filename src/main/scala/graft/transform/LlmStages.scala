@@ -25,6 +25,8 @@ final case class DeduplicateTransform(
     threshold: Double = 0.8,
     shingleLength: Int = 3,
     maxDistance: Int = 3,
+    vectorField: String = "",
+    numClusters: Int = 16,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "DeduplicateTransform"
@@ -66,9 +68,20 @@ final case class DeduplicateTransform(
       case "simhash" =>
         require(textField.nonEmpty, s"$name: simhash dedup needs textField")
         Dedup.simhashDedup(in, idField, textField, maxDistance = maxDistance)
+      case "semantic" =>
+        // SemDeDup: learned-cluster-bounded embedding dedup with transitive
+        // closure; threshold is the cosine tau
+        require(vectorField.nonEmpty, s"$name: semantic dedup needs vectorField")
+        Dedup.semDedup(in, idField, vectorField, nclusters = numClusters, tau = threshold)
+      case "semanticReport" =>
+        // per-row (id, cluster, kept) audit of the semantic dedup, from ONE
+        // quantizer training
+        require(vectorField.nonEmpty, s"$name: semantic dedup needs vectorField")
+        Dedup.semDedupReport(in, idField, vectorField, nclusters = numClusters, tau = threshold)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown dedup method '$other' (exact|normalized|canonical|minhash|simhash)")
+          s"$name: unknown dedup method '$other' " +
+            "(exact|best|normalized|canonical|minhash|simhash|semantic|semanticReport)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
@@ -499,14 +512,16 @@ final case class IvfIndexLoad(
     vectorField: String,
     numLists: Int = 16,
     action: String = "write",
-    seed: Long = 42L
+    seed: Long = 42L,
+    pqSubspaces: Int = 0,
+    pqCodesPerSub: Int = 16
 ) extends Stage {
   val stageType = "IvfIndexLoad"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     action match {
       case "write" =>
         graft.llm.IvfIndex.write(ctx.view(inputView), idField, vectorField, outputURI,
-          numLists, seed)
+          numLists, seed, pqSubspaces = pqSubspaces, pqCodesPerSub = pqCodesPerSub)
       case "ingest" =>
         graft.llm.IvfIndex.ingest(ctx.view(inputView), idField, vectorField, outputURI)
       case other =>
@@ -534,12 +549,16 @@ final case class IvfQueryTransform(
     numProbes: Int = 2,
     quantized: Boolean = false,
     shortlistFactor: Int = 4,
+    pq: Boolean = false,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "IvfQueryTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     val out =
-      if (quantized)
+      if (pq)
+        graft.llm.IvfIndex.topKPq(ctx.view(inputView), idField, vectorField,
+          indexURI, k, numProbes, shortlistFactor)
+      else if (quantized)
         graft.llm.IvfIndex.topKQuantized(ctx.view(inputView), idField, vectorField,
           indexURI, k, numProbes, shortlistFactor)
       else
@@ -567,12 +586,78 @@ final case class IvfRecallTransform(
     numProbes: Int = 2,
     quantized: Boolean = false,
     shortlistFactor: Int = 4,
+    pq: Boolean = false,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "IvfRecallTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     val out = graft.llm.IvfIndex.recallProbe(ctx.view(inputView), idField, vectorField,
-      indexURI, k, numProbes, quantized, shortlistFactor)
+      indexURI, k, numProbes, quantized, shortlistFactor, pq)
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** Product-quantization retrieval ([[graft.llm.Pq.pqTopK]]) behind the
+  * config surface: per-subspace codebooks trained on the corpus view, ADC
+  * shortlist over the m-byte codes, exact float rescore. One-shot (train +
+  * retrieve per run) — the persistent path is [[IvfIndexLoad]] +
+  * [[IvfQueryTransform]].
+  */
+final case class PqQueryTransform(
+    name: String,
+    inputView: String,
+    corpusView: String,
+    outputView: String,
+    idField: String,
+    vectorField: String,
+    dim: Int,
+    k: Int = 10,
+    numSubspaces: Int = 8,
+    numCodes: Int = 16,
+    shortlistFactor: Int = 4,
+    seed: Long = 42L,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "PqQueryTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val out = graft.llm.Pq.pqTopK(ctx.view(corpusView), idField, vectorField,
+      ctx.view(inputView), idField, vectorField,
+      dim = dim, k = k, m = numSubspaces, ksub = numCodes,
+      shortlistFactor = shortlistFactor, seed = seed)
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** Misra–Gries heavy hitters ([[graft.llm.HeavyHitters]]) behind the config
+  * surface. `action=estimate` runs the end-to-end sketch (per-partition
+  * summaries → summed estimates); `action=summarize` emits the raw
+  * per-partition summaries (the mergeable segment shape); `action=merge`
+  * compacts a view of summaries back to ≤ cap rows.
+  */
+final case class HeavyHittersTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    keyField: String = "",
+    cap: Int = 64,
+    action: String = "estimate",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "HeavyHittersTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = action match {
+      case "estimate" =>
+        require(keyField.nonEmpty, s"$name: estimate needs keyField")
+        graft.llm.HeavyHitters.heavyHitters(in, col(keyField), cap)
+      case "summarize" =>
+        require(keyField.nonEmpty, s"$name: summarize needs keyField")
+        graft.llm.HeavyHitters.summarize(in, col(keyField), cap)
+      case "merge" => graft.llm.HeavyHitters.merge(in, cap)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown action '$other' (estimate|summarize|merge)")
+    }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }

@@ -424,7 +424,8 @@ class ConfigSpec extends SparkSpec {
     val hocon =
       s"""{stages: [
         { type = "IvfIndexLoad", name = "build", inputView = ivf_corpus,
-          outputURI = "$dir", idField = vec_id, vectorField = embedding, numLists = 8 }
+          outputURI = "$dir", idField = vec_id, vectorField = embedding, numLists = 8,
+          pqSubspaces = 8 }
         { type = "IvfIndexLoad", name = "daily", inputView = ivf_batch,
           outputURI = "$dir", idField = vec_id, vectorField = embedding, action = ingest }
         { type = "IvfQueryTransform", name = "ret", inputView = ivf_queries,
@@ -434,6 +435,10 @@ class ConfigSpec extends SparkSpec {
           outputView = ivf_hits_q, indexURI = "$dir", idField = vec_id,
           vectorField = embedding, k = 5, numProbes = 8,
           quantized = true, shortlistFactor = 1000 }
+        { type = "IvfQueryTransform", name = "retpq", inputView = ivf_queries,
+          outputView = ivf_hits_pq, indexURI = "$dir", idField = vec_id,
+          vectorField = embedding, k = 5, numProbes = 8,
+          pq = true, shortlistFactor = 1000 }
         { type = "IvfRecallTransform", name = "mon", inputView = ivf_queries,
           outputView = ivf_recall, indexURI = "$dir", idField = vec_id,
           vectorField = embedding, k = 5, numProbes = 8 }
@@ -450,9 +455,76 @@ class ConfigSpec extends SparkSpec {
     assert(hits("ivf_hits") == brute)
     // quantized path with a covering shortlist: rescore restores exactness
     assert(hits("ivf_hits_q") == brute)
+    // PQ path with a covering shortlist: same exactness contract
+    assert(hits("ivf_hits_pq") == brute)
     // recall monitor under the exhaustive probe must report exactly 1.0
     val rec = spark.table("ivf_recall").collect().head
     assert(rec.getAs[Double]("recall") == 1.0 && rec.getAs[Long]("n_queries") == 5, s"$rec")
+  }
+
+  test("PqQueryTransform retrieves with a covering shortlist = brute force from a config cell") {
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    em.createOrReplaceTempView("pq_corpus")
+    em.filter("vec_id < 5").createOrReplaceTempView("pq_queries")
+    val hocon =
+      """{stages: [{
+        type = "PqQueryTransform", name = "pq", inputView = pq_queries,
+        corpusView = pq_corpus, outputView = pq_hits, idField = vec_id,
+        vectorField = embedding, dim = 64, k = 5, shortlistFactor = 1000
+      }]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val got = spark.table("pq_hits")
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = graft.llm.Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      spark.table("pq_queries"), "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
+  test("DeduplicateTransform method=semantic drops embedding copies from a config cell") {
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+    em.unionAll(em.filter("vec_id % 5 = 0")
+        .selectExpr("vec_id + 100000 as vec_id", "embedding"))
+      .createOrReplaceTempView("sem_in")
+    val hocon =
+      """{stages: [
+        { type = "DeduplicateTransform", name = "sd", inputView = sem_in,
+          outputView = sem_out, idField = vec_id, method = semantic,
+          vectorField = embedding, threshold = 0.999, numClusters = 8 }
+        { type = "DeduplicateTransform", name = "sdr", inputView = sem_in,
+          outputView = sem_report, idField = vec_id, method = semanticReport,
+          vectorField = embedding, threshold = 0.999, numClusters = 8 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val kept = spark.table("sem_out").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.forall(_ < 100000L), "a copy survived semantic dedup")
+    assert(spark.table("sem_in").count() == spark.table("sem_report").count())
+    val reportKept = spark.table("sem_report").filter("kept")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(reportKept == kept)
+  }
+
+  test("HeavyHittersTransform estimates skewed keys within MG bounds from a config cell") {
+    import spark.implicits._
+    val n = 5000
+    (0 until n).map(i => if (i % 10 < 7) s"hot-${i % 3}" else s"cold-${i / 10}")
+      .toDF("key").createOrReplaceTempView("hh_in")
+    val hocon =
+      """{stages: [{
+        type = "HeavyHittersTransform", name = "hh", inputView = hh_in,
+        outputView = hh_out, keyField = key, cap = 16
+      }]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val est = spark.table("hh_out").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = spark.table("hh_in").groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.filter(_._2 * 17 > n).keys.foreach { k =>
+      assert(est.contains(k), s"true heavy hitter $k missing from the config-surface sketch")
+    }
+    est.foreach { case (k, e) => assert(e <= truth(k) && (truth(k) - e) * 17 <= n) }
   }
 
   test("RedactTransform scrubs PII and appends counts from a config cell") {

@@ -1196,4 +1196,286 @@ class IvfIndexSpec extends SparkSpec {
       queries, "vec_id", "embedding", 5))
     assert(fromIndex == brute)
   }
+
+  test("IVF-PQ: covering shortlist + exhaustive probe rescores to exact brute force") {
+    val path = "/tmp/graft_test_ivfindex_pq"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em, "vec_id", "embedding", path, nlist = 8, pqSubspaces = 8)
+    val queries = em.filter(col("vec_id") < 10)
+    val got = key(IvfIndex.topKPq(queries, "vec_id", "embedding", path,
+      k = 5, nprobe = 8, shortlistFactor = 1000))
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(got == brute)
+    // the shortlist pass must scan ONLY the pq column — neither the float
+    // vectors nor the (4× larger) SQ8 codes
+    val out = IvfIndex.topKPq(queries, "vec_id", "embedding", path,
+      k = 5, nprobe = 8, shortlistFactor = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    val pqOnlyScan = plan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("pq:") &&
+        !l.contains("vec:") && !l.contains("codes:"))
+    assert(pqOnlyScan, plan.take(4000))
+    // tight shortlist keeps usable recall — i.i.d. vectors are PQ's worst
+    // case (PqSpec note); chance for a random 4k shortlist would be ~0.08
+    val recall = key(out).intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, f"recall $recall%.2f with a 4k ADC shortlist")
+  }
+
+  test("IVF-PQ: ingest encodes against the persisted codebooks; recallProbe reports mode pq") {
+    val path = "/tmp/graft_test_ivfindex_pq_ingest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path,
+      nlist = 8, pqSubspaces = 8)
+    IvfIndex.ingest(em.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+    val queries = em.filter(col("vec_id") < 10)
+    val got = key(IvfIndex.topKPq(queries, "vec_id", "embedding", path,
+      k = 5, nprobe = 8, shortlistFactor = 1000))
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(got == brute, "ingested rows must carry codebook-consistent pq codes")
+    val probe = IvfIndex.recallProbe(queries, "vec_id", "embedding", path,
+      k = 5, nprobe = 8, shortlistFactor = 1000, pq = true).collect().head
+    assert(probe.getAs[String]("mode") == "pq" && probe.getAs[Double]("recall") == 1.0, s"$probe")
+  }
+
+  test("IVF-PQ: querying a non-PQ index fails fast with a rebuild hint") {
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.topKPq(em.filter(col("vec_id") < 2), "vec_id", "embedding", idx, k = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("pqSubspaces"), e.getMessage)
+  }
+}
+
+class PqSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.llm.{Pq, Similarity}
+
+  private lazy val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  private def key(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6))
+    .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("covering shortlist rescores to exact brute force (scores are never approximate)") {
+    val queries = em.filter(col("vec_id") < 10)
+    val pq = key(Pq.pqTopK(em, "vec_id", "embedding", queries, "vec_id", "embedding",
+      dim = 64, k = 5, m = 8, ksub = 16, shortlistFactor = 1000))
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(pq == brute)
+  }
+
+  test("tight shortlist keeps recall under ADC ranking, improving with the factor") {
+    // i.i.d. random vectors are PQ's WORST case (no cluster structure for
+    // the codebooks to exploit); a random 4k/500 shortlist would land
+    // recall ≈ 0.08, so these bounds assert the ADC ranking is informative
+    // and that widening the shortlist buys recall back
+    val queries = em.filter(col("vec_id") < 50)
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    def recallAt(factor: Int): Double = {
+      val got = key(Pq.pqTopK(em, "vec_id", "embedding", queries, "vec_id", "embedding",
+        dim = 64, k = 5, m = 8, ksub = 16, shortlistFactor = factor))
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16)
+    assert(r4 >= 0.3, f"recall $r4%.2f with a 4k ADC shortlist")
+    assert(r16 >= r4, f"widening the shortlist lost recall: $r16%.2f < $r4%.2f")
+    assert(r16 >= 0.6, f"recall $r16%.2f with a 16k ADC shortlist")
+  }
+
+  test("codes have m entries in [0, ksub) and encoding is deterministic") {
+    val cbs = Pq.trainCodebooks(em, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
+    assert(cbs.size == 8 * 16)
+    assert(cbs.forall(e => e.vec.size == 8))
+    val a = Pq.encode(em, "vec_id", "embedding", cbs, dim = 64, m = 8)
+      .select("id", "codes").collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(a.values.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 16)))
+    val b = Pq.encode(em, "vec_id", "embedding", cbs, dim = 64, m = 8)
+      .select("id", "codes").collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(a == b, "re-encoding the same corpus with the same codebooks diverged")
+  }
+
+  test("both top-k passes are salted windows, never one sort per query") {
+    val queries = em.filter(col("vec_id") < 5)
+    val out = Pq.pqTopK(em, "vec_id", "embedding", queries, "vec_id", "embedding",
+      dim = 64, k = 5, m = 8, ksub = 16, shortlistFactor = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("_tks"), plan.take(3000))
+  }
+
+  test("exact duplicates of a query vector rank first under PQ retrieval") {
+    // a copy of vec 0 must be its own nearest neighbor with score 1.0
+    val base = em.select(col("vec_id"), col("embedding"))
+    val dup = base.filter(col("vec_id") === 0)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionAll(dup)
+    val queries = dup
+    val top = Pq.pqTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+      dim = 64, k = 2, m = 8, ksub = 16, shortlistFactor = 16)
+      .orderBy("rank").collect()
+    val ids = top.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids == Set(0L, 900000L), s"PQ missed the exact duplicates: ${ids.mkString(",")}")
+    assert(top.forall(r => math.abs(r.getAs[Double]("score") - 1.0) < 1e-9))
+  }
+}
+
+class SemDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.llm.Dedup
+
+  private lazy val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("exact copies collapse to the minimum id; singletons survive") {
+    val dups = em.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val all = em.unionAll(dups)
+    val kept = Dedup.semDedup(all, "vec_id", "embedding", nclusters = 8, tau = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every copied id keeps its ORIGINAL (minimum) and drops the copy
+    val copied = em.filter(col("vec_id") % 5 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(copied.subsetOf(kept), "an original lost to its own copy")
+    assert(copied.map(_ + 100000L).intersect(kept).isEmpty, "a copy survived")
+    // i.i.d. non-copied vectors are nobody's near-dup at tau=0.999
+    val rest = em.filter(col("vec_id") % 5 =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rest.subsetOf(kept), "a non-duplicate was dropped")
+  }
+
+  test("transitive chains collapse to one survivor even without a direct pair") {
+    // a ~ b (cos 1), b ~ c (cos 1) via copies: all three share a component
+    val a = em.filter(col("vec_id") === 2)
+    val chain = a.select(lit(500000L).as("vec_id"), col("embedding"))
+      .unionAll(a.select(lit(500001L).as("vec_id"), col("embedding")))
+      .unionAll(a.select(lit(500002L).as("vec_id"), col("embedding")))
+    val all = em.unionAll(chain)
+    val kept = Dedup.semDedup(all, "vec_id", "embedding", nclusters = 8, tau = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(2L) && !kept.contains(500000L) &&
+      !kept.contains(500001L) && !kept.contains(500002L),
+      "transitive closure failed to collapse the copy chain")
+  }
+
+  test("pairs are same-cluster only, idA < idB, and at-or-above tau") {
+    val dups = em.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val all = em.unionAll(dups)
+    val pairs = Dedup.semDedupPairs(all, "vec_id", "embedding", nclusters = 8, tau = 0.999)
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getAs[Long]("idA") < r.getAs[Long]("idB")))
+    assert(pairs.forall(r => r.getAs[Double]("cosine") >= 0.999))
+    val clusters = Dedup.semClusters(all, "vec_id", "embedding", nclusters = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pairs.forall(r =>
+      clusters(r.getAs[Long]("idA")) == clusters(r.getAs[Long]("idB"))))
+  }
+
+  test("a corpus with no near-dups above tau is returned unchanged") {
+    val kept = Dedup.semDedup(em, "vec_id", "embedding", nclusters = 8, tau = 0.999)
+    assert(kept.count() == em.count())
+  }
+
+  test("assignment is deterministic across recomputation") {
+    val a = Dedup.semClusters(em, "vec_id", "embedding", nclusters = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Dedup.semClusters(em, "vec_id", "embedding", nclusters = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("semDedupReport agrees with semDedup's kept set and covers every row") {
+    val dups = em.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val all = em.unionAll(dups)
+    val report = Dedup.semDedupReport(all, "vec_id", "embedding", nclusters = 8, tau = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(report.size == all.count(), "report must emit one row per input row")
+    val kept = Dedup.semDedup(all, "vec_id", "embedding", nclusters = 8, tau = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(report.filter(_._2).keySet == kept)
+  }
+}
+
+class HeavyHittersSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.llm.HeavyHitters
+
+  // skewed stream: 3 hot keys with ~70% of the mass, a long uniform tail
+  private def skewed(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      if (i % 10 < 7) s"hot-${i % 3}" else s"cold-${i / 10}"
+    }.toDF("k")
+  }
+
+  private def exact(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("MG bounds hold for every reported key, on any partition layout") {
+    val df = skewed(20000)
+    val truth = exact(df)
+    val n = 20000L
+    for (parts <- Seq(1, 4, 13)) {
+      val cap = 16
+      val est = HeavyHitters.heavyHitters(df.repartition(parts), col("k"), cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      est.foreach { case (k, e) =>
+        val t = truth(k)
+        assert(e <= t, s"overestimate at $k: $e > $t (parts=$parts)")
+        assert((t - e) * (cap + 1) <= n, s"deficit bound broken at $k: $t - $e (parts=$parts)")
+      }
+      // completeness: every key with true count > n/(cap+1) is present
+      truth.filter(_._2 * (cap + 1) > n).keys.foreach { k =>
+        assert(est.contains(k), s"true heavy hitter $k missing (parts=$parts)")
+      }
+    }
+  }
+
+  test("summary size is bounded by cap per partition") {
+    val df = skewed(20000).repartition(4)
+    val perPart = HeavyHitters.summarize(df, col("k"), 8)
+    assert(perPart.count() <= 4 * 8)
+  }
+
+  test("merge compacts to cap rows and keeps the MG guarantees") {
+    val a = skewed(10000)
+    val b = skewed(10000).select(concat(lit("x"), col("k")).as("k"))
+    val both = a.unionAll(b)
+    val truth = exact(both)
+    val cap = 16
+    val summaries = HeavyHitters.summarize(a, col("k"), cap)
+      .unionAll(HeavyHitters.summarize(b, col("k"), cap))
+    val merged = HeavyHitters.merge(summaries, cap)
+    assert(merged.count() <= cap)
+    val est = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, e) => assert(e <= truth(k), s"merge overestimated $k") }
+    // the 6 hot keys (3 per segment) each hold ~23% of their segment —
+    // far above any pruning threshold, so all must survive the compaction
+    val hot = truth.filter(_._2 > 2000).keys
+    hot.foreach { k => assert(est.contains(k), s"hot key $k lost in merge") }
+  }
+
+  test("nulls are dropped; an all-null column yields an empty summary") {
+    import spark.implicits._
+    val df = Seq[Option[String]](None, None, Some("a"), Some("a"), None).toDF("k")
+    val est = HeavyHitters.heavyHitters(df, col("k"), 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 2L))
+    val empty = HeavyHitters.heavyHitters(df.filter(col("k").isNull), col("k"), 4)
+    assert(empty.count() == 0)
+  }
+
+  test("cardinality at or below cap is exact") {
+    val df = skewed(1000).filter(col("k").startsWith("hot-"))
+    val truth = exact(df)
+    val est = HeavyHitters.heavyHitters(df, col("k"), 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == truth, "small-cardinality summary must be exact counts")
+  }
 }

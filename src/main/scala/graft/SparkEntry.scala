@@ -1121,6 +1121,36 @@ object SparkEntry {
             lit(false)).as("ok"))
         .orderBy("query_id", "rank")
     },
+    "q159_url_dedup" -> withViews("documents") { (spark, ctx) =>
+      // URL-keyed crawl dedup (llm/UrlNorm): canonicalize messy URL
+      // spellings (scheme/www/host-case/tracking-params/param-order/
+      // index.html/fragment/trailing-slash variants) and keep the
+      // first-crawled row per canonical URL. The URL column is derived
+      // deterministically from (source, doc_id) with every variant class
+      // injected, so canonical groups genuinely collide across spelling
+      // variants; the DuckDB oracle reproduces the canonicalization
+      // byte-for-byte (Java-regex ∩ RE2 patterns only).
+      import graft.llm.UrlNorm
+      val docs = ctx.view("documents")
+      val messy = docs.select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
+          lit(".Example.COM/articles/"), (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("/index.html"))
+            .when(col("doc_id") % 4 === 1, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("?utm_source=feed&utm_campaign=x"))
+            .when(col("doc_id") % 7 === 1, lit("?ref=rss&page=2"))
+            .when(col("doc_id") % 7 === 2, lit("?page=2&gclid=abc123"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("#section-2")).otherwise(lit(""))
+        ).as("url"))
+      UrlNorm.dedupByUrl(messy, "url", "doc_id")
+        .select(col("doc_id"), col("canonical_url"), col("n_dups"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -2390,6 +2420,45 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q159_url_dedup" ->
+      // byte-for-byte mirror of UrlNorm.canonicalizeUrl: scheme strip,
+      // host lowering + www strip, fragment drop, tracking-param filter +
+      // param sort, index.html + trailing-slash strip. Every regexp is
+      // anchored/single-match so DuckDB's first-match regexp_replace and
+      // Spark's replace-all agree.
+      """WITH u AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+                 || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN UPPER(source) ELSE source END)
+                 || '.Example.COM/articles/' || CAST(doc_id % 100 AS VARCHAR)
+                 || (CASE WHEN doc_id % 4 = 0 THEN '/index.html'
+                          WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                          WHEN doc_id % 7 = 1 THEN '?ref=rss&page=2'
+                          WHEN doc_id % 7 = 2 THEN '?page=2&gclid=abc123' ELSE '' END)
+                 || (CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END) AS url
+          FROM documents),
+        s AS (SELECT doc_id, regexp_replace(url, '^https?://', '') AS ns FROM u),
+        parts AS (
+          SELECT doc_id,
+                 regexp_replace(lower(regexp_extract(ns, '^[^/?#]*')), '^www\.', '') AS host,
+                 regexp_replace(ns, '^[^/?#]*', '') AS rest
+          FROM s),
+        pq AS (
+          SELECT doc_id, host,
+                 regexp_replace(regexp_replace(regexp_extract(rest, '^[^?#]*'),
+                   '/index\.html$', ''), '/$', '') AS path,
+                 list_sort(list_filter(string_split(regexp_extract(rest, '\?([^#]*)', 1), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|ref)='))) AS params
+          FROM parts),
+        c AS (
+          SELECT doc_id,
+                 host || path || (CASE WHEN len(params) > 0
+                   THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+          FROM pq)
+        SELECT MIN(doc_id) AS doc_id, canonical_url, COUNT(*) AS n_dups
+        FROM c GROUP BY canonical_url ORDER BY doc_id""",
     "q154_dedup_best_copy" ->
       // same normalization as q92; survivor = argmax(length, min doc_id)
       """WITH all_docs AS (

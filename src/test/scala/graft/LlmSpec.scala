@@ -1479,3 +1479,68 @@ class HeavyHittersSpec extends SparkSpec {
     assert(est == truth, "small-cardinality summary must be exact counts")
   }
 }
+
+class UrlNormSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.UrlNorm
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlNorm.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("canonicalization: scheme, www, host case, fragment, trailing slash, index.html") {
+    assert(canon(
+      "https://WWW.Example.COM/A/B/",
+      "http://example.com/A/B",
+      "https://example.com/A/B/index.html#frag",
+      "https://example.com",
+      "http://example.com/"
+    ) == Seq(
+      "example.com/A/B", // path case preserved, host lowered, www stripped
+      "example.com/A/B",
+      "example.com/A/B",
+      "example.com",
+      "example.com"
+    ))
+  }
+
+  test("canonicalization: tracking params dropped, survivors sorted, ? removed when empty") {
+    assert(canon(
+      "https://example.com/p?utm_source=x&utm_campaign=y",
+      "https://example.com/p?b=2&a=1",
+      "https://example.com/p?a=1&b=2",
+      "https://example.com/p?ref=rss&page=2&gclid=z#s",
+      "https://example.com/p/index.html?fbclid=abc&page=2"
+    ) == Seq(
+      "example.com/p",
+      "example.com/p?a=1&b=2",
+      "example.com/p?a=1&b=2",
+      "example.com/p?page=2",
+      "example.com/p?page=2"
+    ))
+  }
+
+  test("null url stays null") {
+    val out = Seq[Option[String]](None, Some("http://a.com/x"))
+      .toDF("u").select(UrlNorm.canonicalizeUrl(col("u")).as("c"))
+      .as[Option[String]].collect().toSet
+    assert(out == Set(None, Some("a.com/x")))
+  }
+
+  test("dedupByUrl keeps the smallest tiebreaker per canonical key with the group count") {
+    val df = Seq(
+      (1L, "https://www.site.com/page?utm_source=a"),
+      (2L, "http://site.com/page/"),
+      (3L, "https://SITE.com/page/index.html"),
+      (4L, "https://site.com/other"),
+      (5L, "https://site.com/page?x=1")
+    ).toDF("id", "url")
+    val out = UrlNorm.dedupByUrl(df, "url", "id")
+      .select("id", "canonical_url", "n_dups")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "site.com/page", 3L),
+      (4L, "site.com/other", 1L),
+      (5L, "site.com/page?x=1", 1L)
+    ))
+  }
+}

@@ -245,6 +245,7 @@ object PipelineConfig {
         maxDistance = o.intOpt("maxDistance").getOrElse(3),
         vectorField = o.str("vectorField", ""),
         numClusters = o.intOpt("numClusters").getOrElse(16),
+        urlField = o.str("urlField", ""),
         persist = o.bool("persist"))
     case "DecontaminateTransform" =>
       DecontaminateTransform(o.req("name"), o.req("inputView"), o.req("evalView"),

@@ -27,6 +27,7 @@ final case class DeduplicateTransform(
     maxDistance: Int = 3,
     vectorField: String = "",
     numClusters: Int = 16,
+    urlField: String = "",
     persist: Boolean = false
 ) extends Stage {
   val stageType = "DeduplicateTransform"
@@ -73,6 +74,11 @@ final case class DeduplicateTransform(
         // closure; threshold is the cosine tau
         require(vectorField.nonEmpty, s"$name: semantic dedup needs vectorField")
         Dedup.semDedup(in, idField, vectorField, nclusters = numClusters, tau = threshold)
+      case "url" =>
+        // URL-keyed crawl dedup: canonicalize spelling variants, keep the
+        // first-crawled row per canonical URL (+ canonical_url, n_dups)
+        require(urlField.nonEmpty, s"$name: url dedup needs urlField")
+        graft.llm.UrlNorm.dedupByUrl(in, urlField, tiebreaker = idField)
       case "semanticReport" =>
         // per-row (id, cluster, kept) audit of the semantic dedup, from ONE
         // quantizer training
@@ -81,7 +87,7 @@ final case class DeduplicateTransform(
       case other =>
         throw new IllegalArgumentException(
           s"$name: unknown dedup method '$other' " +
-            "(exact|best|normalized|canonical|minhash|simhash|semantic|semanticReport)")
+            "(exact|best|normalized|canonical|minhash|simhash|semantic|semanticReport|url)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

@@ -355,6 +355,24 @@ class ConfigSpec extends SparkSpec {
     assert(spark.table("bd_clean").count() == 3)
   }
 
+  test("DeduplicateTransform method=url canonicalizes and keeps the first crawl") {
+    import spark.implicits._
+    Seq(
+      (1L, "https://www.site.com/page?utm_source=a"),
+      (2L, "http://SITE.com/page/index.html"),
+      (3L, "https://site.com/other")
+    ).toDF("doc_id", "url").createOrReplaceTempView("ud_in")
+    val hocon =
+      """{stages: [
+        { type = "DeduplicateTransform", name = "u", inputView = ud_in,
+          outputView = ud_out, idField = doc_id, method = url, urlField = url }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val out = spark.table("ud_out").select("doc_id", "canonical_url", "n_dups")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "site.com/page", 2L), (3L, "site.com/other", 1L)), s"got $out")
+  }
+
   test("HistogramTransform mode=drift compares two segment views from a config cell") {
     import spark.implicits._
     (1L to 100L).map(i => ("s", (i % 40).toDouble)).toDF("g", "v")

@@ -1151,6 +1151,22 @@ object SparkEntry {
         .select(col("doc_id"), col("canonical_url"), col("n_dups"))
         .orderBy("doc_id")
     },
+    "q160_mad_outliers" -> withViews("documents") { (spark, ctx) =>
+      // Robust per-source outlier screen (llm/RobustStats): exact grouped
+      // median + MAD from the slicedPrefix slice-rank engine — never
+      // Spark's buffering percentile aggregate, never a per-group data
+      // window — then robust_z = (v − median)/(1.4826·MAD). The oracle
+      // reproduces median/MAD via quantile_cont (same PERCENTILE_CONT
+      // interpolation, the convex (1−f)·vl + f·vu form) and the z/flag
+      // arithmetic operation-for-operation, so doubles match bit-for-bit.
+      import graft.llm.RobustStats
+      RobustStats.madOutliers(
+        ctx.view("documents").select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("source"), col("n_chars"), k = 3.0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("median"), col("mad"), col("robust_z"), col("is_outlier"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -2420,6 +2436,25 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q160_mad_outliers" ->
+      // quantile_cont shares PERCENTILE_CONT interpolation with
+      // RobustStats.groupedQuantiles; z and flag arithmetic mirror the
+      // Spark expressions operation-for-operation (IEEE-identical)
+      """WITH med AS (
+          SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median
+          FROM documents GROUP BY source),
+        mad AS (
+          SELECT d.source,
+                 quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - m.median), 0.5) AS mad
+          FROM documents d JOIN med m USING (source) GROUP BY d.source)
+        SELECT d.doc_id, d.source, d.n_chars, m.median, a.mad,
+               CASE WHEN a.mad > 0
+                 THEN (CAST(d.n_chars AS DOUBLE) - m.median) / (1.4826 * a.mad) END AS robust_z,
+               CASE WHEN a.mad > 0
+                 THEN abs((CAST(d.n_chars AS DOUBLE) - m.median) / (1.4826 * a.mad)) > 3.0
+                 ELSE FALSE END AS is_outlier
+        FROM documents d JOIN med m USING (source) JOIN mad a ON d.source = a.source
+        ORDER BY d.doc_id""",
     "q159_url_dedup" ->
       // byte-for-byte mirror of UrlNorm.canonicalizeUrl: scheme strip,
       // host lowering + www strip, fragment drop, tracking-param filter +

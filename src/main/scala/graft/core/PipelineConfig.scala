@@ -337,6 +337,15 @@ object PipelineConfig {
       RedactTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"), counts = o.bool("counts"),
         persist = o.bool("persist"))
+    case "OutlierTransform" =>
+      OutlierTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        valueField = o.req("valueField"), groupFields = o.strList("groupFields"),
+        mode = o.str("mode", "flag"), k = o.dbl("k", 3.5),
+        quantiles = {
+          val qs = o.dblList("quantiles")
+          if (qs.nonEmpty) qs else Seq(0.5)
+        },
+        persist = o.bool("persist"))
     case "CmsTransform" =>
       CmsTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         keyField = o.str("keyField", ""), weightField = o.str("weightField", ""),

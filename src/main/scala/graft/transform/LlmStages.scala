@@ -844,3 +844,50 @@ final case class RedactTransform(
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }
+
+/** Robust per-group outlier screening behind the config surface —
+  * [[graft.llm.RobustStats]]: exact grouped quantiles / median+MAD from the
+  * slice-rank engine (no buffering percentile aggregate, no per-group data
+  * window). `mode=quantiles` emits one row per (group, p); `mode=stats`
+  * one row per group (median, mad); `mode=flag` appends
+  * median/mad/robust_z/is_outlier to every row; `mode=filter` keeps only
+  * non-outliers.
+  */
+final case class OutlierTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    valueField: String,
+    groupFields: Seq[String] = Nil,
+    mode: String = "flag",
+    k: Double = 3.5,
+    quantiles: Seq[Double] = Seq(0.5),
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "OutlierTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    // no groupFields → one global group via a constant key, dropped after
+    val (df, groups) =
+      if (groupFields.nonEmpty) (in, groupFields)
+      else (in.withColumn("_all", lit(1)), Seq("_all"))
+    def ungroup(out: DataFrame) =
+      if (groupFields.nonEmpty) out else out.drop("_all")
+    val out = mode match {
+      case "quantiles" =>
+        ungroup(graft.llm.RobustStats.groupedQuantiles(df, groups, col(valueField), quantiles))
+      case "stats" =>
+        ungroup(graft.llm.RobustStats.madStats(df, groups, col(valueField)))
+      case "flag" =>
+        ungroup(graft.llm.RobustStats.madOutliers(df, groups, col(valueField), k))
+      case "filter" =>
+        ungroup(graft.llm.RobustStats.madOutliers(df, groups, col(valueField), k)
+          .filter(!col("is_outlier"))
+          .drop("median", "mad", "robust_z", "is_outlier"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown outlier mode '$other' (quantiles|stats|flag|filter)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}

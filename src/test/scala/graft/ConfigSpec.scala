@@ -373,6 +373,32 @@ class ConfigSpec extends SparkSpec {
     assert(out == Set((1L, "site.com/page", 2L), (3L, "site.com/other", 1L)), s"got $out")
   }
 
+  test("OutlierTransform flags and filters MAD outliers from a config cell") {
+    import spark.implicits._
+    Seq(("a", 1L, 9.0), ("a", 2L, 10.0), ("a", 3L, 11.0), ("a", 4L, 10.0),
+      ("a", 5L, 100.0), ("b", 6L, 3.0))
+      .toDF("g", "id", "v").createOrReplaceTempView("ot_in")
+    val hocon =
+      """{stages: [
+        { type = "OutlierTransform", name = "flag", inputView = ot_in,
+          outputView = ot_flag, valueField = v, groupFields = [g], k = 3.5 },
+        { type = "OutlierTransform", name = "drop", inputView = ot_in,
+          outputView = ot_keep, valueField = v, groupFields = [g], mode = filter },
+        { type = "OutlierTransform", name = "qs", inputView = ot_in,
+          outputView = ot_q, valueField = v, mode = quantiles,
+          quantiles = [0.5] }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val flagged = spark.table("ot_flag")
+      .filter(org.apache.spark.sql.functions.col("is_outlier"))
+      .select("id").as[Long].collect().toSet
+    assert(flagged == Set(5L))
+    assert(spark.table("ot_keep").count() == 5)
+    // global (ungrouped) median over all 6 values
+    val q = spark.table("ot_q").select("p", "q").as[(Double, Double)].collect().toSet
+    assert(q == Set((0.5, 10.0)), s"got $q")
+  }
+
   test("HistogramTransform mode=drift compares two segment views from a config cell") {
     import spark.implicits._
     (1L to 100L).map(i => ("s", (i % 40).toDouble)).toDF("g", "v")

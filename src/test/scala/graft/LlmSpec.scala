@@ -1544,3 +1544,67 @@ class UrlNormSpec extends SparkSpec {
     ))
   }
 }
+
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.RobustStats
+
+  test("groupedQuantiles matches Spark's exact percentile bit-for-bit, NULL group included") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 500).map { i =>
+      val g = if (i % 11 == 0) null else s"g${i % 4}"
+      (g, rng.nextInt(1000).toDouble)
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.37, 0.5, 0.9, 1.0)
+    val got = RobustStats.groupedQuantiles(df, Seq("g"), col("v"), ps)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exp = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("qs"))
+      .collect().flatMap { r =>
+        val qs = r.getSeq[Double](1)
+        ps.zip(qs).map { case (p, q) => (Option(r.getString(0)), p) -> q }
+      }.toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) => assert(v == exp(k), s"$k: got $v expected ${exp(k)}") }
+  }
+
+  test("groupedQuantiles: ties, single-row group, and p=1 boundary") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0), ("a", 9.0), ("b", 3.0))
+      .toDF("g", "v")
+    val got = RobustStats.groupedQuantiles(df, Seq("g"), col("v"), Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(
+      ("a", 0.5) -> 5.0, ("a", 1.0) -> 9.0,
+      ("b", 0.5) -> 3.0, ("b", 1.0) -> 3.0))
+  }
+
+  test("madOutliers flags the junk tail; zero-MAD group stays unflagged with NULL z") {
+    // group a: median 10, MAD 1 -> 100 is a huge outlier; group z: all equal
+    val df = Seq(
+      ("a", 9.0), ("a", 10.0), ("a", 11.0), ("a", 10.0), ("a", 100.0),
+      ("z", 7.0), ("z", 7.0), ("z", 7.0)
+    ).toDF("g", "v")
+    val out = RobustStats.madOutliers(df, Seq("g"), col("v"), k = 3.5)
+    val flagged = out.filter(col("is_outlier")).select("g", "v")
+      .as[(String, Double)].collect().toSet
+    assert(flagged == Set(("a", 100.0)))
+    val zRows = out.filter(col("g") === "z")
+      .select(col("robust_z").isNull, col("is_outlier")).collect()
+    assert(zRows.length == 3 && zRows.forall(r => r.getBoolean(0) && !r.getBoolean(1)))
+    // stats columns are exact
+    val aStats = out.filter(col("g") === "a").select("median", "mad").head()
+    assert(aStats.getDouble(0) == 10.0 && aStats.getDouble(1) == 1.0)
+  }
+
+  test("no per-group data window, no percentile buffer in the plan") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    val plan = RobustStats.groupedQuantiles(df, Seq("g"), col("v"), Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile"), "must not fall back to the buffering aggregate")
+    // the only windows run over (spark_partition_id, group) slices or the
+    // bounded counts table — never partitioned by the bare group over data
+    assert(!plan.contains("SinglePartition") || !plan.contains("Window"),
+      plan.take(3000))
+  }
+}

@@ -540,4 +540,51 @@ class StreamingSpec extends SparkSpec {
       queries, "vec_id", "embedding", 5))
     assert(streamed == brute, "ingested index diverged from brute force")
   }
+
+  test("streaming heavy hitters: micro-batch MG segments keep the bounds after compaction") {
+    // The Misra–Gries leg of the segment-parity discipline (CMS/Bloom/LM/
+    // histogram have theirs). MG is NOT linear — merged estimates depend on
+    // batch boundaries within the PROVEN bounds — so the invariant is the
+    // bound set, not bit equality: for the merged store (compacted to cap),
+    //   est(k) ≤ true(k) for every reported key (soundness),
+    //   every true heavy hitter (true > n/(cap+1)) is present,
+    //   true(k) − est(k) ≤ n/(cap+1) for those hitters (integer-exact).
+    import org.apache.spark.sql.functions.col
+    val cap = 16
+    val schema = spark.read.parquet(eventsPath).schema
+    val segDir = "/tmp/graft_test_hh_segs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(segDir))
+    // skew the key so true hitters exist: 70% of events on 3 hot keys
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
+      when(col("user_id") % 10 < 7,
+        concat(lit("hot-"), (col("user_id") % 3).cast("string")))
+        .otherwise(concat(lit("cold-"), col("event_id").cast("string"))).as("key"))
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1).schema(schema).parquet(eventsPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.llm.HeavyHitters.summarize(keyed(batch), col("key"), cap)
+          .write.mode("append").parquet(segDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val merged = graft.llm.HeavyHitters.merge(spark.read.parquet(segDir), cap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.size <= cap, s"compaction left ${merged.size} > cap=$cap rows")
+    val all = keyed(spark.read.parquet(eventsPath))
+    val truth = all.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    merged.foreach { case (k, e) =>
+      assert(e <= truth(k), s"streamed merge overestimated $k: $e > ${truth(k)}")
+    }
+    val hitters = truth.filter { case (_, c) => c * (cap + 1) > n }
+    assert(hitters.nonEmpty, "fixture produced no true heavy hitters")
+    hitters.foreach { case (k, c) =>
+      assert(merged.contains(k), s"true hitter $k lost across micro-batch segments")
+      assert((c - merged(k)) * (cap + 1) <= n,
+        s"$k deficit ${c - merged(k)} exceeds n/(cap+1) = ${n / (cap + 1)}")
+    }
+  }
 }

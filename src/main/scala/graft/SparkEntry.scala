@@ -1167,6 +1167,34 @@ object SparkEntry {
           col("median"), col("mad"), col("robust_z"), col("is_outlier"))
         .orderBy("doc_id")
     },
+    "q161_cdc_chunks" -> withViews("documents") { (spark, ctx) =>
+      // Content-defined chunking (functions/CdcChunksExpr via
+      // Chunking.chunkByContent): gear-hash boundaries, so edits shift only
+      // the chunk they land in. Boundary placement is engine-specific (the
+      // gear table) → rows-only; self-verifying like q59: `ok` carries the
+      // whole CDC contract in-band per chunk — exact reassembly (chunks
+      // concatenate back to the document, checked at doc granularity and
+      // folded into each chunk row), the maxLen cap, and the minLen floor
+      // for every non-final chunk.
+      import graft.llm.Chunking
+      val docs = ctx.view("documents").select(col("doc_id"), col("text"))
+      val chunks = Chunking.chunkByContent(docs, "text",
+        minLen = 8, maskBits = 4, maxLen = 64)
+      val rebuilt = chunks
+        .groupBy("doc_id")
+        .agg(concat_ws("",
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            c => c.getField("chunk_text"))).as("_rebuilt"))
+      chunks
+        .join(docs, Seq("doc_id"))
+        .join(rebuilt, Seq("doc_id"))
+        .select(col("doc_id"), col("chunk_id"), col("n_chunks"),
+          col("chunk_chars"), col("chunk_hash"),
+          (col("_rebuilt") === col("text") &&
+            col("chunk_chars") <= 64 &&
+            (col("chunk_chars") >= 8 || col("chunk_id") === col("n_chunks") - 1)).as("ok"))
+        .orderBy("doc_id", "chunk_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit

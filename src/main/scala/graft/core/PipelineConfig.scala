@@ -396,7 +396,12 @@ object PipelineConfig {
       ChunkTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"),
         chunkSize = o.intOpt("chunkSize").getOrElse(2048),
-        overlap = o.intOpt("overlap").getOrElse(0), persist = o.bool("persist"))
+        overlap = o.intOpt("overlap").getOrElse(0),
+        method = o.str("method", "tokens"),
+        minLength = o.intOpt("minLength").getOrElse(64),
+        maskBits = o.intOpt("maskBits").getOrElse(8),
+        maxLength = o.intOpt("maxLength").getOrElse(1024),
+        persist = o.bool("persist"))
     case "SampleTransform" =>
       SampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         method = o.str("method", "hash"), keyField = o.req("keyField"),

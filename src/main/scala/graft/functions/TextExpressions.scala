@@ -551,3 +551,140 @@ object Md5Prefix64Expr {
     GraftColumnBridge.column(Md5Prefix64Expr(GraftColumnBridge.expression(s)))
   }
 }
+
+/** Native content-defined chunking (CDC, gear-hash / FastCDC-style): split a
+  * document into variable-length chunks whose boundaries are decided by the
+  * CONTENT (a rolling gear hash hitting a mask), not by fixed offsets — so
+  * an insertion or deletion only moves the boundaries of the chunk it lands
+  * in, and every later chunk re-synchronizes byte-for-byte. Chunk-level
+  * fingerprint dedup over CDC chunks therefore survives edits that shift
+  * offsets, which fixed-size chunking ([[graft.llm.Chunking]]) cannot.
+  *
+  * Rolling state: h = (h << 1) + GEAR(byte) over the chunk's UTF-8 bytes
+  * (reset at each boundary — a 64-entry sliding influence window via the
+  * shift). A boundary cuts AFTER a character when at least `minLen`
+  * characters have accumulated and (h & mask) == 0, where
+  * mask = 2^maskBits − 1 → expected chunk length ≈ minLen + 2^maskBits
+  * characters; `maxLen` forces a cut (pathological content — e.g. one
+  * repeated byte whose hash never hits the mask — degrades to fixed-size,
+  * never unbounded). Boundaries are always CHARACTER-aligned: multi-byte
+  * code points feed the hash byte-by-byte but can never be split.
+  *
+  * One O(bytes) pass, zero per-chunk allocation beyond the output slices
+  * (UTF8String substrings share the input buffer); `doGenCode` delegates to
+  * the same static `compute`, so eval and codegen cannot drift. The gear
+  * table is a fixed deterministic permutation (XXH64 of the byte value) —
+  * chunking is reproducible across JVMs, sessions and retries.
+  */
+case class CdcChunksExpr(child: Expression, minLen: Int, maskBits: Int, maxLen: Int)
+    extends UnaryExpression {
+
+  require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+  require(maskBits >= 1 && maskBits <= 48, s"maskBits must be in [1,48], got $maskBits")
+  require(maxLen > minLen, s"maxLen must be > minLen, got $maxLen <= $minLen")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cdc_chunks requires a string, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    CdcChunksExpr.compute(s.asInstanceOf[UTF8String], minLen, maskBits, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcChunksExpr.compute($c, $minLen, $maskBits, $maxLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "cdc_chunks"
+}
+
+object CdcChunksExpr {
+
+  private val EMPTY = new GenericArrayData(Array.empty[Any])
+
+  /** Deterministic 256-entry gear table (XXH64 of the byte value, fixed
+    * seed): equidistributed 64-bit values so (h & mask) == 0 fires with
+    * probability 2^-maskBits per character on real content.
+    */
+  private val GEAR: Array[Long] =
+    Array.tabulate(256)(b => XXH64.hashLong(b.toLong, 0x9E3779B97F4A7C15L))
+
+  def compute(s: UTF8String, minLen: Int, maskBits: Int, maxLen: Int): ArrayData = {
+    val numBytes = s.numBytes()
+    if (numBytes == 0) return EMPTY
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val mask = (1L << maskBits) - 1
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int] // byte offsets
+    var h = 0L
+    var chunkChars = 0
+    var i = 0
+    while (i < numBytes) {
+      val charBytes = UTF8String.numBytesForFirstByte(Platform.getByte(base, off + i))
+      var j = 0
+      while (j < charBytes && i + j < numBytes) {
+        h = (h << 1) + GEAR(Platform.getByte(base, off + i + j) & 0xff)
+        j += 1
+      }
+      i += charBytes
+      chunkChars += 1
+      if ((chunkChars >= minLen && (h & mask) == 0L) || chunkChars >= maxLen) {
+        cuts += math.min(i, numBytes)
+        h = 0L
+        chunkChars = 0
+      }
+    }
+    if (cuts.isEmpty || cuts.last != numBytes) cuts += numBytes
+    val out = new Array[Any](cuts.length)
+    var start = 0
+    var k = 0
+    while (k < cuts.length) {
+      out(k) = UTF8String.fromBytes({
+        val len = cuts(k) - start
+        val bytes = new Array[Byte](len)
+        Platform.copyMemory(base, off + start, bytes, Platform.BYTE_ARRAY_OFFSET, len)
+        bytes
+      })
+      start = cuts(k)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks",
+      exprs => fromExprs(exprs),
+      "built-in")
+
+  private[functions] def fromExprs(exprs: Seq[Expression]): Expression = {
+    def lit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other =>
+        throw new IllegalArgumentException(s"cdc_chunks: $name must be an int literal, got $other")
+    }
+    exprs match {
+      case Seq(t)          => CdcChunksExpr(t, 64, 8, 1024)
+      case Seq(t, a)       => CdcChunksExpr(t, lit(a, "minLen"), 8, 1024)
+      case Seq(t, a, b)    => CdcChunksExpr(t, lit(a, "minLen"), lit(b, "maskBits"), 1024)
+      case Seq(t, a, b, c) => CdcChunksExpr(t, lit(a, "minLen"), lit(b, "maskBits"), lit(c, "maxLen"))
+      case _ => throw new IllegalArgumentException("cdc_chunks takes 1-4 args")
+    }
+  }
+
+  /** Column-level constructor (classic-session bridge). */
+  def cdc_chunks(text: Column, minLen: Int = 64, maskBits: Int = 8,
+      maxLen: Int = 1024): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      CdcChunksExpr(GraftColumnBridge.expression(text), minLen, maskBits, maxLen))
+  }
+}

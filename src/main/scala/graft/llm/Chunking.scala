@@ -55,4 +55,37 @@ object Chunking {
           col("_c.chunk_text").as("chunk_text"),
           col("_c.chunk_tokens").as("chunk_tokens")): _*)
   }
+
+  /** Content-defined chunking ([[graft.functions.CdcChunksExpr]]): split
+    * each document at gear-hash boundaries so an edit only perturbs the
+    * chunk it lands in and later chunks re-synchronize — then fingerprint
+    * every chunk (xxhash64) for edit-robust chunk-level dedup, the CDC
+    * analog of [[Dedup.segmentDupStats]]'s fixed-width segments.
+    *
+    * Same shape as [[chunkByTokens]]: narrow map + explode, no shuffle.
+    * Output: original columns except textCol + `chunk_id` (0-based position)
+    * + `n_chunks` + `chunk_text` + `chunk_chars` + `chunk_hash`.
+    */
+  def chunkByContent(
+      df: DataFrame,
+      textCol: String,
+      minLen: Int = 64,
+      maskBits: Int = 8,
+      maxLen: Int = 1024
+  ): DataFrame = {
+    val chunks = graft.functions.CdcChunksExpr.cdc_chunks(
+      col(textCol), minLen, maskBits, maxLen)
+    df.withColumn("_chunks", chunks)
+      .withColumn("n_chunks", size(col("_chunks")).cast("long"))
+      .select(
+        df.columns.filterNot(_ == textCol).map(col) ++ Seq(
+          col("n_chunks"), posexplode(col("_chunks")).as(Seq("_pos", "chunk_text"))): _*)
+      .select(
+        df.columns.filterNot(_ == textCol).map(col) ++ Seq(
+          col("_pos").cast("long").as("chunk_id"),
+          col("n_chunks"),
+          col("chunk_text"),
+          length(col("chunk_text")).cast("long").as("chunk_chars"),
+          xxhash64(col("chunk_text")).as("chunk_hash")): _*)
+  }
 }

@@ -494,11 +494,25 @@ final case class ChunkTransform(
     textField: String,
     chunkSize: Int = 2048,
     overlap: Int = 0,
+    method: String = "tokens",
+    minLength: Int = 64,
+    maskBits: Int = 8,
+    maxLength: Int = 1024,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "ChunkTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
-    val out = graft.llm.Chunking.chunkByTokens(ctx.view(inputView), textField, chunkSize, overlap)
+    val in = ctx.view(inputView)
+    val out = method match {
+      case "tokens" => graft.llm.Chunking.chunkByTokens(in, textField, chunkSize, overlap)
+      case "content" =>
+        // content-defined (gear-hash) boundaries: edit-robust chunking for
+        // chunk-level dedup — see graft.functions.CdcChunksExpr
+        graft.llm.Chunking.chunkByContent(in, textField, minLength, maskBits, maxLength)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown chunk method '$other' (tokens|content)")
+    }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }

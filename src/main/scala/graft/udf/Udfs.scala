@@ -121,5 +121,6 @@ object Udfs {
     graft.functions.CharClassCountsExpr.register(spark)
     graft.functions.UnicodeNormalizeExpr.register(spark)
     graft.functions.Md5Prefix64Expr.register(spark)
+    graft.functions.CdcChunksExpr.register(spark)
   }
 }

@@ -399,6 +399,23 @@ class ConfigSpec extends SparkSpec {
     assert(q == Set((0.5, 10.0)), s"got $q")
   }
 
+  test("ChunkTransform method=content reassembles documents from a config cell") {
+    import spark.implicits._
+    Seq((1L, "x" * 50 + " the quick brown fox " + "y" * 50))
+      .toDF("id", "text").createOrReplaceTempView("cc_in")
+    val hocon =
+      """{stages: [
+        { type = "ChunkTransform", name = "c", inputView = cc_in,
+          outputView = cc_out, textField = text, method = content,
+          minLength = 8, maskBits = 4, maxLength = 32 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val rows = spark.table("cc_out").orderBy("chunk_id")
+      .select("chunk_text", "chunk_chars").as[(String, Long)].collect()
+    assert(rows.map(_._1).mkString("") == "x" * 50 + " the quick brown fox " + "y" * 50)
+    assert(rows.forall(_._2 <= 32))
+  }
+
   test("HistogramTransform mode=drift compares two segment views from a config cell") {
     import spark.implicits._
     (1L to 100L).map(i => ("s", (i % 40).toDouble)).toDF("g", "v")

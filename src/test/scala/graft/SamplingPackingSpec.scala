@@ -300,6 +300,51 @@ class SamplingPackingSpec extends SparkSpec {
       graft.llm.Chunking.chunkByTokens(df, "text", chunkSize = 8, overlap = 8))
   }
 
+  test("chunkByContent: reassembly, length bounds, and edit-local boundary shift") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val t1 = randText(3000) + " café 你好" // multi-byte tail
+    val df = Seq((1L, t1)).toDF("id", "text")
+    val out = graft.llm.Chunking.chunkByContent(df, "text", minLen = 16, maskBits = 6, maxLen = 256)
+      .orderBy("chunk_id").collect()
+    val chunks = out.map(_.getString(3))
+    // exact reassembly (multi-byte chars never split) and length bounds
+    assert(chunks.mkString("") == t1)
+    assert(out.forall(_.getLong(4) <= 256))
+    assert(out.dropRight(1).forall(_.getLong(4) >= 16), "non-final chunk under minLen")
+    assert(chunks.length > 5, s"expected many chunks, got ${chunks.length}")
+    // chunk_hash matches xxhash64 of the chunk text
+    val h = Seq(chunks.head).toDF("t").select(xxhash64(col("t"))).head.getLong(0)
+    assert(out.head.getLong(5) == h)
+    // content-defined resync: an insertion near the start must leave the
+    // trailing chunks identical (fixed-size chunking would shift them all)
+    val t2 = t1.substring(0, 40) + "INSERTED-EDIT" + t1.substring(40)
+    val c2 = graft.llm.Chunking.chunkByContent(
+      Seq((1L, t2)).toDF("id", "text"), "text", minLen = 16, maskBits = 6, maxLen = 256)
+      .orderBy("chunk_id").collect().map(_.getString(3))
+    assert(c2.mkString("") == t2)
+    val tailShared = chunks.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(tailShared * 2 > chunks.length,
+      s"only $tailShared of ${chunks.length} trailing chunks re-synchronized")
+    // determinism across evaluations
+    val again = graft.llm.Chunking.chunkByContent(df, "text", minLen = 16, maskBits = 6, maxLen = 256)
+      .orderBy("chunk_id").collect().map(_.getString(3))
+    assert(again.toSeq == chunks.toSeq)
+    // pathological content (one repeated char) degrades to maxLen pieces, never unbounded
+    val flat = graft.llm.Chunking.chunkByContent(
+      Seq((1L, "a" * 2000)).toDF("id", "text"), "text", minLen = 16, maskBits = 6, maxLen = 128)
+      .collect()
+    assert(flat.forall(_.getLong(4) <= 128))
+    assert(flat.map(_.getString(3)).mkString("") == "a" * 2000)
+    // SQL surface: cdc_chunks registered for %sql cells
+    graft.udf.Udfs.register(spark)
+    val viaSql = spark.sql(
+      "SELECT cdc_chunks('" + ("ab" * 200) + "', 16, 6, 128) AS c")
+      .head.getSeq[String](0)
+    assert(viaSql.mkString("") == "ab" * 200)
+  }
+
   test("packGreedy matches the sequential reference and respects maxTokens") {
     val maxTokens = 512L
     val withToks = docs

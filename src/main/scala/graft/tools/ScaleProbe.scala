@@ -458,6 +458,53 @@ object ScaleProbe {
         graft.llm.HeavyHitters.merge(spark.read.parquet(segDir), 256).count()
       }
     }
+    // Exact grouped quantiles / MAD under a 90%-hot group: the shape that
+    // OOMs Spark's buffering percentile aggregate (one group's values in
+    // one aggregation buffer) and single-tasks a per-group rank window.
+    // The slice-rank path must track corpus size at BOTH cardinality
+    // extremes — dominant group and 100k distinct groups — like the exact
+    // samplers it shares the engine with.
+    if (anySelected(s"madOutliers n=$n", s"groupedQuantiles n=$n")) {
+      val hotGrouped = docs.select(col("id"),
+        when(pmod(col("id"), lit(10)) < 9, lit("hot"))
+          .otherwise(pmod(col("id"), lit(64)).cast("string")).as("g"),
+        (pmod(col("id"), lit(997)) + (col("id") % 13) * 1000).cast("double").as("v"))
+      time(s"madOutliers n=$n 90%-hot group") {
+        graft.llm.RobustStats.madOutliers(hotGrouped, Seq("g"), col("v"), k = 3.5)
+          .filter(col("is_outlier")).count()
+      }
+      val manyGroups = docs.select(col("id"),
+        pmod(col("id"), lit(100000)).cast("string").as("g"),
+        (pmod(col("id"), lit(997))).cast("double").as("v"))
+      time(s"groupedQuantiles n=$n 100k groups p50/p90/p99") {
+        graft.llm.RobustStats.groupedQuantiles(manyGroups, Seq("g"), col("v"),
+          Seq(0.5, 0.9, 0.99)).count()
+      }
+    }
+    // URL canonicalization + dedup: the projection must run at scan speed;
+    // the keep-first pass is ONE shuffle on the canonical key. 100 spelling
+    // variants per canonical URL (hot dup groups) must not cliff.
+    if (anySelected(s"urlDedup n=$n")) {
+      val urls = docs.select(col("id"),
+        concat(
+          when(pmod(col("id"), lit(2)) === 0, lit("https://WWW.")).otherwise(lit("http://")),
+          lit("Host"), pmod(col("id"), lit(4000)).cast("string"),
+          lit(".Example.COM/a/"), pmod(col("id"), lit(4000)).cast("string"),
+          when(pmod(col("id"), lit(3)) === 0, lit("/index.html")).otherwise(lit("/")),
+          lit("?utm_source=x&page="), pmod(col("id"), lit(2)).cast("string"),
+          lit("&gclid=z#frag")).as("url"))
+      time(s"urlDedup n=$n ~100 variants per canonical") {
+        graft.llm.UrlNorm.dedupByUrl(urls, "url", "id").count()
+      }
+    }
+    // Content-defined chunking: narrow codegen'd pass + explode — must run
+    // at scan speed like the line filter; ~6 chunks/doc at these params.
+    if (anySelected(s"cdcChunk n=$n")) {
+      time(s"cdcChunk n=$n min=8 mask=4 max=64") {
+        graft.llm.Chunking.chunkByContent(docs, "text",
+          minLen = 8, maskBits = 4, maxLen = 64).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -1195,6 +1195,17 @@ object SparkEntry {
             (col("chunk_chars") >= 8 || col("chunk_id") === col("n_chunks") - 1)).as("ok"))
         .orderBy("doc_id", "chunk_id")
     },
+    "q162_grouped_quantiles" -> withViews("documents") { (spark, ctx) =>
+      // The general interpolation path of RobustStats.groupedQuantiles
+      // (q160 exercises only p=0.5): four quantiles per source, including
+      // non-trivial fractional positions, against DuckDB's quantile_cont —
+      // the convex-form interpolation must match bit-for-bit.
+      import graft.llm.RobustStats
+      RobustStats.groupedQuantiles(
+        ctx.view("documents").select(col("source"), col("n_chars")),
+        Seq("source"), col("n_chars"), Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("source", "p")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -2464,6 +2475,22 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q162_grouped_quantiles" ->
+      // one aggregate per quantile (quantile_cont needs a constant p),
+      // stacked to the (source, p) shape groupedQuantiles emits
+      """WITH q AS (
+          SELECT source, 0.25 AS p, quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q
+          FROM documents GROUP BY source
+          UNION ALL
+          SELECT source, 0.5, quantile_cont(CAST(n_chars AS DOUBLE), 0.5)
+          FROM documents GROUP BY source
+          UNION ALL
+          SELECT source, 0.75, quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+          FROM documents GROUP BY source
+          UNION ALL
+          SELECT source, 0.9, quantile_cont(CAST(n_chars AS DOUBLE), 0.9)
+          FROM documents GROUP BY source)
+        SELECT source, CAST(p AS DOUBLE) AS p, q FROM q ORDER BY source, p""",
     "q160_mad_outliers" ->
       // quantile_cont shares PERCENTILE_CONT interpolation with
       // RobustStats.groupedQuantiles; z and flag arithmetic mirror the

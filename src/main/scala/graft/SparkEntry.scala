@@ -1206,6 +1206,42 @@ object SparkEntry {
         Seq("source"), col("n_chars"), Seq(0.25, 0.5, 0.75, 0.9))
         .orderBy("source", "p")
     },
+    "q163_cdc_dedup" -> withViews("documents") { (spark, ctx) =>
+      // Edit-robust chunk dedup (Dedup.cdcDupStats): corpus = documents +
+      // a lightly-edited copy of every 5th long document (10 chars inserted
+      // at position 25). Gear table is engine-specific → rows-only, but the
+      // edit-robustness CLAIM is verified in-band per copy: `ok` asserts
+      // the copy still shares at least 40% of its CDC chunks with the
+      // corpus, while the fixed-width 8-word segments of the SAME copy
+      // (whose windows all shifted past the inserted word) share strictly
+      // less — the measurable reason CDC exists.
+      import graft.llm.Dedup
+      val docs = ctx.view("documents").select(col("doc_id"), col("text"))
+      val copies = docs
+        .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 120)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(substring(col("text"), 1, 25), lit(" EDIT-MARK"),
+            expr("substring(text, 26)")).as("text"))
+      val corpus = docs.unionByName(copies)
+      val cdc = Dedup.cdcDupStats(corpus, "doc_id", "text",
+        minLen = 8, maskBits = 4, maxLen = 64)
+      val seg = Dedup.segmentDupStats(corpus, "doc_id", "text", segWords = 8)
+        .select(col("doc_id"),
+          (col("n_shared_segments").cast("double") /
+            col("n_segments").cast("double")).as("_seg_frac"))
+      copies.select(col("doc_id"))
+        .join(cdc, Seq("doc_id"), "left")
+        .join(seg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+          round(coalesce(col("_seg_frac"), lit(0.0)), 6).as("seg_frac"),
+          coalesce(
+            col("n_shared_chunks").cast("double") >=
+              lit(0.4) * col("n_chunks").cast("double") &&
+            coalesce(col("_seg_frac"), lit(0.0)) <
+              col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"),
+            lit(false)).as("ok"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit

@@ -322,6 +322,9 @@ object PipelineConfig {
         action = o.str("action", "stats"),
         maxSharedFraction = o.dbl("maxSharedFraction", 0.5),
         maxDocFreq = o.intOpt("maxDocFreq").getOrElse(1).toLong,
+        minLength = o.intOpt("minLength").getOrElse(32),
+        maskBits = o.intOpt("maskBits").getOrElse(6),
+        maxLength = o.intOpt("maxLength").getOrElse(512),
         persist = o.bool("persist"))
     case "LineFilterTransform" =>
       LineFilterTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

@@ -102,6 +102,43 @@ object Dedup {
       .filter(col("n_shared_segments") > 0)
   }
 
+  /** Edit-robust chunk-level duplication stats: [[segmentDupStats]] with
+    * content-defined boundaries ([[graft.functions.CdcChunksExpr]]) instead
+    * of fixed word windows. Fixed-width segments all shift after ONE
+    * inserted character, so a lightly-edited copy shares almost nothing
+    * with its original; CDC boundaries re-synchronize right after the edit,
+    * so the copy still shares every untouched chunk — the standard
+    * backup/dedup-system trick applied to corpus near-dup detection.
+    *
+    * Same shape at scale as [[segmentDupStats]]: chunking is a narrow
+    * codegen'd pass, then only (doc_id, 64-bit chunk hash) pairs travel —
+    * one hash-keyed frequency shuffle, one doc-keyed aggregate; text never
+    * shuffles. Output: `idCol, n_chunks, n_shared_chunks` for documents
+    * sharing at least one chunk.
+    */
+  def cdcDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 32,
+      maskBits: Int = 6,
+      maxLen: Int = 512): DataFrame = {
+    val chunks = Chunking
+      .chunkByContent(df.select(col(idCol), col(textCol)), textCol,
+        minLen, maskBits, maxLen)
+      .select(col(idCol), col("chunk_hash").as("_h"))
+    val freq = chunks
+      .groupBy(col("_h"))
+      .agg(count_distinct(col(idCol)).as("_nd"))
+    chunks
+      .join(freq, "_h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .filter(col("n_shared_chunks") > 0)
+  }
+
   /** Cross-group contamination audit: for every pair of groups (sources,
     * train/eval splits, snapshots), the number of distinct `segWords`-word
     * segments they share — the paragraph-level overlap matrix a pipeline

@@ -222,6 +222,9 @@ final case class SegmentDedupTransform(
     action: String = "stats",
     maxSharedFraction: Double = 0.5,
     maxDocFreq: Long = 1L,
+    minLength: Int = 32,
+    maskBits: Int = 6,
+    maxLength: Int = 512,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "SegmentDedupTransform"
@@ -230,6 +233,10 @@ final case class SegmentDedupTransform(
     lazy val stats = Dedup.segmentDupStats(in, idField, textField, segmentWords)
     val out = action match {
       case "stats" => stats
+      case "cdcStats" =>
+        // content-defined boundaries: edit-robust shared-chunk stats
+        // (see Dedup.cdcDupStats — q163 pins the robustness claim)
+        Dedup.cdcDupStats(in, idField, textField, minLength, maskBits, maxLength)
       case "filter" =>
         val flagged = stats
           .filter(col("n_shared_segments").cast("double") >=

@@ -33,6 +33,26 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("cdcDupStats: an edited copy keeps most chunks; fixed segments lose them all") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val edited = base.substring(0, 30) + " EDIT-MARK " + base.substring(30)
+    val corpus = Seq((1L, base), (2L, edited),
+      (3L, "entirely unrelated content with no overlap at all here")).toDF("id", "text")
+    val cdc = Dedup.cdcDupStats(corpus, "id", "text", minLen = 8, maskBits = 4, maxLen = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // both the original and the copy keep a majority of shared chunks
+    assert(cdc.contains(1L) && cdc.contains(2L) && !cdc.contains(3L), s"got $cdc")
+    assert(cdc(2L)._2 * 2 >= cdc(2L)._1, s"copy shares too few chunks: ${cdc(2L)}")
+    // fixed 8-word segments shift past the inserted tokens: only the
+    // windows wholly BEFORE the edit survive (here: the first one)
+    val seg = Dedup.segmentDupStats(corpus, "id", "text", segWords = 8)
+      .filter(col("id") === 2L).collect()
+    val segShared = if (seg.isEmpty) 0L else seg.head.getLong(2)
+    assert(segShared <= 1, s"fixed segments shared $segShared windows past an edit")
+    assert(segShared < cdc(2L)._2,
+      s"CDC (${cdc(2L)._2} shared) must beat fixed windows ($segShared) on edited copies")
+  }
+
   test("segmentDupStats counts segments shared across documents") {
     // 4-word segments: doc 1 and doc 2 share their first 4-word segment
     // exactly; tails differ. doc 3 shares nothing.

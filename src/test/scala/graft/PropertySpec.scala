@@ -298,4 +298,79 @@ class PropertySpec extends AnyFunSuite {
         fields.map(f => (f.name, f.`type`, f.nullable))
     })
   }
+
+  test("cdc_chunks compute: reassembly, bounds, determinism over arbitrary unicode") {
+    // direct expression-kernel property (no Spark job): for ANY string —
+    // ascii, multi-byte, emoji, empty — chunks concatenate back exactly,
+    // respect maxLen, keep minLen on non-final chunks, and are stable
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\n', '\t', '.', ','),
+      1 -> Gen.oneOf('\u00e9', '\u4f60', '\u597d', '\u00df'),
+      1 -> Gen.oneOf("\ud83d\ude00", "\ud83c\udf89").map(_.charAt(0)) // surrogate halves rejoined below
+    )
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+      .map(s => new String(s.toCharArray.filterNot(Character.isSurrogate)) +
+        (if (s.length % 3 == 0) "\ud83d\ude00" else "")) // valid emoji tail sometimes
+    checkProp(Prop.forAll(textGen, Gen.chooseNum(1, 8), Gen.chooseNum(2, 6)) {
+      (text, minLen, maskBits) =>
+        val maxLen = minLen + (1 << maskBits) * 2
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        val out = graft.functions.CdcChunksExpr.compute(s, minLen, maskBits, maxLen)
+        val chunks = (0 until out.numElements()).map(i =>
+          out.getUTF8String(i).toString)
+        val again = graft.functions.CdcChunksExpr.compute(s, minLen, maskBits, maxLen)
+        val chunks2 = (0 until again.numElements()).map(i => again.getUTF8String(i).toString)
+        chunks.mkString("") == text &&
+          chunks.forall(c => c.codePointCount(0, c.length) <= maxLen) &&
+          chunks.dropRight(1).forall(c => c.codePointCount(0, c.length) >= minLen) &&
+          chunks == chunks2
+    })
+  }
+
+  test("canonicalizeUrl matches a straight-line Scala reference on generated URLs") {
+    // the Column chain (8 codegen'd built-ins) vs an independent readable
+    // implementation: any divergence in regex semantics, param filtering or
+    // ordering shows up here before it can silently skew a dedup key
+    val host = for {
+      h <- Gen.oneOf("Site.COM", "www.site.com", "WWW.Example.Org", "a.b.io")
+    } yield h
+    val path = Gen.oneOf("", "/", "/A/B", "/a/b/", "/x/index.html", "/index.html")
+    val params = Gen.someOf(Seq("utm_source=x", "gclid=1", "ref=rss", "page=2", "b=1", "a=2"))
+      .map(_.toList)
+    val frag = Gen.oneOf("", "#sec")
+    val urlGen = for {
+      scheme <- Gen.oneOf("http://", "https://")
+      h <- host; pth <- path; ps <- params; f <- frag
+    } yield scheme + h + pth + (if (ps.nonEmpty) "?" + ps.mkString("&") else "") + f
+
+    def reference(u: String): String = {
+      val noScheme = u.replaceFirst("^https?://", "")
+      val cut = noScheme.indexWhere(c => c == '/' || c == '?' || c == '#') match {
+        case -1 => noScheme.length; case i => i
+      }
+      val hostPart = noScheme.substring(0, cut).toLowerCase.replaceFirst("^www\\.", "")
+      val rest = noScheme.substring(cut)
+      val hashAt = rest.indexOf('#')
+      val noFrag = if (hashAt >= 0) rest.substring(0, hashAt) else rest
+      val qAt = noFrag.indexOf('?')
+      val pathPart0 = if (qAt >= 0) noFrag.substring(0, qAt) else noFrag
+      val query = if (qAt >= 0) noFrag.substring(qAt + 1) else ""
+      val pathPart = pathPart0.replaceFirst("/index\\.html$", "").replaceFirst("/$", "")
+      val kept = query.split("&").filter(p => p.nonEmpty &&
+        !p.matches("^(utm_[a-z]+|gclid|fbclid|ref)=.*")).sorted
+      hostPart + pathPart + (if (kept.nonEmpty) "?" + kept.mkString("&") else "")
+    }
+
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    checkProp(Prop.forAll(Gen.listOfN(8, urlGen)) { urls =>
+      urls.isEmpty || {
+        val got = urls.toDF("u")
+          .select(graft.llm.UrlNorm.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+        got == urls.map(reference)
+      }
+    })
+  }
 }

@@ -1242,6 +1242,22 @@ object SparkEntry {
             lit(false)).as("ok"))
         .orderBy("doc_id")
     },
+    "q164_canary_hits" -> withViews("documents") { (spark, ctx) =>
+      // Exact multi-canary search (Decontaminate.canaryHits over the native
+      // Aho–Corasick expression): one pass per document regardless of
+      // canary count. The oracle replicates each (doc, canary) hit with
+      // per-canary contains() — exact substring semantics, so the match
+      // sets must agree row-for-row.
+      import graft.llm.Decontaminate
+      val canaries = Seq("key agg row", "table value", "fast merge",
+        "row scan", "hash value", "zebra quantum flux")
+      Decontaminate.canaryHits(
+        ctx.view("documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", canaries)
+        .select(col("doc_id"), col("canary_id").cast("long").as("canary_id"),
+          col("canary"))
+        .orderBy("doc_id", "canary_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -2511,6 +2527,18 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q164_canary_hits" ->
+      // per-canary contains() join — exact verbatim-substring semantics
+      """WITH canaries(canary_id, canary) AS (
+          VALUES (CAST(0 AS BIGINT), 'key agg row'),
+                 (CAST(1 AS BIGINT), 'table value'),
+                 (CAST(2 AS BIGINT), 'fast merge'),
+                 (CAST(3 AS BIGINT), 'row scan'),
+                 (CAST(4 AS BIGINT), 'hash value'),
+                 (CAST(5 AS BIGINT), 'zebra quantum flux'))
+        SELECT d.doc_id, c.canary_id, c.canary
+        FROM documents d JOIN canaries c ON contains(d.text, c.canary)
+        ORDER BY d.doc_id, c.canary_id""",
     "q162_grouped_quantiles" ->
       // one aggregate per quantile (quantile_cont needs a constant p),
       // stacked to the (source, p) shape groupedQuantiles emits

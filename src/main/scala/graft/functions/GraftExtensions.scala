@@ -59,5 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CdcChunksExpr.fromExprs(exprs)
     ))
+    ext.injectFunction((
+      FunctionIdentifier("multi_contains"),
+      new ExpressionInfo(classOf[MultiContainsExpr].getName, "multi_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MultiContainsExpr.fromExprs(exprs)
+    ))
   }
 }

@@ -151,4 +151,28 @@ object Decontaminate {
       overlapBloom(train, idCol, textCol, eval, evalTextCol, n, bits, hashes)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Exact multi-canary substring search ([[graft.functions.MultiContainsExpr]]):
+    * which of the literal `canaries` (benchmark strings, PII canaries,
+    * licensed passages) appear VERBATIM in each document. One Aho–Corasick
+    * pass per document — O(bytes + hits) regardless of |canaries|, where
+    * `k × contains()` would scan every document k times and a 10k-literal
+    * regex alternation would crawl. The automaton rides inside the
+    * expression (built once per executor), so the scan is a narrow
+    * codegen'd projection: no shuffle, no join, streaming-safe.
+    *
+    * Output: one row per (document, matched canary) —
+    * `idCol, canary_id, canary` — empty for clean documents.
+    */
+  def canaryHits(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      canaries: Seq[String]): DataFrame = {
+    import graft.functions.MultiContainsExpr.multi_contains
+    val canaryLit = array(canaries.map(lit): _*)
+    df.select(col(idCol),
+        explode(multi_contains(col(textCol), canaries)).as("canary_id"))
+      .withColumn("canary", element_at(canaryLit, col("canary_id") + 1))
+  }
 }

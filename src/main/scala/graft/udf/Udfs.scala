@@ -122,5 +122,6 @@ object Udfs {
     graft.functions.UnicodeNormalizeExpr.register(spark)
     graft.functions.Md5Prefix64Expr.register(spark)
     graft.functions.CdcChunksExpr.register(spark)
+    graft.functions.MultiContainsExpr.register(spark)
   }
 }

@@ -149,3 +149,66 @@ class RelevanceSpec extends SparkSpec {
     assert(out.toSet == Set("the quick fox"))
   }
 }
+
+class MultiContainsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("canaryHits finds overlapping, repeated, and multi-byte canaries exactly") {
+    val canaries = Seq("he", "she", "hers", "café menu", "zzz")
+    val docs = Seq(
+      (1L, "ushers at the door"),          // "she" at 1, "he" at 2, "hers" at 2
+      (2L, "the café menu lists café menu twice"),
+      (3L, "nothing of note here"),        // "he" inside "here"
+      (4L, "blank")
+    ).toDF("id", "text")
+    val hits = graft.llm.Decontaminate.canaryHits(docs, "id", "text", canaries)
+      .select("id", "canary").as[(Long, String)].collect().toSet
+    assert(hits == Set(
+      (1L, "he"), (1L, "she"), (1L, "hers"),
+      (2L, "he"), (2L, "café menu"),
+      (3L, "he")))
+  }
+
+  test("matched indices are distinct and ascending; codegen and eval agree") {
+    val df = Seq("she sells hers", "").toDF("t")
+    val pats = Seq("she", "he", "hers", "s")
+    import graft.functions.MultiContainsExpr.multi_contains
+    val out = df.select(multi_contains(col("t"), pats).as("m"))
+      .as[Seq[Int]].collect()
+    assert(out(0) == Seq(0, 1, 2, 3) && out(1) == Seq.empty)
+    // interpreted eval (direct kernel call) must agree with the plan result
+    val aut = graft.functions.AhoCorasick.build(pats)
+    val direct = aut.findDistinct(
+      org.apache.spark.unsafe.types.UTF8String.fromString("she sells hers"))
+    assert((0 until direct.numElements()).map(direct.getInt) == Seq(0, 1, 2, 3))
+  }
+
+  test("property: automaton matches naive contains for random texts and patterns") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val alpha = Gen.oneOf('a', 'b', 'c', ' ')
+    val word = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, alpha)).map(_.mkString)
+    val prop = Prop.forAll(
+      Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, alpha)).map(_.mkString),
+      Gen.listOfN(6, word)) { (text, pats0) =>
+      val pats = pats0.distinct
+      val aut = graft.functions.AhoCorasick.build(pats)
+      val got = {
+        val a = aut.findDistinct(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        (0 until a.numElements()).map(a.getInt).toSet
+      }
+      val want = pats.zipWithIndex.collect { case (p, i) if text.contains(p) => i }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("SQL surface: multi_contains over a literal array") {
+    graft.udf.Udfs.register(spark)
+    val got = spark.sql(
+      "SELECT multi_contains('the quick brown fox', array('quick', 'slow', 'own f')) AS m")
+      .as[Seq[Int]].head
+    assert(got == Seq(0, 2))
+  }
+}

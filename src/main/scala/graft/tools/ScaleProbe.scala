@@ -497,6 +497,22 @@ object ScaleProbe {
         graft.llm.UrlNorm.dedupByUrl(urls, "url", "id").count()
       }
     }
+    // Multi-canary search: 1000 canaries, ONE automaton pass per document —
+    // cost must be flat in canary count (the contains-chain comparison scans
+    // the corpus per-canary and is run at 10 canaries only).
+    if (anySelected(s"canaryHits n=$n", s"containsChain n=$n")) {
+      val canaries = (0 until 1000).map(i => s"template ${i % 100} with suffix token ${i % 17}")
+      time(s"canaryHits n=$n canaries=1000") {
+        graft.llm.Decontaminate.canaryHits(docs, "id", "text", canaries).count()
+      }
+      val few = canaries.take(10)
+      time(s"canaryHits n=$n canaries=10") {
+        graft.llm.Decontaminate.canaryHits(docs, "id", "text", few).count()
+      }
+      time(s"containsChain n=$n canaries=10 (k scans)") {
+        docs.filter(few.map(c => col("text").contains(c)).reduce(_ || _)).count()
+      }
+    }
     // Content-defined chunking: narrow codegen'd pass + explode — must run
     // at scan speed like the line filter; ~6 chunks/doc at these params.
     if (anySelected(s"cdcChunk n=$n")) {

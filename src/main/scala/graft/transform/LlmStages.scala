@@ -133,8 +133,20 @@ final case class DecontaminateTransform(
         train
           .join(hits, Seq(idField), "left")
           .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      case "canary" =>
+        // exact verbatim-substring hits against the eval view's strings via
+        // the single-pass Aho-Corasick expression. The canary list is
+        // collected to the driver (it rides inside the expression), so it
+        // is explicitly bounded — unlike the n-gram paths, which stream
+        // the eval side through joins.
+        val canaries = eval.select(col(evalText)).distinct()
+          .limit(100001).collect().map(_.getString(0)).toSeq
+        require(canaries.length <= 100000,
+          s"$name: canary list exceeds 100k entries — use the n-gram or bloom path")
+        require(canaries.nonEmpty, s"$name: eval view has no canary strings")
+        Decontaminate.canaryHits(train, idField, textField, canaries)
       case other =>
-        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|flag)")
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|flag|canary)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

@@ -416,6 +416,24 @@ class ConfigSpec extends SparkSpec {
     assert(rows.forall(_._2 <= 32))
   }
 
+  test("DecontaminateTransform action=canary reports verbatim hits from a config cell") {
+    import spark.implicits._
+    Seq((1L, "the secret benchmark passage lives here"), (2L, "clean doc"))
+      .toDF("doc_id", "text").createOrReplaceTempView("cy_in")
+    Seq("secret benchmark passage", "unused canary").toDF("text")
+      .createOrReplaceTempView("cy_eval")
+    val hocon =
+      """{stages: [
+        { type = "DecontaminateTransform", name = "cy", inputView = cy_in,
+          evalView = cy_eval, outputView = cy_hits, idField = doc_id,
+          textField = text, action = canary }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val hits = spark.table("cy_hits").select("doc_id", "canary")
+      .as[(Long, String)].collect().toSet
+    assert(hits == Set((1L, "secret benchmark passage")))
+  }
+
   test("HistogramTransform mode=drift compares two segment views from a config cell") {
     import spark.implicits._
     (1L to 100L).map(i => ("s", (i % 40).toDouble)).toDF("g", "v")

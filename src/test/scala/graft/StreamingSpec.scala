@@ -541,6 +541,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == brute, "ingested index diverged from brute force")
   }
 
+  test("streaming canary detection: the Aho-Corasick projection equals its batch result") {
+    // canaryHits is a pure narrow projection (automaton rides inside the
+    // expression) — it must run unchanged on a streaming frame and emit
+    // exactly the batch hit set.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("canarystream").toString
+    val docs = Seq(
+      (1L, "the secret benchmark passage lives here"),
+      (2L, "clean document"),
+      (3L, "another secret benchmark passage plus a held-out probe string")
+    )
+    import spark.implicits._
+    docs.toDF("id", "text").repartition(3).write.mode("overwrite").parquet(dir)
+    val canaries = Seq("secret benchmark passage", "held-out probe", "absent")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val hits = graft.llm.Decontaminate.canaryHits(stream, "id", "text", canaries)
+    assert(hits.isStreaming, "projection must stay streaming")
+    val q = hits.writeStream.format("memory").queryName("canary_hits_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("canary_hits_mem")
+      .select("id", "canary").as[(Long, String)].collect().toSet
+    val batch = graft.llm.Decontaminate
+      .canaryHits(spark.read.parquet(dir), "id", "text", canaries)
+      .select("id", "canary").as[(Long, String)].collect().toSet
+    assert(streamed == batch && batch == Set(
+      (1L, "secret benchmark passage"),
+      (3L, "secret benchmark passage"), (3L, "held-out probe")))
+  }
+
   test("streaming heavy hitters: micro-batch MG segments keep the bounds after compaction") {
     // The Misra–Gries leg of the segment-parity discipline (CMS/Bloom/LM/
     // histogram have theirs). MG is NOT linear — merged estimates depend on

@@ -104,8 +104,12 @@ object SparkEntry {
     q147Index.computeIfAbsent(sfDir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_q147_ivfindex_").toString
       // pqSubspaces=8: the one shared index serves q147 (flat), q148 (SQ8
-      // codes), and q158 (PQ codes) — the layout carries all three tiers
-      graft.llm.IvfIndex.write(em, "vec_id", "embedding", d, nlist = 8, pqSubspaces = 8)
+      // codes), and q158 (PQ codes) — the layout carries all three tiers.
+      // pqResidual: codes quantize (vec − assigned centroid), the faiss
+      // IVFPQ default — q158's covering-shortlist brute-force parity then
+      // exercises the residual decode path in the oracle battery
+      graft.llm.IvfIndex.write(em, "vec_id", "embedding", d, nlist = 8, pqSubspaces = 8,
+        pqResidual = true)
       d
     })
 

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent IVF index: the repeated-retrieval path for embedding search.
@@ -44,32 +44,56 @@ object IvfIndex {
     */
   def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nlist: Int = 16, seed: Long = 42L, samplePerList: Int = 256,
-      pqSubspaces: Int = 0, pqCodesPerSub: Int = 16): Unit = {
+      pqSubspaces: Int = 0, pqCodesPerSub: Int = 16,
+      pqResidual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    // (halfNorm, list, vec) — the Similarity centroid-struct shape
+    // (halfNorm, list, vec) — the Similarity centroid-struct shape, sorted
+    // by list id so element_at(…, list + 1) lookups are valid everywhere
     val cents = Similarity.trainCoarseCentroids(
       corpus, idCol, vecCol, nlist, seed, samplePerList, salt = "ivf-train")
+      .sortBy(_._2)
     import spark.implicits._
     cents.map { case (hn, i, v) => (i, hn, v) }.toDF("list", "halfNorm", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     // optional PQ codebooks (IVF-PQ, the faiss `IVFx,PQm` layout): trained
     // on the same sampled discipline, persisted so ingest batches encode
-    // identically to the build
+    // identically to the build. With `pqResidual` the codebooks quantize
+    // (vec − assigned centroid) instead of the raw vector — the faiss
+    // default for IVFPQ: residuals concentrate near zero, so the ksub codes
+    // per subspace resolve fine within-list structure instead of spending
+    // themselves re-describing which cluster a vector sits in.
     val cbs =
       if (pqSubspaces <= 0) None
       else {
         val dim = corpus.select(size(col(vecCol))).head.getInt(0)
         require(dim % pqSubspaces == 0,
           s"dim ($dim) must be divisible by pqSubspaces ($pqSubspaces)")
-        val entries = Pq.trainCodebooks(corpus, idCol, vecCol, dim,
+        val trainSrc =
+          if (!pqResidual) corpus.select(col(idCol).as("_tid"), col(vecCol).as("_tvec"))
+          else Similarity.attachCentroidData(corpus, cents)
+            .withColumn("_list",
+              element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
+                .getField("list"))
+            .select(col(idCol).as("_tid"),
+              residualExpr(col(vecCol), col("_cents"), col("_list")).as("_tvec"))
+        val entries = Pq.trainCodebooks(trainSrc, "_tid", "_tvec", dim,
           pqSubspaces, pqCodesPerSub, seed)
-        entries.map(e => (e.sub, e.code, e.halfNorm, e.vec))
-          .toDF("sub", "code", "halfNorm", "vec")
+        entries.map(e => (e.sub, e.code, e.halfNorm, e.vec, pqResidual))
+          .toDF("sub", "code", "halfNorm", "vec", "residual")
           .repartition(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
-        Some((entries, pqSubspaces, dim / pqSubspaces))
+        Some((entries, pqSubspaces, dim / pqSubspaces, pqResidual))
       }
     assignAndWrite(corpus, idCol, vecCol, cents, cbs, path, "overwrite")
   }
+
+  /** vec − centroid(list): the PQ-residual input. `centsCol` must be the
+    * list-id-ordered `_cents` struct array ([[Similarity.attachCentroidData]]
+    * over centroids sorted by list).
+    */
+  private def residualExpr(vec: Column, centsCol: Column, listCol: Column): Column =
+    zip_with(vec,
+      element_at(centsCol, listCol + 1).getField("vec"),
+      (a, b) => a - b)
 
   // ONE definition of the vectors layout (column names, assignment, the
   // partition scheme) shared by write and ingest — build and daily append
@@ -81,20 +105,28 @@ object IvfIndex {
   // ([[topKPq]] shortlists over those — a further 4× under the SQ8 column).
   private def assignAndWrite(df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Double, Int, Seq[Float])],
-      cbs: Option[(Seq[Pq.CodebookEntry], Int, Int)],
+      cbs: Option[(Seq[Pq.CodebookEntry], Int, Int, Boolean)],
       path: String, mode: String): Unit = {
     val base = cbs match {
-      case Some((entries, m, dsub)) =>
-        Pq.attachCodebooks(Similarity.attachCentroidData(df, cents), entries)
+      case Some((entries, m, dsub, residual)) =>
+        val withList = Similarity.attachCentroidData(df, cents)
+          .withColumn("_list",
+            element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
+              .getField("list"))
+        val pqInput =
+          if (residual) residualExpr(col(vecCol), col("_cents"), col("_list"))
+          else col(vecCol)
+        Pq.attachCodebooks(withList, entries)
           .select(col(idCol).as("id"), col(vecCol).as("vec"),
             Quantize.int8Codes(col(vecCol)).as("codes"),
-            Pq.pqCodes(col(vecCol), col("_cb"), m, dsub).as("pq"),
-            element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
-              .getField("list").as("_list"))
+            Pq.pqCodes(pqInput, col("_cb"), m, dsub).as("pq"),
+            Similarity.norm(col(vecCol)).as("vnorm"),
+            col("_list"))
       case None =>
         Similarity.attachCentroidData(df, cents)
           .select(col(idCol).as("id"), col(vecCol).as("vec"),
             Quantize.int8Codes(col(vecCol)).as("codes"),
+            Similarity.norm(col(vecCol)).as("vnorm"),
             element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
               .getField("list").as("_list"))
     }
@@ -107,19 +139,23 @@ object IvfIndex {
       .sortBy(_._2)
 
   /** The persisted PQ codebooks (None for an index built without PQ),
-    * plus (m, dsub) derived from the stored entries. */
+    * plus (m, dsub, residual) derived from the stored entries. Pre-residual
+    * indexes lack the `residual` column → raw-vector codes. */
   private def readCodebooks(spark: SparkSession,
-      path: String): Option[(Seq[Pq.CodebookEntry], Int, Int)] = {
+      path: String): Option[(Seq[Pq.CodebookEntry], Int, Int, Boolean)] = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/pq_codebooks")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
     else {
-      val entries = spark.read.parquet(s"$path/pq_codebooks")
-        .collect()
+      val raw = spark.read.parquet(s"$path/pq_codebooks")
+      val hasResidual = raw.columns.contains("residual")
+      val rows = raw.collect()
+      val entries = rows
         .map(r => Pq.CodebookEntry(r.getInt(0), r.getInt(1), r.getDouble(2), r.getSeq[Float](3)))
         .toSeq.sortBy(e => (e.sub, e.code))
+      val residual = hasResidual && rows.headOption.exists(_.getBoolean(4))
       val m = entries.map(_.sub).max + 1
-      Some((entries, m, entries.head.vec.size))
+      Some((entries, m, entries.head.vec.size, residual))
     }
   }
 
@@ -276,30 +312,61 @@ object IvfIndex {
     require(shortlistFactor > 0, s"shortlistFactor must be positive, got $shortlistFactor")
     val spark = queries.sparkSession
     val cents = readCentroids(spark, path)
-    val (cbs, m, dsub) = readCodebooks(spark, path).getOrElse(
+    val (cbs, m, dsub, residual) = readCodebooks(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path was written without PQ codebooks — rebuild with pqSubspaces > 0"))
+    // With residual codes the ADC table approximates dot(q, v − c_list);
+    // the exact per-(query, list) term dot(q, c_list) is added back so the
+    // shortlist ranks by dot(q, c) + ADC(q, v−c) ≈ dot(q, v). The dots are
+    // computed per query BEFORE the explode (while the tiny ordered
+    // centroid array is attached) and travel zipped with the list ids —
+    // the nlist×dim centroid payload never rides the exploded rows.
     val qLists = graft.core.Lineage.pin(
       Pq.attachCodebooks(Similarity.attachCentroidData(queries, cents), cbs)
         .select(
           col(queryId).as("query_id"),
           col(queryVec).as("_qv"),
           Pq.adcLut(col(queryVec), col("_cb"), m, dsub).as("_lut"),
-          transform(
-            slice(Similarity.rankedCentroidLists(col(queryVec), col("_cents")),
-              1, math.min(nprobe, cents.size)),
-            s => s.getField("list")).as("_lists")))
-    val q = qLists.select(col("query_id"), col("_lut"), explode(col("_lists")).as("_list"))
+          graft.functions.Let.bind(
+            transform(
+              slice(Similarity.rankedCentroidLists(col(queryVec), col("_cents")),
+                1, math.min(nprobe, cents.size)),
+              s => s.getField("list")),
+            lists =>
+              zip_with(lists,
+                transform(lists, l =>
+                  if (residual)
+                    Similarity.dot(col(queryVec),
+                      element_at(col("_cents"), l + 1).getField("vec"))
+                  else lit(0.0)),
+                (l, d) => struct(l.as("list"), d.as("qdotc")))).as("_probes")))
+    val q = qLists
+      .select(col("query_id"), col("_lut"), explode(col("_probes")).as("_p"))
+      .select(col("query_id"), col("_lut"),
+        col("_p.list").as("_list"), col("_p.qdotc").as("_qdotc"))
     val probed = q.select("_list").distinct().collect().map(_.getInt(0))
     val listFilter = col("_list").isin(probed.map(Integer.valueOf).toSeq: _*)
-    // shortlist pass: pq column only — the narrowest scan the layout offers
+    // shortlist pass: pq column (+ the scalar vnorm) only — the narrowest
+    // scan the layout offers. The ADC dot is divided by the stored vector
+    // norm so the shortlist ranks by APPROXIMATE COSINE, consistent with
+    // the exact-cosine rescore — a raw-dot shortlist systematically favors
+    // large-norm regions of the corpus and starves true neighbors out of
+    // tight shortlists (measured: 0.16 → 0.99 recall at factor 2 on a
+    // clustered fixture with per-cluster norm spread). Pre-r12 indexes
+    // lack vnorm → unnormalized fallback, still rescored exactly.
+    val vectorsSchema = spark.read.parquet(s"$path/vectors").schema
+    val hasVnorm = vectorsSchema.fieldNames.contains("vnorm")
     val codes = spark.read.parquet(s"$path/vectors")
       .filter(listFilter)
-      .select(col("id").as("neighbor_id"), col("pq").as("_pq"), col("_list"))
+      .select(col("id").as("neighbor_id"), col("pq").as("_pq"),
+        (if (hasVnorm) col("vnorm") else lit(1.0)).as("_vn"), col("_list"))
     val scoredAdc = codes
       .join(q, Seq("_list"))
       .select(col("query_id"), col("neighbor_id"),
-        Pq.adcDot(col("_pq"), col("_lut")).as("_adc"))
+        coalesce(
+          (Pq.adcDot(col("_pq"), col("_lut")) + col("_qdotc")) /
+            nullif(col("_vn"), lit(0.0)),
+          lit(0.0)).as("_adc"))
     val short = graft.operators.TopK
       .perKeySalted(scoredAdc, Seq("query_id"), "_adc", k * shortlistFactor,
         descending = true, tiebreak = Seq("neighbor_id"))

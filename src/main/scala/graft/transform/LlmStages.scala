@@ -553,14 +553,16 @@ final case class IvfIndexLoad(
     action: String = "write",
     seed: Long = 42L,
     pqSubspaces: Int = 0,
-    pqCodesPerSub: Int = 16
+    pqCodesPerSub: Int = 16,
+    pqResidual: Boolean = false
 ) extends Stage {
   val stageType = "IvfIndexLoad"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     action match {
       case "write" =>
         graft.llm.IvfIndex.write(ctx.view(inputView), idField, vectorField, outputURI,
-          numLists, seed, pqSubspaces = pqSubspaces, pqCodesPerSub = pqCodesPerSub)
+          numLists, seed, pqSubspaces = pqSubspaces, pqCodesPerSub = pqCodesPerSub,
+          pqResidual = pqResidual)
       case "ingest" =>
         graft.llm.IvfIndex.ingest(ctx.view(inputView), idField, vectorField, outputURI)
       case other =>

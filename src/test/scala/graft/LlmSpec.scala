@@ -1259,6 +1259,51 @@ class IvfIndexSpec extends SparkSpec {
     assert(probe.getAs[String]("mode") == "pq" && probe.getAs[Double]("recall") == 1.0, s"$probe")
   }
 
+  test("IVF-PQ residual: exact parity under covering shortlist; ingest stays consistent") {
+    val path = "/tmp/graft_test_ivfindex_pqres"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path,
+      nlist = 8, pqSubspaces = 8, pqResidual = true)
+    IvfIndex.ingest(em.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+    val queries = em.filter(col("vec_id") < 10)
+    val got = key(IvfIndex.topKPq(queries, "vec_id", "embedding", path,
+      k = 5, nprobe = 8, shortlistFactor = 1000))
+    val brute = key(Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(got == brute,
+      "residual index must rescore to exact brute force; ingest must encode residuals")
+  }
+
+  test("IVF-PQ residual: tighter shortlist recall on a clustered corpus beats raw codes") {
+    // the shape residual coding exists for: vectors = centroid + small
+    // noise. Raw-vector PQ spends its ksub codes per subspace describing
+    // WHICH cluster a vector sits in; residual PQ encodes only the noise,
+    // so the ADC shortlist separates within-cluster neighbors.
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextFloat() * 2f - 1f))
+    val vecs = (0L until 2000L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rng.nextFloat() - 0.5f).toSeq)
+    }.toDF("vec_id", "embedding")
+    def buildAndRecall(residual: Boolean): Double = {
+      val path = s"/tmp/graft_test_ivfres_cluster_$residual"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      IvfIndex.write(vecs, "vec_id", "embedding", path,
+        nlist = 8, pqSubspaces = 8, pqResidual = residual)
+      IvfIndex.recallProbe(vecs.filter(col("vec_id") < 20), "vec_id", "embedding",
+        path, k = 10, nprobe = 8, shortlistFactor = 4, pq = true)
+        .collect().head.getAs[Double]("recall")
+    }
+    // measured on this fixture: raw 0.625, residual 0.915 — the codes stop
+    // re-describing the cluster offset and spend themselves on the noise
+    val rawRecall = buildAndRecall(residual = false)
+    val resRecall = buildAndRecall(residual = true)
+    assert(resRecall >= rawRecall + 0.15,
+      f"residual recall $resRecall%.3f did not beat raw $rawRecall%.3f")
+    assert(resRecall >= 0.8, f"residual recall $resRecall%.3f too low on clustered data")
+  }
+
   test("IVF-PQ: querying a non-PQ index fails fast with a rebuild hint") {
     val e = intercept[IllegalArgumentException] {
       IvfIndex.topKPq(em.filter(col("vec_id") < 2), "vec_id", "embedding", idx, k = 2)

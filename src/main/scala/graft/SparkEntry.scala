@@ -1262,6 +1262,30 @@ object SparkEntry {
           col("canary"))
         .orderBy("doc_id", "canary_id")
     },
+    "q165_bpe_tokenize" -> withViews("documents") { (spark, ctx) =>
+      // Corpus-trained BPE (llm/Bpe): merges learned from the documents'
+      // own word-frequency table (one bounded shuffle + driver merge loop),
+      // then the native greedy-by-rank tokenizer. The merge sequence is
+      // engine-specific → rows-only; self-verifying per row: `ok` = exact
+      // reassembly (tokens concatenate to the whitespace-stripped text) ∧
+      // token count ≤ character count ∧ (folded global invariant, q157
+      // style) the trained merges strictly compress the corpus overall.
+      import graft.llm.Bpe
+      val docs = ctx.view("documents").select(col("doc_id"), col("text"))
+      val merges = Bpe.trainMerges(docs, "text", numMerges = 30)
+      val tok = Bpe.tokenized(docs, "text", merges)
+        .withColumn("_nospace", regexp_replace(col("text"), "\\s+", ""))
+      val compresses = broadcast(
+        tok.agg((sum(col("n_bpe_tokens")) <
+          sum(length(col("_nospace")).cast("long"))).as("_compresses")))
+      tok.crossJoin(compresses)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          length(col("_nospace")).cast("long").as("n_chars_nospace"),
+          (concat_ws("", col("tokens")) === col("_nospace") &&
+            col("n_bpe_tokens") <= length(col("_nospace")).cast("long") &&
+            col("_compresses")).as("ok"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit

@@ -341,6 +341,13 @@ object PipelineConfig {
       RedactTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"), counts = o.bool("counts"),
         persist = o.bool("persist"))
+    case "TokenizerTransform" =>
+      TokenizerTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        textField = o.req("textField"), mode = o.str("mode", "train"),
+        numMerges = o.intOpt("numMerges").getOrElse(200),
+        maxWords = o.intOpt("maxWords").getOrElse(50000),
+        mergesView = o.str("mergesView", ""),
+        persist = o.bool("persist"))
     case "OutlierTransform" =>
       OutlierTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         valueField = o.req("valueField"), groupFields = o.strList("groupFields"),

@@ -513,6 +513,21 @@ object ScaleProbe {
         docs.filter(few.map(c => col("text").contains(c)).reduce(_ || _)).count()
       }
     }
+    // BPE: training cost is bounded by the WORD table (tiny here — the
+    // templated corpus has ~220 distinct words), not the corpus; the
+    // tokenize pass is a narrow scan whose cost tracks corpus size.
+    if (anySelected(s"bpeTrain n=$n", s"bpeTokenize n=$n")) {
+      var merges: Seq[(String, String)] = Nil
+      time(s"bpeTrain n=$n merges=200") {
+        merges = graft.llm.Bpe.trainMerges(docs, "text", numMerges = 200)
+        merges.length
+      }
+      if (merges.isEmpty) merges = graft.llm.Bpe.trainMerges(docs, "text", 200)
+      time(s"bpeTokenize n=$n") {
+        graft.llm.Bpe.tokenized(docs, "text", merges)
+          .agg(sum("n_bpe_tokens")).collect().head.getLong(0)
+      }
+    }
     // Content-defined chunking: narrow codegen'd pass + explode — must run
     // at scan speed like the line filter; ~6 chunks/doc at these params.
     if (anySelected(s"cdcChunk n=$n")) {

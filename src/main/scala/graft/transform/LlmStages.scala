@@ -926,3 +926,45 @@ final case class OutlierTransform(
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }
+
+/** Corpus-trained BPE behind the config surface — [[graft.llm.Bpe]].
+  * `mode=train` learns `numMerges` merges from the input view's text and
+  * registers them as a (rank, left, right) view; `mode=apply` reads a
+  * merges view with that schema and appends `tokens` + `n_bpe_tokens` via
+  * the native greedy-by-rank expression (narrow, streaming-safe).
+  */
+final case class TokenizerTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    textField: String,
+    mode: String = "train",
+    numMerges: Int = 200,
+    maxWords: Int = 50000,
+    mergesView: String = "",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "TokenizerTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val in = ctx.view(inputView)
+    val out = mode match {
+      case "train" =>
+        graft.llm.Bpe.trainMerges(in, textField, numMerges, maxWords)
+          .zipWithIndex
+          .map { case ((a, b), i) => (i, a, b) }
+          .toDF("rank", "left", "right")
+      case "apply" =>
+        require(mergesView.nonEmpty, s"$name: apply mode needs mergesView")
+        val merges = ctx.view(mergesView)
+          .select(col("rank"), col("left"), col("right"))
+          .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.llm.Bpe.tokenized(in, textField, merges)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown tokenizer mode '$other' (train|apply)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}

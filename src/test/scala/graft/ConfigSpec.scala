@@ -434,6 +434,29 @@ class ConfigSpec extends SparkSpec {
     assert(hits == Set((1L, "secret benchmark passage")))
   }
 
+  test("TokenizerTransform trains merges and applies them from config cells") {
+    import spark.implicits._
+    Seq.fill(10)("the merger merged the merging mergers").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").createOrReplaceTempView("tk_in")
+    val hocon =
+      """{stages: [
+        { type = "TokenizerTransform", name = "train", inputView = tk_in,
+          outputView = tk_merges, textField = text, numMerges = 12 },
+        { type = "TokenizerTransform", name = "apply", inputView = tk_in,
+          outputView = tk_out, textField = text, mode = apply,
+          mergesView = tk_merges }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    assert(spark.table("tk_merges").count() > 0)
+    val row = spark.table("tk_out")
+      .select(org.apache.spark.sql.functions.concat_ws("",
+        org.apache.spark.sql.functions.col("tokens")),
+        org.apache.spark.sql.functions.col("n_bpe_tokens")).head
+    assert(row.getString(0) == "themergermergedthemergingmergers")
+    assert(row.getLong(1) < 32)
+  }
+
   test("HistogramTransform mode=drift compares two segment views from a config cell") {
     import spark.implicits._
     (1L to 100L).map(i => ("s", (i % 40).toDouble)).toDF("g", "v")

@@ -1673,3 +1673,49 @@ class RobustStatsSpec extends SparkSpec {
       plan.take(3000))
   }
 }
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.Bpe
+
+  test("trainFromCounts reproduces the textbook merge sequence with deterministic ties") {
+    // Sennrich-style fixture: low:3 lower:2 newest:4 widest:1
+    // round 1: (w,e)=6 wins; round 2: (l,o)=5 ties (s,t)=5, lexicographic
+    // tie-break picks (l,o); round 3: (s,t)=5.
+    val merges = Bpe.trainFromCounts(
+      Seq(("low", 3L), ("lower", 2L), ("newest", 4L), ("widest", 1L)), 3)
+    assert(merges == Seq(("w", "e"), ("l", "o"), ("s", "t")), merges.toString)
+  }
+
+  test("tokenize applies merges greedily by rank; reassembly holds") {
+    val merges = Seq(("w", "e"), ("l", "o"), ("s", "t"))
+    val out = Seq("lowest", "low lowest", "  spaced   out  ", "")
+      .toDF("t").select(Bpe.tokenize(col("t"), merges)).as[Seq[String]].collect()
+    assert(out(0) == Seq("lo", "we", "st"))
+    assert(out(1) == Seq("lo", "w", "lo", "we", "st"))
+    assert(out(2) == Seq("s", "p", "a", "c", "e", "d", "o", "u", "t"))
+    assert(out(3) == Seq.empty)
+  }
+
+  test("end-to-end: merges trained on a corpus shrink its token count; reassembly exact") {
+    val docs = Seq.fill(20)("the merger merged the merging mergers").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 12)
+    assert(merges.nonEmpty && merges.length <= 12)
+    val tok = Bpe.tokenized(docs, "text", merges)
+    val row = tok.select(
+      concat_ws("", col("tokens")) === regexp_replace(col("text"), "\\s+", ""),
+      col("n_bpe_tokens"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long")).collect()
+    assert(row.forall(_.getBoolean(0)), "reassembly must be exact")
+    // trained merges must actually compress below character count
+    assert(row.forall(r => r.getLong(1) < r.getLong(2)), "no compression happened")
+  }
+
+  test("multi-byte symbols merge as code points, never split") {
+    val merges = Seq(("é", "t"), ("c", "a"))
+    val out = Seq("café été").toDF("t")
+      .select(Bpe.tokenize(col("t"), merges)).as[Seq[String]].head
+    assert(out == Seq("ca", "f", "é", "ét", "é"), out.toString)
+  }
+}

@@ -92,6 +92,9 @@ object Completions {
     Completion("HeavyHittersTransform",
       "{type = \"HeavyHittersTransform\", name = \"hh\", inputView = \"v\", outputView = \"top\",\n" +
         " keyField = \"key\", cap = 64, action = \"estimate\"}"),
+    Completion("TokenizerTransform",
+      "{type = \"TokenizerTransform\", name = \"bpe\", inputView = \"docs\", outputView = \"merges\",\n" +
+        " textField = \"text\", mode = \"train\", numMerges = 200}"),
     Completion("OutlierTransform",
       "{type = \"OutlierTransform\", name = \"screen\", inputView = \"docs\", outputView = \"flagged\",\n" +
         " valueField = \"n_chars\", groupFields = [\"source\"], mode = \"flag\", k = 3.5}"),

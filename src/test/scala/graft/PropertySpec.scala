@@ -373,4 +373,30 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("groupedQuantiles equals Spark's percentile on generated frames (slice engine property)") {
+    // Spark-backed property at a reduced case count (each case runs jobs):
+    // random group shapes — singleton groups, dominant groups, ties, NULL
+    // keys — must match the buffering aggregate bit-for-bit at random ps.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val rowGen = for {
+      g <- Gen.oneOf(Some("a"), Some("b"), Some("hot"), None)
+      v <- Gen.chooseNum(-1000, 1000)
+    } yield (g, v.toDouble)
+    val pGen = Gen.chooseNum(0.0, 1.0)
+    val prop = Prop.forAll(
+      Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n, rowGen)), pGen) { (rows, p0) =>
+      val p = math.rint(p0 * 100) / 100 // 2dp: keeps the literal printable
+      val df = rows.map { case (g, v) => (g.orNull, v) }.toDF("g", "v")
+      val got = graft.llm.RobustStats.groupedQuantiles(df, Seq("g"), col("v"), Seq(p))
+        .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+      val want = df.groupBy("g").agg(expr(s"percentile(v, $p)"))
+        .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+      got == want
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
 }

@@ -1286,6 +1286,21 @@ object SparkEntry {
             col("_compresses")).as("ok"))
         .orderBy("doc_id")
     },
+    "q166_line_dedup" -> withViews("documents") { (spark, ctx) =>
+      // Within-document repeated-line removal (LineFilter.dedupLines):
+      // every doc is turned multiline (every 4th space → newline) with its
+      // own first line re-appended — a guaranteed within-doc duplicate —
+      // then lines dedupe to first occurrences. The oracle reproduces the
+      // exact first-occurrence semantics via a min-ordinality formulation,
+      // pinning clean_text byte-for-byte.
+      import graft.llm.LineFilter
+      val ml = ctx.view("documents").select(col("doc_id"),
+        regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+) ", "$1\n").as("_ml"))
+      val withDup = ml.select(col("doc_id"),
+        concat(col("_ml"), lit("\n"), regexp_extract(col("_ml"), "^[^\n]*", 0)).as("text"))
+      LineFilter.lineDedupStats(withDup, "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -2555,6 +2570,28 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q166_line_dedup" ->
+      // explicit first-occurrence formulation: zip-unnested (line, ord),
+      // keep min-ordinality per (doc, line), re-join in ordinal order —
+      // must equal Spark's array_distinct order byte-for-byte
+      """WITH m AS (
+          SELECT doc_id,
+                 regexp_replace(text, '(\S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g') AS ml
+          FROM documents),
+        m2 AS (SELECT doc_id,
+                 ml || chr(10) || regexp_extract(ml, '^[^' || chr(10) || ']*') AS t
+               FROM m),
+        m3 AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM m2),
+        ex AS (SELECT doc_id, len(ls) AS n_lines, unnest(ls) AS line,
+                      unnest(range(1, len(ls) + 1)) AS ord
+               FROM m3),
+        firsts AS (
+          SELECT doc_id, n_lines, line, ord FROM ex
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY ord) = 1)
+        SELECT doc_id, MIN(n_lines) AS n_lines,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_lines,
+               string_agg(line, chr(10) ORDER BY ord) AS clean_text
+        FROM firsts GROUP BY doc_id ORDER BY doc_id""",
     "q164_canary_hits" ->
       // per-canary contains() join — exact verbatim-substring semantics
       """WITH canaries(canary_id, canary) AS (

@@ -77,4 +77,28 @@ object LineFilter {
         col("_k.clean_text").as("clean_text"),
         (col("doc_flagged") || col("_k.n_kept") < minLines).as("drop_doc"))
   }
+
+  /** Within-document repeated-line removal: keep the FIRST occurrence of
+    * every line, preserving order — the boilerplate cleaner for documents
+    * whose template repeats nav/footer/cookie lines inside one page (the
+    * within-doc counterpart of [[Dedup.segmentClean]]'s cross-doc segment
+    * drop). `array_distinct` preserves first-occurrence order, so this is
+    * a pure narrow codegen'd projection — no shuffle, streaming-safe; the
+    * q166 oracle pins the first-occurrence semantics line-for-line against
+    * an explicit min-ordinality SQL formulation.
+    */
+  def dedupLines(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
+  /** Per-document line-dedup report: total lines, unique lines, and the
+    * cleaned text. */
+  def lineDedupStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.Let.bind(split(col(textCol), "\n"), lines =>
+          struct(
+            size(lines).cast("long").as("n_lines"),
+            size(array_distinct(lines)).cast("long").as("n_unique_lines"),
+            array_join(array_distinct(lines), "\n").as("clean_text"))).as("_r"))
+      .select(col(idCol), col("_r.n_lines"), col("_r.n_unique_lines"),
+        col("_r.clean_text"))
 }

@@ -807,9 +807,12 @@ final case class LineFilterTransform(
           .join(
             report.filter(!col("drop_doc")).select(col(idField), col("clean_text").as(textField)),
             Seq(idField))
+      case "dedupLines" =>
+        // within-doc repeated-line removal (q166): keep first occurrences
+        in.withColumn(textField, graft.llm.LineFilter.dedupLines(col(textField)))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown line-filter action '$other' (report|filter)")
+          s"$name: unknown line-filter action '$other' (report|filter|dedupLines)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

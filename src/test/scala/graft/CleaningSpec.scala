@@ -157,6 +157,26 @@ class CleaningSpec extends SparkSpec {
 
   // ------------------------------------------------------------------ Redact
 
+  test("dedupLines keeps first occurrences in order; stats and stage agree") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav\nfooter\nfooter"),
+      (2L, "only\nunique\nlines")
+    ).toDF("doc_id", "text")
+    val stats = LineFilter.lineDedupStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(stats(0).getLong(1) == 7 && stats(0).getLong(2) == 4)
+    assert(stats(0).getString(3) == "nav\nbody one\nbody two\nfooter")
+    assert(stats(1).getLong(1) == 3 && stats(1).getLong(2) == 3)
+    df.createOrReplaceTempView("ld_in")
+    val stage = graft.transform.LineFilterTransform(
+      "ld", "ld_in", "ld_out", "doc_id", "text", action = "dedupLines")
+    assert(stage.execute(new graft.core.PipelineContext(spark)).isDefined)
+    val cleaned = spark.table("ld_out").orderBy("doc_id")
+      .select("text").as[String].collect()
+    assert(cleaned(0) == "nav\nbody one\nbody two\nfooter")
+  }
+
   test("redact replaces every PII class and respects URL-before-email order") {
     val df = Seq(
       (1L, "mail a.b+c@corp.example.org now"),

@@ -1301,6 +1301,22 @@ object SparkEntry {
       LineFilter.lineDedupStats(withDup, "doc_id", "text")
         .orderBy("doc_id")
     },
+    "q167_negative_sampling" -> withViews("documents") { (spark, ctx) =>
+      // Deterministic contrastive negatives (Sampling.negativeSample):
+      // per-query k-lowest salted md5 over a hash-sampled candidate pool,
+      // excluding the positive (same doc) and same-source candidates. The
+      // whole construction is md5-exact, so the oracle reproduces pool
+      // membership, exclusion, ranking, and ties byte-for-byte.
+      import graft.llm.Sampling
+      val docs = ctx.view("documents")
+      Sampling.negativeSample(
+        docs.filter(col("doc_id") < 25), col("doc_id"), Seq("doc_id", "source"),
+        docs, col("doc_id"), Seq("doc_id", "source"),
+        k = 4, poolSize = 60, salt = "ns",
+        exclude = col("q_doc_id") === col("neg_doc_id") ||
+          col("q_source") === col("neg_source"))
+        .orderBy("q_doc_id", "neg_rank")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -2570,6 +2586,26 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q167_negative_sampling" ->
+      // pool threshold = %08x of round(60/500 · 0xffffffff) = 1eb851eb;
+      // the hash, exclusion, and (h, cand-id-string) tiebreak mirror the
+      // Spark op exactly
+      """WITH pool AS (
+          SELECT doc_id AS cand_id, source AS cand_source FROM documents
+          WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'ns-pool'), 1, 8) < '1eb851eb'),
+        q AS (SELECT doc_id AS q_doc_id, source AS q_source FROM documents WHERE doc_id < 25),
+        j AS (
+          SELECT q_doc_id, q_source, cand_id, cand_source,
+                 md5(CAST(q_doc_id AS VARCHAR) || ':' || CAST(cand_id AS VARCHAR) || 'ns') AS h
+          FROM q CROSS JOIN pool
+          WHERE NOT (q_doc_id = cand_id OR q_source = cand_source)),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_doc_id ORDER BY h, CAST(cand_id AS VARCHAR)) AS neg_rank
+          FROM j)
+        SELECT q_doc_id, q_source, cand_id AS neg_doc_id, cand_source AS neg_source,
+               CAST(neg_rank AS BIGINT) AS neg_rank
+        FROM r WHERE neg_rank <= 4 ORDER BY q_doc_id, neg_rank""",
     "q166_line_dedup" ->
       // explicit first-occurrence formulation: zip-unnested (line, ord),
       // keep min-ordinality per (doc, line), re-join in ordinal order —

@@ -419,6 +419,8 @@ object PipelineConfig {
         rate = o.dbl("rate", 0.1), weightField = o.str("weightField", ""),
         strataFields = o.strList("strataFields"), fractions = o.dblMap("fractions"),
         cap = o.intOpt("cap").getOrElse(0), salt = o.str("salt", ""),
+        corpusView = o.str("corpusView", ""),
+        carryFields = o.strList("carryFields"),
         persist = o.bool("persist"))
     case "MetadataTransform" =>
       MetadataTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

@@ -292,4 +292,52 @@ object Sampling {
       .filter(col("_cum") <= budget)
       .drop("_cum", "_tot")
   }
+
+  /** Deterministic negative sampling for contrastive pairs: for every query
+    * row, the `k` corpus rows ranking lowest under a salted per-(query,
+    * candidate) md5 — excluding candidates where `exclude(query, candidate)`
+    * holds (the positive-pair / same-source guard). The standard
+    * random-negatives step of contrastive training-data prep, made
+    * retry-stable and reproducible: the same (queries, corpus, salt) always
+    * yields the same negatives, and changing k only extends each query's
+    * list (hash ranking is a fixed total order per query).
+    *
+    * Shape at scale: the corpus never joins the queries directly — a
+    * deterministic [[hashSample]] pool of ~`poolSize` candidates is drawn
+    * first (one narrow corpus scan), and each query ranks only that pool
+    * (broadcast join, per-query work = pool size, bounded top-k via
+    * [[graft.operators.TopK.perKeySalted]]). Negatives are sampled
+    * UNIFORMLY from the corpus by construction of the pool hash; the pool
+    * indirection trades a vanishing bias (a positive excluded from a
+    * 10k-row pool) for never shipping the corpus into a per-query sort.
+    * `poolSize` is an expectation — the realized pool varies by a few
+    * percent (binomial), which is fine for negatives.
+    *
+    * `queryCols`/`candCols` name the columns to carry from each side
+    * (prefixed `q_` / `neg_` in the output). Output: one row per kept
+    * (query, negative): q_* cols, neg_* cols, `neg_rank` (1-based).
+    */
+  def negativeSample(
+      queries: DataFrame, queryKey: Column, queryCols: Seq[String],
+      corpus: DataFrame, candKey: Column, candCols: Seq[String],
+      k: Int, poolSize: Int, salt: String = "",
+      exclude: Column = lit(false)): DataFrame = {
+    require(k > 0 && poolSize > 0, s"k/poolSize must be positive, got $k/$poolSize")
+    val n = corpus.count()
+    val rate = math.min(1.0, poolSize.toDouble / math.max(1L, n))
+    val pool = hashSample(corpus, candKey, rate, salt + "-pool")
+      .select(candKey.cast("string").as("_ck") +: candCols.map(c => col(c).as(s"neg_$c")): _*)
+    val q = queries.select(
+      queryKey.cast("string").as("_qk") +: queryCols.map(c => col(c).as(s"q_$c")): _*)
+    // `exclude` is written over the prefixed names (col("q_…"), col("neg_…"))
+    val joined = q.crossJoin(broadcast(pool))
+      .filter(!exclude)
+      .withColumn("_h", md5(concat(col("_qk"), lit(":"), col("_ck"), lit(salt))))
+    val top = graft.operators.TopK.perKeySalted(joined, Seq("_qk"), "_h", k,
+      descending = false, tiebreak = Seq("_ck"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qk")).orderBy(col("_h"), col("_ck"))
+    top.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .drop("_h", "_qk", "_ck", "rank")
+  }
 }

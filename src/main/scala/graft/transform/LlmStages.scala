@@ -725,6 +725,8 @@ final case class SampleTransform(
     fractions: Map[String, Double] = Map.empty,
     cap: Int = 0,
     salt: String = "",
+    corpusView: String = "",
+    carryFields: Seq[String] = Nil,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "SampleTransform"
@@ -766,9 +768,28 @@ final case class SampleTransform(
         // default budget for unlisted groups
         Sampling.tokenBudgetSample(in, strataFields.head, col(weightField),
           fractions.map { case (k, v) => k -> v.toLong }, rate.toLong, col(keyField), salt)
+      case "negative" =>
+        // deterministic contrastive negatives: inputView = queries,
+        // corpusView = candidate corpus; cap = k, rate·|corpus| ≈ pool.
+        // strataFields (optional, single) names a column equal on both
+        // sides that must DIFFER between query and negative (the
+        // same-source positive guard).
+        require(corpusView.nonEmpty, s"$name: negative sampling needs corpusView")
+        require(cap > 0, s"$name: negative sampling needs cap > 0 (k negatives per query)")
+        val corpus = ctx.view(corpusView)
+        val carry = if (carryFields.nonEmpty) carryFields else Seq(keyField)
+        val poolSize = math.max(1, (rate * corpus.count()).toInt)
+        val excl = strataFields.headOption
+          .map(f => col(s"q_$keyField") === col(s"neg_$keyField") ||
+            col(s"q_$f") === col(s"neg_$f"))
+          .getOrElse(col(s"q_$keyField") === col(s"neg_$keyField"))
+        Sampling.negativeSample(in, col(keyField),
+          (carry ++ strataFields).distinct,
+          corpus, col(keyField), (carry ++ strataFields).distinct,
+          k = cap, poolSize = poolSize, salt = salt, exclude = excl)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap|temperature|split|interleave|tokenBudget)")
+          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap|temperature|split|interleave|tokenBudget|negative)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

@@ -457,6 +457,28 @@ class ConfigSpec extends SparkSpec {
     assert(row.getLong(1) < 32)
   }
 
+  test("SampleTransform method=negative draws k exclusion-safe negatives per query") {
+    import spark.implicits._
+    (0L until 100L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+      .createOrReplaceTempView("ng_corpus")
+    spark.table("ng_corpus")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 5)
+      .createOrReplaceTempView("ng_q")
+    val hocon =
+      """{stages: [
+        { type = "SampleTransform", name = "neg", inputView = ng_q,
+          outputView = ng_out, method = negative, keyField = doc_id,
+          corpusView = ng_corpus, cap = 3, rate = 0.5,
+          strataFields = [source], carryFields = [doc_id, source] }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val out = spark.table("ng_out")
+      .select("q_doc_id", "q_source", "neg_doc_id", "neg_source")
+      .as[(Long, String, Long, String)].collect()
+    assert(out.groupBy(_._1).forall(_._2.length == 3) && out.length == 15)
+    out.foreach { case (q, qs, n, ns) => assert(q != n && qs != ns) }
+  }
+
   test("HistogramTransform mode=drift compares two segment views from a config cell") {
     import spark.implicits._
     (1L to 100L).map(i => ("s", (i % 40).toDouble)).toDF("g", "v")

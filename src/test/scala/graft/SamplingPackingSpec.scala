@@ -345,6 +345,31 @@ class SamplingPackingSpec extends SparkSpec {
     assert(viaSql.mkString("") == "ab" * 200)
   }
 
+  test("negativeSample: deterministic, exclusion-respecting, prefix-stable in k") {
+    import spark.implicits._
+    val corpus = (0L until 200L).map(i => (i, s"src${i % 5}")).toDF("id", "source")
+    val queries = corpus.filter(col("id") < 10)
+    def run(k: Int) = graft.llm.Sampling.negativeSample(
+      queries, col("id"), Seq("id", "source"),
+      corpus, col("id"), Seq("id", "source"),
+      k = k, poolSize = 50, salt = "t",
+      exclude = col("q_id") === col("neg_id") || col("q_source") === col("neg_source"))
+      .select("q_id", "neg_id", "neg_rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val k4 = run(4)
+    // every query gets exactly k negatives; no self / same-source pairs
+    assert(k4.groupBy(_._1).forall(_._2.size == 4) && k4.groupBy(_._1).size == 10)
+    k4.foreach { case (q, n, _) =>
+      assert(n != q && n % 5 != q % 5, s"excluded pair ($q, $n) leaked") }
+    // determinism + prefix property: k=2 is exactly the rank<=2 subset of k=4
+    assert(run(4) == k4)
+    assert(run(2) == k4.filter(_._3 <= 2))
+    // negatives come only from the hash pool (pool membership is salted md5)
+    val pool = graft.llm.Sampling.hashSample(corpus, col("id"), 50.0 / 200, "t-pool")
+      .select("id").as[Long].collect().toSet
+    assert(k4.forall { case (_, n, _) => pool.contains(n) })
+  }
+
   test("packGreedy matches the sequential reference and respects maxTokens") {
     val maxTokens = 512L
     val withToks = docs

@@ -513,6 +513,23 @@ object ScaleProbe {
         docs.filter(few.map(c => col("text").contains(c)).reduce(_ || _)).count()
       }
     }
+    // Negative sampling: per-query cost is the broadcast POOL (10k rows
+    // here), never the corpus — 4k queries × 10k pool = 40M scored pairs
+    // through the salted top-k, all map-side; the corpus contributes one
+    // narrow pool-draw scan.
+    if (anySelected(s"negativeSample n=$n")) {
+      val corpus = docs.select(col("id"),
+        pmod(col("id"), lit(100)).cast("string").as("src"))
+      val queries = corpus.filter(pmod(col("id"), lit(100)) === 0)
+      time(s"negativeSample n=$n queries=${n / 100} pool=10k k=8") {
+        graft.llm.Sampling.negativeSample(
+          queries, col("id"), Seq("id", "src"),
+          corpus, col("id"), Seq("id", "src"),
+          k = 8, poolSize = 10000, salt = "sp",
+          exclude = col("q_id") === col("neg_id") || col("q_src") === col("neg_src")
+        ).count()
+      }
+    }
     // BPE: training cost is bounded by the WORD table (tiny here — the
     // templated corpus has ~220 distinct words), not the corpus; the
     // tokenize pass is a narrow scan whose cost tracks corpus size.

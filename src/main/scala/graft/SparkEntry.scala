@@ -1317,6 +1317,24 @@ object SparkEntry {
           col("q_source") === col("neg_source"))
         .orderBy("q_doc_id", "neg_rank")
     },
+    "q168_hard_negatives" -> { (spark: SparkSession, dir: String) =>
+      // ANN hard-negative mining (Similarity.hardNegatives): per query the
+      // top-cosine corpus vectors with a DIFFERENT label (the positive
+      // class excluded). Exact brute-force scoring -> fully
+      // oracle-expressible via LIST_COSINE_SIMILARITY, scores rounded to 6
+      // like q35.
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, Seq("embeddings")), ctx)
+      val em = ctx.view("embeddings")
+      graft.llm.Similarity.hardNegatives(
+        em.filter(col("vec_id") < 8), "vec_id", "embedding", Seq("vec_id", "label"),
+        em, "vec_id", "embedding", Seq("vec_id", "label"),
+        k = 5, exclude = col("q_label") === col("neg_label"))
+        .select(col("q_vec_id"), col("q_label"), col("neg_vec_id"), col("neg_label"),
+          round(col("score"), 6).as("score"), col("neg_rank"))
+        .orderBy("q_vec_id", "neg_rank")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -2586,6 +2604,23 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q168_hard_negatives" ->
+      // the q35 cosine-parity pattern + the label exclusion; rank ties on
+      // the STRING form of the neighbor id (the op ranks by _ck string)
+      """SELECT q_vec_id, q_label, neg_vec_id, neg_label, score, neg_rank FROM (
+          SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+                 c.vec_id AS neg_vec_id, c.label AS neg_label,
+                 ROUND(LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) AS score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+                     CAST(c.embedding AS DOUBLE[])) DESC,
+                     CAST(c.vec_id AS VARCHAR)) AS BIGINT) AS neg_rank
+          FROM embeddings c, embeddings q
+          WHERE q.vec_id < 8 AND c.label <> q.label) t
+        WHERE neg_rank <= 5
+        ORDER BY q_vec_id, neg_rank""",
     "q167_negative_sampling" ->
       // pool threshold = %08x of round(60/500 · 0xffffffff) = 1eb851eb;
       // the hash, exclusion, and (h, cand-id-string) tiebreak mirror the

@@ -294,4 +294,43 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Hard-negative mining for contrastive training: for each query, the
+    * `k` HIGHEST-cosine corpus rows that are NOT positives (`exclude`,
+    * written over the prefixed `q_*` / `neg_*` columns — same-id,
+    * same-label, same-source…). Hard negatives are what make contrastive
+    * losses informative; the uniform counterpart is
+    * [[Sampling.negativeSample]].
+    *
+    * Exact brute-force scoring (queries broadcast, corpus scanned once,
+    * salted bounded top-k — never a per-query single-task sort); at
+    * corpus scales where a full scan per batch is too much, shortlist
+    * through [[IvfIndex.topK]] with k + headroom and apply the same
+    * exclusion to the shortlist (approximate: a probed list may not
+    * contain k true non-positives).
+    *
+    * Output: q_* cols, neg_* cols, `score`, `neg_rank` (1-based by
+    * (score desc, neg-id-string)).
+    */
+  def hardNegatives(
+      queries: DataFrame, queryId: String, queryVec: String, queryCols: Seq[String],
+      corpus: DataFrame, corpusId: String, corpusVec: String, corpusCols: Seq[String],
+      k: Int, exclude: Column = lit(false)): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(
+      col(queryId).cast("string").as("_qk") +: col(queryVec).as("_qv") +:
+        queryCols.map(c => col(c).as(s"q_$c")): _*)
+    val c = corpus.select(
+      col(corpusId).cast("string").as("_ck") +: col(corpusVec).as("_cv") +:
+        corpusCols.map(cc => col(cc).as(s"neg_$cc")): _*)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(!exclude)
+      .withColumn("score", cosine(col("_qv"), col("_cv")))
+      .drop("_qv", "_cv")
+    val top = graft.operators.TopK.perKeySalted(scored, Seq("_qk"), "score", k,
+      descending = true, tiebreak = Seq("_ck"))
+    val w = Window.partitionBy(col("_qk")).orderBy(col("score").desc, col("_ck"))
+    top.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .drop("_qk", "_ck", "rank")
+  }
 }

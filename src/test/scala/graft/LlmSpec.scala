@@ -401,6 +401,36 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class HardNegativesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.Similarity
+
+  test("hardNegatives equals exclusion-filtered brute force, rank-for-rank") {
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = em.filter(col("vec_id") < 6)
+    val got = Similarity.hardNegatives(
+      queries, "vec_id", "embedding", Seq("vec_id", "label"),
+      em, "vec_id", "embedding", Seq("vec_id", "label"),
+      k = 4, exclude = col("q_label") === col("neg_label"))
+      .select(col("q_vec_id"), col("neg_vec_id"), col("neg_rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    // reference: big-k brute force, drop same-label pairs, re-rank
+    val labels = em.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val want = Similarity.bruteForceTopK(em, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = em.count().toInt)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)].collect()
+      .filter { case (q, n, _) => labels(n) != labels(q) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, n, sc) => (-sc, n.toString) }.take(4)
+          .zipWithIndex.map { case ((_, n, _), i) => (q, n, (i + 1).toLong) }
+      }.toSet
+    assert(got == want)
+    // every mined negative really has a different label
+    got.foreach { case (q, n, _) => assert(labels(q) != labels(n)) }
+  }
+}
+
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 

@@ -456,6 +456,102 @@ object SparkEntry {
   // ship year. Two aliases of the same `nation` dimension (supplier side and
   // customer side) — both broadcast; the fact table never shuffles before
   // the final group-by. Money travels as exact integer cent-units (see q126).
+
+  // TPC-H Q3 (shipping priority): segment-filtered 3-way join, revenue in
+  // exact integer units (the q133 discipline), top-10 by revenue with full
+  // tiebreaks for a total order.
+  private val q169 = """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue_u DESC, o_orderdate, l_orderkey
+    LIMIT 10"""
+
+  // TPC-H Q5 (local supplier volume): revenue where the supplier and the
+  // customer share a nation, per nation of one region over one year.
+  private val q170 = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY revenue_u DESC, n_name"""
+
+  // TPC-H Q10 (returned-item reporting): per-customer lost revenue from
+  // returned lines over a quarter; top 20 by revenue.
+  private val q171 = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4
+    ORDER BY revenue_u DESC, c_custkey
+    LIMIT 20"""
+
+  // TPC-H Q18 (large-volume customers): orders whose total quantity clears
+  // a threshold (scaled to the synthetic row counts), with customer data.
+  private val q172 = """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY total_qty DESC, o_orderkey"""
+
+  // TPC-H Q22 shape (global sales opportunity), adapted to the reduced
+  // schema (no c_phone -> country bucket = the customer nation) and to the
+  // synthetic data (every customer has SOME order, so the dormancy test is
+  // "no order since 1999"): above-average-balance customers gone quiet,
+  // counted per nation.
+  private val q173 = """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0),
+    eligible AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c, avg_bal
+      WHERE c.c_acctbal > avg_bal.a
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_u
+    FROM eligible e
+    JOIN nation n ON e.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    ORDER BY 1"""
+
   private val q133 = """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
@@ -578,6 +674,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_join_5way_reorder" ->
       pipe("customer", "orders", "lineitem", "supplier", "nation", "region")(q70),
+    "q169_tpch_q3_shipping_priority" -> pipe("customer", "orders", "lineitem")(q169),
+    "q170_tpch_q5_local_supplier" ->
+      pipe("customer", "orders", "lineitem", "supplier", "nation", "region")(q170),
+    "q171_tpch_q10_returned_items" ->
+      pipe("customer", "orders", "lineitem", "nation")(q171),
+    "q172_tpch_q18_large_volume" -> pipe("customer", "orders", "lineitem")(q172),
+    "q173_tpch_q22_idle_balances" -> pipe("customer", "orders", "nation")(q173),
     "q133_tpch_q7_volume_shipping" ->
       pipe("lineitem", "orders", "customer", "supplier", "nation")(q133),
     "q134_tpch_q8_market_share" ->
@@ -2893,6 +2996,11 @@ object SparkEntry {
     "q128_dominant_share" -> q128,
     "q129_window_distribution" -> q129,
     "q130_editdist_neardup" -> q130,
+    "q169_tpch_q3_shipping_priority" -> q169,
+    "q170_tpch_q5_local_supplier" -> q170,
+    "q171_tpch_q10_returned_items" -> q171,
+    "q172_tpch_q18_large_volume" -> q172,
+    "q173_tpch_q22_idle_balances" -> q173,
     "q133_tpch_q7_volume_shipping" -> q133,
     "q134_tpch_q8_market_share" -> q134,
     "q135_tpch_q11_value_concentration" -> q135,

@@ -92,11 +92,48 @@ object Multimodal {
     }(enc).toDF()
   }
 
-  /** Resize media blobs to target dimensions. STUB(no codecs): the output
-    * bytes are a deterministic function of (input bytes, target dims) with
-    * size proportional to the target area — byte-level plumbing only; a real
-    * impl decodes, scales, re-encodes. Output: input columns + `resized`
-    * binary + `resized_meta` struct carrying the target dimensions.
+  /** REAL bilinear resize + PNG re-encode for JDK-decodable images
+    * (ImageIO → Graphics2D scale → PNG bytes — no external libraries);
+    * deterministic fake for undecodable blobs (audio/video codecs aren't
+    * in this container — the documented stub branch, same signature).
+    * Returns (pngBytes, mime) — mime distinguishes the real path.
+    */
+  private[llm] def resizeBlob(bytes: Array[Byte], tw: Int, th: Int): (Array[Byte], String) = {
+    val real: Option[Array[Byte]] =
+      if (bytes == null || bytes.length < 8) None
+      else
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val out = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(bos.toByteArray)
+          }
+        } catch { case _: Throwable => None }
+    real.map((_, "image/png")).getOrElse {
+      // STUB(no audio/video codecs): deterministic area-proportional payload
+      val targetLen = math.max(1, (tw * th) / 64)
+      val out = Array.tabulate(targetLen) { i =>
+        (if (bytes == null || bytes.isEmpty) i
+         else bytes(i % bytes.length) ^ (i & 0x7f)).toByte
+      }
+      (out, "application/octet-stream")
+    }
+  }
+
+  /** Resize media blobs to target dimensions: REAL decode-scale-reencode
+    * for images (see [[resizeBlob]]), documented fake otherwise. Output:
+    * input columns + `resized` binary + `resized_meta` struct carrying the
+    * target dimensions and the mime of the path taken.
     */
   def resize(df: DataFrame, binaryCol: String, targetWidth: Int, targetHeight: Int): DataFrame = {
     val binIdx = df.columns.indexOf(binaryCol)
@@ -109,11 +146,8 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { row =>
         val bytes = Option(row.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
-        val targetLen = math.max(1, (tw * th) / 64) // fake: area-proportional payload
-        val out = Array.tabulate(targetLen) { i =>
-          (if (bytes.isEmpty) i else bytes(i % bytes.length) ^ (i & 0x7f)).toByte
-        }
-        val meta = Row("application/octet-stream", tw, th, null)
+        val (out, mime) = resizeBlob(bytes, tw, th)
+        val meta = Row(mime, tw, th, null)
         Row.fromSeq(row.toSeq :+ out :+ meta)
       }
     }(enc).toDF()

@@ -542,6 +542,36 @@ class MultimodalSpec extends SparkSpec {
     assert(p1.length == 64 * 64 / 64)
   }
 
+  test("resize REALLY rescales a PNG: decode of the output has the target dims and content") {
+    // a half-black / half-white 32x32 PNG resized to 8x8 must decode as a
+    // REAL image at 8x8 whose luminance histogram still shows both halves —
+    // pinning that the resize path is an actual decode-scale-reencode, not
+    // the byte-level stub
+    val img = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(x => (0 until 32).foreach(y =>
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray)).toDF("id", "blob")
+    val r = Multimodal.resize(df, "blob", 8, 8).head()
+    val meta = r.getStruct(r.fieldIndex("resized_meta"))
+    assert(meta.getAs[String]("mime") == "image/png")
+    val resized = r.getAs[Array[Byte]]("resized")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back != null && back.getWidth == 8 && back.getHeight == 8)
+    val lums = for { x <- 0 until 8; y <- 0 until 8 } yield {
+      val rgb = back.getRGB(x, y)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+    }
+    assert(lums.count(_ < 64) >= 24 && lums.count(_ > 192) >= 24,
+      s"resized content lost the black/white halves: $lums")
+    // non-image blobs still take the deterministic stub branch
+    val fake = Multimodal.resize(Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "blob"), "blob", 8, 8)
+      .head()
+    assert(fake.getStruct(fake.fieldIndex("resized_meta"))
+      .getAs[String]("mime") == "application/octet-stream")
+  }
+
   test("sampleFrames yields n rows per blob") {
     val df = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))).toDF("id", "blob")
     val out = Multimodal.sampleFrames(df, "blob", 3)

@@ -341,6 +341,13 @@ object PipelineConfig {
       RedactTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"), counts = o.bool("counts"),
         persist = o.bool("persist"))
+    case "MediaTransform" =>
+      MediaTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        binaryField = o.req("binaryField"), action = o.str("action", "decode"),
+        targetWidth = o.intOpt("targetWidth").getOrElse(224),
+        targetHeight = o.intOpt("targetHeight").getOrElse(224),
+        numFrames = o.intOpt("numFrames").getOrElse(8),
+        persist = o.bool("persist"))
     case "TokenizerTransform" =>
       TokenizerTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"), mode = o.str("mode", "train"),

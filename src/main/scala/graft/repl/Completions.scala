@@ -92,6 +92,9 @@ object Completions {
     Completion("HeavyHittersTransform",
       "{type = \"HeavyHittersTransform\", name = \"hh\", inputView = \"v\", outputView = \"top\",\n" +
         " keyField = \"key\", cap = 64, action = \"estimate\"}"),
+    Completion("MediaTransform",
+      "{type = \"MediaTransform\", name = \"decode\", inputView = \"media\", outputView = \"decoded\",\n" +
+        " binaryField = \"blob\", action = \"decode\"}"),
     Completion("TokenizerTransform",
       "{type = \"TokenizerTransform\", name = \"bpe\", inputView = \"docs\", outputView = \"merges\",\n" +
         " textField = \"text\", mode = \"train\", numMerges = 200}"),

@@ -992,3 +992,37 @@ final case class TokenizerTransform(
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }
+
+/** Multimodal binary columns behind the config surface —
+  * [[graft.llm.Multimodal]]: `action=decode` appends media_meta + the
+  * 8-dim feature vector (REAL ImageIO for images), `action=resize`
+  * appends the rescaled blob (REAL JDK bilinear + PNG re-encode for
+  * images) and its metadata, `action=frames` explodes deterministic frame
+  * offsets.
+  */
+final case class MediaTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    binaryField: String,
+    action: String = "decode",
+    targetWidth: Int = 224,
+    targetHeight: Int = 224,
+    numFrames: Int = 8,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "MediaTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = action match {
+      case "decode" => graft.llm.Multimodal.decodeAndFeaturize(in, binaryField)
+      case "resize" =>
+        graft.llm.Multimodal.resize(in, binaryField, targetWidth, targetHeight)
+      case "frames" => graft.llm.Multimodal.sampleFrames(in, binaryField, numFrames)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown media action '$other' (decode|resize|frames)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}

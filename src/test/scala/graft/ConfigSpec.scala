@@ -479,6 +479,30 @@ class ConfigSpec extends SparkSpec {
     out.foreach { case (q, qs, n, ns) => assert(q != n && qs != ns) }
   }
 
+  test("MediaTransform decodes and resizes real PNGs from config cells") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(x => (0 until 16).foreach(y => img.setRGB(x, y, 0xffffff)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    Seq((1L, baos.toByteArray)).toDF("id", "blob").createOrReplaceTempView("md_in")
+    val hocon =
+      """{stages: [
+        { type = "MediaTransform", name = "dec", inputView = md_in,
+          outputView = md_meta, binaryField = blob },
+        { type = "MediaTransform", name = "rs", inputView = md_in,
+          outputView = md_small, binaryField = blob, action = resize,
+          targetWidth = 4, targetHeight = 4 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val meta = spark.table("md_meta").head().getStruct(2)
+    assert(meta.getAs[Int]("width") == 16 && meta.getAs[Int]("height") == 16)
+    val rs = spark.table("md_small").head()
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rs.getAs[Array[Byte]]("resized")))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+  }
+
   test("HistogramTransform mode=drift compares two segment views from a config cell") {
     import spark.implicits._
     (1L to 100L).map(i => ("s", (i % 40).toDouble)).toDF("g", "v")

@@ -428,6 +428,7 @@ object PipelineConfig {
         cap = o.intOpt("cap").getOrElse(0), salt = o.str("salt", ""),
         corpusView = o.str("corpusView", ""),
         carryFields = o.strList("carryFields"),
+        vectorField = o.str("vectorField", ""),
         persist = o.bool("persist"))
     case "MetadataTransform" =>
       MetadataTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

@@ -727,6 +727,7 @@ final case class SampleTransform(
     salt: String = "",
     corpusView: String = "",
     carryFields: Seq[String] = Nil,
+    vectorField: String = "",
     persist: Boolean = false
 ) extends Stage {
   val stageType = "SampleTransform"
@@ -787,9 +788,27 @@ final case class SampleTransform(
           (carry ++ strataFields).distinct,
           corpus, col(keyField), (carry ++ strataFields).distinct,
           k = cap, poolSize = poolSize, salt = salt, exclude = excl)
+      case "hardNegative" =>
+        // ANN hard negatives: top-cosine non-positives per query row
+        // (Similarity.hardNegatives); strataFields (optional, single) names
+        // the label/source column that must differ
+        require(corpusView.nonEmpty, s"$name: hardNegative needs corpusView")
+        require(vectorField.nonEmpty, s"$name: hardNegative needs vectorField")
+        require(cap > 0, s"$name: hardNegative needs cap > 0 (k per query)")
+        val corpus = ctx.view(corpusView)
+        val carry = ((if (carryFields.nonEmpty) carryFields else Seq(keyField))
+          ++ strataFields).distinct
+        val excl = strataFields.headOption
+          .map(f => col(s"q_$keyField") === col(s"neg_$keyField") ||
+            col(s"q_$f") === col(s"neg_$f"))
+          .getOrElse(col(s"q_$keyField") === col(s"neg_$keyField"))
+        graft.llm.Similarity.hardNegatives(
+          in, keyField, vectorField, carry,
+          corpus, keyField, vectorField, carry,
+          k = cap, exclude = excl)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap|temperature|split|interleave|tokenBudget|negative)")
+          s"$name: unknown sample method '$other' (hash|weighted|stratified|mixture|groupCap|temperature|split|interleave|tokenBudget|negative|hardNegative)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

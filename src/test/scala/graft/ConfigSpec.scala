@@ -503,6 +503,27 @@ class ConfigSpec extends SparkSpec {
     assert(back.getWidth == 4 && back.getHeight == 4)
   }
 
+  test("SampleTransform method=hardNegative mines top-cosine non-positives") {
+    import spark.implicits._
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    em.createOrReplaceTempView("hn_corpus")
+    em.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .createOrReplaceTempView("hn_q")
+    val hocon =
+      """{stages: [
+        { type = "SampleTransform", name = "hn", inputView = hn_q,
+          outputView = hn_out, method = hardNegative, keyField = vec_id,
+          corpusView = hn_corpus, vectorField = embedding, cap = 3,
+          strataFields = [label] }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val out = spark.table("hn_out")
+      .select("q_vec_id", "q_label", "neg_vec_id", "neg_label")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(out.groupBy(_._1).forall(_._2.length == 3) && out.length == 9)
+    out.foreach { case (q, ql, n, nl) => assert(q != n && ql != nl) }
+  }
+
   test("HistogramTransform mode=drift compares two segment views from a config cell") {
     import spark.implicits._
     (1L to 100L).map(i => ("s", (i % 40).toDouble)).toDF("g", "v")

@@ -333,4 +333,49 @@ object Similarity {
     top.withColumn("neg_rank", row_number().over(w).cast("long"))
       .drop("_qk", "_ck", "rank")
   }
+
+  /** Hard negatives through a persistent [[IvfIndex]] — the corpus-scale
+    * route [[hardNegatives]] documents: retrieve `k·headroom` neighbors per
+    * query from the index (probed-partition reads, no corpus scan), apply
+    * the exclusion, keep the best `k` survivors. APPROXIMATE on two counts,
+    * both tunable: partial probes can miss neighbors (`nprobe`), and a
+    * query whose top `k·headroom` retrieved rows contain more than
+    * `k·(headroom−1)` positives keeps fewer than `k` negatives (raise
+    * `headroom`). With `nprobe = nlist` and headroom covering the positive
+    * density the result equals [[hardNegatives]] exactly — the test pins
+    * that equivalence.
+    */
+  def hardNegativesIndexed(
+      queries: DataFrame, queryId: String, queryVec: String, queryCols: Seq[String],
+      indexPath: String, k: Int, exclude: Column = lit(false),
+      headroom: Int = 4, nprobe: Int = 8,
+      corpusMeta: Option[(DataFrame, String, Seq[String])] = None): DataFrame = {
+    require(k > 0 && headroom > 0, s"k/headroom must be positive, got $k/$headroom")
+    val hits = IvfIndex.topK(queries.select(
+        (col(queryId).as("__qid") +: col(queryVec).as("__qv") +:
+          queryCols.map(c => col(c).as(s"q_$c"))): _*),
+      "__qid", "__qv", indexPath, k = k * headroom, nprobe = nprobe)
+    // re-attach query metadata (topK keeps only query_id) and, when the
+    // exclusion needs corpus-side columns, the corpus metadata by id
+    val qMeta = queries.select(
+      col(queryId).cast("string").as("_qmk") +: queryCols.map(c => col(c).as(s"q_$c")): _*)
+    val withQ = hits.withColumn("_qmk", col("query_id").cast("string"))
+      .join(broadcast(qMeta), Seq("_qmk"))
+    val withMeta = corpusMeta match {
+      case Some((corpus, corpusId, corpusCols)) =>
+        val cMeta = corpus.select(
+          col(corpusId).cast("string").as("_cmk") +:
+            corpusCols.map(c => col(c).as(s"neg_$c")): _*)
+        withQ.withColumn("_cmk", col("neighbor_id").cast("string"))
+          .join(cMeta, Seq("_cmk"))
+      case None => withQ
+    }
+    val survivors = withMeta.filter(!exclude).drop("_qmk", "_cmk", "rank")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    // ≤ k·headroom rows per query reach this window — bounded by
+    // construction, not by data
+    survivors.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+  }
 }

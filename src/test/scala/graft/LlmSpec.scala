@@ -431,6 +431,40 @@ class HardNegativesSpec extends SparkSpec {
   }
 }
 
+class HardNegativesIndexedSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.{IvfIndex, Similarity}
+
+  test("indexed hard negatives equal the brute path under exhaustive probes + ample headroom") {
+    val em = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val path = "/tmp/graft_test_hn_ivf"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em, "vec_id", "embedding", path, nlist = 8)
+    val queries = em.filter(col("vec_id") < 5)
+    val labels = em.select(col("vec_id").cast("string"), col("label"))
+      .as[(String, Int)].collect().toMap
+    val exclude = col("q_label") === col("neg_label")
+    // headroom = enough that k true negatives always sit inside the
+    // retrieved window even after dropping same-label rows
+    val got = Similarity.hardNegativesIndexed(
+      queries, "vec_id", "embedding", Seq("vec_id", "label"),
+      path, k = 4, exclude = exclude, headroom = 100, nprobe = 8,
+      corpusMeta = Some((em, "vec_id", Seq("label"))))
+      .select(col("query_id"), col("neighbor_id"), col("neg_rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.hardNegatives(
+      queries, "vec_id", "embedding", Seq("vec_id", "label"),
+      em, "vec_id", "embedding", Seq("vec_id", "label"),
+      k = 4, exclude = exclude)
+      .select(col("q_vec_id"), col("neg_vec_id"), col("neg_rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._2)) == brute.map(t => (t._1, t._2)),
+      s"indexed ${got.size} vs brute ${brute.size}")
+    got.foreach { case (q, n, _) =>
+      assert(labels(q.toString) != labels(n.toString)) }
+  }
+}
+
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 

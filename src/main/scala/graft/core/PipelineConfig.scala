@@ -354,6 +354,7 @@ object PipelineConfig {
         numMerges = o.intOpt("numMerges").getOrElse(200),
         maxWords = o.intOpt("maxWords").getOrElse(50000),
         mergesView = o.str("mergesView", ""),
+        vocabView = o.str("vocabView", ""),
         persist = o.bool("persist"))
     case "OutlierTransform" =>
       OutlierTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

@@ -105,4 +105,46 @@ object Bpe {
   def tokenized(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
     df.withColumn("tokens", tokenize(col(textCol), merges))
       .withColumn("n_bpe_tokens", size(col("tokens")).cast("long"))
+
+  /** Deterministic token vocabulary of the tokenized corpus: one row per
+    * distinct subword token with its corpus frequency and a stable id
+    * (frequency desc, then token — the same corpus always numbers tokens
+    * identically). One bounded shuffle: the (token) aggregate after the
+    * narrow tokenize scan; output is vocabulary-sized.
+    */
+  def vocab(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val counts = df
+      .select(explode(tokenize(col(textCol), merges)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    // vocabulary-sized frame: the global window is bounded by |vocab|,
+    // not by the corpus (same discipline as the merge loop)
+    counts.withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .select("token", "id", "freq")
+  }
+
+  /** Encode documents to id arrays against a vocab table: tokens map
+    * through a broadcast token→id map riding as DATA (single-row cross
+    * join, the codebook pattern — a literal map would blow the codegen
+    * constant pool at real vocab sizes). Out-of-vocabulary tokens encode
+    * as −1 (a corpus encoded against its own [[vocab]] has none). Output:
+    * input columns + `ids` (array<long>) + `n_tokens` + `n_oov`.
+    */
+  def encodeIds(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], vocabDf: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val entries = vocabDf.select("token", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val mapDf = Seq(Tuple1(entries.toMap)).toDF("_vmap")
+    df.crossJoin(broadcast(mapDf))
+      .withColumn("ids",
+        transform(tokenize(col(textCol), merges),
+          t => coalesce(element_at(col("_vmap"), t), lit(-1L))))
+      .drop("_vmap")
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .withColumn("n_oov",
+        size(filter(col("ids"), i => i === -1L)).cast("long"))
+  }
 }

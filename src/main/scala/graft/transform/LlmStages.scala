@@ -985,6 +985,7 @@ final case class TokenizerTransform(
     numMerges: Int = 200,
     maxWords: Int = 50000,
     mergesView: String = "",
+    vocabView: String = "",
     persist: Boolean = false
 ) extends Stage {
   val stageType = "TokenizerTransform"
@@ -992,6 +993,12 @@ final case class TokenizerTransform(
     val spark = ctx.spark
     import spark.implicits._
     val in = ctx.view(inputView)
+    def merges = {
+      require(mergesView.nonEmpty, s"$name: mode '$mode' needs mergesView")
+      ctx.view(mergesView)
+        .select(col("rank"), col("left"), col("right"))
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    }
     val out = mode match {
       case "train" =>
         graft.llm.Bpe.trainMerges(in, textField, numMerges, maxWords)
@@ -999,14 +1006,16 @@ final case class TokenizerTransform(
           .map { case ((a, b), i) => (i, a, b) }
           .toDF("rank", "left", "right")
       case "apply" =>
-        require(mergesView.nonEmpty, s"$name: apply mode needs mergesView")
-        val merges = ctx.view(mergesView)
-          .select(col("rank"), col("left"), col("right"))
-          .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
         graft.llm.Bpe.tokenized(in, textField, merges)
+      case "vocab" =>
+        // (token, id, freq): the deterministic id table for mode=encode
+        graft.llm.Bpe.vocab(in, textField, merges)
+      case "encode" =>
+        require(vocabView.nonEmpty, s"$name: encode mode needs vocabView")
+        graft.llm.Bpe.encodeIds(in, textField, merges, ctx.view(vocabView))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown tokenizer mode '$other' (train|apply)")
+          s"$name: unknown tokenizer mode '$other' (train|apply|vocab|encode)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

@@ -455,6 +455,20 @@ class ConfigSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("n_bpe_tokens")).head
     assert(row.getString(0) == "themergermergedthemergingmergers")
     assert(row.getLong(1) < 32)
+    // vocab + encode close the text->ids path: zero OOV against own vocab
+    val hocon2 =
+      """{stages: [
+        { type = "TokenizerTransform", name = "v", inputView = tk_in,
+          outputView = tk_vocab, textField = text, mode = vocab,
+          mergesView = tk_merges },
+        { type = "TokenizerTransform", name = "e", inputView = tk_in,
+          outputView = tk_ids, textField = text, mode = encode,
+          mergesView = tk_merges, vocabView = tk_vocab }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon2), new PipelineContext(spark)).isDefined)
+    val ids = spark.table("tk_ids").head()
+    assert(ids.getAs[Long]("n_oov") == 0)
+    assert(ids.getSeq[Long](ids.fieldIndex("ids")).nonEmpty)
   }
 
   test("SampleTransform method=negative draws k exclusion-safe negatives per query") {

@@ -1806,6 +1806,25 @@ class BpeSpec extends SparkSpec {
     assert(row.forall(r => r.getLong(1) < r.getLong(2)), "no compression happened")
   }
 
+  test("vocab ids are frequency-ordered and encodeIds round-trips with zero OOV") {
+    val docs = Seq.fill(8)("aa bb aa cc").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = Seq(("a", "a"), ("b", "b"), ("c", "c"))
+    val v = Bpe.vocab(docs, "text", merges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "aa" appears 16 times, "bb" and "cc" 8 each (tie -> lexicographic)
+    assert(v.toSeq == Seq(("aa", 0L, 16L), ("bb", 1L, 8L), ("cc", 2L, 8L)), v.toSeq.toString)
+    val enc = Bpe.encodeIds(docs, "text", merges, Bpe.vocab(docs, "text", merges))
+    val r = enc.head()
+    assert(r.getSeq[Long](r.fieldIndex("ids")) == Seq(0L, 1L, 0L, 2L))
+    assert(r.getAs[Long]("n_tokens") == 4 && r.getAs[Long]("n_oov") == 0)
+    // an out-of-corpus token encodes as -1
+    val oov = Bpe.encodeIds(Seq((9L, "aa zz")).toDF("id", "text"), "text",
+      merges, Bpe.vocab(docs, "text", merges)).head()
+    assert(oov.getSeq[Long](oov.fieldIndex("ids")) == Seq(0L, -1L, -1L))
+    assert(oov.getAs[Long]("n_oov") == 2)
+  }
+
   test("multi-byte symbols merge as code points, never split") {
     val merges = Seq(("é", "t"), ("c", "a"))
     val out = Seq("café été").toDF("t")

@@ -1438,6 +1438,63 @@ object SparkEntry {
           round(col("score"), 6).as("score"), col("neg_rank"))
         .orderBy("q_vec_id", "neg_rank")
     },
+    "q174_bpe_ids" -> withViews("documents") { (spark, ctx) =>
+      // Full text->ids tokenizer path (Bpe.vocab + encodeIds): ids decode
+      // back through the reverse vocab map to EXACTLY the whitespace-
+      // stripped document, with zero OOV against the corpus-trained vocab.
+      // Merge training and id assignment are engine-specific -> rows-only;
+      // `ok` carries the whole round trip in-band per document.
+      import graft.llm.Bpe
+      import spark.implicits._
+      val docs = ctx.view("documents").select(col("doc_id"), col("text"))
+      val merges = Bpe.trainMerges(docs, "text", numMerges = 30)
+      val v = Bpe.vocab(docs, "text", merges)
+      val rev = v.select("id", "token").as[(Long, String)].collect().toMap
+      val revDf = Seq(Tuple1(rev)).toDF("_rmap")
+      Bpe.encodeIds(docs, "text", merges, v)
+        .crossJoin(broadcast(revDf))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov") === 0 &&
+            concat_ws("", transform(col("ids"), i => element_at(col("_rmap"), i))) ===
+              regexp_replace(col("text"), "\\s+", "")).as("ok"))
+        .orderBy("doc_id")
+    },
+    "q175_media_resize" -> withViews("documents") { (spark, ctx) =>
+      // REAL image resize pipeline: per-row PNGs are GENERATED from doc
+      // metadata (deterministic dims/content), resized through the JDK
+      // bilinear + PNG re-encode path, then re-decoded. `ok` asserts the
+      // re-decoded output has exactly the target dimensions and the real
+      // image/png path was taken — pinning decode-scale-reencode through
+      // the mapPartitions plumbing end to end.
+      import spark.implicits._
+      val pngs = ctx.view("documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), (col("doc_id") % 16 + 8).cast("int").as("_w"),
+          (col("doc_id") % 9 + 8).cast("int").as("_h"))
+        .as[(Long, Int, Int)]
+        .map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) { img.setRGB(x, y, (id * 97 + x * 13 + y).toInt); y += 1 }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }.toDF("doc_id", "blob")
+      val resized = graft.llm.Multimodal.resize(pngs, "blob", 12, 10)
+      resized.select(col("doc_id"), col("resized"), col("resized_meta.mime").as("mime"))
+        .as[(Long, Array[Byte], String)]
+        .map { case (id, bytes, mime) =>
+          val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          (id, mime, back != null && back.getWidth == 12 && back.getHeight == 10)
+        }.toDF("doc_id", "mime", "_dims_ok")
+        .select(col("doc_id"), col("mime"),
+          (col("_dims_ok") && col("mime") === "image/png").as("ok"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit

@@ -1495,6 +1495,36 @@ object SparkEntry {
           (col("_dims_ok") && col("mime") === "image/png").as("ok"))
         .orderBy("doc_id")
     },
+    "q176_curation_pipeline" -> withViews("documents") { (spark, ctx) =>
+      // END-TO-END curation pipeline as ONE oracle-checked query: messy
+      // URL construction -> canonicalization + keep-first URL dedup
+      // (UrlNorm) -> per-source MAD outlier screen on n_chars
+      // (RobustStats, k=3, computed on the POST-dedup survivors) ->
+      // deterministic 80/10/10 hash split (Sampling.hashSplit). Every
+      // stage is md5/regex/quantile-exact, so the DuckDB oracle reproduces
+      // the SURVIVING rows and their split labels bit-for-bit — the whole
+      // curation path, not just its pieces, is pinned.
+      import graft.llm.{RobustStats, Sampling, UrlNorm}
+      val docs = ctx.view("documents")
+      val messy = docs.select(
+        col("doc_id"), col("source"), col("n_chars"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".Example.COM/a/"), (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("/index.html")).otherwise(lit("/")),
+          when(col("doc_id") % 7 === 0, lit("?utm_source=f&page=1")).otherwise(lit(""))
+        ).as("url"))
+      val deduped = UrlNorm.dedupByUrl(messy, "url", "doc_id")
+        .select("doc_id", "source", "n_chars", "canonical_url")
+      val screened = RobustStats.madOutliers(deduped, Seq("source"), col("n_chars"), k = 3.0)
+        .filter(!col("is_outlier"))
+        .select("doc_id", "source", "n_chars", "canonical_url")
+      Sampling.hashSplit(screened, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cp")
+        .select(col("doc_id"), col("source"), col("canonical_url"), col("split"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -3738,6 +3768,58 @@ object SparkEntry {
         FROM ps, cum, tot
         WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
         GROUP BY p ORDER BY p""",
+    "q176_curation_pipeline" -> {
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = f"${math.round(cum(0) * 0xffffffffL)}%08x"
+      val t2 = f"${math.round(cum(1) * 0xffffffffL)}%08x"
+      s"""WITH u AS (
+          SELECT doc_id, source, n_chars,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+                 || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                 || source || '.Example.COM/a/' || CAST(doc_id % 100 AS VARCHAR)
+                 || (CASE WHEN doc_id % 4 = 0 THEN '/index.html' ELSE '/' END)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=f&page=1' ELSE '' END) AS url
+          FROM documents),
+        ns AS (SELECT *, regexp_replace(url, '^https?://', '') AS s1 FROM u),
+        parts AS (
+          SELECT doc_id, source, n_chars,
+                 regexp_replace(lower(regexp_extract(s1, '^[^/?#]*')), '^www\\.', '') AS host,
+                 regexp_replace(s1, '^[^/?#]*', '') AS rest
+          FROM ns),
+        pq AS (
+          SELECT doc_id, source, n_chars, host,
+                 regexp_replace(regexp_replace(regexp_extract(rest, '^[^?#]*'),
+                   '/index\\.html$$', ''), '/$$', '') AS path,
+                 list_sort(list_filter(string_split(regexp_extract(rest, '\\?([^#]*)', 1), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|ref)='))) AS params
+          FROM parts),
+        canon AS (
+          SELECT doc_id, source, n_chars,
+                 host || path || (CASE WHEN len(params) > 0
+                   THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+          FROM pq),
+        dedup AS (
+          SELECT doc_id, source, n_chars, canonical_url FROM canon
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY canonical_url ORDER BY doc_id) = 1),
+        med AS (
+          SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median
+          FROM dedup GROUP BY source),
+        mad AS (
+          SELECT d.source,
+                 quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - m.median), 0.5) AS mad
+          FROM dedup d JOIN med m USING (source) GROUP BY d.source),
+        screened AS (
+          SELECT d.doc_id, d.source, d.canonical_url
+          FROM dedup d JOIN med m USING (source) JOIN mad a ON d.source = a.source
+          WHERE NOT (CASE WHEN a.mad > 0
+            THEN abs((CAST(d.n_chars AS DOUBLE) - m.median) / (1.4826 * a.mad)) > 3.0
+            ELSE FALSE END))
+        SELECT doc_id, source, canonical_url,
+               CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'cp'), 1, 8) < '$t1' THEN 'train'
+                    WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'cp'), 1, 8) < '$t2' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM screened ORDER BY doc_id"""
+    },
     "q146_hash_split" -> {
       // thresholds computed with the SAME cumulative-sum arithmetic as
       // hashSplit (0.8+0.1 in IEEE, not the literal 0.9), then embedded as

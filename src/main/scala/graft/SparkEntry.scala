@@ -1525,6 +1525,31 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("canonical_url"), col("split"))
         .orderBy("doc_id")
     },
+    "q177_domain_stats" -> withViews("documents") { (spark, ctx) =>
+      // Domain-level crawl analytics (UrlNorm.host/apexDomain): messy URLs
+      // with subdomain variants collapse onto hosts and apex domains; per
+      // apex: page count, distinct hosts, and exact total n_chars. The
+      // regex chain is Java ∩ RE2 → the oracle replicates byte-for-byte.
+      import graft.llm.UrlNorm
+      val docs = ctx.view("documents")
+      val urls = docs.select(
+        col("doc_id"), col("n_chars"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+          when(col("doc_id") % 5 === 0, lit("cdn."))
+            .when(col("doc_id") % 5 === 1, lit("WWW."))
+            .when(col("doc_id") % 5 === 2, lit("news.")).otherwise(lit("")),
+          col("source"), lit(".Example.COM/p/"), col("doc_id").cast("string")
+        ).as("url"))
+      urls
+        .withColumn("host", UrlNorm.host(col("url")))
+        .withColumn("apex", UrlNorm.apexDomain(col("url")))
+        .groupBy("apex")
+        .agg(count(lit(1)).as("n_pages"),
+          count_distinct(col("host")).as("n_hosts"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("apex")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -3768,6 +3793,30 @@ object SparkEntry {
         FROM ps, cum, tot
         WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
         GROUP BY p ORDER BY p""",
+    "q177_domain_stats" ->
+      // same host/apex regex chain in DuckDB; www. strips, cdn./news. stay
+      // as subdomains of the same apex
+      """WITH u AS (
+          SELECT doc_id, n_chars,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN 'cdn.'
+                          WHEN doc_id % 5 = 1 THEN 'WWW.'
+                          WHEN doc_id % 5 = 2 THEN 'news.' ELSE '' END)
+                 || source || '.Example.COM/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        h AS (
+          SELECT doc_id, n_chars,
+                 regexp_replace(lower(regexp_extract(
+                   regexp_replace(url, '^https?://', ''), '^[^/?#]*')), '^www\.', '') AS host
+          FROM u),
+        a AS (
+          SELECT doc_id, n_chars, host,
+                 regexp_extract(host, '[^.]+\.[^.]+$') AS apex
+          FROM h)
+        SELECT apex, CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM a GROUP BY apex ORDER BY apex""",
     "q176_curation_pipeline" -> {
       val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
       val t1 = f"${math.round(cum(0) * 0xffffffffL)}%08x"

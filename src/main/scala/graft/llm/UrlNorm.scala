@@ -78,4 +78,22 @@ object UrlNorm {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Lowercased authority of `url` (scheme and `www.` stripped) — the
+    * grouping key for domain-level crawl analytics. Same regex subset as
+    * [[canonicalizeUrl]] (Java ∩ RE2), so oracles replicate byte-for-byte.
+    */
+  def host(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(regexp_replace(url, "^https?://", ""), "^[^/?#]*", 0)),
+      "^www\\.", "")
+
+  /** Registrable-domain HEURISTIC: the last two dot-labels of the host
+    * ("a.b.site.com" → "site.com"). Deliberately list-free — a real
+    * public-suffix resolution needs the PSL (multi-label TLDs like
+    * "co.uk" collapse wrong here); documented as the approximation it is,
+    * good enough for per-domain corpus dashboards.
+    */
+  def apexDomain(url: Column): Column =
+    regexp_extract(host(url), "[^.]+\\.[^.]+$", 0)
 }

@@ -1678,6 +1678,18 @@ class UrlNormSpec extends SparkSpec {
     ))
   }
 
+  test("host and apexDomain: scheme/www/case handling, subdomains collapse to apex") {
+    assert(
+      Seq("https://WWW.Site.COM/a", "http://cdn.site.com/x?q=1", "https://a.b.site.com#f",
+        "http://site.com", "https://localhost/x")
+        .toDF("u")
+        .select(UrlNorm.host(col("u")), UrlNorm.apexDomain(col("u")))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("site.com", "site.com"), ("cdn.site.com", "site.com"),
+        ("a.b.site.com", "site.com"), ("site.com", "site.com"),
+        ("localhost", ""))) // single-label host has no 2-label apex
+  }
+
   test("null url stays null") {
     val out = Seq[Option[String]](None, Some("http://a.com/x"))
       .toDF("u").select(UrlNorm.canonicalizeUrl(col("u")).as("c"))

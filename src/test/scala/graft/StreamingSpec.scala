@@ -573,6 +573,31 @@ class StreamingSpec extends SparkSpec {
       (3L, "secret benchmark passage"), (3L, "held-out probe")))
   }
 
+  test("streaming BPE tokenization: the trained-merges projection equals its batch result") {
+    // bpe_tokenize is a pure narrow expression (rank table rides inside) —
+    // it must run unchanged on a streaming frame and emit the batch tokens.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpestream").toString
+    val docs = Seq((1L, "the merger merged"), (2L, "the merging mergers"), (3L, "merge me"))
+    docs.toDF("id", "text").repartition(3).write.mode("overwrite").parquet(dir)
+    val merges = graft.llm.Bpe.trainMerges(spark.read.parquet(dir), "text", 8)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val toks = graft.llm.Bpe.tokenized(stream, "text", merges)
+    assert(toks.isStreaming)
+    val q = toks.writeStream.format("memory").queryName("bpe_stream_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("bpe_stream_mem")
+      .select(col("id"), col("tokens").cast("string"))
+      .as[(Long, String)].collect().toSet
+    val batch = graft.llm.Bpe.tokenized(spark.read.parquet(dir), "text", merges)
+      .select(col("id"), col("tokens").cast("string"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch && batch.size == 3)
+  }
+
   test("streaming heavy hitters: micro-batch MG segments keep the bounds after compaction") {
     // The Misra–Gries leg of the segment-parity discipline (CMS/Bloom/LM/
     // histogram have theirs). MG is NOT linear — merged estimates depend on

@@ -364,7 +364,11 @@ object Sampling {
       .select("_qk")
     val shortQs = q.join(fullKeys, Seq("_qk"), "left_anti")
     val fallback = rank(pairs(shortQs))
-    ranked.join(broadcast(fullKeys), Seq("_qk"))
+    // no broadcast hint on fullKeys: it scales with the QUERY count (one
+    // string per query) — at millions of queries a forced broadcast is its
+    // own hazard; both sides here are already k-bounded per query, so the
+    // join is cheap either way and AQE promotes small cases at runtime
+    ranked.join(fullKeys, Seq("_qk"))
       .unionByName(fallback)
       .drop("_h", "_qk", "_ck", "rank")
   }

@@ -357,10 +357,13 @@ object Similarity {
       "__qid", "__qv", indexPath, k = k * headroom, nprobe = nprobe)
     // re-attach query metadata (topK keeps only query_id) and, when the
     // exclusion needs corpus-side columns, the corpus metadata by id
+    // no broadcast hint: query metadata scales with the query batch — the
+    // hits side is ≤ k·headroom per query, so the join stays bounded and
+    // AQE broadcasts small batches at runtime
     val qMeta = queries.select(
       col(queryId).cast("string").as("_qmk") +: queryCols.map(c => col(c).as(s"q_$c")): _*)
     val withQ = hits.withColumn("_qmk", col("query_id").cast("string"))
-      .join(broadcast(qMeta), Seq("_qmk"))
+      .join(qMeta, Seq("_qmk"))
     val withMeta = corpusMeta match {
       case Some((corpus, corpusId, corpusCols)) =>
         val cMeta = corpus.select(

@@ -1418,20 +1418,28 @@ object SparkEntry {
       LineFilter.lineDedupStats(withDup, "doc_id", "text")
         .orderBy("doc_id")
     },
-    "q167_negative_sampling" -> withViews("documents") { (spark, ctx) =>
+    "q167_negative_sampling" -> { (spark: SparkSession, dir: String) =>
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, Seq("documents")), ctx)
       // Deterministic contrastive negatives (Sampling.negativeSample):
       // per-query k-lowest salted md5 over a hash-sampled candidate pool,
       // excluding the positive (same doc) and same-source candidates. The
       // whole construction is md5-exact, so the oracle reproduces pool
-      // membership, exclusion, ranking, and ties byte-for-byte.
+      // membership, exclusion, ranking, and ties byte-for-byte. The pool
+      // rate comes from the parquet FOOTER count (ParquetMeta.rowCount) —
+      // zero extra Spark jobs, same exact n as the oracle's hard-coded
+      // threshold derivation.
       import graft.llm.Sampling
       val docs = ctx.view("documents")
+      val n = graft.extract.ParquetMeta.rowCount(spark, s"$dir/documents.parquet")
       Sampling.negativeSample(
         docs.filter(col("doc_id") < 25), col("doc_id"), Seq("doc_id", "source"),
         docs, col("doc_id"), Seq("doc_id", "source"),
         k = 4, poolSize = 60, salt = "ns",
         exclude = col("q_doc_id") === col("neg_doc_id") ||
-          col("q_source") === col("neg_source"))
+          col("q_source") === col("neg_source"),
+        corpusCount = Some(n))
         .orderBy("q_doc_id", "neg_rank")
     },
     "q168_hard_negatives" -> { (spark: SparkSession, dir: String) =>
@@ -1566,6 +1574,34 @@ object SparkEntry {
           count_distinct(col("host")).as("n_hosts"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy("apex")
+    },
+    "q178_bpe_byte_fallback" -> { (spark: SparkSession, dir: String) =>
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, Seq("documents")), ctx)
+      // TOTAL text->ids (Bpe.vocabTotal + encodeIdsTotal): every doc is
+      // salted with characters ABSENT from the training corpus (emoji,
+      // CJK, Greek), so the learned vocab cannot cover it — the byte
+      // fallback must (ids 0..255 are raw UTF-8 bytes, learned tokens
+      // 256+). Training/id assignment are engine-specific -> rows-only;
+      // `ok` carries the whole contract in-band per document: the ids
+      // decode back to EXACTLY the whitespace-stripped salted text, the
+      // fallback route was actually taken, and n_oov == 0 (structural —
+      // encodeIdsTotal cannot produce a -1).
+      import graft.llm.Bpe
+      val docs = ctx.view("documents").select(col("doc_id"), col("text"))
+      val merges = bpeMerges(docs, dir)
+      val v = Bpe.vocabTotal(docs, "text", merges)
+      val salt = " 😀🌍 漢字テスト κόσμε"
+      val salted = docs.withColumn("text2", concat(col("text"), lit(salt)))
+      Bpe.encodeIdsTotal(salted, "text2", merges, v)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("n_fallback_tokens"),
+          (col("n_oov") === 0L &&
+            col("n_fallback_tokens") > 0L &&
+            Bpe.decodeIds(col("ids"), v) ===
+              regexp_replace(col("text2"), "\\s+", "")).as("ok"))
+        .orderBy("doc_id")
     },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap

@@ -355,6 +355,8 @@ object PipelineConfig {
         maxWords = o.intOpt("maxWords").getOrElse(50000),
         mergesView = o.str("mergesView", ""),
         vocabView = o.str("vocabView", ""),
+        byteFallback = o.bool("byteFallback"),
+        idsField = o.str("idsField", "ids"),
         persist = o.bool("persist"))
     case "OutlierTransform" =>
       OutlierTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

@@ -32,7 +32,14 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Exact word-frequency table of `textCol` (whitespace tokenization):
-    * (word, cnt), one shuffle, map-side combined. */
+    * (word, cnt), one shuffle, map-side combined.
+    *
+    * The split pattern (Java regex `\s+` = `[ \t\n\x0B\f\r]+`) is THE word
+    * boundary definition — [[graft.functions.BpeApplier]] applies the
+    * identical predicate, so training and tokenization always segment the
+    * same way (a Unicode-whitespace split on one side only would train
+    * merges against a segmentation apply never sees).
+    */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0))
         .as("word"))
@@ -146,5 +153,90 @@ object Bpe {
       .withColumn("n_tokens", size(col("ids")).cast("long"))
       .withColumn("n_oov",
         size(filter(col("ids"), i => i === -1L)).cast("long"))
+  }
+
+  /** The 256 reserved byte tokens of the byte-fallback vocabulary
+    * (SentencePiece `byte_fallback` / GPT-2 byte-level BPE): ids 0..255 ARE
+    * the UTF-8 byte values; learned subword tokens start at 256. The marker
+    * strings (`<0x41>`…) are display-only — encode/decode identify byte ids
+    * by RANGE, never by string, so a document that literally contains the
+    * text "<0x41>" cannot collide with the byte token.
+    */
+  val byteTokens: Seq[String] = (0 until 256).map(b => f"<0x$b%02X>")
+
+  /** [[vocab]] with the byte-fallback id layout: rows 0..255 are the
+    * reserved byte tokens (freq 0), learned tokens keep their
+    * frequency-ordered ranks shifted to 256+. Total by construction — every
+    * string encodes against it with zero OOV ([[encodeIdsTotal]]).
+    */
+  def vocabTotal(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bytes = byteTokens.zipWithIndex
+      .map { case (t, i) => (t, i.toLong, 0L) }.toDF("token", "id", "freq")
+    bytes.unionByName(
+      vocab(df, textCol, merges)
+        .select(col("token"), (col("id") + 256L).as("id"), col("freq")))
+  }
+
+  /** TOTAL text→ids encoding: tokens found in the learned vocab map to
+    * their id (≥ 256); any out-of-vocabulary token decomposes to its UTF-8
+    * bytes, one id per byte (ids 0..255) — so `ids` is defined for ANY
+    * input string and n_oov ≡ 0 structurally (no −1 can be produced).
+    * This is what makes token-budget accounting trustworthy on
+    * unseen-domain data: unseen emoji/CJK cost bytes instead of silently
+    * disappearing into −1.
+    *
+    * Same scale shape as [[encodeIds]] (broadcast codebook + one narrow
+    * codegen'd projection; the byte decomposition is
+    * [[graft.functions.Utf8ByteIdsExpr]], zero shuffles). Output: input
+    * columns + `ids` + `n_tokens` (post-fallback id count) + `n_oov`
+    * (structural 0) + `n_fallback_tokens` (subword tokens that took the
+    * byte route).
+    *
+    * `vocabDf` must use the [[vocabTotal]] id layout (learned ids ≥ 256).
+    */
+  def encodeIdsTotal(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], vocabDf: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val entries = vocabDf.filter(col("id") >= 256L).select("token", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(entries.forall(_._2 >= 256L), "learned vocab ids must be >= 256")
+    val mapDf = Seq(Tuple1(entries.toMap)).toDF("_vmap")
+    val lookup = (t: Column) => element_at(col("_vmap"), t)
+    df.crossJoin(broadcast(mapDf))
+      .withColumn("_toks", tokenize(col(textCol), merges))
+      .withColumn("ids",
+        flatten(transform(col("_toks"), t =>
+          when(lookup(t).isNotNull, array(lookup(t)).cast("array<bigint>"))
+            .otherwise(
+              graft.functions.Utf8ByteIdsExpr.utf8_byte_ids(t)
+                .cast("array<bigint>")))))
+      .withColumn("n_fallback_tokens",
+        size(filter(col("_toks"), t => lookup(t).isNull)).cast("long"))
+      .drop("_vmap", "_toks")
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .withColumn("n_oov",
+        size(filter(col("ids"), i => i < 0L)).cast("long"))
+  }
+
+  /** Decode a byte-fallback id array back to its exact string (ids ≥ 256 →
+    * learned token bytes, ids < 256 → that raw byte; see
+    * [[graft.functions.BpeDecodeIdsExpr]]). The learned-token table is
+    * collected once (vocab-bounded) and rides inside the expression; an id
+    * outside the vocab decodes to NULL, never to a wrong string.
+    * `vocabDf` must use the [[vocabTotal]] id layout.
+    */
+  def decodeIds(ids: Column, vocabDf: DataFrame): Column = {
+    val learned = vocabDf.filter(col("id") >= 256L).orderBy("id")
+      .select("id", "token").collect()
+    learned.zipWithIndex.foreach { case (r, i) =>
+      require(r.getLong(0) == 256L + i,
+        s"vocab ids must be contiguous from 256, found ${r.getLong(0)} at rank $i")
+    }
+    graft.functions.BpeDecodeIdsExpr.bpe_decode_ids(
+      ids, learned.map(_.getString(1)).toSeq)
   }
 }

@@ -170,10 +170,27 @@ object IvfIndex {
   def ingest(newVectors: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newVectors.sparkSession
     val cents = readCentroids(spark, path)
+    val cbs = readCodebooks(spark, path)
+    // Layout guard: appending current-layout rows (vnorm/codes/pq columns)
+    // next to files written by an older build would leave the read schema
+    // footer-dependent — if Spark picks a new footer, legacy rows read NULL
+    // vnorm, their _adc coalesces to 0.0 in topKPq, and old vectors silently
+    // vanish from shortlists. Fail fast with a rebuild hint instead; the
+    // pre-r12 "unnormalized fallback" contract only holds when NO file has
+    // the new columns.
+    val existing = spark.read.parquet(s"$path/vectors").schema.fieldNames.toSet
+    val expected = cbs match {
+      case Some(_) => Set("id", "vec", "codes", "pq", "vnorm", "_list")
+      case None    => Set("id", "vec", "codes", "vnorm", "_list")
+    }
+    require(existing == expected,
+      s"IvfIndex.ingest: index at $path has columns ${existing.toSeq.sorted.mkString(",")} " +
+        s"but this build writes ${expected.toSeq.sorted.mkString(",")} — " +
+        "mixed layouts make reads footer-dependent; rebuild the index with " +
+        "IvfIndex.write before ingesting")
     // encode against the PERSISTED codebooks (when present) so appended rows
     // carry pq codes consistent with the build — the layouts cannot drift
-    assignAndWrite(newVectors, idCol, vecCol, cents, readCodebooks(spark, path),
-      path, "append")
+    assignAndWrite(newVectors, idCol, vecCol, cents, cbs, path, "append")
   }
 
   /** Top-k cosine neighbors for a query batch against the persisted index.

@@ -39,13 +39,23 @@ object RobustStats {
     * join (both from [[Sampling.slicedPrefix]]), then a filter keeping at
     * most 2·|ps| boundary rows per group and a tiny final aggregation —
     * never a per-group window over the data, never a value buffer.
+    *
+    * NULL values are ignored (PERCENTILE_CONT semantics). A group whose
+    * values are ALL null therefore produces no output row (SQL would emit
+    * the group with a NULL quantile; callers needing that stratum should
+    * outer-join against their distinct-group table).
     */
   def groupedQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"quantiles must be in [0,1], got $ps")
+    // NULLs are excluded BEFORE ranking (PERCENTILE_CONT semantics, matching
+    // Spark's percentile and DuckDB's quantile_cont): a null _v would sort
+    // first under the range partition, inflate _tot and occupy low ranks,
+    // silently shifting every quantile of the group.
     val ranked = Sampling.slicedPrefix(
-      df.select(groupCols.map(col) :+ value.cast("double").as("_v"): _*),
+      df.select(groupCols.map(col) :+ value.cast("double").as("_v"): _*)
+        .filter(col("_v").isNotNull),
       groupCols, col("_v"), lit(1L))
     // zero-based target position p·(n−1) → bracketing 1-based ranks l, u
     val pcol = explode(array(ps.map(lit): _*)).as("p")

@@ -321,9 +321,16 @@ object Sampling {
       queries: DataFrame, queryKey: Column, queryCols: Seq[String],
       corpus: DataFrame, candKey: Column, candCols: Seq[String],
       k: Int, poolSize: Int, salt: String = "",
-      exclude: Column = lit(false)): DataFrame = {
+      exclude: Column = lit(false),
+      corpusCount: Option[Long] = None): DataFrame = {
     require(k > 0 && poolSize > 0, s"k/poolSize must be positive, got $k/$poolSize")
-    val n = corpus.count()
+    // The corpus size only shapes the pool RATE (poolSize is an expectation
+    // anyway) — pass `corpusCount` (a known cardinality, or
+    // [[graft.extract.ParquetMeta.rowCount]]'s footer-exact count for a raw
+    // table) to avoid the fallback count(), which is a full-table job per
+    // invocation at 100 TB.
+    val n = corpusCount.getOrElse(corpus.count())
+    require(n >= 0, s"corpusCount must be non-negative, got $n")
     val rate = math.min(1.0, poolSize.toDouble / math.max(1L, n))
     val pool = hashSample(corpus, candKey, rate, salt + "-pool")
       .select(candKey.cast("string").as("_ck") +: candCols.map(c => col(c).as(s"neg_$c")): _*)

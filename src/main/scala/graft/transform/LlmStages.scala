@@ -139,7 +139,12 @@ final case class DecontaminateTransform(
         // collected to the driver (it rides inside the expression), so it
         // is explicitly bounded — unlike the n-gram paths, which stream
         // the eval side through joins.
-        val canaries = eval.select(col(evalText)).distinct()
+        // NULL / empty eval strings are not canaries: a null pattern would
+        // NPE inside MultiContainsExpr's automaton build and an empty one
+        // would match everything — drop both before the bounded collect.
+        val canaries = eval.select(col(evalText))
+          .filter(col(evalText).isNotNull && length(col(evalText)) > 0)
+          .distinct()
           .limit(100001).collect().map(_.getString(0)).toSeq
         require(canaries.length <= 100000,
           s"$name: canary list exceeds 100k entries — use the n-gram or bloom path")
@@ -986,6 +991,8 @@ final case class TokenizerTransform(
     maxWords: Int = 50000,
     mergesView: String = "",
     vocabView: String = "",
+    byteFallback: Boolean = false,
+    idsField: String = "ids",
     persist: Boolean = false
 ) extends Stage {
   val stageType = "TokenizerTransform"
@@ -1008,14 +1015,24 @@ final case class TokenizerTransform(
       case "apply" =>
         graft.llm.Bpe.tokenized(in, textField, merges)
       case "vocab" =>
-        // (token, id, freq): the deterministic id table for mode=encode
-        graft.llm.Bpe.vocab(in, textField, merges)
+        // (token, id, freq): the deterministic id table for mode=encode.
+        // byteFallback reserves ids 0..255 for the raw bytes (learned
+        // tokens shift to 256+) — the TOTAL layout of Bpe.vocabTotal.
+        if (byteFallback) graft.llm.Bpe.vocabTotal(in, textField, merges)
+        else graft.llm.Bpe.vocab(in, textField, merges)
       case "encode" =>
         require(vocabView.nonEmpty, s"$name: encode mode needs vocabView")
-        graft.llm.Bpe.encodeIds(in, textField, merges, ctx.view(vocabView))
+        if (byteFallback)
+          graft.llm.Bpe.encodeIdsTotal(in, textField, merges, ctx.view(vocabView))
+        else graft.llm.Bpe.encodeIds(in, textField, merges, ctx.view(vocabView))
+      case "decode" =>
+        // ids -> exact string via the byte-fallback layout (vocabTotal ids)
+        require(vocabView.nonEmpty, s"$name: decode mode needs vocabView")
+        in.withColumn("decoded",
+          graft.llm.Bpe.decodeIds(col(idsField), ctx.view(vocabView)))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown tokenizer mode '$other' (train|apply|vocab|encode)")
+          s"$name: unknown tokenizer mode '$other' (train|apply|vocab|encode|decode)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

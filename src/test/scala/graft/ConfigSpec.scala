@@ -420,8 +420,11 @@ class ConfigSpec extends SparkSpec {
     import spark.implicits._
     Seq((1L, "the secret benchmark passage lives here"), (2L, "clean doc"))
       .toDF("doc_id", "text").createOrReplaceTempView("cy_in")
-    Seq("secret benchmark passage", "unused canary").toDF("text")
-      .createOrReplaceTempView("cy_eval")
+    // NULL / empty eval strings are not canaries: they must be dropped
+    // before the automaton build (a null pattern used to NPE; an empty one
+    // would match every doc) — r12 ADVICE finding
+    Seq(Some("secret benchmark passage"), Some("unused canary"), None, Some(""))
+      .toDF("text").createOrReplaceTempView("cy_eval")
     val hocon =
       """{stages: [
         { type = "DecontaminateTransform", name = "cy", inputView = cy_in,

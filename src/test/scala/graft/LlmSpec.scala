@@ -1311,6 +1311,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(fromIndex == brute)
   }
 
+  test("ingest fails fast on a legacy vectors layout instead of mixing schemas") {
+    // An index written before the vnorm/codes columns: appending
+    // current-layout rows next to it would leave the read schema
+    // footer-dependent (legacy rows read NULL vnorm and silently vanish
+    // from PQ shortlists). The guard must refuse with a rebuild hint.
+    val path = "/tmp/graft_test_ivfindex_legacy"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path, nlist = 4)
+    // simulate the pre-r12 layout: strip the newer columns and rewrite
+    val legacy = spark.read.parquet(s"$path/vectors").select("id", "vec", "_list")
+    val tmp = "/tmp/graft_test_ivfindex_legacy_rewrite"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    legacy.write.partitionBy("_list").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$path/vectors"))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmp), new java.io.File(s"$path/vectors"))
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.ingest(em.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+    }
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+  }
+
   test("IVF-PQ: covering shortlist + exhaustive probe rescores to exact brute force") {
     val path = "/tmp/graft_test_ivfindex_pq"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
@@ -1842,5 +1864,69 @@ class BpeSpec extends SparkSpec {
     val out = Seq("café été").toDF("t")
       .select(Bpe.tokenize(col("t"), merges)).as[Seq[String]].head
     assert(out == Seq("ca", "f", "é", "ét", "é"), out.toString)
+  }
+
+  test("training and apply share one whitespace definition (Java \\s, not Unicode)") {
+    // U+2000 (EN QUAD) is Character.isWhitespace but NOT Java-regex \s:
+    // training's split("\\s+") keeps it inside the word, so apply must too
+    // — otherwise merges are trained against a segmentation apply never
+    // sees (r12 ADVICE finding).
+    val docs = Seq((1L, "a b a b")).toDF("id", "text")
+    val words = Bpe.wordCounts(docs, "text").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(words.toSeq == Seq(("a b", 2L)), words.toSeq.toString)
+    val toks = docs.select(Bpe.tokenize(col("text"), Seq(("x", "y")))).as[Seq[String]].head
+    assert(toks == Seq("a", " ", "b", "a", " ", "b"), toks.toString)
+  }
+
+  test("vocabTotal reserves ids 0..255 for bytes; learned tokens contiguous from 256") {
+    val docs = Seq.fill(4)("aa bb").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val merges = Seq(("a", "a"), ("b", "b"))
+    val v = Bpe.vocabTotal(docs, "text", merges).orderBy("id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.length == 258)
+    assert(v(0) == ("<0x00>", 0L, 0L) && v(65) == ("<0x41>", 65L, 0L) &&
+      v(255) == ("<0xFF>", 255L, 0L))
+    assert(v(256) == ("aa", 256L, 4L) && v(257) == ("bb", 257L, 4L), v.drop(256).toSeq.toString)
+  }
+
+  test("encodeIdsTotal: unseen emoji/CJK take the byte route, decode exactly, zero OOV") {
+    val train = Seq.fill(4)("aa bb").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val merges = Seq(("a", "a"), ("b", "b"))
+    val v = Bpe.vocabTotal(train, "text", merges)
+    val docs = Seq((1L, "aa 😀🌍 漢字 bb"), (2L, "aa bb"), (3L, "")).toDF("id", "text")
+    val enc = Bpe.encodeIdsTotal(docs, "text", merges, v)
+      .withColumn("decoded", Bpe.decodeIds(col("ids"), v))
+      .orderBy("id").collect()
+    val r1 = enc(0)
+    val ids1 = r1.getSeq[Long](r1.fieldIndex("ids"))
+    // "aa"→256, the emoji/CJK words decompose to UTF-8 bytes (4+4 and 3+3), "bb"→257
+    assert(ids1.head == 256L && ids1.last == 257L)
+    assert(ids1.count(_ < 256L) == 14, ids1.toString)
+    assert(r1.getAs[Long]("n_oov") == 0L && r1.getAs[Long]("n_fallback_tokens") == 4L)
+    assert(r1.getAs[String]("decoded") == "aa😀🌍漢字bb")
+    // fully-covered doc: no fallback, same ids as the non-total encoder
+    val r2 = enc(1)
+    assert(r2.getSeq[Long](r2.fieldIndex("ids")) == Seq(256L, 257L))
+    assert(r2.getAs[Long]("n_fallback_tokens") == 0L)
+    assert(r2.getAs[String]("decoded") == "aabb")
+    // empty text: empty ids, decodes to empty string
+    val r3 = enc(2)
+    assert(r3.getSeq[Long](r3.fieldIndex("ids")).isEmpty)
+    assert(r3.getAs[String]("decoded") == "")
+  }
+
+  test("decodeIds: out-of-vocab id decodes to NULL, never a wrong string") {
+    val train = Seq((0L, "aa")).toDF("id", "text")
+    val v = Bpe.vocabTotal(train, "text", Seq(("a", "a")))
+    val df = Seq((1L, Seq(256L)), (2L, Seq(257L)), (3L, Seq(-1L)), (4L, Seq(65L)))
+      .toDF("id", "ids")
+      .withColumn("decoded", Bpe.decodeIds(col("ids"), v))
+      .orderBy("id").collect()
+    assert(df(0).getString(2) == "aa")
+    assert(df(1).isNullAt(2), "id past the learned vocab must decode to NULL")
+    assert(df(2).isNullAt(2), "negative id must decode to NULL")
+    assert(df(3).getString(2) == "A") // byte 0x41
   }
 }

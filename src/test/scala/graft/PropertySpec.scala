@@ -381,10 +381,13 @@ class PropertySpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
+    // v is Option: NULL values must be IGNORED (PERCENTILE_CONT semantics,
+    // exactly what Spark's percentile does) — a null used to sort first
+    // under the range partition and shift every quantile of its group
     val rowGen = for {
       g <- Gen.oneOf(Some("a"), Some("b"), Some("hot"), None)
-      v <- Gen.chooseNum(-1000, 1000)
-    } yield (g, v.toDouble)
+      v <- Gen.option(Gen.chooseNum(-1000, 1000).map(_.toDouble))
+    } yield (g, v)
     val pGen = Gen.chooseNum(0.0, 1.0)
     val prop = Prop.forAll(
       Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n, rowGen)), pGen) { (rows, p0) =>
@@ -392,11 +395,54 @@ class PropertySpec extends AnyFunSuite {
       val df = rows.map { case (g, v) => (g.orNull, v) }.toDF("g", "v")
       val got = graft.llm.RobustStats.groupedQuantiles(df, Seq("g"), col("v"), Seq(p))
         .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+      // an all-null group: percentile emits (g, NULL); groupedQuantiles
+      // documents the group as absent — compare on the non-null rows
       val want = df.groupBy("g").agg(expr(s"percentile(v, $p)"))
-        .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+        .collect().filter(!_.isNullAt(1))
+        .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
       got == want
     }
     val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(result.passed, result.status.toString)
+  }
+
+  test("bpe byte-fallback encode/decode round-trips arbitrary unicode (kernel property)") {
+    // The totality contract of Bpe.encodeIdsTotal/decodeIds, on the exact
+    // kernels the Spark expressions run (BpeApplier / BpeDecoder): for ANY
+    // valid unicode string — ASCII, unicode whitespace, CJK, supplementary
+    // planes — tokenize → (vocab id | UTF-8 byte ids) → decode reproduces
+    // the string with Java-\s whitespace removed. No OOV is representable.
+    import org.apache.spark.unsafe.types.UTF8String
+    import java.nio.charset.StandardCharsets.UTF_8
+    val applier = new graft.functions.BpeApplier(
+      Seq(("a", "b"), ("ab", "c"), ("e", "f"), ("😀", "🌍")))
+    val learned = Seq("ab", "abc", "ef", "a", "b", "x", "😀🌍") // ids 256..262
+    val vmap = learned.zipWithIndex.map { case (t, i) => (t, 256L + i) }.toMap
+    val decoder = new graft.functions.BpeDecoder(learned)
+    val cpGen = Gen.frequency(
+      5 -> Gen.choose(0x20, 0x7E),                        // printable ASCII
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B').map(_.toInt),
+      2 -> Gen.oneOf(0x2000, 0x2028, 0x3000, 0xA0),       // unicode spaces
+      2 -> Gen.choose(0xA1, 0xD7FF),                      // BMP incl. CJK
+      1 -> Gen.choose(0x10000, 0x10FFFF))                 // supplementary
+    val strGen = Gen.listOf(cpGen).map { cps =>
+      val sb = new java.lang.StringBuilder()
+      cps.foreach(sb.appendCodePoint)
+      sb.toString
+    }
+    checkProp(Prop.forAll(strGen) { s =>
+      val toks = applier.tokenize(UTF8String.fromString(s))
+      val ids = (0 until toks.numElements()).flatMap { i =>
+        val t = toks.getUTF8String(i).toString
+        vmap.get(t) match {
+          case Some(id) => Seq(id)
+          case None     => t.getBytes(UTF_8).map(b => (b & 0xFF).toLong).toSeq
+        }
+      }
+      val out = decoder.decode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ids.map(Long.box).toArray[Any]))
+      out != null && out.toString == s.replaceAll("\\s+", "")
+    })
   }
 }

@@ -1603,6 +1603,33 @@ object SparkEntry {
               regexp_replace(col("text2"), "\\s+", "")).as("ok"))
         .orderBy("doc_id")
     },
+    "q179_langid_ngram" -> withViews("documents") { (spark, ctx) =>
+      // Real n-gram language ID (llm/LangId — character-n-gram rank
+      // profiles, the public TextCat method) over the 10-language held-out
+      // fixture set: sentences the profiles never saw, including the close
+      // pairs es/pt/it and de/nl/sv the stopword heuristic cannot
+      // separate. Profiles are engine-specific -> rows-only; `ok` per row
+      // = the sentence classifies to its true language AND (folded global
+      // invariant, q165 style) the REAL documents corpus — English word
+      // salad — majority-classifies en, tying the expression to corpus
+      // data, not just fixtures.
+      import graft.llm.LangId
+      import spark.implicits._
+      val enFrac = broadcast(ctx.view("documents").agg(
+        avg(when(LangId.languageIdNgram(col("text")) === "en", 1.0)
+          .otherwise(0.0)).as("_en_frac")))
+      val sents = LangId.heldOutSentences.toSeq.sortBy(_._1)
+        .flatMap { case (l, ss) => ss.map(s => (l, s)) }
+        .zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
+        .toDF("sent_id", "lang_true", "text")
+      sents
+        .withColumn("lang_pred", LangId.languageIdNgram(col("text")))
+        .crossJoin(enFrac)
+        .select(col("sent_id"), col("lang_true"), col("lang_pred"),
+          (col("lang_pred") === col("lang_true") &&
+            col("_en_frac") >= 0.6).as("ok"))
+        .orderBy("sent_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit

@@ -358,6 +358,11 @@ object PipelineConfig {
         byteFallback = o.bool("byteFallback"),
         idsField = o.str("idsField", "ids"),
         persist = o.bool("persist"))
+    case "LangIdTransform" =>
+      LangIdTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        textField = o.req("textField"), method = o.str("method", "ngram"),
+        outputField = o.str("outputField", "lang_pred"),
+        persist = o.bool("persist"))
     case "OutlierTransform" =>
       OutlierTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         valueField = o.req("valueField"), groupFields = o.strList("groupFields"),

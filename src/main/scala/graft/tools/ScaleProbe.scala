@@ -553,6 +553,15 @@ object ScaleProbe {
           minLen = 8, maskBits = 4, maxLen = 64).count()
       }
     }
+    // n-gram language ID: narrow codegen'd expression with broadcast-free
+    // reference profiles — must be scan-bound like the other per-row text
+    // expressions (profile cost is per row: gram count + 10 rank sums).
+    if (anySelected(s"langidNgram n=$n")) {
+      time(s"langidNgram n=$n 10 languages") {
+        docs.select(graft.llm.LangId.languageIdNgram(col("text")).as("lang"))
+          .groupBy("lang").count().collect().map(_.getLong(1)).sum
+      }
+    }
     spark.stop()
   }
 }

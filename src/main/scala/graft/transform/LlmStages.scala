@@ -1038,6 +1038,37 @@ final case class TokenizerTransform(
   }
 }
 
+/** Language identification behind the config surface. `method=ngram` is
+  * the real classifier — character-n-gram rank profiles
+  * ([[graft.llm.LangId]], the public TextCat method), a narrow codegen'd
+  * expression that separates close languages and short documents;
+  * `method=stopword` keeps the cheap stopword-hit heuristic
+  * ([[graft.llm.TextStats.languageId]]) for quick triage. Both append one
+  * string column — zero shuffles either way.
+  */
+final case class LangIdTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    textField: String,
+    method: String = "ngram",
+    outputField: String = "lang_pred",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "LangIdTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val pred = method match {
+      case "ngram"    => graft.llm.LangId.languageIdNgram(col(textField))
+      case "stopword" => graft.llm.TextStats.languageId(col(textField))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown langid method '$other' (ngram|stopword)")
+    }
+    Some(publish(ctx, in.withColumn(outputField, pred), outputView, None, Nil, persist))
+  }
+}
+
 /** Multimodal binary columns behind the config surface —
   * [[graft.llm.Multimodal]]: `action=decode` appends media_meta + the
   * 8-dim feature vector (REAL ImageIO for images), `action=resize`

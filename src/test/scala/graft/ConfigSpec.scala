@@ -437,6 +437,30 @@ class ConfigSpec extends SparkSpec {
     assert(hits == Set((1L, "secret benchmark passage")))
   }
 
+  test("LangIdTransform classifies with ngram profiles and the stopword fallback from a config cell") {
+    import spark.implicits._
+    Seq(
+      (1L, graft.llm.LangId.heldOutSentences("de").head),
+      (2L, graft.llm.LangId.heldOutSentences("pt").head),
+      (3L, graft.llm.LangId.heldOutSentences("en").head))
+      .toDF("doc_id", "text").createOrReplaceTempView("li_in")
+    val hocon =
+      """{stages: [
+        { type = "LangIdTransform", name = "ng", inputView = li_in,
+          outputView = li_ngram, textField = text },
+        { type = "LangIdTransform", name = "sw", inputView = li_in,
+          outputView = li_stop, textField = text, method = stopword,
+          outputField = lang_sw }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val ng = spark.table("li_ngram").select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(ng == Map(1L -> "de", 2L -> "pt", 3L -> "en"), ng.toString)
+    // the stopword path still runs (pt is not even in its lists — the
+    // ngram method is the one that separates close languages)
+    assert(spark.table("li_stop").columns.contains("lang_sw"))
+  }
+
   test("TokenizerTransform trains merges and applies them from config cells") {
     import spark.implicits._
     Seq.fill(10)("the merger merged the merging mergers").zipWithIndex

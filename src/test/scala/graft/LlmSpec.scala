@@ -1930,3 +1930,49 @@ class BpeSpec extends SparkSpec {
     assert(df(3).getString(2) == "A") // byte 0x41
   }
 }
+
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.llm.LangId
+
+  test("every held-out sentence classifies to its true language (kernel)") {
+    // Held-out = text the profiles never saw; includes the close pairs
+    // es/pt/it and de/nl/sv that the stopword heuristic cannot separate.
+    val wrong = for {
+      (lang, sents) <- LangId.heldOutSentences.toSeq.sortBy(_._1)
+      s <- sents
+      got = LangId.scorer.classify(s)
+      if got != lang
+    } yield s"$lang -> $got : $s"
+    assert(wrong.isEmpty, s"${wrong.size} misclassified:\n${wrong.mkString("\n")}")
+  }
+
+  test("training paragraphs classify to themselves; case-insensitive") {
+    for ((lang, text) <- LangId.seedCorpora) {
+      assert(LangId.scorer.classify(text) == lang, lang)
+      assert(LangId.scorer.classify(text.toUpperCase) == lang, s"$lang uppercase")
+    }
+  }
+
+  test("no-letter and empty inputs return und; determinism across calls") {
+    assert(LangId.scorer.classify("") == "und")
+    assert(LangId.scorer.classify("12345 67 89 ---") == "und")
+    val s = LangId.heldOutSentences("fr").head
+    assert(LangId.scorer.classify(s) == LangId.scorer.classify(s))
+  }
+
+  test("languageIdNgram runs as a narrow expression over a DataFrame") {
+    val rows = LangId.heldOutSentences.toSeq.flatMap { case (lang, ss) =>
+      ss.map(s => (lang, s))
+    }
+    val df = rows.toDF("lang", "text")
+      .withColumn("pred", LangId.languageIdNgram(col("text")))
+    val acc = df.filter(col("pred") === col("lang")).count().toDouble / rows.size
+    assert(acc == 1.0, s"accuracy $acc")
+    // NULL text stays NULL through the expression
+    val n = Seq((1L, null: String)).toDF("id", "text")
+      .select(LangId.languageIdNgram(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
+}

@@ -1630,6 +1630,23 @@ object SparkEntry {
             col("_en_frac") >= 0.6).as("ok"))
         .orderBy("sent_id")
     },
+    "q180_span_dedup" -> withViews("documents") { (spark, ctx) =>
+      // Exact cross-document repeated-substring removal (llm/SpanDedup —
+      // the public suffix-array dedup method in window-hash form): every
+      // third document is salted with one shared boilerplate paragraph;
+      // every >= 8-token run shared across >= 2 docs is excised from all
+      // but the min-id doc (plus any ORGANIC shared runs the synthetic
+      // corpus happens to contain — the oracle computes the identical
+      // set). All md5/integer arithmetic -> clean_text, token and span
+      // counts reproduce byte-for-byte in DuckDB.
+      import graft.llm.SpanDedup
+      val para = "subscribe to our newsletter for updates terms of service apply"
+      val docs = ctx.view("documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit(para), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      SpanDedup.dedupSpans(docs, "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -3873,6 +3890,56 @@ object SparkEntry {
         FROM ps, cum, tot
         WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
         GROUP BY p ORDER BY p""",
+    "q180_span_dedup" ->
+      // the identical window-hash formulation: md5 over 8-token windows of
+      // the whitespace-normalized token array, >=2 distinct docs -> dup,
+      // min-doc keeper, covered positions union, gaps-and-islands span
+      // count, kept tokens re-joined in order
+      """WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'subscribe to our newsletter for updates terms of service apply' || ' ' || text
+                      ELSE text END AS text
+          FROM documents),
+        d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0) AS arr
+          FROM base),
+        g AS (
+          SELECT doc_id, pos, md5(array_to_string(arr[pos+1:pos+8], ' ')) AS h
+          FROM (SELECT doc_id, arr, unnest(range(0, len(arr) - 7)) AS pos
+                FROM d WHERE len(arr) >= 8)),
+        dup AS (
+          SELECT h, min(doc_id) AS keeper FROM g
+          GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        rem AS (
+          SELECT DISTINCT g.doc_id, g.pos + u.off AS p
+          FROM g JOIN dup USING (h)
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS off) u
+          WHERE g.doc_id <> dup.keeper),
+        remflag AS (
+          SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) = p - 1
+                      THEN 0 ELSE 1 END AS s
+          FROM rem),
+        remagg AS (
+          SELECT doc_id, count(*) AS n_removed, sum(s) AS n_spans
+          FROM remflag GROUP BY doc_id),
+        toks AS (
+          SELECT doc_id, unnest(arr) AS tok, unnest(range(0, len(arr))) AS pos FROM d),
+        keptagg AS (
+          SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+          FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.p
+          WHERE r.doc_id IS NULL GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(len(d.arr) AS BIGINT) AS n_tokens,
+               CAST(coalesce(ra.n_removed, 0) AS BIGINT) AS n_tokens_removed,
+               CAST(coalesce(ra.n_spans, 0) AS BIGINT) AS n_spans,
+               coalesce(ka.clean_text, '') AS clean_text
+        FROM d
+        LEFT JOIN remagg ra USING (doc_id)
+        LEFT JOIN keptagg ka USING (doc_id)
+        ORDER BY doc_id""",
     "q177_domain_stats" ->
       // same host/apex regex chain in DuckDB; www. strips, cdn./news. stay
       // as subdomains of the same apex

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact cross-document repeated-substring removal — the substring-level
+  * complement to [[Dedup]]'s whole-doc and [[Chunking.cdcDupStats]]'
+  * near-dup chunk passes: training pipelines also cut VERBATIM runs of
+  * ≥ k tokens shared across documents (the public suffix-array dedup
+  * method of Lee et al. 2021, "Deduplicating Training Data Makes Language
+  * Models Better"), because a boilerplate paragraph repeated across a
+  * thousand pages is memorization fuel even when every page is unique.
+  *
+  * Spark shape (window-hash formulation of the suffix method — same
+  * duplicated-substring set, no giant suffix array):
+  *
+  *  1. Narrow projection: whitespace-normalize, split, build every
+  *     k-token window's md5 IN the row (`transform` over indices — no
+  *     shuffle, no per-doc window function), then explode only
+  *     (doc, pos, hash). The text itself never travels.
+  *  2. ONE aggregate on hash: a window is duplicated when it occurs in
+  *     ≥ 2 distinct documents; the keeper is min(doc) — deterministic
+  *     min-doc attribution, so exactly one document keeps each shared
+  *     run.
+  *  3. Non-keeper window starts explode to their k covered token
+  *     positions (dup-volume-bounded, factor k on marked windows only),
+  *     collapse to one small sorted position array per document, and
+  *     join back — ONE row per affected doc.
+  *  4. Reconstruction is narrow again: kept tokens filter by index
+  *     against the position array; spans (maximal runs of removed
+  *     positions) count by integer gap arithmetic.
+  *
+  * Everything is md5/integer-exact, so a SQL oracle reproduces spans and
+  * cleaned text byte-for-byte (the q180 contract).
+  */
+object SpanDedup {
+
+  /** Whitespace-normalized token array of `text` (Java `\s+`, empties
+    * dropped) — THE token/offset space all span arithmetic lives in. */
+  private def tokArr(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Every k-window's md5 over the in-row token array — empty for docs
+    * shorter than k tokens (a bare `sequence(0, size-k)` would run
+    * BACKWARDS for them and fabricate windows). */
+  private def windowHashes(arr: Column, k: Int): Column =
+    when(size(arr) >= k,
+      transform(sequence(lit(0), size(arr) - k),
+        i => md5(concat_ws(" ", slice(arr, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Remove every ≥ k-token run shared across ≥ 2 documents from all but
+    * the minimum-id document. Output: `idCol` (as doc_id, long) +
+    * `n_tokens` (normalized token count) + `n_tokens_removed` + `n_spans`
+    * (maximal removed runs) + `clean_text` (kept tokens joined by single
+    * spaces — whitespace-normalized by construction).
+    *
+    * `k` is the minimum duplicated run length in TOKENS; every duplicated
+    * run of length ≥ k is covered exactly by its k-windows, so the removed
+    * set is precisely the union of duplicated k-windows (the suffix-array
+    * method's guarantee).
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 tokens, got $k")
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      tokArr(col(textCol)).as("_arr"))
+    // (doc, pos, hash) for every k-window — grams built in-row (narrow)
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(windowHashes(col("_arr"), k)).as(Seq("pos", "h")))
+    // shared windows: ≥ 2 distinct docs; min-doc attribution
+    val dup = grams.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("_nd"), min(col("doc_id")).as("_keeper"))
+      .filter(col("_nd") >= 2)
+      .select("h", "_keeper")
+    // non-keeper occurrences → covered token positions (factor k on the
+    // duplicated volume only), then ONE small sorted array per doc
+    val removed = grams.join(dup, "h")
+      .filter(col("doc_id") =!= col("_keeper"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("p"))).as("_rem"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .withColumn("_rem", coalesce(col("_rem"), array().cast("array<int>")))
+      .select(
+        col("doc_id"),
+        size(col("_arr")).cast("long").as("n_tokens"),
+        size(col("_rem")).cast("long").as("n_tokens_removed"),
+        // spans = removed positions whose predecessor position is not
+        // itself removed (integer gap arithmetic; _rem is small per doc)
+        size(filter(col("_rem"), p =>
+          !array_contains(col("_rem"), p - 1))).cast("long")
+          .as("n_spans"),
+        concat_ws(" ",
+          filter(col("_arr"), (_, i) => !array_contains(col("_rem"), i)))
+          .as("clean_text"))
+  }
+
+  /** Report-only variant: the duplicated windows themselves — one row per
+    * (hash) shared across ≥ 2 docs with its occurrence count, distinct-doc
+    * count, and keeper. For corpus forensics (what IS the boilerplate?).
+    */
+  def repeatedWindows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 tokens, got $k")
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      tokArr(col(textCol)).as("_arr"))
+    docs
+      .select(col("doc_id"),
+        posexplode(windowHashes(col("_arr"), k)).as(Seq("pos", "h")))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+}

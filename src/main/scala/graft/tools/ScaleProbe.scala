@@ -553,6 +553,19 @@ object ScaleProbe {
           minLen = 8, maskBits = 4, maxLen = 64).count()
       }
     }
+    // Cross-doc repeated-substring removal on THE adversarial shape: the
+    // probe corpus is boilerplate-heavy by construction (every doc shares
+    // the 12-token fox prefix, 25% share a hot template) — so nearly every
+    // window is duplicated and nearly every doc gets spans cut. Cost must
+    // stay one grams shuffle + one dup-volume-bounded explode; the hot
+    // window hashes (~400k occurrences each) are absorbed by partial
+    // aggregation, never a per-key sort.
+    if (anySelected(s"spanDedup n=$n")) {
+      time(s"spanDedup n=$n k=8 boilerplate-heavy") {
+        graft.llm.SpanDedup.dedupSpans(docs, "id", "text", k = 8)
+          .agg(sum("n_tokens_removed")).collect().head.getLong(0)
+      }
+    }
     // n-gram language ID: narrow codegen'd expression with broadcast-free
     // reference profiles — must be scan-bound like the other per-row text
     // expressions (profile cost is per row: gram count + 10 rank sums).

@@ -84,10 +84,18 @@ final case class DeduplicateTransform(
         // quantizer training
         require(vectorField.nonEmpty, s"$name: semantic dedup needs vectorField")
         Dedup.semDedupReport(in, idField, vectorField, nclusters = numClusters, tau = threshold)
+      case "span" =>
+        // substring-level: excise every >= shingleLength-token run shared
+        // across >= 2 docs from all but the min-id doc (suffix-array dedup
+        // semantics, llm/SpanDedup) — shingleLength doubles as the window
+        // size in TOKENS (>= 2)
+        require(textField.nonEmpty, s"$name: span dedup needs textField")
+        graft.llm.SpanDedup.dedupSpans(in, idField, textField,
+          k = math.max(2, shingleLength))
       case other =>
         throw new IllegalArgumentException(
           s"$name: unknown dedup method '$other' " +
-            "(exact|best|normalized|canonical|minhash|simhash|semantic|semanticReport|url)")
+            "(exact|best|normalized|canonical|minhash|simhash|semantic|semanticReport|url|span)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

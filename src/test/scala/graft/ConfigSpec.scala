@@ -373,6 +373,27 @@ class ConfigSpec extends SparkSpec {
     assert(out == Set((1L, "site.com/page", 2L), (3L, "site.com/other", 1L)), s"got $out")
   }
 
+  test("DeduplicateTransform method=span excises cross-doc repeated runs from a config cell") {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta tail one"),
+      (2L, "head alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated words that share no long run with anything"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sp_in")
+    val hocon =
+      """{stages: [
+        { type = "DeduplicateTransform", name = "s", inputView = sp_in,
+          outputView = sp_out, idField = doc_id, textField = text,
+          method = span, shingleLength = 8 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val out = spark.table("sp_out").select("doc_id", "clean_text", "n_tokens_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0)._3 == 0L) // min doc keeps the shared run
+    assert(out(1) == ((2L, "head", 8L)), out(1).toString)
+    assert(out(2)._3 == 0L)
+  }
+
   test("OutlierTransform flags and filters MAD outliers from a config cell") {
     import spark.implicits._
     Seq(("a", 1L, 9.0), ("a", 2L, 10.0), ("a", 3L, 11.0), ("a", 4L, 10.0),

@@ -319,6 +319,73 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.SpanDedup
+
+  // 8-token boilerplate paragraph shared by docs 1, 2 and 3 (min doc 1 keeps it)
+  private val para = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("an injected shared paragraph is excised from all but the min doc") {
+    val docs = Seq(
+      (1L, s"one two $para three"),
+      (2L, s"$para four five"),
+      (3L, s"six $para"),
+      (4L, "unrelated text entirely without any shared runs at all")
+    ).toDF("id", "text")
+    val out = SpanDedup.dedupSpans(docs, "id", "text", k = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out(0) == ((1L, 0L, 0L, s"one two $para three")), out(0).toString)
+    assert(out(1) == ((2L, 8L, 1L, "four five")), out(1).toString)
+    assert(out(2) == ((3L, 8L, 1L, "six")), out(2).toString)
+    assert(out(3) == ((4L, 0L, 0L, "unrelated text entirely without any shared runs at all")))
+  }
+
+  test("a shared run longer than k is removed in full as ONE span") {
+    val long = para + " iota kappa lambda mu" // 12 tokens
+    val docs = Seq((1L, long), (2L, s"prefix words here $long suffix")).toDF("id", "text")
+    val r = SpanDedup.dedupSpans(docs, "id", "text", k = 8)
+      .filter(col("doc_id") === 2).head()
+    assert(r.getAs[Long]("n_tokens_removed") == 12L, r.toString)
+    assert(r.getAs[Long]("n_spans") == 1L, r.toString)
+    assert(r.getAs[String]("clean_text") == "prefix words here suffix")
+  }
+
+  test("docs shorter than k produce no windows; within-doc repeats alone do not count") {
+    val docs = Seq(
+      (1L, "tiny doc"),
+      (2L, s"$para and then once more $para") // repeats only WITHIN one doc
+    ).toDF("id", "text")
+    val out = SpanDedup.dedupSpans(docs, "id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens_removed") == 0L)
+    assert(out(0).getAs[String]("clean_text") == "tiny doc")
+    // cross-DOCUMENT semantics: a run repeated twice inside one document
+    // is not shared across documents, so nothing is removed
+    assert(out(1).getAs[Long]("n_tokens_removed") == 0L)
+  }
+
+  test("repeatedWindows reports the shared boilerplate with min-doc attribution") {
+    val docs = Seq(
+      (5L, s"$para x"), (7L, s"y $para"), (9L, "nothing shared in this one at all ok")
+    ).toDF("id", "text")
+    val w = SpanDedup.repeatedWindows(docs, "id", "text", k = 8).collect()
+    assert(w.length == 1, w.mkString(","))
+    assert(w.head.getAs[Long]("n_docs") == 2L)
+    assert(w.head.getAs[Long]("keeper_doc") == 5L)
+  }
+
+  test("disjoint docs pass through whitespace-normalized and untouched") {
+    val docs = Seq((1L, "  a   b\tc  "), (2L, "d e f")).toDF("id", "text")
+    val out = SpanDedup.dedupSpans(docs, "id", "text", k = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "a b c")
+    assert(out(0).getAs[Long]("n_tokens") == 3L)
+    assert(out(1).getAs[String]("clean_text") == "d e f")
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 

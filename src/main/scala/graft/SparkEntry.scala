@@ -1520,6 +1520,52 @@ object SparkEntry {
           (col("_dims_ok") && col("mime") === "image/png").as("ok"))
         .orderBy("doc_id")
     },
+    "q181_audio_decode" -> withViews("documents") { (spark, ctx) =>
+      // REAL audio decode pipeline: per-row WAVs (16-bit mono PCM, 8 kHz)
+      // are GENERATED from doc metadata — frames = 800 + 16·(doc_id % 50),
+      // silence in the first half, a square wave in the second — then
+      // decoded through the JDK javax.sound.sampled path. `ok` pins the
+      // decoded frame count ≡ the header's frame count, the exact
+      // duration arithmetic (frames/8 ms at 8 kHz), rate/channels, the
+      // audio/wav mime (the REAL branch, not the fake), and the RMS
+      // features actually reading samples (quiet first half, ~0.5 second
+      // half).
+      import spark.implicits._
+      val wavs = ctx.view("documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), (lit(800) + (col("doc_id") % 50) * 16).cast("int").as("_frames"))
+        .as[(Long, Int)]
+        .map { case (id, frames) =>
+          import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+          val pcm = new Array[Byte](frames * 2)
+          var i = frames / 2
+          while (i < frames) {
+            val v: Short = if (i % 2 == 0) 16384 else -16384
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(8000f, 16, 1, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+            AudioFileFormat.Type.WAVE, bos)
+          (id, frames.toLong, bos.toByteArray)
+        }.toDF("doc_id", "frames_expected", "blob")
+      graft.llm.Multimodal.decodeAndFeaturize(wavs, "blob")
+        .select(col("doc_id"), col("frames_expected"),
+          col("media_meta.frames").as("frames_decoded"),
+          col("media_meta.duration_ms").as("duration_ms"),
+          (col("media_meta.mime") === "audio/wav" &&
+            col("media_meta.frames") === col("frames_expected") &&
+            col("media_meta.duration_ms") === (col("frames_expected") * 1000 / 8000) &&
+            col("media_meta.sample_rate") === 8000 &&
+            col("media_meta.channels") === 1 &&
+            size(col("features")) === 8 &&
+            element_at(col("features"), 1) < 0.01f &&
+            abs(element_at(col("features"), 8) - 0.5f) < 0.01f).as("ok"))
+        .orderBy("doc_id")
+    },
     "q176_curation_pipeline" -> withViews("documents") { (spark, ctx) =>
       // END-TO-END curation pipeline as ONE oracle-checked query: messy
       // URL construction -> canonicalization + keep-first URL dedup

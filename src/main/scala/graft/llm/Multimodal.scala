@@ -16,20 +16,152 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Metadata carried with every media blob. */
+  /** Metadata carried with every media blob. Image fields (width/height)
+    * and audio fields (duration_ms/frames/sample_rate/channels) are each
+    * null on the other modality. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("mime", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("duration_ms", LongType)
+    StructField("duration_ms", LongType),
+    StructField("frames", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType)
   ))
 
-  /** Decode: REAL for JDK-supported image formats (PNG/JPEG/GIF/BMP via
-    * ImageIO — width/height and an 8-bin luminance histogram as features);
-    * deterministic hash-derived fake for anything else (audio/video codecs
-    * aren't in this container — that branch is the documented stub, same
-    * signature, so a real codec slots in without touching the Spark side).
+  /** One decoded blob: nullable boxed fields so each modality carries only
+    * what it has. `features` is always 8 floats in [0,1]. */
+  private[llm] final case class MediaInfo(
+      mime: String,
+      width: Integer, height: Integer,
+      durationMs: java.lang.Long, frames: java.lang.Long,
+      sampleRate: Integer, channels: Integer,
+      features: Array[Float]) {
+    def metaRow: Row = Row(mime, width, height, durationMs, frames, sampleRate, channels)
+  }
+
+  /** Sniffed image mime from magic bytes (ImageIO does not report the
+    * container it parsed). */
+  private def imageMime(b: Array[Byte]): String =
+    if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      "image/png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "image/jpeg"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "image/gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "image/bmp"
+    else "image/unknown"
+
+  /** REAL audio decode for JDK-supported PCM containers (WAV/AIFF/AU via
+    * `javax.sound.sampled` — zero external codecs): header-exact frame
+    * count, sample rate, channels, duration, and 8 per-segment RMS
+    * features from the first channel's samples (16- or 8-bit PCM).
+    * Returns None for anything the JDK cannot parse — that falls through
+    * to the documented deterministic fake.
     */
+  private[llm] def decodeAudio(bytes: Array[Byte]): Option[MediaInfo] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        val enc = f.getEncoding
+        val pcm = enc == AudioFormat.Encoding.PCM_SIGNED || enc == AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = f.getSampleSizeInBits
+        if (frames <= 0 || !pcm || (bits != 8 && bits != 16)) None
+        else {
+          // features from a bounded read: at most 256k frames — duration and
+          // frame count come from the HEADER, so a 3-hour file never loads
+          val capFrames = math.min(frames, 262144L).toInt
+          val frameSize = f.getFrameSize
+          val buf = new Array[Byte](capFrames * frameSize)
+          var off = 0
+          var r = 0
+          while (off < buf.length && { r = ais.read(buf, off, buf.length - off); r > 0 }) off += r
+          val readFrames = off / frameSize
+          val bins = new Array[Float](8)
+          if (readFrames > 0) {
+            val perBin = math.max(1, readFrames / 8)
+            val sums = new Array[Double](8)
+            val counts = new Array[Long](8)
+            val bigEndian = f.isBigEndian
+            var i = 0
+            while (i < readFrames) {
+              val base = i * frameSize // first channel only
+              val sample: Double =
+                if (bits == 16) {
+                  val (b0, b1) = (buf(base) & 0xff, buf(base + 1) & 0xff)
+                  val v = if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                  val s = if (enc == AudioFormat.Encoding.PCM_SIGNED) v.toShort.toInt
+                          else v - 32768
+                  s / 32768.0
+                } else {
+                  val v = buf(base) & 0xff
+                  val s = if (enc == AudioFormat.Encoding.PCM_SIGNED) buf(base).toInt
+                          else v - 128
+                  s / 128.0
+                }
+              val b = math.min(7, i / perBin)
+              sums(b) += sample * sample
+              counts(b) += 1
+              i += 1
+            }
+            var b = 0
+            while (b < 8) {
+              bins(b) = if (counts(b) > 0) math.sqrt(sums(b) / counts(b)).toFloat else 0f
+              b += 1
+            }
+          }
+          val mime =
+            if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+              bytes(8) == 'W' && bytes(9) == 'A') "audio/wav"
+            else if (bytes.length >= 4 && bytes(0) == 'F' && bytes(1) == 'O') "audio/aiff"
+            else if (bytes.length >= 4 && bytes(0) == '.' && bytes(1) == 's') "audio/basic"
+            else "audio/unknown"
+          Some(MediaInfo(mime, null, null,
+            math.round(frames * 1000.0 / f.getFrameRate),
+            frames, Integer.valueOf(math.round(f.getSampleRate)),
+            Integer.valueOf(f.getChannels), bins))
+        }
+      } finally ais.close()
+    } catch { case _: Throwable => None }
+
+  /** Decode a blob: REAL for JDK-supported images (PNG/JPEG/GIF/BMP via
+    * ImageIO — true dimensions + 8-bin luminance histogram) and REAL for
+    * JDK-supported PCM audio (WAV/AIFF/AU via [[decodeAudio]] —
+    * header-exact frames/rate/channels/duration + 8 RMS features);
+    * deterministic hash-derived fake ONLY for what the JDK has no codec
+    * for (video etc. — the documented stub branch, same signature, so a
+    * real codec slots in without touching the Spark side).
+    */
+  private[llm] def decodeMedia(bytes: Array[Byte]): MediaInfo = {
+    val (w, h, feats) = decodeStub(bytes)
+    if (w > 0) { // image path took the real branch (see decodeStub contract)
+      MediaInfo(imageMime(bytes), Integer.valueOf(w), Integer.valueOf(h),
+        null, null, null, null, feats)
+    } else {
+      decodeAudio(bytes).getOrElse {
+        // STUB(no video codecs in the JDK): deterministic fake
+        val (fw, fh, ff) = fakeDecode(bytes)
+        MediaInfo("application/octet-stream", Integer.valueOf(fw), Integer.valueOf(fh),
+          null, null, null, null, ff)
+      }
+    }
+  }
+
+  /** Deterministic fake decode from the bytes alone — the documented stub
+    * for modalities with no JDK codec. */
+  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = if (bytes == null || bytes.isEmpty) 0L
+            else bytes.take(64).foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+    val width = (math.abs(h) % 1920 + 1).toInt
+    val height = (math.abs(h / 7) % 1080 + 1).toInt
+    val features = Array.tabulate(8)(i => ((math.abs(h / (i + 1)) % 1000) / 1000.0f))
+    (width, height, features)
+  }
+
+  /** Image-only decode kernel: (w, h, histogram) for a real JDK-decodable
+    * image, (-1, -1, empty) otherwise — [[decodeMedia]] composes the
+    * image → audio → fake cascade on top. */
   private[llm] def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val real: Option[(Int, Int, Array[Float])] =
       if (bytes == null || bytes.length < 8) None
@@ -59,15 +191,7 @@ object Multimodal {
             Some((w, h, bins))
           }
         } catch { case _: Throwable => None }
-    real.getOrElse {
-      // STUB(no audio/video codecs): deterministic fake from the bytes alone
-      val h = if (bytes == null || bytes.isEmpty) 0L
-              else bytes.take(64).foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-      val width = (math.abs(h) % 1920 + 1).toInt
-      val height = (math.abs(h / 7) % 1080 + 1).toInt
-      val features = Array.tabulate(8)(i => ((math.abs(h / (i + 1)) % 1000) / 1000.0f))
-      (width, height, features)
-    }
+    real.getOrElse((-1, -1, Array.empty[Float]))
   }
 
   /** Attach decode metadata + an 8-dim feature vector to a binary column.
@@ -85,9 +209,8 @@ object Multimodal {
       // one "decoder" per partition — where a real codec would be initialized
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val (w, h, features) = decodeStub(bytes)
-        val meta = Row("application/octet-stream", w, h, null)
-        Row.fromSeq(row.toSeq :+ meta :+ features)
+        val m = decodeMedia(bytes)
+        Row.fromSeq(row.toSeq :+ m.metaRow :+ m.features)
       }
     }(enc).toDF()
   }
@@ -147,7 +270,7 @@ object Multimodal {
       rows.map { row =>
         val bytes = Option(row.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
         val (out, mime) = resizeBlob(bytes, tw, th)
-        val meta = Row(mime, tw, th, null)
+        val meta = Row(mime, tw, th, null, null, null, null)
         Row.fromSeq(row.toSeq :+ out :+ meta)
       }
     }(enc).toDF()

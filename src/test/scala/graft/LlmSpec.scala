@@ -679,6 +679,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.select("frame_id").as[Int].collect().toSet == Set(1, 2, 3))
   }
+
+  test("decodeAndFeaturize REALLY decodes WAV PCM: header-exact frames, rate, channels, RMS") {
+    // 16-bit mono PCM at 8 kHz: 1600 frames of silence then 1600 of a loud
+    // square wave — decoded frame count must equal the header's, duration
+    // must be frames/rate, and the 8 RMS segment features must show the
+    // quiet→loud structure (pinning a REAL sample read, not a byte fake)
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val frames = 3200
+    val pcm = new Array[Byte](frames * 2)
+    (1600 until frames).foreach { i =>
+      val v: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val df = Seq((1L, baos.toByteArray)).toDF("id", "blob")
+    val r = Multimodal.decodeAndFeaturize(df, "blob").head()
+    val meta = r.getStruct(r.fieldIndex("media_meta"))
+    assert(meta.getAs[String]("mime") == "audio/wav")
+    assert(meta.getAs[Long]("frames") == frames.toLong)
+    assert(meta.getAs[Int]("sample_rate") == 8000 && meta.getAs[Int]("channels") == 1)
+    assert(meta.getAs[Long]("duration_ms") == 400L) // 3200 / 8000 s
+    assert(meta.isNullAt(meta.fieldIndex("width"))) // image fields null on audio
+    val f = r.getSeq[Float](r.fieldIndex("features"))
+    assert(f.length == 8)
+    assert(f.take(4).forall(_ < 0.01f), s"first half must be silent: $f")
+    assert(f.drop(4).forall(v => math.abs(v - 0.5f) < 0.01f), s"square wave RMS ~0.5: $f")
+  }
+
+  test("non-media bytes still take the deterministic fake branch after the audio attempt") {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "blob")
+    val r = Multimodal.decodeAndFeaturize(df, "blob").head()
+    val meta = r.getStruct(r.fieldIndex("media_meta"))
+    assert(meta.getAs[String]("mime") == "application/octet-stream")
+    assert(meta.getAs[Int]("width") >= 1 && meta.isNullAt(meta.fieldIndex("frames")))
+  }
 }
 
 class MinhashIndexSpec extends SparkSpec {

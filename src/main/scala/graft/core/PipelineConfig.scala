@@ -262,6 +262,17 @@ object PipelineConfig {
         bands = o.intOpt("bands").getOrElse(8),
         rowsPerBand = o.intOpt("rowsPerBand").getOrElse(4),
         maxBucketSize = o.intOpt("maxBucketSize").getOrElse(256))
+    case "SemIndexLoad" =>
+      SemIndexLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
+        idField = o.req("idField"), vectorField = o.req("vectorField"),
+        numClusters = o.intOpt("numClusters").getOrElse(16),
+        threshold = o.dbl("threshold", 0.95))
+    case "SemIndexDedupTransform" =>
+      SemIndexDedupTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        indexURI = o.req("indexURI"), idField = o.req("idField"),
+        vectorField = o.req("vectorField"),
+        action = o.str("action", "filter"),
+        persist = o.bool("persist"))
     case "IvfIndexLoad" =>
       IvfIndexLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         idField = o.req("idField"), vectorField = o.req("vectorField"),

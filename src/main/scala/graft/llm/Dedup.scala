@@ -672,10 +672,20 @@ object Dedup {
     * cosine ≥ tau, idA < idB. ([[semDedupPairs]] is the entry point;
     * this helper holds the shared (id, vec, cluster) assignment.)
     */
-  private def semAssigned(df: DataFrame, idCol: String, vecCol: String,
+  private[llm] def semAssigned(df: DataFrame, idCol: String, vecCol: String,
       nclusters: Int, seed: Long, samplePerCluster: Int): DataFrame = {
     val cents = Similarity.trainCoarseCentroids(
       df, idCol, vecCol, nclusters, seed, samplePerCluster, salt = "semdedup-train")
+    assignToCentroids(df, idCol, vecCol, cents)
+  }
+
+  /** (id, vec, cluster) assignment against FIXED centroids — the shared
+    * kernel of [[semAssigned]] and [[SemIndex]]'s incremental path (a new
+    * batch must be assigned with the PERSISTED quantizer, never a
+    * retrained one, or batch and index rows would land in different
+    * clusters and near-dups would never meet). */
+  private[llm] def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Double, Int, Seq[Float])]): DataFrame = {
     Similarity.attachCentroidData(df, cents)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
         element_at(Similarity.rankedCentroidLists(col(vecCol), col("_cents")), 1)
@@ -703,7 +713,7 @@ object Dedup {
     pairsFromAssigned(
       semAssigned(df, idCol, vecCol, nclusters, seed, samplePerCluster), tau, maxClusterSize)
 
-  private def pairsFromAssigned(assigned: DataFrame, tau: Double,
+  private[llm] def pairsFromAssigned(assigned: DataFrame, tau: Double,
       maxClusterSize: Int): DataFrame = {
     val candidates = bucketCandidates(
       assigned.select(col("_cluster"), col("_id")), Seq("_cluster"), "_id", maxClusterSize)

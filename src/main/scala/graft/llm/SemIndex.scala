@@ -1,0 +1,135 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental SemDeDup — the [[MinhashIndex]] discipline applied to
+  * embedding dedup: [[Dedup.semDedup]] is one-shot (every new batch would
+  * re-train KMeans and re-pair the whole corpus), so daily-ingest
+  * pipelines persist the quantizer and the KEPT rows once and dedup each
+  * new batch against them with O(batch) work.
+  *
+  * Layout at `path`:
+  *   - `centroids/` — the trained coarse quantizer ((halfNorm, list, vec),
+  *     the [[IvfIndex]] shape), frozen at build time: batches MUST assign
+  *     with the build's centroids or batch and index rows would land in
+  *     different clusters and near-dups would never meet.
+  *   - `vectors/` — the kept rows (id, vec), partitioned by `_cluster`:
+  *     a batch touching 3 clusters reads 3 directories, never the corpus.
+  *   - `params/` — tau / maxClusterSize, so query-time semantics cannot
+  *     drift from the build.
+  *
+  * Semantics (corpus-first, the [[MinhashIndex.dedupAgainst]] contract):
+  * indexed rows always win — a batch row within `tau` cosine of ANY kept
+  * row (directly or through a chain of batch rows) is dropped; among
+  * pure-batch duplicate components the minimum id survives. With batch
+  * ids above corpus ids this equals one-shot [[Dedup.semDedup]] on the
+  * union under the SAME centroids (SemIndexSpec pins it); what the
+  * incremental path cannot see is a chain through a row the BUILD already
+  * dropped — the build keeps one representative per component, so a batch
+  * row near-dup only to a dropped loser (cosine < tau to every kept row)
+  * survives. That is the documented approximation, inherent to keeping
+  * the index duplicate-free.
+  */
+object SemIndex {
+
+  /** One-shot dedup of `corpus`, persisting quantizer + kept rows to
+    * `path` (overwrites). Returns nothing — read back via
+    * [[dedupAgainst]]/[[ingest]].
+    */
+  def write(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nclusters: Int = 16, tau: Double = 0.95, seed: Long = 42L,
+      maxClusterSize: Int = 1024, samplePerCluster: Int = 256): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.trainCoarseCentroids(
+      corpus, idCol, vecCol, nclusters, seed, samplePerCluster, salt = "semindex-train")
+      .sortBy(_._2)
+    val assigned = Dedup.assignToCentroids(corpus, idCol, vecCol, cents)
+    val pairs = Dedup.pairsFromAssigned(assigned, tau, maxClusterSize)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("_lid"))
+    assigned
+      .join(losers, col("_id") === col("_lid"), "left_anti")
+      .select(col("_id").as("id"), col("_v").as("vec"), col("_cluster"))
+      .write.mode("overwrite").partitionBy("_cluster").parquet(s"$path/vectors")
+    cents.map { case (hn, i, v) => (i, hn, v) }.toDF("list", "halfNorm", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((tau, maxClusterSize))
+      .toDF("tau", "maxClusterSize")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+  }
+
+  private def readCentroids(spark: SparkSession, path: String): Seq[(Double, Int, Seq[Float])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getDouble(1), r.getInt(0), r.getSeq[Float](2))).toSeq
+      .sortBy(_._2)
+
+  private def readParams(spark: SparkSession, path: String): (Double, Int) = {
+    val r = spark.read.json(s"$path/params").head()
+    (r.getAs[Double]("tau"), r.getAs[Long]("maxClusterSize").toInt)
+  }
+
+  /** Batch rows that survive dedup against the index AND against each
+    * other (pure-batch duplicate components keep their minimum id).
+    * O(batch): assignment is a narrow broadcast-centroid map, and only the
+    * kept rows of the batch's TOUCHED clusters are read (partition-pruned).
+    * Batch ids must be non-negative (index rows ride as negative sentinel
+    * ids through the component pass so the corpus always wins).
+    */
+  def dedupAgainst(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val cents = readCentroids(spark, path)
+    val (tau, maxClusterSize) = readParams(spark, path)
+    val assigned = graft.core.Lineage.pin(
+      Dedup.assignToCentroids(batch, idCol, vecCol, cents))
+    // ≤ nclusters values, collected from the pinned batch assignment —
+    // the isin filter prunes unread cluster directories
+    val touched = assigned.select("_cluster").distinct().collect().map(_.getInt(0))
+    val kept = spark.read.parquet(s"$path/vectors")
+      .filter(col("_cluster").isin(touched.map(Integer.valueOf).toSeq: _*))
+    // deterministic per-cluster cap on the INDEX side (the MinhashIndex
+    // bucket-cap discipline): one dense cluster contributes a bounded
+    // candidate set, never cluster × batch rows unbounded
+    val keptCapped = graft.operators.TopK.perKeySalted(
+      kept.withColumn("_h", xxhash64(col("id"))), Seq("_cluster"), "_h",
+      maxClusterSize, descending = false, tiebreak = Seq("id"))
+      .drop("_h")
+    // batch × kept same-cluster candidates → (batchId, keptId) dup edges;
+    // kept ids enter the component pass as negative sentinels so a mixed
+    // component's minimum is ALWAYS an index row (corpus-first semantics)
+    val crossPairs = assigned
+      .join(keptCapped.select(col("_cluster"), col("id").as("_kid"), col("vec").as("_kv")),
+        Seq("_cluster"))
+      .filter(Similarity.cosine(col("_v"), col("_kv")) >= tau)
+      .select((-col("_kid") - 1).as("idA"), col("_id").as("idB"))
+    val batchPairs = Dedup.pairsFromAssigned(assigned, tau, maxClusterSize)
+      .select(col("idA"), col("idB"))
+    val losers = Dedup.connectedComponents(crossPairs.unionByName(batchPairs))
+      .filter(col("id") >= 0 && col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    batch.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupAgainst]] + append the survivors to the kept layout, so the
+    * NEXT batch deduplicates against them too. Returns the survivors.
+    * Fails fast if the layout at `path` does not match this build
+    * (the [[IvfIndex.ingest]] mixed-schema guard).
+    */
+  def ingest(batch: DataFrame, idCol: String, vecCol: String, path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val existing = spark.read.parquet(s"$path/vectors").schema.fieldNames.toSet
+    require(existing == Set("id", "vec", "_cluster"),
+      s"SemIndex.ingest: layout at $path has columns ${existing.toSeq.sorted.mkString(",")} " +
+        "— rebuild with SemIndex.write before ingesting")
+    val cents = readCentroids(spark, path)
+    val survivors = graft.core.Lineage.pin(
+      dedupAgainst(batch, idCol, vecCol, path))
+    Dedup.assignToCentroids(survivors, idCol, vecCol, cents)
+      .select(col("_id").as("id"), col("_v").as("vec"), col("_cluster"))
+      .write.mode("append").partitionBy("_cluster").parquet(s"$path/vectors")
+    survivors
+  }
+}

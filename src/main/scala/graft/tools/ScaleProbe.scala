@@ -438,6 +438,24 @@ object ScaleProbe {
         graft.llm.Dedup.semDedup(skew, "id", "v", nclusters = 64, tau = 0.999).count()
       }
     }
+    // Incremental SemDeDup: build the index on the full corpus, then ingest
+    // a 2.5% daily batch at the same mass-duplication shape. The ingest
+    // cost must scale with the BATCH (assignment + pruned kept-row reads +
+    // capped candidates) — a rebuild-shaped cost here would mean the
+    // incremental path is re-pairing the corpus.
+    if (anySelected(s"semIndexIngest n=$n")) {
+      val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(col("id"),
+        expr("transform(sequence(1, 64), i -> CAST((((CASE WHEN id % 2 = 0 THEN id % 8 ELSE id % 997 END)) * i) % 255 - 127 AS FLOAT) / 127.0F)")
+          .as("v"))
+      val path = java.nio.file.Files.createTempDirectory("semidx_probe").toString + "/idx"
+      time(s"semIndexIngest n=$n build full") {
+        graft.llm.SemIndex.write(mk(0, n), "id", "v", path, nclusters = 64, tau = 0.999)
+        spark.read.parquet(s"$path/vectors").count()
+      }
+      time(s"semIndexIngest n=$n ingest batch=${n / 40}") {
+        graft.llm.SemIndex.ingest(mk(n, n + n / 40), "id", "v", path).count()
+      }
+    }
     // Misra–Gries at corpus scale: one narrow scan, ≤ cap×partitions summary
     // rows, no corpus shuffle — plus the 1000-segment compaction path.
     if (anySelected(s"heavyHitters n=$n", "hhMerge 1000 segments")) {

@@ -188,6 +188,55 @@ final case class MinhashIndexLoad(
   }
 }
 
+/** Build and persist a [[graft.llm.SemIndex]] over a view — incremental
+  * SemDeDup's corpus half: one-shot embedding dedup whose quantizer and
+  * kept rows persist so daily batches dedup in O(batch).
+  */
+final case class SemIndexLoad(
+    name: String,
+    inputView: String,
+    outputURI: String,
+    idField: String,
+    vectorField: String,
+    numClusters: Int = 16,
+    threshold: Double = 0.95
+) extends Stage {
+  val stageType = "SemIndexLoad"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    graft.llm.SemIndex.write(ctx.view(inputView), idField, vectorField, outputURI,
+      nclusters = numClusters, tau = threshold)
+    None
+  }
+}
+
+/** Ingest-side incremental SemDeDup against a saved [[graft.llm.SemIndex]]:
+  * `filter` keeps batch rows with no ≥ tau cosine neighbor among the
+  * indexed kept rows (nor a surviving earlier batch duplicate); `ingest`
+  * additionally appends the survivors to the index for the next batch.
+  */
+final case class SemIndexDedupTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    indexURI: String,
+    idField: String,
+    vectorField: String,
+    action: String = "filter",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "SemIndexDedupTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = action match {
+      case "filter" => graft.llm.SemIndex.dedupAgainst(in, idField, vectorField, indexURI)
+      case "ingest" => graft.llm.SemIndex.ingest(in, idField, vectorField, indexURI)
+      case other =>
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|ingest)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Ingest-side incremental dedup against a saved MinHash index: `filter`
   * keeps only rows with no exact or near duplicate in the indexed corpus;
   * `matches` outputs the (new_id, corpus_id, jaccard) match pairs instead.

@@ -738,6 +738,31 @@ class ConfigSpec extends SparkSpec {
     assert(reportKept == kept)
   }
 
+  test("SemIndexLoad + SemIndexDedupTransform run incremental embedding dedup from config cells") {
+    import spark.implicits._
+    def onehot(p: Int) = Seq.tabulate(8)(i => if (i == p % 8) 1f else 0f)
+    ((0L until 9L).map(id => (id, onehot((id % 3).toInt))))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("si_corpus")
+    Seq((100L, onehot(0)), (200L, onehot(5)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("si_batch")
+    val path = java.nio.file.Files.createTempDirectory("semidx_cfg").toString + "/idx"
+    val hocon =
+      s"""{stages: [
+        { type = "SemIndexLoad", name = "build", inputView = si_corpus,
+          outputURI = "$path", idField = vec_id, vectorField = embedding,
+          numClusters = 2 },
+        { type = "SemIndexDedupTransform", name = "ing", inputView = si_batch,
+          outputView = si_kept, indexURI = "$path", idField = vec_id,
+          vectorField = embedding, action = ingest }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val kept = spark.table("si_kept").select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(200L), kept.toString) // 100 is a copy of an indexed pattern
+    // the survivor was appended: it is now part of the index
+    val idx = spark.read.parquet(s"$path/vectors").select("id").as[Long].collect().toSet
+    assert(idx.contains(200L) && idx.intersect(Set(0L, 1L, 2L)).size == 3, idx.toString)
+  }
+
   test("HeavyHittersTransform estimates skewed keys within MG bounds from a config cell") {
     import spark.implicits._
     val n = 5000

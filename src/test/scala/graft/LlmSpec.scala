@@ -1690,6 +1690,86 @@ class SemDedupSpec extends SparkSpec {
   }
 }
 
+class SemIndexSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.llm.{Dedup, SemIndex}
+
+  // pattern p -> one-hot base vector (identical within a group, orthogonal
+  // across groups): near-dup structure is total within a pattern, zero
+  // across, so one-shot vs incremental parity is exact and assertable
+  private def vec(p: Int): Seq[Float] =
+    Seq.tabulate(8)(i => if (i == p % 8) 1f else 0f)
+
+  private def rows(ids: Seq[(Long, Int)]) =
+    ids.map { case (id, p) => (id, vec(p)) }.toDF("vec_id", "embedding")
+
+  test("batch ingest ≡ one-shot semDedup on the union corpus") {
+    val path = java.nio.file.Files.createTempDirectory("semidx").toString + "/idx"
+    // corpus: patterns 0..4, three copies each (ids 0..14) → kept = 0..4
+    val corpus = rows((0L until 15L).map(id => (id, (id % 5).toInt)))
+    SemIndex.write(corpus, "vec_id", "embedding", path, nclusters = 4, tau = 0.95)
+    val keptCorpus = spark.read.parquet(s"$path/vectors").select("id").as[Long].collect().toSet
+    assert(keptCorpus == Set(0L, 1L, 2L, 3L, 4L), keptCorpus.toString)
+
+    // batch: copies of patterns 0..2 (→ die against the index), a NEW
+    // pattern 6 twice (batch-internal dup → min id survives), pattern 7 once
+    val batch = rows(Seq((100L, 0), (101L, 1), (102L, 2), (200L, 6), (201L, 6), (300L, 7)))
+    val survivors = SemIndex.ingest(batch, "vec_id", "embedding", path)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(200L, 300L), survivors.toString)
+
+    // parity: incremental kept set == one-shot semDedup over the union
+    val oneShot = Dedup.semDedup(corpus.unionByName(batch), "vec_id", "embedding",
+      nclusters = 4, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val incremental = keptCorpus ++ survivors
+    assert(incremental == oneShot, s"incremental $incremental vs one-shot $oneShot")
+
+    // the ingest APPENDED the survivors: a second batch repeating pattern 6
+    // must now die against the index, and a fresh pattern still survives
+    val batch2 = rows(Seq((400L, 6), (500L, 3), (600L, 5)))
+    val s2 = SemIndex.ingest(batch2, "vec_id", "embedding", path)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s2 == Set(600L), s2.toString)
+  }
+
+  test("two sequential batches ≡ one combined batch") {
+    val p1 = java.nio.file.Files.createTempDirectory("semidx").toString + "/a"
+    val p2 = java.nio.file.Files.createTempDirectory("semidx").toString + "/b"
+    val corpus = rows((0L until 6L).map(id => (id, (id % 3).toInt)))
+    SemIndex.write(corpus, "vec_id", "embedding", p1, nclusters = 2, tau = 0.95)
+    SemIndex.write(corpus, "vec_id", "embedding", p2, nclusters = 2, tau = 0.95)
+    val b1 = rows(Seq((100L, 4), (101L, 0)))
+    val b2 = rows(Seq((200L, 4), (201L, 5)))
+    SemIndex.ingest(b1, "vec_id", "embedding", p1)
+    SemIndex.ingest(b2, "vec_id", "embedding", p1)
+    SemIndex.ingest(b1.unionByName(b2), "vec_id", "embedding", p2)
+    def keptAt(p: String) =
+      spark.read.parquet(s"$p/vectors").select("id").as[Long].collect().toSet
+    assert(keptAt(p1) == keptAt(p2), s"${keptAt(p1)} vs ${keptAt(p2)}")
+    // 100 survives (new pattern 4), 101 dies (pattern 0 indexed), 200 dies
+    // against 100's ingested copy, 201 survives (new pattern 5)
+    assert(keptAt(p1) == Set(0L, 1L, 2L, 100L, 201L), keptAt(p1).toString)
+  }
+
+  test("ingest fails fast on a foreign vectors layout") {
+    val path = java.nio.file.Files.createTempDirectory("semidx").toString + "/idx"
+    val corpus = rows(Seq((0L, 0), (1L, 1)))
+    SemIndex.write(corpus, "vec_id", "embedding", path, nclusters = 2)
+    val legacy = spark.read.parquet(s"$path/vectors").select("id", "_cluster")
+    val tmp = java.nio.file.Files.createTempDirectory("semidx").toString + "/rw"
+    legacy.write.partitionBy("_cluster").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$path/vectors"))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmp), new java.io.File(s"$path/vectors"))
+    val ex = intercept[IllegalArgumentException] {
+      SemIndex.ingest(rows(Seq((9L, 3))), "vec_id", "embedding", path)
+    }
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+  }
+}
+
 class HeavyHittersSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import graft.llm.HeavyHitters

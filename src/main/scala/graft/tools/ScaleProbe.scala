@@ -314,6 +314,40 @@ object ScaleProbe {
         graft.llm.IvfIndex.topK(queries, "id", "v", skewDir, k = 10, nprobe = 4).count()
       }
     }
+    // Index-backed hard negatives under list skew (r12 advice #7): the
+    // query batch's positives all pile into the hot inverted list (every
+    // query IS one of the 8 dense patterns), so per-query candidate sets
+    // hit the same giant partition. Cost must stay ≈ the uniform-corpus
+    // route: the k·headroom retrieval bound and the salted rerank absorb
+    // the hot list; the exclusion join is per-query-bounded either way.
+    if (anySelected(s"hardNegIndexed n=$n")) {
+      val mkLabelled = (vexpr: String) => spark.range(0, n).select(col("id"),
+        expr(vexpr).as("v"), pmod(col("id"), lit(16)).as("label"))
+      val uniform = mkLabelled(
+        "transform(sequence(1, 64), i -> CAST(((id % 997) * i) % 255 - 127 AS FLOAT) / 127.0F)")
+      val skew = mkLabelled(
+        "transform(sequence(1, 64), i -> CAST((((CASE WHEN id % 2 = 0 THEN id % 8 ELSE id % 997 END)) * i) % 255 - 127 AS FLOAT) / 127.0F)")
+      val du = "/tmp/graft_scaleprobe_hn_uniform"
+      val ds = "/tmp/graft_scaleprobe_hn_skew"
+      graft.llm.IvfIndex.write(uniform, "id", "v", du, nlist = 64) // untimed prep
+      graft.llm.IvfIndex.write(skew, "id", "v", ds, nlist = 64)
+      time(s"hardNegIndexed n=$n uniform batch=1000") {
+        val q = uniform.filter(pmod(col("id"), lit(n / 1000)) === 0)
+        graft.llm.Similarity.hardNegativesIndexed(
+          q, "id", "v", Seq("id", "label"), du, k = 8,
+          exclude = col("q_label") === col("neg_label"), nprobe = 4,
+          corpusMeta = Some((uniform, "id", Seq("id", "label")))).count()
+      }
+      time(s"hardNegIndexed n=$n 50%-hot-list batch=1000 (all queries dense patterns)") {
+        // n/1000 is even, so every sampled id is even → every query vector
+        // is one of the 8 dense patterns and every probe targets hot lists
+        val q = skew.filter(pmod(col("id"), lit(n / 1000)) === 0)
+        graft.llm.Similarity.hardNegativesIndexed(
+          q, "id", "v", Seq("id", "label"), ds, k = 8,
+          exclude = col("q_label") === col("neg_label"), nprobe = 4,
+          corpusMeta = Some((skew, "id", Seq("id", "label")))).count()
+      }
+    }
     if (anySelected("cmsMerge 100 segments 4x1024", "cmsMerge 1000 segments 4x1024")) {
       val d100 = cmsStore(100)
       val d1000 = cmsStore(1000)

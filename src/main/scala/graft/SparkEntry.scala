@@ -1693,6 +1693,22 @@ object SparkEntry {
       SpanDedup.dedupSpans(docs, "doc_id", "text", k = 8)
         .orderBy("doc_id")
     },
+    "q182_span_dedup_withindoc" -> withViews("documents") { (spark, ctx) =>
+      // Within-document repeated-run removal (SpanDedup.dedupSpansWithinDoc
+      // — the same-doc half of the suffix-array method): every fourth
+      // document gets its own first 10 tokens re-appended — a guaranteed
+      // within-doc duplicate run — which must be excised again (first
+      // occurrence kept), along with any ORGANIC within-doc repeats of the
+      // word-salad corpus. md5/integer-exact -> byte-for-byte oracle.
+      import graft.llm.SpanDedup
+      val toks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
+      val docs = ctx.view("documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" "), concat_ws(" ", slice(toks, 1, 10))))
+          .otherwise(col("text")).as("text"))
+      SpanDedup.dedupSpansWithinDoc(docs, "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -3936,6 +3952,56 @@ object SparkEntry {
         FROM ps, cum, tot
         WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
         GROUP BY p ORDER BY p""",
+    "q182_span_dedup_withindoc" ->
+      // same window-hash scaffolding as q180, but duplicated = >=2
+      // occurrences within ONE doc; first occurrence (min pos) kept. The
+      // salted tail is built in token space (list_concat of the first 10
+      // tokens) — identical to Spark's concat-then-renormalize
+      """WITH d0 AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0) AS arr0
+          FROM documents),
+        d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN list_concat(arr0, arr0[1:10])
+                      ELSE arr0 END AS arr
+          FROM d0),
+        g AS (
+          SELECT doc_id, pos, md5(array_to_string(arr[pos+1:pos+8], ' ')) AS h
+          FROM (SELECT doc_id, arr, unnest(range(0, len(arr) - 7)) AS pos
+                FROM d WHERE len(arr) >= 8)),
+        firsts AS (
+          SELECT doc_id, h, min(pos) AS fst, count(*) AS c
+          FROM g GROUP BY doc_id, h),
+        mk AS (
+          SELECT g.doc_id, g.pos FROM g JOIN firsts USING (doc_id, h)
+          WHERE c >= 2 AND g.pos <> fst),
+        rem AS (
+          SELECT DISTINCT doc_id, pos + u.off AS p
+          FROM mk CROSS JOIN (SELECT unnest(range(0, 8)) AS off) u),
+        remflag AS (
+          SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) = p - 1
+                      THEN 0 ELSE 1 END AS s
+          FROM rem),
+        remagg AS (
+          SELECT doc_id, count(*) AS n_removed, sum(s) AS n_spans
+          FROM remflag GROUP BY doc_id),
+        toks AS (
+          SELECT doc_id, unnest(arr) AS tok, unnest(range(0, len(arr))) AS pos FROM d),
+        keptagg AS (
+          SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+          FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.p
+          WHERE r.doc_id IS NULL GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(len(d.arr) AS BIGINT) AS n_tokens,
+               CAST(coalesce(ra.n_removed, 0) AS BIGINT) AS n_tokens_removed,
+               CAST(coalesce(ra.n_spans, 0) AS BIGINT) AS n_spans,
+               coalesce(ka.clean_text, '') AS clean_text
+        FROM d
+        LEFT JOIN remagg ra USING (doc_id)
+        LEFT JOIN keptagg ka USING (doc_id)
+        ORDER BY doc_id""",
     "q180_span_dedup" ->
       // the identical window-hash formulation: md5 over 8-token windows of
       // the whitespace-normalized token array, >=2 distinct docs -> dup,

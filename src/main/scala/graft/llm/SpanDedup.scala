@@ -73,10 +73,45 @@ object SpanDedup {
       .agg(count_distinct(col("doc_id")).as("_nd"), min(col("doc_id")).as("_keeper"))
       .filter(col("_nd") >= 2)
       .select("h", "_keeper")
-    // non-keeper occurrences → covered token positions (factor k on the
-    // duplicated volume only), then ONE small sorted array per doc
-    val removed = grams.join(dup, "h")
+    // non-keeper occurrences are the marked window starts
+    val marked = grams.join(dup, "h")
       .filter(col("doc_id") =!= col("_keeper"))
+      .select(col("doc_id"), col("pos"))
+    removeCovered(docs, marked, k)
+  }
+
+  /** Within-document repeated-run removal — the same-document half of the
+    * suffix-array method: every ≥ k-token run occurring ≥ 2 times INSIDE
+    * one document keeps its first occurrence (minimum start position);
+    * every later occurrence's windows are excised. Combines with
+    * [[dedupSpans]] for the full "no substring of ≥ k tokens appears
+    * twice" contract. Output schema identical to [[dedupSpans]].
+    *
+    * Shape: the (doc, pos, hash) explode + ONE aggregate keyed
+    * (doc, hash) — positions only, the text never travels.
+    */
+  def dedupSpansWithinDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 tokens, got $k")
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      tokArr(col(textCol)).as("_arr"))
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(windowHashes(col("_arr"), k)).as(Seq("pos", "h")))
+    val firsts = grams.groupBy("doc_id", "h")
+      .agg(min(col("pos")).as("_first"), count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2)
+    val marked = grams.join(firsts, Seq("doc_id", "h"))
+      .filter(col("pos") =!= col("_first"))
+      .select(col("doc_id"), col("pos"))
+    removeCovered(docs, marked, k)
+  }
+
+  /** Shared reconstruction: covered token positions from the marked window
+    * starts (factor k on the duplicated volume only), ONE small sorted
+    * array per doc, then a narrow index-filter rebuild + integer span
+    * arithmetic. */
+  private def removeCovered(docs: DataFrame, markedStarts: DataFrame, k: Int): DataFrame = {
+    val removed = markedStarts
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .distinct()
       .groupBy("doc_id")

@@ -92,10 +92,16 @@ final case class DeduplicateTransform(
         require(textField.nonEmpty, s"$name: span dedup needs textField")
         graft.llm.SpanDedup.dedupSpans(in, idField, textField,
           k = math.max(2, shingleLength))
+      case "spanWithinDoc" =>
+        // same-document half: runs occurring >= 2 times INSIDE one doc keep
+        // their first occurrence
+        require(textField.nonEmpty, s"$name: span dedup needs textField")
+        graft.llm.SpanDedup.dedupSpansWithinDoc(in, idField, textField,
+          k = math.max(2, shingleLength))
       case other =>
         throw new IllegalArgumentException(
           s"$name: unknown dedup method '$other' " +
-            "(exact|best|normalized|canonical|minhash|simhash|semantic|semanticReport|url|span)")
+            "(exact|best|normalized|canonical|minhash|simhash|semantic|semanticReport|url|span|spanWithinDoc)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

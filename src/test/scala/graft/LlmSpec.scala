@@ -384,6 +384,35 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_tokens") == 3L)
     assert(out(1).getAs[String]("clean_text") == "d e f")
   }
+
+  test("within-doc: a re-appended paragraph is excised once, first occurrence kept") {
+    val docs = Seq(
+      (1L, s"$para middle words $para"), // para repeated inside ONE doc
+      (2L, "no repeats in this document at all whatsoever today")
+    ).toDF("id", "text")
+    val out = SpanDedup.dedupSpansWithinDoc(docs, "id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens_removed") == 8L, out(0).toString)
+    assert(out(0).getAs[Long]("n_spans") == 1L)
+    assert(out(0).getAs[String]("clean_text") == s"$para middle words")
+    assert(out(1).getAs[Long]("n_tokens_removed") == 0L)
+  }
+
+  test("within-doc: periodic repetition collapses to one period") {
+    // 6 copies of a 4-token phrase, k=4: windows at every period repeat —
+    // only the first occurrence's tokens survive
+    val phrase = "w1 w2 w3 w4"
+    val docs = Seq((1L, Seq.fill(6)(phrase).mkString(" "))).toDF("id", "text")
+    val r = SpanDedup.dedupSpansWithinDoc(docs, "id", "text", k = 4).head()
+    assert(r.getAs[String]("clean_text") == phrase, r.toString)
+    assert(r.getAs[Long]("n_tokens_removed") == 20L)
+  }
+
+  test("within-doc is independent of cross-doc: two docs sharing a run are untouched") {
+    val docs = Seq((1L, s"$para one"), (2L, s"$para two")).toDF("id", "text")
+    val out = SpanDedup.dedupSpansWithinDoc(docs, "id", "text", k = 8).collect()
+    assert(out.forall(_.getAs[Long]("n_tokens_removed") == 0L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

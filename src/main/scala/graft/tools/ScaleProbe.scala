@@ -578,7 +578,8 @@ object ScaleProbe {
           queries, col("id"), Seq("id", "src"),
           corpus, col("id"), Seq("id", "src"),
           k = 8, poolSize = 10000, salt = "sp",
-          exclude = col("q_id") === col("neg_id") || col("q_src") === col("neg_src")
+          exclude = col("q_id") === col("neg_id") || col("q_src") === col("neg_src"),
+          corpusCount = Some(n.toLong) // known cardinality — no count job
         ).count()
       }
     }

@@ -847,7 +847,10 @@ final case class SampleTransform(
         require(cap > 0, s"$name: negative sampling needs cap > 0 (k negatives per query)")
         val corpus = ctx.view(corpusView)
         val carry = if (carryFields.nonEmpty) carryFields else Seq(keyField)
-        val poolSize = math.max(1, (rate * corpus.count()).toInt)
+        // count ONCE to size the pool, and hand the same n to
+        // negativeSample so it never re-counts the corpus
+        val nCorpus = corpus.count()
+        val poolSize = math.max(1, (rate * nCorpus).toInt)
         val excl = strataFields.headOption
           .map(f => col(s"q_$keyField") === col(s"neg_$keyField") ||
             col(s"q_$f") === col(s"neg_$f"))
@@ -855,7 +858,8 @@ final case class SampleTransform(
         Sampling.negativeSample(in, col(keyField),
           (carry ++ strataFields).distinct,
           corpus, col(keyField), (carry ++ strataFields).distinct,
-          k = cap, poolSize = poolSize, salt = salt, exclude = excl)
+          k = cap, poolSize = poolSize, salt = salt, exclude = excl,
+          corpusCount = Some(nCorpus))
       case "hardNegative" =>
         // ANN hard negatives: top-cosine non-positives per query row
         // (Similarity.hardNegatives); strataFields (optional, single) names

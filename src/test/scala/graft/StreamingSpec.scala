@@ -598,6 +598,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.size == 3)
   }
 
+  test("streaming language ID: the n-gram profile expression equals its batch result") {
+    // langid_ngram is a pure narrow expression (profiles ride inside) — it
+    // must run unchanged on a streaming frame and emit the batch labels.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("langidstream").toString
+    val rows = graft.llm.LangId.heldOutSentences.toSeq.sortBy(_._1)
+      .flatMap { case (l, ss) => ss.take(2).map(s => (l, s)) }
+      .zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
+    rows.toDF("id", "lang", "text").repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val pred = stream.withColumn("pred", graft.llm.LangId.languageIdNgram(col("text")))
+    assert(pred.isStreaming)
+    val q = pred.writeStream.format("memory").queryName("langid_stream_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("langid_stream_mem")
+      .select("id", "pred").as[(Long, String)].collect().toSet
+    val batch = spark.read.parquet(dir)
+      .withColumn("pred", graft.llm.LangId.languageIdNgram(col("text")))
+      .select("id", "pred").as[(Long, String)].collect().toSet
+    assert(streamed == batch && batch.size == rows.size)
+    // and the labels are the true languages, streaming or not
+    assert(spark.table("langid_stream_mem")
+      .filter(col("pred") =!= col("lang")).count() == 0)
+  }
+
+  test("streaming byte-fallback encode: total text->ids equals its batch result") {
+    // encodeIdsTotal = broadcast codebook (stream-static join) + narrow
+    // tokenize/byte-decompose expressions — the ids of a streaming frame
+    // must match batch, byte fallback included.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpetotalstream").toString
+    val docs = Seq((1L, "aa bb aa"), (2L, "aa 😀🌍 bb"), (3L, "zz aa"))
+    docs.toDF("id", "text").repartition(3).write.mode("overwrite").parquet(dir)
+    val train = Seq((0L, "aa bb aa bb")).toDF("id", "text")
+    val merges = Seq(("a", "a"), ("b", "b"))
+    val vocab = graft.llm.Bpe.vocabTotal(train, "text", merges)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val enc = graft.llm.Bpe.encodeIdsTotal(stream, "text", merges, vocab)
+    assert(enc.isStreaming)
+    val q = enc.writeStream.format("memory").queryName("bpetotal_stream_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("ids").cast("string"), col("n_fallback_tokens"))
+      .as[(Long, String, Long)].collect().toSet
+    val streamed = key(spark.table("bpetotal_stream_mem"))
+    val batch = key(graft.llm.Bpe.encodeIdsTotal(
+      spark.read.parquet(dir), "text", merges, vocab))
+    assert(streamed == batch && batch.size == 3)
+    assert(streamed.exists(_._3 > 0), "the emoji doc must exercise the byte fallback")
+  }
+
   test("streaming heavy hitters: micro-batch MG segments keep the bounds after compaction") {
     // The Misra–Gries leg of the segment-parity discipline (CMS/Bloom/LM/
     // histogram have theirs). MG is NOT linear — merged estimates depend on

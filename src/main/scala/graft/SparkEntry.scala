@@ -1709,6 +1709,27 @@ object SparkEntry {
       SpanDedup.dedupSpansWithinDoc(docs, "doc_id", "text", k = 8)
         .orderBy("doc_id")
     },
+    "q183_html_extract" -> withViews("documents") { (spark, ctx) =>
+      // HTML -> visible text (llm/HtmlText): per-doc synthetic pages wrap
+      // the document text with scripts/styles/comments/entities; the
+      // documented regex chain (Java ∩ RE2) must strip code blocks, keep
+      // title/heading/list text, decode entities one level, and normalize
+      // whitespace — byte-for-byte reproducible in DuckDB (the q159 URL
+      // discipline: cross-engine regex parity IS the check).
+      import graft.llm.HtmlText
+      val html = concat(
+        lit("<html><head><title>Title</title><style type=\"text/css\">p { color: red; }</style>"),
+        lit("<script>if (a < b && c > d) { run(\"x\"); }</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><ul><li>A&amp;B</li><li>x &lt; y</li></ul><!-- hidden --></body></html>"))
+      ctx.view("documents")
+        .select(col("doc_id"), html.as("_html"))
+        .select(col("doc_id"),
+          HtmlText.extractText(col("_html")).as("text_extracted"))
+        .withColumn("n_chars_extracted", length(col("text_extracted")).cast("long"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -3952,6 +3973,32 @@ object SparkEntry {
         FROM ps, cum, tot
         WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
         GROUP BY p ORDER BY p""",
+    "q183_html_extract" ->
+      // the identical regex chain in RE2 ('g' = global, matching Spark's
+      // always-global regexp_replace); entity decode order preserved so
+      // &amp;lt; decodes one level only
+      """WITH h AS (
+          SELECT doc_id,
+                 '<html><head><title>Title</title><style type="text/css">p { color: red; }</style>'
+                 || '<script>if (a < b && c > d) { run("x"); }</script></head><body><h1>Doc '
+                 || CAST(doc_id AS VARCHAR)
+                 || '</h1><p>' || text
+                 || '</p><ul><li>A&amp;B</li><li>x &lt; y</li></ul><!-- hidden --></body></html>'
+                 AS html
+          FROM documents),
+        s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+        e AS (SELECT doc_id,
+                replace(replace(replace(replace(replace(replace(replace(t,
+                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t
+              FROM s4)
+        SELECT doc_id,
+               trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_extracted,
+               CAST(len(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_extracted
+        FROM e ORDER BY doc_id""",
     "q182_span_dedup_withindoc" ->
       // same window-hash scaffolding as q180, but duplicated = >=2
       // occurrences within ONE doc; first occurrence (min pos) kept. The

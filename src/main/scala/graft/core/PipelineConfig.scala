@@ -369,6 +369,11 @@ object PipelineConfig {
         byteFallback = o.bool("byteFallback"),
         idsField = o.str("idsField", "ids"),
         persist = o.bool("persist"))
+    case "HtmlTextTransform" =>
+      HtmlTextTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        htmlField = o.req("htmlField"),
+        outputField = o.str("outputField", "text_extracted"),
+        persist = o.bool("persist"))
     case "LangIdTransform" =>
       LangIdTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"), method = o.str("method", "ngram"),

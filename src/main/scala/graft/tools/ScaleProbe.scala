@@ -619,6 +619,17 @@ object ScaleProbe {
           .agg(sum("n_tokens_removed")).collect().head.getLong(0)
       }
     }
+    // HTML extraction: a pure regexp_replace chain — must run at scan
+    // speed like the line filter (the regex engine is the whole cost).
+    if (anySelected(s"htmlExtract n=$n")) {
+      time(s"htmlExtract n=$n") {
+        graft.llm.HtmlText.htmlToText(
+          docs.select(col("id"),
+            concat(lit("<html><head><style>p{}</style><script>a < b && c;</script></head><body><p>"),
+              col("text"), lit("</p><!-- c --></body></html>")).as("h")), "h")
+          .agg(sum("text_extracted_chars")).collect().head.getLong(0)
+      }
+    }
     // n-gram language ID: narrow codegen'd expression with broadcast-free
     // reference profiles — must be scan-bound like the other per-row text
     // expressions (profile cost is per row: gram count + 10 rank sums).

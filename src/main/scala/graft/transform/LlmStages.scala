@@ -1105,6 +1105,26 @@ final case class TokenizerTransform(
   }
 }
 
+/** HTML → visible text behind the config surface —
+  * [[graft.llm.HtmlText]]: strips script/style/comment blocks and tags,
+  * decodes core entities, normalizes whitespace; appends the extracted
+  * text and its length. One narrow codegen'd projection.
+  */
+final case class HtmlTextTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    htmlField: String,
+    outputField: String = "text_extracted",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "HtmlTextTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val out = graft.llm.HtmlText.htmlToText(ctx.view(inputView), htmlField, outputField)
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Language identification behind the config surface. `method=ngram` is
   * the real classifier — character-n-gram rank profiles
   * ([[graft.llm.LangId]], the public TextCat method), a narrow codegen'd

@@ -458,6 +458,21 @@ class ConfigSpec extends SparkSpec {
     assert(hits == Set((1L, "secret benchmark passage")))
   }
 
+  test("HtmlTextTransform extracts visible text from a config cell") {
+    import spark.implicits._
+    Seq((1L, "<p>hello <b>world</b></p><script>x<1</script>"))
+      .toDF("doc_id", "html").createOrReplaceTempView("ht_in")
+    val hocon =
+      """{stages: [
+        { type = "HtmlTextTransform", name = "ht", inputView = ht_in,
+          outputView = ht_out, htmlField = html }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val r = spark.table("ht_out").head()
+    assert(r.getAs[String]("text_extracted") == "hello world")
+    assert(r.getAs[Long]("text_extracted_chars") == 11L)
+  }
+
   test("LangIdTransform classifies with ngram profiles and the stopword fallback from a config cell") {
     import spark.implicits._
     Seq(

@@ -415,6 +415,123 @@ class SpanDedupSpec extends SparkSpec {
   }
 }
 
+class HtmlTextSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.HtmlText
+
+  private def extract(html: String): String =
+    Seq(Tuple1(html)).toDF("h").select(HtmlText.extractText(col("h"))).head.getString(0)
+
+  test("scripts, styles and comments vanish; tags separate words; entities decode") {
+    val html =
+      """<html><head><title>T</title><style type="text/css">p { color: red; }</style>
+        |<script>if (a < b && c > d) { run("x"); }</script></head>
+        |<body><h1>Heading</h1><p>one</p><p>two</p>
+        |<table><tr><td>cell1</td><td>cell2</td></tr></table>
+        |<ul><li>A&amp;B</li><li>x &lt; y &gt; z</li><li>&quot;q&quot; &#39;a&#39; &apos;b&apos;</li></ul>
+        |<!-- hidden --> tail&nbsp;words</body></html>""".stripMargin
+    assert(extract(html) ==
+      "T Heading one two cell1 cell2 A&B x < y > z \"q\" 'a' 'b' tail words")
+  }
+
+  test("double-encoded entities decode one level only (&amp;lt; -> &lt;, never <)") {
+    assert(extract("<p>&amp;lt;tag&amp;gt;</p>") == "&lt;tag&gt;")
+  }
+
+  test("malformed HTML degrades deterministically") {
+    // unclosed script: the opening tag strips as a tag, content stays
+    assert(extract("<script>var x = 1; no closing tag") == "var x = 1; no closing tag")
+    // a bare < with a LATER > parses as one tag (both engines, documented);
+    // a < with no following > stays verbatim
+    assert(extract("a < b and c > d") == "a d")
+    assert(extract("a < b and no close") == "a < b and no close")
+    assert(extract("") == "")
+  }
+
+  test("htmlToText appends the extracted column and its length") {
+    val out = HtmlText.htmlToText(
+      Seq((1L, "<p>five  chars</p>")).toDF("id", "h"), "h")
+    val r = out.head()
+    assert(r.getAs[String]("text_extracted") == "five chars")
+    assert(r.getAs[Long]("text_extracted_chars") == 10L)
+  }
+
+  test("matches an independent straight-line reference on generated HTML") {
+    // independent implementation: an indexOf/char-walk extractor written
+    // without regexes — divergence means the regex chain does not do what
+    // the contract says
+    def ref(html: String): String = {
+      def dropBlocks(s: String, open: String, close: String): String = {
+        val sb = new StringBuilder
+        var i = 0
+        val lower = s.toLowerCase
+        while (i < s.length) {
+          if (lower.startsWith(open, i)) {
+            // the opening tag must close with '>' before the block ends
+            val tagEnd = s.indexOf('>', i)
+            val blockEnd = lower.indexOf(close, i)
+            val closeEnd = if (blockEnd < 0) -1 else s.indexOf('>', blockEnd)
+            if (tagEnd >= 0 && blockEnd > tagEnd && closeEnd >= 0 &&
+              !s.substring(i + 1, tagEnd).contains('>')) {
+              sb.append(' '); i = closeEnd + 1
+            } else { sb.append(s.charAt(i)); i += 1 }
+          } else { sb.append(s.charAt(i)); i += 1 }
+        }
+        sb.toString
+      }
+      def dropComments(s: String): String = {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          if (s.startsWith("<!--", i)) {
+            val end = s.indexOf("-->", i + 4)
+            if (end >= 0) { sb.append(' '); i = end + 3 }
+            else { sb.append(s.charAt(i)); i += 1 }
+          } else { sb.append(s.charAt(i)); i += 1 }
+        }
+        sb.toString
+      }
+      def dropTags(s: String): String = {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          if (s.charAt(i) == '<') {
+            val end = s.indexOf('>', i)
+            if (end >= 0) { sb.append(' '); i = end + 1 }
+            else { sb.append(s.charAt(i)); i += 1 }
+          } else { sb.append(s.charAt(i)); i += 1 }
+        }
+        sb.toString
+      }
+      val t = dropTags(dropComments(dropBlocks(dropBlocks(html,
+        "<script", "</script"), "<style", "</style")))
+        .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&#39;", "'").replace("&apos;", "'")
+        .replace("&amp;", "&")
+      t.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    }
+    val tags = Seq("<p>", "</p>", "<div class=\"a\">", "</div>", "<br/>", "<LI>", "</li>")
+    val words = Seq("alpha", "beta", "x&amp;y", "a&lt;b", "&quot;", "&nbsp;", "q&#39;r", "&amp;lt;")
+    val blocks = Seq("<script>var a < b;</script>", "<style>p{}</style>",
+      "<!-- c -->", "<SCRIPT a=\"1\">x</SCRIPT>", "<script>unclosed")
+    val rng = new scala.util.Random(13)
+    val htmls = (0 until 120).map { _ =>
+      (0 until rng.nextInt(12)).map { _ =>
+        rng.nextInt(3) match {
+          case 0 => tags(rng.nextInt(tags.length))
+          case 1 => words(rng.nextInt(words.length))
+          case 2 => blocks(rng.nextInt(blocks.length))
+        }
+      }.mkString(" ")
+    }
+    val got = htmls.toDF("h").select(HtmlText.extractText(col("h")))
+      .collect().map(_.getString(0))
+    htmls.zip(got).foreach { case (h, g) =>
+      assert(g == ref(h), s"divergence on: $h\n  got: $g\n  ref: ${ref(h)}")
+    }
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 

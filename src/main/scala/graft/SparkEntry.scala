@@ -1473,14 +1473,23 @@ object SparkEntry {
       import spark.implicits._
       val docs = ctx.view("documents").select(col("doc_id"), col("text"))
       val merges = bpeMerges(docs, dir)
-      val v = Bpe.vocab(docs, "text", merges)
-      val rev = v.select("id", "token").as[(Long, String)].collect().toMap
-      val revDf = Seq(Tuple1(rev)).toDF("_rmap")
+      // vocab collected once and re-used as a LOCAL frame: encodeIds'
+      // collect and the reverse map below would otherwise each re-run the
+      // corpus-wide vocab aggregation
+      val vRows = Bpe.vocab(docs, "text", merges)
+        .select("token", "id", "freq").as[(String, Long, Long)].collect().toSeq
+      val v = vRows.toDF("token", "id", "freq")
+      // reverse lookup as an ARRAY indexed by the contiguous ids — O(1)
+      // per id (element_at on a MAP column linear-scans its keys per
+      // lookup, measured dominant at vocab size)
+      val revArr = vRows.sortBy(_._2).map(_._1)
+      val revDf = Seq(Tuple1(revArr)).toDF("_rarr")
       Bpe.encodeIds(docs, "text", merges, v)
         .crossJoin(broadcast(revDf))
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           (col("n_oov") === 0 &&
-            concat_ws("", transform(col("ids"), i => element_at(col("_rmap"), i))) ===
+            concat_ws("", transform(col("ids"),
+              i => element_at(col("_rarr"), (i + 1L).cast("int")))) ===
               regexp_replace(col("text"), "\\s+", "")).as("ok"))
         .orderBy("doc_id")
     },
@@ -1635,9 +1644,15 @@ object SparkEntry {
       // fallback route was actually taken, and n_oov == 0 (structural —
       // encodeIdsTotal cannot produce a -1).
       import graft.llm.Bpe
+      import spark.implicits._
       val docs = ctx.view("documents").select(col("doc_id"), col("text"))
       val merges = bpeMerges(docs, dir)
+      // vocab is collected by BOTH encodeIdsTotal and decodeIds — pin it as
+      // a LOCAL frame (vocab-bounded) so the corpus-wide vocab aggregation
+      // runs once, not once per consumer
       val v = Bpe.vocabTotal(docs, "text", merges)
+        .select("token", "id", "freq").as[(String, Long, Long)].collect().toSeq
+        .toDF("token", "id", "freq")
       val salt = " 😀🌍 漢字テスト κόσμε"
       val salted = docs.withColumn("text2", concat(col("text"), lit(salt)))
       Bpe.encodeIdsTotal(salted, "text2", merges, v)

@@ -193,6 +193,145 @@ object Utf8ByteIdsExpr {
   }
 }
 
+/** Encode a token array to vocab ids with O(1) lookups: the learned-token
+  * map rides as a reference object (java HashMap — constant-time probes),
+  * replacing the broadcast-map formulation whose `element_at` on a map
+  * column LINEAR-SCANS the keys per token (measured dominant in the
+  * text→ids path at real vocab sizes). With `byteFallback` an
+  * out-of-vocabulary token decomposes to its UTF-8 bytes (ids 0..255 —
+  * the [[graft.llm.Bpe.encodeIdsTotal]] total contract); without, it
+  * encodes as −1 (the legacy [[graft.llm.Bpe.encodeIds]] contract).
+  */
+case class BpeEncodeIdsExpr(child: Expression, learnedVocab: Seq[(String, Long)],
+    byteFallback: Boolean) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_encode_ids requires array<string>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val encoder = new BpeIdEncoder(learnedVocab, byteFallback)
+
+  override def nullSafeEval(toks: Any): Any =
+    encoder.encode(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeIdEncoder", encoder, classOf[BpeIdEncoder].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode_ids"
+}
+
+/** Count of tokens NOT in the learned vocab — `n_fallback_tokens` for the
+  * total encoder (not recoverable from the id array: one fallback token
+  * becomes several byte ids). Same reference-object map, same O(tokens)
+  * pass. */
+case class BpeOovCountExpr(child: Expression, learnedVocab: Seq[(String, Long)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_oov_count requires array<string>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val encoder = new BpeIdEncoder(learnedVocab, byteFallback = true)
+
+  override def nullSafeEval(toks: Any): Any =
+    encoder.oovCount(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeIdEncoder", encoder, classOf[BpeIdEncoder].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.oovCount($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_oov_count"
+}
+
+/** The encode kernel: one HashMap probe per token; two passes (size, then
+  * fill) when byte fallback expands tokens. */
+final class BpeIdEncoder(learnedVocab: Seq[(String, Long)], byteFallback: Boolean)
+    extends Serializable {
+
+  private val map: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    learnedVocab.foreach { case (t, id) => m.put(t, id) }
+    m
+  }
+
+  def encode(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    var len = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val id = map.get(t.toString)
+      len += (if (id != null || !byteFallback) 1 else t.numBytes())
+      i += 1
+    }
+    val out = new Array[Long](len)
+    var p = 0
+    i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val id = map.get(t.toString)
+      if (id != null) { out(p) = id.longValue(); p += 1 }
+      else if (!byteFallback) { out(p) = -1L; p += 1 }
+      else {
+        val bts = t.getBytes
+        var j = 0
+        while (j < bts.length) { out(p) = bts(j) & 0xFFL; p += 1; j += 1 }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def oovCount(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (map.get(toks.getUTF8String(i).toString) == null) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+object BpeEncodeIdsExpr {
+  /** Column-level constructors (classic-session bridge). */
+  def bpe_encode_ids(tokens: Column, learnedVocab: Seq[(String, Long)],
+      byteFallback: Boolean): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      BpeEncodeIdsExpr(GraftColumnBridge.expression(tokens), learnedVocab, byteFallback))
+  }
+  def bpe_oov_count(tokens: Column, learnedVocab: Seq[(String, Long)]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      BpeOovCountExpr(GraftColumnBridge.expression(tokens), learnedVocab))
+  }
+}
+
 /** Decode a byte-fallback id array back to its string: ids < 256 append
   * that raw byte, ids ≥ 256 append the UTF-8 bytes of learned token
   * `id − 256`; the byte buffer then reads back as one UTF-8 string. The

@@ -131,25 +131,23 @@ object Bpe {
       .select("token", "id", "freq")
   }
 
-  /** Encode documents to id arrays against a vocab table: tokens map
-    * through a broadcast token→id map riding as DATA (single-row cross
-    * join, the codebook pattern — a literal map would blow the codegen
-    * constant pool at real vocab sizes). Out-of-vocabulary tokens encode
-    * as −1 (a corpus encoded against its own [[vocab]] has none). Output:
-    * input columns + `ids` (array<long>) + `n_tokens` + `n_oov`.
+  /** Encode documents to id arrays against a vocab table: the collected
+    * (vocab-bounded) token→id table rides inside a native expression as a
+    * reference-object HashMap ([[graft.functions.BpeEncodeIdsExpr]]) —
+    * O(1) probes per token. (A literal map column would blow the codegen
+    * constant pool, and `element_at` on a broadcast MAP column
+    * linear-scans the keys per token — measured dominant at real vocab
+    * sizes.) Out-of-vocabulary tokens encode as −1 (a corpus encoded
+    * against its own [[vocab]] has none). Output: input columns + `ids`
+    * (array<long>) + `n_tokens` + `n_oov`.
     */
   def encodeIds(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], vocabDf: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val entries = vocabDf.select("token", "id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val mapDf = Seq(Tuple1(entries.toMap)).toDF("_vmap")
-    df.crossJoin(broadcast(mapDf))
-      .withColumn("ids",
-        transform(tokenize(col(textCol), merges),
-          t => coalesce(element_at(col("_vmap"), t), lit(-1L))))
-      .drop("_vmap")
+    df.withColumn("ids",
+        graft.functions.BpeEncodeIdsExpr.bpe_encode_ids(
+          tokenize(col(textCol), merges), entries, byteFallback = false))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
       .withColumn("n_oov",
         size(filter(col("ids"), i => i === -1L)).cast("long"))
@@ -188,35 +186,25 @@ object Bpe {
     * unseen-domain data: unseen emoji/CJK cost bytes instead of silently
     * disappearing into −1.
     *
-    * Same scale shape as [[encodeIds]] (broadcast codebook + one narrow
-    * codegen'd projection; the byte decomposition is
-    * [[graft.functions.Utf8ByteIdsExpr]], zero shuffles). Output: input
-    * columns + `ids` + `n_tokens` (post-fallback id count) + `n_oov`
-    * (structural 0) + `n_fallback_tokens` (subword tokens that took the
-    * byte route).
+    * Same scale shape as [[encodeIds]] (reference-object HashMap inside a
+    * native expression — O(1) probes, one narrow codegen'd projection,
+    * zero shuffles; [[graft.functions.Utf8ByteIdsExpr]] exposes the bare
+    * byte decomposition standalone). Output: input columns + `ids` +
+    * `n_tokens` (post-fallback id count) + `n_oov` (structural 0) +
+    * `n_fallback_tokens` (subword tokens that took the byte route).
     *
     * `vocabDf` must use the [[vocabTotal]] id layout (learned ids ≥ 256).
     */
   def encodeIdsTotal(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], vocabDf: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val entries = vocabDf.filter(col("id") >= 256L).select("token", "id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     require(entries.forall(_._2 >= 256L), "learned vocab ids must be >= 256")
-    val mapDf = Seq(Tuple1(entries.toMap)).toDF("_vmap")
-    val lookup = (t: Column) => element_at(col("_vmap"), t)
-    df.crossJoin(broadcast(mapDf))
-      .withColumn("_toks", tokenize(col(textCol), merges))
-      .withColumn("ids",
-        flatten(transform(col("_toks"), t =>
-          when(lookup(t).isNotNull, array(lookup(t)).cast("array<bigint>"))
-            .otherwise(
-              graft.functions.Utf8ByteIdsExpr.utf8_byte_ids(t)
-                .cast("array<bigint>")))))
-      .withColumn("n_fallback_tokens",
-        size(filter(col("_toks"), t => lookup(t).isNull)).cast("long"))
-      .drop("_vmap", "_toks")
+    import graft.functions.BpeEncodeIdsExpr.{bpe_encode_ids, bpe_oov_count}
+    df.withColumn("_toks", tokenize(col(textCol), merges))
+      .withColumn("ids", bpe_encode_ids(col("_toks"), entries, byteFallback = true))
+      .withColumn("n_fallback_tokens", bpe_oov_count(col("_toks"), entries))
+      .drop("_toks")
       .withColumn("n_tokens", size(col("ids")).cast("long"))
       .withColumn("n_oov",
         size(filter(col("ids"), i => i < 0L)).cast("long"))

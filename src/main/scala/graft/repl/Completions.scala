@@ -101,6 +101,18 @@ object Completions {
     Completion("OutlierTransform",
       "{type = \"OutlierTransform\", name = \"screen\", inputView = \"docs\", outputView = \"flagged\",\n" +
         " valueField = \"n_chars\", groupFields = [\"source\"], mode = \"flag\", k = 3.5}"),
+    Completion("LangIdTransform",
+      "{type = \"LangIdTransform\", name = \"langid\", inputView = \"docs\", outputView = \"labelled\",\n" +
+        " textField = \"text\", method = \"ngram\"}"),
+    Completion("HtmlTextTransform",
+      "{type = \"HtmlTextTransform\", name = \"html\", inputView = \"pages\", outputView = \"texts\",\n" +
+        " htmlField = \"html\"}"),
+    Completion("SemIndexLoad",
+      "{type = \"SemIndexLoad\", name = \"semidx\", inputView = \"corpus\", outputURI = \"/path/sem\",\n" +
+        " idField = \"id\", vectorField = \"embedding\", numClusters = 64, threshold = 0.95}"),
+    Completion("SemIndexDedupTransform",
+      "{type = \"SemIndexDedupTransform\", name = \"ingest\", inputView = \"batch\", outputView = \"kept\",\n" +
+        " indexURI = \"/path/sem\", idField = \"id\", vectorField = \"embedding\", action = \"ingest\"}"),
     Completion("%explain", "%explain viewName mode=formatted"),
     Completion("%version", "%version"),
     Completion("%help", "%help")

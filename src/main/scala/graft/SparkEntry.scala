@@ -1745,6 +1745,50 @@ object SparkEntry {
         .withColumn("n_chars_extracted", length(col("text_extracted")).cast("long"))
         .orderBy("doc_id")
     },
+    "q184_crawl_curation" -> withViews("documents") { (spark, ctx) =>
+      // END-TO-END web-crawl curation as ONE oracle-checked query,
+      // composing the r13 operators: synthetic HTML pages with SHARED nav/
+      // footer chrome (real boilerplate) -> HtmlText extraction -> cross-
+      // doc span dedup (k=8 strips the chrome from all but the min doc,
+      // plus any organic shared runs) -> per-source MAD screen on the
+      // POST-dedup kept-token count -> deterministic 80/10/10 hash split.
+      // regex/md5/quantile-exact end to end: DuckDB reproduces the
+      // surviving rows, their token accounting and split labels
+      // byte-for-byte — the composed path is pinned, not just its pieces.
+      import graft.llm.{HtmlText, RobustStats, Sampling, SpanDedup}
+      val docs = ctx.view("documents")
+      val pages = docs.select(col("doc_id"), col("source"),
+        concat(
+          lit("<html><head><title>Page</title><style>nav{color:red}</style>" +
+            "<script>track(1 < 2);</script></head><body>"),
+          lit("<nav>home products pricing docs blog careers about contact login signup</nav><p>"),
+          col("text"),
+          lit("</p><footer>copyright acme corp all rights reserved privacy terms cookies</footer></body></html>")
+        ).as("html"))
+      // both pins are load-bearing: texts feeds THREE scans (grams,
+      // reconstruction, source re-attach) that would each re-run the
+      // 7-regex extraction chain, and the dedup stats feed FOUR downstream
+      // jobs (madStats' two quantile passes, the outlier join, the final
+      // projection) that would each re-run the whole span dedup
+      // (measured 15.4 s unpinned → 7.2 s at sf0.1)
+      val texts = graft.core.Lineage.pin(
+        pages.select(col("doc_id"), col("source"),
+          HtmlText.extractText(col("html")).as("text2")))
+      val deduped = graft.core.Lineage.pin(
+        SpanDedup.dedupSpans(texts, "doc_id", "text2", k = 8)
+          .join(texts.select("doc_id", "source"), Seq("doc_id"))
+          .withColumn("n_kept_tokens", col("n_tokens") - col("n_tokens_removed"))
+          .drop("clean_text"))
+      val screened = RobustStats.madOutliers(
+        deduped, Seq("source"), col("n_kept_tokens"), k = 3.0)
+        .filter(!col("is_outlier"))
+        .select("doc_id", "source", "n_tokens", "n_tokens_removed", "n_kept_tokens")
+      Sampling.hashSplit(screened, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "wc")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("n_tokens_removed"), col("n_kept_tokens"), col("split"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -3988,6 +4032,69 @@ object SparkEntry {
         FROM ps, cum, tot
         WHERE cum >= CEIL(p * CAST(n AS DOUBLE))
         GROUP BY p ORDER BY p""",
+    "q184_crawl_curation" -> {
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = f"${math.round(cum(0) * 0xffffffffL)}%08x"
+      val t2 = f"${math.round(cum(1) * 0xffffffffL)}%08x"
+      s"""WITH h AS (
+          SELECT doc_id, source,
+                 '<html><head><title>Page</title><style>nav{color:red}</style><script>track(1 < 2);</script></head><body>'
+                 || '<nav>home products pricing docs blog careers about contact login signup</nav><p>'
+                 || text
+                 || '</p><footer>copyright acme corp all rights reserved privacy terms cookies</footer></body></html>'
+                 AS html
+          FROM documents),
+        x1 AS (SELECT doc_id, source, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        x2 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM x1),
+        x3 AS (SELECT doc_id, source, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM x2),
+        x4 AS (SELECT doc_id, source, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM x3),
+        xe AS (SELECT doc_id, source,
+                replace(replace(replace(replace(replace(replace(replace(t,
+                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t
+              FROM x4),
+        d AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(trim(t), '\\s+'), w -> len(w) > 0) AS arr
+          FROM xe),
+        g AS (
+          SELECT doc_id, pos, md5(array_to_string(arr[pos+1:pos+8], ' ')) AS h
+          FROM (SELECT doc_id, arr, unnest(range(0, len(arr) - 7)) AS pos
+                FROM d WHERE len(arr) >= 8)),
+        dup AS (
+          SELECT h, min(doc_id) AS keeper FROM g
+          GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        rem AS (
+          SELECT DISTINCT g.doc_id, g.pos + u.off AS p
+          FROM g JOIN dup USING (h)
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS off) u
+          WHERE g.doc_id <> dup.keeper),
+        remagg AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+        kept AS (
+          SELECT d.doc_id, d.source,
+                 CAST(len(d.arr) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(ra.n_removed, 0) AS BIGINT) AS n_tokens_removed,
+                 CAST(len(d.arr) - coalesce(ra.n_removed, 0) AS BIGINT) AS n_kept_tokens
+          FROM d LEFT JOIN remagg ra USING (doc_id)),
+        med AS (
+          SELECT source, quantile_cont(CAST(n_kept_tokens AS DOUBLE), 0.5) AS median
+          FROM kept GROUP BY source),
+        mad AS (
+          SELECT k.source,
+                 quantile_cont(abs(CAST(k.n_kept_tokens AS DOUBLE) - m.median), 0.5) AS mad
+          FROM kept k JOIN med m USING (source) GROUP BY k.source),
+        screened AS (
+          SELECT k.*
+          FROM kept k JOIN med m USING (source) JOIN mad a ON k.source = a.source
+          WHERE NOT (CASE WHEN a.mad > 0
+            THEN abs((CAST(k.n_kept_tokens AS DOUBLE) - m.median) / (1.4826 * a.mad)) > 3.0
+            ELSE FALSE END))
+        SELECT doc_id, source, n_tokens, n_tokens_removed, n_kept_tokens,
+               CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'wc'), 1, 8) < '$t1' THEN 'train'
+                    WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'wc'), 1, 8) < '$t2' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM screened ORDER BY doc_id"""
+    },
     "q183_html_extract" ->
       // the identical regex chain in RE2 ('g' = global, matching Spark's
       // always-global regexp_replace); entity decode order preserved so

@@ -2250,6 +2250,17 @@ class BpeSpec extends SparkSpec {
     assert(r3.getAs[String]("decoded") == "")
   }
 
+  test("utf8_byte_ids exposes the exact UTF-8 byte decomposition (fallback building block)") {
+    val out = Seq(("A", 1L), ("é", 2L), ("😀", 3L), ("", 4L))
+      .toDF("t", "id").orderBy("id")
+      .select(graft.functions.Utf8ByteIdsExpr.utf8_byte_ids(col("t")))
+      .as[Seq[Long]].collect()
+    assert(out(0) == Seq(0x41L))
+    assert(out(1) == Seq(0xC3L, 0xA9L))
+    assert(out(2) == Seq(0xF0L, 0x9FL, 0x98L, 0x80L))
+    assert(out(3) == Seq.empty)
+  }
+
   test("decodeIds: out-of-vocab id decodes to NULL, never a wrong string") {
     val train = Seq((0L, "aa")).toDF("id", "text")
     val v = Bpe.vocabTotal(train, "text", Seq(("a", "a")))

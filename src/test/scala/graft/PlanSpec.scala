@@ -401,4 +401,31 @@ class PlanSpec extends SparkSpec {
       graft.llm.Sampling.groupCap(orders, Seq("o_orderpriority"), Seq(col("o_orderkey")), 50))
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("html extract / langid / total-encode are single-stage projections: zero exchanges") {
+    // the whole-text expressions must price like a scan — any Exchange in
+    // these plans means a narrow op silently grew a shuffle
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val html = formatted(graft.llm.HtmlText.htmlToText(
+      docs.select(col("doc_id"), col("text").as("h")), "h"))
+    assert(!html.contains("Exchange"), html)
+    val lang = formatted(docs.select(graft.llm.LangId.languageIdNgram(col("text"))))
+    assert(!lang.contains("Exchange"), lang)
+    val enc = formatted(graft.llm.Bpe.encodeIdsTotal(
+      docs, "text", Seq(("a", "b")),
+      graft.llm.Bpe.vocabTotal(docs.limit(20), "text", Seq(("a", "b")))))
+    assert(!enc.contains("Exchange"), enc)
+  }
+
+  test("span dedup plans equi-joins only — no cartesian, grams built in-row") {
+    // the window-hash formulation must never plan a cross product (dup
+    // matching is the hash equi-join) and the gram construction must be a
+    // generator over an in-row transform, not a per-doc window
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = formatted(graft.llm.SpanDedup.dedupSpans(docs, "doc_id", "text", k = 8))
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.toLowerCase.contains("window"), "no window operator expected:\n" + plan)
+  }
 }

@@ -1679,8 +1679,9 @@ object SparkEntry {
       val enFrac = broadcast(ctx.view("documents").agg(
         avg(when(LangId.languageIdNgram(col("text")) === "en", 1.0)
           .otherwise(0.0)).as("_en_frac")))
-      val sents = LangId.heldOutSentences.toSeq.sortBy(_._1)
-        .flatMap { case (l, ss) => ss.map(s => (l, s)) }
+      val sents = (LangId.heldOutSentences.toSeq.sortBy(_._1)
+        .flatMap { case (l, ss) => ss.map(s => (l, s)) } ++
+        LangId.scriptExamples.toSeq.sortBy(_._1)) // script-gated languages
         .zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
         .toDF("sent_id", "lang_true", "text")
       sents

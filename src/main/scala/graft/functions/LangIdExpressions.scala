@@ -156,18 +156,79 @@ final class LangIdScorer(
   }
 
   /** Best language for `text`, `und` when no letters survive
-    * normalization. Ties break by language code (deterministic). */
+    * normalization. Ties break by language code (deterministic).
+    *
+    * Non-Latin scripts are decided by SCRIPT, not n-grams (the standard
+    * langid architecture: script identification first, statistical models
+    * only within a script): when > 50% of the sampled letters sit in one
+    * detectable non-Latin script, the script's dominant language is
+    * returned directly — zh/ja/ko (ja when kana accompanies the Han
+    * ideographs), ru, el, ar, he, hi, th. This is the documented
+    * dominant-language-per-script approximation; separating languages
+    * WITHIN such a script (ru vs uk, ar vs fa) takes trained profiles,
+    * added exactly like the Latin seed corpora.
+    */
   def classify(text: String): String = {
-    val doc = profile(text)
-    if (doc.isEmpty) return "und"
-    var best = 0
-    var bestD = Long.MaxValue
-    var i = 0
-    while (i < langs.length) {
-      val d = distance(doc, i)
-      if (d < bestD || (d == bestD && langs(i) < langs(best))) { best = i; bestD = d }
-      i += 1
+    scriptGate(text) match {
+      case null =>
+        val doc = profile(text)
+        if (doc.isEmpty) return "und"
+        var best = 0
+        var bestD = Long.MaxValue
+        var i = 0
+        while (i < langs.length) {
+          val d = distance(doc, i)
+          if (d < bestD || (d == bestD && langs(i) < langs(best))) { best = i; bestD = d }
+          i += 1
+        }
+        langs(best)
+      case lang => lang
     }
-    langs(best)
+  }
+
+  // scripts the gate recognizes, with the dominant language per script
+  private val ScriptLangs: Array[(Character.UnicodeScript, String)] = Array(
+    Character.UnicodeScript.HAN -> "zh",
+    Character.UnicodeScript.HIRAGANA -> "ja",
+    Character.UnicodeScript.KATAKANA -> "ja",
+    Character.UnicodeScript.HANGUL -> "ko",
+    Character.UnicodeScript.CYRILLIC -> "ru",
+    Character.UnicodeScript.GREEK -> "el",
+    Character.UnicodeScript.ARABIC -> "ar",
+    Character.UnicodeScript.HEBREW -> "he",
+    Character.UnicodeScript.DEVANAGARI -> "hi",
+    Character.UnicodeScript.THAI -> "th")
+
+  /** The non-Latin script decision, or null to fall through to profiles. */
+  private def scriptGate(text: String): String = {
+    val n = math.min(text.length, maxChars)
+    val counts = new Array[Int](ScriptLangs.length)
+    var letters = 0
+    var i = 0
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        letters += 1
+        val s = Character.UnicodeScript.of(cp)
+        var j = 0
+        while (j < ScriptLangs.length) {
+          if (ScriptLangs(j)._1 eq s) { counts(j) += 1; j = ScriptLangs.length }
+          else j += 1
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    if (letters == 0) return null
+    // Han + kana are ONE writing system (Japanese): any kana alongside Han
+    // ideographs decides ja; Han alone decides zh
+    val han = counts(0)
+    val kana = counts(1) + counts(2)
+    if ((han + kana) * 2 > letters) return if (kana > 0) "ja" else "zh"
+    var j = 3
+    while (j < ScriptLangs.length) {
+      if (counts(j) * 2 > letters) return ScriptLangs(j)._2
+      j += 1
+    }
+    null
   }
 }

@@ -356,6 +356,20 @@ object LangId {
       "Bu kıştan önce hiç kar görmemişlerdi.",
       "Öğretmen öğrencilerden kısa bir hikaye yazmalarını istedi."))
 
+  /** Held-out examples for the SCRIPT-gated languages (decided by Unicode
+    * script, not profiles — see [[graft.functions.LangIdScorer.classify]]):
+    * one sentence per language, original compositions. */
+  val scriptExamples: Map[String, String] = Map(
+    "zh" -> "今天天气很好我们去公园散步吧",
+    "ja" -> "今日はいい天気ですね公園に行きましょう",
+    "ko" -> "오늘 날씨가 좋아서 공원에 갑니다",
+    "ru" -> "Сегодня хорошая погода и мы идём гулять в парк",
+    "el" -> "Σήμερα ο καιρός είναι καλός και πάμε στο πάρκο",
+    "ar" -> "الطقس جميل اليوم وسنذهب إلى الحديقة",
+    "he" -> "מזג האוויר יפה היום ואנחנו הולכים לפארק",
+    "hi" -> "आज मौसम अच्छा है और हम पार्क जा रहे हैं",
+    "th" -> "วันนี้อากาศดีเราไปสวนสาธารณะกัน")
+
   /** Profile size (grams kept per language / per document) — the paper's
     * 300-400 range; 400 helps the close-language pairs. */
   val profileSize = 400

@@ -2306,6 +2306,18 @@ class LangIdSpec extends SparkSpec {
     assert(LangId.scorer.classify(s) == LangId.scorer.classify(s))
   }
 
+  test("non-Latin scripts are decided by script: zh/ja/ko/ru/el/ar/he/hi/th") {
+    for ((lang, s) <- LangId.scriptExamples)
+      assert(LangId.scorer.classify(s) == lang, s"$lang: $s")
+    // kana distinguishes Japanese from Chinese even with shared ideographs
+    assert(LangId.scorer.classify("日本語の文章です") == "ja")
+    assert(LangId.scorer.classify("中文文章") == "zh")
+    // a sprinkle of CJK below the majority threshold falls through to the
+    // Latin profiles
+    assert(LangId.scorer.classify(
+      "the weather is very nice today and we walk 公园 to the park") == "en")
+  }
+
   test("languageIdNgram runs as a narrow expression over a DataFrame") {
     val rows = LangId.heldOutSentences.toSeq.flatMap { case (lang, ss) =>
       ss.map(s => (lang, s))

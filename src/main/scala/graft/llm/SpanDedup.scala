@@ -108,9 +108,13 @@ object SpanDedup {
 
   /** Shared reconstruction: covered token positions from the marked window
     * starts (factor k on the duplicated volume only), ONE small sorted
-    * array per doc, then a narrow index-filter rebuild + integer span
-    * arithmetic. */
+    * array per doc, then a narrow rebuild via the linear merge-walk
+    * kernels ([[graft.functions.SpanExpressions]] — the HOF
+    * `array_contains`-per-token formulation is O(|arr|·|rem|), quadratic
+    * on exactly the fully-duplicated long documents this operator exists
+    * for). */
   private def removeCovered(docs: DataFrame, markedStarts: DataFrame, k: Int): DataFrame = {
+    import graft.functions.SpanExpressions.{remove_positions, span_count}
     val removed = markedStarts
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .distinct()
@@ -122,14 +126,8 @@ object SpanDedup {
         col("doc_id"),
         size(col("_arr")).cast("long").as("n_tokens"),
         size(col("_rem")).cast("long").as("n_tokens_removed"),
-        // spans = removed positions whose predecessor position is not
-        // itself removed (integer gap arithmetic; _rem is small per doc)
-        size(filter(col("_rem"), p =>
-          !array_contains(col("_rem"), p - 1))).cast("long")
-          .as("n_spans"),
-        concat_ws(" ",
-          filter(col("_arr"), (_, i) => !array_contains(col("_rem"), i)))
-          .as("clean_text"))
+        span_count(col("_rem")).as("n_spans"),
+        remove_positions(col("_arr"), col("_rem")).as("clean_text"))
   }
 
   /** Report-only variant: the duplicated windows themselves — one row per

@@ -413,6 +413,31 @@ class SpanDedupSpec extends SparkSpec {
     val out = SpanDedup.dedupSpansWithinDoc(docs, "id", "text", k = 8).collect()
     assert(out.forall(_.getAs[Long]("n_tokens_removed") == 0L))
   }
+
+  test("merge-walk kernels: remove_positions and span_count agree with the HOF formulation") {
+    // the linear kernels must be value-identical to the quadratic
+    // filter/array_contains forms they replaced, across edge shapes:
+    // empty rem, full rem, runs at both ends, unicode tokens
+    import graft.functions.SpanExpressions.{remove_positions, span_count}
+    val cases = Seq(
+      (Seq("a", "b", "c", "d"), Seq[Int]()),
+      (Seq("a", "b", "c", "d"), Seq(0, 1, 2, 3)),
+      (Seq("a", "b", "c", "d", "e"), Seq(0, 2, 3)),
+      (Seq("😀", "x", "漢", "y"), Seq(1, 3)),
+      (Seq("one"), Seq(0)))
+    val df = cases.zipWithIndex
+      .map { case ((a, r), i) => (i, a, r) }.toDF("i", "arr", "rem")
+      .select(col("i"),
+        remove_positions(col("arr"), col("rem")).as("kept"),
+        span_count(col("rem")).as("spans"),
+        concat_ws(" ", filter(col("arr"), (_, ix) => !array_contains(col("rem"), ix))).as("kept_hof"),
+        size(filter(col("rem"), p => !array_contains(col("rem"), p - 1))).cast("long").as("spans_hof"))
+      .orderBy("i").collect()
+    df.foreach { r =>
+      assert(r.getString(1) == r.getString(3), r.toString)
+      assert(r.getLong(2) == r.getLong(4), r.toString)
+    }
+  }
 }
 
 class HtmlTextSpec extends SparkSpec {

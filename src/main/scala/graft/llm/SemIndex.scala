@@ -86,8 +86,16 @@ object SemIndex {
     val assigned = graft.core.Lineage.pin(
       Dedup.assignToCentroids(batch, idCol, vecCol, cents))
     // ≤ nclusters values, collected from the pinned batch assignment —
-    // the isin filter prunes unread cluster directories
-    val touched = assigned.select("_cluster").distinct().collect().map(_.getInt(0))
+    // the isin filter prunes unread cluster directories. The same cheap
+    // pass (pinned blocks, no recompute) enforces the non-negative-id
+    // contract: a negative batch id would conflate with the sentinel
+    // encoding of index rows below and silently mis-attribute components.
+    val summary = assigned
+      .agg(collect_set(col("_cluster")).as("_cs"),
+        min(col("_id").cast("long")).as("_minId")).head()
+    val touched = summary.getSeq[Int](0)
+    require(summary.isNullAt(1) || summary.getLong(1) >= 0L,
+      s"SemIndex.dedupAgainst: batch ids must be non-negative, found ${summary.get(1)}")
     val kept = spark.read.parquet(s"$path/vectors")
       .filter(col("_cluster").isin(touched.map(Integer.valueOf).toSeq: _*))
     // deterministic per-cluster cap on the INDEX side (the MinhashIndex

@@ -1924,6 +1924,15 @@ class SemIndexSpec extends SparkSpec {
     assert(keptAt(p1) == Set(0L, 1L, 2L, 100L, 201L), keptAt(p1).toString)
   }
 
+  test("negative batch ids are rejected (they would conflate with the index sentinels)") {
+    val path = java.nio.file.Files.createTempDirectory("semidx").toString + "/idx"
+    SemIndex.write(rows(Seq((0L, 0), (1L, 1))), "vec_id", "embedding", path, nclusters = 2)
+    val ex = intercept[IllegalArgumentException] {
+      SemIndex.dedupAgainst(rows(Seq((-5L, 3))), "vec_id", "embedding", path).count()
+    }
+    assert(ex.getMessage.contains("non-negative"), ex.getMessage)
+  }
+
   test("ingest fails fast on a foreign vectors layout") {
     val path = java.nio.file.Files.createTempDirectory("semidx").toString + "/idx"
     val corpus = rows(Seq((0L, 0), (1L, 1)))

@@ -27,14 +27,25 @@ object ParquetMeta {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    // Spark's scan listing ignores hidden (_/.) path SEGMENTS at any depth
+    // (an in-flight write's _temporary/… part files must not count) — so
+    // the filter walks every ancestor up to the base, not just the name.
+    def hiddenUnder(f: Path): Boolean = {
+      var cur = f
+      while (cur != null && cur != p) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val files = {
       val it = fs.listFiles(p, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
       while (it.hasNext) {
         val f = it.next()
-        val name = f.getPath.getName
-        if (f.isFile && name.endsWith(".parquet") &&
-          !name.startsWith("_") && !name.startsWith(".")) buf += f.getPath
+        if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          !hiddenUnder(f.getPath)) buf += f.getPath
       }
       buf.toSeq
     }

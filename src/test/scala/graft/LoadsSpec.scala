@@ -31,7 +31,7 @@ class XmlSpec extends SparkSpec {
 
 import org.apache.spark.sql.functions._
 import graft.core.{PipelineContext, Runner}
-import graft.extract.{DelimitedExtract, JSONExtract, ORCExtract, ParquetExtract, TextExtract, BytesExtract, HTTPExtract}
+import graft.extract.{DelimitedExtract, JSONExtract, ORCExtract, ParquetExtract, ParquetMeta, TextExtract, BytesExtract, HTTPExtract}
 import graft.load._
 import graft.schema.FieldSpec
 import graft.transform.TypingTransform
@@ -140,5 +140,22 @@ class LoadsSpec extends SparkSpec {
     HTTPExtract("h", f.toUri.toString, "http_out").execute(ctx)
     val row = spark.table("http_out").head()
     assert(row.getAs[String]("body") == "hello body")
+  }
+
+  test("ParquetMeta.rowCount is footer-exact and ignores hidden path segments") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pqmeta").toString + "/t"
+    (1 to 137).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    assert(ParquetMeta.rowCount(spark, dir) == 137L)
+    // decoy: an in-flight write's _temporary part file must not count
+    val tmp = new java.io.File(s"$dir/_temporary/0")
+    tmp.mkdirs()
+    val src = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath, new java.io.File(tmp, src.getName).toPath)
+    assert(ParquetMeta.rowCount(spark, dir) == 137L)
+    // matches the official table count at real scale
+    assert(ParquetMeta.rowCount(spark, s"${sf()}/documents.parquet") ==
+      spark.read.parquet(s"${sf()}/documents.parquet").count())
   }
 }

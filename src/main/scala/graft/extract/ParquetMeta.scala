@@ -30,11 +30,17 @@ object ParquetMeta {
     // Spark's scan listing ignores hidden (_/.) path SEGMENTS at any depth
     // (an in-flight write's _temporary/… part files must not count) — so
     // the filter walks every ancestor up to the base, not just the name.
+    // The walk stops at the QUALIFIED base (listFiles returns qualified
+    // file:/… paths — comparing against the raw user path would never
+    // match and the walk would wrongly judge the base's own ancestors),
+    // and partition directories (`name=value`) are exempt exactly as in
+    // Spark's listing — `_cluster=3/` is data, `_temporary/` is not.
+    val qualifiedBase = fs.makeQualified(p)
     def hiddenUnder(f: Path): Boolean = {
       var cur = f
-      while (cur != null && cur != p) {
+      while (cur != null && cur != qualifiedBase) {
         val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) return true
+        if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) return true
         cur = cur.getParent
       }
       false

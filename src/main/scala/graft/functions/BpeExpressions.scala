@@ -48,18 +48,21 @@ case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
   override def prettyName: String = "bpe_tokenize"
 }
 
-/** The apply kernel: rank lookup keyed "left" + NUL + "right" (NUL = "\\u0000", a char no symbol can contain); per word a greedy
+/** The apply kernel: rank lookup keyed "left right" (space-separated — a
+  * char no symbol can contain, see Sep); per word a greedy
   * min-rank merge loop (O(len² · merges-applied) worst case on the SYMBOL
   * count of one word — words are short; the corpus never materializes more
   * than one word's symbols at a time).
   */
 final class BpeApplier(merges: Seq[(String, String)]) extends Serializable {
 
-  // Rank-key separator: NUL cannot occur inside a symbol (symbols come from
-  // whitespace-split words), so "a NUL b" is collision-free. Written as an
-  // escape so this source file stays text (raw 0x00 bytes make git treat
-  // the file as binary and the separator invisible in editors).
-  private val Sep = "\u0000"
+  // Rank-key separator: a SPACE cannot occur inside a symbol — symbols are
+  // code points (and concatenations) of words produced by the Java-\s
+  // whitespace split, which removes every ' ' — so "a b" parses uniquely
+  // and the key is collision-free. (NUL would NOT be safe here: \0 is not
+  // Java-\s whitespace, so a crawl corpus with embedded NULs can carry \0
+  // INSIDE symbols, and "a\0"+Sep+"b" would collide with "a"+Sep+"\0b".)
+  private val Sep = " "
 
   private val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()

@@ -195,11 +195,29 @@ object Bpe {
     *
     * `vocabDf` must use the [[vocabTotal]] id layout (learned ids ≥ 256).
     */
+  /** Collect a vocabTotal-layout table and ENFORCE the layout: exactly 256
+    * reserved byte rows at ids 0..255 and learned tokens contiguous from
+    * 256. A plain [[vocab]] table here would silently byte-encode its 256
+    * most frequent tokens and shift every remaining id — fail fast with
+    * the fix instead. */
+  private def collectTotalLayout(vocabDf: DataFrame): Array[(String, Long)] = {
+    val all = vocabDf.select("token", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    val (bytes, learned) = all.partition(_._2 < 256L)
+    require(bytes.length == 256 && bytes.map(_._2).toSeq == (0L until 256L),
+      s"vocabDf is not a vocabTotal layout (found ${bytes.length} ids below 256, " +
+        "expected the 256 reserved byte rows) — build it with Bpe.vocabTotal, " +
+        "not Bpe.vocab")
+    learned.zipWithIndex.foreach { case ((_, id), i) =>
+      require(id == 256L + i,
+        s"learned vocab ids must be contiguous from 256, found $id at rank $i")
+    }
+    learned
+  }
+
   def encodeIdsTotal(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], vocabDf: DataFrame): DataFrame = {
-    val entries = vocabDf.filter(col("id") >= 256L).select("token", "id")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    require(entries.forall(_._2 >= 256L), "learned vocab ids must be >= 256")
+    val entries = collectTotalLayout(vocabDf).toSeq
     import graft.functions.BpeEncodeIdsExpr.{bpe_encode_ids, bpe_oov_count}
     df.withColumn("_toks", tokenize(col(textCol), merges))
       .withColumn("ids", bpe_encode_ids(col("_toks"), entries, byteFallback = true))
@@ -217,14 +235,7 @@ object Bpe {
     * outside the vocab decodes to NULL, never to a wrong string.
     * `vocabDf` must use the [[vocabTotal]] id layout.
     */
-  def decodeIds(ids: Column, vocabDf: DataFrame): Column = {
-    val learned = vocabDf.filter(col("id") >= 256L).orderBy("id")
-      .select("id", "token").collect()
-    learned.zipWithIndex.foreach { case (r, i) =>
-      require(r.getLong(0) == 256L + i,
-        s"vocab ids must be contiguous from 256, found ${r.getLong(0)} at rank $i")
-    }
+  def decodeIds(ids: Column, vocabDf: DataFrame): Column =
     graft.functions.BpeDecodeIdsExpr.bpe_decode_ids(
-      ids, learned.map(_.getString(1)).toSeq)
-  }
+      ids, collectTotalLayout(vocabDf).map(_._1).toSeq)
 }

@@ -178,7 +178,8 @@ object IvfIndex {
     // vanish from shortlists. Fail fast with a rebuild hint instead; the
     // pre-r12 "unnormalized fallback" contract only holds when NO file has
     // the new columns.
-    val existing = spark.read.parquet(s"$path/vectors").schema.fieldNames.toSet
+    val existingSchema = spark.read.parquet(s"$path/vectors").schema
+    val existing = existingSchema.fieldNames.toSet
     val expected = cbs match {
       case Some(_) => Set("id", "vec", "codes", "pq", "vnorm", "_list")
       case None    => Set("id", "vec", "codes", "vnorm", "_list")
@@ -188,6 +189,16 @@ object IvfIndex {
         s"but this build writes ${expected.toSeq.sorted.mkString(",")} — " +
         "mixed layouts make reads footer-dependent; rebuild the index with " +
         "IvfIndex.write before ingesting")
+    // id/vec TYPES must match too (int ids appended next to long ids are
+    // the same footer-dependent hazard as a missing column)
+    // .sql comparison: nullability differences are parquet-compatible —
+    // only the physical type matters for footer consistency
+    require(existingSchema("id").dataType.sql == newVectors.schema(idCol).dataType.sql &&
+      existingSchema("vec").dataType.sql == newVectors.schema(vecCol).dataType.sql,
+      s"IvfIndex.ingest: index at $path stores (id: ${existingSchema("id").dataType.sql}, " +
+        s"vec: ${existingSchema("vec").dataType.sql}) but the batch carries " +
+        s"(${newVectors.schema(idCol).dataType.sql}, ${newVectors.schema(vecCol).dataType.sql}) " +
+        "— cast the batch or rebuild")
     // encode against the PERSISTED codebooks (when present) so appended rows
     // carry pq codes consistent with the build — the layouts cannot drift
     assignAndWrite(newVectors, idCol, vecCol, cents, cbs, path, "append")

@@ -45,7 +45,18 @@ object SemIndex {
     val cents = Similarity.trainCoarseCentroids(
       corpus, idCol, vecCol, nclusters, seed, samplePerCluster, salt = "semindex-train")
       .sortBy(_._2)
-    val assigned = Dedup.assignToCentroids(corpus, idCol, vecCol, cents)
+    // pinned: pairsFromAssigned scans the assignment three times
+    // (candidates + two vector joins) and the anti-join a fourth —
+    // unpinned, each would re-run the full-corpus centroid attach. The
+    // same pass enforces the non-negative-id contract the INCREMENTAL
+    // path depends on: dedupAgainst encodes index rows as negative
+    // sentinels, so a negative id persisted here would conflate with a
+    // real batch id later and silently mis-attribute components.
+    val assigned = graft.core.Lineage.pin(
+      Dedup.assignToCentroids(corpus, idCol, vecCol, cents))
+    val minId = assigned.agg(min(col("_id").cast("long"))).head()
+    require(minId.isNullAt(0) || minId.getLong(0) >= 0L,
+      s"SemIndex.write: corpus ids must be non-negative, found ${minId.get(0)}")
     val pairs = Dedup.pairsFromAssigned(assigned, tau, maxClusterSize)
     val losers = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
@@ -128,10 +139,23 @@ object SemIndex {
     */
   def ingest(batch: DataFrame, idCol: String, vecCol: String, path: String): DataFrame = {
     val spark = batch.sparkSession
-    val existing = spark.read.parquet(s"$path/vectors").schema.fieldNames.toSet
-    require(existing == Set("id", "vec", "_cluster"),
-      s"SemIndex.ingest: layout at $path has columns ${existing.toSeq.sorted.mkString(",")} " +
-        "— rebuild with SemIndex.write before ingesting")
+    val existing = spark.read.parquet(s"$path/vectors").schema
+    require(existing.fieldNames.toSet == Set("id", "vec", "_cluster"),
+      s"SemIndex.ingest: layout at $path has columns " +
+        s"${existing.fieldNames.sorted.mkString(",")} — rebuild with " +
+        "SemIndex.write before ingesting")
+    // TYPES must match too, not just names: appending int ids next to long
+    // ids (or float32 next to float64 vectors) leaves mixed parquet footers
+    // and footer-dependent reads — the IvfIndex mixed-layout hazard
+    val batchIdType = batch.schema(idCol).dataType
+    val batchVecType = batch.schema(vecCol).dataType
+    // .sql comparison: nullability differences are parquet-compatible —
+    // only the physical type matters for footer consistency
+    require(existing("id").dataType.sql == batchIdType.sql &&
+      existing("vec").dataType.sql == batchVecType.sql,
+      s"SemIndex.ingest: index at $path stores (id: ${existing("id").dataType.sql}, " +
+        s"vec: ${existing("vec").dataType.sql}) but the batch carries " +
+        s"(${batchIdType.sql}, ${batchVecType.sql}) — cast the batch or rebuild")
     val cents = readCentroids(spark, path)
     val survivors = graft.core.Lineage.pin(
       dedupAgainst(batch, idCol, vecCol, path))

@@ -115,9 +115,11 @@ object SpanDedup {
     * for). */
   private def removeCovered(docs: DataFrame, markedStarts: DataFrame, k: Int): DataFrame = {
     import graft.functions.SpanExpressions.{remove_positions, span_count}
+    // no .distinct() before the aggregate: collect_set already
+    // deduplicates (map-side via partial aggregation) — an explicit
+    // distinct would be a second full exchange of the factor-k rows
     val removed = markedStarts
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
-      .distinct()
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("p"))).as("_rem"))
     docs.join(removed, Seq("doc_id"), "left")

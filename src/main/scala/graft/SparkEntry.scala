@@ -1790,6 +1790,45 @@ object SparkEntry {
           col("n_tokens_removed"), col("n_kept_tokens"), col("split"))
         .orderBy("doc_id")
     },
+    "q185_tokenizer_fertility" -> { (spark: SparkSession, dir: String) =>
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, Seq("documents")), ctx)
+      // Tokenizer fertility/coverage report (Bpe.fertilityReport): per
+      // source, tokens-per-word, bytes-per-token and byte-fallback rate
+      // from the TOTAL encoder. A synthetic "_salted" group (emoji/CJK
+      // appended) exercises the fallback path next to the clean sources.
+      // Vocab/merges are engine-specific -> rows-only; `ok` carries the
+      // exact byte-accounting identity in-band per group: the bytes the
+      // ids DECODE to equal the stripped text's UTF-8 bytes, fertility
+      // >= 1, and the fallback rate is zero exactly on the corpus the
+      // vocab was trained on (and strictly positive on the salted group).
+      import graft.llm.Bpe
+      import spark.implicits._
+      val docs = ctx.view("documents").select(col("doc_id"), col("source"), col("text"))
+      val merges = bpeMerges(docs.select(col("doc_id"), col("text")), dir)
+      val v = Bpe.vocabTotal(docs, "text", merges)
+        .select("token", "id", "freq").as[(String, Long, Long)].collect().toSeq
+        .toDF("token", "id", "freq")
+      val all = docs.select(col("source"), col("text")).unionByName(
+        docs.select(lit("_salted").as("source"),
+          concat(col("text"), lit(" 😀🌍 漢字")).as("text")))
+      val rep = Bpe.fertilityReport(all, "text", "source", merges, v)
+      val ident = Bpe.encodeIdsTotal(all, "text", merges, v)
+        .select(col("source"),
+          octet_length(Bpe.decodeIds(col("ids"), v)).cast("long").as("_db"))
+        .groupBy("source").agg(sum(col("_db")).as("_decoded_bytes"))
+      rep.join(ident, "source")
+        .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_fallback_tokens"), col("n_text_bytes"),
+          round(col("fertility"), 6).as("fertility"),
+          (col("_decoded_bytes") === col("n_text_bytes") &&
+            col("n_tokens") >= col("n_words") &&
+            col("fertility") >= 1.0 &&
+            when(col("source") === "_salted", col("fallback_rate") > 0.0)
+              .otherwise(col("fallback_rate") === 0.0)).as("ok"))
+        .orderBy("source")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit

@@ -228,6 +228,46 @@ object Bpe {
         size(filter(col("ids"), i => i < 0L)).cast("long"))
   }
 
+  /** Per-group tokenizer evaluation — the fertility/coverage report every
+    * tokenizer-fitting pass ends with: how many subword tokens a word
+    * costs (fertility), how many text bytes a token carries, and what
+    * fraction of tokens fell back to bytes (unseen-domain signal), per
+    * `groupCol` (source, language, …).
+    *
+    * Uses the TOTAL encoder, so the numbers are defined on ANY input —
+    * no silently-dropped OOV inflating coverage. One narrow
+    * tokenize+encode projection then ONE group aggregate; `n_text_bytes`
+    * is the UTF-8 byte length of the whitespace-stripped text, which by
+    * the byte-fallback construction exactly equals the bytes the ids
+    * decode to (the q185 in-band identity).
+    *
+    * Output per group: `n_docs`, `n_words`, `n_tokens`,
+    * `n_fallback_tokens`, `n_text_bytes`, `fertility`
+    * (tokens per word), `bytes_per_token`, `fallback_rate`.
+    */
+  def fertilityReport(df: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)], vocabDf: DataFrame): DataFrame = {
+    val enc = encodeIdsTotal(df, textCol, merges, vocabDf)
+      .withColumn("_n_words",
+        size(filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)).cast("long"))
+      .withColumn("_n_bytes",
+        octet_length(regexp_replace(col(textCol), "\\s+", "")).cast("long"))
+    enc.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_fallback_tokens")).as("n_fallback_tokens"),
+        sum(col("_n_bytes")).as("n_text_bytes"))
+      .withColumn("fertility",
+        when(col("n_words") > 0, col("n_tokens").cast("double") / col("n_words")))
+      .withColumn("bytes_per_token",
+        when(col("n_tokens") > 0, col("n_text_bytes").cast("double") / col("n_tokens")))
+      .withColumn("fallback_rate",
+        when(col("n_tokens") > 0,
+          col("n_fallback_tokens").cast("double") / col("n_tokens")))
+  }
+
   /** Decode a byte-fallback id array back to its exact string (ids ≥ 256 →
     * learned token bytes, ids < 256 → that raw byte; see
     * [[graft.functions.BpeDecodeIdsExpr]]). The learned-token table is

@@ -2295,6 +2295,32 @@ class BpeSpec extends SparkSpec {
     assert(out(3) == Seq.empty)
   }
 
+  test("fertilityReport: exact counts, byte accounting, and fallback rate per group") {
+    val train = Seq.fill(4)("aa bb").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val merges = Seq(("a", "a"), ("b", "b"))
+    val v = Bpe.vocabTotal(train, "text", merges)
+    val docs = Seq(
+      ("clean", "aa bb"), ("clean", "aa aa bb"),
+      ("salted", "aa 漢 bb") // 漢 = 3 UTF-8 bytes via the fallback
+    ).toDF("source", "text")
+    val rep = Bpe.fertilityReport(docs, "text", "source", merges, v)
+      .orderBy("source").collect()
+    val clean = rep(0)
+    assert(clean.getAs[Long]("n_docs") == 2L && clean.getAs[Long]("n_words") == 5L)
+    assert(clean.getAs[Long]("n_tokens") == 5L) // every word is one vocab token
+    assert(clean.getAs[Long]("n_fallback_tokens") == 0L)
+    assert(clean.getAs[Long]("n_text_bytes") == 10L) // "aabb"+"aaaabb"
+    assert(clean.getAs[Double]("fertility") == 1.0)
+    assert(clean.getAs[Double]("bytes_per_token") == 2.0)
+    val salted = rep(1)
+    assert(salted.getAs[Long]("n_words") == 3L)
+    assert(salted.getAs[Long]("n_tokens") == 5L) // aa, 3 bytes, bb
+    assert(salted.getAs[Long]("n_fallback_tokens") == 1L)
+    assert(salted.getAs[Long]("n_text_bytes") == 7L) // 2 + 3 + 2
+    assert(salted.getAs[Double]("fallback_rate") == 0.2)
+  }
+
   test("decodeIds: out-of-vocab id decodes to NULL, never a wrong string") {
     val train = Seq((0L, "aa")).toDF("id", "text")
     val v = Bpe.vocabTotal(train, "text", Seq(("a", "a")))

@@ -40,7 +40,8 @@ class QueriesSpec extends SparkSpec {
     "q148_ivf_quantized", "q155_pq_topk", "q156_semdedup",
     "q157_heavy_hitters", "q158_ivf_pq", "q161_cdc_chunks", "q163_cdc_dedup",
     "q165_bpe_tokenize", "q174_bpe_ids", "q175_media_resize",
-    "q178_bpe_byte_fallback", "q179_langid_ngram", "q181_audio_decode")
+    "q178_bpe_byte_fallback", "q179_langid_ngram", "q181_audio_decode",
+    "q185_tokenizer_fertility")
 
   for (name <- selfVerifying) {
     test(s"$name: every row passes its own invariant (ok column)") {

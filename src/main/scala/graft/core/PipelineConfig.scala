@@ -368,6 +368,7 @@ object PipelineConfig {
         vocabView = o.str("vocabView", ""),
         byteFallback = o.bool("byteFallback"),
         idsField = o.str("idsField", "ids"),
+        groupField = o.str("groupField", ""),
         persist = o.bool("persist"))
     case "HtmlTextTransform" =>
       HtmlTextTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

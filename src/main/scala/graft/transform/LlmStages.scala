@@ -1060,6 +1060,7 @@ final case class TokenizerTransform(
     vocabView: String = "",
     byteFallback: Boolean = false,
     idsField: String = "ids",
+    groupField: String = "",
     persist: Boolean = false
 ) extends Stage {
   val stageType = "TokenizerTransform"
@@ -1097,9 +1098,16 @@ final case class TokenizerTransform(
         require(vocabView.nonEmpty, s"$name: decode mode needs vocabView")
         in.withColumn("decoded",
           graft.llm.Bpe.decodeIds(col(idsField), ctx.view(vocabView)))
+      case "fertility" =>
+        // per-group tokens-per-word / bytes-per-token / fallback-rate
+        // report (groupField names the grouping column)
+        require(vocabView.nonEmpty, s"$name: fertility mode needs vocabView")
+        require(groupField.nonEmpty, s"$name: fertility mode needs groupField")
+        graft.llm.Bpe.fertilityReport(in, textField, groupField, merges,
+          ctx.view(vocabView))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown tokenizer mode '$other' (train|apply|vocab|encode|decode)")
+          s"$name: unknown tokenizer mode '$other' (train|apply|vocab|encode|decode|fertility)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

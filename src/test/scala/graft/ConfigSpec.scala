@@ -473,6 +473,32 @@ class ConfigSpec extends SparkSpec {
     assert(r.getAs[Long]("text_extracted_chars") == 11L)
   }
 
+  test("TokenizerTransform mode=fertility reports per-group tokenizer stats from a config cell") {
+    import spark.implicits._
+    Seq(("a", "aa bb"), ("a", "aa aa"), ("b", "aa \u6f22"))
+      .toDF("src", "text").createOrReplaceTempView("ft_in")
+    val hocon =
+      """{stages: [
+        { type = "TokenizerTransform", name = "tr", inputView = ft_in,
+          outputView = ft_merges, textField = text, numMerges = 4 },
+        { type = "TokenizerTransform", name = "vb", inputView = ft_in,
+          outputView = ft_vocab, textField = text, mode = vocab,
+          byteFallback = true, mergesView = ft_merges },
+        { type = "TokenizerTransform", name = "fr", inputView = ft_in,
+          outputView = ft_report, textField = text, mode = fertility,
+          mergesView = ft_merges, vocabView = ft_vocab, groupField = src }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val bySrc = spark.table("ft_report").collect()
+      .map(r => r.getAs[String]("src") -> r).toMap
+    assert(bySrc("a").getAs[Long]("n_docs") == 2L)
+    assert(bySrc("a").getAs[Long]("n_words") == 4L)
+    assert(bySrc("b").getAs[Long]("n_docs") == 1L)
+    // the vocab is trained on this very corpus -> zero fallback everywhere
+    assert(bySrc.values.forall(_.getAs[Long]("n_fallback_tokens") == 0L))
+    assert(bySrc.values.forall(_.getAs[Double]("fertility") >= 1.0))
+  }
+
   test("LangIdTransform classifies with ngram profiles and the stopword fallback from a config cell") {
     import spark.implicits._
     Seq(

@@ -1489,7 +1489,10 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           (col("n_oov") === 0 &&
             concat_ws("", transform(col("ids"),
-              i => element_at(col("_rarr"), (i + 1L).cast("int")))) ===
+              // guard: an unexpected -1 (OOV) id must yield ok=false, not
+              // a runtime "array indices start at 1" error — element_at
+              // evaluates regardless of the n_oov conjunct
+              i => when(i >= 0, element_at(col("_rarr"), (i + 1L).cast("int"))))) ===
               regexp_replace(col("text"), "\\s+", "")).as("ok"))
         .orderBy("doc_id")
     },

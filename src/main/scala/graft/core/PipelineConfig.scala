@@ -246,6 +246,7 @@ object PipelineConfig {
         vectorField = o.str("vectorField", ""),
         numClusters = o.intOpt("numClusters").getOrElse(16),
         urlField = o.str("urlField", ""),
+        hashMode = o.str("hashMode", "xxhash64"),
         persist = o.bool("persist"))
     case "DecontaminateTransform" =>
       DecontaminateTransform(o.req("name"), o.req("inputView"), o.req("evalView"),

@@ -81,7 +81,9 @@ object LangIdNgramExpr {
 final class LangIdScorer(
     languageProfiles: Seq[(String, Seq[String])],
     val profileSize: Int,
-    maxChars: Int = 4096) extends Serializable {
+    maxChars: Int = 4096,
+    undAbsCutoff: Double = 1.0,
+    undRatioCutoff: Double = 1.0) extends Serializable {
 
   private val langs: Array[String] = languageProfiles.map(_._1).toArray
   private val ranks: Array[java.util.HashMap[String, Integer]] =
@@ -142,6 +144,17 @@ final class LangIdScorer(
       .map(_.getKey)
   }
 
+  /** Every profile's normalized out-of-place distance for `text` —
+    * diagnostics and floor calibration (empty when no letters survive
+    * normalization). */
+  def allScores(text: String): Seq[(String, Double)] = {
+    val doc = profile(text)
+    if (doc.isEmpty) Nil
+    else langs.indices.map { i =>
+      (langs(i), distance(doc, i).toDouble / (doc.length.toDouble * profileSize))
+    }.toSeq
+  }
+
   /** Out-of-place distance of a document profile to language `li`. */
   private def distance(doc: Array[String], li: Int): Long = {
     val rank = ranks(li)
@@ -168,21 +181,50 @@ final class LangIdScorer(
     * WITHIN such a script (ru vs uk, ar vs fa) takes trained profiles,
     * added exactly like the Latin seed corpora.
     */
-  def classify(text: String): String = {
+  def classify(text: String): String = classifyWithScore(text)._1
+
+  /** Language plus the normalized out-of-place distance of the winning
+    * Latin profile: 0 = every document gram sits at its profile rank,
+    * 1 = no document gram appears in the profile at all. Script-gated
+    * documents score 0 (the script IS the evidence); letterless documents
+    * score 1.
+    *
+    * The `und` confidence floor (TextCat's unknown cutoff, calibrated in
+    * LangIdCalib/LangIdSpec): a document is out-of-set — an unprofiled
+    * Latin language, code, letter soup — exactly when BOTH hold:
+    * the best profile is absolutely far (normalized distance >
+    * `undAbsCutoff`) AND no profile stands out from the pack (best/mean
+    * ratio > `undRatioCutoff`; the miss-cost floor a hard document pays
+    * is paid to EVERY profile, so the ratio is length-robust where the
+    * absolute distance is not). Then the answer is `und` — a langid
+    * filter must never confidently mislabel out-of-set text. Held-out
+    * sentences of all 10 profiled languages sit below at least one
+    * cutoff; fi/hu/cs sentences, code and letter soup sit above both.
+    * Both cutoffs default to 1.0 = floor disabled (distances and ratios
+    * never exceed 1), the back-compatible always-answer mode.
+    */
+  def classifyWithScore(text: String): (String, Double) = {
     scriptGate(text) match {
       case null =>
         val doc = profile(text)
-        if (doc.isEmpty) return "und"
+        if (doc.isEmpty) return ("und", 1.0)
         var best = 0
         var bestD = Long.MaxValue
+        var sumD = 0.0
         var i = 0
         while (i < langs.length) {
           val d = distance(doc, i)
+          sumD += d
           if (d < bestD || (d == bestD && langs(i) < langs(best))) { best = i; bestD = d }
           i += 1
         }
-        langs(best)
-      case lang => lang
+        val norm = doc.length.toDouble * profileSize
+        val frac = bestD.toDouble / norm
+        val ratio = if (sumD > 0) bestD.toDouble * langs.length / sumD else 1.0
+        val out =
+          if (frac > undAbsCutoff && ratio > undRatioCutoff) "und" else langs(best)
+        (out, frac)
+      case lang => (lang, 0.0)
     }
   }
 

@@ -356,6 +356,120 @@ object LangId {
       "Bu kıştan önce hiç kar görmemişlerdi.",
       "Öğretmen öğrencilerden kısa bir hikaye yazmalarını istedi."))
 
+  /** Fourth seed paragraph per language (appended to [[seedCorpora]] at
+    * profile-training time): everyday work/health/city vocabulary,
+    * original prose. Added in round 14 to widen the margin between
+    * in-set held-out scores and the out-of-set `und` floor — thin
+    * profiles made borderline in-set sentences score near the floor. */
+  val seedCorporaExtra: Map[String, String] = Map(
+    "en" -> ("My sister works as a nurse at the hospital near the main square. " +
+      "Every morning she takes the train to the city centre and buys a coffee " +
+      "at the small bakery next to the station. The doctor told him to rest " +
+      "for a week and drink plenty of water. On Saturdays the market sells " +
+      "fresh bread, cheese and vegetables from the nearby farms. The city " +
+      "library lends books, films and music to anyone who lives in the " +
+      "district."),
+    "de" -> ("Meine Schwester arbeitet als Krankenschwester im Krankenhaus in " +
+      "der Nähe des Hauptplatzes. Jeden Morgen nimmt sie den Zug ins " +
+      "Stadtzentrum und kauft einen Kaffee in der kleinen Bäckerei neben dem " +
+      "Bahnhof. Der Arzt sagte ihm, er solle eine Woche lang ruhen und viel " +
+      "Wasser trinken. Samstags verkauft der Markt frisches Brot, Käse und " +
+      "Gemüse von den Höfen in der Umgebung. Die Stadtbibliothek verleiht " +
+      "Bücher, Filme und Musik an alle, die im Viertel wohnen."),
+    "fr" -> ("Ma sœur travaille comme infirmière à l'hôpital près de la place " +
+      "principale. Chaque matin, elle prend le train pour le centre-ville et " +
+      "achète un café à la petite boulangerie à côté de la gare. Le médecin " +
+      "lui a dit de se reposer pendant une semaine et de boire beaucoup " +
+      "d'eau. Le samedi, le marché vend du pain frais, du fromage et des " +
+      "légumes des fermes voisines. La bibliothèque municipale prête des " +
+      "livres, des films et de la musique à tous ceux qui habitent le " +
+      "quartier. On ne voyage jamais pendant l'hiver, car la neige couvre " +
+      "les routes avant le matin, et cet air froid vient du nord."),
+    "es" -> ("Mi hermana trabaja como enfermera en el hospital cerca de la " +
+      "plaza principal. Cada mañana toma el tren al centro de la ciudad y " +
+      "compra un café en la pequeña panadería junto a la estación. El médico " +
+      "le dijo que descansara una semana y bebiera mucha agua. Los sábados el " +
+      "mercado vende pan fresco, queso y verduras de las granjas cercanas. La " +
+      "biblioteca municipal presta libros, películas y música a todos los que " +
+      "viven en el barrio."),
+    "pt" -> ("A minha irmã trabalha como enfermeira no hospital perto da " +
+      "praça principal. Todas as manhãs apanha o comboio para o centro da " +
+      "cidade e compra um café na pequena padaria ao lado da estação. O " +
+      "médico disse-lhe para descansar uma semana e beber muita água. Aos " +
+      "sábados o mercado vende pão fresco, queijo e legumes das quintas " +
+      "vizinhas. A biblioteca municipal empresta livros, filmes e música a " +
+      "todos os que vivem no bairro."),
+    "it" -> ("Mia sorella lavora come infermiera all'ospedale vicino alla " +
+      "piazza principale. Ogni mattina prende il treno per il centro della " +
+      "città e compra un caffè nella piccola panetteria accanto alla " +
+      "stazione. Il medico gli ha detto di riposare per una settimana e di " +
+      "bere molta acqua. Il sabato il mercato vende pane fresco, formaggio e " +
+      "verdure delle fattorie vicine. La biblioteca comunale presta libri, " +
+      "film e musica a tutti quelli che vivono nel quartiere."),
+    "nl" -> ("Mijn zus werkt als verpleegster in het ziekenhuis bij het grote " +
+      "plein. Elke ochtend neemt ze de trein naar het centrum van de stad en " +
+      "koopt ze koffie bij de kleine bakkerij naast het station. De dokter " +
+      "zei dat hij een week moest rusten en veel water moest drinken. Op " +
+      "zaterdag verkoopt de markt vers brood, kaas en groenten van de " +
+      "boerderijen in de buurt. De stadsbibliotheek leent boeken, films en " +
+      "muziek uit aan iedereen die in de wijk woont."),
+    "sv" -> ("Min syster arbetar som sjuksköterska på sjukhuset nära stora " +
+      "torget. Varje morgon tar hon tåget till stadens centrum och köper en " +
+      "kaffe på det lilla bageriet bredvid stationen. Läkaren sade åt honom " +
+      "att vila en vecka och dricka mycket vatten. På lördagar säljer " +
+      "marknaden färskt bröd, ost och grönsaker från gårdarna i närheten. " +
+      "Stadsbiblioteket lånar ut böcker, filmer och musik till alla som bor " +
+      "i området."),
+    "pl" -> ("Moja siostra pracuje jako pielęgniarka w szpitalu niedaleko " +
+      "głównego placu. Każdego ranka jedzie pociągiem do centrum miasta i " +
+      "kupuje kawę w małej piekarni obok dworca. Lekarz powiedział mu, żeby " +
+      "odpoczywał przez tydzień i pił dużo wody. W soboty na targu sprzedają " +
+      "świeży chleb, ser i warzywa z okolicznych gospodarstw. Miejska " +
+      "biblioteka wypożycza książki, filmy i muzykę wszystkim, którzy " +
+      "mieszkają w dzielnicy."),
+    "tr" -> ("Kız kardeşim ana meydanın yakınındaki hastanede hemşire olarak " +
+      "çalışıyor. Her sabah şehir merkezine giden trene biniyor ve " +
+      "istasyonun yanındaki küçük fırından kahve alıyor. Doktor ona bir " +
+      "hafta dinlenmesini ve bol su içmesini söyledi. Cumartesi günleri " +
+      "pazarda yakın çiftliklerden taze ekmek, peynir ve sebze satılıyor. " +
+      "Şehir kütüphanesi mahallede oturan herkese kitap, film ve müzik " +
+      "ödünç veriyor."))
+
+  /** Full training text per language: the original three paragraphs plus
+    * the round-14 extra block. */
+  def trainingText(lang: String): String =
+    seedCorpora(lang) + " " + seedCorporaExtra.getOrElse(lang, "")
+
+  /** Out-of-set NEGATIVES for the `und` confidence floor: original
+    * sentences in Latin-script languages with NO trained profile
+    * (fi/hu/cs), plus non-language text (code, letter soup). A langid
+    * filter's one forbidden failure mode is a confident wrong label on
+    * out-of-set text — every entry here must classify `und`, never a
+    * profiled language (LangIdSpec + the q186 invariant). */
+  val negativeExamples: Map[String, Seq[String]] = Map(
+    "fi" -> Seq(
+      "Sää maan pohjoisosassa muuttuu nopeasti syksyn kuukausina.",
+      "Lapset kävelevät aamulla kouluun ja juttelevat matkalla näkemistään asioista.",
+      "Kirjasto sulkeutuu sunnuntaisin aikaisemmin kuin muina viikonpäivinä.",
+      "Hänen veljensä työskentelee sairaalassa kaupungin keskustassa."),
+    "hu" -> Seq(
+      "Az ország északi részén az időjárás ősszel nagyon gyorsan változik.",
+      "A gyerekek reggel az iskolába sétálnak és beszélgetnek az úton látottakról.",
+      "A könyvtár vasárnaponként korábban zár, mint a többi napon.",
+      "A bátyja a város központjában lévő kórházban dolgozik."),
+    "cs" -> Seq(
+      "Počasí na severu země se na podzim mění velmi rychle.",
+      "Děti chodí ráno do školy a povídají si o tom, co cestou viděly.",
+      "Knihovna zavírá v neděli dříve než v ostatní dny v týdnu.",
+      "Jeho bratr pracuje v nemocnici v centru města."),
+    "code" -> Seq(
+      "x = np.zeros((batch_sz, hidden_dim)); y = torch.cat([x, x], dim=-1)",
+      "SELECT t1.col_a, SUM(t2.col_b) FROM tbl_x t1 JOIN tbl_y t2 ON t1.pk = t2.fk GROUP BY 1;",
+      "fn mk_vec<T: Clone>(v: &[T], n: usize) -> Vec<T> { v.iter().cycle().take(n).cloned().collect() }"),
+    "soup" -> Seq(
+      "qzxv wkjq pxzt bvmn hjkl qwrt zxcv plmnw krtz vbnm xswq",
+      "aGVsbG8gd29ybGQgYmFzZTY0IHBheWxvYWQgbm90IGxhbmd1YWdl"))
+
   /** Held-out examples for the SCRIPT-gated languages (decided by Unicode
     * script, not profiles — see [[graft.functions.LangIdScorer.classify]]):
     * one sentence per language, original compositions. */
@@ -379,8 +493,8 @@ object LangId {
   lazy val scorer: graft.functions.LangIdScorer = {
     val untrained = new graft.functions.LangIdScorer(Nil, profileSize)
     new graft.functions.LangIdScorer(
-      seedCorpora.toSeq.sortBy(_._1).map { case (lang, text) =>
-        (lang, untrained.profile(text).toSeq)
+      seedCorpora.keys.toSeq.sorted.map { lang =>
+        (lang, untrained.profile(trainingText(lang)).toSeq)
       },
       profileSize)
   }
@@ -389,4 +503,36 @@ object LangId {
     * narrow codegen'd expression. */
   def languageIdNgram(text: Column): Column =
     graft.functions.LangIdNgramExpr.langid_ngram(text, scorer)
+
+  /** The `und` confidence floor (see [[graft.functions.LangIdScorer
+    * .classifyWithScore]]): out-of-set iff normalized best distance >
+    * `undAbsCutoff` AND best/mean ratio > `undRatioCutoff`. Calibrated
+    * with `tools/LangIdCalib`'s automatic search on the held-out
+    * fixtures: positives max (abs 0.774, ratio 0.931), negatives
+    * (fi/hu/cs, code, letter soup) min (abs 0.775, ratio 0.932) — the
+    * AND pair below maximizes the worst fixture margin. Natural prose in
+    * a profiled language clears the floor with wide margin (abs ≈
+    * 0.63–0.75); what trips it besides out-of-set languages is text that
+    * is not natural prose at all (word salad, code) — the conservative
+    * behavior a training-data filter wants. */
+  val undAbsCutoff = 0.768
+  val undRatioCutoff = 0.918
+
+  /** The floored scorer: same profiles as [[scorer]], `und` for
+    * out-of-set text instead of the nearest profile's confident wrong
+    * label. */
+  lazy val scorerWithFloor: graft.functions.LangIdScorer = {
+    val untrained = new graft.functions.LangIdScorer(Nil, profileSize)
+    new graft.functions.LangIdScorer(
+      seedCorpora.keys.toSeq.sorted.map { lang =>
+        (lang, untrained.profile(trainingText(lang)).toSeq)
+      },
+      profileSize, undAbsCutoff = undAbsCutoff, undRatioCutoff = undRatioCutoff)
+  }
+
+  /** [[languageIdNgram]] with the calibrated `und` confidence floor —
+    * unprofiled languages and non-language text return `und` instead of
+    * a confident wrong label. */
+  def languageIdNgramFloored(text: Column): Column =
+    graft.functions.LangIdNgramExpr.langid_ngram(text, scorerWithFloor)
 }

@@ -67,7 +67,10 @@ object Multimodal {
         val enc = f.getEncoding
         val pcm = enc == AudioFormat.Encoding.PCM_SIGNED || enc == AudioFormat.Encoding.PCM_UNSIGNED
         val bits = f.getSampleSizeInBits
-        if (frames <= 0 || !pcm || (bits != 8 && bits != 16)) None
+        // NOT_SPECIFIED (-1) frame/sample rates would persist a negative
+        // duration and sample_rate=-1 — treat as undecodable, not decoded
+        if (frames <= 0 || !pcm || (bits != 8 && bits != 16) ||
+          f.getFrameRate <= 0 || f.getSampleRate <= 0) None
         else {
           // features from a bounded read: at most 256k frames — duration and
           // frame count come from the HEADER, so a 3-hour file never loads

@@ -54,9 +54,10 @@ object SemIndex {
     // real batch id later and silently mis-attribute components.
     val assigned = graft.core.Lineage.pin(
       Dedup.assignToCentroids(corpus, idCol, vecCol, cents))
-    val minId = assigned.agg(min(col("_id").cast("long"))).head()
-    require(minId.isNullAt(0) || minId.getLong(0) >= 0L,
-      s"SemIndex.write: corpus ids must be non-negative, found ${minId.get(0)}")
+    val idRange = assigned.agg(min(col("_id").cast("long")), max(col("_id").cast("long"))).head()
+    require(idRange.isNullAt(0) || idRange.getLong(0) >= 0L,
+      s"SemIndex.write: corpus ids must be non-negative, found ${idRange.get(0)}")
+    val maxId = if (idRange.isNullAt(1)) -1L else idRange.getLong(1)
     val pairs = Dedup.pairsFromAssigned(assigned, tau, maxClusterSize)
     val losers = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
@@ -67,8 +68,18 @@ object SemIndex {
       .write.mode("overwrite").partitionBy("_cluster").parquet(s"$path/vectors")
     cents.map { case (hn, i, v) => (i, hn, v) }.toDF("list", "halfNorm", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((tau, maxClusterSize))
-      .toDF("tau", "maxClusterSize")
+    // maxId persists the one-shot-equivalence precondition (batch ids
+    // strictly above every indexed id): ingest enforces and advances it
+    Seq((tau, maxClusterSize, maxId))
+      .toDF("tau", "maxClusterSize", "maxId")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+  }
+
+  private def writeParams(spark: SparkSession, path: String,
+      tau: Double, maxClusterSize: Int, maxId: Long): Unit = {
+    import spark.implicits._
+    Seq((tau, maxClusterSize, maxId))
+      .toDF("tau", "maxClusterSize", "maxId")
       .coalesce(1).write.mode("overwrite").json(s"$path/params")
   }
 
@@ -77,9 +88,13 @@ object SemIndex {
       .collect().map(r => (r.getDouble(1), r.getInt(0), r.getSeq[Float](2))).toSeq
       .sortBy(_._2)
 
-  private def readParams(spark: SparkSession, path: String): (Double, Int) = {
+  private def readParams(spark: SparkSession, path: String): (Double, Int, Long) = {
     val r = spark.read.json(s"$path/params").head()
-    (r.getAs[Double]("tau"), r.getAs[Long]("maxClusterSize").toInt)
+    // pre-maxId indexes (older builds) read as -1 → the disjointness check
+    // passes trivially once, then the first ingest persists a real maxId
+    val maxId =
+      if (r.schema.fieldNames.contains("maxId")) r.getAs[Long]("maxId") else -1L
+    (r.getAs[Double]("tau"), r.getAs[Long]("maxClusterSize").toInt, maxId)
   }
 
   /** Batch rows that survive dedup against the index AND against each
@@ -93,7 +108,7 @@ object SemIndex {
       path: String): DataFrame = {
     val spark = batch.sparkSession
     val cents = readCentroids(spark, path)
-    val (tau, maxClusterSize) = readParams(spark, path)
+    val (tau, maxClusterSize, _) = readParams(spark, path)
     val assigned = graft.core.Lineage.pin(
       Dedup.assignToCentroids(batch, idCol, vecCol, cents))
     // ≤ nclusters values, collected from the pinned batch assignment —
@@ -157,11 +172,28 @@ object SemIndex {
         s"vec: ${existing("vec").dataType.sql}) but the batch carries " +
         s"(${batchIdType.sql}, ${batchVecType.sql}) — cast the batch or rebuild")
     val cents = readCentroids(spark, path)
+    val (tau, maxClusterSize, indexedMax) = readParams(spark, path)
+    // disjoint-id contract: a batch reusing an indexed id would append a
+    // duplicate-id row to vectors/, silently breaking min-id attribution
+    // and the one-shot-equivalence pin. Cheap: one agg on the batch vs the
+    // persisted max — no index scan.
+    val batchRange = batch.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    require(batchRange.isNullAt(0) || batchRange.getLong(0) > indexedMax,
+      s"SemIndex.ingest: batch ids must be strictly above every indexed id " +
+        s"(max indexed = $indexedMax, batch min = ${batchRange.get(0)}) — " +
+        "renumber the batch or rebuild with SemIndex.write")
     val survivors = graft.core.Lineage.pin(
       dedupAgainst(batch, idCol, vecCol, path))
     Dedup.assignToCentroids(survivors, idCol, vecCol, cents)
       .select(col("_id").as("id"), col("_v").as("vec"), col("_cluster"))
       .write.mode("append").partitionBy("_cluster").parquet(s"$path/vectors")
+    // advance the persisted max so the NEXT batch is checked against this
+    // one's ids too (dropped batch ids are consumed — max over the whole
+    // batch, not just survivors)
+    if (!batchRange.isNullAt(1))
+      writeParams(spark, path, tau, maxClusterSize,
+        math.max(indexedMax, batchRange.getLong(1)))
     survivors
   }
 }

@@ -36,18 +36,42 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** Whitespace-normalized token array of `text` (Java `\s+`, empties
-    * dropped) — THE token/offset space all span arithmetic lives in. */
+    * dropped) — THE token/offset space all span arithmetic lives in.
+    * NULL text normalizes to an empty array (n_tokens=0, empty
+    * clean_text) — a null array would otherwise poison every downstream
+    * size()/token count. */
   private def tokArr(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    filter(split(trim(coalesce(text, lit(""))), "\\s+"), t => length(t) > 0)
 
-  /** Every k-window's md5 over the in-row token array — empty for docs
+  /** Gram-key modes. `md5` (32-char hex string) is cross-engine exact —
+    * the oracle queries reproduce it in DuckDB byte-for-byte. `xxhash64`
+    * (8-byte long) is the SCALE mode: the (doc,pos,hash) explode is this
+    * operator's entire shuffle, and the hex key is ~4× wider than the
+    * 8-byte one — at 100 TB that is the difference between shuffling
+    * ~0.3× and ~1.2× the corpus size. A 64-bit collision merely marks one
+    * extra window as duplicated (removes ≤ k extra tokens), the standard
+    * hash-dedup trade; SpanDedupSpec pins both modes identical on real
+    * text. */
+  val HashModes: Set[String] = Set("md5", "xxhash64")
+
+  /** Every k-window's hash over the in-row token array — empty for docs
     * shorter than k tokens (a bare `sequence(0, size-k)` would run
     * BACKWARDS for them and fabricate windows). */
-  private def windowHashes(arr: Column, k: Int): Column =
-    when(size(arr) >= k,
-      transform(sequence(lit(0), size(arr) - k),
-        i => md5(concat_ws(" ", slice(arr, i + 1, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+  private def windowHashes(arr: Column, k: Int, hashMode: String): Column = {
+    require(HashModes(hashMode), s"hashMode must be one of ${HashModes.mkString("|")}, got $hashMode")
+    hashMode match {
+      case "md5" =>
+        when(size(arr) >= k,
+          transform(sequence(lit(0), size(arr) - k),
+            i => md5(concat_ws(" ", slice(arr, i + 1, lit(k))))))
+          .otherwise(array().cast("array<string>"))
+      case "xxhash64" =>
+        when(size(arr) >= k,
+          transform(sequence(lit(0), size(arr) - k),
+            i => xxhash64(concat_ws(" ", slice(arr, i + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>"))
+    }
+  }
 
   /** Remove every ≥ k-token run shared across ≥ 2 documents from all but
     * the minimum-id document. Output: `idCol` (as doc_id, long) +
@@ -60,14 +84,15 @@ object SpanDedup {
     * set is precisely the union of duplicated k-windows (the suffix-array
     * method's guarantee).
     */
-  def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+      hashMode: String = "md5"): DataFrame = {
     require(k >= 2, s"k must be >= 2 tokens, got $k")
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
       tokArr(col(textCol)).as("_arr"))
     // (doc, pos, hash) for every k-window — grams built in-row (narrow)
     val grams = docs
       .select(col("doc_id"),
-        posexplode(windowHashes(col("_arr"), k)).as(Seq("pos", "h")))
+        posexplode(windowHashes(col("_arr"), k, hashMode)).as(Seq("pos", "h")))
     // shared windows: ≥ 2 distinct docs; min-doc attribution
     val dup = grams.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("_nd"), min(col("doc_id")).as("_keeper"))
@@ -90,13 +115,14 @@ object SpanDedup {
     * Shape: the (doc, pos, hash) explode + ONE aggregate keyed
     * (doc, hash) — positions only, the text never travels.
     */
-  def dedupSpansWithinDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def dedupSpansWithinDoc(df: DataFrame, idCol: String, textCol: String, k: Int,
+      hashMode: String = "md5"): DataFrame = {
     require(k >= 2, s"k must be >= 2 tokens, got $k")
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
       tokArr(col(textCol)).as("_arr"))
     val grams = docs
       .select(col("doc_id"),
-        posexplode(windowHashes(col("_arr"), k)).as(Seq("pos", "h")))
+        posexplode(windowHashes(col("_arr"), k, hashMode)).as(Seq("pos", "h")))
     val firsts = grams.groupBy("doc_id", "h")
       .agg(min(col("pos")).as("_first"), count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= 2)
@@ -136,13 +162,14 @@ object SpanDedup {
     * (hash) shared across ≥ 2 docs with its occurrence count, distinct-doc
     * count, and keeper. For corpus forensics (what IS the boilerplate?).
     */
-  def repeatedWindows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def repeatedWindows(df: DataFrame, idCol: String, textCol: String, k: Int,
+      hashMode: String = "md5"): DataFrame = {
     require(k >= 2, s"k must be >= 2 tokens, got $k")
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
       tokArr(col(textCol)).as("_arr"))
     docs
       .select(col("doc_id"),
-        posexplode(windowHashes(col("_arr"), k)).as(Seq("pos", "h")))
+        posexplode(windowHashes(col("_arr"), k, hashMode)).as(Seq("pos", "h")))
       .groupBy("h")
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"),

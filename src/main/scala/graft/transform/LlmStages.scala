@@ -28,6 +28,7 @@ final case class DeduplicateTransform(
     vectorField: String = "",
     numClusters: Int = 16,
     urlField: String = "",
+    hashMode: String = "xxhash64",
     persist: Boolean = false
 ) extends Stage {
   val stageType = "DeduplicateTransform"
@@ -90,14 +91,21 @@ final case class DeduplicateTransform(
         // semantics, llm/SpanDedup) — shingleLength doubles as the window
         // size in TOKENS (>= 2)
         require(textField.nonEmpty, s"$name: span dedup needs textField")
-        graft.llm.SpanDedup.dedupSpans(in, idField, textField,
-          k = math.max(2, shingleLength))
+        require(shingleLength >= 2,
+          s"$name: span dedup needs shingleLength >= 2 (window size in tokens), got $shingleLength")
+        // stage default hashMode=xxhash64: 8-byte gram keys shuffle ~4×
+        // fewer bytes than md5 hex — the scale path; md5 stays for
+        // cross-engine-oracle use
+        graft.llm.SpanDedup.dedupSpans(in, idField, textField, k = shingleLength,
+          hashMode = hashMode)
       case "spanWithinDoc" =>
         // same-document half: runs occurring >= 2 times INSIDE one doc keep
         // their first occurrence
         require(textField.nonEmpty, s"$name: span dedup needs textField")
-        graft.llm.SpanDedup.dedupSpansWithinDoc(in, idField, textField,
-          k = math.max(2, shingleLength))
+        require(shingleLength >= 2,
+          s"$name: span dedup needs shingleLength >= 2 (window size in tokens), got $shingleLength")
+        graft.llm.SpanDedup.dedupSpansWithinDoc(in, idField, textField, k = shingleLength,
+          hashMode = hashMode)
       case other =>
         throw new IllegalArgumentException(
           s"$name: unknown dedup method '$other' " +

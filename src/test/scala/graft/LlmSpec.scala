@@ -385,6 +385,38 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(1).getAs[String]("clean_text") == "d e f")
   }
 
+  test("xxhash64 gram-key mode is output-identical to md5 (the scale-path contract)") {
+    // the 8-byte key quarters the (doc,pos,hash) shuffle; identical hashes
+    // per distinct window text → identical dup sets → identical output
+    val docs = Seq(
+      (1L, s"one two $para three"),
+      (2L, s"$para four five"),
+      (3L, s"six $para"),
+      (4L, s"$para repeated inside too $para"),
+      (5L, "unrelated text entirely without any shared runs at all")
+    ).toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(rows(SpanDedup.dedupSpans(docs, "id", "text", k = 8, hashMode = "xxhash64")) ==
+      rows(SpanDedup.dedupSpans(docs, "id", "text", k = 8, hashMode = "md5")))
+    assert(rows(SpanDedup.dedupSpansWithinDoc(docs, "id", "text", k = 8, hashMode = "xxhash64")) ==
+      rows(SpanDedup.dedupSpansWithinDoc(docs, "id", "text", k = 8, hashMode = "md5")))
+    intercept[IllegalArgumentException] {
+      SpanDedup.dedupSpans(docs, "id", "text", k = 8, hashMode = "sha9000")
+    }
+  }
+
+  test("null text normalizes to zero tokens and empty clean_text, not null poison") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, s"$para x"), (3L, s"y $para"))
+      .toDF("id", "text")
+    val r = SpanDedup.dedupSpans(docs, "id", "text", k = 8)
+      .filter(col("doc_id") === 1).head()
+    assert(r.getAs[Long]("n_tokens") == 0L, r.toString)
+    assert(r.getAs[Long]("n_tokens_removed") == 0L)
+    assert(r.getAs[String]("clean_text") == "")
+  }
+
   test("within-doc: a re-appended paragraph is excised once, first occurrence kept") {
     val docs = Seq(
       (1L, s"$para middle words $para"), // para repeated inside ONE doc
@@ -1933,6 +1965,29 @@ class SemIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-negative"), ex.getMessage)
   }
 
+  test("ingest rejects batch ids at or below the persisted max indexed id") {
+    // a batch reusing an indexed id would append a duplicate-id row and
+    // silently break min-id attribution — the maxId persisted in params/
+    // makes the check one agg on the batch, no index scan
+    val path = java.nio.file.Files.createTempDirectory("semidx").toString + "/idx"
+    SemIndex.write(rows(Seq((0L, 0), (7L, 1))), "vec_id", "embedding", path, nclusters = 2)
+    val ex = intercept[IllegalArgumentException] {
+      SemIndex.ingest(rows(Seq((7L, 3))), "vec_id", "embedding", path)
+    }
+    assert(ex.getMessage.contains("strictly above"), ex.getMessage)
+    // a valid ingest advances the watermark: a second batch reusing the
+    // FIRST batch's ids is rejected too (even ids the dedup dropped)
+    SemIndex.ingest(rows(Seq((10L, 3), (11L, 3))), "vec_id", "embedding", path)
+    val ex2 = intercept[IllegalArgumentException] {
+      SemIndex.ingest(rows(Seq((11L, 5))), "vec_id", "embedding", path)
+    }
+    assert(ex2.getMessage.contains("strictly above"), ex2.getMessage)
+    // and ids above the watermark still ingest fine
+    val s = SemIndex.ingest(rows(Seq((12L, 6))), "vec_id", "embedding", path)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s == Set(12L))
+  }
+
   test("ingest fails fast on a foreign vectors layout") {
     val path = java.nio.file.Files.createTempDirectory("semidx").toString + "/idx"
     val corpus = rows(Seq((0L, 0), (1L, 1)))
@@ -2376,6 +2431,63 @@ class LangIdSpec extends SparkSpec {
     // Latin profiles
     assert(LangId.scorer.classify(
       "the weather is very nice today and we walk 公园 to the park") == "en")
+  }
+
+  test("und floor: every out-of-set negative classifies und, no positive does") {
+    // the one failure mode a langid filter must not have: a confident
+    // wrong label on out-of-set text (unprofiled fi/hu/cs, code, letter
+    // soup). The floored scorer sends ALL of them to und...
+    val leaked = for {
+      (kind, ss) <- LangId.negativeExamples.toSeq.sortBy(_._1)
+      s <- ss
+      got = LangId.scorerWithFloor.classify(s)
+      if got != "und"
+    } yield s"$kind -> $got : $s"
+    assert(leaked.isEmpty, s"${leaked.size} confident wrong labels:\n${leaked.mkString("\n")}")
+    // ...while every held-out POSITIVE keeps its true label (und never
+    // appears on the 10-language held-out set) and script-gated languages
+    // are untouched (the script IS the confidence)
+    val wrong = for {
+      (lang, ss) <- LangId.heldOutSentences.toSeq.sortBy(_._1)
+      s <- ss
+      got = LangId.scorerWithFloor.classify(s)
+      if got != lang
+    } yield s"$lang -> $got : $s"
+    assert(wrong.isEmpty, s"${wrong.size} floored positives:\n${wrong.mkString("\n")}")
+    for ((lang, s) <- LangId.scriptExamples)
+      assert(LangId.scorerWithFloor.classify(s) == lang, s"$lang: $s")
+    // the un-floored scorer still always answers (back-compat)
+    assert(LangId.scorer.classify(LangId.negativeExamples("fi").head) != "und")
+  }
+
+  test("languageIdNgramFloored runs as an expression; streaming parity") {
+    val rows = LangId.negativeExamples.toSeq.flatMap { case (k, ss) => ss.map((k, _)) } ++
+      LangId.heldOutSentences.toSeq.flatMap { case (l, ss) => ss.map((l, _)) }
+    val df = rows.zipWithIndex.map { case ((k, s), i) => (i.toLong, k, s) }
+      .toDF("id", "kind", "text")
+      .withColumn("pred", LangId.languageIdNgramFloored(col("text")))
+    val bad = df.filter(
+      (col("kind").isin(LangId.negativeExamples.keys.toSeq.map(lit): _*) &&
+        col("pred") =!= "und") ||
+      (col("kind").isin(LangId.heldOutSentences.keys.toSeq.map(lit): _*) &&
+        col("pred") =!= col("kind"))).count()
+    assert(bad == 0L)
+    // streaming parity: the same expression over a memory stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    ms.addData(("fi", LangId.negativeExamples("fi").head),
+      ("en", LangId.heldOutSentences("en").head))
+    val q = ms.toDF().toDF("kind", "text")
+      .withColumn("pred", LangId.languageIdNgramFloored(col("text")))
+      .writeStream.format("memory").queryName("langid_floor_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("langid_floor_stream")
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(got("fi") == "und", got.toString)
+      assert(got("en") == "en", got.toString)
+    } finally q.stop()
   }
 
   test("languageIdNgram runs as a narrow expression over a DataFrame") {

@@ -204,6 +204,15 @@ object IvfIndex {
     assignAndWrite(newVectors, idCol, vecCol, cents, cbs, path, "append")
   }
 
+  /** Small-file maintenance: every [[ingest]] appends one file set per
+    * touched inverted-list directory — compact the oversized ones (see
+    * [[IndexCompact]]). Centroids and codebooks are untouched; topK /
+    * topKQuantized / topKPq results are identical before/after. Returns
+    * (partitionsCompacted, filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 8): (Int, Long, Long) =
+    IndexCompact.compactPartitioned(spark, s"$path/vectors", maxFilesPerPartition)
+
   /** Top-k cosine neighbors for a query batch against the persisted index.
     * Reads only the probed inverted-list partitions.
     */

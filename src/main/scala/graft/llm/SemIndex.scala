@@ -196,4 +196,13 @@ object SemIndex {
         math.max(indexedMax, batchRange.getLong(1)))
     survivors
   }
+
+  /** Small-file maintenance: every [[ingest]] appends one file set per
+    * touched cluster directory — compact the oversized ones (see
+    * [[IndexCompact]]). Centroids and params are untouched; dedup results
+    * are identical before/after. Returns (partitionsCompacted,
+    * filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 8): (Int, Long, Long) =
+    IndexCompact.compactPartitioned(spark, s"$path/vectors", maxFilesPerPartition)
 }

@@ -490,6 +490,30 @@ object ScaleProbe {
         graft.llm.SemIndex.ingest(mk(n, n + n / 40), "id", "v", path).count()
       }
     }
+    // Index compaction: 20 sequential tiny ingests leave ~20 file sets per
+    // touched cluster directory (the long-lived-index failure mode);
+    // compact must cut the file count while the dedup/query layout stays
+    // identical, at a cost proportional to the data rewritten.
+    if (anySelected(s"semIndexCompact n=$n")) {
+      val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(col("id"),
+        expr("transform(sequence(1, 64), i -> CAST((((CASE WHEN id % 2 = 0 THEN id % 8 ELSE id % 997 END)) * i) % 255 - 127 AS FLOAT) / 127.0F)")
+          .as("v"))
+      val path = java.nio.file.Files.createTempDirectory("semidx_cmp").toString + "/idx"
+      graft.llm.SemIndex.write(mk(0, n), "id", "v", path, nclusters = 64, tau = 0.999)
+      time(s"semIndexCompact n=$n 20 tiny ingests") {
+        var b = 0L
+        while (b < 20) {
+          graft.llm.SemIndex.ingest(
+            mk(n + b * (n / 800), n + (b + 1) * (n / 800)), "id", "v", path).count()
+          b += 1
+        }
+      }
+      time(s"semIndexCompact n=$n compact") {
+        val (parts, before, after) = graft.llm.SemIndex.compact(spark, path)
+        println(s"    compacted $parts partitions, files $before -> $after")
+        spark.read.parquet(s"$path/vectors").count()
+      }
+    }
     // Misra–Gries at corpus scale: one narrow scan, ≤ cap×partitions summary
     // rows, no corpus shuffle — plus the 1000-segment compaction path.
     if (anySelected(s"heavyHitters n=$n", "hhMerge 1000 segments")) {
@@ -616,6 +640,14 @@ object ScaleProbe {
     if (anySelected(s"spanDedup n=$n")) {
       time(s"spanDedup n=$n k=8 boilerplate-heavy") {
         graft.llm.SpanDedup.dedupSpans(docs, "id", "text", k = 8)
+          .agg(sum("n_tokens_removed")).collect().head.getLong(0)
+      }
+      // the stage-path gram-key mode: 8-byte xxhash64 keys instead of
+      // 32-char md5 hex — the (doc,pos,hash) explode is the operator's
+      // entire shuffle, so the narrow key must show up as wall-time here
+      // and as ~4x fewer shuffle bytes in the stage metrics
+      time(s"spanDedup n=$n k=8 xxhash64 keys") {
+        graft.llm.SpanDedup.dedupSpans(docs, "id", "text", k = 8, hashMode = "xxhash64")
           .agg(sum("n_tokens_removed")).collect().head.getLong(0)
       }
     }

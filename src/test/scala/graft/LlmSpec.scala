@@ -2005,6 +2005,84 @@ class SemIndexSpec extends SparkSpec {
   }
 }
 
+class IndexCompactSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.llm.{IvfIndex, SemIndex}
+
+  // orthogonal one-hots: every distinct pattern is cosine-0 to every
+  // other, so ingest batches are never near-dups of the corpus
+  private def vec(p: Int): Seq[Float] =
+    Seq.tabulate(64)(i => if (i == p % 64) 1f else 0f)
+
+  private def rows(ids: Seq[(Long, Int)]) =
+    ids.map { case (id, p) => (id, vec(p)) }.toDF("vec_id", "embedding")
+
+  private def partFiles(dir: String): Map[String, Int] = {
+    val root = new java.io.File(dir)
+    root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .map(d => d.getName ->
+        d.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")))
+      .toMap
+  }
+
+  test("SemIndex.compact: fewer files, identical dedup, ingest still consistent") {
+    val path = java.nio.file.Files.createTempDirectory("cmpa").toString + "/idx"
+    SemIndex.write(rows((0L until 8L).map(id => (id, id.toInt))), "vec_id", "embedding",
+      path, nclusters = 2, tau = 0.95)
+    // many tiny ingest batches -> many small files per cluster dir
+    (0 until 6).foreach { b =>
+      SemIndex.ingest(rows(Seq((100L + b, 8 + b))), "vec_id", "embedding", path)
+    }
+    val before = partFiles(s"$path/vectors")
+    assert(before.values.max > 2, before.toString)
+    val probe = rows(Seq((500L, 0), (501L, 8), (502L, 40)))
+    val beforeSurvivors = SemIndex.dedupAgainst(probe, "vec_id", "embedding", path)
+      .select("vec_id").as[Long].collect().toSet
+    val (compacted, nBefore, nAfter) =
+      SemIndex.compact(spark, path, maxFilesPerPartition = 2)
+    assert(compacted > 0 && nAfter < nBefore, s"($compacted, $nBefore, $nAfter)")
+    val after = partFiles(s"$path/vectors")
+    assert(after.keySet == before.keySet, s"$before vs $after")
+    // identical dedup semantics against the compacted layout
+    val afterSurvivors = SemIndex.dedupAgainst(probe, "vec_id", "embedding", path)
+      .select("vec_id").as[Long].collect().toSet
+    assert(afterSurvivors == beforeSurvivors, s"$beforeSurvivors vs $afterSurvivors")
+    // and the kept-row set is bit-identical
+    val kept = spark.read.parquet(s"$path/vectors").select("id").as[Long].collect().toSet
+    assert(kept == (0L until 8L).toSet ++ (0 until 6).map(100L + _), kept.toString)
+    // ingest after compact: appends still land and dedup against them works
+    val s2 = SemIndex.ingest(rows(Seq((600L, 8), (601L, 30))), "vec_id", "embedding", path)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s2 == Set(601L), s2.toString)
+  }
+
+  test("IvfIndex.compact: fewer files, identical topK across all three read paths") {
+    val path = java.nio.file.Files.createTempDirectory("cmpb").toString + "/idx"
+    IvfIndex.write(rows((0L until 32L).map(id => (id, id.toInt))), "vec_id", "embedding",
+      path, nlist = 4, pqSubspaces = 4)
+    (0 until 6).foreach { b =>
+      IvfIndex.ingest(rows(Seq((200L + b, b))), "vec_id", "embedding", path)
+    }
+    val queries = rows(Seq((900L, 3), (901L, 9)))
+    def results() = Seq(
+      IvfIndex.topK(queries, "vec_id", "embedding", path, k = 5, nprobe = 4),
+      IvfIndex.topKQuantized(queries, "vec_id", "embedding", path, k = 5, nprobe = 4),
+      IvfIndex.topKPq(queries, "vec_id", "embedding", path, k = 5, nprobe = 4)
+    ).map(_.collect().map(_.toString).sorted.toSeq)
+    val beforeR = results()
+    val (compacted, nBefore, nAfter) =
+      IvfIndex.compact(spark, path, maxFilesPerPartition = 2)
+    assert(compacted > 0 && nAfter < nBefore, s"($compacted, $nBefore, $nAfter)")
+    assert(results() == beforeR)
+    // ingest after compact still lands in the same layout
+    IvfIndex.ingest(rows(Seq((300L, 3))), "vec_id", "embedding", path)
+    val ids = spark.read.parquet(s"$path/vectors").select("id").as[Long].collect().toSet
+    assert(ids.contains(300L) && ids.contains(205L) && ids.contains(0L))
+  }
+}
+
 class HeavyHittersSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import graft.llm.HeavyHitters

@@ -1832,6 +1832,71 @@ object SparkEntry {
               .otherwise(col("fallback_rate") === 0.0)).as("ok"))
         .orderBy("source")
     },
+    "q186_langid_floor" -> withViews("documents") { (spark, ctx) =>
+      // The calibrated `und` confidence floor, exercised THROUGH the
+      // config surface: LangIdTransform(method = "ngramFloored") — the
+      // same TextCat profiles as q179, plus the out-of-place cutoff pair
+      // (LangId.undAbsCutoff/undRatioCutoff, tools/LangIdCalib). A langid
+      // filter's one forbidden failure mode is a confident wrong label on
+      // out-of-set text, so `ok` pins BOTH directions per row: every
+      // negative (fi/hu/cs sentences with no trained profile, code,
+      // letter soup) classifies `und`, and every held-out positive —
+      // incl. the close pairs es/pt/it and de/nl/sv and the script-gated
+      // languages — still classifies its true language (the floor must
+      // not cost recall). Profiles/cutoffs are engine-specific ->
+      // rows-only; QueriesSpec enforces the invariant.
+      import graft.llm.LangId
+      import spark.implicits._
+      val negs = LangId.negativeExamples.toSeq.sortBy(_._1)
+        .flatMap { case (grp, ss) => ss.map(s => (grp, "und", s)) }
+      val poss = (LangId.heldOutSentences.toSeq.sortBy(_._1)
+        .flatMap { case (l, ss) => ss.map(s => (l, l, s)) } ++
+        LangId.scriptExamples.toSeq.sortBy(_._1).map { case (l, s) => (l, l, s) })
+      val fixtures = (negs ++ poss).zipWithIndex
+        .map { case ((grp, expect, text), i) => (i.toLong, grp, expect, text) }
+        .toDF("sent_id", "grp", "lang_expected", "text")
+      fixtures.createOrReplaceTempView("langid_floor_fixtures")
+      val out = Runner.run(Seq(graft.transform.LangIdTransform(
+        "floor", "langid_floor_fixtures", "langid_floor_labelled",
+        textField = "text", method = "ngramFloored")), ctx).get
+      out.select(col("sent_id"), col("grp"), col("lang_expected"),
+          col("lang_pred"),
+          (col("lang_pred") === col("lang_expected")).as("ok"))
+        .orderBy("sent_id")
+    },
+    "q187_token_packing" -> withViews("documents") { (spark, ctx) =>
+      // Token-ID sequence packing with document boundaries
+      // (Packing.packTokenIds): every doc's [BOS] ++ ids ++ [EOS] stream
+      // concatenated in (shard, doc_id) order and cut into consecutive
+      // 64-token context windows — long docs split across windows, short
+      // docs share one, and doc_spans maps every window slice back to its
+      // document. Ids here are SYNTHETIC integers (doc_id*10000 + position,
+      // one per whitespace token) so the full output — window cuts, span
+      // map, fragment id arrays — is integer arithmetic DuckDB reproduces
+      // byte-for-byte; the same operator over REAL BPE ids is pinned by
+      // PackingSpec's reconstruction property. One row per doc span:
+      // frag_ids = ids[span_start, span_end) of the assembled window, so
+      // the oracle pins the assembled windows too (spans tile each window).
+      val docs = ctx.view("documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+        .withColumn("ids", transform(sequence(lit(0L), col("n") - 1),
+          i => col("doc_id") * 10000 + i))
+      graft.llm.Packing
+        .packTokenIds(docs, "doc_id", "shard", "doc_id", "ids",
+          contextLen = 64, bosId = 1L, eosId = 2L)
+        .select(col("shard"), col("seq_id"), col("n_tokens"), col("ids"),
+          explode(col("doc_spans")).as("sp"))
+        .select(col("shard"), col("seq_id"), col("n_tokens"),
+          col("sp.doc_id").as("doc_id"),
+          col("sp.start").cast("long").as("span_start"),
+          col("sp.end").cast("long").as("span_end"),
+          col("sp.doc_start").as("doc_start"),
+          slice(col("ids"), col("sp.start") + 1,
+            col("sp.end") - col("sp.start")).as("frag_ids"))
+        .orderBy("shard", "seq_id", "span_start")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -3423,6 +3488,35 @@ object SparkEntry {
         )
         SELECT shard, doc_id, toks, pack_id
         FROM packed ORDER BY shard, doc_id""",
+    "q187_token_packing" ->
+      """WITH docs AS (
+          SELECT doc_id, doc_id % 4 AS shard,
+                 CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) + 2 AS len
+          FROM documents WHERE doc_id < 300
+        ), offs AS (
+          SELECT doc_id, shard, len,
+                 CAST(COALESCE(SUM(len) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+          FROM docs
+        ), spans AS (
+          SELECT shard, seq_id, doc_id, len,
+                 GREATEST(off, seq_id*64) - seq_id*64 AS span_start,
+                 LEAST(off + len, (seq_id+1)*64) - seq_id*64 AS span_end,
+                 GREATEST(off, seq_id*64) - off AS doc_start,
+                 LEAST(off + len, (seq_id+1)*64) - off AS doc_end
+          FROM offs, LATERAL (SELECT UNNEST(generate_series(off // 64,
+                 (off + len - 1) // 64)) AS seq_id) t
+        )
+        SELECT shard, seq_id,
+               CAST(SUM(span_end - span_start)
+                 OVER (PARTITION BY shard, seq_id) AS BIGINT) AS n_tokens,
+               doc_id, span_start, span_end, doc_start,
+               [CASE WHEN p = 0 THEN CAST(1 AS BIGINT)
+                     WHEN p = len - 1 THEN CAST(2 AS BIGINT)
+                     ELSE doc_id*10000 + p - 1 END
+                FOR p IN range(doc_start, doc_end)] AS frag_ids
+        FROM spans
+        ORDER BY shard, seq_id, span_start""",
     "q83_group_cap" ->
       """SELECT o_orderkey, o_orderpriority FROM (
           SELECT o_orderkey, o_orderpriority,

@@ -446,6 +446,19 @@ object PipelineConfig {
         maskBits = o.intOpt("maskBits").getOrElse(8),
         maxLength = o.intOpt("maxLength").getOrElse(1024),
         persist = o.bool("persist"))
+    case "PackingTransform" =>
+      PackingTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        shardField = o.req("shardField"),
+        orderField = o.req("orderField"),
+        method = o.str("method", "greedy"),
+        tokensField = o.str("tokensField", "n_tokens"),
+        maxTokens = o.intOpt("maxTokens").map(_.toLong).getOrElse(2048L),
+        docIdField = o.str("docIdField", "doc_id"),
+        idsField = o.str("idsField", "ids"),
+        contextLength = o.intOpt("contextLength").getOrElse(2048),
+        bosId = o.intOpt("bosId").map(_.toLong).getOrElse(1L),
+        eosId = o.intOpt("eosId").map(_.toLong).getOrElse(2L),
+        persist = o.bool("persist"))
     case "SampleTransform" =>
       SampleTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         method = o.str("method", "hash"), keyField = o.req("keyField"),

@@ -18,16 +18,48 @@ import org.apache.spark.sql.SparkSession
   * and codebooks are untouched; query/dedup results are pinned identical
   * before/after by IndexCompactSpec.
   *
+  * Crash safety: the per-partition swap never holds a partition's only
+  * copy in a directory that a cleanup pass deletes. Order per partition:
+  * (1) write the compacted replacement under `_compact_tmp/part`,
+  * (2) move the OLD part files aside to `_compact_old/part`,
+  * (3) move the new files in (named `compact-<uuid>` so recovery can tell
+  * them from originals), (4) delete `_compact_old/part` last. A crash at
+  * ANY point leaves every row present in the live partition,
+  * `_compact_old` or `_compact_tmp` — a recoverable superset, never a
+  * loss. Every `fs.rename` return value is checked and aborts on false
+  * (a silent rename failure must not fall through to the delete).
+  * `compactPartitioned` REFUSES to start while `_compact_tmp` /
+  * `_compact_old` hold files from an interrupted run — call [[recover]]
+  * first, which restores the original part files and discards partial
+  * output, then re-run compaction.
+  *
   * Scale shape: the driver lists partition directories (bounded by
   * nlist/nclusters, never by corpus size) and each oversized partition is
   * one partition-pruned read + write — cost proportional to the data
   * actually rewritten, nothing else. Like `ingest`, compaction is an
   * offline maintenance op: run it in the same window as ingests, not
-  * concurrently with readers (the per-partition file swap is not atomic —
-  * a crash mid-swap can leave one partition doubled in `_compact_tmp`;
-  * re-running compact after restoring the directory is the recovery).
+  * concurrently with readers (mid-swap a partition is transiently
+  * incomplete on disk; the superset lives across the three directories).
   */
 object IndexCompact {
+
+  private def liveFiles(fs: FileSystem, dir: Path) =
+    fs.listStatus(dir).filter(f =>
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+
+  /** Any LIVE file under `dir`, recursively — `_`/`.`-prefixed metadata
+    * (the `_runid` marker, parquet `_SUCCESS`) doesn't count. */
+  private def hasAnyFile(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(s =>
+      (s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")) ||
+        (s.isDirectory && hasAnyFile(fs, s.getPath)))
+
+  private def renameOrAbort(fs: FileSystem, from: Path, to: Path): Unit =
+    require(fs.rename(from, to),
+      s"IndexCompact: rename failed ($from -> $to) — aborting before any delete; " +
+        "run IndexCompact.recover to restore, then re-run compaction")
 
   /** Compact every `col=value` partition directory under `dir` whose
     * parquet part-file count exceeds `maxFilesPerPartition`. Returns
@@ -41,40 +73,118 @@ object IndexCompact {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"IndexCompact: no directory at $dir")
+    val tmpRoot = new Path(root, "_compact_tmp")
+    val oldRoot = new Path(root, "_compact_old")
+    require(!hasAnyFile(fs, tmpRoot) && !hasAnyFile(fs, oldRoot),
+      s"IndexCompact: $dir has leftover files from an interrupted compaction " +
+        "(_compact_tmp/_compact_old non-empty) — run IndexCompact.recover " +
+        "before compacting again")
     val partDirs = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.contains("="))
+    // per-run id, embedded in every moved-in file name and recorded in a
+    // marker BEFORE any file moves: recovery must delete exactly the
+    // files THIS run moved in, never same-prefixed survivors of an
+    // earlier completed compaction (whose live files are also compact-*)
+    val runId = java.util.UUID.randomUUID().toString
+    fs.mkdirs(oldRoot)
+    val marker = fs.create(new Path(oldRoot, "_runid"), true)
+    marker.write(runId.getBytes("UTF-8")); marker.close()
     var compacted = 0
     var before = 0L
     var after = 0L
     partDirs.foreach { p =>
-      val files = fs.listStatus(p.getPath).filter(f =>
-        f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
+      val files = liveFiles(fs, p.getPath)
       before += files.length
       if (files.length > maxFilesPerPartition) {
         val bytes = files.map(_.getLen).sum
         val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        val tmp = new Path(root, s"_compact_tmp/${p.getPath.getName}")
-        // rewrite this partition's rows alone (partition-pruned read; the
-        // partition value lives in the directory name, not the rows)
+        val tmp = new Path(tmpRoot, p.getPath.getName)
+        // (1) rewrite this partition's rows alone (partition-pruned read;
+        // the partition value lives in the directory name, not the rows)
         spark.read.parquet(p.getPath.toString)
           .coalesce(nOut)
           .write.mode("overwrite").parquet(tmp.toString)
-        // swap: remove the old part files, move the new ones in. The new
-        // files keep Spark's unique task-UUID names, so a crash between
-        // the two loops cannot collide names on re-run.
-        files.foreach(f => fs.delete(f.getPath, false))
-        val moved = fs.listStatus(tmp).filter(f =>
-          f.isFile && !f.getPath.getName.startsWith("_"))
+        // (2) move the old part files ASIDE, not away: until step (4)
+        // they remain the authoritative copy recovery restores
+        val oldPart = new Path(oldRoot, p.getPath.getName)
+        fs.mkdirs(oldPart)
+        files.foreach(f =>
+          renameOrAbort(fs, f.getPath, new Path(oldPart, f.getPath.getName)))
+        // (3) move the new files in under recovery-recognizable names
+        // (`compact-<runId>-` prefix; Spark's task-UUID suffix keeps them
+        // unique across re-runs and repeated compactions)
+        val moved = liveFiles(fs, tmp)
         moved.foreach { f =>
-          fs.rename(f.getPath, new Path(p.getPath, f.getPath.getName))
+          renameOrAbort(fs, f.getPath,
+            new Path(p.getPath, s"compact-$runId-${f.getPath.getName}"))
         }
+        // (4) the swap is complete — only now drop the originals
+        fs.delete(oldPart, true)
         fs.delete(tmp, true)
         compacted += 1
         after += moved.length
       } else after += files.length
     }
-    fs.delete(new Path(root, "_compact_tmp"), true)
+    // both staging roots hold only empty directories now; verify rather
+    // than trust (a file here means a logic error, not a crash)
+    require(!hasAnyFile(fs, tmpRoot) && !hasAnyFile(fs, oldRoot),
+      s"IndexCompact: staging directories not empty after compaction of $dir")
+    fs.delete(tmpRoot, true)
+    fs.delete(oldRoot, true)
     (compacted, before, after)
+  }
+
+  /** Restore `dir` after an interrupted [[compactPartitioned]]: for every
+    * partition with files parked in `_compact_old`, delete the files THAT
+    * run already moved into the live directory (identified by the
+    * interrupted run's `compact-<runId>-` prefix, read from the
+    * `_compact_old/_runid` marker — their rows duplicate the parked
+    * originals; files from earlier COMPLETED compactions are themselves
+    * originals and are never touched) and move the originals back, then
+    * discard `_compact_tmp` (never-moved replacement output — pure
+    * duplicates). Idempotent; returns the number of partitions restored.
+    * After recovery the index is byte-identical in content to its
+    * pre-compaction state and compaction can be re-run.
+    */
+  def recover(spark: SparkSession, dir: String): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"IndexCompact: no directory at $dir")
+    val tmpRoot = new Path(root, "_compact_tmp")
+    val oldRoot = new Path(root, "_compact_old")
+    var restored = 0
+    if (fs.exists(oldRoot)) {
+      val markerPath = new Path(oldRoot, "_runid")
+      // no marker means the run crashed before any file move — there is
+      // nothing live to delete, only parked/tmp dirs to fold back in
+      val runPrefix: Option[String] =
+        if (fs.exists(markerPath)) {
+          val in = fs.open(markerPath)
+          try {
+            val buf = new Array[Byte](64)
+            val n = in.read(buf)
+            Some("compact-" + new String(buf, 0, math.max(n, 0), "UTF-8") + "-")
+          } finally in.close()
+        } else None
+      fs.listStatus(oldRoot).filter(_.isDirectory).foreach { parked =>
+        val live = new Path(root, parked.getPath.getName)
+        if (fs.exists(live))
+          runPrefix.foreach { pre =>
+            fs.listStatus(live).filter(f =>
+              f.isFile && f.getPath.getName.startsWith(pre))
+              .foreach(f => fs.delete(f.getPath, false))
+          }
+        else fs.mkdirs(live)
+        val parkedFiles = liveFiles(fs, parked.getPath)
+        if (parkedFiles.nonEmpty) {
+          parkedFiles.foreach(f =>
+            renameOrAbort(fs, f.getPath, new Path(live, f.getPath.getName)))
+          restored += 1
+        }
+      }
+      fs.delete(oldRoot, true)
+    }
+    fs.delete(tmpRoot, true)
+    restored
   }
 }

@@ -514,7 +514,14 @@ object LangId {
     * a profiled language clears the floor with wide margin (abs ≈
     * 0.63–0.75); what trips it besides out-of-set languages is text that
     * is not natural prose at all (word salad, code) — the conservative
-    * behavior a training-data filter wants. */
+    * behavior a training-data filter wants.
+    *
+    * MAINTENANCE: these constants are only valid for the CURRENT
+    * profiles. Any edit to [[seedCorpora]], [[seedCorporaExtra]] or
+    * [[profileSize]] invalidates them — re-run
+    * `runMain graft.tools.LangIdCalib` and update the pair. Drift fails
+    * loudly: LlmSpec re-derives every fixture's (abs, ratio) from the
+    * live profiles and checks the AND-rule against these values. */
   val undAbsCutoff = 0.768
   val undRatioCutoff = 0.918
 

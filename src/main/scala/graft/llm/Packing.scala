@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -54,5 +55,80 @@ object Packing {
         Row.fromSeq(r.toSeq :+ pack)
       }
     }(RowEncoder.encoderFor(schema))
+  }
+
+  /** Token-ID sequence packing with document boundaries — the step
+    * [[packGreedy]] only approximates with counts: concatenate every
+    * document's `[bos] ++ ids ++ [eos]` stream in deterministic
+    * (shardCol, orderCol) order and cut it into consecutive fixed-length
+    * context windows, splitting long documents across windows and
+    * concatenating short ones into the same window. The last window of a
+    * shard keeps its natural (shorter) length — padding policy belongs to
+    * the training loader, not the corpus.
+    *
+    * Output: one row per context window —
+    * `(shard, seq_id, ids, n_tokens, doc_spans)` where `seq_id` is
+    * 0-based within the shard, `ids` is exactly
+    * `contextLen` tokens (except the shard's final window) and
+    * `doc_spans` maps every slice back to its document:
+    * `(doc_id, start, end, doc_start)` = ids[start, end) holds the
+    * document's decorated stream from offset `doc_start` (end exclusive;
+    * spans tile the window with no gaps). Concatenating a document's
+    * spans across windows in (seq_id, doc_start) order reconstructs
+    * `[bos] ++ ids ++ [eos]` exactly — the LlmSpec property.
+    *
+    * NOT sequential state like the greedy packer: each document's window
+    * range is pure prefix-sum arithmetic — `off` = running token count
+    * before the doc (one window function), the doc then touches windows
+    * `off div L .. (off+len-1) div L` and every fragment's bounds are
+    * integer expressions. Plan shape: one shuffle for the per-shard
+    * prefix sum, a doc-level explode (1-2 rows per doc, NOT per token),
+    * one groupBy(shard, seq) to assemble windows — token ids cross the
+    * wire exactly once and no executor ever holds more than its windows.
+    * Fully deterministic, so retried partitions repack identically, and
+    * DuckDB reproduces the integer arithmetic byte-for-byte (q187).
+    */
+  def packTokenIds(
+      df: DataFrame,
+      docIdCol: String,
+      shardCol: String,
+      orderCol: String,
+      idsCol: String,
+      contextLen: Int,
+      bosId: Long = 1L,
+      eosId: Long = 2L
+  ): DataFrame = {
+    require(contextLen >= 2, s"contextLen must be >= 2, got $contextLen")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val L = lit(contextLen.toLong)
+    val frags = df
+      .withColumn("_full", concat(array(lit(bosId)),
+        col(idsCol).cast("array<bigint>"), array(lit(eosId))))
+      .withColumn("_len", size(col("_full")).cast("long"))
+      .withColumn("_off", coalesce(sum(col("_len")).over(w), lit(0L)))
+      // the windows this doc overlaps — a doc-granularity explode
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_off div $contextLen"),
+        expr(s"(_off + _len - 1) div $contextLen"))))
+      .withColumn("_gstart", greatest(col("_off"), col("seq_id") * L))
+      .withColumn("_gend", least(col("_off") + col("_len"), (col("seq_id") + 1) * L))
+      .withColumn("start", (col("_gstart") - col("seq_id") * L).cast("int"))
+      .withColumn("end", (col("_gend") - col("seq_id") * L).cast("int"))
+      .withColumn("doc_start", col("_gstart") - col("_off"))
+      .withColumn("_frag", slice(col("_full"),
+        (col("doc_start") + 1).cast("int"), (col("_gend") - col("_gstart")).cast("int")))
+    frags
+      .groupBy(col(shardCol).as("shard"), col("seq_id"))
+      // `start` leads the struct: sort_array orders fragments by their
+      // position in the window, making the flatten deterministic
+      .agg(sort_array(collect_list(struct(col("start"), col("end"),
+        col(docIdCol).cast("long").as("doc_id"), col("doc_start"), col("_frag")))).as("_frs"))
+      .select(col("shard"), col("seq_id"),
+        flatten(transform(col("_frs"), f => f.getField("_frag"))).as("ids"),
+        transform(col("_frs"), f => struct(f.getField("doc_id").as("doc_id"),
+          f.getField("start").as("start"), f.getField("end").as("end"),
+          f.getField("doc_start").as("doc_start"))).as("doc_spans"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
   }
 }

@@ -70,17 +70,35 @@ object SemIndex {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     // maxId persists the one-shot-equivalence precondition (batch ids
     // strictly above every indexed id): ingest enforces and advances it
-    Seq((tau, maxClusterSize, maxId))
-      .toDF("tau", "maxClusterSize", "maxId")
-      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+    writeParams(spark, path, tau, maxClusterSize, maxId)
   }
 
+  /** Persist params via write-temp-then-rename: a plain mode("overwrite")
+    * deletes the old params/ BEFORE writing the new one, so a crash
+    * mid-overwrite would leave params/ empty and the whole index
+    * unreadable (tau/maxClusterSize lost). With the swap, params/ holds a
+    * complete copy at every instant except the delete→rename gap, and
+    * [[readParams]] completes an interrupted swap from `params_tmp`.
+    * Remaining documented window (ingest): a crash AFTER the vectors
+    * append but BEFORE this call leaves a stale watermark — the next
+    * batch could legally reuse the appended ids. Offline-maintenance
+    * contract: re-run the failed batch's ingest (same ids — the
+    * disjoint-id check then fails fast and flags the half-landed batch)
+    * or rebuild before trusting post-crash ingests.
+    */
   private def writeParams(spark: SparkSession, path: String,
       tau: Double, maxClusterSize: Int, maxId: Long): Unit = {
     import spark.implicits._
+    val live = new org.apache.hadoop.fs.Path(s"$path/params")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/params_tmp")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq((tau, maxClusterSize, maxId))
       .toDF("tau", "maxClusterSize", "maxId")
-      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+      .coalesce(1).write.mode("overwrite").json(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live),
+      s"SemIndex: params swap rename failed at $path — params_tmp holds " +
+        "the complete copy; readParams will recover it")
   }
 
   private def readCentroids(spark: SparkSession, path: String): Seq[(Double, Int, Seq[Float])] =
@@ -89,6 +107,14 @@ object SemIndex {
       .sortBy(_._2)
 
   private def readParams(spark: SparkSession, path: String): (Double, Int, Long) = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/params")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/params_tmp")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // complete an interrupted writeParams swap: a crash between its
+    // delete and rename leaves the only full copy in params_tmp
+    if (!fs.exists(live) && fs.exists(tmp))
+      require(fs.rename(tmp, live),
+        s"SemIndex: recovering params from params_tmp failed at $path")
     val r = spark.read.json(s"$path/params").head()
     // pre-maxId indexes (older builds) read as -1 → the disjointness check
     // passes trivially once, then the first ingest persists a real maxId

@@ -104,6 +104,17 @@ object Completions {
     Completion("LangIdTransform",
       "{type = \"LangIdTransform\", name = \"langid\", inputView = \"docs\", outputView = \"labelled\",\n" +
         " textField = \"text\", method = \"ngram\"}"),
+    Completion("PackingTransform",
+      "{type = \"PackingTransform\", name = \"pack\", inputView = \"docs\", outputView = \"packs\",\n" +
+        " shardField = \"shard\", orderField = \"doc_id\", method = \"greedy\",\n" +
+        " tokensField = \"n_tokens\", maxTokens = 2048}"),
+    Completion("PackingTransform (token ids)",
+      "{type = \"PackingTransform\", name = \"pack\", inputView = \"tokenized\", outputView = \"windows\",\n" +
+        " shardField = \"shard\", orderField = \"doc_id\", method = \"tokenIds\",\n" +
+        " docIdField = \"doc_id\", idsField = \"ids\", contextLength = 2048, bosId = 1, eosId = 2}"),
+    Completion("LangIdTransform (und floor)",
+      "{type = \"LangIdTransform\", name = \"langid\", inputView = \"docs\", outputView = \"labelled\",\n" +
+        " textField = \"text\", method = \"ngramFloored\"}"),
     Completion("HtmlTextTransform",
       "{type = \"HtmlTextTransform\", name = \"html\", inputView = \"pages\", outputView = \"texts\",\n" +
         " htmlField = \"html\"}"),

@@ -612,6 +612,46 @@ final case class ChunkTransform(
   }
 }
 
+/** Sequence packing behind the config surface ([[graft.llm.Packing]]):
+  * `method=greedy` appends a `pack_id` column by whole-document first-fit
+  * on a token COUNT column (the batch-planning shape); `method=tokenIds`
+  * emits the packed context windows themselves — every document's
+  * `[bos] ++ ids ++ [eos]` stream cut into `contextLength`-token windows
+  * with a `doc_spans` boundary map (the pretraining-corpus shape).
+  */
+final case class PackingTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    shardField: String,
+    orderField: String,
+    method: String = "greedy",
+    tokensField: String = "n_tokens",
+    maxTokens: Long = 2048L,
+    docIdField: String = "doc_id",
+    idsField: String = "ids",
+    contextLength: Int = 2048,
+    bosId: Long = 1L,
+    eosId: Long = 2L,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "PackingTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = method match {
+      case "greedy" =>
+        graft.llm.Packing.packGreedy(in, shardField, orderField, tokensField, maxTokens)
+      case "tokenIds" =>
+        graft.llm.Packing.packTokenIds(in, docIdField, shardField, orderField,
+          idsField, contextLength, bosId, eosId)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown packing method '$other' (greedy|tokenIds)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Build (or incrementally ingest into) a persistent [[graft.llm.IvfIndex]]
   * over an embedding view — the corpus-side half of repeated retrieval
   * (a Load in spirit: writes files, registers no view). `action=write`
@@ -1145,9 +1185,13 @@ final case class HtmlTextTransform(
   * the real classifier — character-n-gram rank profiles
   * ([[graft.llm.LangId]], the public TextCat method), a narrow codegen'd
   * expression that separates close languages and short documents;
-  * `method=stopword` keeps the cheap stopword-hit heuristic
-  * ([[graft.llm.TextStats.languageId]]) for quick triage. Both append one
-  * string column — zero shuffles either way.
+  * `method=ngramFloored` is the same classifier with the calibrated `und`
+  * confidence floor ([[graft.llm.LangId.languageIdNgramFloored]]) —
+  * out-of-set languages and non-language text (code, word salad) return
+  * `und` instead of a confident wrong label, the conservative behavior a
+  * training-data filter wants; `method=stopword` keeps the cheap
+  * stopword-hit heuristic ([[graft.llm.TextStats.languageId]]) for quick
+  * triage. All three append one string column — zero shuffles.
   */
 final case class LangIdTransform(
     name: String,
@@ -1162,11 +1206,12 @@ final case class LangIdTransform(
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     val in = ctx.view(inputView)
     val pred = method match {
-      case "ngram"    => graft.llm.LangId.languageIdNgram(col(textField))
-      case "stopword" => graft.llm.TextStats.languageId(col(textField))
+      case "ngram"        => graft.llm.LangId.languageIdNgram(col(textField))
+      case "ngramFloored" => graft.llm.LangId.languageIdNgramFloored(col(textField))
+      case "stopword"     => graft.llm.TextStats.languageId(col(textField))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown langid method '$other' (ngram|stopword)")
+          s"$name: unknown langid method '$other' (ngram|ngramFloored|stopword)")
     }
     Some(publish(ctx, in.withColumn(outputField, pred), outputView, None, Nil, persist))
   }

@@ -523,6 +523,71 @@ class ConfigSpec extends SparkSpec {
     assert(spark.table("li_stop").columns.contains("lang_sw"))
   }
 
+  test("LangIdTransform method=ngramFloored applies the und confidence floor from a config cell") {
+    import spark.implicits._
+    Seq(
+      (1L, graft.llm.LangId.heldOutSentences("de").head, "de"),
+      (2L, graft.llm.LangId.negativeExamples("fi").head, "und"),
+      (3L, graft.llm.LangId.negativeExamples("code").head, "und"))
+      .toDF("doc_id", "text", "expected").createOrReplaceTempView("lif_in")
+    val hocon =
+      """{stages: [
+        { type = "LangIdTransform", name = "fl", inputView = lif_in,
+          outputView = lif_out, textField = text, method = ngramFloored }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val got = spark.table("lif_out").select("doc_id", "lang_pred", "expected")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    got.foreach { case (id, pred, exp) =>
+      assert(pred == exp, s"doc $id: predicted $pred, expected $exp")
+    }
+    // the un-floored method stays confident-wrong on the same out-of-set
+    // text — the floor is what the new method adds
+    val bad = intercept[IllegalArgumentException] {
+      graft.transform.LangIdTransform("x", "lif_in", "lif_bad",
+        textField = "text", method = "nope").execute(new PipelineContext(spark))
+    }
+    assert(bad.getMessage.contains("ngramFloored"))
+  }
+
+  test("PackingTransform packs token ids into context windows from a config cell") {
+    import spark.implicits._
+    Seq(
+      (0L, 0L, Seq.tabulate(10)(i => 100L + i)),
+      (1L, 0L, Seq.tabulate(3)(i => 200L + i)),
+      (2L, 0L, Seq.tabulate(20)(i => 300L + i)))
+      .toDF("doc_id", "shard", "ids").createOrReplaceTempView("pk_in")
+    val hocon =
+      """{stages: [
+        { type = "PackingTransform", name = "pk", inputView = pk_in,
+          outputView = pk_out, shardField = shard, orderField = doc_id,
+          method = tokenIds, contextLength = 16, bosId = 1, eosId = 2 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val out = spark.table("pk_out").orderBy("seq_id")
+      .select("seq_id", "ids").as[(Long, Seq[Long])].collect()
+    // stream = [1,100..109,2] [1,200..202,2] [1,300..319,2] = 39 tokens
+    // -> windows of 16,16,7
+    assert(out.map(_._2.length).toSeq == Seq(16, 16, 7))
+    assert(out.flatMap(_._2).toSeq ==
+      (1L +: (0 until 10).map(100L + _) :+ 2L) ++
+      (1L +: (0 until 3).map(200L + _) :+ 2L) ++
+      (1L +: (0 until 20).map(300L + _) :+ 2L))
+    // greedy mode still answers from the same stage type
+    val hocon2 =
+      """{stages: [
+        { type = "PackingTransform", name = "pg", inputView = pk_g,
+          outputView = pk_gout, shardField = shard, orderField = doc_id,
+          method = greedy, tokensField = toks, maxTokens = 12 }
+      ]}"""
+    Seq((0L, 0L, 8L), (1L, 0L, 3L), (2L, 0L, 6L))
+      .toDF("doc_id", "shard", "toks").createOrReplaceTempView("pk_g")
+    assert(Runner.run(PipelineConfig.parse(hocon2), new PipelineContext(spark)).isDefined)
+    val packs = spark.table("pk_gout").orderBy("doc_id")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toSeq
+    assert(packs == Seq((0L, 0L), (1L, 0L), (2L, 1L)), packs.toString)
+  }
+
   test("TokenizerTransform trains merges and applies them from config cells") {
     import spark.implicits._
     Seq.fill(10)("the merger merged the merging mergers").zipWithIndex

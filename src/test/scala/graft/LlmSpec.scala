@@ -1988,6 +1988,29 @@ class SemIndexSpec extends SparkSpec {
     assert(s == Set(12L))
   }
 
+  test("params swap crash: readParams recovers the watermark from params_tmp") {
+    val path = java.nio.file.Files.createTempDirectory("semidx").toString + "/idx"
+    SemIndex.write(rows(Seq((0L, 0), (1L, 1))), "vec_id", "embedding", path, nclusters = 2)
+    SemIndex.ingest(rows(Seq((5L, 2))), "vec_id", "embedding", path)
+    // simulate the writeParams crash window: the delete of params/
+    // happened, the rename of params_tmp didn't
+    val live = new java.io.File(s"$path/params")
+    val tmp = new java.io.File(s"$path/params_tmp")
+    org.apache.commons.io.FileUtils.moveDirectory(live, tmp)
+    assert(!live.exists && tmp.exists)
+    // the next ingest recovers params (tau AND the maxId=5 watermark): a
+    // watermark-violating batch still fails fast...
+    val ex = intercept[IllegalArgumentException] {
+      SemIndex.ingest(rows(Seq((3L, 3))), "vec_id", "embedding", path)
+    }
+    assert(ex.getMessage.contains("strictly above"), ex.getMessage)
+    assert(live.exists && !tmp.exists)
+    // ...and a legal batch ingests normally against the recovered params
+    val s = SemIndex.ingest(rows(Seq((9L, 3))), "vec_id", "embedding", path)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s == Set(9L))
+  }
+
   test("ingest fails fast on a foreign vectors layout") {
     val path = java.nio.file.Files.createTempDirectory("semidx").toString + "/idx"
     val corpus = rows(Seq((0L, 0), (1L, 1)))
@@ -2080,6 +2103,82 @@ class IndexCompactSpec extends SparkSpec {
     IvfIndex.ingest(rows(Seq((300L, 3))), "vec_id", "embedding", path)
     val ids = spark.read.parquet(s"$path/vectors").select("id").as[Long].collect().toSet
     assert(ids.contains(300L) && ids.contains(205L) && ids.contains(0L))
+  }
+
+  test("compaction crash mid-swap: compact refuses, recover restores, re-run succeeds") {
+    import org.apache.hadoop.fs.Path
+    import graft.llm.IndexCompact
+    val path = java.nio.file.Files.createTempDirectory("cmpc").toString + "/idx"
+    SemIndex.write(rows((0L until 8L).map(id => (id, id.toInt))), "vec_id", "embedding",
+      path, nclusters = 2, tau = 0.95)
+    (0 until 6).foreach { b =>
+      SemIndex.ingest(rows(Seq((100L + b, 8 + b))), "vec_id", "embedding", path)
+    }
+    val vecDir = s"$path/vectors"
+    val fs = new Path(vecDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids() = spark.read.parquet(vecDir).select("id").as[Long].collect().sorted.toSeq
+    def live(p: Path) = fs.listStatus(p).filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    val beforeIds = ids()
+
+    // hand-build the exact mid-swap state of an interrupted run on the
+    // busiest partition: replacement written to tmp, marker recorded, ALL
+    // old files parked, only PART of the new copy moved in
+    val root = new Path(vecDir)
+    val part = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .maxBy(p => live(p.getPath).length).getPath
+    val runId = "11111111-2222-3333-4444-555555555555"
+    val tmpPart = new Path(root, s"_compact_tmp/${part.getName}")
+    spark.read.parquet(part.toString).coalesce(2)
+      .write.mode("overwrite").parquet(tmpPart.toString)
+    val oldPart = new Path(root, s"_compact_old/${part.getName}")
+    fs.mkdirs(oldPart)
+    val marker = fs.create(new Path(root, "_compact_old/_runid"), true)
+    marker.write(runId.getBytes("UTF-8")); marker.close()
+    live(part).foreach(f =>
+      assert(fs.rename(f.getPath, new Path(oldPart, f.getPath.getName))))
+    val newFiles = live(tmpPart)
+    assert(newFiles.length == 2)
+    // the "crash": only the first new file made it in
+    assert(fs.rename(newFiles.head.getPath,
+      new Path(part, s"compact-$runId-${newFiles.head.getPath.getName}")))
+
+    // a fresh compaction must refuse to run over the wreckage
+    val refused = intercept[IllegalArgumentException] {
+      SemIndex.compact(spark, path, maxFilesPerPartition = 2)
+    }
+    assert(refused.getMessage.contains("recover"), refused.getMessage)
+
+    // recovery restores the pre-compaction content exactly
+    assert(IndexCompact.recover(spark, vecDir) == 1)
+    assert(ids() == beforeIds)
+    assert(!fs.exists(new Path(root, "_compact_old")))
+    assert(!fs.exists(new Path(root, "_compact_tmp")))
+    assert(live(part).forall(f => !f.getPath.getName.startsWith(s"compact-$runId")))
+
+    // and compaction now runs clean on the recovered index
+    val (c, nb, na) = SemIndex.compact(spark, path, maxFilesPerPartition = 2)
+    assert(c > 0 && na < nb, s"($c, $nb, $na)")
+    assert(ids() == beforeIds)
+
+    // SECOND-compaction crash mid-park: the live files are now themselves
+    // compact-<run1>-* — recovery keyed on the marker's runId must NOT
+    // touch the un-parked originals (prefix-only matching would)
+    val part2 = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .maxBy(p => live(p.getPath).length).getPath
+    val lf = live(part2)
+    assert(lf.nonEmpty)
+    val old2 = new Path(root, s"_compact_old/${part2.getName}")
+    fs.mkdirs(old2)
+    val m2 = fs.create(new Path(root, "_compact_old/_runid"), true)
+    m2.write("99999999-8888-7777-6666-000000000000".getBytes("UTF-8")); m2.close()
+    // crash after parking ONE file, before any new file moved in
+    assert(fs.rename(lf.head.getPath, new Path(old2, lf.head.getPath.getName)))
+    assert(IndexCompact.recover(spark, vecDir) == 1)
+    assert(ids() == beforeIds)
+    assert(!fs.exists(new Path(root, "_compact_old")))
   }
 }
 
@@ -2536,6 +2635,41 @@ class LangIdSpec extends SparkSpec {
       assert(LangId.scorerWithFloor.classify(s) == lang, s"$lang: $s")
     // the un-floored scorer still always answers (back-compat)
     assert(LangId.scorer.classify(LangId.negativeExamples("fi").head) != "und")
+  }
+
+  test("und floor: hard-coded cutoffs still separate the re-derived fixture scores") {
+    // Re-derive the (abs, ratio) score of every calibration fixture from
+    // the CURRENT profiles via scorer.allScores — if anyone edits
+    // seedCorpora/seedCorporaExtra/profileSize without re-running
+    // tools/LangIdCalib, the hard-coded undAbsCutoff/undRatioCutoff pair
+    // silently mis-calibrates; this test makes that drift fail loudly by
+    // checking the floor's AND-rule directly against fresh scores rather
+    // than trusting the constants.
+    def scoreOf(s: String): (Double, Double) = {
+      val sc = LangId.scorer.allScores(s)
+      val abs = sc.map(_._2).min
+      (abs, abs / (sc.map(_._2).sum / sc.length))
+    }
+    val a = LangId.undAbsCutoff
+    val r = LangId.undRatioCutoff
+    // every positive must clear the floor: abs <= A OR ratio <= R
+    val floored = for {
+      (lang, ss) <- LangId.heldOutSentences.toSeq.sortBy(_._1)
+      s <- ss
+      (abs, ratio) = scoreOf(s)
+      if abs > a && ratio > r
+    } yield f"$lang abs=$abs%.4f ratio=$ratio%.4f : ${s.take(40)}"
+    assert(floored.isEmpty,
+      s"cutoffs drifted — positives now trip the floor (re-run graft.tools.LangIdCalib):\n${floored.mkString("\n")}")
+    // every negative must trip it: abs > A AND ratio > R
+    val leaked = for {
+      (kind, ss) <- LangId.negativeExamples.toSeq.sortBy(_._1)
+      s <- ss
+      (abs, ratio) = scoreOf(s)
+      if abs <= a || ratio <= r
+    } yield f"$kind abs=$abs%.4f ratio=$ratio%.4f : ${s.take(40)}"
+    assert(leaked.isEmpty,
+      s"cutoffs drifted — negatives now clear the floor (re-run graft.tools.LangIdCalib):\n${leaked.mkString("\n")}")
   }
 
   test("languageIdNgramFloored runs as an expression; streaming parity") {

@@ -405,4 +405,60 @@ class SamplingPackingSpec extends SparkSpec {
     }
     assert(byPack.exists(_.size > 1), "degenerate: no pack got more than one doc")
   }
+
+  test("packTokenIds: exact windows, tiling spans, and span concatenation reconstructs every doc") {
+    import spark.implicits._
+    val ctxLen = 64
+    // lengths 0..149 cycle: empty docs, docs sharing a window, docs
+    // spanning 2-3 windows — every packing shape in one corpus
+    val input = (0L until 200L).map { d =>
+      val n = ((d * 7) % 150).toInt
+      (d, d % 4, Seq.tabulate(n)(i => d * 1000L + i))
+    }
+    val packed = Packing.packTokenIds(
+        input.toDF("doc_id", "shard", "ids"),
+        "doc_id", "shard", "doc_id", "ids", ctxLen, bosId = 1L, eosId = 2L)
+      .collect().map { r =>
+        (r.getLong(r.fieldIndex("shard")), r.getLong(r.fieldIndex("seq_id")),
+          r.getSeq[Long](r.fieldIndex("ids")),
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans")))
+      }
+    // 1. within a shard the windows are 0..k contiguous, all exactly
+    // ctxLen except the last
+    packed.groupBy(_._1).foreach { case (shard, rows) =>
+      val byId = rows.sortBy(_._2)
+      assert(byId.map(_._2).toSeq == (0L until byId.length).toSeq, s"shard $shard seq ids")
+      byId.dropRight(1).foreach { case (_, sid, ids, _) =>
+        assert(ids.length == ctxLen, s"shard $shard seq $sid: ${ids.length}")
+      }
+      assert(byId.last._3.length <= ctxLen && byId.last._3.nonEmpty)
+    }
+    // 2. spans tile each window with no gaps or overlaps
+    packed.foreach { case (shard, sid, ids, spans) =>
+      val s = spans.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      assert(s.head._2 == 0, s"shard $shard seq $sid: first span starts at ${s.head._2}")
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 == b._2, s"gap/overlap in shard $shard seq $sid")
+        case _ =>
+      }
+      assert(s.last._3 == ids.length, s"shard $shard seq $sid: last span ends at ${s.last._3}")
+    }
+    // 3. concatenating a doc's spans across windows in stream order
+    // reconstructs [bos] ++ ids ++ [eos] exactly — for EVERY doc,
+    // including the empty ones
+    val rebuilt = scala.collection.mutable.Map.empty[Long, Vector[(Long, Seq[Long])]]
+    packed.foreach { case (_, _, ids, spans) =>
+      spans.foreach { r =>
+        val (docId, st, en, docStart) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))
+        rebuilt(docId) = rebuilt.getOrElse(docId, Vector.empty) :+
+          (docStart, ids.slice(st, en))
+      }
+    }
+    input.foreach { case (d, _, ids) =>
+      val got = rebuilt(d).sortBy(_._1).flatMap(_._2)
+      val want = 1L +: ids :+ 2L
+      assert(got == want, s"doc $d: got $got want $want")
+    }
+    assert(rebuilt.keySet == input.map(_._1).toSet)
+  }
 }

@@ -1897,6 +1897,69 @@ object SparkEntry {
             col("sp.end") - col("sp.start")).as("frag_ids"))
         .orderBy("shard", "seq_id", "span_start")
     },
+    "q188_curation_chain" -> withViews("documents") { (spark, ctx) =>
+      // The FULL crawl-curation chain as one oracle-checked query — q184
+      // grown by the three stages a production pipeline runs between
+      // extraction and the outlier screen: language gate, exact
+      // within-doc line dedup, and bloom decontamination. Chain:
+      // HTML+chrome -> HtmlText extraction -> stopword langid gate
+      // (lang='en'; the deterministic heuristic — the ngram profiles are
+      // engine-specific and this synthetic corpus is word salad the
+      // calibrated floor rightly refuses, so the floored path is composed
+      // through the stage surface in q186 while the chain's gate stays
+      // DuckDB-reproducible) -> deterministic 4-token linify + first-
+      // occurrence line dedup -> bloom-prefiltered EXACT fingerprint
+      // anti-join against the doc_id%13 "eval membership" (the q150
+      // contract: result ≡ plain anti-join) -> cross-doc span dedup
+      // (k=8, strips the shared chrome) -> per-source MAD screen ->
+      // 80/10/10 hash split. regex/md5/quantile-exact end to end; every
+      // multi-consumer intermediate Lineage-pinned.
+      import graft.llm.{BloomSketch, HtmlText, LineFilter, RobustStats, Sampling, SpanDedup, TextStats}
+      val docs = ctx.view("documents")
+      val pages = docs.select(col("doc_id"), col("source"),
+        concat(
+          lit("<html><head><title>Page</title><style>nav{color:red}</style>" +
+            "<script>track(1 < 2);</script></head><body>"),
+          lit("<nav>home products pricing docs blog careers about contact login signup</nav><p>"),
+          col("text"),
+          lit("</p><footer>copyright acme corp all rights reserved privacy terms cookies</footer></body></html>")
+        ).as("html"))
+      val english = pages
+        .select(col("doc_id"), col("source"),
+          HtmlText.extractText(col("html")).as("text2"))
+        .withColumn("lang", TextStats.languageId(col("text2")))
+        .filter(col("lang") === "en")
+      // cleaned feeds the eval-fingerprint build AND the anti-join big side
+      val cleaned = graft.core.Lineage.pin(
+        english.select(col("doc_id"), col("source"), col("lang"),
+          LineFilter.dedupLines(
+            regexp_replace(col("text2"), "(\\S+ \\S+ \\S+ \\S+) ", "$1\n"))
+            .as("clean")))
+      val evalFps = cleaned.filter(col("doc_id") % 13 === 0)
+        .select(md5(col("clean")).as("fp"))
+      // decon feeds the span-dedup gram explode, its reconstruction pass,
+      // and the source/lang re-attach — three scans
+      val decon = graft.core.Lineage.pin(
+        BloomSketch.antiJoin(
+          cleaned.withColumn("fp", md5(col("clean"))), col("fp"),
+          evalFps, col("fp"), bits = 1L << 20, hashes = 3)
+          .drop("fp"))
+      val deduped = graft.core.Lineage.pin(
+        SpanDedup.dedupSpans(decon, "doc_id", "clean", k = 8)
+          .join(decon.select("doc_id", "source", "lang"), Seq("doc_id"))
+          .withColumn("n_kept_tokens", col("n_tokens") - col("n_tokens_removed"))
+          .drop("clean_text"))
+      val screened = RobustStats.madOutliers(
+        deduped, Seq("source"), col("n_kept_tokens"), k = 3.0)
+        .filter(!col("is_outlier"))
+        .select("doc_id", "source", "lang", "n_tokens", "n_tokens_removed",
+          "n_kept_tokens")
+      Sampling.hashSplit(screened, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cc")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+          col("n_tokens_removed"), col("n_kept_tokens"), col("split"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -4229,6 +4292,104 @@ object SparkEntry {
         SELECT doc_id, source, n_tokens, n_tokens_removed, n_kept_tokens,
                CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'wc'), 1, 8) < '$t1' THEN 'train'
                     WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'wc'), 1, 8) < '$t2' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM screened ORDER BY doc_id"""
+    },
+    "q188_curation_chain" -> {
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = f"${math.round(cum(0) * 0xffffffffL)}%08x"
+      val t2 = f"${math.round(cum(1) * 0xffffffffL)}%08x"
+      s"""WITH h AS (
+          SELECT doc_id, source,
+                 '<html><head><title>Page</title><style>nav{color:red}</style><script>track(1 < 2);</script></head><body>'
+                 || '<nav>home products pricing docs blog careers about contact login signup</nav><p>'
+                 || text
+                 || '</p><footer>copyright acme corp all rights reserved privacy terms cookies</footer></body></html>'
+                 AS html
+          FROM documents),
+        x1 AS (SELECT doc_id, source, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        x2 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM x1),
+        x3 AS (SELECT doc_id, source, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM x2),
+        x4 AS (SELECT doc_id, source, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM x3),
+        xe AS (SELECT doc_id, source,
+                replace(replace(replace(replace(replace(replace(replace(t,
+                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t
+              FROM x4),
+        lt AS (SELECT doc_id, source, t,
+                 list_distinct(list_filter(regexp_split_to_array(lower(trim(t)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS toks
+               FROM xe),
+        lh AS (SELECT doc_id, source, t,
+                 len(list_intersect(toks, ['der','die','das','und','ist','von','nicht','mit','ein','eine','zu','den'])) AS h_de,
+                 len(list_intersect(toks, ['the','and','of','to','in','is','that','it','for','with','was','are'])) AS h_en,
+                 len(list_intersect(toks, ['el','la','los','las','es','en','que','una','por','con','para','del'])) AS h_es,
+                 len(list_intersect(toks, ['le','la','les','et','est','dans','pour','que','une','des','pas','sur'])) AS h_fr,
+                 len(list_intersect(toks, ['il','la','che','di','è','per','con','una','sono','non','più','come'])) AS h_it
+               FROM lt),
+        eng AS (
+          SELECT doc_id, source, 'en' AS lang, t FROM lh
+          WHERE greatest(h_de,h_en,h_es,h_fr,h_it) > 0
+            AND h_it <> greatest(h_de,h_en,h_es,h_fr,h_it)
+            AND h_fr <> greatest(h_de,h_en,h_es,h_fr,h_it)
+            AND h_es <> greatest(h_de,h_en,h_es,h_fr,h_it)
+            AND h_en = greatest(h_de,h_en,h_es,h_fr,h_it)),
+        ml AS (SELECT doc_id, source, lang,
+                 regexp_replace(trim(regexp_replace(t, '\\s+', ' ', 'g')),
+                   '(\\S+ \\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') AS m
+               FROM eng),
+        mx AS (SELECT doc_id, source, lang, string_split(m, chr(10)) AS ls FROM ml),
+        ex AS (SELECT doc_id, source, lang, unnest(ls) AS line,
+                      unnest(range(1, len(ls) + 1)) AS ord
+               FROM mx),
+        firsts AS (
+          SELECT doc_id, source, lang, line, ord FROM ex
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY ord) = 1),
+        cln AS (
+          SELECT doc_id, source, lang,
+                 string_agg(line, chr(10) ORDER BY ord) AS clean
+          FROM firsts GROUP BY doc_id, source, lang),
+        dec AS (
+          SELECT * FROM cln
+          WHERE md5(clean) NOT IN (SELECT md5(clean) FROM cln WHERE doc_id % 13 = 0)),
+        d AS (
+          SELECT doc_id, source, lang,
+                 list_filter(string_split_regex(trim(clean), '\\s+'), w -> len(w) > 0) AS arr
+          FROM dec),
+        g AS (
+          SELECT doc_id, pos, md5(array_to_string(arr[pos+1:pos+8], ' ')) AS gh
+          FROM (SELECT doc_id, arr, unnest(range(0, len(arr) - 7)) AS pos
+                FROM d WHERE len(arr) >= 8)),
+        dup AS (
+          SELECT gh, min(doc_id) AS keeper FROM g
+          GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        rem AS (
+          SELECT DISTINCT g.doc_id, g.pos + u.off AS p
+          FROM g JOIN dup USING (gh)
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS off) u
+          WHERE g.doc_id <> dup.keeper),
+        remagg AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+        kept AS (
+          SELECT d.doc_id, d.source, d.lang,
+                 CAST(len(d.arr) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(ra.n_removed, 0) AS BIGINT) AS n_tokens_removed,
+                 CAST(len(d.arr) - coalesce(ra.n_removed, 0) AS BIGINT) AS n_kept_tokens
+          FROM d LEFT JOIN remagg ra USING (doc_id)),
+        med AS (
+          SELECT source, quantile_cont(CAST(n_kept_tokens AS DOUBLE), 0.5) AS median
+          FROM kept GROUP BY source),
+        mad AS (
+          SELECT k.source,
+                 quantile_cont(abs(CAST(k.n_kept_tokens AS DOUBLE) - m.median), 0.5) AS mad
+          FROM kept k JOIN med m USING (source) GROUP BY k.source),
+        screened AS (
+          SELECT k.*
+          FROM kept k JOIN med m USING (source) JOIN mad a ON k.source = a.source
+          WHERE NOT (CASE WHEN a.mad > 0
+            THEN abs((CAST(k.n_kept_tokens AS DOUBLE) - m.median) / (1.4826 * a.mad)) > 3.0
+            ELSE FALSE END))
+        SELECT doc_id, source, lang, n_tokens, n_tokens_removed, n_kept_tokens,
+               CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'cc'), 1, 8) < '$t1' THEN 'train'
+                    WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'cc'), 1, 8) < '$t2' THEN 'val'
                     ELSE 'test' END AS split
         FROM screened ORDER BY doc_id"""
     },

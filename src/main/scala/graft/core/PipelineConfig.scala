@@ -274,6 +274,15 @@ object PipelineConfig {
         vectorField = o.req("vectorField"),
         action = o.str("action", "filter"),
         persist = o.bool("persist"))
+    case "SpanIndexTransform" =>
+      SpanIndexTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        indexURI = o.req("indexURI"), idField = o.req("idField"),
+        textField = o.req("textField"),
+        action = o.str("action", "write"),
+        shingleLength = o.intOpt("shingleLength").getOrElse(8),
+        hashMode = o.str("hashMode", "xxhash64"),
+        numBuckets = o.intOpt("numBuckets").getOrElse(64),
+        persist = o.bool("persist"))
     case "IvfIndexLoad" =>
       IvfIndexLoad(o.req("name"), o.req("inputView"), o.req("outputURI"),
         idField = o.req("idField"), vectorField = o.req("vectorField"),

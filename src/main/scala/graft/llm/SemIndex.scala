@@ -80,11 +80,13 @@ object SemIndex {
     * complete copy at every instant except the delete→rename gap, and
     * [[readParams]] completes an interrupted swap from `params_tmp`.
     * Remaining documented window (ingest): a crash AFTER the vectors
-    * append but BEFORE this call leaves a stale watermark — the next
-    * batch could legally reuse the appended ids. Offline-maintenance
-    * contract: re-run the failed batch's ingest (same ids — the
-    * disjoint-id check then fails fast and flags the half-landed batch)
-    * or rebuild before trusting post-crash ingests.
+    * append but BEFORE this call leaves a stale watermark, so re-running
+    * the same batch passes the disjoint-id check against its own
+    * half-landed rows. The re-run then drops every batch row against its
+    * own appended copy: the INDEX converges to the correct kept set (the
+    * copies are already there, nothing new appends), but the returned
+    * survivor frame is empty-ish and must be discarded — take survivors
+    * from the index itself (or rebuild) after a crashed ingest.
     */
   private def writeParams(spark: SparkSession, path: String,
       tau: Double, maxClusterSize: Int, maxId: Long): Unit = {

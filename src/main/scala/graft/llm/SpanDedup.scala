@@ -40,7 +40,7 @@ object SpanDedup {
     * NULL text normalizes to an empty array (n_tokens=0, empty
     * clean_text) — a null array would otherwise poison every downstream
     * size()/token count. */
-  private def tokArr(text: Column): Column =
+  private[llm] def tokArr(text: Column): Column =
     filter(split(trim(coalesce(text, lit(""))), "\\s+"), t => length(t) > 0)
 
   /** Gram-key modes. `md5` (32-char hex string) is cross-engine exact —
@@ -57,7 +57,7 @@ object SpanDedup {
   /** Every k-window's hash over the in-row token array — empty for docs
     * shorter than k tokens (a bare `sequence(0, size-k)` would run
     * BACKWARDS for them and fabricate windows). */
-  private def windowHashes(arr: Column, k: Int, hashMode: String): Column = {
+  private[llm] def windowHashes(arr: Column, k: Int, hashMode: String): Column = {
     require(HashModes(hashMode), s"hashMode must be one of ${HashModes.mkString("|")}, got $hashMode")
     hashMode match {
       case "md5" =>
@@ -139,7 +139,7 @@ object SpanDedup {
     * `array_contains`-per-token formulation is O(|arr|·|rem|), quadratic
     * on exactly the fully-duplicated long documents this operator exists
     * for). */
-  private def removeCovered(docs: DataFrame, markedStarts: DataFrame, k: Int): DataFrame = {
+  private[llm] def removeCovered(docs: DataFrame, markedStarts: DataFrame, k: Int): DataFrame = {
     import graft.functions.SpanExpressions.{remove_positions, span_count}
     // no .distinct() before the aggregate: collect_set already
     // deduplicates (map-side via partial aggregation) — an explicit

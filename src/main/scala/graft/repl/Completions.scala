@@ -104,6 +104,10 @@ object Completions {
     Completion("LangIdTransform",
       "{type = \"LangIdTransform\", name = \"langid\", inputView = \"docs\", outputView = \"labelled\",\n" +
         " textField = \"text\", method = \"ngram\"}"),
+    Completion("SpanIndexTransform",
+      "{type = \"SpanIndexTransform\", name = \"spanidx\", inputView = \"docs\", outputView = \"deduped\",\n" +
+        " indexURI = \"/path/spanidx\", idField = \"doc_id\", textField = \"text\",\n" +
+        " action = \"write\", shingleLength = 8}"),
     Completion("PackingTransform",
       "{type = \"PackingTransform\", name = \"pack\", inputView = \"docs\", outputView = \"packs\",\n" +
         " shardField = \"shard\", orderField = \"doc_id\", method = \"greedy\",\n" +

@@ -671,6 +671,42 @@ object ScaleProbe {
           .groupBy("lang").count().collect().map(_.getLong(1)).sum
       }
     }
+    // Incremental span dedup: index the boilerplate-heavy corpus once, then
+    // dedup a 2.5% batch against it — cost must be O(batch grams): one
+    // batch shingle pass + broadcast-bloom membership + bucket-pruned
+    // verification + new-gram append, never a corpus re-shingle. The batch
+    // repeats the corpus templates, so nearly EVERY batch gram is a bloom
+    // hit — the worst case for the verification join.
+    if (anySelected(s"spanIndexIngest n=$n")) {
+      val mkT = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+        col("id"),
+        concat(
+          lit("the quick brown fox jumps over the lazy dog near the river bank "),
+          when(pmod(col("id"), lit(4)) === 0, lit("hot template shared by a quarter of the corpus "))
+            .otherwise(concat(lit("template "), pmod(col("id"), lit(100)).cast("string"), lit(" "))),
+          lit("with suffix token "), pmod(col("id"), lit(17)).cast("string")
+        ).as("text"))
+      val path = java.nio.file.Files.createTempDirectory("spanidx_probe").toString + "/idx"
+      time(s"spanIndexIngest n=$n build k=8") {
+        graft.llm.SpanIndex.write(mkT(0, n), "id", "text", path, k = 8).count()
+      }
+      time(s"spanIndexIngest n=$n ingest batch=${n / 40} (all-hit worst case)") {
+        graft.llm.SpanIndex.ingest(mkT(n, n + n / 40), "id", "text", path).count()
+      }
+    }
+    // Token-id packing: per-shard prefix sum + doc-level explode + ONE
+    // window-assembly shuffle — token ids cross the wire exactly once.
+    // 25%-hot shard; ~48M tokens total at n=400k.
+    if (anySelected(s"packTokenIds n=$n")) {
+      time(s"packTokenIds n=$n ctx=2048 hot shard") {
+        val toks = spark.range(0, n).select(col("id"),
+          when(pmod(col("id"), lit(4)) === 0, lit(0L))
+            .otherwise(pmod(col("id"), lit(64))).as("shard"),
+          expr("transform(sequence(1, CAST(id % 200 + 20 AS INT)), i -> id * 1000 + i)")
+            .as("ids"))
+        graft.llm.Packing.packTokenIds(toks, "id", "shard", "id", "ids", 2048).count()
+      }
+    }
     spark.stop()
   }
 }

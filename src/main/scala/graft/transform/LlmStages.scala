@@ -251,6 +251,42 @@ final case class SemIndexDedupTransform(
   }
 }
 
+/** Incremental cross-document span dedup against a persistent
+  * [[graft.llm.SpanIndex]]: `action=write` one-shot-dedups the input AND
+  * creates the gram index (output view = the per-doc dedup rows);
+  * `action=ingest` dedups a new batch against the index with O(batch)
+  * work and appends its new grams — batch-ingest ≡ one-shot on the union
+  * corpus under the disjoint-id watermark.
+  */
+final case class SpanIndexTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    indexURI: String,
+    idField: String,
+    textField: String,
+    action: String = "write",
+    shingleLength: Int = 8,
+    hashMode: String = "xxhash64",
+    numBuckets: Int = 64,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "SpanIndexTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = action match {
+      case "write" =>
+        graft.llm.SpanIndex.write(in, idField, textField, indexURI,
+          k = shingleLength, hashMode = hashMode, nbuckets = numBuckets)
+      case "ingest" =>
+        graft.llm.SpanIndex.ingest(in, idField, textField, indexURI)
+      case other =>
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (write|ingest)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Ingest-side incremental dedup against a saved MinHash index: `filter`
   * keeps only rows with no exact or near duplicate in the indexed corpus;
   * `matches` outputs the (new_id, corpus_id, jaccard) match pairs instead.

@@ -550,6 +550,32 @@ class ConfigSpec extends SparkSpec {
     assert(bad.getMessage.contains("ngramFloored"))
   }
 
+  test("SpanIndexTransform writes then incrementally ingests from config cells") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("spanidxc").toString + "/idx"
+    Seq((0L, "a1 a2 shared1 shared2 shared3 shared4 a3"),
+        (1L, "b1 b2 shared1 shared2 shared3 shared4 b3 b4"))
+      .toDF("doc_id", "text").createOrReplaceTempView("si_base")
+    Seq((10L, "c1 c2 shared1 shared2 shared3 shared4 c3"))
+      .toDF("doc_id", "text").createOrReplaceTempView("si_batch")
+    val hocon =
+      s"""{stages: [
+        { type = "SpanIndexTransform", name = "w", inputView = si_base,
+          outputView = si_out, indexURI = "$idx", idField = doc_id,
+          textField = text, shingleLength = 4 },
+        { type = "SpanIndexTransform", name = "i", inputView = si_batch,
+          outputView = si_ing, indexURI = "$idx", idField = doc_id,
+          textField = text, action = ingest }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val rem = spark.table("si_ing").select("doc_id", "n_tokens_removed")
+      .as[(Long, Long)].collect().toMap
+    assert(rem(10L) == 4L, rem.toString) // the shared 4-token run is excised
+    val base = spark.table("si_out").select("doc_id", "n_tokens_removed")
+      .as[(Long, Long)].collect().toMap
+    assert(base(0L) == 0L && base(1L) == 4L, base.toString)
+  }
+
   test("PackingTransform packs token ids into context windows from a config cell") {
     import spark.implicits._
     Seq(

@@ -2028,6 +2028,98 @@ class SemIndexSpec extends SparkSpec {
   }
 }
 
+class SpanIndexSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.llm.{SpanDedup, SpanIndex}
+
+  // shared boilerplate runs: `boiler` crosses base->batch1->batch2,
+  // `newRun` is born inside batch1 and repeated by batch2
+  private val boiler = "b1 b2 b3 b4 b5 b6"
+  private val newRun = "n1 n2 n3 n4 n5"
+  private val base = Seq(
+    (0L, s"u01 u02 u03 $boiler u04 u05"),
+    (1L, s"v01 v02 $boiler v03 v04 v05 v06"),
+    (2L, "w01 w02 w03 w04 w05 w06 w07"))
+  private val batch1 = Seq(
+    (10L, s"x01 x02 $boiler x03 x04"),
+    (11L, s"y01 y02 y03 $newRun y04 y05"),
+    (12L, s"z01 z02 $newRun z03 z04 z05"))
+  private val batch2 = Seq(
+    (20L, s"p01 p02 $newRun p03"),
+    (21L, "q01 q02 q03 q04 q05"))
+
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+  private def rowsOf(d: org.apache.spark.sql.DataFrame) =
+    d.select("doc_id", "n_tokens", "n_tokens_removed", "n_spans", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1).toSeq
+
+  for (mode <- Seq("xxhash64", "md5"))
+  test(s"write + ingests ≡ one-shot span dedup on the union corpus ($mode)") {
+    val path = java.nio.file.Files.createTempDirectory("spanidx").toString + "/idx"
+    val got = rowsOf(SpanIndex.write(df(base), "doc_id", "text", path,
+        k = 4, hashMode = mode, nbuckets = 8)) ++
+      rowsOf(SpanIndex.ingest(df(batch1), "doc_id", "text", path)) ++
+      rowsOf(SpanIndex.ingest(df(batch2), "doc_id", "text", path))
+    val oneShot = rowsOf(SpanDedup.dedupSpans(
+      df(base ++ batch1 ++ batch2), "doc_id", "text", k = 4, hashMode = mode))
+    assert(got.sortBy(_._1) == oneShot, s"\ngot:     $got\noneShot: $oneShot")
+    // spot the semantics: 0 keeps the boilerplate, 1/10 lose it; 11 keeps
+    // the batch-born run, 12 (same ingest) and 20 (later ingest) lose it
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(0L) == 0L && byId(1L) > 0L && byId(10L) > 0L)
+    assert(byId(11L) == 0L && byId(12L) > 0L && byId(20L) > 0L && byId(21L) == 0L)
+  }
+
+  test("ingest enforces the disjoint-id watermark") {
+    val path = java.nio.file.Files.createTempDirectory("spanidx").toString + "/idx"
+    SpanIndex.write(df(base), "doc_id", "text", path, k = 4, nbuckets = 4)
+    SpanIndex.ingest(df(batch1), "doc_id", "text", path).collect()
+    val ex = intercept[IllegalArgumentException] {
+      SpanIndex.ingest(df(Seq((5L, "a b c d e"))), "doc_id", "text", path)
+    }
+    assert(ex.getMessage.contains("strictly above"), ex.getMessage)
+  }
+
+  test("half-landed ingest tripwire: stale watermark + appended grams fails fast") {
+    val path = java.nio.file.Files.createTempDirectory("spanidx").toString + "/idx"
+    SpanIndex.write(df(base), "doc_id", "text", path, k = 4, nbuckets = 4)
+    // simulate the crash window: grams+bloom landed, params didn't — by
+    // saving params before the ingest and restoring them after
+    val saved = new java.io.File(
+      java.nio.file.Files.createTempDirectory("spanidx").toFile, "params")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$path/params"), saved)
+    SpanIndex.ingest(df(batch1), "doc_id", "text", path).collect()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$path/params"))
+    org.apache.commons.io.FileUtils.copyDirectory(saved, new java.io.File(s"$path/params"))
+    // re-running the batch passes the (stale) watermark but must trip on
+    // its own leftover grams instead of silently over-deduping
+    val ex = intercept[IllegalArgumentException] {
+      SpanIndex.ingest(df(batch1), "doc_id", "text", path).collect()
+    }
+    assert(ex.getMessage.contains("crashed between"), ex.getMessage)
+  }
+
+  test("compaction shrinks the gram table without changing ingest results") {
+    val path = java.nio.file.Files.createTempDirectory("spanidx").toString + "/idx"
+    SpanIndex.write(df(base), "doc_id", "text", path, k = 4, nbuckets = 2)
+    (0 until 5).foreach { i =>
+      SpanIndex.ingest(df(Seq((100L + i, s"f${i}a f${i}b f${i}c f${i}d"))),
+        "doc_id", "text", path).collect()
+    }
+    val before = spark.read.parquet(s"$path/grams").count()
+    val (compacted, nb, na) = SpanIndex.compact(spark, path, maxFilesPerPartition = 2)
+    assert(compacted > 0 && na < nb, s"($compacted, $nb, $na)")
+    assert(spark.read.parquet(s"$path/grams").count() == before)
+    // the compacted index still dedups: a batch repeating the boilerplate
+    val out = rowsOf(SpanIndex.ingest(
+      df(Seq((200L, s"g1 g2 $boiler g3"))), "doc_id", "text", path))
+    assert(out.head._3 > 0L, out.toString)
+  }
+}
+
 class IndexCompactSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._

@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object MinhashIndex {
 
-  /** Build and save the index over `df`. Overwrites `path`. */
+  /** Build and save the index over `df`. Overwrites `path`. Ids must be
+    * non-negative (the [[ingest]] watermark contract). Layout note: the
+    * three tables are Hive-partitioned (`bands` by `_band`, `shingles` /
+    * `exact` by an id-derived `_p`) so ingest appends land in partition
+    * directories [[IndexCompact]] can maintain.
+    */
   def write(
       df: DataFrame,
       idCol: String,
@@ -45,7 +50,6 @@ object MinhashIndex {
       maxBucketSize: Int = 256
   ): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     val numHashes = bands * rowsPerBand
     // The shingle+signature pass is the expensive part and feeds TWO write
     // jobs (bands + shingles); persist so the corpus is read and hashed once,
@@ -71,25 +75,55 @@ object MinhashIndex {
             Window.partitionBy("_band", "_bucket").orderBy(xxhash64(col("_id")), col("_id"))))
         .filter(col("_rn") <= maxBucketSize)
         .drop("_rn")
-      capped.write.mode("overwrite").parquet(s"$path/bands")
-      withSig.select(col("_id"), col("_sh")).write.mode("overwrite").parquet(s"$path/shingles")
+      capped.write.mode("overwrite").partitionBy("_band").parquet(s"$path/bands")
+      withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(64L)).as("_p"))
+        .write.mode("overwrite").partitionBy("_p").parquet(s"$path/shingles")
     } finally withSig.unpersist()
+    val idRange = df.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    require(idRange.isNullAt(0) || idRange.getLong(0) >= 0L,
+      s"MinhashIndex.write: corpus ids must be non-negative, found ${idRange.get(0)}")
     df.select(xxhash64(col(textCol)).as("_fp"), col(idCol).cast("long").as("_id"))
-      .write.mode("overwrite").parquet(s"$path/exact")
-    Seq((shingleLen, bands, rowsPerBand, maxBucketSize))
-      .toDF("shingleLen", "bands", "rowsPerBand", "maxBucketSize")
-      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+      .withColumn("_p", pmod(col("_id"), lit(64L)))
+      .write.mode("overwrite").partitionBy("_p").parquet(s"$path/exact")
+    writeParams(spark, path, Params(shingleLen, bands, rowsPerBand, maxBucketSize,
+      if (idRange.isNullAt(1)) -1L else idRange.getLong(1)))
   }
 
-  private case class Params(shingleLen: Int, bands: Int, rowsPerBand: Int, maxBucketSize: Int)
+  private case class Params(shingleLen: Int, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int, maxId: Long)
+
+  /** Temp-then-rename params write (the [[SemIndex]] crash discipline): a
+    * plain overwrite deletes the old params before writing the new one — a
+    * crash in between would leave the banding parameters unreadable. */
+  private def writeParams(spark: SparkSession, path: String, p: Params): Unit = {
+    import spark.implicits._
+    val live = new org.apache.hadoop.fs.Path(s"$path/params")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/params_tmp")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((p.shingleLen, p.bands, p.rowsPerBand, p.maxBucketSize, p.maxId))
+      .toDF("shingleLen", "bands", "rowsPerBand", "maxBucketSize", "maxId")
+      .coalesce(1).write.mode("overwrite").json(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live),
+      s"MinhashIndex: params swap rename failed at $path — params_tmp holds the complete copy")
+  }
 
   private def readParams(spark: SparkSession, path: String): Params = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/params")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/params_tmp")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(tmp))
+      require(fs.rename(tmp, live),
+        s"MinhashIndex: recovering params from params_tmp failed at $path")
     val r = spark.read.json(s"$path/params").head()
     Params(
       r.getAs[Long]("shingleLen").toInt,
       r.getAs[Long]("bands").toInt,
       r.getAs[Long]("rowsPerBand").toInt,
-      r.getAs[Long]("maxBucketSize").toInt)
+      r.getAs[Long]("maxBucketSize").toInt,
+      // pre-watermark indexes read as -1: the first ingest then persists a
+      // real maxId (ids are non-negative, so the check passes trivially once)
+      if (r.schema.fieldNames.contains("maxId")) r.getAs[Long]("maxId") else -1L)
   }
 
   /** Exact-copy matches via the fingerprint table: (new_id, corpus_id, 1.0).
@@ -211,5 +245,105 @@ object MinhashIndex {
       .select(col("new_id").cast("long").as(idCol))
       .distinct()
     survivors.join(nearLosers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupAgainst]] PLUS batch-internal single-link dedup PLUS appending
+    * the survivors' band/shingle/fingerprint rows — so the next batch is
+    * deduped against this one too, instead of against a stale corpus until
+    * a full rebuild. Returns the surviving batch rows.
+    *
+    * Semantics: a batch doc dies iff it (a) exactly or nearly matches the
+    * indexed corpus, or (b) nearly matches a LOWER-id doc of the same
+    * batch, or (c) is a verbatim copy of a lower-id batch doc — i.e. the
+    * single-link keep-lowest rule of [[Dedup.minhashDedup]] applied to
+    * (corpus ∪ batch), which MinhashIndexSpec pins as exactly the one-shot
+    * result on clique-shaped duplicate groups. (A batch doc whose ONLY
+    * near-match is a doc an earlier ingest dropped survives here, where a
+    * one-shot would drop it — the standard survivor-index trade; the same
+    * recall caveat as the LSH caps.)
+    *
+    * Batch ids must be strictly above every indexed id (persisted maxId
+    * watermark, [[SemIndex]] discipline) — fails fast otherwise. Crash
+    * window: appends land before the watermark advances; discard the
+    * returned frame and rebuild (or remove the partial appends) after a
+    * crashed ingest.
+    */
+  def ingest(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      threshold: Double = 0.8,
+      maxCandidatesPerDoc: Int = 64
+  ): DataFrame = {
+    val spark = newDf.sparkSession
+    val p = readParams(spark, path)
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(bandsDir) && fs.listStatus(bandsDir).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("_band=")),
+      s"MinhashIndex.ingest: index at $path uses the pre-partitioned layout — " +
+        "rebuild with MinhashIndex.write before ingesting")
+    val batchRange = newDf.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    require(batchRange.isNullAt(0) || batchRange.getLong(0) > p.maxId,
+      s"MinhashIndex.ingest: batch ids must be strictly above every indexed id " +
+        s"(max indexed = ${p.maxId}, batch min = ${batchRange.get(0)}) — " +
+        "renumber the batch or rebuild with MinhashIndex.write")
+    // (a) vs the index
+    val vsIndex = dedupAgainst(newDf, idCol, textCol, path, threshold, maxCandidatesPerDoc)
+    // (b) batch-internal near-dups, same banding as the index; (c) batch-
+    // internal verbatim copies (catches shingle-empty short docs too)
+    val nearLosers = Dedup.minhashPairs(newDf, idCol, textCol,
+        p.shingleLen, p.bands, p.rowsPerBand, threshold, p.maxBucketSize)
+      .select(col("idB").cast("long").as(idCol))
+    val exactLosers = newDf
+      .select(col(idCol).cast("long").as(idCol), xxhash64(col(textCol)).as("_fp"))
+      .withColumn("_min", min(col(idCol)).over(Window.partitionBy("_fp")))
+      .filter(col(idCol) =!= col("_min"))
+      .select(idCol)
+    val survivors = graft.core.Lineage.pin(
+      vsIndex.join(nearLosers.unionByName(exactLosers).distinct(),
+        Seq(idCol), "left_anti"))
+    // append the survivors' rows in the write() layout
+    val numHashes = p.bands * p.rowsPerBand
+    val withSig = graft.core.Lineage.pin(survivors
+      .select(col(idCol).cast("long").as("_id"),
+        Dedup.hashedShingles(col(textCol), p.shingleLen).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_sig", Dedup.minhashSignature(col("_sh"), numHashes)))
+    val banded = withSig.select(
+      col("_id"),
+      posexplode(Dedup.bandKeys(col("_sig"), p.bands, p.rowsPerBand)).as(Seq("_band", "_bucket")))
+    // cap within the batch's own contribution; a bucket can exceed the cap
+    // across many ingests, but the query side re-caps per (band, bucket)
+    // anyway (lshMatches' perBandCap window)
+    banded
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_band", "_bucket").orderBy(xxhash64(col("_id")), col("_id"))))
+      .filter(col("_rn") <= p.maxBucketSize)
+      .drop("_rn")
+      .write.mode("append").partitionBy("_band").parquet(s"$path/bands")
+    withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(64L)).as("_p"))
+      .write.mode("append").partitionBy("_p").parquet(s"$path/shingles")
+    survivors
+      .select(xxhash64(col(textCol)).as("_fp"), col(idCol).cast("long").as("_id"))
+      .withColumn("_p", pmod(col("_id"), lit(64L)))
+      .write.mode("append").partitionBy("_p").parquet(s"$path/exact")
+    if (!batchRange.isNullAt(1))
+      writeParams(spark, path,
+        p.copy(maxId = math.max(p.maxId, batchRange.getLong(1))))
+    survivors
+  }
+
+  /** Small-file maintenance for the three partitioned tables — every
+    * ingest appends one file set per touched partition directory (see
+    * [[IndexCompact]]; offline op, crash-recoverable via
+    * IndexCompact.recover on each subdirectory). */
+  def compact(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 8): (Int, Long, Long) = {
+    val results = Seq("bands", "shingles", "exact").map(t =>
+      IndexCompact.compactPartitioned(spark, s"$path/$t", maxFilesPerPartition))
+    (results.map(_._1).sum, results.map(_._2).sum, results.map(_._3).sum)
   }
 }

@@ -76,6 +76,14 @@ object ScaleProbe {
         .select((col("id") + 10000000L).as("id"), col("text"))
       graft.llm.MinhashIndex.dedupAgainst(batch, "id", "text", idx).count()
     }
+    // Append-ingest: the same batch shape, but survivors join the index
+    // (batch-internal single-link + survivor band/shingle/fp appends on
+    // top of the query cost) — must stay O(batch), not rebuild-shaped.
+    time(s"minhashIndex ingest batch n=${n / 10}") {
+      val batch = docs.filter(pmod(col("id"), lit(10)) === 5)
+        .select((col("id") + 20000000L).as("id"), col("text"))
+      graft.llm.MinhashIndex.ingest(batch, "id", "text", idx).count()
+    }
     // Decontamination: full corpus vs a 1% eval set. The hot hazard is the
     // TEMPLATED corpus — every doc shares the 11-token boilerplate prefix, so
     // prefix 4-grams are massively hot join keys; cost must stay join-bound

@@ -289,7 +289,10 @@ final case class SpanIndexTransform(
 
 /** Ingest-side incremental dedup against a saved MinHash index: `filter`
   * keeps only rows with no exact or near duplicate in the indexed corpus;
-  * `matches` outputs the (new_id, corpus_id, jaccard) match pairs instead.
+  * `matches` outputs the (new_id, corpus_id, jaccard) match pairs instead;
+  * `ingest` additionally dedups the batch against itself and appends the
+  * survivors to the index, so the next batch is checked against this one
+  * too ([[graft.llm.MinhashIndex.ingest]], disjoint-id watermark enforced).
   */
 final case class IndexDedupTransform(
     name: String,
@@ -313,8 +316,11 @@ final case class IndexDedupTransform(
       case "matches" =>
         graft.llm.MinhashIndex.matches(in, idField, textField, indexURI,
           threshold, maxCandidatesPerDoc)
+      case "ingest" =>
+        graft.llm.MinhashIndex.ingest(in, idField, textField, indexURI,
+          threshold, maxCandidatesPerDoc)
       case other =>
-        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|matches)")
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|matches|ingest)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

@@ -965,6 +965,78 @@ class MinhashIndexSpec extends SparkSpec {
       "kept a doc the one-shot self-join pairs with the corpus")
   }
 
+  test("ingest: batch survivors join the index; write+ingests ≡ one-shot on the union") {
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    // clique-shaped duplicate groups (12 words, 1 differing → jaccard
+    // 9/11 ≈ 0.82 ≥ 0.8), where the survivor-index semantics coincide
+    // with the one-shot single-link result exactly
+    def t(template: String, tag: String) = s"$template $tag"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val other = "crimson sunset over quiet harbor waters tonight reflect calm gulls drift"
+    val corpus = Seq(
+      (0L, t(base, "one")), (1L, t(base, "two")),
+      (2L, "completely different words entirely unrelated content block sits right here now"),
+      (3L, "another unique document with its own content and nothing shared at all"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, t(base, "three")),   // dies vs index (near-dup of 0/1)
+      (11L, t(other, "one")),    // new template — survives, must JOIN the index
+      (12L, t(other, "two")))    // dies batch-internally against 11
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, t(other, "three")),  // dies ONLY if 11 was appended — the gap under test
+      (21L, "fresh standalone content nothing in common with anything before it ever"))
+      .toDF("doc_id", "text")
+    graft.llm.MinhashIndex.write(corpus, "doc_id", "text", path)
+    val s1 = graft.llm.MinhashIndex.ingest(batch1, "doc_id", "text", path)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = graft.llm.MinhashIndex.ingest(batch2, "doc_id", "text", path)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == Set(11L), s1.toString)
+    assert(s2 == Set(21L), s2.toString)
+    // parity with the one-shot single-link dedup over the union corpus
+    val union = corpus.unionByName(batch1).unionByName(batch2)
+    val oneShotBatchKept = graft.llm.Dedup.minhashDedup(union, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet.filter(_ >= 10L)
+    assert(s1 ++ s2 == oneShotBatchKept, s"${s1 ++ s2} vs $oneShotBatchKept")
+    // watermark: reusing an indexed id fails fast
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.MinhashIndex.ingest(
+        Seq((15L, "anything at all")).toDF("doc_id", "text"), "doc_id", "text", path)
+    }
+    assert(ex.getMessage.contains("strictly above"), ex.getMessage)
+    // verbatim batch-internal copies die through the exact tier even when
+    // too short to shingle
+    val s3 = graft.llm.MinhashIndex.ingest(
+      Seq((30L, "tiny"), (31L, "tiny")).toDF("doc_id", "text"), "doc_id", "text", path)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 == Set(30L), s3.toString)
+    // compaction applies to all three partitioned tables and preserves
+    // results: probe with the SAME near-dup text doc 20 died to (its LSH
+    // collision with 11 is deterministic given the texts — a fresh tag
+    // would make the ~0.82-jaccard detection a coin flip) plus a verbatim
+    // copy of 11 (exact tier) and a genuinely new doc
+    val (c, nb, na) = graft.llm.MinhashIndex.compact(spark, path, maxFilesPerPartition = 1)
+    assert(c > 0 && na < nb, s"($c, $nb, $na)")
+    val s4 = graft.llm.MinhashIndex.dedupAgainst(
+      Seq((40L, t(other, "three")), (41L, t(other, "one")),
+        (42L, "wholly novel text unlike all previous rows in every way possible"))
+        .toDF("doc_id", "text"), "doc_id", "text", path)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s4 == Set(42L), s4.toString)
+    // the config-surface ingest action drives the same engine: two
+    // verbatim copies of a new unique text — 50 survives and joins the
+    // index, 51 dies batch-internally through the exact tier
+    val ctx = new graft.core.PipelineContext(spark)
+    val uniq = "meridian arc survey baseline triangulation network adjusted nightly by the observatory crew"
+    Seq((50L, uniq), (51L, uniq)).toDF("doc_id", "text")
+      .createOrReplaceTempView("mh_ing_batch")
+    graft.transform.IndexDedupTransform("ing", "mh_ing_batch", "mh_ing_out", path,
+      idField = "doc_id", textField = "text", action = "ingest").execute(ctx)
+    val s5 = spark.table("mh_ing_out").select("doc_id").as[Long].collect().toSet
+    assert(s5 == Set(50L), s5.toString)
+  }
+
   test("candidate cap: maxCandidatesPerDoc=1 still catches exact copies in a hot cluster") {
     val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
     // 200 near-identical corpus docs — every band bucket is hot, so caps bite

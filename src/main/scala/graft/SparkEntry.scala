@@ -1960,6 +1960,59 @@ object SparkEntry {
           col("n_tokens_removed"), col("n_kept_tokens"), col("split"))
         .orderBy("doc_id")
     },
+    "q189_audio_resample" -> withViews("documents") { (spark, ctx) =>
+      // REAL audio resample + mono mixdown (Multimodal.resampleAudio):
+      // STEREO 16-bit 8 kHz WAVs generated from doc metadata — channel 0
+      // silent first half / constant 16384 second half, channel 1 all
+      // silent — are mixed to mono and resampled to 12 kHz on PCM
+      // integers with exact rational interpolation. `ok` pins the full
+      // contract per row: resampled frame count ≡ ceil(frames·12000/8000)
+      // (= 3/2·frames exactly — frames are even), 12 kHz mono audio/wav
+      // re-decode, the mixdown arithmetic (constant (16384+0)/2 = 8192 →
+      // second-half RMS exactly 0.25 — constants survive linear
+      // interpolation bit-exactly), silence staying silent, and the
+      // unsupported fallthrough (a text blob) reporting status without a
+      // fabricated payload.
+      import spark.implicits._
+      val wavs = ctx.view("documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), (lit(800) + (col("doc_id") % 50) * 16).cast("int").as("_frames"))
+        .as[(Long, Int)]
+        .map { case (id, frames) =>
+          import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+          val pcm = new Array[Byte](frames * 4) // stereo 16-bit
+          var i = frames / 2
+          while (i < frames) {
+            val v: Short = 16384 // channel 0 constant; channel 1 stays 0
+            pcm(4 * i) = (v & 0xff).toByte
+            pcm(4 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(8000f, 16, 2, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+            AudioFileFormat.Type.WAVE, bos)
+          (id, frames.toLong, bos.toByteArray)
+        }.toDF("doc_id", "frames_in", "blob")
+        .unionByName(Seq((1000L, 0L, "not audio at all".getBytes("UTF-8")))
+          .toDF("doc_id", "frames_in", "blob"))
+      val resampled = graft.llm.Multimodal.resampleAudio(wavs, "blob", targetRate = 12000)
+        .withColumn("_dec", coalesce(col("audio_resampled"), col("blob")))
+      graft.llm.Multimodal.decodeAndFeaturize(resampled, "_dec")
+        .select(col("doc_id"), col("frames_in"), col("resample_status"),
+          col("media_meta.frames").as("frames_out"),
+          when(col("doc_id") === 1000L,
+            col("resample_status") === "unsupported" && col("audio_resampled").isNull)
+            .otherwise(col("resample_status") === "ok" &&
+              col("media_meta.mime") === "audio/wav" &&
+              col("media_meta.frames") === col("frames_in") * 3 / 2 &&
+              col("media_meta.sample_rate") === 12000 &&
+              col("media_meta.channels") === 1 &&
+              element_at(col("features"), 1) < 0.001f &&
+              abs(element_at(col("features"), 8) - 0.25f) < 0.001f).as("ok"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit

@@ -368,6 +368,7 @@ object PipelineConfig {
         targetWidth = o.intOpt("targetWidth").getOrElse(224),
         targetHeight = o.intOpt("targetHeight").getOrElse(224),
         numFrames = o.intOpt("numFrames").getOrElse(8),
+        targetSampleRate = o.intOpt("targetSampleRate").getOrElse(16000),
         persist = o.bool("persist"))
     case "TokenizerTransform" =>
       TokenizerTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

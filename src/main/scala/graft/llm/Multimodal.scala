@@ -279,6 +279,132 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** REAL audio resample + mono mixdown on PCM integers — deterministic
+    * end to end, so invariants are exactly checkable (the q189 contract):
+    * decode a JDK-supported PCM clip (WAV/AIFF/AU, 8/16-bit), average the
+    * channels into mono (integer sum / channel count, Java truncation),
+    * then linear-interpolate to `targetRate` with EXACT rational position
+    * arithmetic: output frame j reads source position j·srcRate/targetRate
+    * as (idx = num / targetRate, frac = num % targetRate) and emits
+    * s[idx] + ((s[idx+1] − s[idx]) · frac) / targetRate — all long
+    * arithmetic, no floating point, so output frame count is exactly
+    * ceil(frames · targetRate / srcRate) and a constant-amplitude region
+    * resamples to the identical constant (the RMS pin). Result is a
+    * hand-rolled 44-byte-header 16-bit mono little-endian WAV — byte
+    * deterministic. 8-bit sources scale to the 16-bit domain by ×256.
+    *
+    * Returns (wavBytes|null, status): `ok`, `unsupported` (not JDK PCM —
+    * the no-codec fallthrough, blob passes through untouched), or
+    * `too_long` (> `maxFrames`; resampling is a whole-clip op, so the cap
+    * fails loudly instead of silently truncating a 3-hour file).
+    */
+  private[llm] def resampleAudioBlob(bytes: Array[Byte], targetRate: Int,
+      maxFrames: Long = 1L << 22): (Array[Byte], String) =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        val enc = f.getEncoding
+        val pcm = enc == AudioFormat.Encoding.PCM_SIGNED || enc == AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = f.getSampleSizeInBits
+        if (frames <= 0 || !pcm || (bits != 8 && bits != 16) ||
+          f.getFrameRate <= 0 || f.getSampleRate <= 0) (null, "unsupported")
+        else if (frames > maxFrames) (null, "too_long")
+        else {
+          val srcRate = math.round(f.getSampleRate)
+          val nch = f.getChannels
+          val frameSize = f.getFrameSize
+          val buf = new Array[Byte](frames.toInt * frameSize)
+          var off = 0
+          var r = 0
+          while (off < buf.length && { r = ais.read(buf, off, buf.length - off); r > 0 }) off += r
+          val n = off / frameSize
+          val bigEndian = f.isBigEndian
+          val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+          val bytesPerSample = bits / 8
+          // decode + mixdown in one pass: 16-bit-domain mono integers
+          val mono = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            var sum = 0
+            var c = 0
+            while (c < nch) {
+              val base = i * frameSize + c * bytesPerSample
+              val s =
+                if (bits == 16) {
+                  val (b0, b1) = (buf(base) & 0xff, buf(base + 1) & 0xff)
+                  val v = if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                  if (signed) v.toShort.toInt else v - 32768
+                } else {
+                  val v = buf(base) & 0xff
+                  (if (signed) buf(base).toInt else v - 128) * 256
+                }
+              sum += s
+              c += 1
+            }
+            mono(i) = sum / nch
+            i += 1
+          }
+          // exact-rational linear interpolation to the target rate
+          val outFrames = ((n.toLong * targetRate + srcRate - 1) / srcRate).toInt
+          val out = new Array[Byte](44 + outFrames * 2)
+          var j = 0
+          while (j < outFrames) {
+            val num = j.toLong * srcRate
+            val idx = (num / targetRate).toInt
+            val frac = num % targetRate
+            val i1 = math.min(idx + 1, n - 1)
+            val s = (mono(idx) + (mono(i1) - mono(idx)).toLong * frac / targetRate).toInt
+            out(44 + 2 * j) = (s & 0xff).toByte
+            out(44 + 2 * j + 1) = ((s >> 8) & 0xff).toByte
+            j += 1
+          }
+          // hand-rolled PCM WAV header: 16-bit mono LE at targetRate
+          val dataLen = outFrames * 2
+          def le32(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte
+            out(p + 1) = ((v >> 8) & 0xff).toByte
+            out(p + 2) = ((v >> 16) & 0xff).toByte
+            out(p + 3) = ((v >> 24) & 0xff).toByte }
+          def le16(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte
+            out(p + 1) = ((v >> 8) & 0xff).toByte }
+          def tag(p: Int, s: String): Unit = { var k = 0
+            while (k < 4) { out(p + k) = s.charAt(k).toByte; k += 1 } }
+          tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+          tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+          le32(24, targetRate); le32(28, targetRate * 2); le16(32, 2); le16(34, 16)
+          tag(36, "data"); le32(40, dataLen)
+          (out, "ok")
+        }
+      } finally ais.close()
+    } catch { case _: Throwable => (null, "unsupported") }
+
+  /** Resample + mono-mix audio blobs to `targetRate` (see
+    * [[resampleAudioBlob]]). Output: input columns + `audio_resampled`
+    * binary (NULL unless status is `ok`) + `resample_status` string.
+    * Narrow mapPartitions — the per-row work is the codec, justified like
+    * the decode/resize paths.
+    */
+  def resampleAudio(df: DataFrame, binaryCol: String, targetRate: Int,
+      maxFrames: Long = 1L << 22): DataFrame = {
+    require(targetRate > 0, s"targetRate must be positive, got $targetRate")
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"no column $binaryCol")
+    val outSchema = df.schema
+      .add("audio_resampled", BinaryType)
+      .add("resample_status", StringType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val (tr, mf) = (targetRate, maxFrames)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = Option(row.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
+        val (out, status) = resampleAudioBlob(bytes, tr, mf)
+        Row.fromSeq(row.toSeq :+ out :+ status)
+      }
+    }(enc).toDF()
+  }
+
   /** Deterministic frame sampling for video-ish blobs: pick `n` evenly spaced
     * byte offsets as stand-in "frames" (STUB — a real impl samples decoded
     * frames). Demonstrates the explode-to-rows shape used for frame corpora.

@@ -104,6 +104,9 @@ object Completions {
     Completion("LangIdTransform",
       "{type = \"LangIdTransform\", name = \"langid\", inputView = \"docs\", outputView = \"labelled\",\n" +
         " textField = \"text\", method = \"ngram\"}"),
+    Completion("MediaTransform (audio resample)",
+      "{type = \"MediaTransform\", name = \"resample\", inputView = \"clips\", outputView = \"mono16k\",\n" +
+        " binaryField = \"audio\", action = \"resampleAudio\", targetSampleRate = 16000}"),
     Completion("SpanIndexTransform",
       "{type = \"SpanIndexTransform\", name = \"spanidx\", inputView = \"docs\", outputView = \"deduped\",\n" +
         " indexURI = \"/path/spanidx\", idField = \"doc_id\", textField = \"text\",\n" +

@@ -1275,6 +1275,7 @@ final case class MediaTransform(
     targetWidth: Int = 224,
     targetHeight: Int = 224,
     numFrames: Int = 8,
+    targetSampleRate: Int = 16000,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "MediaTransform"
@@ -1285,9 +1286,11 @@ final case class MediaTransform(
       case "resize" =>
         graft.llm.Multimodal.resize(in, binaryField, targetWidth, targetHeight)
       case "frames" => graft.llm.Multimodal.sampleFrames(in, binaryField, numFrames)
+      case "resampleAudio" =>
+        graft.llm.Multimodal.resampleAudio(in, binaryField, targetSampleRate)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown media action '$other' (decode|resize|frames)")
+          s"$name: unknown media action '$other' (decode|resize|frames|resampleAudio)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

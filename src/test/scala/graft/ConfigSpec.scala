@@ -697,6 +697,33 @@ class ConfigSpec extends SparkSpec {
     assert(back.getWidth == 4 && back.getHeight == 4)
   }
 
+  test("MediaTransform action=resampleAudio resamples a WAV from a config cell") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val frames = 400
+    val pcm = new Array[Byte](frames * 2) // 16-bit mono silence @8k
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(8000f, 16, 1, true, false), frames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    Seq((1L, baos.toByteArray)).toDF("id", "blob").createOrReplaceTempView("au_in")
+    val hocon =
+      """{stages: [
+        { type = "MediaTransform", name = "ra", inputView = au_in,
+          outputView = au_out, binaryField = blob, action = resampleAudio,
+          targetSampleRate = 16000 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val r = spark.table("au_out").head()
+    assert(r.getAs[String]("resample_status") == "ok")
+    val dec = graft.llm.Multimodal.decodeAndFeaturize(
+      spark.table("au_out").select($"id", $"audio_resampled"), "audio_resampled").head()
+    val meta = dec.getStruct(dec.fieldIndex("media_meta"))
+    assert(meta.getAs[Int]("sample_rate") == 16000)
+    assert(meta.getAs[Long]("frames") == frames * 2L) // exact 2x upsample
+  }
+
   test("SampleTransform method=hardNegative mines top-cosine non-positives") {
     import spark.implicits._
     val em = spark.read.parquet(s"${sf()}/embeddings.parquet")

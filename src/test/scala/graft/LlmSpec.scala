@@ -922,6 +922,88 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[String]("mime") == "application/octet-stream")
     assert(meta.getAs[Int]("width") >= 1 && meta.isNullAt(meta.fieldIndex("frames")))
   }
+
+  private def monoWav(samples: Array[Short], rate: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(rate, 16, 1, true, false), samples.length.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  private def wavSamples(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      val n = ais.getFrameLength.toInt
+      val buf = new Array[Byte](n * f.getFrameSize)
+      var off = 0; var r = 0
+      while (off < buf.length && { r = ais.read(buf, off, buf.length - off); r > 0 }) off += r
+      val out = Array.tabulate(n) { i =>
+        val base = i * f.getFrameSize
+        (((buf(base + 1) & 0xff) << 8) | (buf(base) & 0xff)).toShort.toInt
+      }
+      (out, math.round(f.getSampleRate), f.getChannels)
+    } finally ais.close()
+  }
+
+  test("resampleAudio: exact rational interpolation, hand-computed samples") {
+    // mono [0,100,200,300] @8k -> 12k: positions j·2/3, ceil(4·3/2)=6
+    // frames; integer truncation gives [0,66,133,200,266,300] exactly
+    val in = monoWav(Array[Short](0, 100, 200, 300), 8000f)
+    val out = Multimodal.resampleAudio(
+      Seq((1L, in)).toDF("id", "blob"), "blob", targetRate = 12000).head()
+    assert(out.getAs[String]("resample_status") == "ok")
+    val (samples, rate, ch) = wavSamples(out.getAs[Array[Byte]]("audio_resampled"))
+    assert(rate == 12000 && ch == 1)
+    assert(samples.toSeq == Seq(0, 66, 133, 200, 266, 300), samples.toSeq.toString)
+    // downsample 12k->8k of the RESULT round-trips the frame-count formula
+    val down = Multimodal.resampleAudio(
+      Seq((1L, out.getAs[Array[Byte]]("audio_resampled"))).toDF("id", "blob"),
+      "blob", targetRate = 8000).head()
+    val (s2, r2, _) = wavSamples(down.getAs[Array[Byte]]("audio_resampled"))
+    assert(r2 == 8000 && s2.length == 4) // ceil(6·8000/12000)
+  }
+
+  test("resampleAudio: stereo mixdown averages channels; unsupported passes through") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // stereo: ch0 = 1000, ch1 = 3000 for every frame -> mono = 2000
+    val frames = 100
+    val pcm = new Array[Byte](frames * 4)
+    (0 until frames).foreach { i =>
+      pcm(4 * i) = (1000 & 0xff).toByte; pcm(4 * i + 1) = ((1000 >> 8) & 0xff).toByte
+      pcm(4 * i + 2) = (3000 & 0xff).toByte; pcm(4 * i + 3) = ((3000 >> 8) & 0xff).toByte
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(8000f, 16, 2, true, false), frames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val out = Multimodal.resampleAudio(
+      Seq((1L, baos.toByteArray)).toDF("id", "blob"), "blob", targetRate = 8000).head()
+    assert(out.getAs[String]("resample_status") == "ok")
+    val (samples, rate, ch) = wavSamples(out.getAs[Array[Byte]]("audio_resampled"))
+    assert(rate == 8000 && ch == 1 && samples.length == frames)
+    assert(samples.forall(_ == 2000), samples.take(5).toSeq.toString)
+    // non-audio blob: explicit status, no fabricated payload
+    val bad = Multimodal.resampleAudio(
+      Seq((1L, "plain text".getBytes("UTF-8"))).toDF("id", "blob"), "blob", 8000).head()
+    assert(bad.getAs[String]("resample_status") == "unsupported")
+    assert(bad.isNullAt(bad.fieldIndex("audio_resampled")))
+    // over-long clip fails loudly instead of silently truncating
+    val long = monoWav(Array.fill[Short](64)(5), 8000f)
+    val tooLong = Multimodal.resampleAudio(
+      Seq((1L, long)).toDF("id", "blob"), "blob", 8000, maxFrames = 10).head()
+    assert(tooLong.getAs[String]("resample_status") == "too_long")
+  }
 }
 
 class MinhashIndexSpec extends SparkSpec {

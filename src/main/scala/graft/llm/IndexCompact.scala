@@ -23,11 +23,18 @@ import org.apache.spark.sql.SparkSession
   * (1) write the compacted replacement under `_compact_tmp/part`,
   * (2) move the OLD part files aside to `_compact_old/part`,
   * (3) move the new files in (named `compact-<uuid>` so recovery can tell
-  * them from originals), (4) delete `_compact_old/part` last. A crash at
-  * ANY point leaves every row present in the live partition,
-  * `_compact_old` or `_compact_tmp` — a recoverable superset, never a
-  * loss. Every `fs.rename` return value is checked and aborts on false
-  * (a silent rename failure must not fall through to the delete).
+  * them from originals), (4) COMMIT by atomically renaming
+  * `_compact_old/part` to `_compact_done/part`, then delete it. The
+  * commit rename matters: a recursive delete is file-by-file on most
+  * filesystems, so deleting `_compact_old/part` directly would let a
+  * crash leave a PARTIAL parked set that recovery would "restore" over
+  * the complete new copy — the rename moves the originals out of
+  * recovery's sight in one atomic step, and anything under
+  * `_compact_done` is committed garbage recovery simply discards. A
+  * crash at ANY point therefore leaves every row present in the live
+  * partition, `_compact_old` or `_compact_tmp` — a recoverable superset,
+  * never a loss. Every `fs.rename` return value is checked and aborts on
+  * false (a silent rename failure must not fall through to a delete).
   * `compactPartitioned` REFUSES to start while `_compact_tmp` /
   * `_compact_old` hold files from an interrupted run — call [[recover]]
   * first, which restores the original part files and discards partial
@@ -75,20 +82,30 @@ object IndexCompact {
     require(fs.exists(root), s"IndexCompact: no directory at $dir")
     val tmpRoot = new Path(root, "_compact_tmp")
     val oldRoot = new Path(root, "_compact_old")
+    val doneRoot = new Path(root, "_compact_done")
     require(!hasAnyFile(fs, tmpRoot) && !hasAnyFile(fs, oldRoot),
       s"IndexCompact: $dir has leftover files from an interrupted compaction " +
         "(_compact_tmp/_compact_old non-empty) — run IndexCompact.recover " +
         "before compacting again")
+    // committed-but-undeleted originals from an interrupted step (4):
+    // the live partitions hold complete copies, so this is pure garbage
+    fs.delete(doneRoot, true)
     val partDirs = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.contains("="))
     // per-run id, embedded in every moved-in file name and recorded in a
     // marker BEFORE any file moves: recovery must delete exactly the
     // files THIS run moved in, never same-prefixed survivors of an
-    // earlier completed compaction (whose live files are also compact-*)
+    // earlier completed compaction (whose live files are also compact-*).
+    // Staging dirs are created lazily — a steady-state no-op run must
+    // not churn the index root (object-store requests cost money)
     val runId = java.util.UUID.randomUUID().toString
-    fs.mkdirs(oldRoot)
-    val marker = fs.create(new Path(oldRoot, "_runid"), true)
-    marker.write(runId.getBytes("UTF-8")); marker.close()
+    var staged = false
+    def ensureStaging(): Unit = if (!staged) {
+      staged = true
+      fs.mkdirs(oldRoot)
+      val marker = fs.create(new Path(oldRoot, "_runid"), true)
+      marker.write(runId.getBytes("UTF-8")); marker.close()
+    }
     var compacted = 0
     var before = 0L
     var after = 0L
@@ -104,6 +121,7 @@ object IndexCompact {
         spark.read.parquet(p.getPath.toString)
           .coalesce(nOut)
           .write.mode("overwrite").parquet(tmp.toString)
+        ensureStaging()
         // (2) move the old part files ASIDE, not away: until step (4)
         // they remain the authoritative copy recovery restores
         val oldPart = new Path(oldRoot, p.getPath.getName)
@@ -118,8 +136,12 @@ object IndexCompact {
           renameOrAbort(fs, f.getPath,
             new Path(p.getPath, s"compact-$runId-${f.getPath.getName}"))
         }
-        // (4) the swap is complete — only now drop the originals
-        fs.delete(oldPart, true)
+        // (4) COMMIT: one atomic rename moves the originals out of
+        // recovery's restore set, THEN delete — a crash mid-delete of a
+        // _compact_done dir is garbage, not a partial restore source
+        fs.mkdirs(doneRoot)
+        renameOrAbort(fs, oldPart, new Path(doneRoot, p.getPath.getName))
+        fs.delete(new Path(doneRoot, p.getPath.getName), true)
         fs.delete(tmp, true)
         compacted += 1
         after += moved.length
@@ -129,8 +151,8 @@ object IndexCompact {
     // than trust (a file here means a logic error, not a crash)
     require(!hasAnyFile(fs, tmpRoot) && !hasAnyFile(fs, oldRoot),
       s"IndexCompact: staging directories not empty after compaction of $dir")
-    fs.delete(tmpRoot, true)
-    fs.delete(oldRoot, true)
+    if (staged) { fs.delete(tmpRoot, true); fs.delete(oldRoot, true) }
+    fs.delete(doneRoot, true)
     (compacted, before, after)
   }
 
@@ -142,9 +164,11 @@ object IndexCompact {
     * originals; files from earlier COMPLETED compactions are themselves
     * originals and are never touched) and move the originals back, then
     * discard `_compact_tmp` (never-moved replacement output — pure
-    * duplicates). Idempotent; returns the number of partitions restored.
-    * After recovery the index is byte-identical in content to its
-    * pre-compaction state and compaction can be re-run.
+    * duplicates) and `_compact_done` (committed originals whose live
+    * partitions already hold the complete new copy). Idempotent; returns
+    * the number of partitions restored. After recovery the index is
+    * byte-identical in content to its pre-compaction state and
+    * compaction can be re-run.
     */
   def recover(spark: SparkSession, dir: String): Int = {
     val root = new Path(dir)
@@ -185,6 +209,7 @@ object IndexCompact {
       fs.delete(oldRoot, true)
     }
     fs.delete(tmpRoot, true)
+    fs.delete(new Path(root, "_compact_done"), true)
     restored
   }
 }

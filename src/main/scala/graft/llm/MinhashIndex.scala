@@ -51,6 +51,12 @@ object MinhashIndex {
   ): Unit = {
     val spark = df.sparkSession
     val numHashes = bands * rowsPerBand
+    // id validation BEFORE any destructive write: an abort mid-rebuild must
+    // not leave new bands/shingles next to old exact/params (a banding
+    // mismatch reads silently wrong)
+    val idRange = df.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    require(idRange.isNullAt(0) || idRange.getLong(0) >= 0L,
+      s"MinhashIndex.write: corpus ids must be non-negative, found ${idRange.get(0)}")
     // The shingle+signature pass is the expensive part and feeds TWO write
     // jobs (bands + shingles); persist so the corpus is read and hashed once,
     // spilling to disk if it outgrows memory.
@@ -79,9 +85,6 @@ object MinhashIndex {
       withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(64L)).as("_p"))
         .write.mode("overwrite").partitionBy("_p").parquet(s"$path/shingles")
     } finally withSig.unpersist()
-    val idRange = df.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
-    require(idRange.isNullAt(0) || idRange.getLong(0) >= 0L,
-      s"MinhashIndex.write: corpus ids must be non-negative, found ${idRange.get(0)}")
     df.select(xxhash64(col(textCol)).as("_fp"), col(idCol).cast("long").as("_id"))
       .withColumn("_p", pmod(col("_id"), lit(64L)))
       .write.mode("overwrite").partitionBy("_p").parquet(s"$path/exact")
@@ -97,24 +100,15 @@ object MinhashIndex {
     * crash in between would leave the banding parameters unreadable. */
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit = {
     import spark.implicits._
-    val live = new org.apache.hadoop.fs.Path(s"$path/params")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/params_tmp")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq((p.shingleLen, p.bands, p.rowsPerBand, p.maxBucketSize, p.maxId))
-      .toDF("shingleLen", "bands", "rowsPerBand", "maxBucketSize", "maxId")
-      .coalesce(1).write.mode("overwrite").json(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live),
-      s"MinhashIndex: params swap rename failed at $path — params_tmp holds the complete copy")
+    graft.core.AtomicDir.swap(spark, s"$path/params") { tmp =>
+      Seq((p.shingleLen, p.bands, p.rowsPerBand, p.maxBucketSize, p.maxId))
+        .toDF("shingleLen", "bands", "rowsPerBand", "maxBucketSize", "maxId")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+    }
   }
 
   private def readParams(spark: SparkSession, path: String): Params = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/params")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/params_tmp")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(tmp))
-      require(fs.rename(tmp, live),
-        s"MinhashIndex: recovering params from params_tmp failed at $path")
+    graft.core.AtomicDir.recoverLive(spark, s"$path/params")
     val r = spark.read.json(s"$path/params").head()
     Params(
       r.getAs[Long]("shingleLen").toInt,
@@ -280,8 +274,13 @@ object MinhashIndex {
     val p = readParams(spark, path)
     val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
     val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(bandsDir) && fs.listStatus(bandsDir).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("_band=")),
+    // pre-partitioned-layout guard: the OLD layout stored loose part files
+    // directly under bands/ — appending partitioned data there would mix
+    // layouts. An empty partitioned table (every corpus doc shorter than
+    // shingleLen) has no loose files and is fine to ingest into.
+    require(fs.exists(bandsDir) && !fs.listStatus(bandsDir).exists(s =>
+        s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")),
       s"MinhashIndex.ingest: index at $path uses the pre-partitioned layout — " +
         "rebuild with MinhashIndex.write before ingesting")
     val batchRange = newDf.agg(
@@ -290,6 +289,19 @@ object MinhashIndex {
       s"MinhashIndex.ingest: batch ids must be strictly above every indexed id " +
         s"(max indexed = ${p.maxId}, batch min = ${batchRange.get(0)}) — " +
         "renumber the batch or rebuild with MinhashIndex.write")
+    // half-landed-ingest tripwire (the SpanIndex discipline): fingerprint
+    // rows above the persisted watermark mean a previous ingest appended
+    // but crashed before advancing params — re-running that batch would
+    // silently exact-match every doc against its own half-landed rows and
+    // report ~zero survivors. Cheap: _id is parquet-stats-prunable, so
+    // row groups below the watermark skip without reading.
+    val stale = spark.read.parquet(s"$path/exact")
+      .filter(col("_id") > p.maxId).limit(1).count()
+    require(stale == 0L,
+      s"MinhashIndex.ingest: index at $path holds rows above the persisted " +
+        s"watermark (${p.maxId}) — a previous ingest crashed between its " +
+        "appends and the watermark write. Rebuild with MinhashIndex.write " +
+        "or remove the partial batch's rows before ingesting")
     // (a) vs the index
     val vsIndex = dedupAgainst(newDf, idCol, textCol, path, threshold, maxCandidatesPerDoc)
     // (b) batch-internal near-dups, same banding as the index; (c) batch-

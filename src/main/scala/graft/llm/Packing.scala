@@ -81,10 +81,13 @@ object Packing {
     * range is pure prefix-sum arithmetic — `off` = running token count
     * before the doc (one window function), the doc then touches windows
     * `off div L .. (off+len-1) div L` and every fragment's bounds are
-    * integer expressions. Plan shape: one shuffle for the per-shard
-    * prefix sum, a doc-level explode (1-2 rows per doc, NOT per token),
-    * one groupBy(shard, seq) to assemble windows — token ids cross the
-    * wire exactly once and no executor ever holds more than its windows.
+    * integer expressions. Plan shape: ONE exchange total — the per-shard
+    * prefix-sum window hash-partitions on the shard, the doc-level
+    * explode (1-2 rows per doc, NOT per token) stays narrow, and the
+    * (shard, seq) assembly aggregate REUSES the shard partitioning
+    * (shard-partitioning co-locates every window of a shard; PlanSpec
+    * pins the single exchange) — token ids cross the wire exactly once
+    * and no executor ever holds more than its windows.
     * Fully deterministic, so retried partitions repack identically, and
     * DuckDB reproduces the integer arithmetic byte-for-byte (q187).
     */
@@ -99,12 +102,19 @@ object Packing {
       eosId: Long = 2L
   ): DataFrame = {
     require(contextLen >= 2, s"contextLen must be >= 2, got $contextLen")
-    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+    // docIdCol breaks orderCol ties deterministically — without it a
+    // retried partition could repack tied docs in a different order, the
+    // exact retry-corruption the determinism contract forbids
+    val w = Window.partitionBy(shardCol).orderBy(col(orderCol), col(docIdCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val L = lit(contextLen.toLong)
     val frags = df
+      // NULL ids coalesce to an empty doc ([bos, eos]) — concat would
+      // otherwise propagate the null and the explode would silently DROP
+      // the document from the packed corpus (the tokArr discipline)
       .withColumn("_full", concat(array(lit(bosId)),
-        col(idsCol).cast("array<bigint>"), array(lit(eosId))))
+        coalesce(col(idsCol).cast("array<bigint>"),
+          array().cast("array<bigint>")), array(lit(eosId))))
       .withColumn("_len", size(col("_full")).cast("long"))
       .withColumn("_off", coalesce(sum(col("_len")).over(w), lit(0L)))
       // the windows this doc overlaps — a doc-granularity explode

@@ -91,16 +91,11 @@ object SemIndex {
   private def writeParams(spark: SparkSession, path: String,
       tau: Double, maxClusterSize: Int, maxId: Long): Unit = {
     import spark.implicits._
-    val live = new org.apache.hadoop.fs.Path(s"$path/params")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/params_tmp")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq((tau, maxClusterSize, maxId))
-      .toDF("tau", "maxClusterSize", "maxId")
-      .coalesce(1).write.mode("overwrite").json(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live),
-      s"SemIndex: params swap rename failed at $path — params_tmp holds " +
-        "the complete copy; readParams will recover it")
+    graft.core.AtomicDir.swap(spark, s"$path/params") { tmp =>
+      Seq((tau, maxClusterSize, maxId))
+        .toDF("tau", "maxClusterSize", "maxId")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+    }
   }
 
   private def readCentroids(spark: SparkSession, path: String): Seq[(Double, Int, Seq[Float])] =
@@ -109,14 +104,7 @@ object SemIndex {
       .sortBy(_._2)
 
   private def readParams(spark: SparkSession, path: String): (Double, Int, Long) = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/params")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/params_tmp")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // complete an interrupted writeParams swap: a crash between its
-    // delete and rename leaves the only full copy in params_tmp
-    if (!fs.exists(live) && fs.exists(tmp))
-      require(fs.rename(tmp, live),
-        s"SemIndex: recovering params from params_tmp failed at $path")
+    graft.core.AtomicDir.recoverLive(spark, s"$path/params")
     val r = spark.read.json(s"$path/params").head()
     // pre-maxId indexes (older builds) read as -1 → the disjointness check
     // passes trivially once, then the first ingest persists a real maxId

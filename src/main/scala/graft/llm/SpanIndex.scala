@@ -50,24 +50,15 @@ object SpanIndex {
       hashMode: String, nbuckets: Int, bits: Long, hashes: Int,
       maxId: Long): Unit = {
     import spark.implicits._
-    val live = new org.apache.hadoop.fs.Path(s"$path/params")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/params_tmp")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq((k, hashMode, nbuckets, bits, hashes, maxId))
-      .toDF("k", "hashMode", "nbuckets", "bits", "hashes", "maxId")
-      .coalesce(1).write.mode("overwrite").json(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live),
-      s"SpanIndex: params swap rename failed at $path — params_tmp holds the complete copy")
+    graft.core.AtomicDir.swap(spark, s"$path/params") { tmp =>
+      Seq((k, hashMode, nbuckets, bits, hashes, maxId))
+        .toDF("k", "hashMode", "nbuckets", "bits", "hashes", "maxId")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+    }
   }
 
   private def readParams(spark: SparkSession, path: String): (Int, String, Int, Long, Int, Long) = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/params")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/params_tmp")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(tmp))
-      require(fs.rename(tmp, live),
-        s"SpanIndex: recovering params from params_tmp failed at $path")
+    graft.core.AtomicDir.recoverLive(spark, s"$path/params")
     val r = spark.read.json(s"$path/params").head()
     (r.getAs[Long]("k").toInt, r.getAs[String]("hashMode"),
       r.getAs[Long]("nbuckets").toInt, r.getAs[Long]("bits"),
@@ -78,23 +69,13 @@ object SpanIndex {
     * in a deleted-but-unwritten state (an empty bitmap would silently
     * pass every gram to verification — correct but a full-index join per
     * batch; a missing one fails reads). */
-  private def swapBloom(spark: SparkSession, path: String, merged: DataFrame): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/bloom")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/bloom_tmp")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live),
-      s"SpanIndex: bloom swap rename failed at $path — bloom_tmp holds the complete copy")
-  }
+  private def swapBloom(spark: SparkSession, path: String, merged: DataFrame): Unit =
+    graft.core.AtomicDir.swap(spark, s"$path/bloom") { tmp =>
+      merged.write.mode("overwrite").parquet(tmp)
+    }
 
   private def readBloom(spark: SparkSession, path: String): DataFrame = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/bloom")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/bloom_tmp")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(tmp))
-      require(fs.rename(tmp, live),
-        s"SpanIndex: recovering bloom from bloom_tmp failed at $path")
+    graft.core.AtomicDir.recoverLive(spark, s"$path/bloom")
     spark.read.parquet(s"$path/bloom")
   }
 
@@ -210,14 +191,22 @@ object SpanIndex {
       .select(col("doc_id"), col("pos"))
     val result = SpanDedup.removeCovered(docs,
       markedVsIndex.unionByName(markedInBatch), k)
-    // append the batch's new distinct grams; OR-merge the bloom; advance
-    // the watermark last (see SemIndex.writeParams on the crash window)
+    // Persist in bloom -> grams -> params order. Bloom FIRST: a bloom
+    // entry without its gram row only sends a future probe to
+    // verification, which finds nothing and correctly treats the gram as
+    // new — so a crash between bloom and grams is fully self-healing
+    // (re-running the batch reproduces the same result and appends the
+    // missing rows). The reverse order would leave grams the bloom never
+    // admits: invisible to every future membership check AND to the
+    // tripwire. A crash between grams and params is the window the
+    // keeper>watermark tripwire above catches — reliably, because the
+    // already-written bloom routes the re-run's grams into verification.
     val newDistinct = graft.core.Lineage.pin(
       newGrams.groupBy("h").agg(min(col("doc_id")).as("keeper"))
         .withColumn("bucket", bucketCol(col("h"), nbuckets)))
-    newDistinct.write.mode("append").partitionBy("bucket").parquet(s"$path/grams")
     val newBloom = BloomSketch.build(newDistinct, col("h"), bits, hashes)
     swapBloom(spark, path, BloomSketch.merge(sketch.unionByName(newBloom)))
+    newDistinct.write.mode("append").partitionBy("bucket").parquet(s"$path/grams")
     if (!batchRange.isNullAt(1))
       writeParams(spark, path, k, hashMode, nbuckets, bits, hashes,
         math.max(indexedMax, batchRange.getLong(1)))

@@ -1117,6 +1117,24 @@ class MinhashIndexSpec extends SparkSpec {
       idField = "doc_id", textField = "text", action = "ingest").execute(ctx)
     val s5 = spark.table("mh_ing_out").select("doc_id").as[Long].collect().toSet
     assert(s5 == Set(50L), s5.toString)
+    // half-landed-ingest tripwire: appended rows above a stale watermark
+    // fail fast instead of silently exact-matching the batch against its
+    // own half-landed fingerprints (simulated by restoring pre-ingest
+    // params, the SpanIndex discipline)
+    val savedP = new java.io.File(
+      java.nio.file.Files.createTempDirectory("mhidx").toFile, "params")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$path/params"), savedP)
+    graft.llm.MinhashIndex.ingest(
+      Seq((60L, "completely novel text sixty kept only for the tripwire case right here"))
+        .toDF("doc_id", "text"), "doc_id", "text", path).collect()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$path/params"))
+    org.apache.commons.io.FileUtils.copyDirectory(savedP, new java.io.File(s"$path/params"))
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.llm.MinhashIndex.ingest(
+        Seq((61L, "yet more novel words")).toDF("doc_id", "text"), "doc_id", "text", path)
+    }
+    assert(ex2.getMessage.contains("crashed between"), ex2.getMessage)
   }
 
   test("candidate cap: maxCandidatesPerDoc=1 still catches exact copies in a hot cluster") {
@@ -2425,6 +2443,21 @@ class IndexCompactSpec extends SparkSpec {
     assert(IndexCompact.recover(spark, vecDir) == 1)
     assert(ids() == beforeIds)
     assert(!fs.exists(new Path(root, "_compact_old")))
+
+    // COMMITTED originals (_compact_done — step 4 crashed mid-delete) are
+    // garbage, never a restore source: their rows are already live, so
+    // recovery must discard them without doubling anything, and a fresh
+    // compact must clear them instead of refusing
+    val part3 = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=")).head.getPath
+    val done3 = new Path(root, s"_compact_done/${part3.getName}")
+    fs.mkdirs(done3)
+    val src = live(part3).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, new Path(done3, src.getName),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(IndexCompact.recover(spark, vecDir) == 0)
+    assert(ids() == beforeIds)
+    assert(!fs.exists(new Path(root, "_compact_done")))
   }
 }
 

@@ -60,6 +60,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("packTokenIds: one keyed exchange (prefix sum, reused by window assembly), no SinglePartition") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("_shard"),
+        transform(sequence(lit(0L), lit(9L)), i => col("doc_id") * 100 + i).as("_ids"))
+    val packed = graft.llm.Packing.packTokenIds(
+      docs, "doc_id", "_shard", "doc_id", "_ids", contextLen = 64)
+    val plan = formatted(packed)
+    // ONE exchange total: the shard prefix-sum window hash-partitions on
+    // _shard, and Catalyst reuses that partitioning for the (shard, seq)
+    // assembly aggregate (shard-partitioning co-locates every window of a
+    // shard) — token ids cross the wire exactly once, as designed
+    assert(exchanges(plan) == 1, s"expected exactly 1 exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(_shard"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("minhashPairs keeps its load-bearing signature exchange on _id") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val pairs = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text")

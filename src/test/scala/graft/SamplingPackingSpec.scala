@@ -410,11 +410,12 @@ class SamplingPackingSpec extends SparkSpec {
     import spark.implicits._
     val ctxLen = 64
     // lengths 0..149 cycle: empty docs, docs sharing a window, docs
-    // spanning 2-3 windows — every packing shape in one corpus
+    // spanning 2-3 windows — every packing shape in one corpus; one doc
+    // carries NULL ids (must pack as an empty [bos, eos] doc, not vanish)
     val input = (0L until 200L).map { d =>
       val n = ((d * 7) % 150).toInt
       (d, d % 4, Seq.tabulate(n)(i => d * 1000L + i))
-    }
+    } :+ ((200L, 0L, null: Seq[Long]))
     val packed = Packing.packTokenIds(
         input.toDF("doc_id", "shard", "ids"),
         "doc_id", "shard", "doc_id", "ids", ctxLen, bosId = 1L, eosId = 2L)
@@ -456,7 +457,7 @@ class SamplingPackingSpec extends SparkSpec {
     }
     input.foreach { case (d, _, ids) =>
       val got = rebuilt(d).sortBy(_._1).flatMap(_._2)
-      val want = 1L +: ids :+ 2L
+      val want = 1L +: Option(ids).getOrElse(Seq.empty) :+ 2L
       assert(got == want, s"doc $d: got $got want $want")
     }
     assert(rebuilt.keySet == input.map(_._1).toSet)

@@ -2013,6 +2013,70 @@ object SparkEntry {
               abs(element_at(col("features"), 8) - 0.25f) < 0.001f).as("ok"))
         .orderBy("doc_id")
     },
+    "q190_span_index_ingest" -> withViews("documents") { (spark, ctx) =>
+      // INCREMENTAL span dedup under the ORACLE: the q180 corpus (every
+      // third doc salted with the shared boilerplate paragraph) split into
+      // a base (doc_id < 30, indexed by SpanIndex.write) and a batch
+      // (ingested against the persisted gram index), md5 gram keys. The
+      // one-shot-equivalence contract means DuckDB's plain one-shot span
+      // dedup over the UNION corpus must reproduce the write+ingest rows
+      // byte-for-byte — clean_text, token and span counts — putting the
+      // incremental path itself (bloom membership, bucket-pruned
+      // verification, append) under the cross-engine gate, not just its
+      // spec. Fresh temp dir per evaluation: re-evaluation (Bench
+      // min-of-2) rebuilds rather than tripping the watermark.
+      import graft.llm.SpanIndex
+      val para = "subscribe to our newsletter for updates terms of service apply"
+      val docs = ctx.view("documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit(para), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q190_spanidx_").toString + "/idx"
+      val baseOut = SpanIndex.write(docs.filter(col("doc_id") < 30),
+        "doc_id", "text", dir, k = 8, hashMode = "md5", nbuckets = 8)
+      val batchOut = SpanIndex.ingest(docs.filter(col("doc_id") >= 30),
+        "doc_id", "text", dir)
+      baseOut.unionByName(batchOut).orderBy("doc_id")
+    },
+    "q191_minhash_index_ingest" -> withViews("documents") { (spark, ctx) =>
+      // MinHash index APPEND-ingest, self-verifying end to end: index the
+      // base corpus, then ingest (1) a batch mixing verbatim copies of
+      // base docs (must die through the exact tier — probability 1, no
+      // LSH luck involved) with fully-synthetic unique-token docs (must
+      // survive AND join the index), then (2) a second batch of verbatim
+      // copies of the FIRST batch's survivors — which die only if the
+      // ingest actually appended them (the gap this operator closes:
+      // batches deduping against each other, not a stale corpus). All
+      // exact-fingerprint decisions -> deterministic; `ok` pins
+      // kept == expected per row.
+      import graft.llm.MinhashIndex
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q191_mhidx_").toString + "/idx"
+      val base = ctx.view("documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      MinhashIndex.write(base, "doc_id", "text", dir)
+      val copies1 = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000L).as("doc_id"), col("text"),
+          lit(false).as("expect_kept"))
+      val uniq1 = base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 2000L).as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(11)),
+            i => concat(lit("uq"), col("doc_id"), lit("x"), i))).as("text"),
+          lit(true).as("expect_kept"))
+      val batch1 = copies1.unionByName(uniq1)
+      val s1 = MinhashIndex.ingest(batch1.drop("expect_kept"),
+        "doc_id", "text", dir).select(col("doc_id").as("_kid"))
+      val batch2 = uniq1.select((col("doc_id") + 10000L).as("doc_id"),
+        col("text"), lit(false).as("expect_kept"))
+      val s2 = MinhashIndex.ingest(batch2.drop("expect_kept"),
+        "doc_id", "text", dir).select(col("doc_id").as("_kid"))
+      batch1.unionByName(batch2)
+        .join(s1.unionByName(s2), col("doc_id") === col("_kid"), "left")
+        .select(col("doc_id"), col("expect_kept"),
+          col("_kid").isNotNull.as("kept"),
+          (col("_kid").isNotNull === col("expect_kept")).as("ok"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -4527,6 +4591,55 @@ object SparkEntry {
       // the whitespace-normalized token array, >=2 distinct docs -> dup,
       // min-doc keeper, covered positions union, gaps-and-islands span
       // count, kept tokens re-joined in order
+      """WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'subscribe to our newsletter for updates terms of service apply' || ' ' || text
+                      ELSE text END AS text
+          FROM documents),
+        d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0) AS arr
+          FROM base),
+        g AS (
+          SELECT doc_id, pos, md5(array_to_string(arr[pos+1:pos+8], ' ')) AS h
+          FROM (SELECT doc_id, arr, unnest(range(0, len(arr) - 7)) AS pos
+                FROM d WHERE len(arr) >= 8)),
+        dup AS (
+          SELECT h, min(doc_id) AS keeper FROM g
+          GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        rem AS (
+          SELECT DISTINCT g.doc_id, g.pos + u.off AS p
+          FROM g JOIN dup USING (h)
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS off) u
+          WHERE g.doc_id <> dup.keeper),
+        remflag AS (
+          SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) = p - 1
+                      THEN 0 ELSE 1 END AS s
+          FROM rem),
+        remagg AS (
+          SELECT doc_id, count(*) AS n_removed, sum(s) AS n_spans
+          FROM remflag GROUP BY doc_id),
+        toks AS (
+          SELECT doc_id, unnest(arr) AS tok, unnest(range(0, len(arr))) AS pos FROM d),
+        keptagg AS (
+          SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+          FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.p
+          WHERE r.doc_id IS NULL GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(len(d.arr) AS BIGINT) AS n_tokens,
+               CAST(coalesce(ra.n_removed, 0) AS BIGINT) AS n_tokens_removed,
+               CAST(coalesce(ra.n_spans, 0) AS BIGINT) AS n_spans,
+               coalesce(ka.clean_text, '') AS clean_text
+        FROM d
+        LEFT JOIN remagg ra USING (doc_id)
+        LEFT JOIN keptagg ka USING (doc_id)
+        ORDER BY doc_id""",
+    "q190_span_index_ingest" ->
+      // the one-shot-equivalence contract IS the oracle: a plain one-shot
+      // span dedup over the union corpus (identical SQL to q180) must
+      // reproduce the incremental write+ingest rows byte-for-byte
       """WITH base AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 3 = 0

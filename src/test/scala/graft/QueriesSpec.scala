@@ -41,7 +41,8 @@ class QueriesSpec extends SparkSpec {
     "q157_heavy_hitters", "q158_ivf_pq", "q161_cdc_chunks", "q163_cdc_dedup",
     "q165_bpe_tokenize", "q174_bpe_ids", "q175_media_resize",
     "q178_bpe_byte_fallback", "q179_langid_ngram", "q181_audio_decode",
-    "q185_tokenizer_fertility", "q186_langid_floor", "q189_audio_resample")
+    "q185_tokenizer_fertility", "q186_langid_floor", "q189_audio_resample",
+    "q191_minhash_index_ingest")
 
   for (name <- selfVerifying) {
     test(s"$name: every row passes its own invariant (ok column)") {

@@ -108,6 +108,16 @@ object SparkEntry {
     bpeMergesCache.computeIfAbsent(sfDir,
       _ => graft.llm.Bpe.trainMerges(docs, "text", numMerges = 30))
 
+  /** q192's unigram model: trained once per (JVM, sfDir) — the bpeMerges
+    * discipline (hard-EM training is deterministic; the memo changes
+    * nothing about results, it only spares Bench re-evaluations the
+    * word-count + EM loop). */
+  private val unigramModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.llm.Unigram.Model]()
+  private def unigramModel(docs: DataFrame, sfDir: String): graft.llm.Unigram.Model =
+    unigramModelCache.computeIfAbsent(sfDir,
+      _ => graft.llm.Unigram.train(docs, "text", vocabSize = 2000))
+
   private val q147Index = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q155Codebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.llm.Pq.CodebookEntry]]()
@@ -2075,6 +2085,45 @@ object SparkEntry {
         .select(col("doc_id"), col("expect_kept"),
           col("_kid").isNotNull.as("kept"),
           (col("_kid").isNotNull === col("expect_kept")).as("ok"))
+        .orderBy("doc_id")
+    },
+    "q192_unigram_encode" -> { (spark: SparkSession, dir: String) =>
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, Seq("documents")), ctx)
+      // Unigram-LM tokenizer (llm/Unigram — the SentencePiece unigram
+      // model, Kudo 2018): hard-EM trained piece vocabulary + VITERBI
+      // encoding, the other half of the subword family next to q165/q174's
+      // BPE. Training/id assignment are engine-specific -> rows-only; `ok`
+      // carries the contract in-band per document: (1) the ids decode back
+      // to EXACTLY the whitespace-stripped salted text — the salt
+      // (emoji/CJK/Greek, absent from the Latin-1-ish corpus) forces the
+      // byte-fallback route, proving totality; (2) the Viterbi log-prob
+      // dominates the greedy longest-match log-prob EXACTLY (both are
+      // document-order left folds over one table; IEEE addition is
+      // monotone — the per-row optimality witness); (3) folded global
+      // invariant, q179 style: on the UNSALTED corpus the trained model
+      // compresses — corpus-wide tokens strictly below non-ws code points
+      // (per-row would be unfair to the shortest docs, whose fixed salt
+      // adds more fallback byte ids than their text can save).
+      import graft.llm.Unigram
+      val docs = ctx.view("documents").select(col("doc_id"), col("text"))
+      val model = unigramModel(docs, dir)
+      val comp = broadcast(Unigram.encodeIds(docs, "text", model)
+        .agg((sum(col("n_tokens")) <
+          sum(length(regexp_replace(col("text"), "\\s+", "")).cast("long")))
+          .as("_compresses")))
+      val salt = " 😀🌍 漢字テスト κόσμε"
+      val salted = docs.withColumn("text2", concat(col("text"), lit(salt)))
+      Unigram.encodeDetail(salted, "text2", model)
+        .crossJoin(comp)
+        .select(col("doc_id"), col("n_tokens"), col("n_fallback_tokens"),
+          col("score"), col("greedy_score"),
+          (col("n_fallback_tokens") > 0L &&
+            col("score") >= col("greedy_score") &&
+            col("_compresses") &&
+            Unigram.decodeIds(col("ids"), model) ===
+              regexp_replace(col("text2"), "\\s+", "")).as("ok"))
         .orderBy("doc_id")
     },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>

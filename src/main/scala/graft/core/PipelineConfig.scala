@@ -373,8 +373,12 @@ object PipelineConfig {
     case "TokenizerTransform" =>
       TokenizerTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"), mode = o.str("mode", "train"),
+        algo = o.str("algo", "bpe"),
         numMerges = o.intOpt("numMerges").getOrElse(200),
         maxWords = o.intOpt("maxWords").getOrElse(50000),
+        vocabSize = o.intOpt("vocabSize").getOrElse(8000),
+        maxPieceLen = o.intOpt("maxPieceLen").getOrElse(8),
+        emIters = o.intOpt("emIters").getOrElse(3),
         mergesView = o.str("mergesView", ""),
         vocabView = o.str("vocabView", ""),
         byteFallback = o.bool("byteFallback"),

@@ -98,6 +98,9 @@ object Completions {
     Completion("TokenizerTransform",
       "{type = \"TokenizerTransform\", name = \"bpe\", inputView = \"docs\", outputView = \"merges\",\n" +
         " textField = \"text\", mode = \"train\", numMerges = 200}"),
+    Completion("TokenizerTransform unigram",
+      "{type = \"TokenizerTransform\", name = \"unigram\", inputView = \"docs\", outputView = \"vocab\",\n" +
+        " textField = \"text\", algo = \"unigram\", mode = \"train\", vocabSize = 8000}"),
     Completion("OutlierTransform",
       "{type = \"OutlierTransform\", name = \"screen\", inputView = \"docs\", outputView = \"flagged\",\n" +
         " valueField = \"n_chars\", groupFields = [\"source\"], mode = \"flag\", k = 3.5}"),

@@ -715,6 +715,22 @@ object ScaleProbe {
         graft.llm.Packing.packTokenIds(toks, "id", "shard", "id", "ids", 2048).count()
       }
     }
+    // Unigram tokenizer: like BPE, training cost is bounded by the WORD
+    // table (hard-EM runs driver-side on ~220 distinct words here), not
+    // the corpus; the Viterbi encode pass is a narrow codegen'd scan
+    // whose cost tracks corpus size × word length × max piece length.
+    if (anySelected(s"unigramTrain n=$n", s"unigramEncode n=$n")) {
+      var model: graft.llm.Unigram.Model = null
+      time(s"unigramTrain n=$n vocab=2000") {
+        model = graft.llm.Unigram.train(docs, "text", vocabSize = 2000)
+        model.pieces.length
+      }
+      if (model == null) model = graft.llm.Unigram.train(docs, "text", vocabSize = 2000)
+      time(s"unigramEncode n=$n") {
+        graft.llm.Unigram.encodeIds(docs, "text", model)
+          .agg(sum("n_tokens")).collect().head.getLong(0)
+      }
+    }
     spark.stop()
   }
 }

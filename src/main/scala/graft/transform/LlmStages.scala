@@ -1132,11 +1132,20 @@ final case class OutlierTransform(
   }
 }
 
-/** Corpus-trained BPE behind the config surface — [[graft.llm.Bpe]].
-  * `mode=train` learns `numMerges` merges from the input view's text and
-  * registers them as a (rank, left, right) view; `mode=apply` reads a
+/** Corpus-trained subword tokenizers behind the config surface — BPE
+  * ([[graft.llm.Bpe]], `algo=bpe`, the default) and the unigram LM
+  * ([[graft.llm.Unigram]], `algo=unigram`).
+  *
+  * BPE: `mode=train` learns `numMerges` merges from the input view's text
+  * and registers them as a (rank, left, right) view; `mode=apply` reads a
   * merges view with that schema and appends `tokens` + `n_bpe_tokens` via
   * the native greedy-by-rank expression (narrow, streaming-safe).
+  *
+  * Unigram: `mode=train` learns a `vocabSize`-piece model by hard-EM and
+  * registers it directly as a (token, id, freq, score) vocabTotal-layout
+  * view; `mode=encode` Viterbi-encodes against such a view (`vocabView`),
+  * appending `ids`/`n_tokens`/`n_fallback_tokens`/`score`. `mode=decode`
+  * is ALGO-AGNOSTIC — both families share the byte-fallback id layout.
   */
 final case class TokenizerTransform(
     name: String,
@@ -1144,8 +1153,12 @@ final case class TokenizerTransform(
     outputView: String,
     textField: String,
     mode: String = "train",
+    algo: String = "bpe",
     numMerges: Int = 200,
     maxWords: Int = 50000,
+    vocabSize: Int = 8000,
+    maxPieceLen: Int = 8,
+    emIters: Int = 3,
     mergesView: String = "",
     vocabView: String = "",
     byteFallback: Boolean = false,
@@ -1164,7 +1177,24 @@ final case class TokenizerTransform(
         .select(col("rank"), col("left"), col("right"))
         .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     }
-    val out = mode match {
+    require(algo == "bpe" || algo == "unigram",
+      s"$name: unknown tokenizer algo '$algo' (bpe|unigram)")
+    val out = if (algo == "unigram") mode match {
+      case "train" =>
+        graft.llm.Unigram.vocabDf(spark, graft.llm.Unigram.train(
+          in, textField, vocabSize, maxPieceLen, emIters = emIters, maxWords = maxWords))
+      case "encode" =>
+        require(vocabView.nonEmpty, s"$name: encode mode needs vocabView")
+        graft.llm.Unigram.encodeIds(in, textField,
+          graft.llm.Unigram.modelFromVocabDf(ctx.view(vocabView)))
+      case "decode" =>
+        require(vocabView.nonEmpty, s"$name: decode mode needs vocabView")
+        in.withColumn("decoded",
+          graft.llm.Bpe.decodeIds(col(idsField), ctx.view(vocabView)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown unigram tokenizer mode '$other' (train|encode|decode)")
+    } else mode match {
       case "train" =>
         graft.llm.Bpe.trainMerges(in, textField, numMerges, maxWords)
           .zipWithIndex

@@ -651,6 +651,33 @@ class ConfigSpec extends SparkSpec {
     assert(ids.getSeq[Long](ids.fieldIndex("ids")).nonEmpty)
   }
 
+  test("TokenizerTransform algo=unigram trains, encodes and decodes from config cells") {
+    import spark.implicits._
+    Seq.fill(10)("the merger merged the merging mergers").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").createOrReplaceTempView("ug_in")
+    val hocon =
+      """{stages: [
+        { type = "TokenizerTransform", name = "train", inputView = ug_in,
+          outputView = ug_vocab, textField = text, algo = unigram,
+          vocabSize = 40 },
+        { type = "TokenizerTransform", name = "enc", inputView = ug_in,
+          outputView = ug_ids, textField = text, algo = unigram,
+          mode = encode, vocabView = ug_vocab },
+        { type = "TokenizerTransform", name = "dec", inputView = ug_ids,
+          outputView = ug_txt, textField = text, algo = unigram,
+          mode = decode, vocabView = ug_vocab }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    // vocabTotal layout straight from the config surface
+    assert(spark.table("ug_vocab")
+      .filter(org.apache.spark.sql.functions.col("id") < 256).count() == 256)
+    val r = spark.table("ug_txt").head()
+    assert(r.getAs[String]("decoded") == "themergermergedthemergingmergers")
+    assert(r.getAs[Long]("n_fallback_tokens") == 0L)
+    assert(r.getAs[Long]("n_tokens") < 32)
+  }
+
   test("SampleTransform method=negative draws k exclusion-safe negatives per query") {
     import spark.implicits._
     (0L until 100L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")

@@ -2995,3 +2995,102 @@ class LangIdSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 }
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.Unigram
+
+  test("trainFromCounts: hard-EM keeps the profitable long piece, ids deterministic") {
+    // abab×10 + ab×5: seeding weights "abab" 10 and "ab" 25; under the
+    // seed scores one "abab" piece (ln 10/115) beats "ab"+"ab"
+    // (2·ln 25/115), so hard-EM assigns abab→[abab], ab→[ab]; singles
+    // survive with count 0 (totality), dead multis (aba/bab/ba) drop.
+    val m = Unigram.trainFromCounts(Seq(("abab", 10L), ("ab", 5L)), vocabSize = 10)
+    val byPiece = m.pieces.map(p => p._1 -> p._2).toMap
+    assert(byPiece("abab") == 10L && byPiece("ab") == 5L, m.pieces.toString)
+    assert(byPiece("a") == 0L && byPiece("b") == 0L, m.pieces.toString)
+    assert(m.pieces.map(_._1) == Seq("abab", "ab", "a", "b"), "(freq desc, piece) id order")
+    // deterministic: identical corpus -> identical model
+    assert(m == Unigram.trainFromCounts(Seq(("abab", 10L), ("ab", 5L)), vocabSize = 10))
+  }
+
+  test("vocabSize prunes multis only; every corpus code point always survives") {
+    val m = Unigram.trainFromCounts(
+      Seq(("abcd", 4L), ("ab", 3L), ("cd", 2L)), vocabSize = 1)
+    // room for 0 multis beyond the 4 singles -> only singles remain
+    assert(m.pieces.map(_._1).toSet == Set("a", "b", "c", "d"), m.pieces.toString)
+    // encoding the training words still round-trips via singles, no fallback
+    val enc = new graft.functions.UnigramEncoder(m.scored, m.byteScore)
+    val row = Seq(("abcd")).toDF("text")
+      .select(Unigram.encodeStruct(col("text"), m)).head().getStruct(0)
+    assert(row.getAs[Long]("n_fallback") == 0L)
+  }
+
+  test("viterbi beats greedy longest-match and the in-band witness sees it") {
+    // "abc" under {ab:-1, abc:-10, c:-1}: greedy eats "abc" (-10),
+    // viterbi picks ab+c (-2); score >= greedy_score must hold exactly.
+    val m = Unigram.Model(
+      Seq(("ab", 10L, -1.0), ("abc", 1L, -10.0), ("c", 5L, -1.0),
+        ("a", 0L, -3.0), ("b", 0L, -3.0)), byteScore = -20.0)
+    val r = Seq("abc").toDF("text")
+      .select(Unigram.encodeStruct(col("text"), m).as("e")).select("e.*").head()
+    assert(r.getSeq[String](0) == Seq("ab", "c"), r.toString)
+    assert(r.getSeq[Long](1) == Seq(256L, 258L), r.toString)
+    assert(r.getDouble(2) == -2.0 && r.getDouble(3) == -10.0)
+    assert(r.getDouble(2) >= r.getDouble(3))
+  }
+
+  test("equal-score ties keep the longer piece (deterministic backtrack)") {
+    val m = Unigram.Model(
+      Seq(("xy", 1L, -2.0), ("x", 1L, -1.0), ("y", 1L, -1.0)), byteScore = -20.0)
+    val r = Seq("xy").toDF("text")
+      .select(Unigram.encodeStruct(col("text"), m).as("e")).select("e.*").head()
+    // xy (-2.0) ties x+y (-1-1): longest-first scan keeps "xy"
+    assert(r.getSeq[String](0) == Seq("xy"), r.toString)
+  }
+
+  test("encodeIds is TOTAL: unseen emoji/CJK take the byte route and decode exactly") {
+    val train = Seq.fill(6)((1L, "hello world hello")).toDF("id", "text")
+    val m = Unigram.train(train, "text", vocabSize = 50)
+    val docs = Seq((1L, "hello 😀🌍 漢字 world"), (2L, ""), (3L, "   ")).toDF("id", "text")
+    val enc = Unigram.encodeIds(docs, "text", m)
+      .withColumn("decoded", Unigram.decodeIds(col("ids"), m))
+      .orderBy("id").collect()
+    assert(enc(0).getAs[String]("decoded") == "hello😀🌍漢字world")
+    assert(enc(0).getAs[Long]("n_fallback_tokens") == 4L) // 2 emoji + 2 CJK cps
+    assert(enc(1).getAs[String]("decoded") == "" && enc(1).getAs[Long]("n_tokens") == 0L)
+    assert(enc(2).getAs[String]("decoded") == "")
+  }
+
+  test("trained model compresses below character count on its corpus") {
+    val docs = Seq.fill(20)((1L, "the merger merged the merging mergers")).toDF("id", "text")
+    val m = Unigram.train(docs, "text", vocabSize = 40)
+    assert(m.pieces.exists(p => p._1.length >= 3 && p._2 > 0), "no multi-cp piece learned: " + m.pieces)
+    val r = Unigram.encodeIds(docs, "text", m)
+      .select(col("n_tokens"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_chars"))
+      .head()
+    assert(r.getLong(0) < r.getLong(1), s"no compression: ${r.getLong(0)} vs ${r.getLong(1)}")
+  }
+
+  test("vocabDf layout: 256 byte rows then learned pieces; modelFromVocabDf round-trips") {
+    val docs = Seq.fill(4)((1L, "aa bb aa")).toDF("id", "text")
+    val m = Unigram.train(docs, "text", vocabSize = 10)
+    val v = Unigram.vocabDf(spark, m)
+    val rows = v.orderBy("id").collect()
+    assert(rows.length == 256 + m.pieces.length)
+    assert(rows(0).getString(0) == "<0x00>" && rows(0).getLong(1) == 0L)
+    assert(rows(255).getString(0) == "<0xFF>" && rows(255).getLong(1) == 255L)
+    assert(rows(256).getLong(1) == 256L)
+    assert(Unigram.modelFromVocabDf(v) == m)
+    // a table without the byte rows fails fast, never silently mis-encodes
+    val bad = v.filter(col("id") >= 256L)
+    val e = intercept[IllegalArgumentException](Unigram.modelFromVocabDf(bad))
+    assert(e.getMessage.contains("vocabTotal"), e.getMessage)
+  }
+
+  test("byte-fallback score sits strictly below every piece score") {
+    val m = Unigram.trainFromCounts(Seq(("ab", 3L)), vocabSize = 5)
+    assert(m.pieces.forall(_._3 > m.byteScore), (m.pieces, m.byteScore).toString)
+  }
+}

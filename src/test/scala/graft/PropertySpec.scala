@@ -445,4 +445,36 @@ class PropertySpec extends AnyFunSuite {
       out != null && out.toString == s.replaceAll("\\s+", "")
     })
   }
+
+  test("unigram viterbi encode/decode round-trips arbitrary unicode; viterbi >= greedy") {
+    // Kernel property on the exact classes the Spark expression runs
+    // (UnigramEncoder / BpeDecoder): encoding is TOTAL on any valid
+    // unicode string, decode reproduces the string with Java-\s
+    // whitespace removed, and the Viterbi score dominates the greedy
+    // longest-match score EXACTLY (both are document-order left folds;
+    // IEEE-754 addition is monotone).
+    import org.apache.spark.unsafe.types.UTF8String
+    val enc = new graft.functions.UnigramEncoder(
+      Seq(("ab", -1.5), ("abc", -2.5), ("x", -2.0), ("e", -2.8),
+        ("\u6f22", -3.0), ("\ud83d\ude00\ud83c\udf0d", -2.2)), byteScore = -12.0)
+    val decoder = new graft.functions.BpeDecoder(
+      Seq("ab", "abc", "x", "e", "\u6f22", "\ud83d\ude00\ud83c\udf0d"))
+    val cpGen = Gen.frequency(
+      5 -> Gen.choose(0x20, 0x7E),
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B').map(_.toInt),
+      2 -> Gen.oneOf(0x2000, 0x2028, 0x3000, 0xA0),
+      2 -> Gen.choose(0xA1, 0xD7FF),
+      1 -> Gen.choose(0x10000, 0x10FFFF))
+    val strGen = Gen.listOf(cpGen).map { cps =>
+      val sb = new java.lang.StringBuilder()
+      cps.foreach(sb.appendCodePoint)
+      sb.toString
+    }
+    checkProp(Prop.forAll(strGen) { s =>
+      val row = enc.encode(UTF8String.fromString(s))
+      val decoded = decoder.decode(row.getArray(1))
+      decoded != null && decoded.toString == s.replaceAll("\\s+", "") &&
+        row.getDouble(2) >= row.getDouble(3)
+    })
+  }
 }

@@ -2126,6 +2126,44 @@ object SparkEntry {
               regexp_replace(col("text2"), "\\s+", "")).as("ok"))
         .orderBy("doc_id")
     },
+    "q193_ann_recall_report" -> { (spark: SparkSession, dir: String) =>
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, Seq("embeddings")), ctx)
+      // ANN quality evaluation (llm/IvfIndex.recallProbe): the faiss-style
+      // recall@k report every deployment runs before trusting an
+      // approximate retrieval tier — sampled queries, probed search vs
+      // exact brute force, swept over probe breadth and the three storage
+      // tiers (flat / SQ8 codes / PQ codes) of the shared q147 index.
+      // KMeans is engine-specific -> rows-only, but the report carries
+      // EXACT in-band oracles: (1) recall bounds; (2) flat recall is
+      // MONOTONE in nprobe — topk(C) ∩ topk(U) = C ∩ topk(U) for any
+      // candidate set C under exact scoring with a total-order tie-break,
+      // and the probed candidate set only grows with nprobe; (3)
+      // approximation must VANISH when its knobs are opened: exhaustive
+      // probe (flat) and exhaustive probe + covering shortlist (sq8/pq)
+      // give recall EXACTLY 1.0, else the index layout or rerank is broken.
+      import graft.llm.IvfIndex
+      import graft.llm.IvfIndex.RecallSetting
+      val em = ctx.view("embeddings")
+      val queries = em.filter(col("vec_id") % 29 === 0)
+      val idxDir = q147IndexDir(em, dir)
+      // ONE sweep call: the exact ground truth is computed once and shared
+      // (recallReport pins it), all hit counts land in one aggregate job
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("mode").orderBy("nprobe")
+      IvfIndex.recallReport(queries, "vec_id", "embedding", idxDir, k = 5,
+        Seq(RecallSetting("flat", 1), RecallSetting("flat", 8),
+          RecallSetting("sq8", 8, shortlistFactor = 1000),
+          RecallSetting("pq", 8, shortlistFactor = 1000)))
+        .withColumn("_prev", lag(col("recall"), 1).over(w))
+        .select(col("mode"), col("nprobe"), col("shortlist_factor"),
+          col("n_exact"), col("n_hit"), col("recall"),
+          (col("recall") >= 0.0 && col("recall") <= 1.0 &&
+            (col("nprobe") =!= 8 || col("recall") === 1.0) &&
+            coalesce(col("recall") >= col("_prev"), lit(true))).as("ok"))
+        .orderBy("mode", "nprobe")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit

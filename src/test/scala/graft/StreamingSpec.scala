@@ -655,6 +655,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._3 > 0), "the emoji doc must exercise the byte fallback")
   }
 
+  test("streaming unigram encode: the Viterbi piece projection equals its batch result") {
+    // unigram_encode is a pure narrow expression (piece table rides
+    // inside) — it must run unchanged on a streaming frame and emit the
+    // batch ids, byte fallback and optimality witness included.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("unigramstream").toString
+    val docs = Seq((1L, "the merger merged"), (2L, "the merging 😀 mergers"), (3L, "merge me"))
+    docs.toDF("id", "text").repartition(3).write.mode("overwrite").parquet(dir)
+    // train WITHOUT the emoji doc: 😀 must be out-of-vocabulary so the
+    // streamed encode exercises the byte fallback
+    val model = graft.llm.Unigram.train(
+      spark.read.parquet(dir).filter(col("id") =!= 2L), "text", vocabSize = 30)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val enc = graft.llm.Unigram.encodeDetail(stream, "text", model)
+    assert(enc.isStreaming)
+    val q = enc.writeStream.format("memory").queryName("unigram_stream_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("ids").cast("string"), col("n_fallback_tokens"),
+        (col("score") >= col("greedy_score")))
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    val streamed = key(spark.table("unigram_stream_mem"))
+    val batch = key(graft.llm.Unigram.encodeDetail(
+      spark.read.parquet(dir), "text", model))
+    assert(streamed == batch && batch.size == 3)
+    assert(streamed.exists(_._3 > 0), "the emoji doc must exercise the byte fallback")
+    assert(streamed.forall(_._4), "viterbi >= greedy must hold on the stream too")
+  }
+
   test("streaming heavy hitters: micro-batch MG segments keep the bounds after compaction") {
     // The Misra–Gries leg of the segment-parity discipline (CMS/Bloom/LM/
     // histogram have theirs). MG is NOT linear — merged estimates depend on

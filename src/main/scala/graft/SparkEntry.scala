@@ -2164,6 +2164,36 @@ object SparkEntry {
             coalesce(col("recall") >= col("_prev"), lit(true))).as("ok"))
         .orderBy("mode", "nprobe")
     },
+    "q194_nb_classifier" -> withViews("documents") { (spark, ctx) =>
+      // Model-based quality filtering under the FULL ORACLE
+      // (llm/NaiveBayes): the classifier step of a CCNet-style curation
+      // pipeline — train a text classifier on labeled docs, bucket the
+      // corpus by prediction — in its exact-count multinomial-NB form, the
+      // one classifier family whose training is reproducible cross-engine
+      // (every parameter is an integer count; gradient models depend on
+      // float iteration order). Labels and class-salt phrases derive
+      // deterministically from doc_id; the salts give macroscopic class
+      // margins, so the argmax is stable even though raw log-prob sums
+      // differ across engines in the last ulp — floats never leave the
+      // engine (output = predictions + integer counts only).
+      import graft.llm.NaiveBayes
+      val base = ctx.view("documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("promo"))
+          .otherwise(lit("clean")).as("label_true"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" subscribe now limited offer click here"))
+            .otherwise(lit(" method results analysis discussion further")))
+          .as("text2"))
+      val train = base.filter(col("doc_id") % 5 =!= 0)
+      val model = NaiveBayes.train(train, "text2", "label_true")
+      val pred = NaiveBayes.predict(base, "doc_id", "text2", model)
+      base.select(col("doc_id"), col("label_true"))
+        .join(pred, Seq("doc_id"))
+        .select(col("doc_id"), col("label_true"), col("label_pred"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    },
     "q149_bloom_membership" -> withViews("documents") { (spark, ctx) =>
       // Bloom-filter membership (llm/BloomSketch): the mergeable bitmap
       // sketch next to HLL/CMS/histogram. Deterministic md5-prefix bit
@@ -4772,6 +4802,62 @@ object SparkEntry {
         LEFT JOIN remagg ra USING (doc_id)
         LEFT JOIN keptagg ka USING (doc_id)
         ORDER BY doc_id""",
+    "q194_nb_classifier" ->
+      // the SAME Laplace-smoothed multinomial NB in DuckDB SQL: identical
+      // integer count tables, identical score formula; output carries only
+      // the argmax prediction and integer counts (raw float scores differ
+      // in the last ulp across engines; the salted class margins are
+      // macroscopic, so the argmax cannot flip)
+      """WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'promo' ELSE 'clean' END AS label_true,
+                 text || CASE WHEN doc_id % 3 = 0
+                     THEN ' subscribe now limited offer click here'
+                     ELSE ' method results analysis discussion further' END AS text2
+          FROM documents),
+        train AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+        ttok AS (
+          SELECT label_true AS label,
+                 unnest(list_filter(string_split_regex(trim(text2), '\s+'), t -> len(t) > 0)) AS token
+          FROM train),
+        token_table AS (SELECT label, token, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+        class_table AS (
+          SELECT t.label, d.n_docs, count(*) AS n_tokens
+          FROM ttok t
+          JOIN (SELECT label_true AS label, count(*) AS n_docs FROM train GROUP BY 1) d
+            USING (label)
+          GROUP BY 1, 2),
+        v AS (SELECT count(DISTINCT token) AS vocab FROM token_table),
+        tot AS (SELECT sum(n_docs) AS total_docs FROM class_table),
+        dtok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text2), '\s+'), t -> len(t) > 0)) AS token
+          FROM base),
+        contrib AS (
+          SELECT d.doc_id, c.label,
+                 sum(ln(coalesce(tt.cnt, 0) + 1) - ln(c.n_tokens + v.vocab)) AS token_score
+          FROM dtok d
+          CROSS JOIN class_table c
+          CROSS JOIN v
+          LEFT JOIN token_table tt ON tt.label = c.label AND tt.token = d.token
+          GROUP BY 1, 2),
+        ntok AS (SELECT doc_id, count(*) AS n_tokens FROM dtok GROUP BY 1),
+        scored AS (
+          SELECT b.doc_id, c.label,
+                 ln(c.n_docs) - ln(t.total_docs) + coalesce(co.token_score, 0) AS score
+          FROM (SELECT DISTINCT doc_id FROM base) b
+          CROSS JOIN class_table c
+          CROSS JOIN tot t
+          LEFT JOIN contrib co ON co.doc_id = b.doc_id AND co.label = c.label)
+        SELECT b.doc_id, b.label_true, s.label AS label_pred,
+               CAST(coalesce(n.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM base b
+        JOIN (SELECT doc_id, label,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+              FROM scored) s
+          ON s.doc_id = b.doc_id AND s.rn = 1
+        LEFT JOIN ntok n ON n.doc_id = b.doc_id
+        ORDER BY b.doc_id""",
     "q177_domain_stats" ->
       // same host/apex regex chain in DuckDB; www. strips, cdn./news. stay
       // as subdomains of the same apex

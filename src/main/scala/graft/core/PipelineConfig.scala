@@ -395,6 +395,13 @@ object PipelineConfig {
         textField = o.req("textField"), method = o.str("method", "ngram"),
         outputField = o.str("outputField", "lang_pred"),
         persist = o.bool("persist"))
+    case "ClassifierTransform" =>
+      ClassifierTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        textField = o.req("textField"), mode = o.str("mode", "train"),
+        labelField = o.str("labelField", "label"),
+        idField = o.str("idField", "id"),
+        modelView = o.str("modelView", ""),
+        persist = o.bool("persist"))
     case "OutlierTransform" =>
       OutlierTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         valueField = o.req("valueField"), groupFields = o.strList("groupFields"),

@@ -1,0 +1,147 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier — model-based quality/domain
+  * filtering in its EXACT-COUNT form. Production curation pipelines score
+  * documents with a trained classifier (the fastText-style quality filter
+  * of CCNet-like setups: "does this look like the reference corpus or like
+  * crawl noise?") and keep/drop/bucket by the prediction. Laplace-smoothed
+  * multinomial NB is the classical count-based formulation of exactly that
+  * step, and because every model parameter is an integer count, training
+  * AND scoring are reproducible cross-engine — the q194 battery entry runs
+  * under the full DuckDB oracle, not a rows-only check (gradient-trained
+  * models can't do that: their parameters depend on float iteration
+  * order).
+  *
+  * Model: P(c | d) ∝ P(c) · Π_t P(t | c), scored in log space:
+  *
+  *   score(c, d) = ln n_docs_c − ln n_docs
+  *               + Σ_{t ∈ d} [ ln(cnt(c,t) + 1) − ln(N_c + V) ]
+  *
+  * with cnt(c,t) the training count of token t in class c, N_c the total
+  * token count of class c, V the distinct-token count of the training
+  * corpus (Laplace smoothing — unseen tokens contribute ln 1 = 0 minus the
+  * normalizer, never −∞). Prediction = argmax with a (score desc, label
+  * asc) tie-break.
+  *
+  * Scale shape:
+  *  - [[train]] is ONE (label, token) aggregate after the explode — output
+  *    bounded by |vocab| × |classes|, never corpus-shaped; the class table
+  *    is |classes| rows.
+  *  - [[predict]]'s per-token work is a BROADCAST join against the model
+  *    (vocab-bounded); the only corpus-shaped shuffle keys on the doc id
+  *    for the per-(doc, class) score sum. The document text itself never
+  *    shuffles (the Relevance/TF-IDF discipline).
+  *  - Scores are doubles, so exact sums differ across engines in the last
+  *    ulp (float addition order); the PREDICTION is stable whenever class
+  *    margins are macroscopic, which a real quality classifier's are —
+  *    q194's oracle therefore compares predictions and integer counts,
+  *    never raw scores.
+  *
+  * Tokenization is the engine-wide `\s+` word contract
+  * ([[Bpe.wordCounts]]), so classifier vocab, tokenizer vocab and the
+  * oracle's `string_split_regex` all segment identically.
+  */
+object NaiveBayes {
+
+  private def toks(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  /** A trained model: `classTable` (label, n_docs, n_tokens) and
+    * `tokenTable` (label, token, cnt) — both bounded (|classes| and
+    * |vocab|×|classes| rows), both plain DataFrames so they persist/read
+    * back through any parquet round-trip. */
+  final case class Model(classTable: DataFrame, tokenTable: DataFrame)
+
+  /** ONE pass + one bounded aggregate: per-class token counts and class
+    * document/token totals. NULL labels are rejected (a silent "null"
+    * class would absorb unlabeled rows). */
+  def train(df: DataFrame, textCol: String, labelCol: String): Model = {
+    val in = df.filter(col(labelCol).isNotNull)
+    val t = in.select(col(labelCol).as("label"),
+      explode(toks(col(textCol))).as("token"))
+    val tokenTable = t.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    val classTable = in.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(t.groupBy("label").agg(count(lit(1)).as("n_tokens")),
+        Seq("label"), "left")
+      .na.fill(0L, Seq("n_tokens"))
+    Model(classTable, tokenTable)
+  }
+
+  /** Score every document against every class and keep the argmax. Output
+    * is ONE ROW PER DOCUMENT — (idCol, label_pred, n_tokens) — not the
+    * input joined back: predictions are id-keyed and tiny, so callers who
+    * want them next to the text join on the id themselves, and the
+    * document text never rides through this operator's shuffles. Empty
+    * documents score on the class priors alone.
+    */
+  def predict(df: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    // The model tables are bounded (|classes| and |vocab|×|classes| rows)
+    // — collect each ONCE as a local frame (the q178 vocab-pin
+    // discipline). A model left as derived DataFrames would recompute the
+    // whole training aggregation per consumer (vocab count, class
+    // collect, the scoring join — measured ~3 training passes per
+    // predict), and the scoring join broadcasts the table to the driver
+    // anyway.
+    val classes = model.classTable.select("label", "n_docs", "n_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(classes.nonEmpty, "predict needs a trained model with >= 1 class")
+    val tokenRows = model.tokenTable.select("label", "token", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val vocabSize = tokenRows.iterator.map(_._2).toSet.size
+    val totalDocs = classes.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val classDf = broadcast(classes.toSeq
+      .toDF("label", "_n_docs", "_n_tokens_c"))
+    val tokenDf = broadcast(tokenRows.toDF("label", "token", "cnt"))
+    val docToks = df.select(col(idCol).as("_id"),
+      explode(toks(col(textCol))).as("token"))
+    // per-(doc, class, token) contribution via broadcast joins; the
+    // groupBy(_id, label) sum is the only corpus-shaped shuffle
+    val contrib = docToks
+      .crossJoin(classDf)
+      .join(tokenDf, Seq("label", "token"), "left")
+      .groupBy("_id", "label")
+      .agg(sum(log(coalesce(col("cnt"), lit(0L)) + lit(1L)) -
+        log(col("_n_tokens_c") + lit(vocabSize))).as("_token_score"))
+    // every (doc, class) pair scores — empty docs fall back to the prior
+    val scored = df.select(col(idCol).as("_id"),
+        size(toks(col(textCol))).cast("long").as("n_tokens"))
+      .crossJoin(classDf)
+      .join(contrib, Seq("_id", "label"), "left")
+      .select(col("_id"), col("label"), col("n_tokens"),
+        (log(col("_n_docs")) - log(lit(totalDocs)) +
+          coalesce(col("_token_score"), lit(0.0))).as("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("_score").desc, col("label"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_id").as(idCol), col("label").as("label_pred"), col("n_tokens"))
+  }
+
+  /** [[Model]] flattened to ONE view for the config surface: token rows
+    * (label, token, cnt, NULL, NULL) plus one header row per class
+    * (label, NULL, NULL, n_docs, n_tokens). [[modelFromView]] splits it
+    * back; round-trips through parquet. */
+  def modelToView(model: Model): DataFrame =
+    model.tokenTable
+      .select(col("label"), col("token"), col("cnt"),
+        lit(null).cast("long").as("n_docs"),
+        lit(null).cast("long").as("n_tokens"))
+      .unionByName(model.classTable.select(col("label"),
+        lit(null).cast("string").as("token"), lit(null).cast("long").as("cnt"),
+        col("n_docs"), col("n_tokens")))
+
+  def modelFromView(view: DataFrame): Model = {
+    val classTable = view.filter(col("token").isNull)
+      .select("label", "n_docs", "n_tokens")
+    val tokenTable = view.filter(col("token").isNotNull)
+      .select("label", "token", "cnt")
+    Model(classTable, tokenTable)
+  }
+}

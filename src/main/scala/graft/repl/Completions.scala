@@ -104,6 +104,9 @@ object Completions {
     Completion("OutlierTransform",
       "{type = \"OutlierTransform\", name = \"screen\", inputView = \"docs\", outputView = \"flagged\",\n" +
         " valueField = \"n_chars\", groupFields = [\"source\"], mode = \"flag\", k = 3.5}"),
+    Completion("ClassifierTransform",
+      "{type = \"ClassifierTransform\", name = \"nb\", inputView = \"labeled\", outputView = \"model\",\n" +
+        " textField = \"text\", labelField = \"label\", mode = \"train\"}"),
     Completion("LangIdTransform",
       "{type = \"LangIdTransform\", name = \"langid\", inputView = \"docs\", outputView = \"labelled\",\n" +
         " textField = \"text\", method = \"ngram\"}"),

@@ -731,6 +731,23 @@ object ScaleProbe {
           .agg(sum("n_tokens")).collect().head.getLong(0)
       }
     }
+    // NB classifier: training is one (label, token) aggregate (output
+    // vocab×classes bounded); predict is a broadcast-model join over the
+    // (doc, token) explode with one id-keyed score aggregate — the text
+    // itself never shuffles.
+    if (anySelected(s"nbClassifier n=$n")) {
+      time(s"nbClassifier n=$n train+predict 2 classes") {
+        val labeled = docs
+          .withColumn("label",
+            when(pmod(col("id"), lit(3)) === 0, lit("promo")).otherwise(lit("clean")))
+          .withColumn("text2", concat(col("text"),
+            when(col("label") === "promo", lit(" subscribe now limited offer"))
+              .otherwise(lit(" analysis method result discussion"))))
+        val m = graft.llm.NaiveBayes.train(labeled, "text2", "label")
+        graft.llm.NaiveBayes.predict(labeled, "id", "text2", m)
+          .groupBy("label_pred").count().collect().map(_.getLong(1)).sum
+      }
+    }
     spark.stop()
   }
 }

@@ -1289,6 +1289,44 @@ final case class LangIdTransform(
   }
 }
 
+/** Model-based quality/domain classification behind the config surface —
+  * [[graft.llm.NaiveBayes]] (exact-count multinomial NB, the reproducible
+  * form of a fastText-style curation classifier). `mode=train` learns from
+  * the input view's `textField`/`labelField` and publishes the flattened
+  * model view ([[graft.llm.NaiveBayes.modelToView]] — persist it like any
+  * view); `mode=predict` reads `modelView` and publishes one row per
+  * document: (idField, label_pred, n_tokens).
+  */
+final case class ClassifierTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    textField: String,
+    mode: String = "train",
+    labelField: String = "label",
+    idField: String = "id",
+    modelView: String = "",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "ClassifierTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val in = ctx.view(inputView)
+    val out = mode match {
+      case "train" =>
+        graft.llm.NaiveBayes.modelToView(
+          graft.llm.NaiveBayes.train(in, textField, labelField))
+      case "predict" =>
+        require(modelView.nonEmpty, s"$name: predict mode needs modelView")
+        graft.llm.NaiveBayes.predict(in, idField, textField,
+          graft.llm.NaiveBayes.modelFromView(ctx.view(modelView)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown classifier mode '$other' (train|predict)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
 /** Multimodal binary columns behind the config surface —
   * [[graft.llm.Multimodal]]: `action=decode` appends media_meta + the
   * 8-dim feature vector (REAL ImageIO for images), `action=resize`

@@ -678,6 +678,27 @@ class ConfigSpec extends SparkSpec {
     assert(r.getAs[Long]("n_tokens") < 32)
   }
 
+  test("ClassifierTransform trains an NB model and predicts from config cells") {
+    import spark.implicits._
+    Seq((1L, "buy now cheap", "spam"), (2L, "buy now", "spam"),
+      (3L, "meeting notes agenda", "ham"), (4L, "agenda notes", "ham"))
+      .toDF("id", "text", "label").createOrReplaceTempView("nb_train")
+    Seq((10L, "buy cheap"), (11L, "agenda meeting"))
+      .toDF("id", "text").createOrReplaceTempView("nb_docs")
+    val hocon =
+      """{stages: [
+        { type = "ClassifierTransform", name = "train", inputView = nb_train,
+          outputView = nb_model, textField = text, labelField = label },
+        { type = "ClassifierTransform", name = "pred", inputView = nb_docs,
+          outputView = nb_pred, textField = text, mode = predict,
+          idField = id, modelView = nb_model }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val preds = spark.table("nb_pred").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(preds == Seq((10L, "spam"), (11L, "ham")), preds.toString)
+  }
+
   test("SampleTransform method=negative draws k exclusion-safe negatives per query") {
     import spark.implicits._
     (0L until 100L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")

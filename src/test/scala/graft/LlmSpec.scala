@@ -3094,3 +3094,76 @@ class UnigramSpec extends SparkSpec {
     assert(m.pieces.forall(_._3 > m.byteScore), (m.pieces, m.byteScore).toString)
   }
 }
+
+class NaiveBayesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.NaiveBayes
+
+  test("train builds the exact count tables; hand-computed prediction") {
+    // spam: "buy now" ×2 docs; ham: "meeting notes", "notes" — all counts
+    // and the scored argmax are checkable by hand.
+    val docs = Seq(
+      (1L, "buy now", "spam"), (2L, "buy now", "spam"),
+      (3L, "meeting notes", "ham"), (4L, "notes", "ham"))
+      .toDF("id", "text", "label")
+    val m = NaiveBayes.train(docs, "text", "label")
+    val tok = m.tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tok == Map(("spam", "buy") -> 2L, ("spam", "now") -> 2L,
+      ("ham", "meeting") -> 1L, ("ham", "notes") -> 2L), tok.toString)
+    val cls = m.classTable.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cls == Map("spam" -> (2L, 4L), "ham" -> (2L, 3L)), cls.toString)
+    // V = 4 distinct tokens; "buy": spam ln(3/8), ham ln(1/7); priors equal
+    val p = NaiveBayes.predict(Seq((9L, "buy")).toDF("id", "text"), "id", "text", m)
+      .head()
+    assert(p.getAs[String]("label_pred") == "spam" && p.getAs[Long]("n_tokens") == 1L)
+  }
+
+  test("empty and all-unseen docs fall back to the prior; ties break to the smaller label") {
+    val docs = Seq(
+      (1L, "a b", "x"), (2L, "a b", "x"), (3L, "a b", "x"),
+      (4L, "a b", "y")).toDF("id", "text", "label")
+    val m = NaiveBayes.train(docs, "text", "label")
+    // class x has 3 docs, y has 1 -> prior argmax is x; the unseen token
+    // contributes the same smoothed mass to both classes ONLY if their
+    // token totals match (they do: x repeats the same 2-token doc);
+    // actually N_x=6, N_y=2 differ -> unseen token favors y (smaller
+    // normalizer): ln(1/4) - ln(3/4) = -1.386 + 0.288... compute: x: ln(3/4)
+    // + ln(1/(6+2)) ; y: ln(1/4) + ln(1/(2+2)). x: -0.2877 - 2.0794 =
+    // -2.367; y: -1.3863 - 1.3863 = -2.773 -> x wins.
+    val p1 = NaiveBayes.predict(Seq((9L, "zzz")).toDF("id", "text"), "id", "text", m).head()
+    assert(p1.getAs[String]("label_pred") == "x")
+    // EMPTY doc: prior only -> x (3/4 vs 1/4)
+    val p2 = NaiveBayes.predict(Seq((9L, "   ")).toDF("id", "text"), "id", "text", m).head()
+    assert(p2.getAs[String]("label_pred") == "x" && p2.getAs[Long]("n_tokens") == 0L)
+    // exact tie (identical corpora per class) -> lexicographically smaller
+    val tied = Seq((1L, "a", "p"), (2L, "a", "q")).toDF("id", "text", "label")
+    val mt = NaiveBayes.train(tied, "text", "label")
+    val p3 = NaiveBayes.predict(Seq((9L, "a")).toDF("id", "text"), "id", "text", mt).head()
+    assert(p3.getAs[String]("label_pred") == "p")
+  }
+
+  test("null labels never train; null/missing text scores on the prior") {
+    val docs = Seq((1L, "a b", "x"), (2L, "c d", null.asInstanceOf[String]),
+      (3L, "a", "y")).toDF("id", "text", "label")
+    val m = NaiveBayes.train(docs, "text", "label")
+    assert(m.classTable.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+    assert(m.tokenTable.filter(col("token").isin("c", "d")).count() == 0)
+  }
+
+  test("modelToView/modelFromView round-trips through parquet; predictions unchanged") {
+    val docs = Seq((1L, "buy now", "spam"), (2L, "meeting notes", "ham"))
+      .toDF("id", "text", "label")
+    val m = NaiveBayes.train(docs, "text", "label")
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    NaiveBayes.modelToView(m).write.mode("overwrite").parquet(dir)
+    val m2 = NaiveBayes.modelFromView(spark.read.parquet(dir))
+    val q = Seq((9L, "buy notes now"), (10L, "notes meeting")).toDF("id", "text")
+    val a = NaiveBayes.predict(q, "id", "text", m).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = NaiveBayes.predict(q, "id", "text", m2).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(a == b && a.map(_._2) == Seq("spam", "ham"), (a, b).toString)
+  }
+}

@@ -1970,6 +1970,75 @@ object SparkEntry {
           col("n_tokens_removed"), col("n_kept_tokens"), col("split"))
         .orderBy("doc_id")
     },
+    "q195_classifier_gated_curation" -> withViews("documents") { (spark, ctx) =>
+      // The q188 curation chain grown by MODEL-BASED QUALITY FILTERING —
+      // the classifier gate a CCNet-style pipeline runs between cleaning
+      // and dedup: promo pages (doc_id%3=0) carry promo phrases in their
+      // body; an exact-count NB classifier (llm/NaiveBayes, q194) trains
+      // on the line-deduped text of the doc_id%5!=0 labeled seed split,
+      // predicts EVERY doc, and only predicted-clean docs continue into
+      // decontamination -> span dedup -> MAD screen -> hash split. The
+      // whole composition stays under the DuckDB oracle: regex/md5/
+      // integer-count/quantile-exact end to end, argmax protected by the
+      // macroscopic salt margins (q194). Multi-consumer intermediates
+      // Lineage-pinned.
+      import graft.llm.{BloomSketch, HtmlText, LineFilter, NaiveBayes, RobustStats, Sampling, SpanDedup, TextStats}
+      val docs = ctx.view("documents")
+      val pages = docs.select(col("doc_id"), col("source"),
+        concat(
+          lit("<html><head><title>Page</title><style>nav{color:red}</style>" +
+            "<script>track(1 < 2);</script></head><body>"),
+          lit("<nav>home products pricing docs blog careers about contact login signup</nav><p>"),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" subscribe now limited offer click here"))
+            .otherwise(lit(" method results analysis discussion further")),
+          lit("</p><footer>copyright acme corp all rights reserved privacy terms cookies</footer></body></html>")
+        ).as("html"))
+      val english = pages
+        .select(col("doc_id"), col("source"),
+          HtmlText.extractText(col("html")).as("text2"))
+        .withColumn("lang", TextStats.languageId(col("text2")))
+        .filter(col("lang") === "en")
+      // cleaned feeds classifier training, prediction AND the gated join
+      val cleaned = graft.core.Lineage.pin(
+        english.select(col("doc_id"), col("source"), col("lang"),
+          LineFilter.dedupLines(
+            regexp_replace(col("text2"), "(\\S+ \\S+ \\S+ \\S+) ", "$1\n"))
+            .as("clean")))
+      val labeled = cleaned.withColumn("label_true",
+        when(col("doc_id") % 3 === 0, lit("promo")).otherwise(lit("clean")))
+      val model = NaiveBayes.train(
+        labeled.filter(col("doc_id") % 5 =!= 0), "clean", "label_true")
+      val gated = graft.core.Lineage.pin(
+        cleaned.join(
+          NaiveBayes.predict(cleaned, "doc_id", "clean", model)
+            .filter(col("label_pred") === "clean")
+            .select("doc_id"),
+          Seq("doc_id")))
+      val evalFps = gated.filter(col("doc_id") % 13 === 0)
+        .select(md5(col("clean")).as("fp"))
+      val decon = graft.core.Lineage.pin(
+        BloomSketch.antiJoin(
+          gated.withColumn("fp", md5(col("clean"))), col("fp"),
+          evalFps, col("fp"), bits = 1L << 20, hashes = 3)
+          .drop("fp"))
+      val deduped = graft.core.Lineage.pin(
+        SpanDedup.dedupSpans(decon, "doc_id", "clean", k = 8)
+          .join(decon.select("doc_id", "source", "lang"), Seq("doc_id"))
+          .withColumn("n_kept_tokens", col("n_tokens") - col("n_tokens_removed"))
+          .drop("clean_text"))
+      val screened = RobustStats.madOutliers(
+        deduped, Seq("source"), col("n_kept_tokens"), k = 3.0)
+        .filter(!col("is_outlier"))
+        .select("doc_id", "source", "lang", "n_tokens", "n_tokens_removed",
+          "n_kept_tokens")
+      Sampling.hashSplit(screened, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cc")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+          col("n_tokens_removed"), col("n_kept_tokens"), col("split"))
+        .orderBy("doc_id")
+    },
     "q189_audio_resample" -> withViews("documents") { (spark, ctx) =>
       // REAL audio resample + mono mixdown (Multimodal.resampleAudio):
       // STEREO 16-bit 8 kHz WAVs generated from doc metadata — channel 0
@@ -4585,6 +4654,154 @@ object SparkEntry {
         dec AS (
           SELECT * FROM cln
           WHERE md5(clean) NOT IN (SELECT md5(clean) FROM cln WHERE doc_id % 13 = 0)),
+        d AS (
+          SELECT doc_id, source, lang,
+                 list_filter(string_split_regex(trim(clean), '\\s+'), w -> len(w) > 0) AS arr
+          FROM dec),
+        g AS (
+          SELECT doc_id, pos, md5(array_to_string(arr[pos+1:pos+8], ' ')) AS gh
+          FROM (SELECT doc_id, arr, unnest(range(0, len(arr) - 7)) AS pos
+                FROM d WHERE len(arr) >= 8)),
+        dup AS (
+          SELECT gh, min(doc_id) AS keeper FROM g
+          GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        rem AS (
+          SELECT DISTINCT g.doc_id, g.pos + u.off AS p
+          FROM g JOIN dup USING (gh)
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS off) u
+          WHERE g.doc_id <> dup.keeper),
+        remagg AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+        kept AS (
+          SELECT d.doc_id, d.source, d.lang,
+                 CAST(len(d.arr) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(ra.n_removed, 0) AS BIGINT) AS n_tokens_removed,
+                 CAST(len(d.arr) - coalesce(ra.n_removed, 0) AS BIGINT) AS n_kept_tokens
+          FROM d LEFT JOIN remagg ra USING (doc_id)),
+        med AS (
+          SELECT source, quantile_cont(CAST(n_kept_tokens AS DOUBLE), 0.5) AS median
+          FROM kept GROUP BY source),
+        mad AS (
+          SELECT k.source,
+                 quantile_cont(abs(CAST(k.n_kept_tokens AS DOUBLE) - m.median), 0.5) AS mad
+          FROM kept k JOIN med m USING (source) GROUP BY k.source),
+        screened AS (
+          SELECT k.*
+          FROM kept k JOIN med m USING (source) JOIN mad a ON k.source = a.source
+          WHERE NOT (CASE WHEN a.mad > 0
+            THEN abs((CAST(k.n_kept_tokens AS DOUBLE) - m.median) / (1.4826 * a.mad)) > 3.0
+            ELSE FALSE END))
+        SELECT doc_id, source, lang, n_tokens, n_tokens_removed, n_kept_tokens,
+               CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'cc'), 1, 8) < '$t1' THEN 'train'
+                    WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'cc'), 1, 8) < '$t2' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM screened ORDER BY doc_id"""
+    },
+    "q195_classifier_gated_curation" -> {
+      // q188's oracle with the salted page bodies and the exact-count NB
+      // gate (q194's CTEs) composed between line dedup and
+      // decontamination; floats never surface (argmax only, macroscopic
+      // salt margins)
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = f"${math.round(cum(0) * 0xffffffffL)}%08x"
+      val t2 = f"${math.round(cum(1) * 0xffffffffL)}%08x"
+      s"""WITH h AS (
+          SELECT doc_id, source,
+                 '<html><head><title>Page</title><style>nav{color:red}</style><script>track(1 < 2);</script></head><body>'
+                 || '<nav>home products pricing docs blog careers about contact login signup</nav><p>'
+                 || text
+                 || CASE WHEN doc_id % 3 = 0
+                      THEN ' subscribe now limited offer click here'
+                      ELSE ' method results analysis discussion further' END
+                 || '</p><footer>copyright acme corp all rights reserved privacy terms cookies</footer></body></html>'
+                 AS html
+          FROM documents),
+        x1 AS (SELECT doc_id, source, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        x2 AS (SELECT doc_id, source, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM x1),
+        x3 AS (SELECT doc_id, source, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM x2),
+        x4 AS (SELECT doc_id, source, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM x3),
+        xe AS (SELECT doc_id, source,
+                replace(replace(replace(replace(replace(replace(replace(t,
+                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t
+              FROM x4),
+        lt AS (SELECT doc_id, source, t,
+                 list_distinct(list_filter(regexp_split_to_array(lower(trim(t)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS toks
+               FROM xe),
+        lh AS (SELECT doc_id, source, t,
+                 len(list_intersect(toks, ['der','die','das','und','ist','von','nicht','mit','ein','eine','zu','den'])) AS h_de,
+                 len(list_intersect(toks, ['the','and','of','to','in','is','that','it','for','with','was','are'])) AS h_en,
+                 len(list_intersect(toks, ['el','la','los','las','es','en','que','una','por','con','para','del'])) AS h_es,
+                 len(list_intersect(toks, ['le','la','les','et','est','dans','pour','que','une','des','pas','sur'])) AS h_fr,
+                 len(list_intersect(toks, ['il','la','che','di','è','per','con','una','sono','non','più','come'])) AS h_it
+               FROM lt),
+        eng AS (
+          SELECT doc_id, source, 'en' AS lang, t FROM lh
+          WHERE greatest(h_de,h_en,h_es,h_fr,h_it) > 0
+            AND h_it <> greatest(h_de,h_en,h_es,h_fr,h_it)
+            AND h_fr <> greatest(h_de,h_en,h_es,h_fr,h_it)
+            AND h_es <> greatest(h_de,h_en,h_es,h_fr,h_it)
+            AND h_en = greatest(h_de,h_en,h_es,h_fr,h_it)),
+        ml AS (SELECT doc_id, source, lang,
+                 regexp_replace(trim(regexp_replace(t, '\\s+', ' ', 'g')),
+                   '(\\S+ \\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') AS m
+               FROM eng),
+        mx AS (SELECT doc_id, source, lang, string_split(m, chr(10)) AS ls FROM ml),
+        ex AS (SELECT doc_id, source, lang, unnest(ls) AS line,
+                      unnest(range(1, len(ls) + 1)) AS ord
+               FROM mx),
+        firsts AS (
+          SELECT doc_id, source, lang, line, ord FROM ex
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY ord) = 1),
+        cln AS (
+          SELECT doc_id, source, lang,
+                 string_agg(line, chr(10) ORDER BY ord) AS clean
+          FROM firsts GROUP BY doc_id, source, lang),
+        tr AS (
+          SELECT doc_id, clean,
+                 CASE WHEN doc_id % 3 = 0 THEN 'promo' ELSE 'clean' END AS label_true
+          FROM cln WHERE doc_id % 5 <> 0),
+        ttok AS (
+          SELECT label_true AS label,
+                 unnest(list_filter(string_split_regex(trim(clean), '\\s+'), w -> len(w) > 0)) AS token
+          FROM tr),
+        token_table AS (SELECT label, token, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+        class_table AS (
+          SELECT t.label, dd.n_docs, count(*) AS n_tokens
+          FROM ttok t
+          JOIN (SELECT label_true AS label, count(*) AS n_docs FROM tr GROUP BY 1) dd
+            USING (label)
+          GROUP BY 1, 2),
+        v AS (SELECT count(DISTINCT token) AS vocab FROM token_table),
+        tot AS (SELECT sum(n_docs) AS total_docs FROM class_table),
+        dtok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(clean), '\\s+'), w -> len(w) > 0)) AS token
+          FROM cln),
+        contrib AS (
+          SELECT d2.doc_id, c.label,
+                 sum(ln(coalesce(tt.cnt, 0) + 1) - ln(c.n_tokens + v.vocab)) AS token_score
+          FROM dtok d2
+          CROSS JOIN class_table c
+          CROSS JOIN v
+          LEFT JOIN token_table tt ON tt.label = c.label AND tt.token = d2.token
+          GROUP BY 1, 2),
+        nbscored AS (
+          SELECT b.doc_id, c.label,
+                 ln(c.n_docs) - ln(t.total_docs) + coalesce(co.token_score, 0) AS score
+          FROM (SELECT DISTINCT doc_id FROM cln) b
+          CROSS JOIN class_table c
+          CROSS JOIN tot t
+          LEFT JOIN contrib co ON co.doc_id = b.doc_id AND co.label = c.label),
+        gate AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, label,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+            FROM nbscored)
+          WHERE rn = 1 AND label = 'clean'),
+        gated AS (SELECT cln.* FROM cln JOIN gate USING (doc_id)),
+        dec AS (
+          SELECT * FROM gated
+          WHERE md5(clean) NOT IN (SELECT md5(clean) FROM gated WHERE doc_id % 13 = 0)),
         d AS (
           SELECT doc_id, source, lang,
                  list_filter(string_split_regex(trim(clean), '\\s+'), w -> len(w) > 0) AS arr

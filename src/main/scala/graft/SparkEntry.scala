@@ -118,6 +118,15 @@ object SparkEntry {
     unigramModelCache.computeIfAbsent(sfDir,
       _ => graft.llm.Unigram.train(docs, "text", vocabSize = 2000))
 
+  /** q196's WordPiece model: trained once per (JVM, sfDir) — the bpeMerges
+    * discipline (the likelihood merge loop is deterministic; the memo only
+    * spares Bench re-evaluations the word-count + merge loop). */
+  private val wordPieceModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.llm.WordPiece.Model]()
+  private def wordPieceModel(docs: DataFrame, sfDir: String): graft.llm.WordPiece.Model =
+    wordPieceModelCache.computeIfAbsent(sfDir,
+      _ => graft.llm.WordPiece.train(docs, "text", vocabSize = 300))
+
   private val q147Index = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q155Codebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.llm.Pq.CodebookEntry]]()
@@ -2193,6 +2202,84 @@ object SparkEntry {
             col("_compresses") &&
             Unigram.decodeIds(col("ids"), model) ===
               regexp_replace(col("text2"), "\\s+", "")).as("ok"))
+        .orderBy("doc_id")
+    },
+    "q196_wordpiece_encode" -> { (spark: SparkSession, dir: String) =>
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, Seq("documents")), ctx)
+      // WordPiece tokenizer (llm/WordPiece — Schuster & Nakajima 2012; the
+      // BERT tokenizer): likelihood-merge training + greedy
+      // longest-match-first encoding with [UNK] collapse, the third
+      // production subword family next to q165/q174 (BPE merge ranks) and
+      // q192 (unigram Viterbi). Training/id assignment are
+      // engine-specific -> rows-only; `ok` carries the word-level contract
+      // in-band: (1) decode splits back into EXACTLY the
+      // whitespace-normalized input's words, each decoded word
+      // byte-identical to its input word OR the [UNK] marker — greedy
+      // concatenation must reconstruct whatever it segmented, and word
+      // boundaries must survive [UNK]s; (2) the encoder's own n_words
+      // equals the normalized split's length (segmentation parity with the
+      // engine-independent \s+ definition); (3) n_unk_words == count of
+      // id-0 entries (UNK is an ID, not a string); (4) the emoji salt on
+      // doc_id%5==0 rows MUST go [UNK] (out-of-alphabet — totality is
+      // deliberately NOT provided, the published WordPiece contract); (5)
+      // folded global invariant: on the UNSALTED corpus, [UNK] words stay
+      // under 5% (the trained alphabet covers its own corpus).
+      import graft.llm.WordPiece
+      val docs = ctx.view("documents").select(col("doc_id"), col("text"))
+      val model = wordPieceModel(docs, dir)
+      val cov = broadcast(WordPiece.encodeIds(docs, "text", model)
+        .agg((sum(col("n_unk_words")) * 20L < sum(col("n_words"))).as("_covered")))
+      val salted = docs.withColumn("text2",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" 😀")))
+          .otherwise(col("text")))
+      WordPiece.encodeDetail(salted, "text2", model)
+        .withColumn("decoded", WordPiece.decodeIds(col("ids"), model))
+        .withColumn("_norm", regexp_replace(trim(col("text2")), "\\s+", " "))
+        .withColumn("_dw", split(col("decoded"), " "))
+        .withColumn("_ww", split(col("_norm"), " "))
+        .crossJoin(cov)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk_words"), col("n_words"),
+          (col("_covered") &&
+            size(col("_dw")) === size(col("_ww")) &&
+            (col("n_words") === size(col("_ww")).cast("long") ||
+              (length(col("_norm")) === 0 && col("n_words") === 0L)) &&
+            col("n_unk_words") ===
+              size(filter(col("ids"), i => i === 0L)).cast("long") &&
+            (col("doc_id") % 5 =!= 0 || col("n_unk_words") >= 1L) &&
+            forall(arrays_zip(col("_dw"), col("_ww")),
+              x => x.getField("_dw") === x.getField("_ww") ||
+                x.getField("_dw") === lit("[UNK]"))).as("ok"))
+        .orderBy("doc_id")
+    },
+    "q197_mojibake_repair" -> withViews("documents") { (spark, ctx) =>
+      // Mojibake repair under the FULL ORACLE (functions/FixMojibakeExpr —
+      // the UTF-8-misread-as-windows-1252/latin-1 inversion of the public
+      // ftfy tool, the standard crawl-cleaning step before token counts /
+      // dedup keys / langid can be trusted). The corpus is pure ASCII, so
+      // a non-ASCII salt is appended to EVERY row, then rows are mangled
+      // 2× / 1× / 0× by doc_id — Spark mangles with its own
+      // encode/decode(ISO-8859-1) and repairs with the native expression;
+      // DuckDB never sees the mangling AT ALL: it asserts the round trip
+      // by computing the pristine salted text and the expected pass count
+      // arithmetically. Byte-exact across engines because the repair is an
+      // exact inversion, not a heuristic. The salt exercises 2-byte
+      // sequences (é à ï), 3-byte sequences whose continuation bytes land
+      // in the C1 range (— “ ”), and double mangling.
+      import graft.functions.FixMojibakeExpr.fix_mojibake
+      val salt = " café déjà vu — naïve “quotes”"
+      def mangle(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        decode(encode(c, "UTF-8"), "ISO-8859-1")
+      val docs = ctx.view("documents")
+        .select(col("doc_id"), concat(col("text"), lit(salt)).as("text_s"))
+      docs.withColumn("text_in",
+          when(col("doc_id") % 3 === 0, mangle(mangle(col("text_s"))))
+            .when(col("doc_id") % 3 === 1, mangle(col("text_s")))
+            .otherwise(col("text_s")))
+        .withColumn("_fx", fix_mojibake(col("text_in")))
+        .select(col("doc_id"), col("_fx.fixed").as("fixed"),
+          col("_fx.n_passes").cast("long").as("n_passes"))
         .orderBy("doc_id")
     },
     "q193_ann_recall_report" -> { (spark: SparkSession, dir: String) =>
@@ -5019,6 +5106,17 @@ object SparkEntry {
         LEFT JOIN remagg ra USING (doc_id)
         LEFT JOIN keptagg ka USING (doc_id)
         ORDER BY doc_id""",
+    "q197_mojibake_repair" ->
+      // DuckDB never sees the mangling: it asserts the repair's round trip
+      // by computing the pristine salted text directly and the pass count
+      // arithmetically — the Spark side must invert its own 2×/1×/0×
+      // encode/decode mangling byte-for-byte to match
+      """SELECT doc_id,
+           text || ' café déjà vu — naïve “quotes”' AS fixed,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2
+                     WHEN doc_id % 3 = 1 THEN 1
+                     ELSE 0 END AS BIGINT) AS n_passes
+         FROM documents ORDER BY doc_id""",
     "q194_nb_classifier" ->
       // the SAME Laplace-smoothed multinomial NB in DuckDB SQL: identical
       // integer count tables, identical score formula; output carries only

@@ -384,6 +384,13 @@ object PipelineConfig {
         byteFallback = o.bool("byteFallback"),
         idsField = o.str("idsField", "ids"),
         groupField = o.str("groupField", ""),
+        maxInputChars = o.intOpt("maxInputChars").getOrElse(100),
+        persist = o.bool("persist"))
+    case "MojibakeTransform" =>
+      MojibakeTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        textField = o.req("textField"),
+        outputField = o.str("outputField", "text_fixed"),
+        maxPasses = o.intOpt("maxPasses").getOrElse(3),
         persist = o.bool("persist"))
     case "HtmlTextTransform" =>
       HtmlTextTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

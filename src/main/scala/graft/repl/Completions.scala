@@ -101,6 +101,12 @@ object Completions {
     Completion("TokenizerTransform unigram",
       "{type = \"TokenizerTransform\", name = \"unigram\", inputView = \"docs\", outputView = \"vocab\",\n" +
         " textField = \"text\", algo = \"unigram\", mode = \"train\", vocabSize = 8000}"),
+    Completion("MojibakeTransform",
+      "{type = \"MojibakeTransform\", name = \"fixenc\", inputView = \"docs\", outputView = \"fixed\",\n" +
+        " textField = \"text\"}"),
+    Completion("TokenizerTransform wordpiece",
+      "{type = \"TokenizerTransform\", name = \"wordpiece\", inputView = \"docs\", outputView = \"vocab\",\n" +
+        " textField = \"text\", algo = \"wordpiece\", mode = \"train\", vocabSize = 8000}"),
     Completion("OutlierTransform",
       "{type = \"OutlierTransform\", name = \"screen\", inputView = \"docs\", outputView = \"flagged\",\n" +
         " valueField = \"n_chars\", groupFields = [\"source\"], mode = \"flag\", k = 3.5}"),

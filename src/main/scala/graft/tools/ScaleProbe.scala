@@ -731,6 +731,21 @@ object ScaleProbe {
           .agg(sum("n_tokens")).collect().head.getLong(0)
       }
     }
+    // WordPiece tokenizer: the likelihood merge loop is word-table-bound
+    // like BPE training (one pass over the capped word table per merge);
+    // the greedy longest-match encode is a narrow codegen'd scan.
+    if (anySelected(s"wordpieceTrain n=$n", s"wordpieceEncode n=$n")) {
+      var model: graft.llm.WordPiece.Model = null
+      time(s"wordpieceTrain n=$n vocab=300") {
+        model = graft.llm.WordPiece.train(docs, "text", vocabSize = 300)
+        model.entries.length
+      }
+      if (model == null) model = graft.llm.WordPiece.train(docs, "text", vocabSize = 300)
+      time(s"wordpieceEncode n=$n") {
+        graft.llm.WordPiece.encodeIds(docs, "text", model)
+          .agg(sum("n_tokens")).collect().head.getLong(0)
+      }
+    }
     // NB classifier: training is one (label, token) aggregate (output
     // vocab×classes bounded); predict is a broadcast-model join over the
     // (doc, token) explode with one id-keyed score aggregate — the text

@@ -1133,8 +1133,9 @@ final case class OutlierTransform(
 }
 
 /** Corpus-trained subword tokenizers behind the config surface — BPE
-  * ([[graft.llm.Bpe]], `algo=bpe`, the default) and the unigram LM
-  * ([[graft.llm.Unigram]], `algo=unigram`).
+  * ([[graft.llm.Bpe]], `algo=bpe`, the default), the unigram LM
+  * ([[graft.llm.Unigram]], `algo=unigram`) and WordPiece
+  * ([[graft.llm.WordPiece]], `algo=wordpiece`).
   *
   * BPE: `mode=train` learns `numMerges` merges from the input view's text
   * and registers them as a (rank, left, right) view; `mode=apply` reads a
@@ -1145,7 +1146,16 @@ final case class OutlierTransform(
   * registers it directly as a (token, id, freq, score) vocabTotal-layout
   * view; `mode=encode` Viterbi-encodes against such a view (`vocabView`),
   * appending `ids`/`n_tokens`/`n_fallback_tokens`/`score`. `mode=decode`
-  * is ALGO-AGNOSTIC — both families share the byte-fallback id layout.
+  * is ALGO-AGNOSTIC between bpe and unigram — those two share the
+  * byte-fallback id layout.
+  *
+  * WordPiece: `mode=train` learns a `vocabSize`-token vocabulary by the
+  * likelihood merge loop and registers it as a
+  * (token, id, freq, is_continuation) view; `mode=encode` greedy
+  * longest-match encodes against such a view (`vocabView`), appending
+  * `ids`/`n_tokens`/`n_unk_words`/`n_words`; `mode=decode` renders ids
+  * back to whitespace-normalized text with `[UNK]` markers
+  * (`maxInputChars` bounds the per-word scan, the BERT default 100).
   */
 final case class TokenizerTransform(
     name: String,
@@ -1164,6 +1174,7 @@ final case class TokenizerTransform(
     byteFallback: Boolean = false,
     idsField: String = "ids",
     groupField: String = "",
+    maxInputChars: Int = 100,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "TokenizerTransform"
@@ -1177,9 +1188,24 @@ final case class TokenizerTransform(
         .select(col("rank"), col("left"), col("right"))
         .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     }
-    require(algo == "bpe" || algo == "unigram",
-      s"$name: unknown tokenizer algo '$algo' (bpe|unigram)")
-    val out = if (algo == "unigram") mode match {
+    require(algo == "bpe" || algo == "unigram" || algo == "wordpiece",
+      s"$name: unknown tokenizer algo '$algo' (bpe|unigram|wordpiece)")
+    val out = if (algo == "wordpiece") mode match {
+      case "train" =>
+        graft.llm.WordPiece.vocabDf(spark, graft.llm.WordPiece.train(
+          in, textField, vocabSize, maxWords))
+      case "encode" =>
+        require(vocabView.nonEmpty, s"$name: encode mode needs vocabView")
+        graft.llm.WordPiece.encodeIds(in, textField,
+          graft.llm.WordPiece.modelFromVocabDf(ctx.view(vocabView)), maxInputChars)
+      case "decode" =>
+        require(vocabView.nonEmpty, s"$name: decode mode needs vocabView")
+        in.withColumn("decoded", graft.llm.WordPiece.decodeIds(col(idsField),
+          graft.llm.WordPiece.modelFromVocabDf(ctx.view(vocabView))))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown wordpiece tokenizer mode '$other' (train|encode|decode)")
+    } else if (algo == "unigram") mode match {
       case "train" =>
         graft.llm.Unigram.vocabDf(spark, graft.llm.Unigram.train(
           in, textField, vocabSize, maxPieceLen, emIters = emIters, maxWords = maxWords))
@@ -1249,6 +1275,35 @@ final case class HtmlTextTransform(
   val stageType = "HtmlTextTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     val out = graft.llm.HtmlText.htmlToText(ctx.view(inputView), htmlField, outputField)
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** Mojibake repair behind the config surface —
+  * [[graft.functions.FixMojibakeExpr]]: detects text that was UTF-8
+  * encoded but decoded as windows-1252/latin-1 upstream ("é" → "Ã©") and
+  * inverts it, iteratively for multiply-mangled text (`maxPasses`).
+  * Appends the repaired text and the pass count (0 = already clean). One
+  * narrow codegen'd projection, zero shuffles, streaming-safe.
+  */
+final case class MojibakeTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    textField: String,
+    outputField: String = "text_fixed",
+    maxPasses: Int = 3,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "MojibakeTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    require(maxPasses >= 1, s"$name: maxPasses must be >= 1, got $maxPasses")
+    val out = ctx.view(inputView)
+      .withColumn("_fx",
+        graft.functions.FixMojibakeExpr.fix_mojibake(col(textField), maxPasses))
+      .withColumn(outputField, col("_fx.fixed"))
+      .withColumn("mojibake_passes", col("_fx.n_passes").cast("long"))
+      .drop("_fx")
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }

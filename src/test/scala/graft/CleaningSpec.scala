@@ -213,3 +213,118 @@ class CleaningSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 }
+
+
+class MojibakeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.FixMojibakeExpr.fix_mojibake
+
+  private def mangle(s: String) =
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private def fixOne(s: String, maxPasses: Int = 3): (String, Int) = {
+    val r = Seq(s).toDF("t").select(fix_mojibake(col("t"), maxPasses).as("f"))
+      .select("f.*").head()
+    (r.getString(0), r.getInt(1))
+  }
+
+  test("classic single mojibake: latin-1 misread reverses in one pass") {
+    assert(fixOne("cafÃ©") == (("café", 1)))
+    // 3-byte em dash (E2 80 94) misread by a LATIN-1 decoder keeps raw C1
+    // controls as U+0080/U+0094
+    assert(fixOne("a â\u0080\u0094 b") == (("a — b", 1)))
+  }
+
+  test("windows-1252 misread uses the punctuation row (right single quote case)") {
+    // U+2019 (E2 80 99) misread by a CP1252 decoder: 0xE2, euro (0x80),
+    // trademark (0x99)
+    assert(fixOne("itâ€™s") == (("it’s", 1)))
+    // curly quotes: 0x9C maps to the oe ligature; 0x9D is undefined in
+    // cp1252 and stays the raw C1 control — the sloppy-cp1252 map takes
+    // both back
+    assert(fixOne("â€œqâ€\u009d") == (("“q”", 1)))
+  }
+
+  test("double mangling repairs in exactly two passes") {
+    val original = "déjà vu — naïve"
+    assert(fixOne(mangle(mangle(original))) == ((original, 2)))
+    assert(fixOne(mangle(original)) == ((original, 1)))
+  }
+
+  test("clean text is a fixed point: ASCII, genuine accents, CJK/emoji, empty") {
+    assert(fixOne("plain ascii text.") == (("plain ascii text.", 0)))
+    // a lone e-acute followed by ASCII is not valid UTF-8 -> untouched
+    assert(fixOne("café au lait") == (("café au lait", 0)))
+    // chars above U+00FF outside the cp1252 row block the byte-map entirely
+    assert(fixOne("漢字 and 😀") == (("漢字 and 😀", 0)))
+    assert(fixOne("") == (("", 0)))
+  }
+
+  test("strict UTF-8 validation: overlongs, surrogates, truncation, beyond-max never repair") {
+    // C0 80 would be an overlong NUL
+    assert(fixOne("À\u0080") == (("À\u0080", 0)))
+    // ED A0 80 would decode to the surrogate D800
+    assert(fixOne("í \u0080") == (("í \u0080", 0)))
+    // truncated lead byte at end of string
+    assert(fixOne("abcÃ") == (("abcÃ", 0)))
+    // F4 90 80 80 would be above U+10FFFF
+    assert(fixOne("ô\u0090\u0080\u0080") == (("ô\u0090\u0080\u0080", 0)))
+  }
+
+  test("maxPasses caps the unwinding and reports honestly") {
+    val original = "é"
+    val threeDeep = mangle(mangle(mangle(original)))
+    assert(fixOne(threeDeep, maxPasses = 3) == ((original, 3)))
+    assert(fixOne(threeDeep, maxPasses = 1) == ((mangle(mangle(original)), 1)))
+  }
+
+  test("round-trip property: repair inverts k-fold mangling on random unicode text") {
+    val rnd = new scala.util.Random(1315)
+    // the anchor chars are > U+00FF and outside the cp1252 row, so the
+    // ORIGINAL can never itself byte-map — repair must stop at exactly k
+    val anchors = Array('κ', '漢', '☃')
+    val body = "abc déjà ñ — test"
+    val cases = (1 to 120).map { _ =>
+      val s = (1 to (1 + rnd.nextInt(12))).map(_ => body(rnd.nextInt(body.length))).mkString +
+        anchors(rnd.nextInt(anchors.length))
+      val k = 1 + rnd.nextInt(2)
+      val mangled = (1 to k).foldLeft(s)((acc, _) => mangle(acc))
+      (s, k, mangled)
+    }
+    val out = cases.toDF("orig", "k", "mangled")
+      .withColumn("f", fix_mojibake(col("mangled")))
+      .select(col("orig"), col("k"), col("f.fixed"), col("f.n_passes"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(0),
+        s"repair failed: '${r.getString(2)}' != '${r.getString(0)}'")
+      assert(r.getInt(3) == r.getInt(1), s"passes ${r.getInt(3)} != k ${r.getInt(1)}")
+    }
+  }
+
+  test("MojibakeTransform repairs from a config cell") {
+    import graft.core.{PipelineConfig, PipelineContext, Runner}
+    Seq((1L, mangle("café crème")), (2L, "already clean"))
+      .toDF("id", "text").createOrReplaceTempView("mj_in")
+    val hocon =
+      """{stages: [
+        { type = "MojibakeTransform", name = "fx", inputView = mj_in,
+          outputView = mj_out, textField = text }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val rows = spark.table("mj_out").orderBy("id").collect()
+    assert(rows(0).getAs[String]("text_fixed") == "café crème")
+    assert(rows(0).getAs[Long]("mojibake_passes") == 1L)
+    assert(rows(1).getAs[String]("text_fixed") == "already clean")
+    assert(rows(1).getAs[Long]("mojibake_passes") == 0L)
+  }
+
+  test("fix_mojibake stays a narrow projection: zero exchanges") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = docs.select(fix_mojibake(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

@@ -678,6 +678,34 @@ class ConfigSpec extends SparkSpec {
     assert(r.getAs[Long]("n_tokens") < 32)
   }
 
+  test("TokenizerTransform algo=wordpiece trains, encodes and decodes from config cells") {
+    import spark.implicits._
+    Seq.fill(10)("hugs hug pugs hugs hug").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").createOrReplaceTempView("wp_in")
+    val hocon =
+      """{stages: [
+        { type = "TokenizerTransform", name = "train", inputView = wp_in,
+          outputView = wp_vocab, textField = text, algo = wordpiece,
+          vocabSize = 12 },
+        { type = "TokenizerTransform", name = "enc", inputView = wp_in,
+          outputView = wp_ids, textField = text, algo = wordpiece,
+          mode = encode, vocabView = wp_vocab },
+        { type = "TokenizerTransform", name = "dec", inputView = wp_ids,
+          outputView = wp_txt, textField = text, algo = wordpiece,
+          mode = decode, vocabView = wp_vocab }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    // WordPiece layout straight from the config surface: [UNK] at id 0
+    val head = spark.table("wp_vocab")
+      .orderBy("id").head()
+    assert(head.getAs[String]("token") == "[UNK]" && head.getAs[Long]("id") == 0L)
+    val r = spark.table("wp_txt").head()
+    assert(r.getAs[String]("decoded") == "hugs hug pugs hugs hug")
+    assert(r.getAs[Long]("n_unk_words") == 0L)
+    assert(r.getAs[Long]("n_tokens") <= 8L)
+  }
+
   test("ClassifierTransform trains an NB model and predicts from config cells") {
     import spark.implicits._
     Seq((1L, "buy now cheap", "spam"), (2L, "buy now", "spam"),

@@ -3167,3 +3167,193 @@ class NaiveBayesSpec extends SparkSpec {
     assert(a == b && a.map(_._2) == Seq("spam", "ham"), (a, b).toString)
   }
 }
+
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.llm.WordPiece
+
+  // hugs×10 + hug×5 + pugs×4 — every merge hand-computable.
+  private val handCounts = Seq(("hugs", 10L), ("hug", 5L), ("pugs", 4L))
+
+  test("trainFromCounts: likelihood scores and tie-breaks, hand-computed merge order") {
+    // Alphabet (display-sorted): ##g ##s ##u h p after [UNK].
+    // Iter 1: every pair scores 1/19 exactly (each left symbol is always
+    //   followed by the same right) -> tie broken by pair count desc:
+    //   (##u,##g) c=19 -> ##ug.
+    // Iter 2: again all 1/19 -> (h,##ug) c=15 -> hug.
+    // Iter 3: (p,##ug) 4/(4·4)=0.25 BEATS the higher-count (hug,##s)
+    //   10/(15·14)=0.048 — the likelihood score picking the rarer but
+    //   tighter pair, the signature WordPiece-vs-BPE difference -> pug.
+    val m = WordPiece.trainFromCounts(handCounts, vocabSize = 9)
+    val displays = m.entries.indices.map(m.display)
+    assert(displays == Seq("[UNK]", "##g", "##s", "##u", "h", "p", "##ug", "hug", "pug"),
+      displays.toString)
+    // final segmentation: hugs=hug ##s ×10, hug ×5, pugs=pug ##s ×4
+    assert(m.entries.map(_._3) == Seq(0L, 0L, 14L, 0L, 0L, 0L, 0L, 15L, 4L),
+      m.entries.toString)
+    // deterministic: identical corpus -> identical model
+    assert(m == WordPiece.trainFromCounts(handCounts, vocabSize = 9))
+  }
+
+  test("with budget, merges continue to whole words and stop when no pair remains") {
+    val m = WordPiece.trainFromCounts(handCounts, vocabSize = 50)
+    val displays = m.entries.indices.map(m.display)
+    // iter4 on: (hug,##s) 10/(15·14) loses to (p,##ug) then (pug,##s)
+    // 4/(4·14) and finally (hug,##s) 10/(15·10) — whole words form, then
+    // no pair remains and the loop stops well under the budget
+    assert(displays == Seq("[UNK]", "##g", "##s", "##u", "h", "p",
+      "##ug", "hug", "pug", "pugs", "hugs"), displays.toString)
+    val byDisplay = m.entries.indices.map(i => m.display(i) -> m.entries(i)._3).toMap
+    assert(byDisplay("hugs") == 10L && byDisplay("hug") == 5L && byDisplay("pugs") == 4L)
+  }
+
+  test("greedy longest-match-first encode; ids and pieces; round-trip decode") {
+    val m = WordPiece.trainFromCounts(handCounts, vocabSize = 9)
+    val r = Seq("hugs  pugs\thug").toDF("text")
+      .select(WordPiece.encodeStruct(col("text"), m).as("e")).select("e.*").head()
+    assert(r.getSeq[String](0) == Seq("hug", "##s", "pug", "##s", "hug"), r.toString)
+    assert(r.getSeq[Long](1) == Seq(7L, 2L, 8L, 2L, 7L), r.toString)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 3L)
+    val dec = Seq("hugs  pugs\thug").toDF("text")
+      .withColumn("e", WordPiece.encodeStruct(col("text"), m))
+      .select(WordPiece.decodeIds(col("e.ids"), m)).head().getString(0)
+    assert(dec == "hugs pugs hug") // whitespace-normalized
+  }
+
+  test("a word with any unmatched position collapses to ONE [UNK]; word boundaries survive") {
+    val m = WordPiece.trainFromCounts(handCounts, vocabSize = 9)
+    val r = Seq("hug bugs hugs").toDF("text")
+      .select(WordPiece.encodeStruct(col("text"), m).as("e")).select("e.*").head()
+    // "bugs": b is out-of-alphabet -> single [UNK], not partial pieces
+    assert(r.getSeq[String](0) == Seq("hug", "[UNK]", "hug", "##s"), r.toString)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 3L)
+    // mid-word failure after a matched prefix also rolls back: "hugb"
+    val r2 = Seq("hugb").toDF("text")
+      .select(WordPiece.encodeStruct(col("text"), m).as("e")).select("e.*").head()
+    assert(r2.getSeq[String](0) == Seq("[UNK]"), r2.toString)
+    // decode keeps boundaries around [UNK]
+    val dec = Seq("hug bugs hugs").toDF("text")
+      .withColumn("e", WordPiece.encodeStruct(col("text"), m))
+      .select(WordPiece.decodeIds(col("e.ids"), m)).head().getString(0)
+    assert(dec == "hug [UNK] hugs")
+  }
+
+  test("maxInputChars: an over-long word is one [UNK] without scanning") {
+    val m = WordPiece.trainFromCounts(handCounts, vocabSize = 9)
+    // 150 cps, segmentable as hug + 147× ##s — [UNK] must come ONLY from
+    // the length cap, not from a missing piece
+    val long = "hug" + ("s" * 147)
+    val r = Seq(long).toDF("text")
+      .select(WordPiece.encodeStruct(col("text"), m, maxInputChars = 100).as("e"))
+      .select("e.*").head()
+    assert(r.getSeq[String](0) == Seq("[UNK]"), r.toString)
+    val r2 = Seq(long).toDF("text")
+      .select(WordPiece.encodeStruct(col("text"), m, maxInputChars = 200).as("e"))
+      .select("e.*").head()
+    assert(r2.getLong(2) == 0L && r2.getSeq[String](0).length == 148, r2.toString)
+  }
+
+  test("classic BERT shape: un ##aff ##able from a hand-built vocab") {
+    val m = WordPiece.Model(Seq(
+      ("[UNK]", false, 0L), ("un", false, 1L), ("aff", true, 1L),
+      ("able", true, 1L), ("a", false, 1L), ("u", false, 1L)))
+    val r = Seq("unaffable").toDF("text")
+      .select(WordPiece.encodeStruct(col("text"), m).as("e")).select("e.*").head()
+    assert(r.getSeq[String](0) == Seq("un", "##aff", "##able"), r.toString)
+  }
+
+  test("continuation is a flag, not a string prefix: a word-initial '##' token decodes raw") {
+    // corpus words starting with '#': "##x" fuses into a ROOT token whose
+    // TEXT is "##" — the prefix convention would misread it on decode
+    val m = WordPiece.trainFromCounts(Seq(("##x", 8L)), vocabSize = 10)
+    val enc = Seq("##x ##x").toDF("text")
+      .withColumn("e", WordPiece.encodeStruct(col("text"), m))
+    val r = enc.select("e.*").head()
+    assert(r.getLong(2) == 0L, r.toString) // no [UNK]
+    val dec = enc.select(WordPiece.decodeIds(col("e.ids"), m)).head().getString(0)
+    assert(dec == "##x ##x", dec)
+  }
+
+  test("a literal [UNK] word never matches the reserved row; n_unk == count of id 0") {
+    val m = WordPiece.trainFromCounts(handCounts, vocabSize = 9)
+    val r = Seq("[UNK] hug").toDF("text")
+      .select(WordPiece.encodeStruct(col("text"), m).as("e")).select("e.*").head()
+    // '[' is out-of-alphabet -> real unk, id 0, counted
+    assert(r.getSeq[Long](1).head == 0L && r.getLong(2) == 1L, r.toString)
+    assert(r.getSeq[Long](1).count(_ == 0L) == r.getLong(2))
+  }
+
+  test("vocabDf layout round-trips; a table without the [UNK] head fails fast") {
+    val m = WordPiece.trainFromCounts(handCounts, vocabSize = 9)
+    val v = WordPiece.vocabDf(spark, m)
+    val rows = v.orderBy("id").collect()
+    assert(rows(0).getString(0) == "[UNK]" && rows(0).getLong(1) == 0L && !rows(0).getBoolean(3))
+    assert(rows(2).getString(0) == "##s" && rows(2).getBoolean(3))
+    assert(WordPiece.modelFromVocabDf(v) == m)
+    val e = intercept[IllegalArgumentException](
+      WordPiece.modelFromVocabDf(v.filter(col("id") >= 1L)))
+    assert(e.getMessage.contains("WordPiece layout"), e.getMessage)
+  }
+
+  test("corpus-trained end-to-end: clean docs round-trip, n_unk==0, and encode compresses") {
+    val docs = Seq.fill(20)((1L, "the hugging huggers hugged the hugging hug"))
+      .toDF("id", "text")
+    val m = WordPiece.train(docs, "text", vocabSize = 40)
+    val enc = WordPiece.encodeDetail(docs, "text", m)
+      .withColumn("decoded", WordPiece.decodeIds(col("ids"), m))
+      .head()
+    assert(enc.getAs[Long]("n_unk_words") == 0L)
+    assert(enc.getAs[String]("decoded") == "the hugging huggers hugged the hugging hug")
+    assert(enc.getAs[Long]("n_tokens") < lengthNoWs("the hugging huggers hugged the hugging hug"))
+  }
+
+  test("expression output matches a driver-side reference on random unicode words") {
+    val m = WordPiece.trainFromCounts(
+      Seq(("alpha", 9L), ("beta", 7L), ("albedo", 3L), ("päivää", 5L), ("漢字", 4L)),
+      vocabSize = 30)
+    val bodiesRoot = m.entries.zipWithIndex.collect {
+      case ((b, false, _), i) if i > 0 => b -> i.toLong
+    }.toMap
+    val bodiesCont = m.entries.zipWithIndex.collect {
+      case ((b, true, _), i) => b -> i.toLong
+    }.toMap
+    val maxLen = m.entries.drop(1).map(e => e._1.codePointCount(0, e._1.length)).max
+    def refWord(word: String): Seq[Long] = {
+      val cps = word.codePoints().toArray
+      var start = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (start < cps.length) {
+        val table = if (start == 0) bodiesRoot else bodiesCont
+        var len = math.min(maxLen, cps.length - start)
+        var hit = -1L
+        var hitLen = 0
+        while (len >= 1 && hit < 0) {
+          table.get(new String(cps, start, len)).foreach { id => hit = id; hitLen = len }
+          len -= 1
+        }
+        if (hit < 0) return Seq(0L)
+        out += hit; start += hitLen
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(4242)
+    val alphaChars = "alphbetdo päivä漢字 xz".toCharArray
+    val texts = (1 to 200).map { _ =>
+      (1 to (1 + rnd.nextInt(6))).map { _ =>
+        (1 to (1 + rnd.nextInt(8))).map(_ => alphaChars(rnd.nextInt(alphaChars.length))).mkString
+      }.mkString(" ")
+    }
+    val got = texts.toDF("text")
+      .select(col("text"), WordPiece.encodeStruct(col("text"), m).as("e"))
+      .collect()
+    got.foreach { r =>
+      val text = r.getString(0)
+      val expect = text.trim.split("\\s+").filter(_.nonEmpty).flatMap(refWord).toSeq
+      val actual = r.getStruct(1).getSeq[Long](1)
+      assert(actual == expect, s"mismatch on '$text': $actual vs $expect")
+    }
+  }
+
+  private def lengthNoWs(s: String): Long = s.replaceAll("\\s+", "").length.toLong
+}

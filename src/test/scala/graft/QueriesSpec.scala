@@ -42,7 +42,8 @@ class QueriesSpec extends SparkSpec {
     "q165_bpe_tokenize", "q174_bpe_ids", "q175_media_resize",
     "q178_bpe_byte_fallback", "q179_langid_ngram", "q181_audio_decode",
     "q185_tokenizer_fertility", "q186_langid_floor", "q189_audio_resample",
-    "q191_minhash_index_ingest", "q192_unigram_encode", "q193_ann_recall_report")
+    "q191_minhash_index_ingest", "q192_unigram_encode", "q193_ann_recall_report",
+    "q196_wordpiece_encode")
 
   for (name <- selfVerifying) {
     test(s"$name: every row passes its own invariant (ok column)") {

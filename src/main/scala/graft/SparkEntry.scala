@@ -1896,6 +1896,8 @@ object SparkEntry {
       // PackingSpec's reconstruction property. One row per doc span:
       // frag_ids = ids[span_start, span_end) of the assembled window, so
       // the oracle pins the assembled windows too (spans tile each window).
+      // frag_ids is comma-serialized (the q24 precedent): the driver's
+      // pandas comparator cannot hash raw array columns.
       val docs = ctx.view("documents")
         .filter(col("doc_id") < 300)
         .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
@@ -1912,8 +1914,8 @@ object SparkEntry {
           col("sp.start").cast("long").as("span_start"),
           col("sp.end").cast("long").as("span_end"),
           col("sp.doc_start").as("doc_start"),
-          slice(col("ids"), col("sp.start") + 1,
-            col("sp.end") - col("sp.start")).as("frag_ids"))
+          array_join(slice(col("ids"), col("sp.start") + 1,
+            col("sp.end") - col("sp.start")), ",").as("frag_ids"))
         .orderBy("shard", "seq_id", "span_start")
     },
     "q188_curation_chain" -> withViews("documents") { (spark, ctx) =>
@@ -3964,10 +3966,10 @@ object SparkEntry {
                CAST(SUM(span_end - span_start)
                  OVER (PARTITION BY shard, seq_id) AS BIGINT) AS n_tokens,
                doc_id, span_start, span_end, doc_start,
-               [CASE WHEN p = 0 THEN CAST(1 AS BIGINT)
+               ARRAY_TO_STRING([CASE WHEN p = 0 THEN CAST(1 AS BIGINT)
                      WHEN p = len - 1 THEN CAST(2 AS BIGINT)
                      ELSE doc_id*10000 + p - 1 END
-                FOR p IN range(doc_start, doc_end)] AS frag_ids
+                FOR p IN range(doc_start, doc_end)], ',') AS frag_ids
         FROM spans
         ORDER BY shard, seq_id, span_start""",
     "q83_group_cap" ->

@@ -391,6 +391,7 @@ object PipelineConfig {
         textField = o.req("textField"),
         outputField = o.str("outputField", "text_fixed"),
         maxPasses = o.intOpt("maxPasses").getOrElse(3),
+        mode = o.str("mode", "document"),
         persist = o.bool("persist"))
     case "HtmlTextTransform" =>
       HtmlTextTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
@@ -408,6 +409,8 @@ object PipelineConfig {
         labelField = o.str("labelField", "label"),
         idField = o.str("idField", "id"),
         modelView = o.str("modelView", ""),
+        maxVocab = o.intOpt("maxVocab").getOrElse(0),
+        minCount = o.intOpt("minCount").map(_.toLong).getOrElse(1L),
         persist = o.bool("persist"))
     case "OutlierTransform" =>
       OutlierTransform(o.req("name"), o.req("inputView"), o.req("outputView"),

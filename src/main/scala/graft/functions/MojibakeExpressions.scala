@@ -44,7 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * projection (reference-object kernel, the [[BpeTokenizeExpr]]
   * discipline): zero shuffles, streaming-safe.
   */
-case class FixMojibakeExpr(child: Expression, maxPasses: Int)
+case class FixMojibakeExpr(child: Expression, maxPasses: Int,
+    perLine: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -57,7 +58,7 @@ case class FixMojibakeExpr(child: Expression, maxPasses: Int)
 
   override def dataType: DataType = FixMojibakeExpr.outputType
 
-  @transient private lazy val fixer = new MojibakeFixer(maxPasses)
+  @transient private lazy val fixer = new MojibakeFixer(maxPasses, perLine)
 
   override def nullSafeEval(s: Any): Any =
     fixer.fix(s.asInstanceOf[UTF8String])
@@ -78,11 +79,17 @@ object FixMojibakeExpr {
     StructField("fixed", StringType, nullable = false),
     StructField("n_passes", IntegerType, nullable = false)))
 
-  /** Column-level constructor (classic-session bridge). */
-  def fix_mojibake(text: Column, maxPasses: Int = 3): Column = {
+  /** Column-level constructor (classic-session bridge). `perLine = true`
+    * repairs each '\n'-separated line independently (ftfy's segment
+    * behavior): a genuine emoji/CJK char on one line of a mixed-content
+    * crawl document no longer blocks repair of the mangled lines around
+    * it. Document mode stays the default — it is the stricter contract
+    * (the whole string must re-read as UTF-8). */
+  def fix_mojibake(text: Column, maxPasses: Int = 3,
+      perLine: Boolean = false): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(
-      FixMojibakeExpr(GraftColumnBridge.expression(text), maxPasses))
+      FixMojibakeExpr(GraftColumnBridge.expression(text), maxPasses, perLine))
   }
 }
 
@@ -91,7 +98,8 @@ object FixMojibakeExpr {
   * and each strictly shrinks the string, so the worst case is
   * O(maxPasses · len).
   */
-final class MojibakeFixer(maxPasses: Int) extends Serializable {
+final class MojibakeFixer(maxPasses: Int, perLine: Boolean = false)
+    extends Serializable {
 
   /** windows-1252's 0x80..0x9F row (0x81/0x8D/0x8F/0x90/0x9D are
     * undefined there — a cp1252 decoder typically passes the raw C1
@@ -154,8 +162,8 @@ final class MojibakeFixer(maxPasses: Int) extends Serializable {
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  def fix(u: UTF8String): InternalRow = {
-    var s = u.toString
+  private def fixWhole(in: String): (String, Int) = {
+    var s = in
     var passes = 0
     var done = false
     while (passes < maxPasses && !done) {
@@ -163,8 +171,38 @@ final class MojibakeFixer(maxPasses: Int) extends Serializable {
       if (next == null) done = true
       else { s = next; passes += 1 }
     }
+    (s, passes)
+  }
+
+  /** Repair. Document mode: the whole string must re-read as UTF-8 (one
+    * genuine >U+00FF char outside the cp1252 row anywhere blocks repair —
+    * the strict contract). Per-line mode: each '\n'-separated line repairs
+    * independently (a mangled multi-byte sequence can never CONTAIN a real
+    * '\n' — every byte of one is >= 0x80 — so the split is always safe);
+    * `n_passes` is then the MAX pass depth across lines (0 = nothing
+    * repaired anywhere). */
+  def fix(u: UTF8String): InternalRow = {
+    val in = u.toString
+    var fixed: String = null
+    var passes = 0
+    if (!perLine || in.indexOf('\n') < 0) {
+      val r = fixWhole(in); fixed = r._1; passes = r._2
+    } else {
+      // -1 keeps trailing empty lines so the join round-trips exactly
+      val lines = in.split("\n", -1)
+      val sb = new java.lang.StringBuilder(in.length)
+      var i = 0
+      while (i < lines.length) {
+        val r = fixWhole(lines(i))
+        if (i > 0) sb.append('\n')
+        sb.append(r._1)
+        if (r._2 > passes) passes = r._2
+        i += 1
+      }
+      fixed = sb.toString
+    }
     val row = new GenericInternalRow(2)
-    row.update(0, UTF8String.fromString(s))
+    row.update(0, UTF8String.fromString(fixed))
     row.setInt(1, passes)
     row
   }

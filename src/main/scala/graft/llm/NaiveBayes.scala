@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multinomial Naive Bayes text classifier — model-based quality/domain
@@ -57,8 +57,23 @@ object NaiveBayes {
 
   /** ONE pass + one bounded aggregate: per-class token counts and class
     * document/token totals. NULL labels are rejected (a silent "null"
-    * class would absorb unlabeled rows). */
-  def train(df: DataFrame, textCol: String, labelCol: String): Model = {
+    * class would absorb unlabeled rows).
+    *
+    * `maxVocabPerClass` (> 0) caps the token table at the that-many
+    * heaviest tokens PER CLASS and `minCount` (> 1) drops tokens rarer
+    * than the floor — the [[Unigram.train]] `maxWords` discipline: at web
+    * scale the raw distinct-token table is corpus-vocabulary-shaped
+    * (hundreds of millions of rows), and [[predict]] collects + broadcasts
+    * it, so an uncapped train is a driver bottleneck. Pruning is
+    * semantically clean: a pruned token scores exactly like an unseen one
+    * (the Laplace fallback), and `classTable.n_tokens` keeps the FULL
+    * class token mass so the smoothing normalizer is unaffected by the
+    * cap. Defaults (0, 1) keep every token — byte-identical to the uncapped
+    * model. The cap uses the salted bounded top-k
+    * ([[graft.operators.TopK.perKeySalted]], tiebreak token asc), so a
+    * hot class never funnels its whole vocabulary through one task. */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+      maxVocabPerClass: Int = 0, minCount: Long = 1L): Model = {
     val in = df.filter(col(labelCol).isNotNull)
     val t = in.select(col(labelCol).as("label"),
       explode(toks(col(textCol))).as("token"))
@@ -68,7 +83,74 @@ object NaiveBayes {
       .join(t.groupBy("label").agg(count(lit(1)).as("n_tokens")),
         Seq("label"), "left")
       .na.fill(0L, Seq("n_tokens"))
+    Model(classTable, capTokens(tokenTable, maxVocabPerClass, minCount))
+  }
+
+  private def capTokens(tokenTable: DataFrame, maxVocabPerClass: Int,
+      minCount: Long): DataFrame = {
+    val floored =
+      if (minCount > 1L) tokenTable.filter(col("cnt") >= minCount)
+      else tokenTable
+    if (maxVocabPerClass > 0)
+      graft.operators.TopK.perKeySalted(floored, Seq("label"), "cnt",
+          maxVocabPerClass, descending = true, tiebreak = Seq("token"))
+        .select("label", "token", "cnt")
+    else floored
+  }
+
+  /** Prune an existing model's vocabulary — [[train]]'s cap applied after
+    * the fact (e.g. after [[merge]], whose exactness needs uncapped
+    * inputs). The class totals are untouched: pruned tokens degrade to the
+    * Laplace fallback, they don't shrink the class mass. */
+  def cap(model: Model, maxVocabPerClass: Int, minCount: Long = 1L): Model =
+    Model(model.classTable, capTokens(model.tokenTable, maxVocabPerClass, minCount))
+
+  /** Count-table addition: the NB model is integer counts, so
+    * `merge(train(A), train(B)) == train(A ∪ B)` EXACTLY — the same
+    * daily-batch ingest contract as the persistent indexes, with no
+    * retraining pass over the old corpus. Exact only for UNCAPPED inputs
+    * (a capped model has already forgotten its tail counts); cap after
+    * merging via [[cap]]. */
+  def merge(a: Model, b: Model): Model = {
+    val classTable = a.classTable.unionByName(b.classTable)
+      .groupBy("label")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val tokenTable = a.tokenTable.unionByName(b.tokenTable)
+      .groupBy("label", "token").agg(sum("cnt").as("cnt"))
     Model(classTable, tokenTable)
+  }
+
+  /** Persist a model as `path/classes` + `path/tokens` parquet. The whole
+    * model directory swaps atomically ([[graft.core.AtomicDir]] — the
+    * index-params discipline): both tables land complete in a temp dir
+    * first, so a crash mid-write never leaves a half-replaced model (the
+    * failure mode a classes-then-tokens overwrite pair would have). */
+  def write(model: Model, path: String): Unit = {
+    val spark = model.classTable.sparkSession
+    graft.core.AtomicDir.swap(spark, path) { tmp =>
+      model.classTable.coalesce(1).write.mode("overwrite").parquet(s"$tmp/classes")
+      model.tokenTable.coalesce(1).write.mode("overwrite").parquet(s"$tmp/tokens")
+    }
+  }
+
+  def read(spark: SparkSession, path: String): Model = {
+    graft.core.AtomicDir.recoverLive(spark, path)
+    Model(spark.read.parquet(s"$path/classes"),
+      spark.read.parquet(s"$path/tokens"))
+  }
+
+  /** Incremental retrain: fold a new labeled batch into the persisted
+    * model by count addition — `write(train(A)); ingest(B)` leaves on disk
+    * exactly `train(A ∪ B)`. The merged tables are vocab-bounded, and the
+    * swap happens only after the complete merged copy exists, so a crash
+    * mid-ingest leaves the pre-ingest model live (re-run the ingest).
+    * Returns the merged model re-read from the live path. */
+  def ingest(batch: DataFrame, textCol: String, labelCol: String,
+      path: String): Model = {
+    val spark = batch.sparkSession
+    val merged = merge(read(spark, path), train(batch, textCol, labelCol))
+    write(merged, path)
+    read(spark, path)
   }
 
   /** Score every document against every class and keep the argmax. Output

@@ -122,6 +122,16 @@ object WordPiece {
       .sortBy(s => display(s))
     val vocab = scala.collection.mutable.ArrayBuffer[Sym]((UnkToken, false)) ++ alphabet
     val vocabSet = scala.collection.mutable.HashSet[Sym](vocab.toSeq: _*)
+    // vocabSize is a merge BUDGET, not a hard cap: [UNK] + the alphabet are
+    // always kept (dropping alphabet symbols would un-encode the corpus).
+    // When they alone exceed vocabSize the loop below just never merges —
+    // surface that, or a user asking for vocabSize=12 gets a bigger vocab
+    // with no signal (the unigram path's layout-constraint discipline).
+    if (vocab.size >= vocabSize)
+      graft.core.LogBuffer.append(
+        s"WordPiece.train: [UNK] + alphabet (${vocab.size} symbols) already " +
+          s"reaches vocabSize=$vocabSize — no merges learned; final vocab " +
+          s"is ${vocab.size} tokens")
 
     while (vocab.size < vocabSize) {
       val pairCounts = scala.collection.mutable.HashMap.empty[(Sym, Sym), Long]

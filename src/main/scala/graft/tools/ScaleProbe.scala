@@ -763,6 +763,29 @@ object ScaleProbe {
           .groupBy("label_pred").count().collect().map(_.getLong(1)).sum
       }
     }
+    // Capped NB on a WIDE-vocab corpus: every doc contributes unique
+    // tokens (raw distinct-token table ~ corpus-shaped — the uncapped
+    // driver hazard); maxVocabPerClass bounds what predict collects to
+    // 2 × 5000 rows regardless of n. The probe reports the collected
+    // token-table size next to the time, so the bound is visible.
+    if (anySelected(s"nbCappedTrain n=$n")) {
+      time(s"nbCappedTrain n=$n wide vocab maxVocabPerClass=5000") {
+        val wide = docs
+          .withColumn("label",
+            when(pmod(col("id"), lit(3)) === 0, lit("promo")).otherwise(lit("clean")))
+          .withColumn("text2", concat(col("text"),
+            lit(" uniq"), col("id").cast("string"),
+            lit(" uniq"), (col("id") * 7).cast("string")))
+        val m = graft.llm.NaiveBayes.train(wide, "text2", "label",
+          maxVocabPerClass = 5000)
+        val vocabRows = m.tokenTable.count()
+        require(vocabRows <= 2L * 5000,
+          s"cap leaked: $vocabRows token rows")
+        val preds = graft.llm.NaiveBayes.predict(wide, "id", "text2", m)
+          .groupBy("label_pred").count().collect().map(_.getLong(1)).sum
+        s"tokenRows=$vocabRows preds=$preds"
+      }
+    }
     spark.stop()
   }
 }

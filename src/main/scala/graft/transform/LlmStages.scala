@@ -1177,6 +1177,10 @@ final case class TokenizerTransform(
     maxInputChars: Int = 100,
     persist: Boolean = false
 ) extends Stage {
+  // <= 0 would silently [UNK] every word at encode time — fail fast
+  // instead (the MojibakeTransform maxPasses discipline)
+  require(maxInputChars >= 1,
+    s"$name: maxInputChars must be >= 1, got $maxInputChars")
   val stageType = "TokenizerTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     val spark = ctx.spark
@@ -1285,6 +1289,12 @@ final case class HtmlTextTransform(
   * inverts it, iteratively for multiply-mangled text (`maxPasses`).
   * Appends the repaired text and the pass count (0 = already clean). One
   * narrow codegen'd projection, zero shuffles, streaming-safe.
+  *
+  * `mode=document` (default) requires the WHOLE string to re-read as
+  * UTF-8 — one genuine emoji/CJK char anywhere blocks repair of the whole
+  * document; `mode=line` repairs each '\n'-separated line independently
+  * (ftfy's segment behavior — the right setting for mixed-content crawl
+  * text), with `mojibake_passes` = the max pass depth across lines.
   */
 final case class MojibakeTransform(
     name: String,
@@ -1293,14 +1303,18 @@ final case class MojibakeTransform(
     textField: String,
     outputField: String = "text_fixed",
     maxPasses: Int = 3,
+    mode: String = "document",
     persist: Boolean = false
 ) extends Stage {
   val stageType = "MojibakeTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     require(maxPasses >= 1, s"$name: maxPasses must be >= 1, got $maxPasses")
+    require(mode == "document" || mode == "line",
+      s"$name: unknown mojibake mode '$mode' (document|line)")
     val out = ctx.view(inputView)
       .withColumn("_fx",
-        graft.functions.FixMojibakeExpr.fix_mojibake(col(textField), maxPasses))
+        graft.functions.FixMojibakeExpr.fix_mojibake(col(textField), maxPasses,
+          perLine = mode == "line"))
       .withColumn(outputField, col("_fx.fixed"))
       .withColumn("mojibake_passes", col("_fx.n_passes").cast("long"))
       .drop("_fx")
@@ -1349,8 +1363,16 @@ final case class LangIdTransform(
   * form of a fastText-style curation classifier). `mode=train` learns from
   * the input view's `textField`/`labelField` and publishes the flattened
   * model view ([[graft.llm.NaiveBayes.modelToView]] — persist it like any
-  * view); `mode=predict` reads `modelView` and publishes one row per
-  * document: (idField, label_pred, n_tokens).
+  * view); `mode=ingest` folds the input batch's counts into `modelView`'s
+  * model by exact count addition ([[graft.llm.NaiveBayes.merge]] —
+  * train-on-old ∪ new without touching the old corpus) and publishes the
+  * merged model view; `mode=predict` reads `modelView` and publishes one
+  * row per document: (idField, label_pred, n_tokens).
+  *
+  * `maxVocab` (> 0) / `minCount` (> 1) bound the trained vocabulary per
+  * class ([[graft.llm.NaiveBayes.train]]'s cap — pruned tokens score via
+  * the Laplace fallback). In ingest mode the cap applies AFTER the merge,
+  * so count addition stays exact.
   */
 final case class ClassifierTransform(
     name: String,
@@ -1361,22 +1383,31 @@ final case class ClassifierTransform(
     labelField: String = "label",
     idField: String = "id",
     modelView: String = "",
+    maxVocab: Int = 0,
+    minCount: Long = 1L,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "ClassifierTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
+    import graft.llm.NaiveBayes
     val in = ctx.view(inputView)
     val out = mode match {
       case "train" =>
-        graft.llm.NaiveBayes.modelToView(
-          graft.llm.NaiveBayes.train(in, textField, labelField))
+        NaiveBayes.modelToView(
+          NaiveBayes.train(in, textField, labelField, maxVocab, minCount))
+      case "ingest" =>
+        require(modelView.nonEmpty, s"$name: ingest mode needs modelView")
+        val merged = NaiveBayes.merge(
+          NaiveBayes.modelFromView(ctx.view(modelView)),
+          NaiveBayes.train(in, textField, labelField))
+        NaiveBayes.modelToView(NaiveBayes.cap(merged, maxVocab, minCount))
       case "predict" =>
         require(modelView.nonEmpty, s"$name: predict mode needs modelView")
-        graft.llm.NaiveBayes.predict(in, idField, textField,
-          graft.llm.NaiveBayes.modelFromView(ctx.view(modelView)))
+        NaiveBayes.predict(in, idField, textField,
+          NaiveBayes.modelFromView(ctx.view(modelView)))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown classifier mode '$other' (train|predict)")
+          s"$name: unknown classifier mode '$other' (train|ingest|predict)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

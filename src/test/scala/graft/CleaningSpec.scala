@@ -304,6 +304,47 @@ class MojibakeSpec extends SparkSpec {
     }
   }
 
+  test("per-line mode repairs mangled lines around a genuine-emoji line; document mode blocks") {
+    val mixed = mangle("café crème") + "\nreal emoji 😀 here\n" +
+      mangle(mangle("déjà — vu")) + "\n"
+    // document mode: the emoji blocks the whole-string byte-map
+    assert(fixOne(mixed) == ((mixed, 0)))
+    // per-line mode: each line repairs on its own; n_passes = max depth (2);
+    // trailing empty line survives the split/join round trip
+    val r = Seq(mixed).toDF("t")
+      .select(fix_mojibake(col("t"), 3, perLine = true).as("f"))
+      .select("f.*").head()
+    assert(r.getString(0) == "café crème\nreal emoji 😀 here\ndéjà — vu\n",
+      r.getString(0))
+    assert(r.getInt(1) == 2)
+    // no newline -> per-line ≡ document mode
+    val one = Seq(mangle("naïve")).toDF("t")
+      .select(fix_mojibake(col("t"), 3, perLine = true).as("f"))
+      .select("f.*").head()
+    assert(one.getString(0) == "naïve" && one.getInt(1) == 1)
+  }
+
+  test("MojibakeTransform mode=line from a config cell; bad mode fails fast") {
+    import graft.core.{PipelineConfig, PipelineContext, Runner}
+    Seq((1L, mangle("l’été") + "\n漢字 line")).toDF("id", "text")
+      .createOrReplaceTempView("mjl_in")
+    val hocon =
+      """{stages: [
+        { type = "MojibakeTransform", name = "fx", inputView = mjl_in,
+          outputView = mjl_out, textField = text, mode = line }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val row = spark.table("mjl_out").head()
+    assert(row.getAs[String]("text_fixed") == "l’été\n漢字 line")
+    assert(row.getAs[Long]("mojibake_passes") == 1L)
+    val bad = graft.transform.MojibakeTransform("fx", "mjl_in", "mjl_bad",
+      "text", mode = "word")
+    val e = intercept[IllegalArgumentException] {
+      bad.execute(new PipelineContext(spark))
+    }
+    assert(e.getMessage.contains("unknown mojibake mode"))
+  }
+
   test("MojibakeTransform repairs from a config cell") {
     import graft.core.{PipelineConfig, PipelineContext, Runner}
     Seq((1L, mangle("café crème")), (2L, "already clean"))

@@ -727,6 +727,61 @@ class ConfigSpec extends SparkSpec {
     assert(preds == Seq((10L, "spam"), (11L, "ham")), preds.toString)
   }
 
+  test("ClassifierTransform mode=ingest folds a batch into the model; maxVocab caps from config") {
+    import spark.implicits._
+    Seq((1L, "buy now", "spam"), (2L, "meeting notes", "ham"))
+      .toDF("id", "text", "label").createOrReplaceTempView("nbi_a")
+    Seq((3L, "buy cheap now", "spam"), (4L, "agenda notes notes", "ham"))
+      .toDF("id", "text", "label").createOrReplaceTempView("nbi_b")
+    val hocon =
+      """{stages: [
+        { type = "ClassifierTransform", name = "train", inputView = nbi_a,
+          outputView = nbi_model, textField = text, labelField = label },
+        { type = "ClassifierTransform", name = "daily", inputView = nbi_b,
+          outputView = nbi_model2, textField = text, labelField = label,
+          mode = ingest, modelView = nbi_model },
+        { type = "ClassifierTransform", name = "capped", inputView = nbi_b,
+          outputView = nbi_model3, textField = text, labelField = label,
+          mode = ingest, modelView = nbi_model, maxVocab = 2 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    // the ingested model view holds EXACTLY train(A ∪ B)'s counts
+    val merged = graft.llm.NaiveBayes.modelFromView(spark.table("nbi_model2"))
+    val oneShot = graft.llm.NaiveBayes.train(
+      spark.table("nbi_a").unionByName(spark.table("nbi_b")), "text", "label")
+    def tokMap(m: graft.llm.NaiveBayes.Model) = m.tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tokMap(merged) == tokMap(oneShot), tokMap(merged).toString)
+    // the capped ingest bounds the per-class vocab AFTER the exact merge
+    val capped = graft.llm.NaiveBayes.modelFromView(spark.table("nbi_model3"))
+    val perClass = capped.tokenTable.collect()
+      .map(r => r.getString(0)).groupBy(identity).view.mapValues(_.length)
+    assert(perClass.forall(_._2 <= 2), perClass.toMap.toString)
+    // notes=3 is ham's heaviest and must survive the cap
+    assert(tokMap(capped).get(("ham", "notes")).contains(3L))
+  }
+
+  test("TokenizerTransform rejects maxInputChars < 1 at construction") {
+    val e = intercept[IllegalArgumentException] {
+      graft.transform.TokenizerTransform("tk", "in_v", "out_v", "text",
+        maxInputChars = 0)
+    }
+    assert(e.getMessage.contains("maxInputChars"))
+  }
+
+  test("WordPiece.train warns when [UNK] + alphabet already reaches vocabSize") {
+    graft.core.LogBuffer.clear()
+    // alphabet h,##u,##g + [UNK] = 4 symbols >= vocabSize=3 -> no merges
+    val m = graft.llm.WordPiece.trainFromCounts(Seq(("hug", 5L)), vocabSize = 3)
+    assert(m.entries.length == 4, m.entries.toString)
+    val logs = graft.core.LogBuffer.drain()
+    assert(logs.exists(_.contains("no merges learned")), logs.toString)
+    // a satisfiable budget stays silent
+    graft.core.LogBuffer.clear()
+    graft.llm.WordPiece.trainFromCounts(Seq(("hug", 5L)), vocabSize = 6)
+    assert(!graft.core.LogBuffer.drain().exists(_.contains("no merges")), "unexpected warning")
+  }
+
   test("SampleTransform method=negative draws k exclusion-safe negatives per query") {
     import spark.implicits._
     (0L until 100L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")

@@ -3166,6 +3166,76 @@ class NaiveBayesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(a == b && a.map(_._2) == Seq("spam", "ham"), (a, b).toString)
   }
+
+  test("vocab cap keeps the heaviest tokens per class; capped model still predicts; class mass untouched") {
+    // spam vocab by count: buy=3, now=2, cheap=1; ham: notes=3, meeting=2, agenda=1
+    val docs = Seq(
+      (1L, "buy buy now", "spam"), (2L, "buy now cheap", "spam"),
+      (3L, "notes notes meeting", "ham"), (4L, "notes meeting agenda", "ham"))
+      .toDF("id", "text", "label")
+    val m = NaiveBayes.train(docs, "text", "label", maxVocabPerClass = 2)
+    val tok = m.tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tok == Map(("spam", "buy") -> 3L, ("spam", "now") -> 2L,
+      ("ham", "notes") -> 3L, ("ham", "meeting") -> 2L), tok.toString)
+    // n_tokens keeps the FULL class mass (6 each), not the capped sum
+    val cls = m.classTable.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(cls == Map("spam" -> 6L, "ham" -> 6L), cls.toString)
+    // pruned token ("cheap") scores like an unseen one; prediction intact
+    val p = NaiveBayes.predict(
+      Seq((9L, "buy cheap"), (10L, "notes agenda")).toDF("id", "text"),
+      "id", "text", m).orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(p == Seq("spam", "ham"), p.toString)
+    // minCount floor drops singletons; cap(model, ...) ≡ train-time cap
+    val floored = NaiveBayes.train(docs, "text", "label", minCount = 2L)
+    val fl = floored.tokenTable.collect().map(_.getString(1)).sorted.toSeq
+    assert(fl == Seq("buy", "meeting", "notes", "now"), fl.toString)
+    val capped = NaiveBayes.cap(NaiveBayes.train(docs, "text", "label"),
+      maxVocabPerClass = 2)
+    val ct = capped.tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ct == tok, ct.toString)
+  }
+
+  test("merge(train(A), train(B)) equals train(A ∪ B) exactly — integer count addition") {
+    val a = Seq((1L, "buy now", "spam"), (2L, "meeting notes", "ham"))
+      .toDF("id", "text", "label")
+    val b = Seq((3L, "buy cheap now now", "spam"), (4L, "agenda notes", "ham"),
+      (5L, "win big", "promo")).toDF("id", "text", "label")
+    val merged = NaiveBayes.merge(
+      NaiveBayes.train(a, "text", "label"), NaiveBayes.train(b, "text", "label"))
+    val oneShot = NaiveBayes.train(a.unionByName(b), "text", "label")
+    def tokMap(m: NaiveBayes.Model) = m.tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def clsMap(m: NaiveBayes.Model) = m.classTable.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tokMap(merged) == tokMap(oneShot), tokMap(merged).toString)
+    assert(clsMap(merged) == clsMap(oneShot), clsMap(merged).toString)
+    // a NEW class appearing only in the second batch merges in cleanly
+    assert(clsMap(merged).contains("promo"))
+  }
+
+  test("write + ingest leaves train(A ∪ B) on disk; predictions match the one-shot model") {
+    val a = Seq((1L, "buy now", "spam"), (2L, "meeting notes", "ham"))
+      .toDF("id", "text", "label")
+    val b = Seq((3L, "buy cheap", "spam"), (4L, "agenda notes notes", "ham"))
+      .toDF("id", "text", "label")
+    val dir = java.nio.file.Files.createTempDirectory("nbingest").toString + "/model"
+    NaiveBayes.write(NaiveBayes.train(a, "text", "label"), dir)
+    NaiveBayes.ingest(b, "text", "label", dir)
+    val onDisk = NaiveBayes.read(spark, dir)
+    val oneShot = NaiveBayes.train(a.unionByName(b), "text", "label")
+    def tokMap(m: NaiveBayes.Model) = m.tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tokMap(onDisk) == tokMap(oneShot), tokMap(onDisk).toString)
+    val q = Seq((9L, "buy cheap now"), (10L, "notes agenda")).toDF("id", "text")
+    val got = NaiveBayes.predict(q, "id", "text", onDisk).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val exp = NaiveBayes.predict(q, "id", "text", oneShot).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == exp && got.map(_._2) == Seq("spam", "ham"), (got, exp).toString)
+  }
 }
 
 class WordPieceSpec extends SparkSpec {

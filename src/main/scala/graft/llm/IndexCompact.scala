@@ -50,6 +50,21 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexCompact {
 
+  /** Bound a partitioned append's writer-task count by the batch's size:
+    * a Hive-partitioned append lands one file per (writer task, touched
+    * partition dir) pair, so a default-32-task write of a tiny daily
+    * batch into 64 dirs leaves up to 32 × 64 files per table per ingest —
+    * the very debris [[compactPartitioned]] exists to mop up. Coalescing
+    * to ceil(rows / targetRowsPerFile) tasks (no shuffle; a no-op when
+    * the frame already has fewer partitions) bounds a small batch at ONE
+    * file per touched dir while leaving big batches parallel. */
+  def coalesceForAppend(df: org.apache.spark.sql.DataFrame, rows: Long,
+      targetRowsPerFile: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
+    val want = math.max(1L,
+      math.min((rows + targetRowsPerFile - 1) / targetRowsPerFile, 1L << 16))
+    df.coalesce(want.toInt)
+  }
+
   private def liveFiles(fs: FileSystem, dir: Path) =
     fs.listStatus(dir).filter(f =>
       f.isFile && !f.getPath.getName.startsWith("_") &&

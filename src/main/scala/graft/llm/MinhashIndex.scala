@@ -327,20 +327,31 @@ object MinhashIndex {
     val banded = withSig.select(
       col("_id"),
       posexplode(Dedup.bandKeys(col("_sig"), p.bands, p.rowsPerBand)).as(Seq("_band", "_bucket")))
+    // batch-sized appends (IndexCompact.coalesceForAppend): withSig is
+    // pinned, so the count is a cached-block scan, and a small daily batch
+    // writes ONE file per touched partition dir instead of one per
+    // (task, dir) pair
+    val nSig = withSig.count()
     // cap within the batch's own contribution; a bucket can exceed the cap
     // across many ingests, but the query side re-caps per (band, bucket)
     // anyway (lshMatches' perBandCap window)
-    banded
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("_band", "_bucket").orderBy(xxhash64(col("_id")), col("_id"))))
-      .filter(col("_rn") <= p.maxBucketSize)
-      .drop("_rn")
+    IndexCompact.coalesceForAppend(
+      banded
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("_band", "_bucket").orderBy(xxhash64(col("_id")), col("_id"))))
+        .filter(col("_rn") <= p.maxBucketSize)
+        .drop("_rn"),
+      nSig * p.bands)
       .write.mode("append").partitionBy("_band").parquet(s"$path/bands")
-    withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(64L)).as("_p"))
+    IndexCompact.coalesceForAppend(
+      withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(64L)).as("_p")),
+      nSig)
       .write.mode("append").partitionBy("_p").parquet(s"$path/shingles")
-    survivors
-      .select(xxhash64(col(textCol)).as("_fp"), col(idCol).cast("long").as("_id"))
-      .withColumn("_p", pmod(col("_id"), lit(64L)))
+    IndexCompact.coalesceForAppend(
+      survivors
+        .select(xxhash64(col(textCol)).as("_fp"), col(idCol).cast("long").as("_id"))
+        .withColumn("_p", pmod(col("_id"), lit(64L))),
+      nSig)
       .write.mode("append").partitionBy("_p").parquet(s"$path/exact")
     if (!batchRange.isNullAt(1))
       writeParams(spark, path,

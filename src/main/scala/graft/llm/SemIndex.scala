@@ -201,8 +201,13 @@ object SemIndex {
         "renumber the batch or rebuild with SemIndex.write")
     val survivors = graft.core.Lineage.pin(
       dedupAgainst(batch, idCol, vecCol, path))
-    Dedup.assignToCentroids(survivors, idCol, vecCol, cents)
-      .select(col("_id").as("id"), col("_v").as("vec"), col("_cluster"))
+    // batch-sized append (IndexCompact.coalesceForAppend): survivors is
+    // pinned, so the count is a cached-block scan; a small batch writes
+    // ONE file per touched cluster dir instead of one per (task, dir)
+    IndexCompact.coalesceForAppend(
+      Dedup.assignToCentroids(survivors, idCol, vecCol, cents)
+        .select(col("_id").as("id"), col("_v").as("vec"), col("_cluster")),
+      survivors.count())
       .write.mode("append").partitionBy("_cluster").parquet(s"$path/vectors")
     // advance the persisted max so the NEXT batch is checked against this
     // one's ids too (dropped batch ids are consumed — max over the whole

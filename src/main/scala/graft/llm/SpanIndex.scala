@@ -206,7 +206,11 @@ object SpanIndex {
         .withColumn("bucket", bucketCol(col("h"), nbuckets)))
     val newBloom = BloomSketch.build(newDistinct, col("h"), bits, hashes)
     swapBloom(spark, path, BloomSketch.merge(sketch.unionByName(newBloom)))
-    newDistinct.write.mode("append").partitionBy("bucket").parquet(s"$path/grams")
+    // batch-sized append (IndexCompact.coalesceForAppend): newDistinct is
+    // pinned, so the count is a cached-block scan, and a small batch
+    // writes ONE file per touched bucket instead of one per (task, bucket)
+    IndexCompact.coalesceForAppend(newDistinct, newDistinct.count())
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/grams")
     if (!batchRange.isNullAt(1))
       writeParams(spark, path, k, hashMode, nbuckets, bits, hashes,
         math.max(indexedMax, batchRange.getLong(1)))

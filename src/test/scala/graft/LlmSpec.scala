@@ -1070,6 +1070,14 @@ class MinhashIndexSpec extends SparkSpec {
       (21L, "fresh standalone content nothing in common with anything before it ever"))
       .toDF("doc_id", "text")
     graft.llm.MinhashIndex.write(corpus, "doc_id", "text", path)
+    // per-partition-dir part-file counts, for the coalesced-append pin below
+    def filesPerDir(table: String): Map[String, Int] = {
+      val root = new java.io.File(s"$path/$table")
+      root.listFiles().filter(d => d.isDirectory && !d.getName.startsWith("_"))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val baseline = Seq("bands", "shingles", "exact").map(t => t -> filesPerDir(t)).toMap
     val s1 = graft.llm.MinhashIndex.ingest(batch1, "doc_id", "text", path)
       .select("doc_id").as[Long].collect().toSet
     val s2 = graft.llm.MinhashIndex.ingest(batch2, "doc_id", "text", path)
@@ -1093,6 +1101,14 @@ class MinhashIndexSpec extends SparkSpec {
       Seq((30L, "tiny"), (31L, "tiny")).toDF("doc_id", "text"), "doc_id", "text", path)
       .select("doc_id").as[Long].collect().toSet
     assert(s3 == Set(30L), s3.toString)
+    // coalesced appends: each tiny ingest lands at most ONE new file per
+    // partition dir (not one per writer task per dir) — 3 ingests so far
+    Seq("bands", "shingles", "exact").foreach { t =>
+      val now = filesPerDir(t)
+      val worst = now.map { case (d, n) => (d, n - baseline(t).getOrElse(d, 0)) }
+      assert(worst.values.forall(_ <= 3),
+        s"$t grew by ${worst.filter(_._2 > 3)} files/dir over 3 ingests")
+    }
     // compaction applies to all three partitioned tables and preserves
     // results: probe with the SAME near-dup text doc 20 died to (its LSH
     // collision with 11 is deterministic given the texts — a fresh tag

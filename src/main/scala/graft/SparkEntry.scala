@@ -2284,6 +2284,94 @@ object SparkEntry {
           col("_fx.n_passes").cast("long").as("n_passes"))
         .orderBy("doc_id")
     },
+    "q198_nb_incremental" -> withViews("documents") { (spark, ctx) =>
+      // Incremental classifier retrain under the FULL ORACLE
+      // (llm/NaiveBayes.merge): train on batch A, fold batch B in by exact
+      // count addition — no pass over A — and predict the corpus with the
+      // merged model. The oracle trains ONCE over A ∪ B (q194's SQL, same
+      // train set), so passing byte-for-byte pins the incremental
+      // contract itself cross-engine: merge(train(A), train(B)) IS
+      // train(A ∪ B) — the daily-batch story the span/minhash/sem indexes
+      // have, here for the model tier.
+      import graft.llm.NaiveBayes
+      val base = ctx.view("documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("promo"))
+          .otherwise(lit("clean")).as("label_true"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" subscribe now limited offer click here"))
+            .otherwise(lit(" method results analysis discussion further")))
+          .as("text2"))
+      val batchA = base.filter((col("doc_id") % 5).isin(1, 2))
+      val batchB = base.filter((col("doc_id") % 5).isin(3, 4))
+      val merged = NaiveBayes.merge(
+        NaiveBayes.train(batchA, "text2", "label_true"),
+        NaiveBayes.train(batchB, "text2", "label_true"))
+      val pred = NaiveBayes.predict(base, "doc_id", "text2", merged)
+      base.select(col("doc_id"), col("label_true"))
+        .join(pred, Seq("doc_id"))
+        .select(col("doc_id"), col("label_true"), col("label_pred"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    "q199_video_frames" -> withViews("documents") { (spark, ctx) =>
+      // REAL video pipeline, self-verifying end to end: per-row
+      // MJPEG-in-AVI clips (llm/Multimodal.buildMjpegAvi — pure-JDK RIFF
+      // writer) are GENERATED from doc metadata — 5 solid JPEG frames at
+      // shades 0/60/120/180/240, 25 fps — then (1) container-decoded
+      // (parseAvi: header-exact dims/frames/duration + mean-of-frames
+      // luminance features), (2) frame-sampled (3 evenly spaced frames =
+      // source indices 0/2/4, raw JPEG payloads), (3) each sampled frame
+      // decoded AS AN IMAGE through the same decodeAndFeaturize the image
+      // modality uses. `ok` pins: the video mime (the REAL branch), the
+      // header arithmetic (5 frames, 200 ms, 40 ms spacing), the sampled
+      // indices/timestamps, the frame dims, and — the real-decode proof —
+      // each frame's luminance histogram concentrated in the bin of the
+      // shade it was ENCODED from (frame 0→bin 1, 2→bin 4, 4→bin 8;
+      // JPEG noise on a solid frame stays inside a 32-wide bin). A byte
+      // fake can satisfy none of these.
+      import spark.implicits._
+      import graft.llm.Multimodal
+      val avis = ctx.view("documents").filter(col("doc_id") < 30)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val frames = (0 until 5).map { f =>
+            val shade = f * 60
+            val img = new java.awt.image.BufferedImage(
+              24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (shade << 16) | (shade << 8) | shade
+            (0 until 24).foreach(x => (0 until 16).foreach(y => img.setRGB(x, y, rgb)))
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpeg", bos)
+            bos.toByteArray
+          }
+          (id, Multimodal.buildMjpegAvi(frames, 24, 16, fps = 25))
+        }.toDF("doc_id", "blob")
+      val meta = Multimodal.decodeAndFeaturize(avis, "blob")
+        .select(col("doc_id"), col("blob"),
+          col("media_meta.mime").as("video_mime"),
+          col("media_meta.width").as("vw"), col("media_meta.height").as("vh"),
+          col("media_meta.frames").as("n_frames"),
+          col("media_meta.duration_ms").as("duration_ms"))
+      val frames = Multimodal.sampleFrames(meta, "blob", 3)
+      val decoded = Multimodal.decodeAndFeaturize(
+        frames.drop("blob"), "frame_bytes")
+      decoded
+        .select(col("doc_id"), col("frame_id"), col("frame_index"),
+          col("frame_ms"), col("n_frames"), col("duration_ms"),
+          (col("video_mime") === "video/x-msvideo" &&
+            col("vw") === 24 && col("vh") === 16 &&
+            col("n_frames") === 5L && col("duration_ms") === 200L &&
+            col("frame_status") === "avi" &&
+            col("frame_index") === (col("frame_id") - 1) * 2 &&
+            col("frame_ms") === col("frame_index") * 40 &&
+            col("media_meta.mime") === "image/jpeg" &&
+            col("media_meta.width") === 24 && col("media_meta.height") === 16 &&
+            element_at(col("features"),
+              (col("frame_index") * lit(60) / lit(32) + 1).cast("int")) > 0.99f)
+            .as("ok"))
+        .orderBy("doc_id", "frame_id")
+    },
     "q193_ann_recall_report" -> { (spark: SparkSession, dir: String) =>
       configureReads(spark)
       val ctx = new PipelineContext(spark)
@@ -5119,6 +5207,61 @@ object SparkEntry {
                      WHEN doc_id % 3 = 1 THEN 1
                      ELSE 0 END AS BIGINT) AS n_passes
          FROM documents ORDER BY doc_id""",
+    "q198_nb_incremental" ->
+      // IDENTICAL SQL to q194 — deliberately: the oracle trains once over
+      // A ∪ B (= doc_id % 5 IN (1,2,3,4), q194's train set), while the
+      // engine trains the two batches separately and count-merges. Passing
+      // means merge(train(A), train(B)) == train(A ∪ B) cross-engine.
+      """WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'promo' ELSE 'clean' END AS label_true,
+                 text || CASE WHEN doc_id % 3 = 0
+                     THEN ' subscribe now limited offer click here'
+                     ELSE ' method results analysis discussion further' END AS text2
+          FROM documents),
+        train AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+        ttok AS (
+          SELECT label_true AS label,
+                 unnest(list_filter(string_split_regex(trim(text2), '\s+'), t -> len(t) > 0)) AS token
+          FROM train),
+        token_table AS (SELECT label, token, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+        class_table AS (
+          SELECT t.label, d.n_docs, count(*) AS n_tokens
+          FROM ttok t
+          JOIN (SELECT label_true AS label, count(*) AS n_docs FROM train GROUP BY 1) d
+            USING (label)
+          GROUP BY 1, 2),
+        v AS (SELECT count(DISTINCT token) AS vocab FROM token_table),
+        tot AS (SELECT sum(n_docs) AS total_docs FROM class_table),
+        dtok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text2), '\s+'), t -> len(t) > 0)) AS token
+          FROM base),
+        contrib AS (
+          SELECT d.doc_id, c.label,
+                 sum(ln(coalesce(tt.cnt, 0) + 1) - ln(c.n_tokens + v.vocab)) AS token_score
+          FROM dtok d
+          CROSS JOIN class_table c
+          CROSS JOIN v
+          LEFT JOIN token_table tt ON tt.label = c.label AND tt.token = d.token
+          GROUP BY 1, 2),
+        ntok AS (SELECT doc_id, count(*) AS n_tokens FROM dtok GROUP BY 1),
+        scored AS (
+          SELECT b.doc_id, c.label,
+                 ln(c.n_docs) - ln(t.total_docs) + coalesce(co.token_score, 0) AS score
+          FROM (SELECT DISTINCT doc_id FROM base) b
+          CROSS JOIN class_table c
+          CROSS JOIN tot t
+          LEFT JOIN contrib co ON co.doc_id = b.doc_id AND co.label = c.label)
+        SELECT b.doc_id, b.label_true, s.label AS label_pred,
+               CAST(coalesce(n.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM base b
+        JOIN (SELECT doc_id, label,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+              FROM scored) s
+          ON s.doc_id = b.doc_id AND s.rn = 1
+        LEFT JOIN ntok n ON n.doc_id = b.doc_id
+        ORDER BY b.doc_id""",
     "q194_nb_classifier" ->
       // the SAME Laplace-smoothed multinomial NB in DuckDB SQL: identical
       // integer count tables, identical score formula; output carries only

@@ -129,12 +129,15 @@ object Multimodal {
     } catch { case _: Throwable => None }
 
   /** Decode a blob: REAL for JDK-supported images (PNG/JPEG/GIF/BMP via
-    * ImageIO — true dimensions + 8-bin luminance histogram) and REAL for
+    * ImageIO — true dimensions + 8-bin luminance histogram), REAL for
     * JDK-supported PCM audio (WAV/AIFF/AU via [[decodeAudio]] —
-    * header-exact frames/rate/channels/duration + 8 RMS features);
-    * deterministic hash-derived fake ONLY for what the JDK has no codec
-    * for (video etc. — the documented stub branch, same signature, so a
-    * real codec slots in without touching the Spark side).
+    * header-exact frames/rate/channels/duration + 8 RMS features), and
+    * REAL for MJPEG-in-AVI video (RIFF walk + per-frame ImageIO JPEG
+    * decode via [[parseAvi]] — header-exact dimensions/frame-count/
+    * duration + the mean frame luminance histogram); deterministic
+    * hash-derived fake ONLY for what the JDK has no codec for (the
+    * documented stub branch, same signature, so another codec slots in
+    * without touching the Spark side).
     */
   private[llm] def decodeMedia(bytes: Array[Byte]): MediaInfo = {
     val (w, h, feats) = decodeStub(bytes)
@@ -142,8 +145,8 @@ object Multimodal {
       MediaInfo(imageMime(bytes), Integer.valueOf(w), Integer.valueOf(h),
         null, null, null, null, feats)
     } else {
-      decodeAudio(bytes).getOrElse {
-        // STUB(no video codecs in the JDK): deterministic fake
+      decodeAudio(bytes).orElse(decodeVideo(bytes)).getOrElse {
+        // STUB(no codec in the JDK for this blob): deterministic fake
         val (fw, fh, ff) = fakeDecode(bytes)
         MediaInfo("application/octet-stream", Integer.valueOf(fw), Integer.valueOf(fh),
           null, null, null, null, ff)
@@ -405,18 +408,182 @@ object Multimodal {
     }(enc).toDF()
   }
 
-  /** Deterministic frame sampling for video-ish blobs: pick `n` evenly spaced
-    * byte offsets as stand-in "frames" (STUB — a real impl samples decoded
-    * frames). Demonstrates the explode-to-rows shape used for frame corpora.
+  /** Parsed MJPEG-in-AVI container: header fields from `avih` plus the
+    * byte RANGES of the video chunks (`00dc`/`00db` payloads — raw JPEGs
+    * for MJPEG). Ranges, not copies: the blob is already in memory; frame
+    * bytes are materialized only for the frames actually sampled. */
+  final case class AviVideo(width: Int, height: Int, totalFrames: Long,
+      microSecPerFrame: Long, frameRanges: Vector[(Int, Int)]) {
+    def durationMs: Long = totalFrames * microSecPerFrame / 1000L
+    def frameBytes(bytes: Array[Byte], i: Int): Array[Byte] = {
+      val (s, e) = frameRanges(i)
+      java.util.Arrays.copyOfRange(bytes, s, e)
+    }
+  }
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Minimal RIFF/AVI reader (pure JDK — the MJPEG case needs no codec
+    * beyond ImageIO's JPEG support): walks the chunk tree, takes
+    * dimensions/frame-count/frame-duration from the `avih` main header
+    * (reference container semantics: public AVI RIFF spec), and records
+    * the byte ranges of the stream-0 video chunks. Strict: any malformed
+    * or truncated chunk ⇒ None (never a partial parse presented as
+    * success). Returns None for non-AVI bytes — callers cascade to the
+    * next decoder. */
+  private[llm] def parseAvi(bytes: Array[Byte]): Option[AviVideo] =
+    try {
+      if (bytes == null || bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") return None
+      var width = -1
+      var height = -1
+      var total = -1L
+      var uspf = -1L
+      var bad = false
+      val ranges = Vector.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (!bad && off + 8 <= end) {
+          val id = fourcc(bytes, off)
+          val sz = u32le(bytes, off + 4)
+          val dataStart = off + 8
+          val dataEnd = dataStart + sz.toInt
+          if (sz > Int.MaxValue || dataEnd > end) { bad = true; return }
+          if (id == "LIST") {
+            if (sz < 4) { bad = true; return }
+            walk(dataStart + 4, dataEnd)
+          } else if (id == "avih") {
+            if (sz < 40) { bad = true; return }
+            uspf = u32le(bytes, dataStart)
+            total = u32le(bytes, dataStart + 16)
+            width = u32le(bytes, dataStart + 32).toInt
+            height = u32le(bytes, dataStart + 36).toInt
+          } else if (id == "00dc" || id == "00db") {
+            ranges += ((dataStart, dataEnd))
+          }
+          off = dataEnd + (sz.toInt & 1) // chunks pad to even offsets
+        }
+      }
+      walk(12, bytes.length)
+      if (bad || width <= 0 || height <= 0 || total < 0 || uspf <= 0) None
+      else Some(AviVideo(width, height, total, uspf, ranges.result()))
+    } catch { case _: Throwable => None }
+
+  /** Video branch of the [[decodeMedia]] cascade: header-exact
+    * width/height/frames/duration from the AVI main header, features =
+    * the per-bin MEAN of the 8-bin luminance histograms of up to 4 evenly
+    * spaced REAL-decoded frames (bounded work on an hour-long clip). */
+  private def decodeVideo(bytes: Array[Byte]): Option[MediaInfo] =
+    parseAvi(bytes).map { v =>
+      val feats = new Array[Float](8)
+      var decoded = 0
+      if (v.frameRanges.nonEmpty) {
+        val m = v.frameRanges.length
+        val probes = math.min(4, m)
+        var i = 0
+        while (i < probes) {
+          val fi = if (probes == 1) 0 else (i.toLong * (m - 1) / (probes - 1)).toInt
+          val (fw, _, bins) = decodeStub(v.frameBytes(bytes, fi))
+          if (fw > 0) {
+            var b = 0
+            while (b < 8) { feats(b) += bins(b); b += 1 }
+            decoded += 1
+          }
+          i += 1
+        }
+        if (decoded > 0) { var b = 0; while (b < 8) { feats(b) /= decoded; b += 1 } }
+      }
+      MediaInfo("video/x-msvideo", Integer.valueOf(v.width), Integer.valueOf(v.height),
+        java.lang.Long.valueOf(v.durationMs), java.lang.Long.valueOf(v.totalFrames),
+        null, null, feats)
+    }
+
+  /** Build a minimal MJPEG-in-AVI container from already-encoded JPEG
+    * frames (pure JDK; the fixture/writer dual of [[parseAvi]] — also the
+    * re-container step of a frame-transcode pipeline). Layout: RIFF(AVI )
+    * → LIST(hdrl){avih, LIST(strl){strh vids/MJPG, strf BITMAPINFOHEADER}}
+    * → LIST(movi){00dc…}. */
+  def buildMjpegAvi(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    def le(i: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt((i & 0xffffffffL).toInt).array()
+    }
+    def ascii(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if ((data.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray
+      ascii(id) ++ le(data.length.toLong) ++ data ++ pad
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", ascii(typ) ++ children)
+    val n = jpegFrames.length.toLong
+    val uspf = 1000000L / fps
+    val avih = chunk("avih",
+      le(uspf) ++ le(0) ++ le(0) ++ le(0) ++ le(n) ++ le(0) ++ le(1) ++ le(0) ++
+        le(width.toLong) ++ le(height.toLong) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
+    val strh = chunk("strh",
+      ascii("vids") ++ ascii("MJPG") ++ le(0) ++ le(0) ++ le(0) ++
+        le(1) ++ le(fps.toLong) ++ le(0) ++ le(n) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
+    val strf = chunk("strf",
+      le(40) ++ le(width.toLong) ++ le(height.toLong) ++
+        Array[Byte](1, 0, 24, 0) ++ ascii("MJPG") ++
+        le(width.toLong * height * 3) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      jpegFrames.iterator.map(chunk("00dc", _)).foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = ascii("AVI ") ++ hdrl ++ movi
+    ascii("RIFF") ++ le(body.length.toLong) ++ body
+  }
+
+  /** Frame sampling: REAL for MJPEG-in-AVI blobs — `n` evenly spaced
+    * frames come out as their raw JPEG payloads (each a real ImageIO-
+    * decodable image, so the rest of the pipeline treats frames as the
+    * image modality) with source index and header-exact timestamp;
+    * deterministic byte-offset placeholders (the documented stub, null
+    * frame bytes/timestamp) for blobs with no JDK-readable container.
+    * Output: input columns + frame_id (1-based sample #), frame_index
+    * (source frame # / byte offset), frame_ms, frame_bytes, frame_status
+    * ('avi' | 'offset_stub'). Partition-local flatMap — no shuffle; only
+    * the sampled frames' bytes are materialized.
     */
   def sampleFrames(df: DataFrame, binaryCol: String, n: Int): DataFrame = {
-    val frameOffsets = transform(
-      TextStats.safeSeq(lit(n)),
-      i => ((i - 1) * greatest(length(col(binaryCol)) - 1, lit(1)) / math.max(n - 1, 1)).cast("long")
-    )
-    df.withColumn("frame_offset", explode(frameOffsets))
-      .withColumn("frame_id", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(binaryCol)).orderBy(col("frame_offset"))))
+    require(n >= 1, s"n must be >= 1, got $n")
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"no column $binaryCol")
+    val outSchema = df.schema
+      .add("frame_id", IntegerType)
+      .add("frame_index", LongType)
+      .add("frame_ms", LongType)
+      .add("frame_bytes", BinaryType)
+      .add("frame_status", StringType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val nn = n
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        parseAvi(bytes) match {
+          case Some(v) if v.frameRanges.nonEmpty =>
+            val m = v.frameRanges.length
+            (0 until nn).map { i =>
+              val fi = if (nn == 1) 0 else (i.toLong * (m - 1) / (nn - 1)).toInt
+              Row.fromSeq(row.toSeq ++ Seq(i + 1, fi.toLong,
+                fi * v.microSecPerFrame / 1000L, v.frameBytes(bytes, fi), "avi"))
+            }
+          case _ =>
+            val len = if (bytes == null) 0 else bytes.length
+            (0 until nn).map { i =>
+              val off = if (nn == 1) 0L else i.toLong * math.max(len - 1, 1) / (nn - 1)
+              Row.fromSeq(row.toSeq ++ Seq(i + 1, off, null, null, "offset_stub"))
+            }
+        }
+      }
+    }(enc).toDF()
   }
 }

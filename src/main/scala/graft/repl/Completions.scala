@@ -112,7 +112,13 @@ object Completions {
         " valueField = \"n_chars\", groupFields = [\"source\"], mode = \"flag\", k = 3.5}"),
     Completion("ClassifierTransform",
       "{type = \"ClassifierTransform\", name = \"nb\", inputView = \"labeled\", outputView = \"model\",\n" +
-        " textField = \"text\", labelField = \"label\", mode = \"train\"}"),
+        " textField = \"text\", labelField = \"label\", mode = \"train\", maxVocab = 100000}"),
+    Completion("ClassifierTransform (ingest batch)",
+      "{type = \"ClassifierTransform\", name = \"daily\", inputView = \"batch\", outputView = \"model2\",\n" +
+        " textField = \"text\", labelField = \"label\", mode = \"ingest\", modelView = \"model\"}"),
+    Completion("MediaTransform (video frames)",
+      "{type = \"MediaTransform\", name = \"frames\", inputView = \"clips\", outputView = \"framed\",\n" +
+        " binaryField = \"video\", action = \"frames\", numFrames = 8}"),
     Completion("LangIdTransform",
       "{type = \"LangIdTransform\", name = \"langid\", inputView = \"docs\", outputView = \"labelled\",\n" +
         " textField = \"text\", method = \"ngram\"}"),

@@ -876,11 +876,62 @@ class MultimodalSpec extends SparkSpec {
       .getAs[String]("mime") == "application/octet-stream")
   }
 
-  test("sampleFrames yields n rows per blob") {
+  test("sampleFrames yields n rows per blob; non-container blobs take the offset stub") {
     val df = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))).toDF("id", "blob")
     val out = Multimodal.sampleFrames(df, "blob", 3)
     assert(out.count() == 3)
     assert(out.select("frame_id").as[Int].collect().toSet == Set(1, 2, 3))
+    assert(out.select("frame_status").as[String].collect().forall(_ == "offset_stub"))
+    assert(out.select("frame_bytes").collect().forall(_.isNullAt(0)))
+  }
+
+  private def solidJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  test("MJPEG-in-AVI REALLY round-trips: header-exact meta, sampled frames decode to the encoded content") {
+    // 5 solid frames black->white at 25 fps: the container is built by
+    // buildMjpegAvi and read back by the SAME pure-JDK parser family a
+    // crawl pipeline would use — no codec beyond ImageIO's JPEG support.
+    val shades = Seq(0x000000, 0x404040, 0x808080, 0xC0C0C0, 0xFFFFFF)
+    val avi = Multimodal.buildMjpegAvi(shades.map(solidJpeg(32, 24, _)), 32, 24, fps = 25)
+    val df = Seq((1L, avi)).toDF("id", "blob")
+    // decode: header-exact dimensions/frames/duration, video mime, and the
+    // mean luminance histogram must span dark AND bright bins (real decode
+    // — the hash fake can't see the frame content)
+    val d = Multimodal.decodeAndFeaturize(df, "blob").head()
+    val meta = d.getStruct(d.fieldIndex("media_meta"))
+    assert(meta.getAs[String]("mime") == "video/x-msvideo")
+    assert(meta.getAs[Int]("width") == 32 && meta.getAs[Int]("height") == 24)
+    assert(meta.getAs[Long]("frames") == 5L)
+    assert(meta.getAs[Long]("duration_ms") == 5L * 40L, meta.toString)
+    val feats = d.getSeq[Float](d.fieldIndex("features"))
+    assert(feats(0) > 0.1f && feats(7) > 0.1f, feats.toString)
+    // sampleFrames: 3 evenly spaced real frames = source indices 0, 2, 4;
+    // each payload is a REAL JPEG whose decoded mean luminance matches the
+    // shade it was encoded from (JPEG is lossy — allow a small tolerance)
+    val fr = Multimodal.sampleFrames(df, "blob", 3).orderBy("frame_id").collect()
+    assert(fr.map(_.getAs[Long]("frame_index")).toSeq == Seq(0L, 2L, 4L))
+    assert(fr.map(_.getAs[Long]("frame_ms")).toSeq == Seq(0L, 80L, 160L))
+    assert(fr.forall(_.getAs[String]("frame_status") == "avi"))
+    val lums = fr.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_bytes")))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 24)
+      val vals = for { x <- 0 until 32; y <- 0 until 24 } yield (img.getRGB(x, y) & 0xff)
+      vals.sum / vals.length
+    }
+    assert(math.abs(lums(0) - 0x00) <= 8 && math.abs(lums(1) - 0x80) <= 8 &&
+      math.abs(lums(2) - 0xFF) <= 8, lums.toSeq.toString)
+    // truncated container: strict parser refuses, decode falls to the stub
+    val cut = avi.take(avi.length - 10)
+    val d2 = Multimodal.decodeAndFeaturize(Seq((2L, cut)).toDF("id", "blob"), "blob").head()
+    assert(d2.getStruct(d2.fieldIndex("media_meta"))
+      .getAs[String]("mime") == "application/octet-stream")
   }
 
   test("decodeAndFeaturize REALLY decodes WAV PCM: header-exact frames, rate, channels, RMS") {

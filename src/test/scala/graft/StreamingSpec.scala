@@ -687,6 +687,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_._4), "viterbi >= greedy must hold on the stream too")
   }
 
+  test("streaming wordpiece encode: the greedy-match projection equals its batch result") {
+    // wordpiece_encode is the same narrow-expression shape as the BPE and
+    // unigram encodes (vocab rides inside as a reference object) — it must
+    // run unchanged on a streaming frame and emit the batch ids, [UNK]
+    // collapse included.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wpstream").toString
+    val docs = Seq((1L, "hugs hug pugs"), (2L, "hug 😀 hugs"), (3L, "pugs pug hug"))
+    docs.toDF("id", "text").repartition(3).write.mode("overwrite").parquet(dir)
+    // train WITHOUT the emoji doc: 😀 is outside the alphabet so the
+    // streamed encode exercises the [UNK] collapse
+    val model = graft.llm.WordPiece.train(
+      spark.read.parquet(dir).filter(col("id") =!= 2L), "text", vocabSize = 12)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val enc = graft.llm.WordPiece.encodeDetail(stream, "text", model)
+    assert(enc.isStreaming)
+    val q = enc.writeStream.format("memory").queryName("wp_stream_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("ids").cast("string"), col("pieces").cast("string"),
+        col("n_unk_words"), col("n_words"))
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    val streamed = key(spark.table("wp_stream_mem"))
+    val batch = key(graft.llm.WordPiece.encodeDetail(
+      spark.read.parquet(dir), "text", model))
+    assert(streamed == batch && batch.size == 3, (streamed, batch).toString)
+    assert(streamed.exists(_._4 > 0), "the emoji doc must exercise the [UNK] collapse")
+    // decode round-trips the streamed ids for the fully-in-vocab doc
+    val d3 = spark.table("wp_stream_mem").filter(col("id") === 3L)
+      .withColumn("decoded", graft.llm.WordPiece.decodeIds(col("ids"), model))
+      .select("decoded").as[String].head()
+    assert(d3 == "pugs pug hug", d3)
+  }
+
   test("streaming heavy hitters: micro-batch MG segments keep the bounds after compaction") {
     // The Misra–Gries leg of the segment-parity discipline (CMS/Bloom/LM/
     // histogram have theirs). MG is NOT linear — merged estimates depend on

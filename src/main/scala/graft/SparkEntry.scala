@@ -2372,6 +2372,60 @@ object SparkEntry {
             .as("ok"))
         .orderBy("doc_id", "frame_id")
     },
+    "q200_video_transcode" -> withViews("documents") { (spark, ctx) =>
+      // REAL video transcode, self-verifying: the q199 clips (5 solid
+      // frames, shades 0/60/120/180/240, 24×16 @ 25 fps) run through
+      // Multimodal.transcodeVideo to 12×8 — every frame REALLY decodes,
+      // rescales and re-encodes, and the clip re-containers at the source
+      // rate — then the OUTPUT is decoded and frame-sampled like any other
+      // clip. `ok` pins: transcode status, the output parsing as video
+      // with the NEW dims but the SOURCE frame count and duration
+      // (5 frames / 200 ms — timing must survive the rewrite), and each
+      // sampled output frame's luminance still concentrated in the bin of
+      // the shade its SOURCE frame was encoded from (content survives the
+      // decode→rescale→re-encode round trip; a container-only rewrite or a
+      // fabricated payload fails the bin pin).
+      import spark.implicits._
+      import graft.llm.Multimodal
+      val avis = ctx.view("documents").filter(col("doc_id") < 30)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val frames = (0 until 5).map { f =>
+            val shade = f * 60
+            val img = new java.awt.image.BufferedImage(
+              24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (shade << 16) | (shade << 8) | shade
+            (0 until 24).foreach(x => (0 until 16).foreach(y => img.setRGB(x, y, rgb)))
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpeg", bos)
+            bos.toByteArray
+          }
+          (id, Multimodal.buildMjpegAvi(frames, 24, 16, fps = 25))
+        }.toDF("doc_id", "blob")
+      val tr = Multimodal.transcodeVideo(avis, "blob", 12, 8)
+        .select(col("doc_id"), col("transcoded"), col("transcode_status"))
+      val meta = Multimodal.decodeAndFeaturize(tr, "transcoded")
+        .select(col("doc_id"), col("transcoded"), col("transcode_status"),
+          col("media_meta.mime").as("video_mime"),
+          col("media_meta.width").as("vw"), col("media_meta.height").as("vh"),
+          col("media_meta.frames").as("n_frames"),
+          col("media_meta.duration_ms").as("duration_ms"))
+      val frames = Multimodal.sampleFrames(meta, "transcoded", 3)
+      Multimodal.decodeAndFeaturize(frames.drop("transcoded"), "frame_bytes")
+        .select(col("doc_id"), col("frame_id"), col("frame_index"),
+          col("n_frames"), col("duration_ms"),
+          (col("transcode_status") === "transcoded" &&
+            col("video_mime") === "video/x-msvideo" &&
+            col("vw") === 12 && col("vh") === 8 &&
+            col("n_frames") === 5L && col("duration_ms") === 200L &&
+            col("frame_status") === "avi" &&
+            col("frame_index") === (col("frame_id") - 1) * 2 &&
+            col("media_meta.width") === 12 && col("media_meta.height") === 8 &&
+            element_at(col("features"),
+              (col("frame_index") * lit(60) / lit(32) + 1).cast("int")) > 0.9f)
+            .as("ok"))
+        .orderBy("doc_id", "frame_id")
+    },
     "q193_ann_recall_report" -> { (spark: SparkSession, dir: String) =>
       configureReads(spark)
       val ctx = new PipelineContext(spark)

@@ -542,6 +542,68 @@ object Multimodal {
     ascii("RIFF") ++ le(body.length.toLong) ++ body
   }
 
+  /** Whole-clip transcode kernel: parse → per-frame JPEG decode →
+    * bilinear rescale → JPEG re-encode → re-container at the source frame
+    * rate. Returns (newBlob, "transcoded") for a well-formed MJPEG AVI
+    * whose every frame decodes, (original, reason) otherwise — the
+    * [[resampleAudioBlob]] pass-through discipline: never fabricate. */
+  private[llm] def transcodeVideoBlob(bytes: Array[Byte], tw: Int,
+      th: Int): (Array[Byte], String) =
+    parseAvi(bytes) match {
+      case None => (bytes, "unsupported")
+      case Some(v) if v.frameRanges.isEmpty => (bytes, "no_frames")
+      case Some(v) =>
+        try {
+          val out = v.frameRanges.indices.map { i =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(v.frameBytes(bytes, i)))
+            if (img == null) throw new IllegalArgumentException(s"frame $i undecodable")
+            val scaled = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "jpeg", bos)
+            bos.toByteArray
+          }
+          // keep the source timing: fps from the header's frame duration
+          val fps = math.max(1L, math.round(1000000.0 / v.microSecPerFrame)).toInt
+          (buildMjpegAvi(out, tw, th, fps), "transcoded")
+        } catch { case _: Throwable => (bytes, "frame_decode_failed") }
+    }
+
+  /** Transcode MJPEG-in-AVI clips to target dimensions — the video dual
+    * of [[resize]]: every frame REALLY decodes, rescales (JDK bilinear)
+    * and re-encodes, and the clip re-containers at its source frame rate
+    * (frame count and timing preserved — [[parseAvi]] of the output sees
+    * the same totalFrames/microSecPerFrame). Non-AVI or undecodable blobs
+    * pass through unchanged with a status, never a fabricated payload.
+    * Output: input columns + `transcoded` binary + `transcode_status`.
+    * Partition-local map — no shuffle. */
+  def transcodeVideo(df: DataFrame, binaryCol: String, targetWidth: Int,
+      targetHeight: Int): DataFrame = {
+    require(targetWidth > 0 && targetHeight > 0,
+      s"target dims must be positive, got ${targetWidth}x$targetHeight")
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"no column $binaryCol")
+    val outSchema = df.schema
+      .add("transcoded", BinaryType)
+      .add("transcode_status", StringType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val (tw, th) = (targetWidth, targetHeight)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = Option(row.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
+        val (out, status) = transcodeVideoBlob(bytes, tw, th)
+        Row.fromSeq(row.toSeq :+ out :+ status)
+      }
+    }(enc).toDF()
+  }
+
   /** Frame sampling: REAL for MJPEG-in-AVI blobs — `n` evenly spaced
     * frames come out as their raw JPEG payloads (each a real ImageIO-
     * decodable image, so the rest of the pipeline treats frames as the

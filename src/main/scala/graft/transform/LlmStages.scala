@@ -1415,10 +1415,14 @@ final case class ClassifierTransform(
 
 /** Multimodal binary columns behind the config surface —
   * [[graft.llm.Multimodal]]: `action=decode` appends media_meta + the
-  * 8-dim feature vector (REAL ImageIO for images), `action=resize`
+  * 8-dim feature vector (REAL ImageIO for images, javax.sound for PCM
+  * audio, the pure-JDK AVI reader for MJPEG video), `action=resize`
   * appends the rescaled blob (REAL JDK bilinear + PNG re-encode for
-  * images) and its metadata, `action=frames` explodes deterministic frame
-  * offsets.
+  * images) and its metadata, `action=frames` explodes REAL sampled JPEG
+  * frames for MJPEG-in-AVI clips (byte-offset stub rows otherwise),
+  * `action=resampleAudio` re-rates PCM clips, `action=transcodeVideo`
+  * rescales every frame of an MJPEG clip and re-containers it at the
+  * source frame rate.
   */
 final case class MediaTransform(
     name: String,
@@ -1442,9 +1446,11 @@ final case class MediaTransform(
       case "frames" => graft.llm.Multimodal.sampleFrames(in, binaryField, numFrames)
       case "resampleAudio" =>
         graft.llm.Multimodal.resampleAudio(in, binaryField, targetSampleRate)
+      case "transcodeVideo" =>
+        graft.llm.Multimodal.transcodeVideo(in, binaryField, targetWidth, targetHeight)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown media action '$other' (decode|resize|frames|resampleAudio)")
+          s"$name: unknown media action '$other' (decode|resize|frames|resampleAudio|transcodeVideo)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

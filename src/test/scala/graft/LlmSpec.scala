@@ -934,6 +934,41 @@ class MultimodalSpec extends SparkSpec {
       .getAs[String]("mime") == "application/octet-stream")
   }
 
+  test("transcodeVideo rescales every frame, preserves count/timing; non-AVI passes through") {
+    val shades = Seq(0x000000, 0x808080, 0xFFFFFF)
+    val avi = Multimodal.buildMjpegAvi(shades.map(solidJpeg(32, 24, _)), 32, 24, fps = 10)
+    val r = Multimodal.transcodeVideo(Seq((1L, avi)).toDF("id", "blob"), "blob", 16, 12)
+      .head()
+    assert(r.getAs[String]("transcode_status") == "transcoded")
+    val out = r.getAs[Array[Byte]]("transcoded")
+    // the output is itself a valid MJPEG AVI: header carries the NEW dims
+    // and the SOURCE frame count and timing
+    val d = Multimodal.decodeAndFeaturize(Seq((1L, out)).toDF("id", "blob"), "blob").head()
+    val meta = d.getStruct(d.fieldIndex("media_meta"))
+    assert(meta.getAs[String]("mime") == "video/x-msvideo")
+    assert(meta.getAs[Int]("width") == 16 && meta.getAs[Int]("height") == 12)
+    assert(meta.getAs[Long]("frames") == 3L)
+    assert(meta.getAs[Long]("duration_ms") == 300L, meta.toString) // 3 frames at 10 fps
+    // every transcoded frame decodes at the new dims with its shade intact
+    val fr = Multimodal.sampleFrames(Seq((1L, out)).toDF("id", "blob"), "blob", 3)
+      .orderBy("frame_id").collect()
+    val lums = fr.map { row =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("frame_bytes")))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 12)
+      val vals = for { x <- 0 until 16; y <- 0 until 12 } yield (img.getRGB(x, y) & 0xff)
+      vals.sum / vals.length
+    }
+    assert(math.abs(lums(0) - 0x00) <= 8 && math.abs(lums(1) - 0x80) <= 8 &&
+      math.abs(lums(2) - 0xFF) <= 8, lums.toSeq.toString)
+    // non-container bytes pass through UNCHANGED with a status — never fabricated
+    val junk = Array[Byte](9, 8, 7, 6, 5)
+    val p = Multimodal.transcodeVideo(Seq((2L, junk)).toDF("id", "blob"), "blob", 16, 12)
+      .head()
+    assert(p.getAs[String]("transcode_status") == "unsupported")
+    assert(p.getAs[Array[Byte]]("transcoded").toSeq == junk.toSeq)
+  }
+
   test("decodeAndFeaturize REALLY decodes WAV PCM: header-exact frames, rate, channels, RMS") {
     // 16-bit mono PCM at 8 kHz: 1600 frames of silence then 1600 of a loud
     // square wave — decoded frame count must equal the header's, duration

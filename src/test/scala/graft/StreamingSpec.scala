@@ -687,6 +687,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_._4), "viterbi >= greedy must hold on the stream too")
   }
 
+  test("streaming mojibake repair: the fix projection equals its batch result") {
+    // fix_mojibake is a pure narrow expression — it must run unchanged on
+    // a streaming frame, per-line mode included.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def mangle(s: String) =
+      new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+    val dir = java.nio.file.Files.createTempDirectory("mjstream").toString
+    val docs = Seq(
+      (1L, mangle(mangle("déjà vu — naïve"))),
+      (2L, mangle("café crème") + "\n漢字 line\n" + mangle("l’été")),
+      (3L, "already clean ascii"))
+    docs.toDF("id", "text").repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    def fixed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("_fx",
+        graft.functions.FixMojibakeExpr.fix_mojibake(col("text"), 3, perLine = true))
+      .select(col("id"), col("_fx.fixed"), col("_fx.n_passes"))
+    val enc = fixed(stream)
+    assert(enc.isStreaming)
+    val q = enc.writeStream.format("memory").queryName("mj_stream_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("mj_stream_mem")
+      .as[(Long, String, Int)].collect().toSet
+    val batch = fixed(spark.read.parquet(dir)).as[(Long, String, Int)].collect().toSet
+    assert(streamed == batch && batch.size == 3, (streamed, batch).toString)
+    assert(streamed.contains((1L, "déjà vu — naïve", 2)))
+    assert(streamed.contains((2L, "café crème\n漢字 line\nl’été", 1)),
+      "per-line repair must work around the CJK line on the stream")
+    assert(streamed.contains((3L, "already clean ascii", 0)))
+  }
+
   test("streaming wordpiece encode: the greedy-match projection equals its batch result") {
     // wordpiece_encode is the same narrow-expression shape as the BPE and
     // unigram encodes (vocab rides inside as a reference object) — it must

@@ -180,24 +180,32 @@ object NaiveBayes {
     val classDf = broadcast(classes.toSeq
       .toDF("label", "_n_docs", "_n_tokens_c"))
     val tokenDf = broadcast(tokenRows.toDF("label", "token", "cnt"))
+    // ONE corpus scan and ONE corpus-shaped shuffle (at 100 TB the text
+    // column dominates IO — the previous shape scanned it twice and keyed
+    // a second shuffle to stitch the halves back): explode_outer keeps
+    // empty/null-text docs as a single null-token row, so the token
+    // contributions AND the per-doc token count AND the doc list for the
+    // prior fallback all come off the same projection. The null-token row
+    // joins nothing in tokenDf and contributes 0.0, which IS the
+    // prior-only score; count(token) skips nulls, so empty docs report
+    // n_tokens = 0. The summed float term set per (doc, class) is
+    // identical to the two-scan shape — scores are bit-equal.
     val docToks = df.select(col(idCol).as("_id"),
-      explode(toks(col(textCol))).as("token"))
-    // per-(doc, class, token) contribution via broadcast joins; the
-    // groupBy(_id, label) sum is the only corpus-shaped shuffle
+      explode_outer(toks(col(textCol))).as("token"))
     val contrib = docToks
       .crossJoin(classDf)
       .join(tokenDf, Seq("label", "token"), "left")
       .groupBy("_id", "label")
-      .agg(sum(log(coalesce(col("cnt"), lit(0L)) + lit(1L)) -
-        log(col("_n_tokens_c") + lit(vocabSize))).as("_token_score"))
-    // every (doc, class) pair scores — empty docs fall back to the prior
-    val scored = df.select(col(idCol).as("_id"),
-        size(toks(col(textCol))).cast("long").as("n_tokens"))
-      .crossJoin(classDf)
-      .join(contrib, Seq("_id", "label"), "left")
+      .agg(
+        sum(when(col("token").isNull, lit(0.0))
+          .otherwise(log(coalesce(col("cnt"), lit(0L)) + lit(1L)) -
+            log(col("_n_tokens_c") + lit(vocabSize)))).as("_token_score"),
+        count(col("token")).as("n_tokens"))
+    val scored = contrib
+      .join(classDf, Seq("label"))
       .select(col("_id"), col("label"), col("n_tokens"),
         (log(col("_n_docs")) - log(lit(totalDocs)) +
-          coalesce(col("_token_score"), lit(0.0))).as("_score"))
+          col("_token_score")).as("_score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_id").orderBy(col("_score").desc, col("label"))
     scored

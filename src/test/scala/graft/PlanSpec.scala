@@ -446,4 +446,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
     assert(!plan.toLowerCase.contains("window"), "no window operator expected:\n" + plan)
   }
+
+  test("NaiveBayes.predict: ONE corpus scan, model joins broadcast, no SinglePartition") {
+    // at 100 TB the text column dominates IO — predict must read it once
+    // (explode_outer carries the token stream, the per-doc count AND the
+    // empty-doc prior fallback off one projection), join the model only
+    // as broadcasts, and shuffle only on keys
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val labeled = docs.withColumn("label",
+      when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+    val m = graft.llm.NaiveBayes.train(labeled, "text", "label")
+    // pin the model as local frames first (train-side plan not under test)
+    import spark.implicits._
+    val mLocal = graft.llm.NaiveBayes.Model(
+      m.classTable.as[(String, Long, Long)].collect().toSeq
+        .toDF("label", "n_docs", "n_tokens"),
+      m.tokenTable.as[(String, String, Long)].collect().toSeq
+        .toDF("label", "token", "cnt"))
+    val plan = formatted(
+      graft.llm.NaiveBayes.predict(docs, "doc_id", "text", mLocal))
+    // the only parquet source in this plan IS the corpus; a node header
+    // "(N) Scan parquet" appears once in the tree and once in the details,
+    // so count DISTINCT node ids
+    val scans = "\\((\\d+)\\) Scan parquet".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scans.size == 1, s"${scans.size} corpus scans (want 1):\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }

@@ -2372,6 +2372,26 @@ object SparkEntry {
             .as("ok"))
         .orderBy("doc_id", "frame_id")
     },
+    "q201_wordcounts_ingest" -> withViews("documents") { (spark, ctx) =>
+      // Persistent word-count table under the FULL ORACLE
+      // (llm/WordCounts): the trainable state all three tokenizers consume,
+      // kept warm by exact count addition. The engine writes batch A
+      // (even doc_ids), ingests batch B (odd doc_ids) — never re-reading
+      // A's text — and outputs the resulting table (cnt ≥ 5 to bound
+      // rows); DuckDB counts ONCE over the whole corpus: byte-for-byte
+      // equality pins write+ingest ≡ one-shot cross-engine, the same
+      // incremental contract as q190/q198 for the tokenizer tier.
+      import graft.llm.WordCounts
+      val docs = ctx.view("documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q201_wc_").toString + "/wc"
+      WordCounts.write(docs.filter(col("doc_id") % 2 === 0), "text", path)
+      WordCounts.ingest(docs.filter(col("doc_id") % 2 === 1), "text", path)
+      WordCounts.read(spark, path)
+        .filter(col("cnt") >= 5)
+        .select(col("word"), col("cnt"))
+        .orderBy("word")
+    },
     "q200_video_transcode" -> withViews("documents") { (spark, ctx) =>
       // REAL video transcode, self-verifying: the q199 clips (5 solid
       // frames, shades 0/60/120/180/240, 24×16 @ 25 fps) run through
@@ -5261,6 +5281,15 @@ object SparkEntry {
                      WHEN doc_id % 3 = 1 THEN 1
                      ELSE 0 END AS BIGINT) AS n_passes
          FROM documents ORDER BY doc_id""",
+    "q201_wordcounts_ingest" ->
+      // ONE count over the whole corpus — the engine built the same table
+      // incrementally (write evens + ingest odds, A's text never re-read)
+      """SELECT token AS word, count(*) AS cnt
+        FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                t -> len(t) > 0)) AS token
+              FROM documents)
+        GROUP BY 1 HAVING count(*) >= 5
+        ORDER BY word""",
     "q198_nb_incremental" ->
       // IDENTICAL SQL to q194 — deliberately: the oracle trains once over
       // A ∪ B (= doc_id % 5 IN (1,2,3,4), q194's train set), while the

@@ -386,6 +386,12 @@ object PipelineConfig {
         groupField = o.str("groupField", ""),
         maxInputChars = o.intOpt("maxInputChars").getOrElse(100),
         persist = o.bool("persist"))
+    case "WordCountsTransform" =>
+      WordCountsTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
+        countsURI = o.req("countsURI"),
+        textField = o.str("textField", "text"),
+        action = o.str("action", "write"),
+        persist = o.bool("persist"))
     case "MojibakeTransform" =>
       MojibakeTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         textField = o.req("textField"),

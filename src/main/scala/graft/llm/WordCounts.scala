@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent word-frequency table — the trainable state ALL THREE
+  * tokenizers consume (`Bpe.trainFromCounts`, `Unigram.trainFromCounts`,
+  * `WordPiece.trainFromCounts` each take a (word, cnt) table) and the
+  * cheapest corpus statistic worth keeping warm between batches.
+  *
+  * Counts are exact integers, so the incremental contract is exact (the
+  * [[NaiveBayes.merge]] / index-ingest discipline): `write(A); ingest(B)`
+  * leaves on disk EXACTLY the counts of A ∪ B — retraining a tokenizer
+  * after a daily batch costs one pass over the BATCH plus a vocab-bounded
+  * driver loop, never a pass over the historical corpus.
+  *
+  * Scale shape: counting is ONE map-side-combined aggregate (output
+  * vocabulary-shaped, never corpus-shaped); ingest unions the persisted
+  * table (vocab-shaped) with the batch's counts and re-aggregates — the
+  * historical TEXT never re-reads. [[topWords]] caps the driver collection
+  * with the salted bounded top-k ([[Unigram.train]]'s maxWords
+  * discipline). Layout: `path/counts` parquet, whole-directory
+  * [[graft.core.AtomicDir]] swap — a crash mid-write leaves the previous
+  * complete table live; re-run the ingest.
+  *
+  * Word segmentation is the engine-wide `\s+` contract
+  * ([[Bpe.wordCounts]]), so the persisted table, every tokenizer's
+  * training input and a DuckDB `string_split_regex` oracle all segment
+  * identically — the q201 battery entry runs the write+ingest ≡ one-shot
+  * contract under the FULL cross-engine oracle.
+  */
+object WordCounts {
+
+  /** Replace the table at `path` with `df`'s word counts. */
+  def write(df: DataFrame, textCol: String, path: String): Unit =
+    writeCounts(Bpe.wordCounts(df, textCol), path)
+
+  private def writeCounts(counts: DataFrame, path: String): Unit = {
+    val spark = counts.sparkSession
+    graft.core.AtomicDir.swap(spark, path) { tmp =>
+      // vocab-shaped, not corpus-shaped: a handful of files suffices and
+      // keeps the read side metadata-light across many ingests
+      IndexCompact.coalesceForAppend(counts, counts.count())
+        .write.mode("overwrite").parquet(s"$tmp/counts")
+    }
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    graft.core.AtomicDir.recoverLive(spark, path)
+    spark.read.parquet(s"$path/counts")
+  }
+
+  /** Fold a batch in by exact count addition: afterwards the table equals
+    * `write(A ∪ B)`'s, byte-for-byte. Returns the merged table re-read
+    * from the live path. */
+  def ingest(batch: DataFrame, textCol: String, path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val merged = read(spark, path)
+      .unionByName(Bpe.wordCounts(batch, textCol))
+      .groupBy("word").agg(sum("cnt").as("cnt"))
+    writeCounts(merged, path)
+    read(spark, path)
+  }
+
+  /** The `maxWords` heaviest words (cnt desc, word asc — the tokenizers'
+    * deterministic training order), collected bounded: the salted top-k
+    * prunes per partition, so a hot vocabulary never funnels through one
+    * task and the driver sees at most `maxWords` rows. Feed directly to
+    * any `trainFromCounts`. */
+  def topWords(spark: SparkSession, path: String, maxWords: Int): Seq[(String, Long)] = {
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    graft.operators.TopK.perKeySalted(
+        read(spark, path).withColumn("_g", lit(1)),
+        Seq("_g"), "cnt", maxWords, descending = true, tiebreak = Seq("word"))
+      .select("word", "cnt")
+      .orderBy(col("cnt").desc, col("word"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+}

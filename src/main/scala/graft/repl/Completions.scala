@@ -113,6 +113,12 @@ object Completions {
     Completion("ClassifierTransform",
       "{type = \"ClassifierTransform\", name = \"nb\", inputView = \"labeled\", outputView = \"model\",\n" +
         " textField = \"text\", labelField = \"label\", mode = \"train\", maxVocab = 100000}"),
+    Completion("WordCountsTransform",
+      "{type = \"WordCountsTransform\", name = \"wc\", inputView = \"batch\", outputView = \"counts\",\n" +
+        " countsURI = \"/path/wordcounts\", textField = \"text\", action = \"ingest\"}"),
+    Completion("TokenizerTransform (retrain from counts)",
+      "{type = \"TokenizerTransform\", name = \"retrain\", inputView = \"counts\", outputView = \"vocab\",\n" +
+        " textField = \"text\", algo = \"unigram\", mode = \"trainFromCounts\", vocabSize = 8000}"),
     Completion("ClassifierTransform (ingest batch)",
       "{type = \"ClassifierTransform\", name = \"daily\", inputView = \"batch\", outputView = \"model2\",\n" +
         " textField = \"text\", labelField = \"label\", mode = \"ingest\", modelView = \"model\"}"),

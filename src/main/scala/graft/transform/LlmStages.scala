@@ -1156,6 +1156,11 @@ final case class OutlierTransform(
   * `ids`/`n_tokens`/`n_unk_words`/`n_words`; `mode=decode` renders ids
   * back to whitespace-normalized text with `[UNK]` markers
   * (`maxInputChars` bounds the per-word scan, the BERT default 100).
+  *
+  * All three algos also take `mode=trainFromCounts`: the input view is a
+  * (word, cnt) table — typically a [[WordCountsTransform]] output kept
+  * warm by daily-batch ingest — so a tokenizer retrains after new data
+  * WITHOUT re-reading the historical corpus.
   */
 final case class TokenizerTransform(
     name: String,
@@ -1192,12 +1197,27 @@ final case class TokenizerTransform(
         .select(col("rank"), col("left"), col("right"))
         .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     }
+    // trainFromCounts: the input view IS a (word, cnt) table (typically a
+    // WordCountsTransform output) — retrain after a daily-batch ingest
+    // without re-reading the historical corpus. Capped + ordered exactly
+    // like the corpus-train path (salted top-k, cnt desc / word asc).
+    def wordFreq: Seq[(String, Long)] =
+      graft.operators.TopK.perKeySalted(
+          in.select(col("word"), col("cnt").cast("long").as("cnt"))
+            .withColumn("_g", lit(1)),
+          Seq("_g"), "cnt", maxWords, descending = true, tiebreak = Seq("word"))
+        .select("word", "cnt")
+        .orderBy(col("cnt").desc, col("word"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     require(algo == "bpe" || algo == "unigram" || algo == "wordpiece",
       s"$name: unknown tokenizer algo '$algo' (bpe|unigram|wordpiece)")
     val out = if (algo == "wordpiece") mode match {
       case "train" =>
         graft.llm.WordPiece.vocabDf(spark, graft.llm.WordPiece.train(
           in, textField, vocabSize, maxWords))
+      case "trainFromCounts" =>
+        graft.llm.WordPiece.vocabDf(spark,
+          graft.llm.WordPiece.trainFromCounts(wordFreq, vocabSize))
       case "encode" =>
         require(vocabView.nonEmpty, s"$name: encode mode needs vocabView")
         graft.llm.WordPiece.encodeIds(in, textField,
@@ -1208,11 +1228,14 @@ final case class TokenizerTransform(
           graft.llm.WordPiece.modelFromVocabDf(ctx.view(vocabView))))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown wordpiece tokenizer mode '$other' (train|encode|decode)")
+          s"$name: unknown wordpiece tokenizer mode '$other' (train|trainFromCounts|encode|decode)")
     } else if (algo == "unigram") mode match {
       case "train" =>
         graft.llm.Unigram.vocabDf(spark, graft.llm.Unigram.train(
           in, textField, vocabSize, maxPieceLen, emIters = emIters, maxWords = maxWords))
+      case "trainFromCounts" =>
+        graft.llm.Unigram.vocabDf(spark, graft.llm.Unigram.trainFromCounts(
+          wordFreq, vocabSize, maxPieceLen, emIters = emIters))
       case "encode" =>
         require(vocabView.nonEmpty, s"$name: encode mode needs vocabView")
         graft.llm.Unigram.encodeIds(in, textField,
@@ -1223,10 +1246,15 @@ final case class TokenizerTransform(
           graft.llm.Bpe.decodeIds(col(idsField), ctx.view(vocabView)))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown unigram tokenizer mode '$other' (train|encode|decode)")
+          s"$name: unknown unigram tokenizer mode '$other' (train|trainFromCounts|encode|decode)")
     } else mode match {
       case "train" =>
         graft.llm.Bpe.trainMerges(in, textField, numMerges, maxWords)
+          .zipWithIndex
+          .map { case ((a, b), i) => (i, a, b) }
+          .toDF("rank", "left", "right")
+      case "trainFromCounts" =>
+        graft.llm.Bpe.trainFromCounts(wordFreq, numMerges)
           .zipWithIndex
           .map { case ((a, b), i) => (i, a, b) }
           .toDF("rank", "left", "right")
@@ -1257,7 +1285,7 @@ final case class TokenizerTransform(
           ctx.view(vocabView))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown tokenizer mode '$other' (train|apply|vocab|encode|decode|fertility)")
+          s"$name: unknown tokenizer mode '$other' (train|trainFromCounts|apply|vocab|encode|decode|fertility)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
@@ -1355,6 +1383,44 @@ final case class LangIdTransform(
           s"$name: unknown langid method '$other' (ngram|ngramFloored|stopword)")
     }
     Some(publish(ctx, in.withColumn(outputField, pred), outputView, None, Nil, persist))
+  }
+}
+
+/** Persistent word-frequency table behind the config surface —
+  * [[graft.llm.WordCounts]]: the trainable state all three tokenizers
+  * consume, kept warm between batches with exact count addition.
+  * `action=write` replaces the table at `countsURI` with the input view's
+  * counts; `action=ingest` folds the input batch in (afterwards the table
+  * ≡ a one-shot count over the union — the index-ingest contract, exact
+  * because counts are integers); `action=read` publishes the persisted
+  * table. All three publish the resulting (word, cnt) view — feed it to
+  * TokenizerTransform `mode=trainFromCounts` to retrain a tokenizer after
+  * a daily batch without re-reading the historical corpus.
+  */
+final case class WordCountsTransform(
+    name: String,
+    inputView: String,
+    outputView: String,
+    countsURI: String,
+    textField: String = "text",
+    action: String = "write",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "WordCountsTransform"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    import graft.llm.WordCounts
+    require(countsURI.nonEmpty, s"$name: countsURI must be set")
+    val out = action match {
+      case "write" =>
+        WordCounts.write(ctx.view(inputView), textField, countsURI)
+        WordCounts.read(ctx.spark, countsURI)
+      case "ingest" => WordCounts.ingest(ctx.view(inputView), textField, countsURI)
+      case "read"   => WordCounts.read(ctx.spark, countsURI)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown word-counts action '$other' (write|ingest|read)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
   }
 }
 

@@ -761,6 +761,36 @@ class ConfigSpec extends SparkSpec {
     assert(tokMap(capped).get(("ham", "notes")).contains(3L))
   }
 
+  test("WordCountsTransform write/ingest/read + trainFromCounts retrain from config cells") {
+    import spark.implicits._
+    Seq.fill(5)("hugs hug").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").createOrReplaceTempView("wc_a")
+    Seq.fill(3)("pugs hugs").zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("id", "text").createOrReplaceTempView("wc_b")
+    val dir = java.nio.file.Files.createTempDirectory("wcstage").toString + "/wc"
+    val hocon =
+      s"""{stages: [
+        { type = "WordCountsTransform", name = "seed", inputView = wc_a,
+          outputView = wc_t1, countsURI = "$dir", textField = text },
+        { type = "WordCountsTransform", name = "daily", inputView = wc_b,
+          outputView = wc_t2, countsURI = "$dir", textField = text,
+          action = ingest },
+        { type = "TokenizerTransform", name = "retrain", inputView = wc_t2,
+          outputView = wc_vocab, textField = text, algo = wordpiece,
+          mode = trainFromCounts, vocabSize = 9 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val counts = spark.table("wc_t2").as[(String, Long)].collect().toMap
+    assert(counts == Map("hugs" -> 8L, "hug" -> 5L, "pugs" -> 3L), counts.toString)
+    // the retrained vocab equals a one-shot corpus train over A ∪ B
+    val oneShot = graft.llm.WordPiece.vocabDf(spark, graft.llm.WordPiece.train(
+      spark.table("wc_a").unionByName(spark.table("wc_b")), "text", 9))
+    val got = spark.table("wc_vocab").orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val exp = oneShot.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got == exp, s"$got\n != \n$exp")
+  }
+
   test("TokenizerTransform rejects maxInputChars < 1 at construction") {
     val e = intercept[IllegalArgumentException] {
       graft.transform.TokenizerTransform("tk", "in_v", "out_v", "text",

@@ -3340,6 +3340,51 @@ class NaiveBayesSpec extends SparkSpec {
   }
 }
 
+class WordCountsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.llm.WordCounts
+
+  test("write + ingest leaves the one-shot count table on disk, byte-for-byte") {
+    val a = Seq((1L, "the cat sat"), (2L, "the dog")).toDF("id", "text")
+    val b = Seq((3L, "the cat ran"), (4L, "dog dog  ")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wc").toString + "/wc"
+    WordCounts.write(a, "text", dir)
+    WordCounts.ingest(b, "text", dir)
+    val got = WordCounts.read(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("the" -> 3L, "cat" -> 2L, "sat" -> 1L, "dog" -> 3L,
+      "ran" -> 1L), got.toString)
+    // ingest is repeatable state: a second batch keeps adding exactly
+    WordCounts.ingest(Seq((5L, "cat")).toDF("id", "text"), "text", dir)
+    assert(WordCounts.read(spark, dir).filter(col("word") === "cat")
+      .head().getLong(1) == 3L)
+  }
+
+  test("topWords: bounded, (cnt desc, word asc) ordered — the tokenizers' training order") {
+    val dir = java.nio.file.Files.createTempDirectory("wc").toString + "/wc"
+    WordCounts.write(
+      Seq((1L, "b b b a a c c z")).toDF("id", "text"), "text", dir)
+    val top = WordCounts.topWords(spark, dir, 3)
+    assert(top == Seq(("b", 3L), ("a", 2L), ("c", 2L)), top.toString)
+  }
+
+  test("tokenizer retrained from the incrementally-built table equals the corpus-trained one") {
+    val a = Seq.fill(6)("hugs hug").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val b = Seq.fill(4)("pugs hugs").zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wc").toString + "/wc"
+    WordCounts.write(a, "text", dir)
+    WordCounts.ingest(b, "text", dir)
+    val fromCounts = graft.llm.WordPiece.trainFromCounts(
+      WordCounts.topWords(spark, dir, 1000), vocabSize = 9)
+    val fromCorpus = graft.llm.WordPiece.train(
+      a.unionByName(b), "text", vocabSize = 9)
+    assert(fromCounts == fromCorpus,
+      s"$fromCounts\n != \n$fromCorpus")
+  }
+}
+
 class WordPieceSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._

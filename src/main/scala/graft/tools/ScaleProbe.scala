@@ -786,6 +786,54 @@ object ScaleProbe {
         s"tokenRows=$vocabRows preds=$preds"
       }
     }
+    // Word-count ingest: the point is O(batch + vocab) — the daily batch
+    // (n/40 docs) folds into an n-doc table without re-reading the corpus.
+    if (anySelected(s"wordCountsIngest n=$n")) {
+      val dir = java.nio.file.Files.createTempDirectory("probe_wc").toString + "/wc"
+      graft.llm.WordCounts.write(docs, "text", dir)
+      time(s"wordCountsIngest n=$n batch=${n / 40}") {
+        val batch = spark.range(n, n + n / 40).select(col("id"),
+          concat(lit("fresh daily words token "),
+            pmod(col("id"), lit(97)).cast("string")).as("text"))
+        graft.llm.WordCounts.ingest(batch, "text", dir).count()
+      }
+    }
+    // Video pipeline: MJPEG clips are generated in-executor (the probe's
+    // workload IS the codec work — 5 JPEG frames per doc), then decoded,
+    // frame-sampled and transcoded. n/20 docs keeps the probe minutes-free
+    // while still far above the battery scale.
+    if (anySelected(s"videoPipeline n=${n / 20}")) {
+      val clips = spark.range(0, n / 20).select(col("id")).as[Long](
+          org.apache.spark.sql.Encoders.scalaLong)
+        .map { id =>
+          val frames = (0 until 5).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val shade = ((id + f) % 256).toInt
+            val rgb = (shade << 16) | (shade << 8) | shade
+            (0 until 24).foreach(x => (0 until 16).foreach(y => img.setRGB(x, y, rgb)))
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpeg", bos)
+            bos.toByteArray
+          }
+          (id, graft.llm.Multimodal.buildMjpegAvi(frames, 24, 16, 25))
+        }(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY))
+        .toDF("id", "blob")
+      val pinned = graft.core.Lineage.pin(clips)
+      time(s"videoDecode n=${n / 20}") {
+        graft.llm.Multimodal.decodeAndFeaturize(pinned, "blob")
+          .filter(col("media_meta.mime") === "video/x-msvideo").count()
+      }
+      time(s"videoFrames n=${n / 20} x3") {
+        graft.llm.Multimodal.sampleFrames(pinned, "blob", 3).count()
+      }
+      time(s"videoTranscode n=${n / 20} -> 12x8") {
+        graft.llm.Multimodal.transcodeVideo(pinned, "blob", 12, 8)
+          .filter(col("transcode_status") === "transcoded").count()
+      }
+    }
     spark.stop()
   }
 }

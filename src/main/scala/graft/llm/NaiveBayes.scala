@@ -144,7 +144,9 @@ object NaiveBayes {
     * exactly `train(A ∪ B)`. The merged tables are vocab-bounded, and the
     * swap happens only after the complete merged copy exists, so a crash
     * mid-ingest leaves the pre-ingest model live (re-run the ingest).
-    * Returns the merged model re-read from the live path. */
+    * Returns the merged model re-read from the live path. Single-writer:
+    * ingest is read-merge-swap, so concurrent ingests on one path can
+    * lose a batch's counts — serialize them per path. */
   def ingest(batch: DataFrame, textCol: String, labelCol: String,
       path: String): Model = {
     val spark = batch.sparkSession

@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   * training input and a DuckDB `string_split_regex` oracle all segment
   * identically — the q201 battery entry runs the write+ingest ≡ one-shot
   * contract under the FULL cross-engine oracle.
+  *
+  * Single-writer discipline (as for every persisted store here): ingest is
+  * read-merge-swap, so two CONCURRENT ingests can lose one batch's counts
+  * (classic lost update). Serialize ingests per path — the daily-batch
+  * cadence this exists for does that naturally.
   */
 object WordCounts {
 

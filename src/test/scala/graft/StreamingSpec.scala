@@ -687,6 +687,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_._4), "viterbi >= greedy must hold on the stream too")
   }
 
+  test("streaming multimodal decode: media metadata/features equal the batch result") {
+    // decodeAndFeaturize is a partition-local mapPartitions — it must run
+    // unchanged on a streaming frame and emit the batch metadata for all
+    // three real codec paths (image, video, fake fallthrough).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(x => (0 until 8).foreach(y =>
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mmstream").toString
+    val blobs = Seq(
+      (1L, jpeg(128)),
+      (2L, graft.llm.Multimodal.buildMjpegAvi(Seq(jpeg(0), jpeg(255)), 8, 8, 25)),
+      (3L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)))
+    blobs.toDF("id", "blob").repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val dec = graft.llm.Multimodal.decodeAndFeaturize(stream, "blob")
+      .select(col("id"), col("media_meta.mime").as("mime"),
+        col("media_meta.width").as("w"), col("media_meta.frames").as("frames"),
+        col("features").cast("string").as("f"))
+    assert(dec.isStreaming)
+    val q = dec.writeStream.format("memory").queryName("mm_stream_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("mm_stream_mem")
+      .as[(Long, String, Int, Option[Long], String)].collect().toSet
+    val batch = graft.llm.Multimodal.decodeAndFeaturize(spark.read.parquet(dir), "blob")
+      .select(col("id"), col("media_meta.mime").as("mime"),
+        col("media_meta.width").as("w"), col("media_meta.frames").as("frames"),
+        col("features").cast("string").as("f"))
+      .as[(Long, String, Int, Option[Long], String)].collect().toSet
+    assert(streamed == batch && batch.size == 3, (streamed, batch).toString)
+    assert(streamed.exists(t => t._1 == 1L && t._2 == "image/jpeg"))
+    assert(streamed.exists(t => t._1 == 2L && t._2 == "video/x-msvideo" && t._4.contains(2L)))
+    assert(streamed.exists(t => t._1 == 3L && t._2 == "application/octet-stream"))
+  }
+
   test("streaming mojibake repair: the fix projection equals its batch result") {
     // fix_mojibake is a pure narrow expression — it must run unchanged on
     // a streaming frame, per-line mode included.

@@ -468,6 +468,10 @@ object Multimodal {
           }
           off = dataEnd + (sz.toInt & 1) // chunks pad to even offsets
         }
+        // a trailing partial chunk header (1..7 bytes) is truncation too —
+        // chunks tile their enclosing list exactly (the final odd-size
+        // chunk carries its pad byte per the RIFF rules)
+        if (!bad && off != end) bad = true
       }
       walk(12, bytes.length)
       if (bad || width <= 0 || height <= 0 || total < 0 || uspf <= 0) None

@@ -477,4 +477,68 @@ class PropertySpec extends AnyFunSuite {
         row.getDouble(2) >= row.getDouble(3)
     })
   }
+
+  test("MJPEG-AVI container round-trip: parse(build(frames)) is header- and payload-exact") {
+    // pure-JVM kernel: random dims / fps / frame count, frames of random
+    // bytes (the container never inspects payloads — codec-agnostic), the
+    // parse must return exactly what the writer was given
+    val frameGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 64).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))))
+    val dimGen = Gen.choose(1, 512)
+    val fpsGen = Gen.choose(1, 120)
+    checkProp(Prop.forAll(frameGen, dimGen, dimGen, fpsGen) { (frames, w, h, fps) =>
+      val avi = graft.llm.Multimodal.buildMjpegAvi(frames, w, h, fps)
+      graft.llm.LlmTestAccess.parseAvi(avi) match {
+        case None => false
+        case Some(v) =>
+          v.width == w && v.height == h &&
+            v.totalFrames == frames.length.toLong &&
+            v.microSecPerFrame == 1000000L / fps &&
+            v.frameRanges.length == frames.length &&
+            frames.indices.forall(i =>
+              java.util.Arrays.equals(v.frameBytes(avi, i), frames(i)))
+      }
+    })
+    // truncation STRICTLY inside the movi list is always refused (a cut
+    // exactly ON the hdrl/movi boundary is a legitimate zero-frame clip)
+    val avi = graft.llm.Multimodal.buildMjpegAvi(
+      Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5)), 8, 8, 25)
+    // a RIFF chunk is [fourcc][size][data], so the movi LIST reads
+    // "LIST" <4 size bytes> "movi" — locate its header start
+    def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val moviStart = (12 until avi.length - 12).find(i =>
+      avi.slice(i, i + 4).sameElements(ascii("LIST")) &&
+        avi.slice(i + 8, i + 12).sameElements(ascii("movi"))).get
+    checkProp(Prop.forAll(Gen.choose(moviStart + 1, avi.length - 1)) { cut =>
+      graft.llm.LlmTestAccess.parseAvi(avi.take(cut)).isEmpty
+    })
+  }
+
+  test("per-line mojibake repair inverts independent per-line mangling exactly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val fixer = new graft.functions.MojibakeFixer(3, perLine = true)
+    def mangle(s: String) =
+      new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+    // anchor chars are > U+00FF and outside the cp1252 row: the ORIGINAL
+    // line can never itself byte-map, so repair stops at exactly k
+    val anchors = Seq('κ', '漢', '☃')
+    val lineGen = for {
+      body <- Gen.listOf(Gen.frequency(
+        6 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf('é', 'à', 'ñ', '—', '“', '”', ' '),
+        1 -> Gen.const(' '))).map(_.mkString.take(24))
+      anchor <- Gen.oneOf(anchors)
+      k <- Gen.choose(0, 2)
+    } yield (body + anchor, k)
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(lineGen).map(_.take(8))) { lines =>
+      val mangled = lines.map { case (orig, k) =>
+        (1 to k).foldLeft(orig)((acc, _) => mangle(acc))
+      }.mkString("\n")
+      val row = fixer.fix(UTF8String.fromString(mangled))
+      row.getUTF8String(0).toString == lines.map(_._1).mkString("\n") &&
+        row.getInt(1) == lines.map(_._2).max
+    })
+  }
 }

@@ -11,4 +11,6 @@ object LlmTestAccess {
     Sampling.rankedByHash(df, groupCols, h)
   def slicedPrefix(df: DataFrame, groupCols: Seq[String], h: Column, w: Column): DataFrame =
     Sampling.slicedPrefix(df, groupCols, h, w)
+  def parseAvi(bytes: Array[Byte]): Option[Multimodal.AviVideo] =
+    Multimodal.parseAvi(bytes)
 }

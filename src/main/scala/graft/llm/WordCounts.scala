@@ -42,10 +42,14 @@ object WordCounts {
 
   private def writeCounts(counts: DataFrame, path: String): Unit = {
     val spark = counts.sparkSession
+    // pin BEFORE sizing: the count and the write must not each re-run the
+    // corpus aggregation (and on ingest, pinning also means the swap never
+    // overwrites a directory the write is still reading from)
+    val pinned = graft.core.Lineage.pin(counts)
     graft.core.AtomicDir.swap(spark, path) { tmp =>
       // vocab-shaped, not corpus-shaped: a handful of files suffices and
       // keeps the read side metadata-light across many ingests
-      IndexCompact.coalesceForAppend(counts, counts.count())
+      IndexCompact.coalesceForAppend(pinned, pinned.count())
         .write.mode("overwrite").parquet(s"$tmp/counts")
     }
   }

@@ -791,6 +791,20 @@ class ConfigSpec extends SparkSpec {
     assert(got == exp, s"$got\n != \n$exp")
   }
 
+  test("WordCountsTransform rejects an unknown action and an empty countsURI") {
+    val ctx = new PipelineContext(spark)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.transform.WordCountsTransform("wc", "in_v", "out_v", "/tmp/x",
+        action = "merge").execute(ctx)
+    }
+    assert(e1.getMessage.contains("unknown word-counts action"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.transform.WordCountsTransform("wc", "in_v", "out_v", "",
+        action = "read").execute(ctx)
+    }
+    assert(e2.getMessage.contains("countsURI"))
+  }
+
   test("TokenizerTransform rejects maxInputChars < 1 at construction") {
     val e = intercept[IllegalArgumentException] {
       graft.transform.TokenizerTransform("tk", "in_v", "out_v", "text",

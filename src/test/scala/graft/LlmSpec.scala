@@ -967,6 +967,17 @@ class MultimodalSpec extends SparkSpec {
       .head()
     assert(p.getAs[String]("transcode_status") == "unsupported")
     assert(p.getAs[Array[Byte]]("transcoded").toSeq == junk.toSeq)
+    // a frame-less (header-only) clip and a clip with an undecodable frame
+    // pass through with their own statuses
+    val empty = Multimodal.buildMjpegAvi(Nil, 8, 8, 25)
+    val e = Multimodal.transcodeVideo(Seq((3L, empty)).toDF("id", "blob"), "blob", 16, 12)
+      .head()
+    assert(e.getAs[String]("transcode_status") == "no_frames")
+    val badFrame = Multimodal.buildMjpegAvi(Seq(Array[Byte](0, 1, 2)), 8, 8, 25)
+    val b = Multimodal.transcodeVideo(Seq((4L, badFrame)).toDF("id", "blob"), "blob", 16, 12)
+      .head()
+    assert(b.getAs[String]("transcode_status") == "frame_decode_failed")
+    assert(b.getAs[Array[Byte]]("transcoded").toSeq == badFrame.toSeq)
   }
 
   test("decodeAndFeaturize REALLY decodes WAV PCM: header-exact frames, rate, channels, RMS") {

@@ -515,6 +515,16 @@ object Multimodal {
   def buildMjpegAvi(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
       fps: Int): Array[Byte] = {
     require(fps > 0, s"fps must be positive, got $fps")
+    buildMjpegAviUspf(jpegFrames, width, height, 1000000L / fps)
+  }
+
+  /** [[buildMjpegAvi]] with the frame duration given directly in
+    * microseconds — so a rewrite of a parsed clip ([[transcodeVideo]])
+    * preserves the SOURCE header timing exactly, fps-representable or not. */
+  def buildMjpegAviUspf(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
+      microSecPerFrame: Long): Array[Byte] = {
+    require(microSecPerFrame > 0,
+      s"microSecPerFrame must be positive, got $microSecPerFrame")
     def le(i: Long): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.putInt((i & 0xffffffffL).toInt).array()
@@ -528,22 +538,32 @@ object Multimodal {
     def list(typ: String, children: Array[Byte]): Array[Byte] =
       chunk("LIST", ascii(typ) ++ children)
     val n = jpegFrames.length.toLong
-    val uspf = 1000000L / fps
+    val uspf = microSecPerFrame
+    // strh rate/scale: frames per second as the exact rational 1e6/uspf
     val avih = chunk("avih",
       le(uspf) ++ le(0) ++ le(0) ++ le(0) ++ le(n) ++ le(0) ++ le(1) ++ le(0) ++
         le(width.toLong) ++ le(height.toLong) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
     val strh = chunk("strh",
       ascii("vids") ++ ascii("MJPG") ++ le(0) ++ le(0) ++ le(0) ++
-        le(1) ++ le(fps.toLong) ++ le(0) ++ le(n) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
+        le(uspf) ++ le(1000000L) ++ le(0) ++ le(n) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
     val strf = chunk("strf",
       le(40) ++ le(width.toLong) ++ le(height.toLong) ++
         Array[Byte](1, 0, 24, 0) ++ ascii("MJPG") ++
         le(width.toLong * height * 3) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val movi = list("movi",
-      jpegFrames.iterator.map(chunk("00dc", _)).foldLeft(Array.emptyByteArray)(_ ++ _))
-    val body = ascii("AVI ") ++ hdrl ++ movi
-    ascii("RIFF") ++ le(body.length.toLong) ++ body
+    // stream, not fold: frame-at-a-time ++ would copy O(n²) bytes on a
+    // long clip
+    val moviBody = new java.io.ByteArrayOutputStream()
+    moviBody.write(ascii("movi"))
+    jpegFrames.foreach(f => moviBody.write(chunk("00dc", f)))
+    val movi = chunk("LIST", moviBody.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ascii("RIFF"))
+    out.write(le(4L + hdrl.length + movi.length))
+    out.write(ascii("AVI "))
+    out.write(hdrl)
+    out.write(movi)
+    out.toByteArray
   }
 
   /** Whole-clip transcode kernel: parse → per-frame JPEG decode →
@@ -574,9 +594,9 @@ object Multimodal {
             javax.imageio.ImageIO.write(scaled, "jpeg", bos)
             bos.toByteArray
           }
-          // keep the source timing: fps from the header's frame duration
-          val fps = math.max(1L, math.round(1000000.0 / v.microSecPerFrame)).toInt
-          (buildMjpegAvi(out, tw, th, fps), "transcoded")
+          // keep the source timing EXACTLY: the header's frame duration in
+          // microseconds carries over as-is (fps-representable or not)
+          (buildMjpegAviUspf(out, tw, th, v.microSecPerFrame), "transcoded")
         } catch { case _: Throwable => (bytes, "frame_decode_failed") }
     }
 

@@ -978,6 +978,16 @@ class MultimodalSpec extends SparkSpec {
       .head()
     assert(b.getAs[String]("transcode_status") == "frame_decode_failed")
     assert(b.getAs[Array[Byte]]("transcoded").toSeq == badFrame.toSeq)
+    // non-fps-representable timing (29.97 fps ≈ 33367 µs/frame) survives
+    // the transcode EXACTLY — duration is carried in µs, never re-derived
+    // through an integer fps
+    val ntsc = Multimodal.buildMjpegAviUspf(
+      Seq(solidJpeg(8, 8, 0x808080)), 8, 8, 33367L)
+    val t = Multimodal.transcodeVideo(Seq((5L, ntsc)).toDF("id", "blob"), "blob", 4, 4)
+      .head()
+    assert(t.getAs[String]("transcode_status") == "transcoded")
+    val reparsed = graft.llm.LlmTestAccess.parseAvi(t.getAs[Array[Byte]]("transcoded")).get
+    assert(reparsed.microSecPerFrame == 33367L && reparsed.width == 4, reparsed.toString)
   }
 
   test("decodeAndFeaturize REALLY decodes WAV PCM: header-exact frames, rate, channels, RMS") {

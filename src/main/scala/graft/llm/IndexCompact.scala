@@ -171,6 +171,89 @@ object IndexCompact {
     (compacted, before, after)
   }
 
+  /** Crash-safe DELETION from a `col=value`-partitioned table — the
+    * takedown path (right-to-be-forgotten, licensing retractions) a
+    * long-lived 100 TB index cannot live without. ONE broadcast-semi-join
+    * scan over the table locates the partitions that actually hold
+    * matching rows (the root read is partition-column-aware, and the id
+    * predicate prunes row groups via parquet stats); only those
+    * partitions rewrite, through the SAME staged move-aside/commit
+    * machinery as [[compactPartitioned]] (identical `_compact_*` staging
+    * and `compact-<runId>-` naming, so [[recover]] restores an
+    * interrupted delete byte-identically — re-run it after recovery).
+    * Returns the number of rows removed.
+    *
+    * Index semantics downstream: a deleted doc stops matching future
+    * queries/ingests immediately. Survivor-index caveats hold — past
+    * losers of a deleted keeper are not resurrected, the id watermark
+    * does not move back (ids are permanently consumed), and a Bloom
+    * sketch that remembers a deleted gram merely routes future probes to
+    * a verification that now finds nothing (a false positive, the
+    * contract blooms already carry).
+    */
+  def deleteMatching(spark: SparkSession, dir: String, idCol: String,
+      partitionCol: String, ids: Seq[Long],
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(ids.nonEmpty, "deleteMatching needs at least one id")
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"IndexCompact: no directory at $dir")
+    val tmpRoot = new Path(root, "_compact_tmp")
+    val oldRoot = new Path(root, "_compact_old")
+    val doneRoot = new Path(root, "_compact_done")
+    require(!hasAnyFile(fs, tmpRoot) && !hasAnyFile(fs, oldRoot),
+      s"IndexCompact: $dir has leftover files from an interrupted rewrite " +
+        "(_compact_tmp/_compact_old non-empty) — run IndexCompact.recover first")
+    fs.delete(doneRoot, true)
+    implicit val enc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    val idsDf = spark.createDataset(ids).toDF(idCol)
+    val touched = spark.read.parquet(dir)
+      .join(broadcast(idsDf), Seq(idCol), "left_semi")
+      .groupBy(col(partitionCol)).count()
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    if (touched.isEmpty) return 0L
+    val runId = java.util.UUID.randomUUID().toString
+    fs.mkdirs(oldRoot)
+    val marker = fs.create(new Path(oldRoot, "_runid"), true)
+    marker.write(runId.getBytes("UTF-8")); marker.close()
+    var removed = 0L
+    touched.foreach { case (value, nMatch) =>
+      val part = new Path(root, s"$partitionCol=$value")
+      require(fs.exists(part), s"IndexCompact: expected partition dir $part")
+      val files = liveFiles(fs, part)
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val tmp = new Path(tmpRoot, part.getName)
+      // (1) filtered rewrite of this partition's rows alone
+      spark.read.parquet(part.toString)
+        .join(broadcast(idsDf), Seq(idCol), "left_anti")
+        .coalesce(nOut)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // (2) park originals; (3) move the new files in; (4) commit
+      val oldPart = new Path(oldRoot, part.getName)
+      fs.mkdirs(oldPart)
+      files.foreach(f =>
+        renameOrAbort(fs, f.getPath, new Path(oldPart, f.getPath.getName)))
+      liveFiles(fs, tmp).foreach { f =>
+        renameOrAbort(fs, f.getPath,
+          new Path(part, s"compact-$runId-${f.getPath.getName}"))
+      }
+      fs.mkdirs(doneRoot)
+      renameOrAbort(fs, oldPart, new Path(doneRoot, part.getName))
+      fs.delete(new Path(doneRoot, part.getName), true)
+      fs.delete(tmp, true)
+      removed += nMatch
+    }
+    require(!hasAnyFile(fs, tmpRoot) && !hasAnyFile(fs, oldRoot),
+      s"IndexCompact: staging directories not empty after delete in $dir")
+    fs.delete(tmpRoot, true)
+    fs.delete(oldRoot, true)
+    fs.delete(doneRoot, true)
+    removed
+  }
+
   /** Restore `dir` after an interrupted [[compactPartitioned]]: for every
     * partition with files parked in `_compact_old`, delete the files THAT
     * run already moved into the live directory (identified by the

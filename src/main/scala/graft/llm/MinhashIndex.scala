@@ -359,6 +359,17 @@ object MinhashIndex {
     survivors
   }
 
+  /** Takedown: remove `ids` from all three tables (crash-safe staged
+    * rewrites — [[IndexCompact.deleteMatching]]; run `recover` on each
+    * subdirectory and re-run after a crash). Deleted docs stop matching
+    * immediately; their past dedup victims are NOT resurrected (the
+    * survivor-index trade) and their ids stay consumed by the watermark.
+    * Returns rows removed per table (bands, shingles, exact). */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): (Long, Long, Long) = (
+    IndexCompact.deleteMatching(spark, s"$path/bands", "_id", "_band", ids),
+    IndexCompact.deleteMatching(spark, s"$path/shingles", "_id", "_p", ids),
+    IndexCompact.deleteMatching(spark, s"$path/exact", "_id", "_p", ids))
+
   /** Small-file maintenance for the three partitioned tables — every
     * ingest appends one file set per touched partition directory (see
     * [[IndexCompact]]; offline op, crash-recoverable via

@@ -218,6 +218,14 @@ object SemIndex {
     survivors
   }
 
+  /** Takedown: remove `ids` from the vector table (crash-safe staged
+    * rewrite — [[IndexCompact.deleteMatching]]). Deleted vectors stop
+    * matching future ingests immediately; past dedup victims are not
+    * resurrected and the id watermark does not move back. Centroids are
+    * untouched (the frozen-quantizer contract). Returns rows removed. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long =
+    IndexCompact.deleteMatching(spark, s"$path/vectors", "id", "_cluster", ids)
+
   /** Small-file maintenance: every [[ingest]] appends one file set per
     * touched cluster directory — compact the oversized ones (see
     * [[IndexCompact]]). Centroids and params are untouched; dedup results

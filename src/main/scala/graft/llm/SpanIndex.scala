@@ -217,6 +217,15 @@ object SpanIndex {
     result
   }
 
+  /** Takedown: remove every gram KEPT by one of `ids` (crash-safe staged
+    * rewrite — [[IndexCompact.deleteMatching]]). Future batches may then
+    * keep fresh copies of those spans (the takedown intent); the Bloom
+    * sketch still remembers the deleted grams, which only routes probes
+    * to a verification that finds nothing — a false positive of the kind
+    * the bloom contract already absorbs. Returns grams removed. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long =
+    IndexCompact.deleteMatching(spark, s"$path/grams", "keeper", "bucket", ids)
+
   /** Small-file maintenance for the bucket-partitioned gram table — every
     * ingest appends one file set per touched bucket (see [[IndexCompact]];
     * offline op, crash-recoverable via IndexCompact.recover). */

@@ -113,6 +113,9 @@ object Completions {
     Completion("ClassifierTransform",
       "{type = \"ClassifierTransform\", name = \"nb\", inputView = \"labeled\", outputView = \"model\",\n" +
         " textField = \"text\", labelField = \"label\", mode = \"train\", maxVocab = 100000}"),
+    Completion("IndexDedupTransform (takedown delete)",
+      "{type = \"IndexDedupTransform\", name = \"takedown\", inputView = \"removed_ids\", outputView = \"report\",\n" +
+        " indexURI = \"/path/mhidx\", idField = \"doc_id\", textField = \"text\", action = \"delete\"}"),
     Completion("WordCountsTransform",
       "{type = \"WordCountsTransform\", name = \"wc\", inputView = \"batch\", outputView = \"counts\",\n" +
         " countsURI = \"/path/wordcounts\", textField = \"text\", action = \"ingest\"}"),

@@ -244,8 +244,16 @@ final case class SemIndexDedupTransform(
     val out = action match {
       case "filter" => graft.llm.SemIndex.dedupAgainst(in, idField, vectorField, indexURI)
       case "ingest" => graft.llm.SemIndex.ingest(in, idField, vectorField, indexURI)
+      case "delete" =>
+        // takedown: the input view's idField column lists the vector ids
+        val ids = in.select(col(idField).cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val removed = graft.llm.SemIndex.delete(ctx.spark, indexURI, ids)
+        val spark = ctx.spark
+        import spark.implicits._
+        Seq((ids.length.toLong, removed)).toDF("n_ids", "vectors_removed")
       case other =>
-        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|ingest)")
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|ingest|delete)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
@@ -280,8 +288,16 @@ final case class SpanIndexTransform(
           k = shingleLength, hashMode = hashMode, nbuckets = numBuckets)
       case "ingest" =>
         graft.llm.SpanIndex.ingest(in, idField, textField, indexURI)
+      case "delete" =>
+        // takedown: the input view's idField column lists the doc ids
+        val ids = in.select(col(idField).cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val removed = graft.llm.SpanIndex.delete(ctx.spark, indexURI, ids)
+        val spark = ctx.spark
+        import spark.implicits._
+        Seq((ids.length.toLong, removed)).toDF("n_ids", "grams_removed")
       case other =>
-        throw new IllegalArgumentException(s"$name: unknown action '$other' (write|ingest)")
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (write|ingest|delete)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
@@ -319,8 +335,17 @@ final case class IndexDedupTransform(
       case "ingest" =>
         graft.llm.MinhashIndex.ingest(in, idField, textField, indexURI,
           threshold, maxCandidatesPerDoc)
+      case "delete" =>
+        // takedown: the input view's idField column lists the doc ids
+        val ids = in.select(col(idField).cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val (b, s, e) = graft.llm.MinhashIndex.delete(ctx.spark, indexURI, ids)
+        val spark = ctx.spark
+        import spark.implicits._
+        Seq((ids.length.toLong, b, s, e))
+          .toDF("n_ids", "band_rows_removed", "shingle_rows_removed", "exact_rows_removed")
       case other =>
-        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|matches|ingest)")
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|matches|ingest|delete)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

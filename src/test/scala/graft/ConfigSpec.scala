@@ -791,6 +791,31 @@ class ConfigSpec extends SparkSpec {
     assert(got == exp, s"$got\n != \n$exp")
   }
 
+  test("IndexDedupTransform action=delete takes docs down through the config surface") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mhdel").toString + "/idx"
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    Seq((0L, s"$t one"), (1L, s"$t two"), (2L, "entirely different unrelated content words here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("del_corpus")
+    graft.llm.MinhashIndex.write(spark.table("del_corpus"), "doc_id", "text", dir)
+    Seq(0L, 1L).toDF("doc_id").createOrReplaceTempView("del_ids")
+    Seq((100L, s"$t three")).toDF("doc_id", "text").createOrReplaceTempView("del_probe")
+    val hocon =
+      s"""{stages: [
+        { type = "IndexDedupTransform", name = "takedown", inputView = del_ids,
+          outputView = del_report, indexURI = "$dir", idField = doc_id,
+          textField = text, action = delete },
+        { type = "IndexDedupTransform", name = "recheck", inputView = del_probe,
+          outputView = del_out, indexURI = "$dir", idField = doc_id,
+          textField = text, action = filter }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val rep = spark.table("del_report").head()
+    assert(rep.getAs[Long]("n_ids") == 2L && rep.getAs[Long]("exact_rows_removed") == 2L)
+    // the near-dup probe survives now that its only neighbors are gone
+    assert(spark.table("del_out").count() == 1)
+  }
+
   test("WordCountsTransform rejects an unknown action and an empty countsURI") {
     val ctx = new PipelineContext(spark)
     val e1 = intercept[IllegalArgumentException] {

@@ -1260,6 +1260,41 @@ class MinhashIndexSpec extends SparkSpec {
     assert(ex2.getMessage.contains("crashed between"), ex2.getMessage)
   }
 
+  test("delete: taken-down docs stop matching in all three tables; watermark stays consumed") {
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    def t(template: String, tag: String) = s"$template $tag"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val corpus = Seq(
+      (0L, t(base, "one")), (1L, t(base, "two")),
+      (2L, "completely different words entirely unrelated content block sits right here now"))
+      .toDF("doc_id", "text")
+    graft.llm.MinhashIndex.write(corpus, "doc_id", "text", path)
+    // near-dup and verbatim probes die against the live index
+    def survivors(rows: Seq[(Long, String)]) =
+      graft.llm.MinhashIndex.dedupAgainst(
+        rows.toDF("doc_id", "text"), "doc_id", "text", path)
+        .select("doc_id").as[Long].collect().toSet
+    assert(survivors(Seq((100L, t(base, "three")), (101L, corpus.head().getString(1)))).isEmpty)
+    // take the whole clique down
+    val (b, s, e) = graft.llm.MinhashIndex.delete(spark, path, Seq(0L, 1L))
+    assert(e == 2L && s == 2L && b > 0L, (b, s, e).toString)
+    // the same probes now survive — LSH, exact-fingerprint and shingle
+    // verification all stopped seeing the deleted docs
+    assert(survivors(Seq((100L, t(base, "three")),
+      (101L, t(base, "one")))) == Set(100L, 101L))
+    // doc 2 still matches (deletion touched only the listed ids)
+    assert(survivors(Seq((102L,
+      "completely different words entirely unrelated content block sits right here now"))).isEmpty)
+    // the watermark did NOT move back: deleted ids stay consumed
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.MinhashIndex.ingest(
+        Seq((1L, "anything")).toDF("doc_id", "text"), "doc_id", "text", path)
+    }
+    assert(ex.getMessage.contains("strictly above"))
+    // deleting ids the index never held is a no-op, not an error
+    assert(graft.llm.MinhashIndex.delete(spark, path, Seq(999L)) == ((0L, 0L, 0L)))
+  }
+
   test("candidate cap: maxCandidatesPerDoc=1 still catches exact copies in a hot cluster") {
     val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
     // 200 near-identical corpus docs — every band bucket is hot, so caps bite
@@ -2232,6 +2267,29 @@ class SemIndexSpec extends SparkSpec {
     assert(s2 == Set(600L), s2.toString)
   }
 
+  test("delete: taken-down vectors stop matching; the next copy survives and re-protects") {
+    val path = java.nio.file.Files.createTempDirectory("semidx").toString + "/idx"
+    val corpus = rows((0L until 15L).map(id => (id, (id % 5).toInt)))
+    SemIndex.write(corpus, "vec_id", "embedding", path, nclusters = 4, tau = 0.95)
+    // a copy of pattern 0 dies against the live index
+    assert(SemIndex.dedupAgainst(rows(Seq((100L, 0))), "vec_id", "embedding", path)
+      .count() == 0)
+    // take down the pattern-0 keeper
+    assert(SemIndex.delete(spark, path, Seq(0L)) == 1L)
+    // the same copy now survives; other patterns still match
+    assert(SemIndex.dedupAgainst(rows(Seq((100L, 0))), "vec_id", "embedding", path)
+      .count() == 1)
+    assert(SemIndex.dedupAgainst(rows(Seq((101L, 1))), "vec_id", "embedding", path)
+      .count() == 0)
+    // an ingest of the freed pattern re-protects it for the batch after
+    val s1 = SemIndex.ingest(rows(Seq((100L, 0))), "vec_id", "embedding", path)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s1 == Set(100L), s1.toString)
+    val s2 = SemIndex.ingest(rows(Seq((200L, 0))), "vec_id", "embedding", path)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s2.isEmpty, s2.toString)
+  }
+
   test("two sequential batches ≡ one combined batch") {
     val p1 = java.nio.file.Files.createTempDirectory("semidx").toString + "/a"
     val p2 = java.nio.file.Files.createTempDirectory("semidx").toString + "/b"
@@ -2395,6 +2453,29 @@ class SpanIndexSpec extends SparkSpec {
       SpanIndex.ingest(df(batch1), "doc_id", "text", path).collect()
     }
     assert(ex.getMessage.contains("crashed between"), ex.getMessage)
+  }
+
+  test("delete: removing a keeper's grams frees its spans for future batches") {
+    val path = java.nio.file.Files.createTempDirectory("spanidx").toString + "/idx"
+    SpanIndex.write(df(base), "doc_id", "text", path, k = 4, nbuckets = 8)
+    // a batch doc repeating the boilerplate loses it (kept by doc 0)
+    val s1 = rowsOf(SpanIndex.ingest(
+      df(Seq((10L, s"x01 x02 $boiler x03 x04"))), "doc_id", "text", path))
+    assert(s1.head._3 > 0L, s1.toString)
+    // take down doc 0 — every gram it kept leaves the index
+    val removed = SpanIndex.delete(spark, path, Seq(0L))
+    assert(removed > 0L, removed.toString)
+    // a later batch doc with the same boilerplate now KEEPS it: the bloom
+    // still remembers the grams (false positive), but verification finds
+    // nothing in the rewritten buckets — the takedown intent
+    val s2 = rowsOf(SpanIndex.ingest(
+      df(Seq((20L, s"r01 r02 $boiler r03 r04"))), "doc_id", "text", path))
+    assert(s2.head._3 == 0L && s2.head._5.contains("b1 b2 b3"), s2.toString)
+    // ...and doc 20's freshly-kept grams immediately protect the corpus:
+    // a third repetition loses the run again
+    val s3 = rowsOf(SpanIndex.ingest(
+      df(Seq((30L, s"s01 s02 $boiler s03 s04"))), "doc_id", "text", path))
+    assert(s3.head._3 > 0L, s3.toString)
   }
 
   test("compaction shrinks the gram table without changing ingest results") {
@@ -2581,6 +2662,46 @@ class IndexCompactSpec extends SparkSpec {
     assert(IndexCompact.recover(spark, vecDir) == 0)
     assert(ids() == beforeIds)
     assert(!fs.exists(new Path(root, "_compact_done")))
+  }
+
+  test("interrupted delete: refuse over wreckage, recover restores, re-run removes exactly the target") {
+    import org.apache.hadoop.fs.Path
+    import graft.llm.IndexCompact
+    val path = java.nio.file.Files.createTempDirectory("cmpd").toString + "/idx"
+    SemIndex.write(rows((0L until 8L).map(id => (id, id.toInt))), "vec_id", "embedding",
+      path, nclusters = 2, tau = 0.95)
+    val vecDir = s"$path/vectors"
+    val fs = new Path(vecDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids() = spark.read.parquet(vecDir).select("id").as[Long].collect().sorted.toSeq
+    def live(p: Path) = fs.listStatus(p).filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    val beforeIds = ids()
+    // hand-build an interrupted DELETE's mid-swap state (same staging
+    // layout as compaction: filtered replacement in tmp, marker recorded,
+    // originals parked, NOTHING moved in yet)
+    val root = new Path(vecDir)
+    val part = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=")).head.getPath
+    val runId = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+    spark.read.parquet(part.toString).filter($"id" =!= 3L).coalesce(1)
+      .write.mode("overwrite").parquet(new Path(root, s"_compact_tmp/${part.getName}").toString)
+    val oldPart = new Path(root, s"_compact_old/${part.getName}")
+    fs.mkdirs(oldPart)
+    val marker = fs.create(new Path(root, "_compact_old/_runid"), true)
+    marker.write(runId.getBytes("UTF-8")); marker.close()
+    live(part).foreach(f =>
+      assert(fs.rename(f.getPath, new Path(oldPart, f.getPath.getName))))
+    // a fresh delete refuses to run over the wreckage
+    val refused = intercept[IllegalArgumentException] {
+      SemIndex.delete(spark, path, Seq(3L))
+    }
+    assert(refused.getMessage.contains("recover"), refused.getMessage)
+    // recovery restores the full pre-delete content; the re-run delete
+    // then removes exactly the target row
+    assert(IndexCompact.recover(spark, vecDir) == 1)
+    assert(ids() == beforeIds)
+    assert(SemIndex.delete(spark, path, Seq(3L)) == 1L)
+    assert(ids() == beforeIds.filterNot(_ == 3L))
   }
 }
 

@@ -2167,6 +2167,66 @@ object SparkEntry {
           (col("_kid").isNotNull === col("expect_kept")).as("ok"))
         .orderBy("doc_id")
     },
+    "q202_index_takedown" -> withViews("documents") { (spark, ctx) =>
+      // Index takedown DELETE, self-verifying — the lifecycle step after
+      // q191's ingest: write the base corpus, verify copies of two
+      // disjoint id groups die against the live index, take group A down
+      // (MinhashIndex.delete — crash-safe staged partition rewrite), then
+      // probe BOTH groups again: copies of deleted docs must now SURVIVE
+      // (LSH + exact + shingle tiers all stopped seeing them) while
+      // copies of retained docs still die. Exact-fingerprint decisions →
+      // deterministic; `ok` pins kept == expected per probe, before and
+      // after, and the watermark stays consumed (deleted ids are not
+      // reusable — checked via the in-band tripwire flag).
+      import graft.llm.MinhashIndex
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q202_mhdel_").toString + "/idx"
+      // unique-token texts (the q191 discipline): every doc is orthogonal
+      // to every other, so a probe copy can match ONLY its source — the
+      // survive/die expectations depend on the takedown alone, never on
+      // incidental near-dups inside the natural corpus
+      val base = ctx.view("documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(11)),
+            i => concat(lit("tk"), col("doc_id"), lit("x"), i))).as("text"))
+      MinhashIndex.write(base, "doc_id", "text", dir)
+      def probes(tag: Long) = base
+        .filter((col("doc_id") % 7).isin(0, 3))
+        .select((col("doc_id") + tag).as("doc_id"), col("text"),
+          (col("doc_id") % 7).as("_grp"))
+      // pass 1: every copy dies against the live index. PINNED before the
+      // takedown — the probe plan reads the index files, and the delete
+      // below rewrites them; an unpinned pass-1 would lazily execute
+      // after the files are gone
+      val kept1 = MinhashIndex.dedupAgainst(probes(1000L).drop("_grp"),
+        "doc_id", "text", dir).select(col("doc_id").as("_kid"))
+      val pass1 = graft.core.Lineage.pin(probes(1000L)
+        .join(kept1, col("doc_id") === col("_kid"), "left")
+        .select(col("doc_id"), lit(1).as("pass"),
+          lit(false).as("expect_kept"), col("_kid").isNotNull.as("kept")))
+      // takedown: group 0 (doc_id % 7 == 0) leaves the index
+      val victims = base.filter(col("doc_id") % 7 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      MinhashIndex.delete(spark, dir, victims)
+      // the watermark did not move back: a deleted id is still consumed
+      val reuseRefused =
+        try { MinhashIndex.ingest(base.filter(col("doc_id") === victims.head)
+            .select(col("doc_id"), col("text")), "doc_id", "text", dir)
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("strictly above") }
+      // pass 2: group-0 copies survive, group-3 copies still die
+      val kept2 = MinhashIndex.dedupAgainst(probes(5000L).drop("_grp"),
+        "doc_id", "text", dir).select(col("doc_id").as("_kid"))
+      val pass2 = probes(5000L)
+        .join(kept2, col("doc_id") === col("_kid"), "left")
+        .select(col("doc_id"), lit(2).as("pass"),
+          (col("_grp") === 0).as("expect_kept"), col("_kid").isNotNull.as("kept"))
+      pass1.unionByName(pass2)
+        .select(col("doc_id"), col("pass"), col("expect_kept"), col("kept"),
+          (col("kept") === col("expect_kept") && lit(reuseRefused)).as("ok"))
+        .orderBy("pass", "doc_id")
+    },
     "q192_unigram_encode" -> { (spark: SparkSession, dir: String) =>
       configureReads(spark)
       val ctx = new PipelineContext(spark)

@@ -218,25 +218,33 @@ object IndexCompact {
     fs.mkdirs(oldRoot)
     val marker = fs.create(new Path(oldRoot, "_runid"), true)
     marker.write(runId.getBytes("UTF-8")); marker.close()
+    // (1) filtered rewrite of ALL touched partitions in ONE Spark job
+    // (basePath keeps the partition column; a per-partition loop would run
+    // one tiny job per directory — measured ~150 sequential jobs for a
+    // 29-doc takedown across the three minhash tables). Writer tasks are
+    // batch-sized, so a small takedown lands one file per touched dir.
+    val touchedDirs = touched.keys.map(v => s"$dir/$partitionCol=$v").toSeq
+    touchedDirs.foreach(d => require(fs.exists(new Path(d)),
+      s"IndexCompact: expected partition dir $d"))
+    val keptRows = spark.read.option("basePath", dir).parquet(touchedDirs: _*)
+      .join(broadcast(idsDf), Seq(idCol), "left_anti")
+    val touchedBytes = touchedDirs.map(d => liveFiles(fs, new Path(d)).map(_.getLen).sum).sum
+    val nOut = math.max(touched.size.toLong,
+      (touchedBytes + targetBytes - 1) / targetBytes)
+    keptRows.coalesce(math.min(nOut, 1L << 16).toInt)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmpRoot.toString)
     var removed = 0L
     touched.foreach { case (value, nMatch) =>
       val part = new Path(root, s"$partitionCol=$value")
-      require(fs.exists(part), s"IndexCompact: expected partition dir $part")
       val files = liveFiles(fs, part)
-      val bytes = files.map(_.getLen).sum
-      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val tmp = new Path(tmpRoot, part.getName)
-      // (1) filtered rewrite of this partition's rows alone
-      spark.read.parquet(part.toString)
-        .join(broadcast(idsDf), Seq(idCol), "left_anti")
-        .coalesce(nOut)
-        .write.mode("overwrite").parquet(tmp.toString)
-      // (2) park originals; (3) move the new files in; (4) commit
+      // (2) park originals; (3) move the new files in (a fully-deleted
+      // partition has no tmp dir — nothing moves in); (4) commit
       val oldPart = new Path(oldRoot, part.getName)
       fs.mkdirs(oldPart)
       files.foreach(f =>
         renameOrAbort(fs, f.getPath, new Path(oldPart, f.getPath.getName)))
-      liveFiles(fs, tmp).foreach { f =>
+      if (fs.exists(tmp)) liveFiles(fs, tmp).foreach { f =>
         renameOrAbort(fs, f.getPath,
           new Path(part, s"compact-$runId-${f.getPath.getName}"))
       }

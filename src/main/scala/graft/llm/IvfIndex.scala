@@ -213,6 +213,14 @@ object IvfIndex {
       maxFilesPerPartition: Int = 8): (Int, Long, Long) =
     IndexCompact.compactPartitioned(spark, s"$path/vectors", maxFilesPerPartition)
 
+  /** Takedown: remove `ids` from the list-partitioned vector table
+    * (crash-safe staged rewrite — [[IndexCompact.deleteMatching]]; all
+    * three read tiers — flat, SQ8, PQ — share the table, so one delete
+    * covers them). Centroids and codebooks are untouched (the frozen-
+    * quantizer contract). Returns rows removed. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long =
+    IndexCompact.deleteMatching(spark, s"$path/vectors", "id", "_list", ids)
+
   /** Top-k cosine neighbors for a query batch against the persisted index.
     * Reads only the probed inverted-list partitions.
     */

@@ -748,8 +748,13 @@ final case class IvfIndexLoad(
           pqResidual = pqResidual)
       case "ingest" =>
         graft.llm.IvfIndex.ingest(ctx.view(inputView), idField, vectorField, outputURI)
+      case "delete" =>
+        // takedown: the input view's idField column lists the vector ids
+        val ids = ctx.view(inputView).select(col(idField).cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        graft.llm.IvfIndex.delete(ctx.spark, outputURI, ids)
       case other =>
-        throw new IllegalArgumentException(s"$name: unknown action '$other' (write|ingest)")
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (write|ingest|delete)")
     }
     None
   }

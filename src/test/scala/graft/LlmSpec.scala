@@ -2664,6 +2664,27 @@ class IndexCompactSpec extends SparkSpec {
     assert(!fs.exists(new Path(root, "_compact_done")))
   }
 
+  test("IvfIndex.delete: the taken-down vector vanishes from all three read tiers") {
+    val path = java.nio.file.Files.createTempDirectory("cmpe").toString + "/idx"
+    IvfIndex.write(rows((0L until 32L).map(id => (id, id.toInt))), "vec_id", "embedding",
+      path, nlist = 4, pqSubspaces = 4)
+    val queries = rows(Seq((900L, 3)))
+    def hits(): Set[Set[Long]] = Set(
+      IvfIndex.topK(queries, "vec_id", "embedding", path, k = 1, nprobe = 4),
+      IvfIndex.topKQuantized(queries, "vec_id", "embedding", path, k = 1,
+        nprobe = 4, shortlistFactor = 1000),
+      IvfIndex.topKPq(queries, "vec_id", "embedding", path, k = 1,
+        nprobe = 4, shortlistFactor = 1000))
+      .map(_.select("neighbor_id").as[Long].collect().toSet)
+    // vector 3 is the exact one-hot match for pattern-3 queries everywhere
+    assert(hits() == Set(Set(3L)), hits().toString)
+    assert(IvfIndex.delete(spark, path, Seq(3L)) == 1L)
+    // every tier now returns some OTHER (orthogonal) neighbor — 3 is gone
+    hits().foreach(h => assert(h.nonEmpty && !h.contains(3L), h.toString))
+    // the remaining corpus is intact
+    assert(spark.read.parquet(s"$path/vectors").count() == 31L)
+  }
+
   test("interrupted delete: refuse over wreckage, recover restores, re-run removes exactly the target") {
     import org.apache.hadoop.fs.Path
     import graft.llm.IndexCompact

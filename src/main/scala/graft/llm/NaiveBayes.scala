@@ -120,6 +120,77 @@ object NaiveBayes {
     Model(classTable, tokenTable)
   }
 
+  /** Exact takedown for the model — the inverse of [[merge]], completing
+    * right-to-be-forgotten for the classifier tier: every parameter is an
+    * integer count, so subtraction is exact —
+    * `unlearn(train(A ∪ B), B, …) == train(A)` EXACTLY, token counts,
+    * class doc/token totals and (hence) every future prediction included.
+    * The model must be UNCAPPED (a capped model already forgot its tail
+    * counts — keep the uncapped model persisted, cap only serving copies)
+    * and the batch must be a SUBSET of what the model trained on: any
+    * count that would go negative fails loudly before anything changes.
+    * Classes whose doc count reaches zero are dropped entirely, as are
+    * zero-count token rows — no tombstones, so the unlearned model is
+    * byte-for-byte the never-saw-B model. Cost: ONE training pass over
+    * the BATCH plus vocab-bounded merges — the historical corpus is never
+    * re-read.
+    *
+    * Subsetness is checked on COUNTS, not provenance: a batch with the
+    * same label/word multiset as the original data passes even if it is
+    * not literally the ingested rows — count subtraction cannot tell
+    * those apart. Feed back the data that was actually trained. */
+  def unlearn(model: Model, batch: DataFrame, textCol: String,
+      labelCol: String): Model = {
+    val forget = train(batch, textCol, labelCol)
+    val classTable = graft.core.Lineage.pin(
+      model.classTable.unionByName(forget.classTable
+          .select(col("label"), (-col("n_docs")).as("n_docs"),
+            (-col("n_tokens")).as("n_tokens")))
+        .groupBy("label")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens")))
+    val tokenTable = graft.core.Lineage.pin(
+      model.tokenTable.unionByName(forget.tokenTable
+          .select(col("label"), col("token"), (-col("cnt")).as("cnt")))
+        .groupBy("label", "token").agg(sum("cnt").as("cnt")))
+    val badClass = classTable
+      .filter(col("n_docs") < 0 || col("n_tokens") < 0)
+      .orderBy("label").limit(5).collect().map(_.getString(0))
+    require(badClass.isEmpty,
+      "NaiveBayes.unlearn: batch is not a subset of the trained data — " +
+        s"classes with more docs/tokens in the batch than in the model " +
+        s"(first ${badClass.length}): ${badClass.mkString(", ")}. Unlearn " +
+        "only data that was previously trained into this (uncapped) model.")
+    val badTok = tokenTable.filter(col("cnt") < 0)
+      .orderBy("label", "token").limit(5).collect()
+      .map(r => s"${r.getString(0)}/${r.getString(1)}")
+    require(badTok.isEmpty,
+      "NaiveBayes.unlearn: batch is not a subset of the trained data — " +
+        s"(class, token) counts that would go negative " +
+        s"(first ${badTok.length}): ${badTok.mkString(", ")}. Unlearn only " +
+        "data that was previously trained into this (uncapped) model.")
+    val kept = classTable.filter(col("n_docs") > 0)
+    Model(kept,
+      // tokens of a fully-removed class are all zero for an exact subset;
+      // the semi join also clears them under the documented non-provenance
+      // caveat, so a dropped class never leaves orphan token rows behind
+      tokenTable.filter(col("cnt") > 0)
+        .join(broadcast(kept.select("label")), Seq("label"), "left_semi"))
+  }
+
+  /** [[unlearn]] against the PERSISTED model — the inverse of [[ingest]]:
+    * `write(train(A)); ingest(B); unlearn(B)` leaves exactly
+    * `train(A)` on disk. Same crash discipline as ingest (the swap
+    * happens only after the complete unlearned copy exists; re-run after
+    * a crash) and same single-writer caveat. Returns the unlearned model
+    * re-read from the live path. */
+  def unlearn(batch: DataFrame, textCol: String, labelCol: String,
+      path: String): Model = {
+    val spark = batch.sparkSession
+    val updated = unlearn(read(spark, path), batch, textCol, labelCol)
+    write(updated, path)
+    read(spark, path)
+  }
+
   /** Persist a model as `path/classes` + `path/tokens` parquet. The whole
     * model directory swaps atomically ([[graft.core.AtomicDir]] — the
     * index-params discipline): both tables land complete in a temp dir
@@ -161,8 +232,18 @@ object NaiveBayes {
     * want them next to the text join on the id themselves, and the
     * document text never rides through this operator's shuffles. Empty
     * documents score on the class priors alone.
+    *
+    * `maxModelRows` guards the model collect: the token table is
+    * vocab-bounded, but "vocab" at web scale means an UNCAPPED model is
+    * corpus-vocabulary-shaped (hundreds of millions of rows) and would
+    * funnel through the driver with no signal until OOM. The collect is
+    * limit-capped, so the guard costs no extra job and the driver never
+    * holds more than `maxModelRows + 1` rows even on the failure path —
+    * cap the model ([[train]]'s `maxVocabPerClass`/`minCount`, [[cap]],
+    * ClassifierTransform's `maxVocab`) and retry.
     */
-  def predict(df: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+  def predict(df: DataFrame, idCol: String, textCol: String, model: Model,
+      maxModelRows: Long = 5000000L): DataFrame = {
     // The model tables are bounded (|classes| and |vocab|×|classes| rows)
     // — collect each ONCE as a local frame (the q178 vocab-pin
     // discipline). A model left as derived DataFrames would recompute the
@@ -170,11 +251,20 @@ object NaiveBayes {
     // collect, the scoring join — measured ~3 training passes per
     // predict), and the scoring join broadcasts the table to the driver
     // anyway.
+    require(maxModelRows > 0, s"maxModelRows must be positive, got $maxModelRows")
     val classes = model.classTable.select("label", "n_docs", "n_tokens")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     require(classes.nonEmpty, "predict needs a trained model with >= 1 class")
+    val limitRows = (maxModelRows + 1L).min(Int.MaxValue.toLong).toInt
     val tokenRows = model.tokenTable.select("label", "token", "cnt")
+      .limit(limitRows)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    require(tokenRows.size <= maxModelRows,
+      s"NaiveBayes.predict: model token table exceeds $maxModelRows rows — " +
+        "an uncapped web-scale vocabulary cannot broadcast through the " +
+        "driver. Cap the model first (train's maxVocabPerClass/minCount, " +
+        "NaiveBayes.cap, ClassifierTransform's maxVocab) or raise " +
+        "maxModelRows deliberately.")
     val vocabSize = tokenRows.iterator.map(_._2).toSet.size
     val totalDocs = classes.map(_._2).sum
     val spark = df.sparkSession

@@ -71,6 +71,42 @@ object WordCounts {
     read(spark, path)
   }
 
+  /** Exact takedown for the count table — the inverse of [[ingest]], the
+    * right-to-be-forgotten step the index tiers got in
+    * [[IndexCompact.deleteMatching]], here for the trainable state: counts
+    * are integers, so subtraction is exact — `write(A); ingest(B);
+    * delete(B)` (equivalently `write(A ∪ B); delete(B)`) leaves on disk
+    * EXACTLY `write(A)`'s table, and a tokenizer retrained from it has
+    * never seen the deleted documents' words.
+    *
+    * The batch must be a SUBSET of what the table counted: any word whose
+    * count would go negative fails loudly BEFORE the swap (deleting text
+    * that was never written/ingested is operator error, and silently
+    * clamping would de-sync the table from the corpus it claims to
+    * count). Words whose count reaches exactly zero are DROPPED — the
+    * table never grows tombstones, so `delete(B)` after `ingest(B)`
+    * really is byte-for-byte `write(A)`. One pass over the BATCH plus a
+    * vocab-shaped merge, the same scale shape as [[ingest]]; same
+    * single-writer discipline. Returns the table re-read from the live
+    * path. */
+  def delete(batch: DataFrame, textCol: String, path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val merged = graft.core.Lineage.pin(
+      read(spark, path)
+        .unionByName(Bpe.wordCounts(batch, textCol)
+          .select(col("word"), (-col("cnt")).as("cnt")))
+        .groupBy("word").agg(sum("cnt").as("cnt")))
+    val under = merged.filter(col("cnt") < 0)
+      .orderBy("word").limit(5).collect().map(_.getString(0))
+    require(under.isEmpty,
+      s"WordCounts.delete: batch is not a subset of the table at $path — " +
+        s"words occurring more often in the delete batch than in the table " +
+        s"(first ${under.length}): ${under.mkString(", ")}. Delete only text " +
+        "that was previously written/ingested into this table.")
+    writeCounts(merged.filter(col("cnt") > 0), path)
+    read(spark, path)
+  }
+
   /** The `maxWords` heaviest words (cnt desc, word asc — the tokenizers'
     * deterministic training order), collected bounded: the salted top-k
     * prunes per partition, so a hot vocabulary never funnels through one

@@ -1422,8 +1422,11 @@ final case class LangIdTransform(
   * `action=write` replaces the table at `countsURI` with the input view's
   * counts; `action=ingest` folds the input batch in (afterwards the table
   * ≡ a one-shot count over the union — the index-ingest contract, exact
-  * because counts are integers); `action=read` publishes the persisted
-  * table. All three publish the resulting (word, cnt) view — feed it to
+  * because counts are integers); `action=delete` subtracts the input
+  * batch's counts (the exact takedown inverse — fails loudly if the batch
+  * is not a subset of the table, drops zero-count rows);
+  * `action=read` publishes the persisted
+  * table. All four publish the resulting (word, cnt) view — feed it to
   * TokenizerTransform `mode=trainFromCounts` to retrain a tokenizer after
   * a daily batch without re-reading the historical corpus.
   */
@@ -1445,10 +1448,11 @@ final case class WordCountsTransform(
         WordCounts.write(ctx.view(inputView), textField, countsURI)
         WordCounts.read(ctx.spark, countsURI)
       case "ingest" => WordCounts.ingest(ctx.view(inputView), textField, countsURI)
+      case "delete" => WordCounts.delete(ctx.view(inputView), textField, countsURI)
       case "read"   => WordCounts.read(ctx.spark, countsURI)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown word-counts action '$other' (write|ingest|read)")
+          s"$name: unknown word-counts action '$other' (write|ingest|delete|read)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
@@ -1462,13 +1466,20 @@ final case class WordCountsTransform(
   * view); `mode=ingest` folds the input batch's counts into `modelView`'s
   * model by exact count addition ([[graft.llm.NaiveBayes.merge]] —
   * train-on-old ∪ new without touching the old corpus) and publishes the
-  * merged model view; `mode=predict` reads `modelView` and publishes one
-  * row per document: (idField, label_pred, n_tokens).
+  * merged model view; `mode=unlearn` subtracts the batch's counts
+  * ([[graft.llm.NaiveBayes.unlearn]] — the exact takedown inverse; fails
+  * loudly if the batch is not a subset of the trained data) and publishes
+  * the unlearned model view; `mode=predict` reads `modelView` and
+  * publishes one row per document: (idField, label_pred, n_tokens).
   *
   * `maxVocab` (> 0) / `minCount` (> 1) bound the trained vocabulary per
   * class ([[graft.llm.NaiveBayes.train]]'s cap — pruned tokens score via
-  * the Laplace fallback). In ingest mode the cap applies AFTER the merge,
-  * so count addition stays exact.
+  * the Laplace fallback). In ingest/unlearn mode the cap applies AFTER
+  * the merge/subtraction, so count arithmetic stays exact — which also
+  * means the INPUT `modelView` must itself be UNCAPPED: a capped input
+  * has already forgotten its tail counts, and neither mode can detect
+  * that (counts carry no provenance). Keep the uncapped model persisted;
+  * publish capped copies only for serving.
   */
 final case class ClassifierTransform(
     name: String,
@@ -1497,13 +1508,20 @@ final case class ClassifierTransform(
           NaiveBayes.modelFromView(ctx.view(modelView)),
           NaiveBayes.train(in, textField, labelField))
         NaiveBayes.modelToView(NaiveBayes.cap(merged, maxVocab, minCount))
+      case "unlearn" =>
+        require(modelView.nonEmpty, s"$name: unlearn mode needs modelView " +
+          "(the persisted UNCAPPED model — a capped input silently breaks " +
+          "count-subtraction exactness)")
+        val updated = NaiveBayes.unlearn(
+          NaiveBayes.modelFromView(ctx.view(modelView)), in, textField, labelField)
+        NaiveBayes.modelToView(NaiveBayes.cap(updated, maxVocab, minCount))
       case "predict" =>
         require(modelView.nonEmpty, s"$name: predict mode needs modelView")
         NaiveBayes.predict(in, idField, textField,
           NaiveBayes.modelFromView(ctx.view(modelView)))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown classifier mode '$other' (train|ingest|predict)")
+          s"$name: unknown classifier mode '$other' (train|ingest|unlearn|predict)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

@@ -791,6 +791,48 @@ class ConfigSpec extends SparkSpec {
     assert(got == exp, s"$got\n != \n$exp")
   }
 
+  test("WordCountsTransform action=delete + ClassifierTransform mode=unlearn: count-store takedown from config cells") {
+    import spark.implicits._
+    Seq((1L, "the cat sat"), (2L, "the dog")).toDF("id", "text")
+      .createOrReplaceTempView("wcd_a")
+    Seq((3L, "the cat ran")).toDF("id", "text")
+      .createOrReplaceTempView("wcd_b")
+    Seq((1L, "buy now", "spam"), (2L, "meeting notes", "ham"))
+      .toDF("id", "text", "label").createOrReplaceTempView("nbu_a")
+    Seq((3L, "buy cheap", "spam")).toDF("id", "text", "label")
+      .createOrReplaceTempView("nbu_b")
+    val dir = java.nio.file.Files.createTempDirectory("wcdstage").toString + "/wc"
+    val hocon =
+      s"""{stages: [
+        { type = "WordCountsTransform", name = "seed", inputView = wcd_a,
+          outputView = wcd_t1, countsURI = "$dir", textField = text },
+        { type = "WordCountsTransform", name = "daily", inputView = wcd_b,
+          outputView = wcd_t2, countsURI = "$dir", textField = text,
+          action = ingest },
+        { type = "WordCountsTransform", name = "takedown", inputView = wcd_b,
+          outputView = wcd_t3, countsURI = "$dir", textField = text,
+          action = delete },
+        { type = "ClassifierTransform", name = "train", inputView = nbu_a,
+          outputView = nbu_model, textField = text, labelField = label },
+        { type = "ClassifierTransform", name = "daily", inputView = nbu_b,
+          outputView = nbu_model2, textField = text, labelField = label,
+          mode = ingest, modelView = nbu_model },
+        { type = "ClassifierTransform", name = "forget", inputView = nbu_b,
+          outputView = nbu_model3, textField = text, labelField = label,
+          mode = unlearn, modelView = nbu_model2 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    // the deleted word table is exactly write(A)'s
+    val counts = spark.table("wcd_t3").as[(String, Long)].collect().toMap
+    assert(counts == Map("the" -> 2L, "cat" -> 1L, "sat" -> 1L, "dog" -> 1L),
+      counts.toString)
+    // ingest-then-unlearn round-trips to the original trained model
+    def tokMap(v: String) = graft.llm.NaiveBayes.modelFromView(spark.table(v))
+      .tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tokMap("nbu_model3") == tokMap("nbu_model"), tokMap("nbu_model3").toString)
+  }
+
   test("IndexDedupTransform action=delete takes docs down through the config surface") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mhdel").toString + "/idx"

@@ -3501,6 +3501,83 @@ class NaiveBayesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == exp && got.map(_._2) == Seq("spam", "ham"), (got, exp).toString)
   }
+
+  private def tokMapOf(m: NaiveBayes.Model) = m.tokenTable.collect()
+    .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  private def clsMapOf(m: NaiveBayes.Model) = m.classTable.collect()
+    .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("unlearn(train(A ∪ B), B) equals train(A) exactly — the takedown inverse of merge") {
+    val a = Seq((1L, "buy now", "spam"), (2L, "meeting notes", "ham"))
+      .toDF("id", "text", "label")
+    val b = Seq((3L, "buy cheap now now", "spam"), (4L, "agenda notes", "ham"),
+      (5L, "win big", "promo")).toDF("id", "text", "label")
+    val unlearned = NaiveBayes.unlearn(
+      NaiveBayes.train(a.unionByName(b), "text", "label"), b, "text", "label")
+    val expect = NaiveBayes.train(a, "text", "label")
+    assert(tokMapOf(unlearned) == tokMapOf(expect), tokMapOf(unlearned).toString)
+    assert(clsMapOf(unlearned) == clsMapOf(expect), clsMapOf(unlearned).toString)
+    // class "promo" lived only in B: dropped entirely, no orphan token rows
+    assert(!clsMapOf(unlearned).contains("promo"))
+    assert(unlearned.tokenTable.filter(col("label") === "promo").count() == 0)
+    // predictions from the unlearned model match the never-saw-B model
+    val q = Seq((9L, "buy cheap now"), (10L, "notes agenda")).toDF("id", "text")
+    val got = NaiveBayes.predict(q, "id", "text", unlearned).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val exp = NaiveBayes.predict(q, "id", "text", expect).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == exp, (got, exp).toString)
+  }
+
+  test("persisted unlearn inverts ingest: write(train(A)); ingest(B); unlearn(B) leaves train(A)") {
+    val a = Seq((1L, "buy now", "spam"), (2L, "meeting notes", "ham"))
+      .toDF("id", "text", "label")
+    val b = Seq((3L, "buy cheap", "spam"), (4L, "agenda notes notes", "ham"))
+      .toDF("id", "text", "label")
+    val dir = java.nio.file.Files.createTempDirectory("nbunlearn").toString + "/model"
+    NaiveBayes.write(NaiveBayes.train(a, "text", "label"), dir)
+    NaiveBayes.ingest(b, "text", "label", dir)
+    NaiveBayes.unlearn(b, "text", "label", dir)
+    val onDisk = NaiveBayes.read(spark, dir)
+    val expect = NaiveBayes.train(a, "text", "label")
+    assert(tokMapOf(onDisk) == tokMapOf(expect), tokMapOf(onDisk).toString)
+    assert(clsMapOf(onDisk) == clsMapOf(expect), clsMapOf(onDisk).toString)
+  }
+
+  test("unlearn refuses a batch that is not a subset of the trained data") {
+    val a = Seq((1L, "buy now", "spam"), (2L, "meeting notes", "ham"))
+      .toDF("id", "text", "label")
+    val m = NaiveBayes.train(a, "text", "label")
+    // token counts would go negative ("buy" ×2 was never trained)
+    val e1 = intercept[IllegalArgumentException] {
+      NaiveBayes.unlearn(m, Seq((1L, "buy buy", "spam")).toDF("id", "text", "label"),
+        "text", "label")
+    }
+    assert(e1.getMessage.contains("not a subset"), e1.getMessage)
+    // a whole class the model never saw: class totals go negative
+    val e2 = intercept[IllegalArgumentException] {
+      NaiveBayes.unlearn(m, Seq((1L, "hello", "other")).toDF("id", "text", "label"),
+        "text", "label")
+    }
+    assert(e2.getMessage.contains("not a subset"), e2.getMessage)
+    // the refused unlearn changed nothing
+    assert(clsMapOf(m) == Map("spam" -> (1L, 2L), "ham" -> (1L, 2L)))
+  }
+
+  test("predict fails loudly when the model token table exceeds maxModelRows") {
+    val docs = Seq((1L, "a b c d e f g h", "x"), (2L, "i j k", "y"))
+      .toDF("id", "text", "label")
+    val m = NaiveBayes.train(docs, "text", "label")
+    val e = intercept[IllegalArgumentException] {
+      NaiveBayes.predict(Seq((9L, "a")).toDF("id", "text"), "id", "text", m,
+        maxModelRows = 4L)
+    }
+    assert(e.getMessage.contains("maxVocabPerClass"), e.getMessage)
+    // under the cap the same model predicts normally
+    val p = NaiveBayes.predict(Seq((9L, "a")).toDF("id", "text"), "id", "text", m,
+      maxModelRows = 100L).head()
+    assert(p.getAs[String]("label_pred") == "x")
+  }
 }
 
 class WordCountsSpec extends SparkSpec {
@@ -3529,6 +3606,32 @@ class WordCountsSpec extends SparkSpec {
       Seq((1L, "b b b a a c c z")).toDF("id", "text"), "text", dir)
     val top = WordCounts.topWords(spark, dir, 3)
     assert(top == Seq(("b", 3L), ("a", 2L), ("c", 2L)), top.toString)
+  }
+
+  test("delete inverts ingest byte-for-byte: write(A); ingest(B); delete(B) == write(A)") {
+    val a = Seq((1L, "the cat sat"), (2L, "the dog")).toDF("id", "text")
+    val b = Seq((3L, "the cat ran"), (4L, "dog dog  ")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wcdel").toString + "/wc"
+    WordCounts.write(a, "text", dir)
+    WordCounts.ingest(b, "text", dir)
+    WordCounts.delete(b, "text", dir)
+    val got = WordCounts.read(spark, dir).as[(String, Long)].collect().toMap
+    // exactly write(A)'s counts — "ran" (only in B) is GONE, not a zero row
+    assert(got == Map("the" -> 2L, "cat" -> 1L, "sat" -> 1L, "dog" -> 1L),
+      got.toString)
+    assert(WordCounts.read(spark, dir).filter(col("cnt") <= 0).count() == 0)
+  }
+
+  test("delete refuses a batch that is not a subset of the table — nothing changes") {
+    val dir = java.nio.file.Files.createTempDirectory("wcdel").toString + "/wc"
+    WordCounts.write(Seq((1L, "the cat")).toDF("id", "text"), "text", dir)
+    val e = intercept[IllegalArgumentException] {
+      WordCounts.delete(Seq((2L, "the the")).toDF("id", "text"), "text", dir)
+    }
+    assert(e.getMessage.contains("not a subset") && e.getMessage.contains("the"),
+      e.getMessage)
+    val got = WordCounts.read(spark, dir).as[(String, Long)].collect().toMap
+    assert(got == Map("the" -> 1L, "cat" -> 1L), got.toString)
   }
 
   test("tokenizer retrained from the incrementally-built table equals the corpus-trained one") {

@@ -2452,6 +2452,60 @@ object SparkEntry {
         .select(col("word"), col("cnt"))
         .orderBy("word")
     },
+    "q203_wordcounts_delete" -> withViews("documents") { (spark, ctx) =>
+      // Count-store takedown under the FULL ORACLE (llm/WordCounts.delete)
+      // — the inverse of q201's ingest, completing right-to-be-forgotten
+      // for the trainable state: the engine writes batch A (even doc_ids),
+      // ingests batch B (odd doc_ids), then DELETES batch B by exact
+      // integer count subtraction — never re-reading A's text — and
+      // outputs the resulting table. DuckDB counts ONCE over batch A
+      // alone: byte-for-byte equality pins delete(B) ∘ ingest(B) ≡
+      // identity cross-engine, including zero-count rows being DROPPED
+      // (a B-only word surviving as cnt=0 would break the row match).
+      import graft.llm.WordCounts
+      val docs = ctx.view("documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q203_wcd_").toString + "/wc"
+      WordCounts.write(docs.filter(col("doc_id") % 2 === 0), "text", path)
+      WordCounts.ingest(docs.filter(col("doc_id") % 2 === 1), "text", path)
+      WordCounts.delete(docs.filter(col("doc_id") % 2 === 1), "text", path)
+      WordCounts.read(spark, path)
+        .filter(col("cnt") >= 3)
+        .select(col("word"), col("cnt"))
+        .orderBy("word")
+    },
+    "q204_nb_unlearn" -> withViews("documents") { (spark, ctx) =>
+      // Classifier takedown under the FULL ORACLE (llm/NaiveBayes.unlearn)
+      // — the inverse of q198's ingest: the engine persists
+      // train(A ∪ B), unlearns batch B through the on-disk model by exact
+      // count subtraction, and predicts the corpus with what remains. The
+      // oracle trains ONCE over batch A alone (q198's SQL, train set
+      // restricted) — passing byte-for-byte pins
+      // unlearn(train(A ∪ B), B) ≡ train(A) cross-engine, predictions
+      // included: the model provably no longer remembers B.
+      import graft.llm.NaiveBayes
+      val base = ctx.view("documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("promo"))
+          .otherwise(lit("clean")).as("label_true"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" subscribe now limited offer click here"))
+            .otherwise(lit(" method results analysis discussion further")))
+          .as("text2"))
+      val batchA = base.filter((col("doc_id") % 5).isin(1, 2))
+      val batchB = base.filter((col("doc_id") % 5).isin(3, 4))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q204_nbu_").toString + "/model"
+      NaiveBayes.write(
+        NaiveBayes.train(batchA.unionByName(batchB), "text2", "label_true"), path)
+      val unlearned = NaiveBayes.unlearn(batchB, "text2", "label_true", path)
+      val pred = NaiveBayes.predict(base, "doc_id", "text2", unlearned)
+      base.select(col("doc_id"), col("label_true"))
+        .join(pred, Seq("doc_id"))
+        .select(col("doc_id"), col("label_true"), col("label_pred"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    },
     "q200_video_transcode" -> withViews("documents") { (spark, ctx) =>
       // REAL video transcode, self-verifying: the q199 clips (5 solid
       // frames, shades 0/60/120/180/240, 24×16 @ 25 fps) run through
@@ -5350,6 +5404,69 @@ object SparkEntry {
               FROM documents)
         GROUP BY 1 HAVING count(*) >= 5
         ORDER BY word""",
+    "q203_wordcounts_delete" ->
+      // ONE count over batch A alone — the engine wrote A, ingested B,
+      // then deleted B by exact count subtraction; DuckDB never sees B
+      """SELECT token AS word, count(*) AS cnt
+        FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                t -> len(t) > 0)) AS token
+              FROM documents WHERE doc_id % 2 = 0)
+        GROUP BY 1 HAVING count(*) >= 3
+        ORDER BY word""",
+    "q204_nb_unlearn" ->
+      // q198's NB SQL with the train set restricted to batch A — the
+      // engine trained on A ∪ B and UNLEARNED B from the persisted model;
+      // matching predictions pin unlearn(train(A ∪ B), B) ≡ train(A)
+      """WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'promo' ELSE 'clean' END AS label_true,
+                 text || CASE WHEN doc_id % 3 = 0
+                     THEN ' subscribe now limited offer click here'
+                     ELSE ' method results analysis discussion further' END AS text2
+          FROM documents),
+        train AS (SELECT * FROM base WHERE doc_id % 5 IN (1, 2)),
+        ttok AS (
+          SELECT label_true AS label,
+                 unnest(list_filter(string_split_regex(trim(text2), '\s+'), t -> len(t) > 0)) AS token
+          FROM train),
+        token_table AS (SELECT label, token, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+        class_table AS (
+          SELECT t.label, d.n_docs, count(*) AS n_tokens
+          FROM ttok t
+          JOIN (SELECT label_true AS label, count(*) AS n_docs FROM train GROUP BY 1) d
+            USING (label)
+          GROUP BY 1, 2),
+        v AS (SELECT count(DISTINCT token) AS vocab FROM token_table),
+        tot AS (SELECT sum(n_docs) AS total_docs FROM class_table),
+        dtok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text2), '\s+'), t -> len(t) > 0)) AS token
+          FROM base),
+        contrib AS (
+          SELECT d.doc_id, c.label,
+                 sum(ln(coalesce(tt.cnt, 0) + 1) - ln(c.n_tokens + v.vocab)) AS token_score
+          FROM dtok d
+          CROSS JOIN class_table c
+          CROSS JOIN v
+          LEFT JOIN token_table tt ON tt.label = c.label AND tt.token = d.token
+          GROUP BY 1, 2),
+        ntok AS (SELECT doc_id, count(*) AS n_tokens FROM dtok GROUP BY 1),
+        scored AS (
+          SELECT b.doc_id, c.label,
+                 ln(c.n_docs) - ln(t.total_docs) + coalesce(co.token_score, 0) AS score
+          FROM (SELECT DISTINCT doc_id FROM base) b
+          CROSS JOIN class_table c
+          CROSS JOIN tot t
+          LEFT JOIN contrib co ON co.doc_id = b.doc_id AND co.label = c.label)
+        SELECT b.doc_id, b.label_true, s.label AS label_pred,
+               CAST(coalesce(n.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM base b
+        JOIN (SELECT doc_id, label,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+              FROM scored) s
+          ON s.doc_id = b.doc_id AND s.rn = 1
+        LEFT JOIN ntok n ON n.doc_id = b.doc_id
+        ORDER BY b.doc_id""",
     "q198_nb_incremental" ->
       // IDENTICAL SQL to q194 — deliberately: the oracle trains once over
       // A ∪ B (= doc_id % 5 IN (1,2,3,4), q194's train set), while the

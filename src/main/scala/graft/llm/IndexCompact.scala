@@ -171,17 +171,52 @@ object IndexCompact {
     (compacted, before, after)
   }
 
+  /** Seq sugar over the DataFrame-native [[deleteMatching]] below — the
+    * id list is takedown-sized (a legal request, not a corpus), so a
+    * local Seq is a fine carrier; large or view-shaped id sets should use
+    * the DataFrame overload directly. */
+  def deleteMatching(spark: SparkSession, dir: String, idCol: String,
+      partitionCol: String, ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "deleteMatching needs at least one id")
+    implicit val enc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    deleteMatching(spark, dir, idCol, partitionCol,
+      spark.createDataset(ids).toDF(idCol))
+  }
+
+  /** Partition-directory path for a value, escaped the way Spark's own
+    * writer escapes it (Hive-style percent-encoding) — so a partition
+    * value that needs escaping (strings with `/`, `=`, spaces …) maps to
+    * the directory the write actually produced instead of failing the
+    * exists check or silently missing it. Integer values pass through
+    * unchanged. */
+  private def partitionDir(dir: String, partitionCol: String, value: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    s"$dir/${escapePathName(partitionCol)}=${escapePathName(value)}"
+  }
+
   /** Crash-safe DELETION from a `col=value`-partitioned table — the
     * takedown path (right-to-be-forgotten, licensing retractions) a
-    * long-lived 100 TB index cannot live without. ONE broadcast-semi-join
-    * scan over the table locates the partitions that actually hold
-    * matching rows (the root read is partition-column-aware, and the id
-    * predicate prunes row groups via parquet stats); only those
-    * partitions rewrite, through the SAME staged move-aside/commit
-    * machinery as [[compactPartitioned]] (identical `_compact_*` staging
-    * and `compact-<runId>-` naming, so [[recover]] restores an
-    * interrupted delete byte-identically — re-run it after recovery).
-    * Returns the number of rows removed.
+    * long-lived 100 TB index cannot live without. Ids arrive as a
+    * one-column DataFrame (any column name; values cast to long, nulls
+    * fail fast), so config-surface callers never funnel an id view
+    * through the driver. Discovery of the touched partitions:
+    *
+    *  - with `partitionOf` (tables whose partition value is COMPUTABLE
+    *    from the id, e.g. the minhash tables' `_p = pmod(_id, 64)`): the
+    *    touched directories are derived from the ids with ZERO table IO
+    *    and only those directories are read for the per-partition match
+    *    counts;
+    *  - otherwise: one column-pruned scan over the table. Small id lists
+    *    (≤ 1000) ride as an `isin` literal so parquet row-group stats on
+    *    the id column prune the scan; larger ones as a broadcast semi
+    *    join (join predicates do NOT reach row-group stats).
+    *
+    * Only partitions holding matches rewrite, through the SAME staged
+    * move-aside/commit machinery as [[compactPartitioned]] (identical
+    * `_compact_*` staging and `compact-<runId>-` naming, so [[recover]]
+    * restores an interrupted delete byte-identically — re-run it after
+    * recovery). Returns the number of rows removed.
     *
     * Index semantics downstream: a deleted doc stops matching future
     * queries/ingests immediately. Survivor-index caveats hold — past
@@ -192,10 +227,10 @@ object IndexCompact {
     * contract blooms already carry).
     */
   def deleteMatching(spark: SparkSession, dir: String, idCol: String,
-      partitionCol: String, ids: Seq[Long],
+      partitionCol: String, idsDf: org.apache.spark.sql.DataFrame,
+      partitionOf: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
-    require(ids.nonEmpty, "deleteMatching needs at least one id")
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"IndexCompact: no directory at $dir")
@@ -206,13 +241,47 @@ object IndexCompact {
       s"IndexCompact: $dir has leftover files from an interrupted rewrite " +
         "(_compact_tmp/_compact_old non-empty) — run IndexCompact.recover first")
     fs.delete(doneRoot, true)
-    implicit val enc: org.apache.spark.sql.Encoder[Long] =
-      org.apache.spark.sql.Encoders.scalaLong
-    val idsDf = spark.createDataset(ids).toDF(idCol)
-    val touched = spark.read.parquet(dir)
-      .join(broadcast(idsDf), Seq(idCol), "left_semi")
-      .groupBy(col(partitionCol)).count()
-      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    require(idsDf.columns.nonEmpty, "deleteMatching: ids frame has no columns")
+    // normalize ONCE and pin: distinct longs under the table's id column
+    // name; the same frame feeds discovery, the match counts and the
+    // rewrite's anti join
+    val idsLong = graft.core.Lineage.pin(
+      idsDf.select(col(idsDf.columns.head).cast("long").as(idCol)).distinct())
+    val stats = idsLong.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn")).head()
+    val nIds = stats.getLong(0)
+    require(nIds > 0, "deleteMatching needs at least one id")
+    require(stats.getLong(1) == nIds,
+      "deleteMatching: ids contain NULL (null rows, or values that do not " +
+        "cast to long) — clean the id view before the takedown")
+    val idsLocal: Option[Seq[Long]] =
+      if (nIds <= 1000L) Some(idsLong.collect().map(_.getLong(0)).toSeq) else None
+    def matching(df: org.apache.spark.sql.DataFrame) = idsLocal match {
+      case Some(seq) => df.filter(col(idCol).isin(seq.map(java.lang.Long.valueOf): _*))
+      case None => df.join(broadcast(idsLong), Seq(idCol), "left_semi")
+    }
+    // discovery: which partition dirs hold matches, and how many rows each
+    val scanBase: Option[org.apache.spark.sql.DataFrame] = partitionOf match {
+      case Some(f) =>
+        val vals = idsLong.select(f(col(idCol)).cast("string").as("_pv"))
+          .distinct().collect().map(_.getString(0))
+        val dirs = vals.map(v => partitionDir(dir, partitionCol, v))
+          .filter(d => fs.exists(new Path(d))).toIndexedSeq
+        if (dirs.isEmpty) None
+        else Some(spark.read.option("basePath", dir).parquet(dirs: _*))
+      case None => Some(spark.read.parquet(dir))
+    }
+    val touched: Map[String, Long] = scanBase match {
+      case None => Map.empty
+      case Some(base) =>
+        matching(base.select(col(idCol), col(partitionCol)))
+          .groupBy(col(partitionCol)).count()
+          .collect().map { r =>
+            require(!r.isNullAt(0),
+              s"IndexCompact: null $partitionCol partition value in $dir — " +
+                "takedown requires concrete partition values")
+            (r.get(0).toString, r.getLong(1))
+          }.toMap
+    }
     if (touched.isEmpty) return 0L
     val runId = java.util.UUID.randomUUID().toString
     fs.mkdirs(oldRoot)
@@ -223,11 +292,11 @@ object IndexCompact {
     // one tiny job per directory — measured ~150 sequential jobs for a
     // 29-doc takedown across the three minhash tables). Writer tasks are
     // batch-sized, so a small takedown lands one file per touched dir.
-    val touchedDirs = touched.keys.map(v => s"$dir/$partitionCol=$v").toSeq
+    val touchedDirs = touched.keys.map(v => partitionDir(dir, partitionCol, v)).toSeq
     touchedDirs.foreach(d => require(fs.exists(new Path(d)),
       s"IndexCompact: expected partition dir $d"))
     val keptRows = spark.read.option("basePath", dir).parquet(touchedDirs: _*)
-      .join(broadcast(idsDf), Seq(idCol), "left_anti")
+      .join(broadcast(idsLong), Seq(idCol), "left_anti")
     val touchedBytes = touchedDirs.map(d => liveFiles(fs, new Path(d)).map(_.getLen).sum).sum
     val nOut = math.max(touched.size.toLong,
       (touchedBytes + targetBytes - 1) / targetBytes)
@@ -235,7 +304,7 @@ object IndexCompact {
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmpRoot.toString)
     var removed = 0L
     touched.foreach { case (value, nMatch) =>
-      val part = new Path(root, s"$partitionCol=$value")
+      val part = new Path(partitionDir(dir, partitionCol, value))
       val files = liveFiles(fs, part)
       val tmp = new Path(tmpRoot, part.getName)
       // (2) park originals; (3) move the new files in (a fully-deleted

@@ -221,6 +221,13 @@ object IvfIndex {
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long =
     IndexCompact.deleteMatching(spark, s"$path/vectors", "id", "_list", ids)
 
+  /** DataFrame-native [[delete]]: `ids` is a one-column frame of vector
+    * ids — the config surface passes its input view straight through, no
+    * driver-side id collection. (`_list` is assignment-derived, not
+    * computable from the id — discovery takes the column-pruned scan.) */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Long =
+    IndexCompact.deleteMatching(spark, s"$path/vectors", "id", "_list", ids)
+
   /** Top-k cosine neighbors for a query batch against the persisted index.
     * Reads only the probed inverted-list partitions.
     */

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   * scale-path extension composing the same engine as `Dedup.minhashPairs`.
   */
 object MinhashIndex {
+
+  /** The shingles/exact tables partition by `pmod(_id, idPartitions)` —
+    * an id-DERIVED layout, so [[delete]] computes a takedown's touched
+    * directories from the ids with zero table IO (the bands table keys
+    * on `_band` and takes a scan instead). Changing this re-shapes the
+    * layout: rebuild existing indexes with [[write]]. */
+  private val idPartitions = 64L
 
   /** Build and save the index over `df`. Overwrites `path`. Ids must be
     * non-negative (the [[ingest]] watermark contract). Layout note: the
@@ -82,11 +89,11 @@ object MinhashIndex {
         .filter(col("_rn") <= maxBucketSize)
         .drop("_rn")
       capped.write.mode("overwrite").partitionBy("_band").parquet(s"$path/bands")
-      withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(64L)).as("_p"))
+      withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(idPartitions)).as("_p"))
         .write.mode("overwrite").partitionBy("_p").parquet(s"$path/shingles")
     } finally withSig.unpersist()
     df.select(xxhash64(col(textCol)).as("_fp"), col(idCol).cast("long").as("_id"))
-      .withColumn("_p", pmod(col("_id"), lit(64L)))
+      .withColumn("_p", pmod(col("_id"), lit(idPartitions)))
       .write.mode("overwrite").partitionBy("_p").parquet(s"$path/exact")
     writeParams(spark, path, Params(shingleLen, bands, rowsPerBand, maxBucketSize,
       if (idRange.isNullAt(1)) -1L else idRange.getLong(1)))
@@ -344,13 +351,13 @@ object MinhashIndex {
       nSig * p.bands)
       .write.mode("append").partitionBy("_band").parquet(s"$path/bands")
     IndexCompact.coalesceForAppend(
-      withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(64L)).as("_p")),
+      withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(idPartitions)).as("_p")),
       nSig)
       .write.mode("append").partitionBy("_p").parquet(s"$path/shingles")
     IndexCompact.coalesceForAppend(
       survivors
         .select(xxhash64(col(textCol)).as("_fp"), col(idCol).cast("long").as("_id"))
-        .withColumn("_p", pmod(col("_id"), lit(64L))),
+        .withColumn("_p", pmod(col("_id"), lit(idPartitions))),
       nSig)
       .write.mode("append").partitionBy("_p").parquet(s"$path/exact")
     if (!batchRange.isNullAt(1))
@@ -364,11 +371,46 @@ object MinhashIndex {
     * subdirectory and re-run after a crash). Deleted docs stop matching
     * immediately; their past dedup victims are NOT resurrected (the
     * survivor-index trade) and their ids stay consumed by the watermark.
-    * Returns rows removed per table (bands, shingles, exact). */
-  def delete(spark: SparkSession, path: String, ids: Seq[Long]): (Long, Long, Long) = (
-    IndexCompact.deleteMatching(spark, s"$path/bands", "_id", "_band", ids),
-    IndexCompact.deleteMatching(spark, s"$path/shingles", "_id", "_p", ids),
-    IndexCompact.deleteMatching(spark, s"$path/exact", "_id", "_p", ids))
+    * Returns rows removed per table (bands, shingles, exact).
+    *
+    * The three deletes run in the fixed order bands → shingles → exact,
+    * each logged to [[graft.core.LogBuffer]] on completion: a failure
+    * BETWEEN tables leaves the earlier tables deleted and the later ones
+    * live (the doc still matches probes via the exact/shingle tiers) —
+    * the log shows exactly how far the takedown got; re-running the same
+    * delete after `recover` finishes the job (already-clean tables
+    * remove 0 rows). Discovery IO: the bands table partitions by `_band`
+    * (not id-derived), so it takes the one column-pruned scan; the
+    * shingles/exact tables partition by `pmod(_id, 64)`, so their
+    * touched directories are COMPUTED from the ids with zero table IO
+    * and only those directories are read. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): (Long, Long, Long) = {
+    implicit val enc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    delete(spark, path, spark.createDataset(ids).toDF("_id"))
+  }
+
+  /** DataFrame-native [[delete]]: `ids` is a one-column frame of doc ids
+    * (the config surface's `action=delete` passes its input view straight
+    * through — no driver-side id collection). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): (Long, Long, Long) = {
+    // normalized + pinned ONCE so the three table deletes share one id
+    // frame instead of re-normalizing (and re-validating) per table
+    val idsNorm = graft.core.Lineage.pin(
+      ids.select(col(ids.columns.head).cast("long").as("_id")).distinct())
+    def logged(table: String, removed: Long): Long = {
+      graft.core.LogBuffer.append(
+        s"MinhashIndex.delete: $table complete, $removed rows removed")
+      removed
+    }
+    val byId: Column => Column = id => pmod(id, lit(idPartitions))
+    (logged("bands", IndexCompact.deleteMatching(
+        spark, s"$path/bands", "_id", "_band", idsNorm)),
+      logged("shingles", IndexCompact.deleteMatching(
+        spark, s"$path/shingles", "_id", "_p", idsNorm, Some(byId))),
+      logged("exact", IndexCompact.deleteMatching(
+        spark, s"$path/exact", "_id", "_p", idsNorm, Some(byId))))
+  }
 
   /** Small-file maintenance for the three partitioned tables — every
     * ingest appends one file set per touched partition directory (see

@@ -226,6 +226,13 @@ object SemIndex {
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long =
     IndexCompact.deleteMatching(spark, s"$path/vectors", "id", "_cluster", ids)
 
+  /** DataFrame-native [[delete]]: `ids` is a one-column frame of vector
+    * ids — the config surface passes its input view straight through, no
+    * driver-side id collection. (`_cluster` is assignment-derived, not
+    * computable from the id — discovery takes the column-pruned scan.) */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Long =
+    IndexCompact.deleteMatching(spark, s"$path/vectors", "id", "_cluster", ids)
+
   /** Small-file maintenance: every [[ingest]] appends one file set per
     * touched cluster directory — compact the oversized ones (see
     * [[IndexCompact]]). Centroids and params are untouched; dedup results

@@ -226,6 +226,13 @@ object SpanIndex {
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long =
     IndexCompact.deleteMatching(spark, s"$path/grams", "keeper", "bucket", ids)
 
+  /** DataFrame-native [[delete]]: `ids` is a one-column frame of doc ids
+    * — the config surface passes its input view straight through, no
+    * driver-side id collection. (`bucket` derives from the gram hash, not
+    * the keeper id — discovery takes the column-pruned scan.) */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Long =
+    IndexCompact.deleteMatching(spark, s"$path/grams", "keeper", "bucket", ids)
+
   /** Small-file maintenance for the bucket-partitioned gram table — every
     * ingest appends one file set per touched bucket (see [[IndexCompact]];
     * offline op, crash-recoverable via IndexCompact.recover). */

@@ -245,13 +245,14 @@ final case class SemIndexDedupTransform(
       case "filter" => graft.llm.SemIndex.dedupAgainst(in, idField, vectorField, indexURI)
       case "ingest" => graft.llm.SemIndex.ingest(in, idField, vectorField, indexURI)
       case "delete" =>
-        // takedown: the input view's idField column lists the vector ids
-        val ids = in.select(col(idField).cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val removed = graft.llm.SemIndex.delete(ctx.spark, indexURI, ids)
+        // takedown: the input view's idField column lists the vector ids —
+        // passed through as a frame, never collected to the driver
+        val removed = graft.llm.SemIndex.delete(ctx.spark, indexURI,
+          in.select(col(idField)))
+        val nIds = in.select(col(idField).cast("long")).na.drop().distinct().count()
         val spark = ctx.spark
         import spark.implicits._
-        Seq((ids.length.toLong, removed)).toDF("n_ids", "vectors_removed")
+        Seq((nIds, removed)).toDF("n_ids", "vectors_removed")
       case other =>
         throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|ingest|delete)")
     }
@@ -289,13 +290,14 @@ final case class SpanIndexTransform(
       case "ingest" =>
         graft.llm.SpanIndex.ingest(in, idField, textField, indexURI)
       case "delete" =>
-        // takedown: the input view's idField column lists the doc ids
-        val ids = in.select(col(idField).cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val removed = graft.llm.SpanIndex.delete(ctx.spark, indexURI, ids)
+        // takedown: the input view's idField column lists the doc ids —
+        // passed through as a frame, never collected to the driver
+        val removed = graft.llm.SpanIndex.delete(ctx.spark, indexURI,
+          in.select(col(idField)))
+        val nIds = in.select(col(idField).cast("long")).na.drop().distinct().count()
         val spark = ctx.spark
         import spark.implicits._
-        Seq((ids.length.toLong, removed)).toDF("n_ids", "grams_removed")
+        Seq((nIds, removed)).toDF("n_ids", "grams_removed")
       case other =>
         throw new IllegalArgumentException(s"$name: unknown action '$other' (write|ingest|delete)")
     }
@@ -336,13 +338,14 @@ final case class IndexDedupTransform(
         graft.llm.MinhashIndex.ingest(in, idField, textField, indexURI,
           threshold, maxCandidatesPerDoc)
       case "delete" =>
-        // takedown: the input view's idField column lists the doc ids
-        val ids = in.select(col(idField).cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val (b, s, e) = graft.llm.MinhashIndex.delete(ctx.spark, indexURI, ids)
+        // takedown: the input view's idField column lists the doc ids —
+        // passed through as a frame, never collected to the driver
+        val (b, s, e) = graft.llm.MinhashIndex.delete(ctx.spark, indexURI,
+          in.select(col(idField)))
+        val nIds = in.select(col(idField).cast("long")).na.drop().distinct().count()
         val spark = ctx.spark
         import spark.implicits._
-        Seq((ids.length.toLong, b, s, e))
+        Seq((nIds, b, s, e))
           .toDF("n_ids", "band_rows_removed", "shingle_rows_removed", "exact_rows_removed")
       case other =>
         throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|matches|ingest|delete)")
@@ -749,10 +752,10 @@ final case class IvfIndexLoad(
       case "ingest" =>
         graft.llm.IvfIndex.ingest(ctx.view(inputView), idField, vectorField, outputURI)
       case "delete" =>
-        // takedown: the input view's idField column lists the vector ids
-        val ids = ctx.view(inputView).select(col(idField).cast("long"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        graft.llm.IvfIndex.delete(ctx.spark, outputURI, ids)
+        // takedown: the input view's idField column lists the vector ids —
+        // passed through as a frame, never collected to the driver
+        graft.llm.IvfIndex.delete(ctx.spark, outputURI,
+          ctx.view(inputView).select(col(idField)))
       case other =>
         throw new IllegalArgumentException(s"$name: unknown action '$other' (write|ingest|delete)")
     }

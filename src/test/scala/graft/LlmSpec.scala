@@ -1295,6 +1295,41 @@ class MinhashIndexSpec extends SparkSpec {
     assert(graft.llm.MinhashIndex.delete(spark, path, Seq(999L)) == ((0L, 0L, 0L)))
   }
 
+  test("delete: shingles/exact discovery is id-derived — untouched pmod partitions are never read") {
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    def t(tag: String) = s"alpha beta gamma delta epsilon zeta eta theta iota kappa $tag"
+    val corpus = Seq((0L, t("one")), (1L, t("two")),
+      (2L, "completely different words entirely unrelated content block sits right here now"))
+      .toDF("doc_id", "text")
+    graft.llm.MinhashIndex.write(corpus, "doc_id", "text", path)
+    // garbage "parquet" planted in doc 2's pmod dirs (_p = 2, untouched by
+    // the takedown): discovery that SCANNED shingles/exact would die on
+    // the footer read — the id-derived discovery must never open them
+    val g1 = new java.io.File(s"$path/shingles/_p=2/part-garbage.parquet")
+    val g2 = new java.io.File(s"$path/exact/_p=2/part-garbage.parquet")
+    Seq(g1, g2).foreach(f =>
+      java.nio.file.Files.write(f.toPath, "this is not a parquet file".getBytes))
+    graft.core.LogBuffer.drain()
+    val (b, s, e) = graft.llm.MinhashIndex.delete(spark, path, Seq(0L, 1L))
+    assert(e == 2L && s == 2L && b > 0L, (b, s, e).toString)
+    // per-table completion is logged, so an interrupted takedown's
+    // progress (earlier tables deleted, later live) is visible
+    val log = graft.core.LogBuffer.drain().mkString("\n")
+    Seq("bands complete", "shingles complete", "exact complete").foreach(m =>
+      assert(log.contains(m), s"missing '$m' in:\n$log"))
+    // the untouched dirs were neither read nor rewritten
+    assert(g1.exists && g2.exists)
+    Seq(g1, g2).foreach(f => java.nio.file.Files.delete(f.toPath))
+    // delete results are the usual ones: copies of 0/1 survive, 2 still dies
+    def survivors(rows: Seq[(Long, String)]) =
+      graft.llm.MinhashIndex.dedupAgainst(
+        rows.toDF("doc_id", "text"), "doc_id", "text", path)
+        .select("doc_id").as[Long].collect().toSet
+    assert(survivors(Seq((100L, t("one")), (101L,
+      "completely different words entirely unrelated content block sits right here now")))
+      == Set(100L))
+  }
+
   test("candidate cap: maxCandidatesPerDoc=1 still catches exact copies in a hot cluster") {
     val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
     // 200 near-identical corpus docs — every band bucket is hot, so caps bite
@@ -2723,6 +2758,51 @@ class IndexCompactSpec extends SparkSpec {
     assert(ids() == beforeIds)
     assert(SemIndex.delete(spark, path, Seq(3L)) == 1L)
     assert(ids() == beforeIds.filterNot(_ == 3L))
+  }
+
+  test("deleteMatching: id-derived discovery reads only the touched partitions") {
+    import graft.llm.IndexCompact
+    val dir = java.nio.file.Files.createTempDirectory("cmpf").toString + "/tbl"
+    spark.range(16).select($"id", pmod($"id", lit(4L)).as("p"))
+      .write.partitionBy("p").parquet(dir)
+    // garbage "parquet" in p=3: ANY scan of that directory throws, so the
+    // delete can only succeed if discovery computes the touched dirs from
+    // the ids (4 → p=0, 9 → p=1) instead of scanning the table
+    val bad = new java.io.File(s"$dir/p=3/part-garbage.parquet")
+    java.nio.file.Files.write(bad.toPath, "this is not a parquet file".getBytes)
+    intercept[Exception] {
+      IndexCompact.deleteMatching(spark, dir, "id", "p", Seq(4L, 9L))
+    }
+    val removed = IndexCompact.deleteMatching(spark, dir, "id", "p",
+      Seq(4L, 9L).toDF("id"), Some(id => pmod(id, lit(4L))))
+    assert(removed == 2L)
+    // p=3 was never read or rewritten — the garbage file is untouched
+    assert(bad.exists)
+    java.nio.file.Files.delete(bad.toPath)
+    val left = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(left == (0L until 16L).toSet -- Set(4L, 9L), left.toString)
+  }
+
+  test("deleteMatching DataFrame ids: nulls fail fast; isin and semi-join discovery agree") {
+    import graft.llm.IndexCompact
+    val base = java.nio.file.Files.createTempDirectory("cmpg").toString
+    val dirA = s"$base/a"; val dirB = s"$base/b"
+    val data = spark.range(40).select($"id", pmod($"id", lit(4L)).as("p"))
+    data.write.partitionBy("p").parquet(dirA)
+    data.write.partitionBy("p").parquet(dirB)
+    val e = intercept[IllegalArgumentException] {
+      IndexCompact.deleteMatching(spark, dirA, "id", "p",
+        Seq[Option[Long]](Some(1L), None).toDF("id"))
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    assert(spark.read.parquet(dirA).count() == 40)
+    // ≤1000 ids ride as an isin literal; the same two targets padded past
+    // the threshold take the broadcast-semi-join path — identical results
+    assert(IndexCompact.deleteMatching(spark, dirA, "id", "p", Seq(5L, 17L)) == 2L)
+    assert(IndexCompact.deleteMatching(spark, dirB, "id", "p",
+      (Seq(5L, 17L) ++ (10000L until 11100L)).toDF("id")) == 2L)
+    def setOf(d: String) = spark.read.parquet(d).select("id").as[Long].collect().toSet
+    assert(setOf(dirA) == setOf(dirB) && !setOf(dirA).contains(5L), setOf(dirA).toString)
   }
 }
 

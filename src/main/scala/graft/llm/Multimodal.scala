@@ -430,12 +430,17 @@ object Multimodal {
 
   /** Minimal RIFF/AVI reader (pure JDK — the MJPEG case needs no codec
     * beyond ImageIO's JPEG support): walks the chunk tree, takes
-    * dimensions/frame-count/frame-duration from the `avih` main header
-    * (reference container semantics: public AVI RIFF spec), and records
-    * the byte ranges of the stream-0 video chunks. Strict: any malformed
-    * or truncated chunk ⇒ None (never a partial parse presented as
-    * success). Returns None for non-AVI bytes — callers cascade to the
-    * next decoder. */
+    * dimensions/frame-count from the `avih` main header and the frame
+    * duration from the FIRST `vids` stream's `strh` rate/scale rational —
+    * the authoritative timing per the public AVI RIFF spec
+    * (`avih.dwMicroSecPerFrame` is display advice and disagrees with
+    * `strh` in real files; it remains the fallback when `strh` is absent
+    * or carries a zero rate/scale). Records the byte ranges of the
+    * stream-0 video chunks. Strict: any malformed or truncated chunk ⇒
+    * None (never a partial parse presented as success); chunk bounds are
+    * checked in Long so a crafted size near 2^31 is rejected structurally
+    * instead of via overflow. Returns None for non-AVI bytes — callers
+    * cascade to the next decoder. */
   private[llm] def parseAvi(bytes: Array[Byte]): Option[AviVideo] =
     try {
       if (bytes == null || bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
@@ -444,6 +449,8 @@ object Multimodal {
       var height = -1
       var total = -1L
       var uspf = -1L
+      var strhUspf = -1L
+      var sawVids = false
       var bad = false
       val ranges = Vector.newBuilder[(Int, Int)]
       def walk(start: Int, end: Int): Unit = {
@@ -452,8 +459,9 @@ object Multimodal {
           val id = fourcc(bytes, off)
           val sz = u32le(bytes, off + 4)
           val dataStart = off + 8
-          val dataEnd = dataStart + sz.toInt
-          if (sz > Int.MaxValue || dataEnd > end) { bad = true; return }
+          val dataEndL = dataStart.toLong + sz
+          if (dataEndL > end) { bad = true; return }
+          val dataEnd = dataEndL.toInt
           if (id == "LIST") {
             if (sz < 4) { bad = true; return }
             walk(dataStart + 4, dataEnd)
@@ -463,6 +471,17 @@ object Multimodal {
             total = u32le(bytes, dataStart + 16)
             width = u32le(bytes, dataStart + 32).toInt
             height = u32le(bytes, dataStart + 36).toInt
+          } else if (id == "strh") {
+            // AVISTREAMHEADER: fccType 0, dwScale 20, dwRate 24 — the
+            // frame duration is the exact rational scale/rate seconds;
+            // only the FIRST vids stream (stream 0, RIFF order) counts
+            if (sz < 28) { bad = true; return }
+            if (!sawVids && fourcc(bytes, dataStart) == "vids") {
+              sawVids = true
+              val scale = u32le(bytes, dataStart + 20)
+              val rate = u32le(bytes, dataStart + 24)
+              if (scale > 0 && rate > 0) strhUspf = scale * 1000000L / rate
+            }
           } else if (id == "00dc" || id == "00db") {
             ranges += ((dataStart, dataEnd))
           }
@@ -474,8 +493,9 @@ object Multimodal {
         if (!bad && off != end) bad = true
       }
       walk(12, bytes.length)
-      if (bad || width <= 0 || height <= 0 || total < 0 || uspf <= 0) None
-      else Some(AviVideo(width, height, total, uspf, ranges.result()))
+      val uspfFinal = if (strhUspf > 0) strhUspf else uspf
+      if (bad || width <= 0 || height <= 0 || total < 0 || uspfFinal <= 0) None
+      else Some(AviVideo(width, height, total, uspfFinal, ranges.result()))
     } catch { case _: Throwable => None }
 
   /** Video branch of the [[decodeMedia]] cascade: header-exact

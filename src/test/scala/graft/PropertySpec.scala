@@ -515,6 +515,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("AVI timing: strh rate/scale is authoritative when avih disagrees; zero-rate strh falls back") {
+    def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def find(b: Array[Byte], id: String) = (12 until b.length - 4).find(i =>
+      b.slice(i, i + 4).sameElements(ascii(id))).get
+    def putU32(b: Array[Byte], off: Int, v: Long): Unit =
+      java.nio.ByteBuffer.wrap(b, off, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt((v & 0xffffffffL).toInt)
+    val clean = graft.llm.Multimodal.buildMjpegAvi(
+      Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5)), 8, 8, 25) // 40000 µs/frame
+    // avih.dwMicroSecPerFrame mangled to 99999: the public AVI contract
+    // makes strh's scale/rate (40000/1e6 s) the stream's real timing
+    val disagree = clean.clone()
+    putU32(disagree, find(disagree, "avih") + 8, 99999L)
+    val v1 = graft.llm.LlmTestAccess.parseAvi(disagree).get
+    assert(v1.microSecPerFrame == 40000L, v1.toString)
+    // strh rate zeroed on top: falls back to (the mangled) avih value
+    val zeroRate = disagree.clone()
+    putU32(zeroRate, find(zeroRate, "strh") + 8 + 24, 0L)
+    val v2 = graft.llm.LlmTestAccess.parseAvi(zeroRate).get
+    assert(v2.microSecPerFrame == 99999L, v2.toString)
+    // a crafted chunk size near 2^31 is rejected structurally (the Long
+    // bound check), not via an out-of-bounds read
+    val huge = clean.clone()
+    putU32(huge, find(huge, "avih") + 4, 0xfffffff0L)
+    assert(graft.llm.LlmTestAccess.parseAvi(huge).isEmpty)
+  }
+
   test("per-line mojibake repair inverts independent per-line mangling exactly") {
     import org.apache.spark.unsafe.types.UTF8String
     val fixer = new graft.functions.MojibakeFixer(3, perLine = true)

@@ -2227,6 +2227,72 @@ object SparkEntry {
           (col("kept") === col("expect_kept") && lit(reuseRefused)).as("ok"))
         .orderBy("pass", "doc_id")
     },
+    "q205_vector_takedown" -> withViews("embeddings") { (spark, ctx) =>
+      // Vector-index takedown on the RETRIEVAL path, self-verifying —
+      // q202's die-before/survive-after discipline for the embedding
+      // tiers: after IvfIndex.delete a victim vector must VANISH from
+      // top-k RESULTS (flat, SQ8 and PQ all read the one vector table,
+      // probed exhaustively so absence is structural, not recall luck)
+      // and after SemIndex.delete a verbatim COPY of it must survive
+      // dedup, while retained vectors keep self-hitting / killing copies.
+      // Deletes go through the DataFrame-native overloads — the id view
+      // never collects to the driver. `ok` also folds in the removed-row
+      // counts matching the victim count exactly.
+      import graft.llm.{IvfIndex, SemIndex}
+      val em = ctx.view("embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q205_vtd_").toString
+      val ivfDir = s"$base/ivf"; val semDir = s"$base/sem"
+      IvfIndex.write(em, "vec_id", "embedding", ivfDir, nlist = 8, pqSubspaces = 4)
+      SemIndex.write(em, "vec_id", "embedding", semDir, nclusters = 8, tau = 0.999)
+      val victims = em.filter(col("vec_id") % 7 === 0)
+      val nVictims = victims.count()
+      val queries = em.filter((col("vec_id") % 7).isin(0, 3))
+      // IVF legs: a query vector IS a corpus vector, so its own id must
+      // appear among its exhaustive-probe neighbors (cosine 1.0) exactly
+      // while it is indexed
+      def ivfFound(pass: Int) = Seq("flat", "sq8", "pq").map { tier =>
+        val hits = tier match {
+          case "flat" => IvfIndex.topK(queries, "vec_id", "embedding", ivfDir,
+            k = 3, nprobe = 8)
+          case "sq8" => IvfIndex.topKQuantized(queries, "vec_id", "embedding",
+            ivfDir, k = 3, nprobe = 8, shortlistFactor = 400)
+          case _ => IvfIndex.topKPq(queries, "vec_id", "embedding", ivfDir,
+            k = 3, nprobe = 8, shortlistFactor = 400)
+        }
+        queries.select(col("vec_id"))
+          .join(hits.filter(col("query_id") === col("neighbor_id"))
+            .select(col("query_id").as("vec_id"), lit(1).as("_hit")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"), lit(pass).as("pass"), lit(s"ivf_$tier").as("tier"),
+            col("_hit").isNotNull.as("found"))
+      }.reduce(_ unionByName _)
+      // Sem leg: a verbatim copy (fresh id) of an INDEXED vector dies in
+      // dedup (cosine 1.0 ≥ tau); "found" = the index still knows it
+      def semFound(pass: Int) = {
+        val probes = queries.select((col("vec_id") + 10000L).as("vec_id"),
+          col("embedding"))
+        val kept = SemIndex.dedupAgainst(probes, "vec_id", "embedding", semDir)
+          .select(col("vec_id").as("_kid"))
+        probes.join(kept, col("vec_id") === col("_kid"), "left")
+          .select((col("vec_id") - 10000L).as("vec_id"), lit(pass).as("pass"),
+            lit("sem").as("tier"), col("_kid").isNull.as("found"))
+      }
+      // pass 1 PINNED before the takedown rewrites the index files
+      val pass1 = graft.core.Lineage.pin(ivfFound(1).unionByName(semFound(1)))
+      val removedIvf = IvfIndex.delete(spark, ivfDir, victims.select("vec_id"))
+      val removedSem = SemIndex.delete(spark, semDir, victims.select("vec_id"))
+      val deletesOk = removedIvf == nVictims && removedSem == nVictims
+      val pass2 = ivfFound(2).unionByName(semFound(2))
+      pass1.unionByName(pass2)
+        .withColumn("expect_found",
+          col("pass") === 1 || col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("pass"), col("tier"), col("expect_found"),
+          col("found"),
+          (col("found") === col("expect_found") && lit(deletesOk)).as("ok"))
+        .orderBy("pass", "tier", "vec_id")
+    },
     "q192_unigram_encode" -> { (spark: SparkSession, dir: String) =>
       configureReads(spark)
       val ctx = new PipelineContext(spark)

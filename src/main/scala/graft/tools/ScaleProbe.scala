@@ -798,6 +798,50 @@ object ScaleProbe {
         graft.llm.WordCounts.ingest(batch, "text", dir).count()
       }
     }
+    // Count-store takedown: delete must be O(batch + vocab) like ingest —
+    // the table subtracts the batch's counts exactly, never re-reading
+    // the historical corpus.
+    if (anySelected(s"wordCountsDelete n=$n")) {
+      val dir = java.nio.file.Files.createTempDirectory("probe_wcd").toString + "/wc"
+      graft.llm.WordCounts.write(docs, "text", dir)
+      val batch = spark.range(n, n + n / 40).select(col("id"),
+        concat(lit("fresh daily words token "),
+          pmod(col("id"), lit(97)).cast("string")).as("text"))
+      graft.llm.WordCounts.ingest(batch, "text", dir)
+      time(s"wordCountsDelete n=$n batch=${n / 40}") {
+        graft.llm.WordCounts.delete(batch, "text", dir).count()
+      }
+    }
+    // NB unlearn: subtract a 10% labeled batch from the persisted model —
+    // one training pass over the BATCH plus vocab-bounded merges; the
+    // corpus that stays trained is never touched.
+    if (anySelected(s"nbUnlearn n=$n")) {
+      val labeled = docs
+        .withColumn("label",
+          when(pmod(col("id"), lit(3)) === 0, lit("promo")).otherwise(lit("clean")))
+        .withColumn("text2", concat(col("text"),
+          when(col("label") === "promo", lit(" subscribe now limited offer"))
+            .otherwise(lit(" analysis method result discussion"))))
+      val dir = java.nio.file.Files.createTempDirectory("probe_nbu").toString + "/model"
+      graft.llm.NaiveBayes.write(
+        graft.llm.NaiveBayes.train(labeled, "text2", "label"), dir)
+      val batch = labeled.filter(pmod(col("id"), lit(10)) === 0)
+      time(s"nbUnlearn n=$n batch=${n / 10}") {
+        graft.llm.NaiveBayes.unlearn(batch, "text2", "label", dir)
+          .tokenTable.count()
+      }
+    }
+    // Index takedown with id-derived discovery: the shingles/exact tables
+    // never scan (touched dirs computed from the ids), bands takes one
+    // column-pruned pass; the rewrite touches only matching partitions.
+    if (anySelected(s"minhashTakedown n=$n")) {
+      val dir = java.nio.file.Files.createTempDirectory("probe_mhtd").toString + "/idx"
+      graft.llm.MinhashIndex.write(docs, "id", "text", dir)
+      time(s"minhashTakedown n=$n ids=1000") {
+        val ids = spark.range(0, 1000).select((col("id") * 137L).as("id"))
+        graft.llm.MinhashIndex.delete(spark, dir, ids)
+      }
+    }
     // Video pipeline: MJPEG clips are generated in-executor (the probe's
     // workload IS the codec work — 5 JPEG frames per doc), then decoded,
     // frame-sampled and transcoded. n/20 docs keeps the probe minutes-free

@@ -2518,6 +2518,74 @@ object SparkEntry {
         .select(col("word"), col("cnt"))
         .orderBy("word")
     },
+    "q206_video_audio_track" -> withViews("documents") { (spark, ctx) =>
+      // AVI AUDIO-track extraction, self-verifying — the bridge from the
+      // video container to the whole audio pipeline: per-row MJPEG+PCM
+      // clips are GENERATED (3 solid frames @25 fps + 100 ms of 16-bit
+      // mono 8 kHz PCM as stream 1), the audio track is extracted to a
+      // standalone WAV (header assembly + chunk copies, no transcode),
+      // REAL-decoded through the same javax.sound path as any WAV (rate/
+      // channels/frames/duration header-exact), then RESAMPLED to 16 kHz
+      // through the existing audio operator. `ok` pins: extraction
+      // status, the WAV decoding with exactly the embedded format
+      // (8000 Hz / 1 ch / 800 frames / 100 ms), the resample landing at
+      // exactly 1600 frames @16 kHz, and the VIDEO branch still parsing
+      // the clip (the added auds stream must not perturb the video walk).
+      import spark.implicits._
+      import graft.llm.Multimodal
+      val avis = ctx.view("documents").filter(col("doc_id") < 30)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val frames = (0 until 3).map { f =>
+            val shade = f * 80
+            val img = new java.awt.image.BufferedImage(
+              16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (shade << 16) | (shade << 8) | shade
+            (0 until 16).foreach(x => (0 until 16).foreach(y => img.setRGB(x, y, rgb)))
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpeg", bos)
+            bos.toByteArray
+          }
+          val pcm = new Array[Byte](1600) // 800 16-bit mono samples
+          var i = 0
+          while (i < 800) {
+            val v = ((id * 131 + i * 7) % 20000 - 10000).toInt
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          (id, Multimodal.buildMjpegAviWithAudio(frames, 16, 16, 25, pcm, 8000, 1, 16))
+        }.toDF("doc_id", "blob")
+      val vmeta = Multimodal.decodeAndFeaturize(avis, "blob")
+        .select(col("doc_id"), col("blob"),
+          col("media_meta.mime").as("video_mime"),
+          col("media_meta.frames").as("video_frames"))
+      val ex = Multimodal.extractAudio(vmeta, "blob").drop("blob")
+      val wmeta = Multimodal.decodeAndFeaturize(ex, "audio_track")
+        .select(col("doc_id"), col("video_mime"), col("video_frames"),
+          col("audio_track"), col("audio_status"),
+          col("media_meta.mime").as("wav_mime"),
+          col("media_meta.sample_rate").as("wav_rate"),
+          col("media_meta.channels").as("wav_channels"),
+          col("media_meta.frames").as("wav_frames"),
+          col("media_meta.duration_ms").as("wav_ms"))
+      val rs = Multimodal.resampleAudio(wmeta, "audio_track", 16000)
+        .drop("audio_track")
+      Multimodal.decodeAndFeaturize(rs, "audio_resampled")
+        .select(col("doc_id"), col("audio_status"), col("wav_rate"),
+          col("wav_frames"), col("wav_ms"), col("resample_status"),
+          col("media_meta.frames").as("rs_frames"),
+          (col("audio_status") === "extracted" &&
+            col("video_mime") === "video/x-msvideo" &&
+            col("video_frames") === 3L &&
+            col("wav_mime") === "audio/wav" &&
+            col("wav_rate") === 8000 && col("wav_channels") === 1 &&
+            col("wav_frames") === 800L && col("wav_ms") === 100L &&
+            col("resample_status") === "ok" &&
+            col("media_meta.sample_rate") === 16000 &&
+            col("media_meta.frames") === 1600L).as("ok"))
+        .orderBy("doc_id")
+    },
     "q203_wordcounts_delete" -> withViews("documents") { (spark, ctx) =>
       // Count-store takedown under the FULL ORACLE (llm/WordCounts.delete)
       // — the inverse of q201's ingest, completing right-to-be-forgotten

@@ -428,6 +428,9 @@ object Multimodal {
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
   /** Minimal RIFF/AVI reader (pure JDK — the MJPEG case needs no codec
     * beyond ImageIO's JPEG support): walks the chunk tree, takes
     * dimensions/frame-count from the `avih` main header and the frame
@@ -498,6 +501,133 @@ object Multimodal {
       else Some(AviVideo(width, height, total, uspfFinal, ranges.result()))
     } catch { case _: Throwable => None }
 
+  /** Parsed audio track of an AVI: WAVEFORMATEX fields from the first
+    * `auds` stream's `strf` plus the byte ranges of its `NNwb` chunks
+    * (NN = the stream's RIFF-order index). Ranges, not copies — the
+    * [[AviVideo]] discipline. */
+  final case class AviAudio(streamIndex: Int, formatTag: Int, channels: Int,
+      sampleRate: Int, bitsPerSample: Int, ranges: Vector[(Int, Int)])
+
+  /** Audio-side companion of [[parseAvi]]: locates the FIRST `auds`
+    * stream (streams are numbered in `strl` order — that index names the
+    * stream's data chunks, e.g. stream 1 ⇒ `01wb`), reads its
+    * WAVEFORMATEX `strf`, and records its chunk byte ranges. Same strict
+    * walk and Long-checked bounds as the video parser; None for non-AVI
+    * bytes or an AVI with no audio stream. */
+  private[llm] def parseAviAudio(bytes: Array[Byte]): Option[AviAudio] =
+    try {
+      if (bytes == null || bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") return None
+      var bad = false
+      var streamCount = 0
+      var audioIdx = -1
+      var lastWasAuds = false
+      var fmtTag = -1
+      var nch = -1
+      var rate = -1
+      var bits = -1
+      var chunkId: String = null
+      val ranges = Vector.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (!bad && off + 8 <= end) {
+          val id = fourcc(bytes, off)
+          val sz = u32le(bytes, off + 4)
+          val dataStart = off + 8
+          val dataEndL = dataStart.toLong + sz
+          if (dataEndL > end) { bad = true; return }
+          val dataEnd = dataEndL.toInt
+          if (id == "LIST") {
+            if (sz < 4) { bad = true; return }
+            walk(dataStart + 4, dataEnd)
+          } else if (id == "strh") {
+            if (sz < 28) { bad = true; return }
+            lastWasAuds = audioIdx < 0 && fourcc(bytes, dataStart) == "auds"
+            if (lastWasAuds) {
+              audioIdx = streamCount
+              chunkId = f"$streamCount%02dwb"
+            }
+            streamCount += 1
+          } else if (id == "strf" && lastWasAuds) {
+            if (sz < 16) { bad = true; return }
+            fmtTag = u16le(bytes, dataStart)
+            nch = u16le(bytes, dataStart + 2)
+            rate = u32le(bytes, dataStart + 4).toInt
+            bits = u16le(bytes, dataStart + 14)
+            lastWasAuds = false
+          } else if (chunkId != null && id == chunkId) {
+            ranges += ((dataStart, dataEnd))
+          }
+          off = dataEnd + (sz.toInt & 1)
+        }
+        if (!bad && off != end) bad = true
+      }
+      walk(12, bytes.length)
+      if (bad || audioIdx < 0 || fmtTag < 0) None
+      else Some(AviAudio(audioIdx, fmtTag, nch, rate, bits, ranges.result()))
+    } catch { case _: Throwable => None }
+
+  /** Extract an AVI's PCM audio track as a standalone WAV blob — the
+    * bridge from the video container to the ENTIRE audio pipeline
+    * ([[decodeAudio]] features, [[resampleAudioBlob]] re-rating): the
+    * chunk payloads ARE the PCM stream, so extraction is header assembly
+    * plus copies, no transcode. Returns (wav|null, status): `extracted`,
+    * `no_audio` (well-formed AVI, no auds stream), `non_pcm` (an audio
+    * stream this build cannot carry into WAV — formatTag ≠ 1 or exotic
+    * widths; never fabricate), or `unsupported` (not a well-formed AVI).
+    */
+  private[llm] def extractAudioBlob(bytes: Array[Byte]): (Array[Byte], String) =
+    parseAvi(bytes) match {
+      case None => (null, "unsupported")
+      case Some(_) => parseAviAudio(bytes) match {
+        case None => (null, "no_audio")
+        case Some(a) if a.formatTag != 1 ||
+            (a.bitsPerSample != 8 && a.bitsPerSample != 16) ||
+            a.channels <= 0 || a.sampleRate <= 0 => (null, "non_pcm")
+        case Some(a) =>
+          val dataLen = a.ranges.iterator.map(r => r._2 - r._1).sum
+          val out = new Array[Byte](44 + dataLen)
+          def le32(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte
+            out(p + 1) = ((v >> 8) & 0xff).toByte
+            out(p + 2) = ((v >> 16) & 0xff).toByte
+            out(p + 3) = ((v >> 24) & 0xff).toByte }
+          def le16(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte
+            out(p + 1) = ((v >> 8) & 0xff).toByte }
+          def tag(p: Int, s: String): Unit = { var k = 0
+            while (k < 4) { out(p + k) = s.charAt(k).toByte; k += 1 } }
+          val blockAlign = a.channels * (a.bitsPerSample / 8)
+          tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+          tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, a.channels)
+          le32(24, a.sampleRate); le32(28, a.sampleRate * blockAlign)
+          le16(32, blockAlign); le16(34, a.bitsPerSample)
+          tag(36, "data"); le32(40, dataLen)
+          var p = 44
+          a.ranges.foreach { case (s, e) =>
+            System.arraycopy(bytes, s, out, p, e - s); p += e - s }
+          (out, "extracted")
+      }
+    }
+
+  /** Per-row [[extractAudioBlob]]: input columns + `audio_track` WAV
+    * binary (NULL unless extracted) + `audio_status`. Narrow
+    * mapPartitions — the per-row work is container parsing, justified
+    * like the decode/resize/resample paths. */
+  def extractAudio(df: DataFrame, binaryCol: String): DataFrame = {
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"no column $binaryCol")
+    val outSchema = df.schema
+      .add("audio_track", BinaryType)
+      .add("audio_status", StringType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = Option(row.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
+        val (out, status) = extractAudioBlob(bytes)
+        Row.fromSeq(row.toSeq :+ out :+ status)
+      }
+    }(enc).toDF()
+  }
+
   /** Video branch of the [[decodeMedia]] cascade: header-exact
     * width/height/frames/duration from the AVI main header, features =
     * the per-bin MEAN of the 8-bin luminance histograms of up to 4 evenly
@@ -542,13 +672,36 @@ object Multimodal {
     * microseconds — so a rewrite of a parsed clip ([[transcodeVideo]])
     * preserves the SOURCE header timing exactly, fps-representable or not. */
   def buildMjpegAviUspf(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
-      microSecPerFrame: Long): Array[Byte] = {
+      microSecPerFrame: Long): Array[Byte] =
+    buildAvi(jpegFrames, width, height, microSecPerFrame, None)
+
+  /** [[buildMjpegAvi]] plus a PCM audio track as stream 1 (`auds` strl
+    * in the header, the samples as one `01wb` chunk in movi) — the
+    * writer dual of [[parseAviAudio]]/[[extractAudioBlob]]. `pcm` is raw
+    * little-endian PCM sample data matching (sampleRate, channels,
+    * bitsPerSample). */
+  def buildMjpegAviWithAudio(jpegFrames: Seq[Array[Byte]], width: Int,
+      height: Int, fps: Int, pcm: Array[Byte], sampleRate: Int,
+      channels: Int, bitsPerSample: Int): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    require(sampleRate > 0 && channels > 0, s"bad audio format: rate=$sampleRate ch=$channels")
+    require(bitsPerSample == 8 || bitsPerSample == 16,
+      s"bitsPerSample must be 8 or 16, got $bitsPerSample")
+    buildAvi(jpegFrames, width, height, 1000000L / fps,
+      Some((pcm, sampleRate, channels, bitsPerSample)))
+  }
+
+  private def buildAvi(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
+      microSecPerFrame: Long,
+      audio: Option[(Array[Byte], Int, Int, Int)]): Array[Byte] = {
     require(microSecPerFrame > 0,
       s"microSecPerFrame must be positive, got $microSecPerFrame")
     def le(i: Long): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.putInt((i & 0xffffffffL).toInt).array()
     }
+    def le16(i: Int): Array[Byte] =
+      Array[Byte]((i & 0xff).toByte, ((i >> 8) & 0xff).toByte)
     def ascii(s: String): Array[Byte] =
       s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     def chunk(id: String, data: Array[Byte]): Array[Byte] = {
@@ -559,10 +712,11 @@ object Multimodal {
       chunk("LIST", ascii(typ) ++ children)
     val n = jpegFrames.length.toLong
     val uspf = microSecPerFrame
-    // strh rate/scale: frames per second as the exact rational 1e6/uspf
+    val nStreams = if (audio.isDefined) 2L else 1L
     val avih = chunk("avih",
-      le(uspf) ++ le(0) ++ le(0) ++ le(0) ++ le(n) ++ le(0) ++ le(1) ++ le(0) ++
+      le(uspf) ++ le(0) ++ le(0) ++ le(0) ++ le(n) ++ le(0) ++ le(nStreams) ++ le(0) ++
         le(width.toLong) ++ le(height.toLong) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
+    // strh rate/scale: frames per second as the exact rational 1e6/uspf
     val strh = chunk("strh",
       ascii("vids") ++ ascii("MJPG") ++ le(0) ++ le(0) ++ le(0) ++
         le(uspf) ++ le(1000000L) ++ le(0) ++ le(n) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
@@ -570,12 +724,28 @@ object Multimodal {
       le(40) ++ le(width.toLong) ++ le(height.toLong) ++
         Array[Byte](1, 0, 24, 0) ++ ascii("MJPG") ++
         le(width.toLong * height * 3) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
-    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val audioStrl = audio.map { case (pcm, rate, ch, bits) =>
+      val blockAlign = ch * (bits / 8)
+      val nBlocks = if (blockAlign > 0) pcm.length.toLong / blockAlign else 0L
+      val aStrh = chunk("strh",
+        ascii("auds") ++ le(1) ++ le(0) ++ le(0) ++ le(0) ++
+          le(blockAlign.toLong) ++ le(rate.toLong * blockAlign) ++ le(0) ++
+          le(nBlocks) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
+      // WAVEFORMATEX, 16 bytes: PCM tag, channels, rate, byte rate,
+      // block align, bits — exactly what extractAudioBlob reads back
+      val aStrf = chunk("strf",
+        le16(1) ++ le16(ch) ++ le(rate.toLong) ++ le(rate.toLong * blockAlign) ++
+          le16(blockAlign) ++ le16(bits))
+      list("strl", aStrh ++ aStrf)
+    }
+    val hdrl = list("hdrl",
+      avih ++ list("strl", strh ++ strf) ++ audioStrl.getOrElse(Array.emptyByteArray))
     // stream, not fold: frame-at-a-time ++ would copy O(n²) bytes on a
     // long clip
     val moviBody = new java.io.ByteArrayOutputStream()
     moviBody.write(ascii("movi"))
     jpegFrames.foreach(f => moviBody.write(chunk("00dc", f)))
+    audio.foreach { case (pcm, _, _, _) => moviBody.write(chunk("01wb", pcm)) }
     val movi = chunk("LIST", moviBody.toByteArray)
     val out = new java.io.ByteArrayOutputStream()
     out.write(ascii("RIFF"))

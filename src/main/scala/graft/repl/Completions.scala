@@ -134,6 +134,15 @@ object Completions {
     Completion("MediaTransform (audio resample)",
       "{type = \"MediaTransform\", name = \"resample\", inputView = \"clips\", outputView = \"mono16k\",\n" +
         " binaryField = \"audio\", action = \"resampleAudio\", targetSampleRate = 16000}"),
+    Completion("MediaTransform (extract AVI audio track)",
+      "{type = \"MediaTransform\", name = \"track\", inputView = \"clips\", outputView = \"withAudio\",\n" +
+        " binaryField = \"video\", action = \"extractAudio\"}"),
+    Completion("ClassifierTransform (unlearn batch)",
+      "{type = \"ClassifierTransform\", name = \"forget\", inputView = \"batch\", outputView = \"model2\",\n" +
+        " textField = \"text\", labelField = \"label\", mode = \"unlearn\", modelView = \"model\"}"),
+    Completion("WordCountsTransform (delete batch)",
+      "{type = \"WordCountsTransform\", name = \"forget\", inputView = \"batch\", outputView = \"counts\",\n" +
+        " countsURI = \"/path/wordcounts\", textField = \"text\", action = \"delete\"}"),
     Completion("SpanIndexTransform",
       "{type = \"SpanIndexTransform\", name = \"spanidx\", inputView = \"docs\", outputView = \"deduped\",\n" +
         " indexURI = \"/path/spanidx\", idField = \"doc_id\", textField = \"text\",\n" +

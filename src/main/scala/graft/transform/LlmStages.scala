@@ -1565,9 +1565,11 @@ final case class MediaTransform(
         graft.llm.Multimodal.resampleAudio(in, binaryField, targetSampleRate)
       case "transcodeVideo" =>
         graft.llm.Multimodal.transcodeVideo(in, binaryField, targetWidth, targetHeight)
+      case "extractAudio" =>
+        graft.llm.Multimodal.extractAudio(in, binaryField)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown media action '$other' (decode|resize|frames|resampleAudio|transcodeVideo)")
+          s"$name: unknown media action '$other' (decode|resize|frames|resampleAudio|transcodeVideo|extractAudio)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

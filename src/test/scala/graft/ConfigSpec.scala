@@ -939,6 +939,33 @@ class ConfigSpec extends SparkSpec {
     assert(back.getWidth == 4 && back.getHeight == 4)
   }
 
+  test("MediaTransform action=extractAudio pulls the PCM track out of an AVI from a config cell") {
+    import spark.implicits._
+    val frame = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val avi = graft.llm.Multimodal.buildMjpegAviWithAudio(
+      Seq(frame), 8, 8, 25, new Array[Byte](800), 8000, 1, 16)
+    Seq((1L, avi)).toDF("id", "blob").createOrReplaceTempView("xa_in")
+    val hocon =
+      """{stages: [
+        { type = "MediaTransform", name = "xa", inputView = xa_in,
+          outputView = xa_out, binaryField = blob, action = extractAudio }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val r = spark.table("xa_out").head()
+    assert(r.getAs[String]("audio_status") == "extracted")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("audio_track")))
+    try {
+      assert(ais.getFrameLength == 400L &&
+        math.round(ais.getFormat.getSampleRate) == 8000)
+    } finally ais.close()
+  }
+
   test("MediaTransform action=resampleAudio resamples a WAV from a config cell") {
     import spark.implicits._
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}

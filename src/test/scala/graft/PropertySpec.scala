@@ -515,6 +515,53 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("AVI audio track: build-with-audio extracts to a byte-exact JDK-parsable WAV; video unaffected") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5))
+    val pcmGen = for {
+      bits <- Gen.oneOf(8, 16)
+      ch <- Gen.choose(1, 2)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      blocks <- Gen.choose(1, 500)
+      data <- Gen.listOfN(blocks * ch * (bits / 8),
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (data.toArray, rate, ch, bits)
+    checkProp(Prop.forAll(pcmGen) { case (pcm, rate, ch, bits) =>
+      val avi = graft.llm.Multimodal.buildMjpegAviWithAudio(
+        frames, 8, 8, 25, pcm, rate, ch, bits)
+      val (wav, status) = graft.llm.LlmTestAccess.extractAudioBlob(avi)
+      val v = graft.llm.LlmTestAccess.parseAvi(avi)
+      val a = graft.llm.LlmTestAccess.parseAviAudio(avi).get
+      status == "extracted" &&
+        a.streamIndex == 1 && a.channels == ch &&
+        a.sampleRate == rate && a.bitsPerSample == bits &&
+        // the video track parses exactly as without audio
+        v.exists(vv => vv.totalFrames == 2 && vv.microSecPerFrame == 40000L &&
+          frames.indices.forall(i =>
+            java.util.Arrays.equals(vv.frameBytes(avi, i), frames(i)))) &&
+        // WAV payload = the source PCM, byte for byte
+        java.util.Arrays.equals(wav.drop(44), pcm) && {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          try {
+            val f = ais.getFormat
+            f.getChannels == ch && math.round(f.getSampleRate) == rate &&
+              f.getSampleSizeInBits == bits &&
+              ais.getFrameLength == pcm.length / (ch * (bits / 8))
+          } finally ais.close()
+        }
+    })
+    // the extracted WAV feeds the audio pipeline directly
+    val avi = graft.llm.Multimodal.buildMjpegAviWithAudio(
+      frames, 8, 8, 25, new Array[Byte](1600), 8000, 1, 16)
+    val (wav, _) = graft.llm.LlmTestAccess.extractAudioBlob(avi)
+    assert(graft.llm.LlmTestAccess.resampleAudioBlob(wav, 16000)._2 == "ok")
+    // no audio stream → no_audio; not an AVI → unsupported
+    val plain = graft.llm.Multimodal.buildMjpegAvi(Seq(Array[Byte](1)), 8, 8, 25)
+    assert(graft.llm.LlmTestAccess.extractAudioBlob(plain) == ((null, "no_audio")))
+    assert(graft.llm.LlmTestAccess.extractAudioBlob(
+      "not an avi at all".getBytes)._2 == "unsupported")
+  }
+
   test("AVI timing: strh rate/scale is authoritative when avih disagrees; zero-rate strh falls back") {
     def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     def find(b: Array[Byte], id: String) = (12 until b.length - 4).find(i =>

@@ -13,4 +13,10 @@ object LlmTestAccess {
     Sampling.slicedPrefix(df, groupCols, h, w)
   def parseAvi(bytes: Array[Byte]): Option[Multimodal.AviVideo] =
     Multimodal.parseAvi(bytes)
+  def parseAviAudio(bytes: Array[Byte]): Option[Multimodal.AviAudio] =
+    Multimodal.parseAviAudio(bytes)
+  def extractAudioBlob(bytes: Array[Byte]): (Array[Byte], String) =
+    Multimodal.extractAudioBlob(bytes)
+  def resampleAudioBlob(bytes: Array[Byte], targetRate: Int): (Array[Byte], String) =
+    Multimodal.resampleAudioBlob(bytes, targetRate)
 }

@@ -730,6 +730,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(t => t._1 == 3L && t._2 == "application/octet-stream"))
   }
 
+  test("streaming AVI audio extraction: the WAV track equals the batch result") {
+    // extractAudio is a partition-local mapPartitions like the decode —
+    // it must run unchanged on a streaming frame, statuses included.
+    import org.apache.spark.sql.functions.{col, md5}
+    import spark.implicits._
+    def jpeg(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val pcm = Array.tabulate[Byte](800)(i => (i % 127).toByte)
+    val dir = java.nio.file.Files.createTempDirectory("xastream").toString
+    Seq(
+      (1L, graft.llm.Multimodal.buildMjpegAviWithAudio(
+        Seq(jpeg()), 8, 8, 25, pcm, 8000, 1, 16)),
+      (2L, graft.llm.Multimodal.buildMjpegAvi(Seq(jpeg()), 8, 8, 25)),
+      (3L, Array[Byte](9, 9, 9)))
+      .toDF("id", "blob").repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Multimodal.extractAudio(df, "blob")
+        .select(col("id"), col("audio_status"),
+          md5(col("audio_track")).as("wav_md5"))
+    val dec = shape(stream)
+    assert(dec.isStreaming)
+    val q = dec.writeStream.format("memory").queryName("xa_stream_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("xa_stream_mem")
+      .as[(Long, String, Option[String])].collect().toSet
+    val batch = shape(spark.read.parquet(dir))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(streamed == batch && batch.size == 3, (streamed, batch).toString)
+    assert(streamed.exists(t => t._1 == 1L && t._2 == "extracted" && t._3.nonEmpty))
+    assert(streamed.exists(t => t._1 == 2L && t._2 == "no_audio" && t._3.isEmpty))
+    assert(streamed.exists(t => t._1 == 3L && t._2 == "unsupported"))
+  }
+
   test("streaming mojibake repair: the fix projection equals its batch result") {
     // fix_mojibake is a pure narrow expression — it must run unchanged on
     // a streaming frame, per-line mode included.

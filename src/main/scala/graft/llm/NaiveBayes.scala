@@ -200,7 +200,14 @@ object NaiveBayes {
     val spark = model.classTable.sparkSession
     graft.core.AtomicDir.swap(spark, path) { tmp =>
       model.classTable.coalesce(1).write.mode("overwrite").parquet(s"$tmp/classes")
-      model.tokenTable.coalesce(1).write.mode("overwrite").parquet(s"$tmp/tokens")
+      // the token table is vocab-shaped: |classes| × a few k rows when
+      // capped, but an UNCAPPED web-scale model is corpus-vocabulary-
+      // shaped — size the file count to the rows (pinned first, so the
+      // count and the write don't each re-run the training aggregation)
+      // instead of funnelling everything through one writer task
+      val tokens = graft.core.Lineage.pin(model.tokenTable)
+      IndexCompact.coalesceForAppend(tokens, tokens.count())
+        .write.mode("overwrite").parquet(s"$tmp/tokens")
     }
   }
 

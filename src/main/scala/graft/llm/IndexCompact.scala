@@ -216,7 +216,10 @@ object IndexCompact {
     * move-aside/commit machinery as [[compactPartitioned]] (identical
     * `_compact_*` staging and `compact-<runId>-` naming, so [[recover]]
     * restores an interrupted delete byte-identically — re-run it after
-    * recovery). Returns the number of rows removed.
+    * recovery). A completed run appends an audit record ([[takedownLog]])
+    * AFTER the final commit — rows that exist are compliance evidence,
+    * and a crash leaves no record for the interrupted run. Returns the
+    * number of rows removed.
     *
     * Index semantics downstream: a deleted doc stops matching future
     * queries/ingests immediately. Survivor-index caveats hold — past
@@ -255,6 +258,25 @@ object IndexCompact {
         "cast to long) — clean the id view before the takedown")
     val idsLocal: Option[Seq[Long]] =
       if (nIds <= 1000L) Some(idsLong.collect().map(_.getLong(0)).toSeq) else None
+    val runId = java.util.UUID.randomUUID().toString
+    // audit record of a COMPLETED takedown (GDPR/retraction evidence):
+    // written only after every staged rename committed, so its absence
+    // after a crash is itself the re-run signal; `_`-prefixed so table
+    // reads never see it. No-op deletes (ids absent) record too — "the
+    // request was processed" is evidence even when nothing matched.
+    def writeAudit(rowsRemoved: Long, partitionsRewritten: Long): Unit = {
+      def jstr(s: String) =
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val logDir = new Path(root, "_takedown_log")
+      fs.mkdirs(logDir)
+      val rec = s"""{"runId":${jstr(runId)},"table":${jstr(dir)},""" +
+        s""""idColumn":${jstr(idCol)},"partitionColumn":${jstr(partitionCol)},""" +
+        s""""nIds":$nIds,"rowsRemoved":$rowsRemoved,""" +
+        s""""partitionsRewritten":$partitionsRewritten,""" +
+        s""""completedAtMs":${System.currentTimeMillis()}}"""
+      val out = fs.create(new Path(logDir, s"$runId.json"), true)
+      out.write(rec.getBytes("UTF-8")); out.close()
+    }
     def matching(df: org.apache.spark.sql.DataFrame) = idsLocal match {
       case Some(seq) => df.filter(col(idCol).isin(seq.map(java.lang.Long.valueOf): _*))
       case None => df.join(broadcast(idsLong), Seq(idCol), "left_semi")
@@ -282,8 +304,7 @@ object IndexCompact {
             (r.get(0).toString, r.getLong(1))
           }.toMap
     }
-    if (touched.isEmpty) return 0L
-    val runId = java.util.UUID.randomUUID().toString
+    if (touched.isEmpty) { writeAudit(0L, 0L); return 0L }
     fs.mkdirs(oldRoot)
     val marker = fs.create(new Path(oldRoot, "_runid"), true)
     marker.write(runId.getBytes("UTF-8")); marker.close()
@@ -328,7 +349,44 @@ object IndexCompact {
     fs.delete(tmpRoot, true)
     fs.delete(oldRoot, true)
     fs.delete(doneRoot, true)
+    writeAudit(removed, touched.size.toLong)
     removed
+  }
+
+  /** Columns of [[takedownLog]], in record order. */
+  private val takedownLogSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("runId",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("table",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("idColumn",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("partitionColumn",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("nIds",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("rowsRemoved",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("partitionsRewritten",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("completedAtMs",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The audit trail of COMPLETED takedowns on `dir` — one row per
+    * successful [[deleteMatching]] run (no-op runs included), read from
+    * the `_takedown_log/` records. A record is written only AFTER the
+    * staged rewrite fully committed, so a crash mid-delete leaves NO row
+    * for that run: compliance evidence is the rows that exist, and a
+    * missing row for an issued request means `recover` + re-run. Empty
+    * frame (same schema) when the table has never seen a takedown. */
+  def takedownLog(spark: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val p = new Path(new Path(dir), "_takedown_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), takedownLogSchema)
+    else spark.read.schema(takedownLogSchema).json(p.toString)
   }
 
   /** Restore `dir` after an interrupted [[compactPartitioned]]: for every

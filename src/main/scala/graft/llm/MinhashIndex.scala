@@ -412,6 +412,15 @@ object MinhashIndex {
         spark, s"$path/exact", "_id", "_p", idsNorm, Some(byId))))
   }
 
+  /** Union of the three tables' takedown audit trails
+    * ([[IndexCompact.takedownLog]]) — one row per completed per-table
+    * delete, so a full [[delete]] contributes three; fewer rows for a
+    * run's id means it was interrupted (recover + re-run). */
+  def takedownLog(spark: SparkSession, path: String): DataFrame =
+    Seq("bands", "shingles", "exact")
+      .map(t => IndexCompact.takedownLog(spark, s"$path/$t"))
+      .reduce(_ unionByName _)
+
   /** Small-file maintenance for the three partitioned tables — every
     * ingest appends one file set per touched partition directory (see
     * [[IndexCompact]]; offline op, crash-recoverable via

@@ -2752,12 +2752,18 @@ class IndexCompactSpec extends SparkSpec {
       SemIndex.delete(spark, path, Seq(3L))
     }
     assert(refused.getMessage.contains("recover"), refused.getMessage)
+    // the interrupted run left NO audit record — evidence is completion
+    assert(IndexCompact.takedownLog(spark, vecDir).count() == 0)
     // recovery restores the full pre-delete content; the re-run delete
     // then removes exactly the target row
     assert(IndexCompact.recover(spark, vecDir) == 1)
     assert(ids() == beforeIds)
     assert(SemIndex.delete(spark, path, Seq(3L)) == 1L)
     assert(ids() == beforeIds.filterNot(_ == 3L))
+    // ...and exactly the completed re-run is on the audit trail
+    val log = IndexCompact.takedownLog(spark, vecDir)
+      .select("rowsRemoved").as[Long].collect().toSeq
+    assert(log == Seq(1L), log.toString)
   }
 
   test("deleteMatching: id-derived discovery reads only the touched partitions") {
@@ -2781,6 +2787,35 @@ class IndexCompactSpec extends SparkSpec {
     java.nio.file.Files.delete(bad.toPath)
     val left = spark.read.parquet(dir).select("id").as[Long].collect().toSet
     assert(left == (0L until 16L).toSet -- Set(4L, 9L), left.toString)
+  }
+
+  test("takedown audit log: one record per completed delete (no-ops included), none for a crashed run") {
+    import graft.llm.IndexCompact
+    val dir = java.nio.file.Files.createTempDirectory("cmph").toString + "/tbl"
+    spark.range(12).select($"id", pmod($"id", lit(3L)).as("p"))
+      .write.partitionBy("p").parquet(dir)
+    assert(IndexCompact.takedownLog(spark, dir).count() == 0)
+    assert(IndexCompact.deleteMatching(spark, dir, "id", "p", Seq(4L, 8L)) == 2L)
+    assert(IndexCompact.deleteMatching(spark, dir, "id", "p", Seq(999L)) == 0L)
+    val log = IndexCompact.takedownLog(spark, dir)
+      .orderBy("completedAtMs")
+      .select("table", "idColumn", "nIds", "rowsRemoved", "partitionsRewritten")
+      .collect().map(_.toSeq).toSeq
+    assert(log == Seq(
+      Seq(dir, "id", 2L, 2L, 2L),
+      Seq(dir, "id", 1L, 0L, 0L)), log.toString)
+    // the log directory is invisible to table reads
+    assert(spark.read.parquet(dir).count() == 10)
+    // MinhashIndex.delete contributes one record per table
+    val idx = java.nio.file.Files.createTempDirectory("cmph").toString + "/idx"
+    graft.llm.MinhashIndex.write(
+      Seq((0L, "alpha beta gamma delta epsilon zeta eta"),
+        (1L, "different words entirely here now")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    graft.llm.MinhashIndex.delete(spark, idx, Seq(0L))
+    val byTable = graft.llm.MinhashIndex.takedownLog(spark, idx)
+      .select("table").as[String].collect().toSet
+    assert(byTable == Set(s"$idx/bands", s"$idx/shingles", s"$idx/exact"), byTable.toString)
   }
 
   test("deleteMatching DataFrame ids: nulls fail fast; isin and semi-join discovery agree") {

@@ -228,6 +228,10 @@ object IvfIndex {
   def delete(spark: SparkSession, path: String, ids: DataFrame): Long =
     IndexCompact.deleteMatching(spark, s"$path/vectors", "id", "_list", ids)
 
+  /** The vector table's takedown audit trail ([[IndexCompact.takedownLog]]). */
+  def takedownLog(spark: SparkSession, path: String): DataFrame =
+    IndexCompact.takedownLog(spark, s"$path/vectors")
+
   /** Top-k cosine neighbors for a query batch against the persisted index.
     * Reads only the probed inverted-list partitions.
     */

@@ -233,6 +233,10 @@ object SemIndex {
   def delete(spark: SparkSession, path: String, ids: DataFrame): Long =
     IndexCompact.deleteMatching(spark, s"$path/vectors", "id", "_cluster", ids)
 
+  /** The vector table's takedown audit trail ([[IndexCompact.takedownLog]]). */
+  def takedownLog(spark: SparkSession, path: String): DataFrame =
+    IndexCompact.takedownLog(spark, s"$path/vectors")
+
   /** Small-file maintenance: every [[ingest]] appends one file set per
     * touched cluster directory — compact the oversized ones (see
     * [[IndexCompact]]). Centroids and params are untouched; dedup results

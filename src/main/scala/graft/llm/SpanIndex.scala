@@ -233,6 +233,10 @@ object SpanIndex {
   def delete(spark: SparkSession, path: String, ids: DataFrame): Long =
     IndexCompact.deleteMatching(spark, s"$path/grams", "keeper", "bucket", ids)
 
+  /** The gram table's takedown audit trail ([[IndexCompact.takedownLog]]). */
+  def takedownLog(spark: SparkSession, path: String): DataFrame =
+    IndexCompact.takedownLog(spark, s"$path/grams")
+
   /** Small-file maintenance for the bucket-partitioned gram table — every
     * ingest appends one file set per touched bucket (see [[IndexCompact]];
     * offline op, crash-recoverable via IndexCompact.recover). */

@@ -226,7 +226,9 @@ final case class SemIndexLoad(
 /** Ingest-side incremental SemDeDup against a saved [[graft.llm.SemIndex]]:
   * `filter` keeps batch rows with no ≥ tau cosine neighbor among the
   * indexed kept rows (nor a surviving earlier batch duplicate); `ingest`
-  * additionally appends the survivors to the index for the next batch.
+  * additionally appends the survivors to the index for the next batch;
+  * `delete` takes the input view's ids down; `log` publishes the
+  * takedown audit trail.
   */
 final case class SemIndexDedupTransform(
     name: String,
@@ -253,8 +255,9 @@ final case class SemIndexDedupTransform(
         val spark = ctx.spark
         import spark.implicits._
         Seq((nIds, removed)).toDF("n_ids", "vectors_removed")
+      case "log" => graft.llm.SemIndex.takedownLog(ctx.spark, indexURI)
       case other =>
-        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|ingest|delete)")
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|ingest|delete|log)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
@@ -265,7 +268,9 @@ final case class SemIndexDedupTransform(
   * creates the gram index (output view = the per-doc dedup rows);
   * `action=ingest` dedups a new batch against the index with O(batch)
   * work and appends its new grams — batch-ingest ≡ one-shot on the union
-  * corpus under the disjoint-id watermark.
+  * corpus under the disjoint-id watermark; `action=delete` takes the
+  * input view's keeper ids down; `action=log` publishes the takedown
+  * audit trail.
   */
 final case class SpanIndexTransform(
     name: String,
@@ -298,8 +303,9 @@ final case class SpanIndexTransform(
         val spark = ctx.spark
         import spark.implicits._
         Seq((nIds, removed)).toDF("n_ids", "grams_removed")
+      case "log" => graft.llm.SpanIndex.takedownLog(ctx.spark, indexURI)
       case other =>
-        throw new IllegalArgumentException(s"$name: unknown action '$other' (write|ingest|delete)")
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (write|ingest|delete|log)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
@@ -310,7 +316,9 @@ final case class SpanIndexTransform(
   * `matches` outputs the (new_id, corpus_id, jaccard) match pairs instead;
   * `ingest` additionally dedups the batch against itself and appends the
   * survivors to the index, so the next batch is checked against this one
-  * too ([[graft.llm.MinhashIndex.ingest]], disjoint-id watermark enforced).
+  * too ([[graft.llm.MinhashIndex.ingest]], disjoint-id watermark enforced);
+  * `delete` takes the input view's ids down across all three tables;
+  * `log` publishes the per-table takedown audit trail.
   */
 final case class IndexDedupTransform(
     name: String,
@@ -347,8 +355,9 @@ final case class IndexDedupTransform(
         import spark.implicits._
         Seq((nIds, b, s, e))
           .toDF("n_ids", "band_rows_removed", "shingle_rows_removed", "exact_rows_removed")
+      case "log" => graft.llm.MinhashIndex.takedownLog(ctx.spark, indexURI)
       case other =>
-        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|matches|ingest|delete)")
+        throw new IllegalArgumentException(s"$name: unknown action '$other' (filter|matches|ingest|delete|log)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

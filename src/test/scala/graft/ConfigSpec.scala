@@ -849,13 +849,22 @@ class ConfigSpec extends SparkSpec {
           textField = text, action = delete },
         { type = "IndexDedupTransform", name = "recheck", inputView = del_probe,
           outputView = del_out, indexURI = "$dir", idField = doc_id,
-          textField = text, action = filter }
+          textField = text, action = filter },
+        { type = "IndexDedupTransform", name = "evidence", inputView = del_probe,
+          outputView = del_log, indexURI = "$dir", idField = doc_id,
+          textField = text, action = log }
       ]}"""
     assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
     val rep = spark.table("del_report").head()
     assert(rep.getAs[Long]("n_ids") == 2L && rep.getAs[Long]("exact_rows_removed") == 2L)
     // the near-dup probe survives now that its only neighbors are gone
     assert(spark.table("del_out").count() == 1)
+    // the audit trail shows one completed record per table
+    val log = spark.table("del_log")
+      .select("table", "rowsRemoved").collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1))).toMap
+    assert(log.keySet == Set("bands", "shingles", "exact") &&
+      log("exact") == 2L, log.toString)
   }
 
   test("WordCountsTransform rejects an unknown action and an empty countsURI") {

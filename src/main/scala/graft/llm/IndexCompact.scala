@@ -207,10 +207,13 @@ object IndexCompact {
     *    touched directories are derived from the ids with ZERO table IO
     *    and only those directories are read for the per-partition match
     *    counts;
-    *  - otherwise: one column-pruned scan over the table. Small id lists
-    *    (≤ 1000) ride as an `isin` literal so parquet row-group stats on
-    *    the id column prune the scan; larger ones as a broadcast semi
-    *    join (join predicates do NOT reach row-group stats).
+    *  - otherwise: one column-pruned scan over the table, always bounded
+    *    by the ids' pushed [min, max] range so parquet row-group stats
+    *    prune it (ingest-appended files are id-clustered — a recent-batch
+    *    takedown skips most of the table). Small id lists (≤ 1000)
+    *    additionally ride as an `isin` literal; larger ones as a
+    *    broadcast semi join (join predicates never reach the scan, which
+    *    is why the range bound is applied separately).
     *
     * Only partitions holding matches rewrite, through the SAME staged
     * move-aside/commit machinery as [[compactPartitioned]] (identical
@@ -233,7 +236,7 @@ object IndexCompact {
       partitionCol: String, idsDf: org.apache.spark.sql.DataFrame,
       partitionOf: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"IndexCompact: no directory at $dir")
@@ -250,12 +253,14 @@ object IndexCompact {
     // rewrite's anti join
     val idsLong = graft.core.Lineage.pin(
       idsDf.select(col(idsDf.columns.head).cast("long").as(idCol)).distinct())
-    val stats = idsLong.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn")).head()
+    val stats = idsLong.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
+      min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
     val nIds = stats.getLong(0)
     require(nIds > 0, "deleteMatching needs at least one id")
     require(stats.getLong(1) == nIds,
       "deleteMatching: ids contain NULL (null rows, or values that do not " +
         "cast to long) — clean the id view before the takedown")
+    val (idLo, idHi) = (stats.getLong(2), stats.getLong(3))
     val idsLocal: Option[Seq[Long]] =
       if (nIds <= 1000L) Some(idsLong.collect().map(_.getLong(0)).toSeq) else None
     val runId = java.util.UUID.randomUUID().toString
@@ -277,9 +282,21 @@ object IndexCompact {
       val out = fs.create(new Path(logDir, s"$runId.json"), true)
       out.write(rec.getBytes("UTF-8")); out.close()
     }
-    def matching(df: org.apache.spark.sql.DataFrame) = idsLocal match {
-      case Some(seq) => df.filter(col(idCol).isin(seq.map(java.lang.Long.valueOf): _*))
-      case None => df.join(broadcast(idsLong), Seq(idCol), "left_semi")
+    // DISCOVERY-ONLY filter (the rewrite's anti join must keep rows
+    // outside the id range): the [min, max] bound ALWAYS pushes to the
+    // parquet scan, so row-group stats prune — ingest-appended files are
+    // id-clustered, so a recent-batch takedown skips most of the table's
+    // row groups regardless of id count. The isin literal (≤ 1000 ids)
+    // additionally pushes as per-value predicates when under the parquet
+    // In-pushdown threshold; a broadcast semi join (join predicates never
+    // reach the scan) handles the rest.
+    def matching(df: org.apache.spark.sql.DataFrame) = {
+      val bounded = df.filter(col(idCol).between(idLo, idHi))
+      idsLocal match {
+        case Some(seq) =>
+          bounded.filter(col(idCol).isin(seq.map(java.lang.Long.valueOf): _*))
+        case None => bounded.join(broadcast(idsLong), Seq(idCol), "left_semi")
+      }
     }
     // discovery: which partition dirs hold matches, and how many rows each
     val scanBase: Option[org.apache.spark.sql.DataFrame] = partitionOf match {

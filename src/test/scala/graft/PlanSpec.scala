@@ -447,6 +447,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("window"), "no window operator expected:\n" + plan)
   }
 
+  test("takedown discovery's range bound reaches the parquet scan as pushed filters") {
+    // deleteMatching's discovery filters the id column with between(min,
+    // max) + isin — the range bound is the part that must reach parquet
+    // row-group stats (the isin literal only pushes under the small In
+    // threshold, and a semi join pushes nothing). Pin the mechanism on
+    // the same filter shape over a parquet table.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("tdplan").toString + "/t"
+    spark.range(100).select(col("id")).write.parquet(dir)
+    val plan = formatted(spark.read.parquet(dir)
+      .filter(col("id").between(40L, 49L) &&
+        col("id").isin((40L until 90L).map(java.lang.Long.valueOf): _*)))
+    assert(plan.contains("GreaterThanOrEqual(id,40)") &&
+      plan.contains("LessThanOrEqual(id,49)"),
+      s"range bound not pushed:\n$plan")
+  }
+
   test("NaiveBayes.predict: ONE corpus scan, model joins broadcast, no SinglePartition") {
     // at 100 TB the text column dominates IO — predict must read it once
     // (explode_outer carries the token stream, the per-doc count AND the

@@ -269,19 +269,12 @@ object IndexCompact {
     // after a crash is itself the re-run signal; `_`-prefixed so table
     // reads never see it. No-op deletes (ids absent) record too — "the
     // request was processed" is evidence even when nothing matched.
-    def writeAudit(rowsRemoved: Long, partitionsRewritten: Long): Unit = {
-      def jstr(s: String) =
-        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      val logDir = new Path(root, "_takedown_log")
-      fs.mkdirs(logDir)
-      val rec = s"""{"runId":${jstr(runId)},"table":${jstr(dir)},""" +
-        s""""idColumn":${jstr(idCol)},"partitionColumn":${jstr(partitionCol)},""" +
-        s""""nIds":$nIds,"rowsRemoved":$rowsRemoved,""" +
-        s""""partitionsRewritten":$partitionsRewritten,""" +
-        s""""completedAtMs":${System.currentTimeMillis()}}"""
-      val out = fs.create(new Path(logDir, s"$runId.json"), true)
-      out.write(rec.getBytes("UTF-8")); out.close()
-    }
+    def writeAudit(rowsRemoved: Long, partitionsRewritten: Long): Unit =
+      graft.core.AuditLog.append(spark, new Path(root, "_takedown_log").toString,
+        Seq("table" -> dir, "idColumn" -> idCol, "partitionColumn" -> partitionCol,
+          "nIds" -> nIds, "rowsRemoved" -> rowsRemoved,
+          "partitionsRewritten" -> partitionsRewritten),
+        runId)
     // DISCOVERY-ONLY filter (the rewrite's anti join must keep rows
     // outside the id range): the [min, max] bound ALWAYS pushes to the
     // parquet scan, so row-group stats prune — ingest-appended files are
@@ -397,14 +390,9 @@ object IndexCompact {
     * missing row for an issued request means `recover` + re-run. Empty
     * frame (same schema) when the table has never seen a takedown. */
   def takedownLog(spark: SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val p = new Path(new Path(dir), "_takedown_log")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), takedownLogSchema)
-    else spark.read.schema(takedownLogSchema).json(p.toString)
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.core.AuditLog.read(spark,
+      new Path(new Path(dir), "_takedown_log").toString, takedownLogSchema)
 
   /** Restore `dir` after an interrupted [[compactPartitioned]]: for every
     * partition with files parked in `_compact_old`, delete the files THAT

@@ -186,10 +186,41 @@ object NaiveBayes {
   def unlearn(batch: DataFrame, textCol: String, labelCol: String,
       path: String): Model = {
     val spark = batch.sparkSession
-    val updated = unlearn(read(spark, path), batch, textCol, labelCol)
-    write(updated, path)
-    read(spark, path)
+    def totals(m: Model): (Long, Long) = {
+      val r = m.classTable.agg(
+        coalesce(sum("n_docs"), lit(0L)), coalesce(sum("n_tokens"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = read(spark, path)
+    val beforeTotals = totals(before)
+    write(unlearn(before, batch, textCol, labelCol), path)
+    val out = read(spark, path)
+    // evidence AFTER the swap committed; sibling-dir placement because
+    // the swap replaces the model dir wholesale (graft.core.AuditLog)
+    val afterTotals = totals(out)
+    graft.core.AuditLog.append(spark, s"${path}_takedown_log",
+      Seq("table" -> path,
+        "docsRemoved" -> (beforeTotals._1 - afterTotals._1),
+        "tokensRemoved" -> (beforeTotals._2 - afterTotals._2)))
+    out
   }
+
+  /** The persisted model's takedown audit trail — one record per
+    * completed path-level [[unlearn]], written only after the swap
+    * committed (a crashed unlearn leaves no record: re-run it). */
+  def takedownLog(spark: SparkSession, path: String): DataFrame =
+    graft.core.AuditLog.read(spark, s"${path}_takedown_log",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("table",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("docsRemoved",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tokensRemoved",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("runId",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("completedAtMs",
+          org.apache.spark.sql.types.LongType))))
 
   /** Persist a model as `path/classes` + `path/tokens` parquet. The whole
     * model directory swaps atomically ([[graft.core.AtomicDir]] — the

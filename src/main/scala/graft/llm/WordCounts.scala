@@ -91,10 +91,10 @@ object WordCounts {
     * path. */
   def delete(batch: DataFrame, textCol: String, path: String): DataFrame = {
     val spark = batch.sparkSession
+    val batchCounts = graft.core.Lineage.pin(Bpe.wordCounts(batch, textCol))
     val merged = graft.core.Lineage.pin(
       read(spark, path)
-        .unionByName(Bpe.wordCounts(batch, textCol)
-          .select(col("word"), (-col("cnt")).as("cnt")))
+        .unionByName(batchCounts.select(col("word"), (-col("cnt")).as("cnt")))
         .groupBy("word").agg(sum("cnt").as("cnt")))
     val under = merged.filter(col("cnt") < 0)
       .orderBy("word").limit(5).collect().map(_.getString(0))
@@ -104,8 +104,34 @@ object WordCounts {
         s"(first ${under.length}): ${under.mkString(", ")}. Delete only text " +
         "that was previously written/ingested into this table.")
     writeCounts(merged.filter(col("cnt") > 0), path)
+    // evidence AFTER the swap committed ([[IndexCompact.takedownLog]]'s
+    // contract); the log lives in a SIBLING dir because the swap replaces
+    // the store dir wholesale
+    val b = batchCounts
+      .agg(count(lit(1)).as("w"), coalesce(sum("cnt"), lit(0L)).as("o")).head()
+    graft.core.AuditLog.append(spark, s"${path}_takedown_log",
+      Seq("table" -> path, "batchWords" -> b.getLong(0),
+        "occurrencesRemoved" -> b.getLong(1)))
     read(spark, path)
   }
+
+  /** The table's takedown audit trail — one record per completed
+    * [[delete]], written only after the swap committed (a crashed delete
+    * leaves no record: re-run it). Sibling-dir placement, see
+    * [[graft.core.AuditLog]]. */
+  def takedownLog(spark: SparkSession, path: String): DataFrame =
+    graft.core.AuditLog.read(spark, s"${path}_takedown_log",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("table",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("batchWords",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("occurrencesRemoved",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("runId",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("completedAtMs",
+          org.apache.spark.sql.types.LongType))))
 
   /** The `maxWords` heaviest words (cnt desc, word asc — the tokenizers'
     * deterministic training order), collected bounded: the salted top-k

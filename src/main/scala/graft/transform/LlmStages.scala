@@ -1462,9 +1462,10 @@ final case class WordCountsTransform(
       case "ingest" => WordCounts.ingest(ctx.view(inputView), textField, countsURI)
       case "delete" => WordCounts.delete(ctx.view(inputView), textField, countsURI)
       case "read"   => WordCounts.read(ctx.spark, countsURI)
+      case "log"    => WordCounts.takedownLog(ctx.spark, countsURI)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown word-counts action '$other' (write|ingest|delete|read)")
+          s"$name: unknown word-counts action '$other' (write|ingest|delete|read|log)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

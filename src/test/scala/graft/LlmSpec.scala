@@ -3657,6 +3657,10 @@ class NaiveBayesSpec extends SparkSpec {
     val expect = NaiveBayes.train(a, "text", "label")
     assert(tokMapOf(onDisk) == tokMapOf(expect), tokMapOf(onDisk).toString)
     assert(clsMapOf(onDisk) == clsMapOf(expect), clsMapOf(onDisk).toString)
+    // the completed unlearn is on the audit trail: B = 2 docs, 5 tokens
+    val log = NaiveBayes.takedownLog(spark, dir)
+      .select("docsRemoved", "tokensRemoved").collect().map(_.toSeq).toSeq
+    assert(log == Seq(Seq(2L, 5L)), log.toString)
   }
 
   test("unlearn refuses a batch that is not a subset of the trained data") {
@@ -3735,6 +3739,11 @@ class WordCountsSpec extends SparkSpec {
     assert(got == Map("the" -> 2L, "cat" -> 1L, "sat" -> 1L, "dog" -> 1L),
       got.toString)
     assert(WordCounts.read(spark, dir).filter(col("cnt") <= 0).count() == 0)
+    // the completed delete is on the audit trail: B had 4 distinct words
+    // ("the cat ran" + "dog dog") totalling 5 occurrences
+    val log = WordCounts.takedownLog(spark, dir)
+      .select("batchWords", "occurrencesRemoved").collect().map(_.toSeq).toSeq
+    assert(log == Seq(Seq(4L, 5L)), log.toString)
   }
 
   test("delete refuses a batch that is not a subset of the table — nothing changes") {

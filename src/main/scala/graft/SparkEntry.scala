@@ -2215,6 +2215,10 @@ object SparkEntry {
           false
         } catch { case e: IllegalArgumentException =>
           e.getMessage.contains("strictly above") }
+      // the completed takedown left its evidence: one audit record per
+      // table (bands/shingles/exact), each naming this run's id count
+      val logOk = MinhashIndex.takedownLog(spark, dir)
+        .filter(col("nIds") === victims.length).count() == 3L
       // pass 2: group-0 copies survive, group-3 copies still die
       val kept2 = MinhashIndex.dedupAgainst(probes(5000L).drop("_grp"),
         "doc_id", "text", dir).select(col("doc_id").as("_kid"))
@@ -2224,7 +2228,7 @@ object SparkEntry {
           (col("_grp") === 0).as("expect_kept"), col("_kid").isNotNull.as("kept"))
       pass1.unionByName(pass2)
         .select(col("doc_id"), col("pass"), col("expect_kept"), col("kept"),
-          (col("kept") === col("expect_kept") && lit(reuseRefused)).as("ok"))
+          (col("kept") === col("expect_kept") && lit(reuseRefused && logOk)).as("ok"))
         .orderBy("pass", "doc_id")
     },
     "q205_vector_takedown" -> withViews("embeddings") { (spark, ctx) =>

@@ -20,8 +20,16 @@ import org.apache.spark.sql.types.StructType
   */
 object AuditLog {
 
-  private def jstr(s: String) =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def jstr(s: String) = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
   /** Write one record to `logDir/<runId>.json`. Values render as JSON
     * numbers when numeric, strings (escaped) otherwise; `runId` and

@@ -176,4 +176,23 @@ class RunnerSpec extends SparkSpec {
       graft.extract.ImageExtract("im", "/nonexistent/images", "img_v").execute(ctx)
     }
   }
+
+  test("AuditLog round-trips records with quotes, backslashes and control chars") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("audit").toString + "/log"
+    val nasty = "a\"b\\c\nd\te"
+    graft.core.AuditLog.append(spark, dir,
+      Seq("table" -> nasty, "rows" -> 7L))
+    graft.core.AuditLog.append(spark, dir,
+      Seq("table" -> "plain", "rows" -> 0L))
+    val schema = StructType(Seq(
+      StructField("table", StringType), StructField("rows", LongType),
+      StructField("runId", StringType), StructField("completedAtMs", LongType)))
+    val rows = graft.core.AuditLog.read(spark, dir, schema)
+      .orderBy("completedAtMs")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSet == Set((nasty, 7L), ("plain", 0L)), rows.mkString(","))
+    // a never-written log reads as an empty frame under the same schema
+    assert(graft.core.AuditLog.read(spark, dir + "_none", schema).count() == 0)
+  }
 }

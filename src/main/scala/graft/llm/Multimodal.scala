@@ -453,7 +453,8 @@ object Multimodal {
       var total = -1L
       var uspf = -1L
       var strhUspf = -1L
-      var sawVids = false
+      var streamCount = 0
+      var vidsPrefix: String = null // f"%02d" index of the FIRST vids stream
       var bad = false
       val ranges = Vector.newBuilder[(Int, Int)]
       def walk(start: Int, end: Int): Unit = {
@@ -476,16 +477,23 @@ object Multimodal {
             height = u32le(bytes, dataStart + 36).toInt
           } else if (id == "strh") {
             // AVISTREAMHEADER: fccType 0, dwScale 20, dwRate 24 — the
-            // frame duration is the exact rational scale/rate seconds;
-            // only the FIRST vids stream (stream 0, RIFF order) counts
+            // frame duration is the exact rational scale/rate seconds.
+            // The FIRST vids stream (RIFF strl order) is the video track,
+            // and its ORDER INDEX names its data chunks — an audio-first
+            // file carries its frames as `01dc`, not `00dc`.
             if (sz < 28) { bad = true; return }
-            if (!sawVids && fourcc(bytes, dataStart) == "vids") {
-              sawVids = true
+            if (vidsPrefix == null && fourcc(bytes, dataStart) == "vids") {
+              vidsPrefix = f"$streamCount%02d"
               val scale = u32le(bytes, dataStart + 20)
               val rate = u32le(bytes, dataStart + 24)
               if (scale > 0 && rate > 0) strhUspf = scale * 1000000L / rate
             }
-          } else if (id == "00dc" || id == "00db") {
+            streamCount += 1
+          } else if (vidsPrefix != null &&
+              (id == vidsPrefix + "dc" || id == vidsPrefix + "db")) {
+            ranges += ((dataStart, dataEnd))
+          } else if (vidsPrefix == null && (id == "00dc" || id == "00db")) {
+            // strh-less minimal files: stream 0 by convention
             ranges += ((dataStart, dataEnd))
           }
           off = dataEnd + (sz.toInt & 1) // chunks pad to even offsets
@@ -577,14 +585,18 @@ object Multimodal {
     * widths; never fabricate), or `unsupported` (not a well-formed AVI).
     */
   private[llm] def extractAudioBlob(bytes: Array[Byte]): (Array[Byte], String) =
-    parseAvi(bytes) match {
-      case None => (null, "unsupported")
-      case Some(_) => parseAviAudio(bytes) match {
-        case None => (null, "no_audio")
-        case Some(a) if a.formatTag != 1 ||
-            (a.bitsPerSample != 8 && a.bitsPerSample != 16) ||
-            a.channels <= 0 || a.sampleRate <= 0 => (null, "non_pcm")
-        case Some(a) =>
+    parseAviAudio(bytes) match {
+      // parseAviAudio validates the container itself (same strict walk),
+      // so an audio-ONLY AVI extracts without needing a video stream;
+      // its None is disambiguated by the video parser: a well-formed
+      // video AVI without an auds stream is `no_audio`, anything else
+      // `unsupported`
+      case None =>
+        if (parseAvi(bytes).isDefined) (null, "no_audio") else (null, "unsupported")
+      case Some(a) if a.formatTag != 1 ||
+          (a.bitsPerSample != 8 && a.bitsPerSample != 16) ||
+          a.channels <= 0 || a.sampleRate <= 0 => (null, "non_pcm")
+      case Some(a) =>
           val dataLen = a.ranges.iterator.map(r => r._2 - r._1).sum
           val out = new Array[Byte](44 + dataLen)
           def le32(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte
@@ -605,7 +617,6 @@ object Multimodal {
           a.ranges.foreach { case (s, e) =>
             System.arraycopy(bytes, s, out, p, e - s); p += e - s }
           (out, "extracted")
-      }
     }
 
   /** Per-row [[extractAudioBlob]]: input columns + `audio_track` WAV

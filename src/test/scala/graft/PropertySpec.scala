@@ -562,6 +562,65 @@ class PropertySpec extends AnyFunSuite {
       "not an avi at all".getBytes)._2 == "unsupported")
   }
 
+  test("AVI stream order: audio-first files still yield the video track; audio-only files extract") {
+    // hand-built RIFF fixtures our writer never produces: data chunk ids
+    // carry the STREAM ORDER index, so an audio-first file stores frames
+    // as 01dc (not 00dc) and its PCM as 00wb — real-world muxers emit
+    // both orders
+    def le(i: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt((i & 0xffffffffL).toInt).array()
+    }
+    def le16(i: Int) = Array[Byte]((i & 0xff).toByte, ((i >> 8) & 0xff).toByte)
+    def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if ((data.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray
+      ascii(id) ++ le(data.length.toLong) ++ data ++ pad
+    }
+    def list(typ: String, children: Array[Byte]) = chunk("LIST", ascii(typ) ++ children)
+    def riff(hdrl: Array[Byte], movi: Array[Byte]): Array[Byte] =
+      ascii("RIFF") ++ le(4L + hdrl.length + movi.length) ++ ascii("AVI ") ++ hdrl ++ movi
+    def avih(w: Int, h: Int, n: Int, streams: Int) = chunk("avih",
+      le(40000L) ++ le(0) ++ le(0) ++ le(0) ++ le(n.toLong) ++ le(0) ++
+        le(streams.toLong) ++ le(0) ++ le(w.toLong) ++ le(h.toLong) ++
+        le(0) ++ le(0) ++ le(0) ++ le(0))
+    val vidsStrl = list("strl",
+      chunk("strh", ascii("vids") ++ ascii("MJPG") ++ le(0) ++ le(0) ++ le(0) ++
+        le(40000L) ++ le(1000000L) ++ le(0) ++ le(2L) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0)) ++
+      chunk("strf", le(40) ++ le(8L) ++ le(8L) ++ Array[Byte](1, 0, 24, 0) ++
+        ascii("MJPG") ++ le(8L * 8 * 3) ++ le(0) ++ le(0) ++ le(0) ++ le(0)))
+    val audsStrl = list("strl",
+      chunk("strh", ascii("auds") ++ le(1) ++ le(0) ++ le(0) ++ le(0) ++
+        le(2L) ++ le(16000L) ++ le(0) ++ le(32L) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0)) ++
+      chunk("strf", le16(1) ++ le16(1) ++ le(8000L) ++ le(16000L) ++ le16(2) ++ le16(16)))
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5))
+    val pcm = Array.tabulate[Byte](64)(_.toByte)
+
+    // audio FIRST: stream 0 = auds (chunks 00wb), stream 1 = vids (01dc)
+    val audioFirst = riff(
+      list("hdrl", avih(8, 8, 2, 2) ++ audsStrl ++ vidsStrl),
+      chunk("LIST", ascii("movi") ++ chunk("00wb", pcm) ++
+        frames.map(chunk("01dc", _)).reduce(_ ++ _)))
+    val v = graft.llm.LlmTestAccess.parseAvi(audioFirst).get
+    assert(v.totalFrames == 2L && v.microSecPerFrame == 40000L &&
+      v.frameRanges.length == 2 &&
+      frames.indices.forall(i =>
+        java.util.Arrays.equals(v.frameBytes(audioFirst, i), frames(i))), v.toString)
+    val a = graft.llm.LlmTestAccess.parseAviAudio(audioFirst).get
+    assert(a.streamIndex == 0 && a.sampleRate == 8000 && a.channels == 1)
+    val (wav, st) = graft.llm.LlmTestAccess.extractAudioBlob(audioFirst)
+    assert(st == "extracted" && java.util.Arrays.equals(wav.drop(44), pcm))
+
+    // audio ONLY: no video stream at all — not a video clip, but the
+    // track still extracts
+    val audioOnly = riff(
+      list("hdrl", avih(0, 0, 0, 1) ++ audsStrl),
+      chunk("LIST", ascii("movi") ++ chunk("00wb", pcm)))
+    assert(graft.llm.LlmTestAccess.parseAvi(audioOnly).isEmpty)
+    val (wav2, st2) = graft.llm.LlmTestAccess.extractAudioBlob(audioOnly)
+    assert(st2 == "extracted" && java.util.Arrays.equals(wav2.drop(44), pcm))
+  }
+
   test("AVI timing: strh rate/scale is authoritative when avih disagrees; zero-rate strh falls back") {
     def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     def find(b: Array[Byte], id: String) = (12 until b.length - 4).find(i =>

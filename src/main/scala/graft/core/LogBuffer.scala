@@ -12,16 +12,27 @@ import scala.jdk.CollectionConverters._
   */
 object LogBuffer {
   private val buf = new ConcurrentLinkedQueue[String]()
+  private val size = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def append(msg: String): Unit = buf.add(msg)
+  // The REPL drains per cell, but library code (e.g. takedown completion
+  // logging) appends in batch jobs too, where nothing ever drains — cap
+  // the buffer by dropping the OLDEST lines so a long-running pipeline
+  // cannot accumulate log strings without bound.
+  private val MaxLines = 10000
 
-  def clear(): Unit = buf.clear()
+  def append(msg: String): Unit = {
+    buf.add(msg)
+    if (size.incrementAndGet() > MaxLines && buf.poll() != null)
+      size.decrementAndGet()
+  }
+
+  def clear(): Unit = { buf.clear(); size.set(0) }
 
   /** Drain all buffered lines (oldest first) and clear the buffer. */
   def drain(): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
     var m = buf.poll()
-    while (m != null) { out += m; m = buf.poll() }
+    while (m != null) { out += m; size.decrementAndGet(); m = buf.poll() }
     out.toSeq
   }
 }

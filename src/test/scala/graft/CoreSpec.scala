@@ -177,6 +177,17 @@ class RunnerSpec extends SparkSpec {
     }
   }
 
+  test("LogBuffer caps at 10k lines by dropping the oldest") {
+    graft.core.LogBuffer.clear()
+    (0 until 10500).foreach(i => graft.core.LogBuffer.append(s"line-$i"))
+    val drained = graft.core.LogBuffer.drain()
+    assert(drained.size == 10000 && drained.head == "line-500" &&
+      drained.last == "line-10499", s"${drained.size} ${drained.headOption}")
+    // drain reset the counter: the next append is retained normally
+    graft.core.LogBuffer.append("fresh")
+    assert(graft.core.LogBuffer.drain() == Seq("fresh"))
+  }
+
   test("AuditLog round-trips records with quotes, backslashes and control chars") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("audit").toString + "/log"

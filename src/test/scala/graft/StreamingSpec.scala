@@ -541,6 +541,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == brute, "ingested index diverged from brute force")
   }
 
+  test("streaming takedown requests through foreachBatch match one batch delete") {
+    // Takedown requests arrive as a stream in practice (a legal queue,
+    // not a one-shot list): stream id micro-batches through foreachBatch
+    // → MinhashIndex.delete, and the index must end byte-identical to a
+    // single delete of the union — with one audit record per (micro-
+    // batch, table) on the trail.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tdstream").toString
+    def freshIndex(path: String): Unit = {
+      val docs = spark.range(20).select(col("id").as("doc_id"),
+        concat_ws(" ", org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(lit(0), lit(11)),
+          i => concat(lit("tk"), col("id"), lit("x"), i))).as("text"))
+      graft.llm.MinhashIndex.write(docs, "doc_id", "text", path)
+    }
+    freshIndex(s"$base/streamed"); freshIndex(s"$base/batch")
+    val victims = Seq(3L, 6L, 9L, 12L)
+    victims.toDF("doc_id").repartition(2)
+      .write.mode("overwrite").parquet(s"$base/requests")
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$base/requests").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/requests")
+      .writeStream
+      .foreachBatch { (ids: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!ids.isEmpty) {
+          graft.llm.MinhashIndex.delete(spark, s"$base/streamed", ids)
+          batches.incrementAndGet()
+        }
+        (): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(batches.get() >= 2, s"expected multiple delete micro-batches, got ${batches.get()}")
+    graft.llm.MinhashIndex.delete(spark, s"$base/batch", victims)
+    def table(path: String, t: String) =
+      spark.read.parquet(s"$path/$t").collect().map(_.toSeq.toString).toSet
+    Seq("exact", "shingles", "bands").foreach { t =>
+      assert(table(s"$base/streamed", t) == table(s"$base/batch", t),
+        s"$t diverged between streamed and one-shot takedown")
+    }
+    // one audit record per (micro-batch, table) on the streamed trail
+    val nRecords = graft.llm.MinhashIndex.takedownLog(spark, s"$base/streamed").count()
+    assert(nRecords == 3L * batches.get(), s"$nRecords records for ${batches.get()} batches")
+  }
+
   test("streaming canary detection: the Aho-Corasick projection equals its batch result") {
     // canaryHits is a pure narrow projection (automaton rides inside the
     // expression) — it must run unchanged on a streaming frame and emit

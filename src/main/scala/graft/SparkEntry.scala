@@ -2522,6 +2522,47 @@ object SparkEntry {
         .select(col("word"), col("cnt"))
         .orderBy("word")
     },
+    "q207_char_entropy" -> withViews("documents") { (spark, ctx) =>
+      // Character-entropy quality signal under the FULL ORACLE
+      // (functions/CharEntropyExpr): gibberish/binary spill runs HIGH,
+      // single-char padding runs LOW, natural language sits in a stable
+      // band — a standard prune signal next to q34's length/punct
+      // features. The native codegen'd expression sums per code point in
+      // FIXED ascending order, so matching DuckDB's unnest-and-aggregate
+      // entropy to 6 decimals is safe (the cross-engine spread is
+      // ulp-level sum-order noise).
+      import graft.functions.CharEntropyExpr.char_entropy
+      ctx.view("documents")
+        .select(col("doc_id"),
+          round(char_entropy(col("text")), 6).as("char_entropy"))
+        .orderBy("doc_id")
+    },
+    "q208_deflate_quality" -> withViews("documents") { (spark, ctx) =>
+      // Compression-ratio quality signal, self-verifying (zlib has no
+      // DuckDB counterpart — functions/DeflateRatioExpr, the Gopher-style
+      // boilerplate heuristic): `ok` carries the contract in-band per
+      // document — (1) for non-tiny docs (≥ 64 chars — below that zlib's
+      // ~8-byte wrapper dominates and the ratio exceeds 1 freely) the
+      // ratio lands in (0, 1.5]; (2) the SAME text repeated 4× compresses
+      // STRICTLY better (long-range repetition is exactly what the signal
+      // exists to catch, and deflate's 32 KB window sees the whole doc);
+      // (3) an independent re-evaluation yields the identical double
+      // (zlib determinism at a fixed level).
+      import graft.functions.DeflateRatioExpr.deflate_ratio
+      ctx.view("documents")
+        .select(col("doc_id"), col("text"),
+          deflate_ratio(col("text")).as("ratio"),
+          deflate_ratio(concat(col("text"), col("text"), col("text"),
+            col("text"))).as("ratio4"),
+          deflate_ratio(col("text")).as("_ratio_again"))
+        .select(col("doc_id"), round(col("ratio"), 6).as("ratio"),
+          round(col("ratio4"), 6).as("ratio4"),
+          (col("ratio") > 0.0 &&
+            (length(col("text")) < 64 || col("ratio") <= 1.5) &&
+            col("_ratio_again") === col("ratio") &&
+            (length(col("text")) < 8 || col("ratio4") < col("ratio"))).as("ok"))
+        .orderBy("doc_id")
+    },
     "q206_video_audio_track" -> withViews("documents") { (spark, ctx) =>
       // AVI AUDIO-track extraction, self-verifying — the bridge from the
       // video container to the whole audio pipeline: per-row MJPEG+PCM
@@ -5542,6 +5583,20 @@ object SparkEntry {
               FROM documents)
         GROUP BY 1 HAVING count(*) >= 5
         ORDER BY word""",
+    "q207_char_entropy" ->
+      // the same unnest-and-aggregate entropy, abs() only to normalize
+      // the -0.0 a single-distinct-char document's -sum produces
+      """SELECT d.doc_id, round(coalesce(abs(e.ent), 0), 6) AS char_entropy
+        FROM documents d
+        LEFT JOIN (
+          SELECT doc_id, -sum(p * ln(p)) AS ent FROM (
+            SELECT doc_id,
+                   count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY doc_id) AS p
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                  FROM documents)
+            GROUP BY doc_id, ch)
+          GROUP BY doc_id) e USING (doc_id)
+        ORDER BY d.doc_id""",
     "q203_wordcounts_delete" ->
       // ONE count over batch A alone — the engine wrote A, ingested B,
       // then deleted B by exact count subtraction; DuckDB never sees B

@@ -65,5 +65,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MultiContainsExpr.fromExprs(exprs)
     ))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyExpr].getName, "char_entropy"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharEntropyExpr(exprs.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatioExpr].getName, "deflate_ratio"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(t) => DeflateRatioExpr(t, 6)
+          case Seq(t, l) => DeflateRatioExpr(t,
+            l.eval().asInstanceOf[Number].intValue())
+        }
+    ))
   }
 }

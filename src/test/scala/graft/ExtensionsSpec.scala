@@ -22,11 +22,19 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d, " +
           "vec_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c, " +
           "size(winnowing_fingerprints('the quick brown fox jumps')) AS w, " +
-          "simhash64(array('alpha', 'beta')) AS s").head()
+          "simhash64(array('alpha', 'beta')) AS s, " +
+          "char_entropy('abca') AS e, " +
+          "deflate_ratio(repeat('boilerplate ', 50)) AS z, " +
+          "deflate_ratio(repeat('boilerplate ', 50), 1) AS z1").head()
       assert(r.getDouble(0) == 11.0)
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
       assert(r.getInt(2) > 0)
       assert(r.getLong(3) != 0L)
+      // -(0.5 ln 0.5 + 2 · 0.25 ln 0.25)
+      assert(math.abs(r.getDouble(4) - 1.0397207708399179) < 1e-12, r.getDouble(4))
+      // 600 bytes of pure repetition deflate far below 20%
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 0.2, r.getDouble(5).toString)
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) < 0.3, r.getDouble(6).toString)
     } finally s.stop()
   }
 }

@@ -3699,6 +3699,40 @@ class NaiveBayesSpec extends SparkSpec {
   }
 }
 
+class QualitySignalsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.CharEntropyExpr.char_entropy
+  import graft.functions.DeflateRatioExpr.deflate_ratio
+
+  test("char_entropy: hand-computed values, code-point counting, empty and null") {
+    val es = Seq("abca", "aaaa", "", "😀😀x").toDF("t")
+      .select(char_entropy(col("t"))).as[Double].collect()
+    assert(math.abs(es(0) - 1.0397207708399179) < 1e-12, es(0).toString)
+    assert(es(1) == 0.0 && es(2) == 0.0, es.toSeq.toString)
+    // 😀 is non-BMP (2 chars, ONE code point): distribution {😀: 2, x: 1}
+    val exp = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(es(3) - exp) < 1e-12, es(3).toString)
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(char_entropy(col("t"))).head().isNullAt(0))
+  }
+
+  test("deflate_ratio: repetition compresses below prose, bounds hold, empty is 1.0") {
+    val prose = "the committee reviewed seventeen distinct proposals before lunch"
+    val rows = Seq(prose, prose * 8, "", "x").toDF("t")
+      .select(deflate_ratio(col("t"))).as[Double].collect()
+    assert(rows(0) > 0.0 && rows(0) <= 1.5, rows(0).toString)
+    assert(rows(1) < rows(0), s"repetition did not compress: ${rows.toSeq}")
+    assert(rows(2) == 1.0)
+    // a 1-byte input is ALL header overhead (zlib wraps ~8 bytes around
+    // it) — the ratio exceeds 1 freely below a few dozen bytes, which is
+    // why thresholds (and q208's bound) only apply to non-tiny documents
+    assert(rows(3) > 1.0, rows(3).toString)
+    // deterministic across evaluations
+    val again = Seq(prose).toDF("t").select(deflate_ratio(col("t"))).head().getDouble(0)
+    assert(again == rows(0))
+  }
+}
+
 class WordCountsSpec extends SparkSpec {
   import spark.implicits._
   import graft.llm.WordCounts

@@ -28,7 +28,7 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  // The 34 queries without a DuckDB oracle (LSH / approx sketches / binary
+  // The 35 queries without a DuckDB oracle (LSH / approx sketches / binary
   // decode) are SELF-verifying instead: each emits an `ok` column carrying
   // its own internal invariant (exact Jaccard/Hamming/cosine vs threshold,
   // HLL/percentile error bounds, brute-force score parity, codec contract).
@@ -44,7 +44,8 @@ class QueriesSpec extends SparkSpec {
     "q185_tokenizer_fertility", "q186_langid_floor", "q189_audio_resample",
     "q191_minhash_index_ingest", "q192_unigram_encode", "q193_ann_recall_report",
     "q196_wordpiece_encode", "q199_video_frames", "q200_video_transcode",
-    "q202_index_takedown", "q205_vector_takedown", "q206_video_audio_track")
+    "q202_index_takedown", "q205_vector_takedown", "q206_video_audio_track",
+    "q208_deflate_quality")
 
   for (name <- selfVerifying) {
     test(s"$name: every row passes its own invariant (ok column)") {

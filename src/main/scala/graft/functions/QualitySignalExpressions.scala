@@ -55,6 +55,10 @@ object CharEntropyExpr {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(CharEntropyExpr(GraftColumnBridge.expression(text)))
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropyExpr(exprs.head), "built-in")
 }
 
 case class DeflateRatioExpr(child: Expression, level: Int)
@@ -93,6 +97,18 @@ object DeflateRatioExpr {
     GraftColumnBridge.column(
       DeflateRatioExpr(GraftColumnBridge.expression(text), level))
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_ratio",
+      {
+        case Seq(t) => DeflateRatioExpr(t, 6)
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(l: Int, IntegerType)) =>
+          DeflateRatioExpr(t, l)
+        case other => throw new IllegalArgumentException(
+          s"deflate_ratio(text[, level]) — level must be an int literal, got $other")
+      },
+      "built-in")
 }
 
 /** Static kernels (called from generated code — must be public, stateless

@@ -123,5 +123,7 @@ object Udfs {
     graft.functions.Md5Prefix64Expr.register(spark)
     graft.functions.CdcChunksExpr.register(spark)
     graft.functions.MultiContainsExpr.register(spark)
+    graft.functions.CharEntropyExpr.register(spark)
+    graft.functions.DeflateRatioExpr.register(spark)
   }
 }

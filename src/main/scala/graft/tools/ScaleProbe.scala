@@ -798,6 +798,17 @@ object ScaleProbe {
         graft.llm.WordCounts.ingest(batch, "text", dir).count()
       }
     }
+    // Quality signals: both are narrow codegen'd projections — the probe
+    // pins corpus-scan throughput (entropy is two passes over chars,
+    // deflate is zlib per doc; neither shuffles).
+    if (anySelected(s"qualitySignals n=$n")) {
+      time(s"qualitySignals n=$n entropy+deflate") {
+        docs.select(
+          graft.functions.CharEntropyExpr.char_entropy(col("text")).as("e"),
+          graft.functions.DeflateRatioExpr.deflate_ratio(col("text")).as("z"))
+          .agg(sum(col("e") + col("z"))).head().getDouble(0).round
+      }
+    }
     // Count-store takedown: delete must be O(batch + vocab) like ingest —
     // the table subtracts the batch's counts exactly, never re-reading
     // the historical corpus.

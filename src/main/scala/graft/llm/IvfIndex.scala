@@ -166,6 +166,13 @@ object IvfIndex {
     * distribution shifts; re-[[write]] when partial-probe recall decays —
     * exhaustive probes stay exact regardless, since assignment only shapes
     * which partitions hold which rows.
+    *
+    * Ids are the CALLER's contract: unlike the dedup indexes there is no
+    * strictly-increasing watermark (a retrieval corpus legitimately
+    * ingests interleaved id ranges), so re-ingesting an id that is
+    * already indexed APPENDS a second copy, which then occupies two
+    * top-k slots. [[delete]] the old ids first when re-ingesting
+    * replacements.
     */
   def ingest(newVectors: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newVectors.sparkSession

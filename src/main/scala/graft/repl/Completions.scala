@@ -143,6 +143,9 @@ object Completions {
     Completion("WordCountsTransform (delete batch)",
       "{type = \"WordCountsTransform\", name = \"forget\", inputView = \"batch\", outputView = \"counts\",\n" +
         " countsURI = \"/path/wordcounts\", textField = \"text\", action = \"delete\"}"),
+    Completion("IndexDedupTransform (takedown audit log)",
+      "{type = \"IndexDedupTransform\", name = \"evidence\", inputView = \"ids\", outputView = \"takedowns\",\n" +
+        " indexURI = \"/path/mhidx\", idField = \"doc_id\", textField = \"text\", action = \"log\"}"),
     Completion("SpanIndexTransform",
       "{type = \"SpanIndexTransform\", name = \"spanidx\", inputView = \"docs\", outputView = \"deduped\",\n" +
         " indexURI = \"/path/spanidx\", idField = \"doc_id\", textField = \"text\",\n" +

@@ -505,6 +505,22 @@ object SparkEntry {
     ORDER BY revenue_u DESC, o_orderdate, l_orderkey
     LIMIT 10"""
 
+  // TPC-H Q6 (forecasting revenue change): the tightest scan shape in the
+  // suite — one pass, three pushable predicates (date range, discount
+  // band, quantity cap), one global agg. Revenue in the battery's
+  // integer-exact cents form (the q169 discipline) so the single output
+  // row hashes identically cross-engine; the date window is shifted to
+  // the generated data's 1995–2001 shipdate range.
+  private val q209 = """
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                 * CAST(FLOOR(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_u,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24"""
+
   // TPC-H Q5 (local supplier volume): revenue where the supplier and the
   // customer share a nation, per nation of one region over one year.
   private val q170 = """
@@ -719,6 +735,7 @@ object SparkEntry {
     "q136_tpch_q12_priority_split" -> pipe("lineitem", "orders")(q136),
     "q137_tpch_q14_promo_share" -> pipe("lineitem", "part")(q137),
     "q138_tpch_q19_disjunctive" -> pipe("lineitem", "part")(q138),
+    "q209_tpch_q6_forecast_revenue" -> pipe("lineitem")(q209),
     "q126_tpch_q15_top_supplier" -> pipe("lineitem", "supplier")(q126),
     "q127_tpch_q16_supplier_cnt" -> pipe("part", "lineitem", "supplier")(q127),
     "q128_dominant_share" -> pipe("lineitem", "supplier")(q128),
@@ -4366,6 +4383,7 @@ object SparkEntry {
     "q129_window_distribution" -> q129,
     "q130_editdist_neardup" -> q130,
     "q169_tpch_q3_shipping_priority" -> q169,
+    "q209_tpch_q6_forecast_revenue" -> q209,
     "q170_tpch_q5_local_supplier" -> q170,
     "q171_tpch_q10_returned_items" -> q171,
     "q172_tpch_q18_large_volume" -> q172,

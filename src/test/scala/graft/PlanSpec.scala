@@ -278,6 +278,20 @@ class PlanSpec extends SparkSpec {
       s"lineitem scan missing implied quantity disjunction:\n$lineScan")
   }
 
+  test("q209: all three Q6 predicates reach the lineitem scan") {
+    // TPC-H Q6 is a pure scan benchmark: date range, discount band and
+    // quantity cap must ALL land in PushedFilters so shipdate-sorted row
+    // groups prune — at 100 TB this query is the filter pushdown, there
+    // is nothing else to it.
+    val plan = formatted(SparkEntry.queries("q209_tpch_q6_forecast_revenue")(spark, sf()))
+    val scan = plan.split("\n\n")
+      .find(b => b.contains("Scan parquet") && b.contains("lineitem.parquet"))
+      .getOrElse("")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(scan.contains("PushedFilters") && scan.contains(c),
+        s"$c not pushed to the lineitem scan:\n$scan"))
+  }
+
   test("q126: the revenue view's global MAX is a subquery over the agg, not a rescan of lineitem") {
     // TPC-H Q15 shape: lineitem must be scanned for the revenue agg; the
     // MAX comparison is a scalar subquery/join over the tiny grouped view.

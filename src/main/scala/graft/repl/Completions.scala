@@ -44,6 +44,9 @@ object Completions {
       "{plugins: {config: [\n" +
         "  {type = \"graft.core.EnvConfigPlugin\", prefix = \"ETL_CONF_\"}\n" +
         "]}}"),
+    Completion("%sql (quality signals)",
+      "%sql outputView=signals\nSELECT doc_id, char_entropy(text) AS char_entropy,\n" +
+        "       deflate_ratio(text) AS deflate_ratio\nFROM documents"),
     Completion("DeduplicateTransform",
       "{type = \"DeduplicateTransform\", name = \"dedup\", inputView = \"v\", outputView = \"v2\",\n" +
         " idField = \"id\", textField = \"text\", method = \"minhash\", threshold = 0.8}"),

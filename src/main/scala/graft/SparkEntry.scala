@@ -2561,10 +2561,12 @@ object SparkEntry {
       // document — (1) for non-tiny docs (≥ 64 chars — below that zlib's
       // ~8-byte wrapper dominates and the ratio exceeds 1 freely) the
       // ratio lands in (0, 1.5]; (2) the SAME text repeated 4× compresses
-      // STRICTLY better (long-range repetition is exactly what the signal
-      // exists to catch, and deflate's 32 KB window sees the whole doc);
-      // (3) an independent re-evaluation yields the identical double
-      // (zlib determinism at a fixed level).
+      // STRICTLY better — asserted only for docs ≤ 32 KB, where deflate's
+      // 32 KB window provably sees a whole earlier copy (beyond that the
+      // repeats fall outside the window and only header/Huffman
+      // amortization remains, which is not strict); (3) an independent
+      // re-evaluation yields the identical double (zlib determinism at a
+      // fixed level).
       import graft.functions.DeflateRatioExpr.deflate_ratio
       ctx.view("documents")
         .select(col("doc_id"), col("text"),
@@ -2577,7 +2579,8 @@ object SparkEntry {
           (col("ratio") > 0.0 &&
             (length(col("text")) < 64 || col("ratio") <= 1.5) &&
             col("_ratio_again") === col("ratio") &&
-            (length(col("text")) < 8 || col("ratio4") < col("ratio"))).as("ok"))
+            (length(col("text")) < 8 || length(col("text")) > 32768 ||
+              col("ratio4") < col("ratio"))).as("ok"))
         .orderBy("doc_id")
     },
     "q206_video_audio_track" -> withViews("documents") { (spark, ctx) =>

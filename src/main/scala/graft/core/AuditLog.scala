@@ -44,6 +44,13 @@ object AuditLog {
       .map {
         case (k, v: Long) => s"${jstr(k)}:$v"
         case (k, v: Int) => s"${jstr(k)}:$v"
+        // Double/Boolean must render as JSON values too — a quoted "0.95"
+        // under a DoubleType read schema silently reads back NULL, which
+        // for an audit trail is evidence loss. Non-finite doubles have no
+        // JSON form; they quote (and a reader wanting them numeric should
+        // not be storing NaN as evidence in the first place).
+        case (k, v: Double) if !v.isNaN && !v.isInfinite => s"${jstr(k)}:$v"
+        case (k, v: Boolean) => s"${jstr(k)}:$v"
         case (k, v) => s"${jstr(k)}:${jstr(String.valueOf(v))}"
       }.mkString("{", ",", "}")
     val out = fs.create(new Path(dir, s"$runId.json"), true)
@@ -58,5 +65,91 @@ object AuditLog {
     if (!fs.exists(dir))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     else spark.read.schema(schema).json(dir.toString)
+  }
+
+  /** Maintenance: fold the one-file-per-record log into ONE combined
+    * JSON-lines file, rows preserved byte-for-byte, read path unchanged
+    * (`spark.read.json` treats the combined file as JSON Lines). The
+    * one-record-one-file write discipline is right at legal-takedown
+    * cadence, but the streaming-takedown pattern (one record per
+    * micro-batch PER TABLE) accumulates thousands of KB files — this is
+    * the mop-up, run at ingest-maintenance cadence like
+    * [[graft.llm.IndexCompact.compactPartitioned]].
+    *
+    * Crash discipline (single-writer, like every store here; run it in
+    * the maintenance window, not concurrently with log reads): (1) any
+    * interrupted run is recovered first — the `_compacting/` staging dir
+    * holds a `_target` marker naming its combined file, so recovery knows
+    * whether that run committed (live `compact-<id>.json` exists ⇒ parked
+    * originals are duplicates, discard them) or not (restore the parked
+    * originals, discard the invisible partial output); (2) live record
+    * files move into `_compacting/` (atomic per-file renames —
+    * `_`-prefixed dirs are invisible to Spark reads); (3) the combined
+    * file is written `_`-prefixed (invisible while partial) and renamed
+    * live in ONE atomic step; (4) staging is discarded. At every crash
+    * point each record exists exactly once in the union of {live files,
+    * parked originals}, and recovery resolves which copy wins from the
+    * marker. Returns (filesBefore, recordsCompacted). */
+  def compact(spark: SparkSession, logDir: String): (Int, Int) = {
+    val dir = new Path(logDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return (0, 0)
+    val staging = new Path(dir, "_compacting")
+    // recover an interrupted run: the _target marker names the combined
+    // file that run intended; its presence LIVE means the run committed
+    // past step (3) and the parked files are pure duplicates
+    if (fs.exists(staging)) {
+      val marker = new Path(staging, "_target")
+      val targetName: Option[String] =
+        if (!fs.exists(marker)) None
+        else {
+          val in = fs.open(marker)
+          val name = try {
+            val buf = new Array[Byte](256)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0), "UTF-8")
+          } finally in.close()
+          Some(name).filter(_.nonEmpty)
+        }
+      val committed = targetName.exists(n => fs.exists(new Path(dir, n)))
+      if (!committed) {
+        fs.listStatus(staging).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_"))
+          .foreach(f => require(
+            fs.rename(f.getPath, new Path(dir, f.getPath.getName)),
+            s"AuditLog.compact: recovery rename failed for ${f.getPath}"))
+        // a partial, never-committed combined file is invisible garbage
+        targetName.foreach(n => fs.delete(new Path(dir, s"_$n"), false))
+      }
+      fs.delete(staging, true)
+    }
+    val live = fs.listStatus(dir).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    if (live.length <= 1) return (live.length, 0)
+    val combinedName = s"compact-${java.util.UUID.randomUUID()}.json"
+    fs.mkdirs(staging)
+    val marker = fs.create(new Path(staging, "_target"), true)
+    marker.write(combinedName.getBytes("UTF-8")); marker.close()
+    live.foreach(f => require(
+      fs.rename(f.getPath, new Path(staging, f.getPath.getName)),
+      s"AuditLog.compact: rename failed for ${f.getPath} — aborting; " +
+        "re-running compact recovers"))
+    // records are single-line JSON objects (this writer's format; an
+    // earlier compact's output is already newline-joined lines)
+    val lines = fs.listStatus(staging)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+      .flatMap { f =>
+        val in = fs.open(f.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+        finally in.close()
+      }
+    val tmpOut = new Path(dir, s"_$combinedName")
+    val out = fs.create(tmpOut, true)
+    out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    require(fs.rename(tmpOut, new Path(dir, combinedName)),
+      s"AuditLog.compact: commit rename failed for $tmpOut")
+    fs.delete(staging, true)
+    (live.length, lines.length)
   }
 }

@@ -1,6 +1,5 @@
 package graft.core
 
-import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
 /** Per-cell in-memory log capture — behavioral analog of the reference's
@@ -9,10 +8,12 @@ import scala.jdk.CollectionConverters._
   * are buffered and returned with the cell result, so `%log` / LogExecute
   * output is visible in the notebook instead of disappearing into the JVM
   * log. Thread-safe: stages may log from FAIR-scheduled concurrent jobs.
+  * Plain monitor synchronization keeps the cap EXACT under concurrent
+  * append/drain/clear — log lines arrive at stage cadence, not row
+  * cadence, so a lock costs nothing here and a lock-free counter drifts.
   */
 object LogBuffer {
-  private val buf = new ConcurrentLinkedQueue[String]()
-  private val size = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val buf = new java.util.ArrayDeque[String]()
 
   // The REPL drains per cell, but library code (e.g. takedown completion
   // logging) appends in batch jobs too, where nothing ever drains — cap
@@ -20,19 +21,17 @@ object LogBuffer {
   // cannot accumulate log strings without bound.
   private val MaxLines = 10000
 
-  def append(msg: String): Unit = {
-    buf.add(msg)
-    if (size.incrementAndGet() > MaxLines && buf.poll() != null)
-      size.decrementAndGet()
+  def append(msg: String): Unit = synchronized {
+    buf.addLast(msg)
+    if (buf.size > MaxLines) buf.pollFirst()
   }
 
-  def clear(): Unit = { buf.clear(); size.set(0) }
+  def clear(): Unit = synchronized { buf.clear() }
 
   /** Drain all buffered lines (oldest first) and clear the buffer. */
-  def drain(): Seq[String] = {
-    val out = scala.collection.mutable.ListBuffer[String]()
-    var m = buf.poll()
-    while (m != null) { out += m; size.decrementAndGet(); m = buf.poll() }
-    out.toSeq
+  def drain(): Seq[String] = synchronized {
+    val out = buf.asScala.toList
+    buf.clear()
+    out
   }
 }

@@ -16,6 +16,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // SQL-arity guard for single-argument expressions: `exprs.head` alone
+  // would silently DROP extra arguments (`simhash64(a, b)` quietly hashing
+  // only `a` is a wrong-answer generator, not a convenience)
+  private def unary(fn: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    if (exprs.length != 1) throw new IllegalArgumentException(
+      s"$fn takes exactly 1 argument, got ${exprs.length} — usage: $fn(col)")
+    exprs.head
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
@@ -39,7 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64Expr].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Simhash64Expr(exprs.head)
+        Simhash64Expr(unary("simhash64", exprs))
     ))
     ext.injectFunction((
       FunctionIdentifier("unicode_normalize"),
@@ -51,7 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5_prefix64"),
       new ExpressionInfo(classOf[Md5Prefix64Expr].getName, "md5_prefix64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Md5Prefix64Expr(exprs.head)
+        Md5Prefix64Expr(unary("md5_prefix64", exprs))
     ))
     ext.injectFunction((
       FunctionIdentifier("cdc_chunks"),
@@ -69,16 +80,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_entropy"),
       new ExpressionInfo(classOf[CharEntropyExpr].getName, "char_entropy"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CharEntropyExpr(exprs.head)
+        CharEntropyExpr(unary("char_entropy", exprs))
     ))
     ext.injectFunction((
       FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatioExpr].getName, "deflate_ratio"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        // the level must be a LITERAL int (it configures the Deflater, it
+        // is not a per-row input): match it explicitly rather than eval()
+        // — a non-foldable level would throw an opaque unbound-expression
+        // error from eval, and wrong arity a MatchError
         exprs match {
           case Seq(t) => DeflateRatioExpr(t, 6)
-          case Seq(t, l) => DeflateRatioExpr(t,
-            l.eval().asInstanceOf[Number].intValue())
+          case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(
+              l: Int, org.apache.spark.sql.types.IntegerType)) =>
+            DeflateRatioExpr(t, l)
+          case Seq(_, other) => throw new IllegalArgumentException(
+            s"deflate_ratio: level must be an INTEGER LITERAL (it selects " +
+              s"the Deflater level once, not per row), got $other — usage: " +
+              "deflate_ratio(text[, level])")
+          case other => throw new IllegalArgumentException(
+            s"deflate_ratio takes 1 or 2 arguments (text[, level]), got " +
+              s"${other.length}")
         }
     ))
   }

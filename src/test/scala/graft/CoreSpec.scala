@@ -206,4 +206,98 @@ class RunnerSpec extends SparkSpec {
     // a never-written log reads as an empty frame under the same schema
     assert(graft.core.AuditLog.read(spark, dir + "_none", schema).count() == 0)
   }
+
+  test("AuditLog renders Double and Boolean fields as JSON values, not strings") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("audit").toString + "/log"
+    graft.core.AuditLog.append(spark, dir,
+      Seq("table" -> "t", "threshold" -> 0.95, "dryRun" -> true))
+    val schema = StructType(Seq(
+      StructField("table", StringType), StructField("threshold", DoubleType),
+      StructField("dryRun", BooleanType), StructField("runId", StringType)))
+    val r = graft.core.AuditLog.read(spark, dir, schema).head()
+    // under a typed read schema a quoted "0.95" would read back NULL —
+    // the silent-evidence-loss trap this rendering exists to close
+    assert(!r.isNullAt(1) && r.getDouble(1) == 0.95, r.toString)
+    assert(!r.isNullAt(2) && r.getBoolean(2), r.toString)
+  }
+
+  test("AuditLog.compact folds records into one file preserving every row") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("audit").toString + "/log"
+    (0 until 7).foreach(i => graft.core.AuditLog.append(spark, dir,
+      Seq("table" -> s"t$i", "rows" -> i.toLong), runId = s"run-$i"))
+    val schema = StructType(Seq(
+      StructField("table", StringType), StructField("rows", LongType),
+      StructField("runId", StringType)))
+    def readAll() = graft.core.AuditLog.read(spark, dir, schema)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val before = readAll()
+    assert(before.size == 7)
+    val (files, recs) = graft.core.AuditLog.compact(spark, dir)
+    assert(files == 7 && recs == 7, s"$files/$recs")
+    // one live file now; rows identical through the unchanged read path
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).filter(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    assert(live.length == 1, live.map(_.getPath.getName).mkString(","))
+    assert(readAll() == before)
+    // idempotent: a second compact is a no-op, appends after compaction
+    // fold in on the next one
+    assert(graft.core.AuditLog.compact(spark, dir)._2 == 0)
+    graft.core.AuditLog.append(spark, dir, Seq("table" -> "t7", "rows" -> 7L),
+      runId = "run-7")
+    val (f2, r2) = graft.core.AuditLog.compact(spark, dir)
+    assert(f2 == 2 && r2 == 8, s"$f2/$r2")
+    assert(readAll() == before + (("t7", 7L, "run-7")))
+  }
+
+  test("AuditLog.compact recovers an interrupted run without losing or duplicating records") {
+    import org.apache.spark.sql.types._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val schema = StructType(Seq(
+      StructField("table", StringType), StructField("runId", StringType)))
+    // CASE 1: crash after parking originals, BEFORE the combined file went
+    // live — recovery must restore the parked records
+    val d1 = java.nio.file.Files.createTempDirectory("audit").toString + "/log"
+    (0 until 3).foreach(i => graft.core.AuditLog.append(spark, d1,
+      Seq("table" -> s"a$i"), runId = s"r$i"))
+    val p1 = new org.apache.hadoop.fs.Path(d1)
+    val fs = p1.getFileSystem(hconf)
+    val stage1 = new org.apache.hadoop.fs.Path(p1, "_compacting")
+    fs.mkdirs(stage1)
+    val m1 = fs.create(new org.apache.hadoop.fs.Path(stage1, "_target"), true)
+    m1.write("compact-crashed.json".getBytes("UTF-8")); m1.close()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p1, "r1.json"),
+      new org.apache.hadoop.fs.Path(stage1, "r1.json")))
+    // mid-run the parked record is invisible; compact's recovery restores
+    // it and then compacts everything
+    val (files1, recs1) = graft.core.AuditLog.compact(spark, d1)
+    assert(files1 == 3 && recs1 == 3, s"$files1/$recs1")
+    assert(graft.core.AuditLog.read(spark, d1, schema)
+      .collect().map(_.getString(1)).toSet == Set("r0", "r1", "r2"))
+    // CASE 2: crash AFTER the combined file went live — the parked
+    // originals are duplicates; recovery must discard, not restore, them
+    val d2 = java.nio.file.Files.createTempDirectory("audit").toString + "/log"
+    (0 until 2).foreach(i => graft.core.AuditLog.append(spark, d2,
+      Seq("table" -> s"b$i"), runId = s"s$i"))
+    assert(graft.core.AuditLog.compact(spark, d2)._2 == 2)
+    val p2 = new org.apache.hadoop.fs.Path(d2)
+    val combined = fs.listStatus(p2).filter(s => s.isFile &&
+      s.getPath.getName.startsWith("compact-")).head.getPath
+    val stage2 = new org.apache.hadoop.fs.Path(p2, "_compacting")
+    fs.mkdirs(stage2)
+    val m2 = fs.create(new org.apache.hadoop.fs.Path(stage2, "_target"), true)
+    m2.write(combined.getName.getBytes("UTF-8")); m2.close()
+    // park a COPY of a record the combined file already holds (what a
+    // crash between commit and staging-delete leaves behind)
+    val cp = fs.create(new org.apache.hadoop.fs.Path(stage2, "s0.json"), true)
+    cp.write("{\"table\":\"b0\",\"runId\":\"s0\"}".getBytes("UTF-8")); cp.close()
+    graft.core.AuditLog.compact(spark, d2)
+    val rows2 = graft.core.AuditLog.read(spark, d2, schema)
+      .collect().map(_.getString(1)).toSeq
+    assert(rows2.sorted == Seq("s0", "s1"), rows2.mkString(","))
+  }
 }

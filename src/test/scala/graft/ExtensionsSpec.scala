@@ -35,6 +35,20 @@ class ExtensionsSpec extends SparkSpec {
       // 600 bytes of pure repetition deflate far below 20%
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 0.2, r.getDouble(5).toString)
       assert(r.getDouble(6) > 0.0 && r.getDouble(6) < 0.3, r.getDouble(6).toString)
+      // arity/literal misuse fails LOUDLY at bind time — `exprs.head`-style
+      // bindings would silently drop extra args, and a non-literal
+      // deflate level used to die in an opaque unbound-expression eval
+      def fails(sql: String, fragment: String): Unit = {
+        val e = intercept[Exception](s.sql(sql).head())
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains(fragment)), s"$sql -> ${e.getMessage}")
+      }
+      fails("SELECT char_entropy('a', 'b')", "exactly 1 argument")
+      fails("SELECT simhash64(array('a'), 'x')", "exactly 1 argument")
+      fails("SELECT deflate_ratio('a', 'notalevel')", "INTEGER LITERAL")
+      fails("SELECT deflate_ratio('a', length('xx'))", "INTEGER LITERAL")
+      fails("SELECT deflate_ratio('a', 1, 2)", "1 or 2 arguments")
     } finally s.stop()
   }
 }

@@ -291,7 +291,8 @@ object PipelineConfig {
         seed = o.intOpt("seed").map(_.toLong).getOrElse(42L),
         pqSubspaces = o.intOpt("pqSubspaces").getOrElse(0),
         pqCodesPerSub = o.intOpt("pqCodesPerSub").getOrElse(16),
-        pqResidual = o.bool("pqResidual"))
+        pqResidual = o.bool("pqResidual"),
+        replace = o.bool("replace"))
     case "IvfQueryTransform" =>
       IvfQueryTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
         indexURI = o.req("indexURI"), idField = o.req("idField"),

@@ -167,14 +167,25 @@ object IvfIndex {
     * exhaustive probes stay exact regardless, since assignment only shapes
     * which partitions hold which rows.
     *
-    * Ids are the CALLER's contract: unlike the dedup indexes there is no
-    * strictly-increasing watermark (a retrieval corpus legitimately
-    * ingests interleaved id ranges), so re-ingesting an id that is
-    * already indexed APPENDS a second copy, which then occupies two
-    * top-k slots. [[delete]] the old ids first when re-ingesting
-    * replacements.
+    * Duplicate ids are REFUSED, not silently double-indexed: unlike the
+    * dedup indexes there is no strictly-increasing id watermark (a
+    * retrieval corpus legitimately ingests interleaved id ranges), and
+    * appending a second copy of an indexed id would occupy two top-k
+    * slots with identical cosine — silent retrieval degradation, the one
+    * misuse the dedup tiers' watermark tripwire catches and this index
+    * previously did not. Every ingest therefore runs a duplicate probe
+    * (column-pruned id scan bounded by the batch's [min, max] — the
+    * [[IndexCompact.deleteMatching]] row-group-pruning shape, so an
+    * id-clustered index skips most row groups) and fails loudly on
+    * overlap. `replace = true` instead TAKES DOWN the overlapping ids
+    * first ([[delete]] — the staged crash-safe rewrite, audit-logged like
+    * any other removal) and then appends, so re-ingesting refreshed
+    * vectors is atomic-per-call rather than a caller-coordinated
+    * delete+ingest pair. Replace requires long-castable ids (the takedown
+    * contract all four index families share).
     */
-  def ingest(newVectors: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+  def ingest(newVectors: DataFrame, idCol: String, vecCol: String, path: String,
+      replace: Boolean = false): Unit = {
     val spark = newVectors.sparkSession
     val cents = readCentroids(spark, path)
     val cbs = readCodebooks(spark, path)
@@ -206,6 +217,34 @@ object IvfIndex {
         s"vec: ${existingSchema("vec").dataType.sql}) but the batch carries " +
         s"(${newVectors.schema(idCol).dataType.sql}, ${newVectors.schema(vecCol).dataType.sql}) " +
         "— cast the batch or rebuild")
+    // duplicate tripwire: ONE column-pruned scan, bounded by the batch's
+    // pushed [min, max] id range so parquet row-group stats prune it; the
+    // semi join broadcasts whichever side AQE finds small
+    import org.apache.spark.sql.functions.{count => cnt, lit, max => fmax, min => fmin}
+    val batchIds = graft.core.Lineage.pin(
+      newVectors.select(col(idCol).as("id")).distinct())
+    val bs = batchIds.agg(cnt(lit(1)).as("n"), cnt(col("id")).as("nn"),
+      fmin(col("id")).as("lo"), fmax(col("id")).as("hi")).head()
+    require(bs.getLong(0) > 0, s"IvfIndex.ingest: empty batch")
+    require(bs.getLong(1) == bs.getLong(0),
+      s"IvfIndex.ingest: batch contains NULL $idCol values")
+    val dups = graft.core.Lineage.pin(
+      spark.read.parquet(s"$path/vectors").select("id")
+        .filter(col("id").between(lit(bs.get(2)), lit(bs.get(3))))
+        .join(batchIds, Seq("id"), "left_semi"))
+    val dupSample = dups.limit(6).collect().map(r => String.valueOf(r.get(0)))
+    if (dupSample.nonEmpty && !replace)
+      throw new IllegalArgumentException(
+        s"IvfIndex.ingest: ${if (dupSample.length > 5) "6+" else dupSample.length.toString} " +
+          s"batch id(s) are already indexed at $path (first: " +
+          s"${dupSample.take(5).mkString(", ")}) — appending would double-index " +
+          "them (two top-k slots, identical cosine, displaced real neighbors). " +
+          "Pass replace=true to take the old copies down first, or delete() " +
+          "them explicitly.")
+    if (dupSample.nonEmpty)
+      // staged crash-safe rewrite; the removal lands in the takedown audit
+      // log like any other — replace IS a removal plus an append
+      delete(spark, path, dups)
     // encode against the PERSISTED codebooks (when present) so appended rows
     // carry pq codes consistent with the build — the layouts cannot drift
     assignAndWrite(newVectors, idCol, vecCol, cents, cbs, path, "append")

@@ -749,7 +749,8 @@ final case class IvfIndexLoad(
     seed: Long = 42L,
     pqSubspaces: Int = 0,
     pqCodesPerSub: Int = 16,
-    pqResidual: Boolean = false
+    pqResidual: Boolean = false,
+    replace: Boolean = false
 ) extends Stage {
   val stageType = "IvfIndexLoad"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
@@ -759,7 +760,8 @@ final case class IvfIndexLoad(
           numLists, seed, pqSubspaces = pqSubspaces, pqCodesPerSub = pqCodesPerSub,
           pqResidual = pqResidual)
       case "ingest" =>
-        graft.llm.IvfIndex.ingest(ctx.view(inputView), idField, vectorField, outputURI)
+        graft.llm.IvfIndex.ingest(ctx.view(inputView), idField, vectorField, outputURI,
+          replace = replace)
       case "delete" =>
         // takedown: the input view's idField column lists the vector ids —
         // passed through as a frame, never collected to the driver

@@ -1986,6 +1986,51 @@ class IvfIndexSpec extends SparkSpec {
     assert(fromIndex == brute)
   }
 
+  test("ingest refuses already-indexed ids; replace=true swaps them atomically") {
+    // Re-ingesting an indexed id used to silently APPEND a second copy —
+    // two top-k slots with identical cosine, displacing a real neighbor.
+    // The tripwire refuses; replace=true deletes the old copies (staged,
+    // audit-logged) and appends the refreshed batch in one call.
+    val path = "/tmp/graft_test_ivfindex_replace"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    IvfIndex.write(em.filter(col("vec_id") < 40), "vec_id", "embedding", path, nlist = 4)
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.ingest(em.filter(col("vec_id") >= 10 && col("vec_id") < 45),
+        "vec_id", "embedding", path)
+    }
+    assert(ex.getMessage.contains("already indexed") &&
+      ex.getMessage.contains("replace=true"), ex.getMessage)
+    // the refusal left the index untouched
+    val idsAfterRefusal = spark.read.parquet(s"$path/vectors")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsAfterRefusal == (0L until 40L), s"${idsAfterRefusal.take(5)}…")
+    // replace: ids 10–19 arrive with DIFFERENT vectors (borrowed from ids
+    // 50–59) alongside genuinely new ids 40–44 — old copies must vanish,
+    // new ids append, and retrieval must reflect the refreshed corpus
+    val refreshed = em.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select((col("vec_id") - 40).as("vec_id"), col("embedding"))
+      .unionByName(em.filter(col("vec_id") >= 40 && col("vec_id") < 45)
+        .select(col("vec_id"), col("embedding")))
+    IvfIndex.ingest(refreshed, "vec_id", "embedding", path, replace = true)
+    val copies = spark.read.parquet(s"$path/vectors").groupBy("id").count()
+    assert(copies.agg(max("count")).head().getLong(0) == 1L, "duplicate copies")
+    assert(copies.count() == 45L)
+    // exhaustive probe equals brute force over the REPLACED corpus —
+    // proof the old id-10..19 vectors are gone from retrieval
+    val corpus = em.filter(col("vec_id") < 10 ||
+        (col("vec_id") >= 20 && col("vec_id") < 40))
+      .select(col("vec_id"), col("embedding")).unionByName(refreshed)
+    val queries = em.filter(col("vec_id") < 6)
+    val fromIndex = key(IvfIndex.topK(queries, "vec_id", "embedding", path, k = 5, nprobe = 4))
+    val brute = key(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    assert(fromIndex == brute)
+    // replace IS a removal: the takedown audit trail records it
+    val log = IvfIndex.takedownLog(spark, path).collect()
+    assert(log.length == 1 && log.head.getAs[Long]("rowsRemoved") == 10L,
+      log.mkString(","))
+  }
+
   test("ingest fails fast on a legacy vectors layout instead of mixing schemas") {
     // An index written before the vnorm/codes columns: appending
     // current-layout rows next to it would leave the read schema

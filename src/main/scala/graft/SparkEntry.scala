@@ -2202,7 +2202,10 @@ object SparkEntry {
       // to every other, so a probe copy can match ONLY its source — the
       // survive/die expectations depend on the takedown alone, never on
       // incidental near-dups inside the natural corpus
-      val base = ctx.view("documents").filter(col("doc_id") < 200)
+      // 120 docs: enough for ~18 victims and ~34 probes per pass while
+      // keeping the staged-rewrite job count (the real battery cost —
+      // fixed, data-independent) as low as the coverage allows
+      val base = ctx.view("documents").filter(col("doc_id") < 120)
         .select(col("doc_id"),
           concat_ws(" ", transform(sequence(lit(0), lit(11)),
             i => concat(lit("tk"), col("doc_id"), lit("x"), i))).as("text"))
@@ -2252,8 +2255,11 @@ object SparkEntry {
       // Vector-index takedown on the RETRIEVAL path, self-verifying —
       // q202's die-before/survive-after discipline for the embedding
       // tiers: after IvfIndex.delete a victim vector must VANISH from
-      // top-k RESULTS (flat, SQ8 and PQ all read the one vector table,
-      // probed exhaustively so absence is structural, not recall luck)
+      // top-k RESULTS (flat + PQ probed exhaustively, so absence is
+      // structural, not recall luck — the two tiers cover both the
+      // raw-vector and coded read paths; SQ8 shares the PQ shortlist
+      // machinery and the same vector table, so probing it adds battery
+      // cost without adding a codepath)
       // and after SemIndex.delete a verbatim COPY of it must survive
       // dedup, while retained vectors keep self-hitting / killing copies.
       // Deletes go through the DataFrame-native overloads — the id view
@@ -2265,22 +2271,20 @@ object SparkEntry {
       val base = java.nio.file.Files
         .createTempDirectory("graft_q205_vtd_").toString
       val ivfDir = s"$base/ivf"; val semDir = s"$base/sem"
-      IvfIndex.write(em, "vec_id", "embedding", ivfDir, nlist = 8, pqSubspaces = 4)
-      SemIndex.write(em, "vec_id", "embedding", semDir, nclusters = 8, tau = 0.999)
+      IvfIndex.write(em, "vec_id", "embedding", ivfDir, nlist = 4, pqSubspaces = 4)
+      SemIndex.write(em, "vec_id", "embedding", semDir, nclusters = 4, tau = 0.999)
       val victims = em.filter(col("vec_id") % 7 === 0)
       val nVictims = victims.count()
       val queries = em.filter((col("vec_id") % 7).isin(0, 3))
       // IVF legs: a query vector IS a corpus vector, so its own id must
       // appear among its exhaustive-probe neighbors (cosine 1.0) exactly
       // while it is indexed
-      def ivfFound(pass: Int) = Seq("flat", "sq8", "pq").map { tier =>
+      def ivfFound(pass: Int) = Seq("flat", "pq").map { tier =>
         val hits = tier match {
           case "flat" => IvfIndex.topK(queries, "vec_id", "embedding", ivfDir,
-            k = 3, nprobe = 8)
-          case "sq8" => IvfIndex.topKQuantized(queries, "vec_id", "embedding",
-            ivfDir, k = 3, nprobe = 8, shortlistFactor = 400)
+            k = 3, nprobe = 4)
           case _ => IvfIndex.topKPq(queries, "vec_id", "embedding", ivfDir,
-            k = 3, nprobe = 8, shortlistFactor = 400)
+            k = 3, nprobe = 4, shortlistFactor = 400)
         }
         queries.select(col("vec_id"))
           .join(hits.filter(col("query_id") === col("neighbor_id"))
@@ -2313,6 +2317,89 @@ object SparkEntry {
           col("found"),
           (col("found") === col("expect_found") && lit(deletesOk)).as("ok"))
         .orderBy("pass", "tier", "vec_id")
+    },
+    "q210_takedown_orchestrated" -> withViews("documents", "embeddings") { (spark, ctx) =>
+      // ONE legal request, EVERY store, self-verifying — llm/Takedown.run
+      // composing the six individually-proven primitives (q202/q203/q204/
+      // q205 cover them store-by-store; this pins the ORCHESTRATION): all
+      // six stores are built from one corpus, one id view takes the
+      // victims down through a single call, and `ok` pins per store that
+      // (1) the consolidated view reports the removal, (2) the
+      // request-level audit trail holds a matching record under the
+      // shared request id, (3) the store is structurally clean of every
+      // victim id while retaining the kept ids, and (4) the count stores
+      // are BYTE-FOR-BYTE the never-saw-the-victims state (the exact
+      // subtraction contract, via the in-engine ids→text corpus join a
+      // real legal queue needs). A forgotten store — the silent
+      // non-compliance mode a hand-assembled takedown risks — would
+      // surface as a missing row here.
+      import graft.llm.{Bpe, IvfIndex, MinhashIndex, NaiveBayes, SemIndex,
+        SpanIndex, Takedown, WordCounts}
+      val corpus = graft.core.Lineage.pin(
+        ctx.view("documents").filter(col("doc_id") < 120)
+          .select(col("doc_id"), col("text"),
+            concat(lit("c"), pmod(col("doc_id"), lit(3))).as("label"))
+          .join(ctx.view("embeddings").select(col("vec_id").as("doc_id"),
+            col("embedding")), Seq("doc_id")))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q210_td_").toString
+      val (mDir, spDir, seDir, ivDir, wcDir, nbDir, auDir) =
+        (s"$base/mh", s"$base/span", s"$base/sem", s"$base/ivf",
+          s"$base/wc", s"$base/nb", s"$base/audit")
+      MinhashIndex.write(corpus, "doc_id", "text", mDir)
+      SpanIndex.write(corpus, "doc_id", "text", spDir, k = 8,
+        hashMode = "xxhash64", nbuckets = 16, bloomBits = 1L << 18,
+        bloomHashes = 3)
+      SemIndex.write(corpus, "doc_id", "embedding", seDir, nclusters = 4)
+      IvfIndex.write(corpus, "doc_id", "embedding", ivDir, nlist = 4)
+      WordCounts.write(corpus, "text", wcDir)
+      NaiveBayes.write(NaiveBayes.train(corpus, "text", "label"), nbDir)
+      val idView = corpus.filter(col("doc_id") % 5 === 2).select("doc_id")
+      val nVictims = idView.count()
+      val victimIds = idView.collect().map(_.getLong(0)).toSeq
+      val report = Takedown.run(spark, idView,
+        minhashURI = mDir, spanURI = spDir, semURI = seDir, ivfURI = ivDir,
+        countsURI = wcDir, modelURI = nbDir,
+        corpus = Some(corpus), corpusIdCol = "doc_id",
+        textCol = "text", labelCol = "label", auditURI = auDir)
+      // structural per-store checks: every victim gone, at least one kept
+      // id still present (takedown must not have emptied the store)
+      def clean(path: String, idCol: String): Boolean = {
+        val t = spark.read.parquet(path)
+        t.filter(col(idCol).isin(victimIds.map(java.lang.Long.valueOf): _*))
+          .count() == 0L &&
+          t.filter(col(idCol) % 5 =!= 2).count() > 0L
+      }
+      // count stores: byte-for-byte the never-saw state
+      val kept = corpus.filter(col("doc_id") % 5 =!= 2)
+      def sameTable(a: DataFrame, b: DataFrame): Boolean =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val wcOk = sameTable(WordCounts.read(spark, wcDir),
+        Bpe.wordCounts(kept, "text"))
+      val nbNow = NaiveBayes.read(spark, nbDir)
+      val nbWant = NaiveBayes.train(kept, "text", "label")
+      val nbOk = sameTable(nbNow.tokenTable, nbWant.tokenTable) &&
+        sameTable(nbNow.classTable, nbWant.classTable)
+      val checks = Seq(
+        ("minhash", clean(s"$mDir/bands", "_id") &&
+          clean(s"$mDir/shingles", "_id") && clean(s"$mDir/exact", "_id")),
+        ("span", clean(s"$spDir/grams", "keeper")),
+        ("sem", clean(s"$seDir/vectors", "id")),
+        ("ivf", clean(s"$ivDir/vectors", "id")),
+        ("wordcounts", wcOk),
+        ("classifier", nbOk))
+      import spark.implicits._
+      val checksDf = checks.toDF("store_type", "_clean")
+      val logDf = Takedown.consolidatedLog(spark, auDir)
+        .select(col("store_type"), col("rows_removed").as("_log_removed"),
+          col("request_id").as("_log_req"))
+      report.join(broadcast(checksDf), Seq("store_type"))
+        .join(logDf, Seq("store_type"), "left")
+        .select(col("store_type"), col("n_ids"), col("rows_removed"),
+          (col("_clean") && col("_log_removed") === col("rows_removed") &&
+            col("_log_req") === col("request_id") &&
+            col("n_ids") === lit(nVictims) && col("rows_removed") > 0).as("ok"))
+        .orderBy("store_type")
     },
     "q192_unigram_encode" -> { (spark: SparkSession, dir: String) =>
       configureReads(spark)

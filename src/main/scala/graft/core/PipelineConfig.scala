@@ -392,6 +392,23 @@ object PipelineConfig {
         countsURI = o.req("countsURI"),
         textField = o.str("textField", "text"),
         action = o.str("action", "write"),
+        corpusView = o.str("corpusView", ""),
+        idField = o.str("idField", "id"),
+        persist = o.bool("persist"))
+    case "TakedownExecute" =>
+      TakedownExecute(o.req("name"), o.req("inputView"), o.req("outputView"),
+        idField = o.req("idField"),
+        minhashURI = o.str("minhashURI", ""),
+        spanURI = o.str("spanURI", ""),
+        semURI = o.str("semURI", ""),
+        ivfURI = o.str("ivfURI", ""),
+        countsURI = o.str("countsURI", ""),
+        modelURI = o.str("modelURI", ""),
+        corpusView = o.str("corpusView", ""),
+        textField = o.str("textField", "text"),
+        labelField = o.str("labelField", "label"),
+        auditURI = o.str("auditURI", ""),
+        action = o.str("action", "delete"),
         persist = o.bool("persist"))
     case "MojibakeTransform" =>
       MojibakeTransform(o.req("name"), o.req("inputView"), o.req("outputView"),
@@ -416,6 +433,7 @@ object PipelineConfig {
         labelField = o.str("labelField", "label"),
         idField = o.str("idField", "id"),
         modelView = o.str("modelView", ""),
+        corpusView = o.str("corpusView", ""),
         maxVocab = o.intOpt("maxVocab").getOrElse(0),
         minCount = o.intOpt("minCount").map(_.toLong).getOrElse(1L),
         persist = o.bool("persist"))

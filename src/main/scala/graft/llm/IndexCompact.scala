@@ -171,6 +171,18 @@ object IndexCompact {
     (compacted, before, after)
   }
 
+  /** True when `dir` holds leftover staging files from an interrupted
+    * compaction or delete — [[deleteMatching]] and [[compactPartitioned]]
+    * would refuse to start; run [[recover]] first. Lets an orchestrator
+    * PREFLIGHT every store before mutating any of them, so the most common
+    * refusal surfaces before a multi-store request is half-applied. */
+  def hasInterruptedRun(spark: SparkSession, dir: String): Boolean = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && (hasAnyFile(fs, new Path(root, "_compact_tmp")) ||
+      hasAnyFile(fs, new Path(root, "_compact_old")))
+  }
+
   /** Seq sugar over the DataFrame-native [[deleteMatching]] below — the
     * id list is takedown-sized (a legal request, not a corpus), so a
     * local Seq is a fine carrier; large or view-shaped id sets should use

@@ -1,0 +1,247 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** One legal request, every store — the right-to-be-forgotten
+  * ORCHESTRATOR over the six per-store takedown primitives
+  * ([[MinhashIndex.delete]], [[SpanIndex.delete]], [[SemIndex.delete]],
+  * [[IvfIndex.delete]], [[WordCounts.delete]], [[NaiveBayes.unlearn]]).
+  *
+  * A deployed curation pipeline persists state in up to six places; honoring
+  * one deletion request by hand means six separately-addressed cells, and a
+  * forgotten store is SILENT non-compliance that none of the per-store
+  * machinery can detect. [[run]] takes the id view once, fans out to every
+  * store named in the request, and publishes ONE consolidated view — plus,
+  * when `auditURI` is set, one audit record per store under a shared
+  * request id ([[consolidatedLog]] reads them back as a single trail).
+  *
+  * The count stores (word counts, classifier) subtract COUNTS, which carry
+  * no provenance — they need the deleted documents' exact trained TEXT,
+  * while a legal queue carries ids. [[recoverRows]] closes that gap
+  * in-engine: the id view joins against `corpus` (the same post-cleaning
+  * view that was ingested/trained — same pipeline version, same
+  * normalization), recovering exactly the rows to subtract. Ids missing
+  * from the corpus and ids matching MORE than one corpus row both fail
+  * loudly before anything mutates: a missing id would silently
+  * under-delete, a duplicated one double-subtract.
+  *
+  * Failure discipline: every store's removal is individually atomic and
+  * individually audited (the per-store `_takedown_log` contract), and the
+  * orchestrator PREFLIGHTS what it can before mutating anything — id
+  * hygiene, corpus coverage, store existence, interrupted-rewrite staging
+  * leftovers ([[IndexCompact.hasInterruptedRun]]). A failure between
+  * stores still leaves earlier stores clean and later ones untouched; the
+  * consolidated log shows exactly how far the request got. Re-run with
+  * ONLY the stores that lack a record: count stores must not see the same
+  * batch twice (counts carry no provenance — a second subtraction of a
+  * completed store de-syncs it, caught by the subset check only when the
+  * deleted words' counts hit zero).
+  *
+  * Scale shape: the id view is takedown-sized and rides broadcast; each
+  * index delete rewrites only touched partitions (discovery arithmetic or
+  * a range-bounded pruned scan — [[IndexCompact.deleteMatching]]); the
+  * count-store subtractions are one pass over the RECOVERED BATCH plus
+  * vocab-shaped merges. The historical corpus is read only for the id
+  * join, itself bounded by the ids' pushed [min, max] range.
+  */
+object Takedown {
+
+  /** Normalize an id view once: first column cast to long, distinct,
+    * NULLs rejected (null rows, or values that do not cast). Returned
+    * pinned under column `_takedown_id`. */
+  def normalizeIds(ids: DataFrame): (DataFrame, Long) = {
+    require(ids.columns.nonEmpty, "Takedown: ids frame has no columns")
+    val idsNorm = graft.core.Lineage.pin(
+      ids.select(col(ids.columns.head).cast("long").as("_takedown_id")).distinct())
+    val st = idsNorm.agg(count(lit(1)).as("n"), count(col("_takedown_id")).as("nn")).head()
+    require(st.getLong(0) > 0, "Takedown: the id view is empty")
+    require(st.getLong(1) == st.getLong(0),
+      "Takedown: ids contain NULL (null rows, or values that do not cast " +
+        "to long) — clean the id view before the takedown")
+    (idsNorm, st.getLong(0))
+  }
+
+  /** Recover the corpus rows for an id view — the ids→text bridge the
+    * count stores need. `idsNorm` carries `_takedown_id` (long, distinct, non-null
+    * — [[normalizeIds]]); `corpus` must hold EXACTLY ONE row per requested
+    * id under `idCol`. Returns the matched rows pinned (every requested
+    * id, original corpus columns). The corpus scan is bounded by the ids'
+    * [min, max] (pushed to a parquet-backed view's row-group stats) and
+    * the ids broadcast into the join — one bounded pass, takedown-sized
+    * output. */
+  def recoverRows(idsNorm: DataFrame, nIds: Long,
+      corpus: DataFrame, idCol: String): DataFrame = {
+    require(corpus.columns.contains(idCol),
+      s"Takedown: corpus view has no column '$idCol' " +
+        s"(columns: ${corpus.columns.mkString(", ")})")
+    val range = idsNorm.agg(min(col("_takedown_id")).as("lo"), max(col("_takedown_id")).as("hi")).head()
+    val matched = graft.core.Lineage.pin(
+      corpus.withColumn("_takedown_id", col(idCol).cast("long"))
+        .filter(col("_takedown_id").between(range.getLong(0), range.getLong(1)))
+        .join(broadcast(idsNorm), Seq("_takedown_id"), "left_semi"))
+    val per = matched.groupBy("_takedown_id").agg(count(lit(1)).as("_n"))
+    val st = per.agg(count(lit(1)).as("matched"),
+      coalesce(max(col("_n")), lit(0L)).as("maxPer")).head()
+    if (st.getLong(1) > 1L) {
+      val dups = per.filter(col("_n") > 1).orderBy("_takedown_id").limit(5)
+        .collect().map(_.getLong(0))
+      throw new IllegalArgumentException(
+        s"Takedown: corpus view holds MORE than one row for ${dups.length}+ " +
+          s"requested id(s) (first: ${dups.mkString(", ")}) — a duplicated " +
+          "row would subtract its counts twice and de-sync the count " +
+          "stores. Deduplicate the corpus view per id first.")
+    }
+    if (st.getLong(0) < nIds) {
+      val missing = idsNorm.join(per, Seq("_takedown_id"), "left_anti")
+        .orderBy("_takedown_id").limit(5).collect().map(_.getLong(0))
+      throw new IllegalArgumentException(
+        s"Takedown: ${nIds - st.getLong(0)} requested id(s) are MISSING from " +
+          s"the corpus view (first: ${missing.mkString(", ")}) — their text " +
+          "cannot be recovered, so the count stores would silently " +
+          "under-delete. Feed the same post-cleaning corpus that was " +
+          "trained/ingested, or trim the id view deliberately.")
+    }
+    matched.drop("_takedown_id")
+  }
+
+  /** Table directories a store's staged rewrite machinery uses — the
+    * preflight surface for [[IndexCompact.hasInterruptedRun]]. */
+  private def indexTableDirs(minhashURI: String, spanURI: String,
+      semURI: String, ivfURI: String): Seq[String] =
+    Seq(minhashURI).filter(_.nonEmpty).flatMap(u =>
+      Seq(s"$u/bands", s"$u/shingles", s"$u/exact")) ++
+      Seq(spanURI).filter(_.nonEmpty).map(u => s"$u/grams") ++
+      Seq(semURI).filter(_.nonEmpty).map(u => s"$u/vectors") ++
+      Seq(ivfURI).filter(_.nonEmpty).map(u => s"$u/vectors")
+
+  /** Consolidated-view / [[consolidatedLog]] schema. */
+  val viewSchema: StructType = StructType(Seq(
+    StructField("store", StringType),
+    StructField("store_type", StringType),
+    StructField("n_ids", LongType),
+    StructField("rows_removed", LongType),
+    StructField("request_id", StringType),
+    StructField("completed_at_ms", LongType)))
+
+  /** Execute one takedown request against every named store. Empty-string
+    * URIs mean "not part of this request"; at least one must be set.
+    * `corpus` is required when a count store (`countsURI` / `modelURI`) is
+    * named — see [[recoverRows]]. Returns the consolidated view (one row
+    * per store: store URI, store type, id count, rows removed, request id,
+    * completion time); `rows_removed` for the minhash store sums its three
+    * internal tables (per-table detail lives in
+    * [[MinhashIndex.takedownLog]]). When `auditURI` is set, each store's
+    * completion ALSO appends one record there under the shared
+    * `requestId` — written immediately after that store commits, so the
+    * records present after a crash are exactly the stores that completed.
+    */
+  def run(spark: SparkSession, ids: DataFrame,
+      minhashURI: String = "", spanURI: String = "", semURI: String = "",
+      ivfURI: String = "", countsURI: String = "", modelURI: String = "",
+      corpus: Option[DataFrame] = None, corpusIdCol: String = "doc_id",
+      textCol: String = "text",
+      labelCol: String = "label", auditURI: String = "",
+      requestId: String = java.util.UUID.randomUUID().toString): DataFrame = {
+    val uris = Seq(minhashURI, spanURI, semURI, ivfURI, countsURI, modelURI)
+    require(uris.exists(_.nonEmpty),
+      "Takedown.run: no store URI set — name at least one of minhashURI/" +
+        "spanURI/semURI/ivfURI/countsURI/modelURI")
+    require(uris.filter(_.nonEmpty).distinct.size == uris.count(_.nonEmpty),
+      "Takedown.run: two store parameters point at the SAME URI — each " +
+        "store is a distinct directory")
+    require((countsURI.isEmpty && modelURI.isEmpty) || corpus.isDefined,
+      "Takedown.run: countsURI/modelURI subtract counts, which carry no " +
+        "provenance — pass the corpus view so the deleted documents' " +
+        "exact trained text can be recovered from the ids")
+    val (idsNorm, nIds) = normalizeIds(ids)
+
+    // PREFLIGHT before mutating anything: stores exist, no staged-rewrite
+    // leftovers, and (for count stores) the ids fully resolve to corpus
+    // rows — the likely failures all surface while every store is intact
+    val fsOf = (d: String) => new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    uris.filter(_.nonEmpty).foreach { u =>
+      require(fsOf(u).exists(new org.apache.hadoop.fs.Path(u)),
+        s"Takedown.run: no store at $u — check the URI (a typo here, " +
+          "caught late, would leave the request half-applied)")
+    }
+    val interrupted = indexTableDirs(minhashURI, spanURI, semURI, ivfURI)
+      .filter(IndexCompact.hasInterruptedRun(spark, _))
+    require(interrupted.isEmpty,
+      s"Takedown.run: interrupted rewrite leftovers at " +
+        s"${interrupted.mkString(", ")} — run IndexCompact.recover on " +
+        "each, then re-run the request")
+    val recovered: Option[DataFrame] =
+      if (countsURI.isEmpty && modelURI.isEmpty) None
+      else Some(recoverRows(idsNorm, nIds, corpus.get, corpusIdCol))
+
+    val results = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    def complete(store: String, storeType: String, removed: Long): Unit = {
+      if (auditURI.nonEmpty)
+        graft.core.AuditLog.append(spark, auditURI,
+          Seq("requestId" -> requestId, "store" -> store,
+            "storeType" -> storeType, "nIds" -> nIds,
+            "rowsRemoved" -> removed),
+          runId = s"$requestId-$storeType")
+      graft.core.LogBuffer.append(
+        s"Takedown[$requestId]: $storeType complete at $store, $removed rows removed")
+      results += ((store, storeType, removed))
+    }
+
+    // count stores FIRST: their failures are semantic (wrong corpus
+    // version, not-a-subset) and therefore the most likely — the index
+    // deletes that follow can only fail on conditions preflight checked
+    if (countsURI.nonEmpty) {
+      def total(): Long = WordCounts.read(spark, countsURI)
+        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+      val before = total()
+      WordCounts.delete(recovered.get, textCol, countsURI)
+      complete(countsURI, "wordcounts", before - total())
+    }
+    if (modelURI.nonEmpty) {
+      def docs(): Long = NaiveBayes.read(spark, modelURI).classTable
+        .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+      val before = docs()
+      NaiveBayes.unlearn(recovered.get, textCol, labelCol, modelURI)
+      complete(modelURI, "classifier", before - docs())
+    }
+    if (minhashURI.nonEmpty) {
+      val (b, s, e) = MinhashIndex.delete(spark, minhashURI, idsNorm)
+      complete(minhashURI, "minhash", b + s + e)
+    }
+    if (spanURI.nonEmpty)
+      complete(spanURI, "span", SpanIndex.delete(spark, spanURI, idsNorm))
+    if (semURI.nonEmpty)
+      complete(semURI, "sem", SemIndex.delete(spark, semURI, idsNorm))
+    if (ivfURI.nonEmpty)
+      complete(ivfURI, "ivf", IvfIndex.delete(spark, ivfURI, idsNorm))
+
+    val now = System.currentTimeMillis()
+    val rows = results.toList.map { case (store, tpe, removed) =>
+      org.apache.spark.sql.Row(store, tpe, nIds, removed, requestId, now)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, viewSchema)
+  }
+
+  /** The consolidated request-level audit trail at `auditURI` — one row
+    * per (request, store) completion, every request interleaved. Filter on
+    * `request_id` for one request; a store missing for a request id means
+    * that store's removal never completed (crash before commit — re-run
+    * the request naming ONLY the missing stores). */
+  def consolidatedLog(spark: SparkSession, auditURI: String): DataFrame =
+    graft.core.AuditLog.read(spark, auditURI, StructType(Seq(
+      StructField("requestId", StringType),
+      StructField("store", StringType),
+      StructField("storeType", StringType),
+      StructField("nIds", LongType),
+      StructField("rowsRemoved", LongType),
+      StructField("runId", StringType),
+      StructField("completedAtMs", LongType))))
+      .select(col("store"), col("storeType").as("store_type"),
+        col("nIds").as("n_ids"), col("rowsRemoved").as("rows_removed"),
+        col("requestId").as("request_id"),
+        col("completedAtMs").as("completed_at_ms"))
+}

@@ -1439,10 +1439,15 @@ final case class LangIdTransform(
   * because counts are integers); `action=delete` subtracts the input
   * batch's counts (the exact takedown inverse — fails loudly if the batch
   * is not a subset of the table, drops zero-count rows);
-  * `action=read` publishes the persisted
-  * table. All four publish the resulting (word, cnt) view — feed it to
-  * TokenizerTransform `mode=trainFromCounts` to retrain a tokenizer after
-  * a daily batch without re-reading the historical corpus.
+  * `action=deleteIds` is the ID-ADDRESSED takedown a legal queue needs:
+  * the input view carries ids (`idField`), the deleted documents' exact
+  * trained text is recovered in-engine by joining `corpusView` (the same
+  * post-cleaning view that was written/ingested — ids missing from it or
+  * duplicated in it fail loudly, [[graft.llm.Takedown.recoverRows]]), and
+  * the recovered rows subtract as in `delete`; `action=read` publishes
+  * the persisted table. All publish the resulting (word, cnt) view — feed
+  * it to TokenizerTransform `mode=trainFromCounts` to retrain a tokenizer
+  * after a daily batch without re-reading the historical corpus.
   */
 final case class WordCountsTransform(
     name: String,
@@ -1451,6 +1456,8 @@ final case class WordCountsTransform(
     countsURI: String,
     textField: String = "text",
     action: String = "write",
+    corpusView: String = "",
+    idField: String = "id",
     persist: Boolean = false
 ) extends Stage {
   val stageType = "WordCountsTransform"
@@ -1463,11 +1470,20 @@ final case class WordCountsTransform(
         WordCounts.read(ctx.spark, countsURI)
       case "ingest" => WordCounts.ingest(ctx.view(inputView), textField, countsURI)
       case "delete" => WordCounts.delete(ctx.view(inputView), textField, countsURI)
+      case "deleteIds" =>
+        require(corpusView.nonEmpty, s"$name: action=deleteIds needs corpusView " +
+          "(counts carry no provenance — the deleted ids' exact trained text " +
+          "is recovered by joining the corpus in-engine)")
+        val (idsNorm, nIds) = graft.llm.Takedown.normalizeIds(
+          ctx.view(inputView).select(col(idField)))
+        val rows = graft.llm.Takedown.recoverRows(idsNorm, nIds,
+          ctx.view(corpusView), idField)
+        WordCounts.delete(rows, textField, countsURI)
       case "read"   => WordCounts.read(ctx.spark, countsURI)
       case "log"    => WordCounts.takedownLog(ctx.spark, countsURI)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown word-counts action '$other' (write|ingest|delete|read|log)")
+          s"$name: unknown word-counts action '$other' (write|ingest|delete|deleteIds|read|log)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
@@ -1484,7 +1500,12 @@ final case class WordCountsTransform(
   * merged model view; `mode=unlearn` subtracts the batch's counts
   * ([[graft.llm.NaiveBayes.unlearn]] — the exact takedown inverse; fails
   * loudly if the batch is not a subset of the trained data) and publishes
-  * the unlearned model view; `mode=predict` reads `modelView` and
+  * the unlearned model view; `mode=unlearnIds` is the ID-ADDRESSED form a
+  * legal queue needs — the input view carries ids (`idField`), the exact
+  * trained rows are recovered in-engine from `corpusView` (same
+  * post-cleaning view that was trained; missing/duplicated ids fail
+  * loudly, [[graft.llm.Takedown.recoverRows]]) and subtracted as in
+  * `unlearn`; `mode=predict` reads `modelView` and
   * publishes one row per document: (idField, label_pred, n_tokens).
   *
   * `maxVocab` (> 0) / `minCount` (> 1) bound the trained vocabulary per
@@ -1505,6 +1526,7 @@ final case class ClassifierTransform(
     labelField: String = "label",
     idField: String = "id",
     modelView: String = "",
+    corpusView: String = "",
     maxVocab: Int = 0,
     minCount: Long = 1L,
     persist: Boolean = false
@@ -1530,13 +1552,26 @@ final case class ClassifierTransform(
         val updated = NaiveBayes.unlearn(
           NaiveBayes.modelFromView(ctx.view(modelView)), in, textField, labelField)
         NaiveBayes.modelToView(NaiveBayes.cap(updated, maxVocab, minCount))
+      case "unlearnIds" =>
+        require(modelView.nonEmpty, s"$name: unlearnIds mode needs modelView " +
+          "(the persisted UNCAPPED model)")
+        require(corpusView.nonEmpty, s"$name: unlearnIds mode needs corpusView " +
+          "(counts carry no provenance — the deleted ids' exact trained " +
+          "text+label rows are recovered by joining the corpus in-engine)")
+        val (idsNorm, nIds) = graft.llm.Takedown.normalizeIds(
+          in.select(col(idField)))
+        val rows = graft.llm.Takedown.recoverRows(idsNorm, nIds,
+          ctx.view(corpusView), idField)
+        val updated = NaiveBayes.unlearn(
+          NaiveBayes.modelFromView(ctx.view(modelView)), rows, textField, labelField)
+        NaiveBayes.modelToView(NaiveBayes.cap(updated, maxVocab, minCount))
       case "predict" =>
         require(modelView.nonEmpty, s"$name: predict mode needs modelView")
         NaiveBayes.predict(in, idField, textField,
           NaiveBayes.modelFromView(ctx.view(modelView)))
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown classifier mode '$other' (train|ingest|unlearn|predict)")
+          s"$name: unknown classifier mode '$other' (train|ingest|unlearn|unlearnIds|predict)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }
@@ -1582,6 +1617,62 @@ final case class MediaTransform(
       case other =>
         throw new IllegalArgumentException(
           s"$name: unknown media action '$other' (decode|resize|frames|resampleAudio|transcodeVideo|extractAudio)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** One legal deletion request, every store — [[graft.llm.Takedown]] behind
+  * the config surface. `action=delete` (default) takes the input view's
+  * ids (`idField`) down across EVERY store whose URI is set — minhash /
+  * span / sem / ivf indexes plus the word-count table and the persisted
+  * classifier model (the count stores recover the ids' exact trained text
+  * in-engine from `corpusView`) — and publishes ONE consolidated view
+  * (store, store_type, n_ids, rows_removed, request_id, completed_at_ms).
+  * With `auditURI` set, each store's completion also appends one record
+  * to the request-level audit trail; `action=log` publishes that trail.
+  *
+  * This exists because a multi-store takedown assembled by hand is N
+  * cells with N chances to forget a store — and a forgotten store is
+  * silent non-compliance nothing downstream can detect. Preflight (id
+  * hygiene, corpus coverage, store existence, interrupted-rewrite
+  * leftovers) runs before ANY store mutates.
+  */
+final case class TakedownExecute(
+    name: String,
+    inputView: String,
+    outputView: String,
+    idField: String,
+    minhashURI: String = "",
+    spanURI: String = "",
+    semURI: String = "",
+    ivfURI: String = "",
+    countsURI: String = "",
+    modelURI: String = "",
+    corpusView: String = "",
+    textField: String = "text",
+    labelField: String = "label",
+    auditURI: String = "",
+    action: String = "delete",
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "TakedownExecute"
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    val out = action match {
+      case "delete" =>
+        graft.llm.Takedown.run(ctx.spark,
+          ctx.view(inputView).select(col(idField)),
+          minhashURI = minhashURI, spanURI = spanURI, semURI = semURI,
+          ivfURI = ivfURI, countsURI = countsURI, modelURI = modelURI,
+          corpus = if (corpusView.nonEmpty) Some(ctx.view(corpusView)) else None,
+          corpusIdCol = idField, textCol = textField, labelCol = labelField,
+          auditURI = auditURI)
+      case "log" =>
+        require(auditURI.nonEmpty, s"$name: action=log needs auditURI")
+        graft.llm.Takedown.consolidatedLog(ctx.spark, auditURI)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown takedown action '$other' (delete|log)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

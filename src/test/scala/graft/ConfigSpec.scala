@@ -833,6 +833,175 @@ class ConfigSpec extends SparkSpec {
     assert(tokMap("nbu_model3") == tokMap("nbu_model"), tokMap("nbu_model3").toString)
   }
 
+  test("TakedownExecute: one cell, one id view, every store — consolidated view + request-level audit trail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("takedown").toString
+    val (mdir, sdir, semdir, ivfdir, wcdir, nbdir, adir) =
+      (s"$base/mh", s"$base/span", s"$base/sem", s"$base/ivf",
+        s"$base/wc", s"$base/nb", s"$base/audit")
+    // six docs, distinct texts/vectors so every store keeps every row
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "spam",
+        Seq(1.0f, 0.0f, 0.0f)),
+      (1L, "one two three four five six seven eight nine ten eleven", "ham",
+        Seq(0.0f, 1.0f, 0.0f)),
+      (2L, "red orange yellow green blue indigo violet cyan magenta white", "spam",
+        Seq(0.0f, 0.0f, 1.0f)),
+      (3L, "north south east west up down left right forward backward", "ham",
+        Seq(0.7f, 0.7f, 0.0f)),
+      (4L, "spring summer autumn winter morning evening noon night dawn dusk", "spam",
+        Seq(0.0f, 0.7f, 0.7f)),
+      (5L, "iron copper silver gold tin lead zinc nickel cobalt mercury", "ham",
+        Seq(0.7f, 0.0f, 0.7f)))
+      .toDF("doc_id", "text", "label", "embedding")
+    corpus.createOrReplaceTempView("td_corpus")
+    graft.llm.MinhashIndex.write(corpus, "doc_id", "text", mdir)
+    graft.llm.SpanIndex.write(corpus, "doc_id", "text", sdir,
+      k = 8, hashMode = "xxhash64", nbuckets = 8, bloomBits = 1L << 16,
+      bloomHashes = 3)
+    graft.llm.SemIndex.write(corpus, "doc_id", "embedding", semdir, nclusters = 2)
+    graft.llm.IvfIndex.write(corpus, "doc_id", "embedding", ivfdir, nlist = 2)
+    graft.llm.WordCounts.write(corpus, "text", wcdir)
+    graft.llm.NaiveBayes.write(
+      graft.llm.NaiveBayes.train(corpus, "text", "label"), nbdir)
+    Seq(1L, 4L).toDF("doc_id").createOrReplaceTempView("td_ids")
+    val hocon =
+      s"""{stages: [
+        { type = "TakedownExecute", name = "request", inputView = td_ids,
+          outputView = td_report, idField = doc_id,
+          minhashURI = "$mdir", spanURI = "$sdir", semURI = "$semdir",
+          ivfURI = "$ivfdir", countsURI = "$wcdir", modelURI = "$nbdir",
+          corpusView = td_corpus, textField = text, labelField = label,
+          auditURI = "$adir" },
+        { type = "TakedownExecute", name = "evidence", inputView = td_ids,
+          outputView = td_log, idField = doc_id, auditURI = "$adir",
+          action = log }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    // consolidated view: one row per store, shared request id, rows removed
+    val rep = spark.table("td_report")
+      .collect().map(r => r.getAs[String]("store_type") ->
+        (r.getAs[Long]("rows_removed"), r.getAs[String]("request_id"))).toMap
+    assert(rep.keySet ==
+      Set("wordcounts", "classifier", "minhash", "span", "sem", "ivf"), rep.toString)
+    assert(rep.values.map(_._2).toSet.size == 1, "one shared request id")
+    assert(rep.forall(_._2._1 > 0L), s"every store removed rows: $rep")
+    assert(rep("sem")._1 == 2L && rep("ivf")._1 == 2L && rep("classifier")._1 == 2L)
+    // the audit trail reads back the same six rows (action=log)
+    val logRows = spark.table("td_log")
+      .collect().map(r => r.getAs[String]("store_type") ->
+        r.getAs[Long]("rows_removed")).toMap
+    assert(logRows == rep.view.mapValues(_._1).toMap, logRows.toString)
+    // count stores are byte-for-byte the never-saw-deleted state
+    val kept = corpus.filter(!col("doc_id").isin(1L, 4L))
+    val wcNow = graft.llm.WordCounts.read(spark, wcdir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wcWant = graft.llm.Bpe.wordCounts(kept, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wcNow == wcWant)
+    def tokMap(m: graft.llm.NaiveBayes.Model) = m.tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tokMap(graft.llm.NaiveBayes.read(spark, nbdir)) ==
+      tokMap(graft.llm.NaiveBayes.train(kept, "text", "label")))
+    // every index table is structurally clean of the deleted ids
+    def idsIn(path: String, idCol: String): Set[Long] =
+      spark.read.parquet(path).select(idCol).distinct()
+        .collect().map(_.getLong(0)).toSet
+    assert(!Seq(idsIn(s"$mdir/bands", "_id"), idsIn(s"$mdir/shingles", "_id"),
+      idsIn(s"$mdir/exact", "_id"), idsIn(s"$sdir/grams", "keeper"),
+      idsIn(s"$semdir/vectors", "id"), idsIn(s"$ivfdir/vectors", "id"))
+      .exists(s => s.contains(1L) || s.contains(4L)))
+  }
+
+  test("Takedown preflight fails BEFORE any store mutates: bad URI, empty/null ids, missing corpus ids") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("takedownpre").toString
+    val wcdir = s"$base/wc"
+    val corpus = Seq((1L, "the cat sat"), (2L, "the dog ran"))
+      .toDF("doc_id", "text")
+    graft.llm.WordCounts.write(corpus, "text", wcdir)
+    val wcBefore = graft.llm.WordCounts.read(spark, wcdir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = Seq(1L).toDF("doc_id")
+    def run(f: => Any, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    run(graft.llm.Takedown.run(spark, ids), "no store URI set")
+    run(graft.llm.Takedown.run(spark, ids, countsURI = wcdir, modelURI = wcdir,
+      corpus = Some(corpus)), "SAME URI")
+    run(graft.llm.Takedown.run(spark, ids, countsURI = wcdir), "provenance")
+    run(graft.llm.Takedown.run(spark, ids, countsURI = s"$base/typo",
+      corpus = Some(corpus)), "no store at")
+    run(graft.llm.Takedown.run(spark, Seq.empty[Long].toDF("doc_id"),
+      countsURI = wcdir, corpus = Some(corpus)), "id view is empty")
+    run(graft.llm.Takedown.run(spark, Seq("notanid").toDF("doc_id"),
+      countsURI = wcdir, corpus = Some(corpus)), "NULL")
+    // an id the corpus cannot resolve fails loudly (silent under-deletion
+    // is the alternative) — and the store is still untouched
+    run(graft.llm.Takedown.run(spark, Seq(1L, 99L).toDF("doc_id"),
+      countsURI = wcdir, corpus = Some(corpus)), "MISSING from the corpus")
+    // a duplicated corpus row would double-subtract — also loud
+    run(graft.llm.Takedown.run(spark, ids, countsURI = wcdir,
+      corpus = Some(corpus.unionByName(corpus))), "MORE than one row")
+    val wcAfter = graft.llm.WordCounts.read(spark, wcdir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wcAfter == wcBefore, "preflight failures must not mutate the store")
+  }
+
+  test("WordCountsTransform action=deleteIds / ClassifierTransform mode=unlearnIds: id-addressed count-store takedown") {
+    import spark.implicits._
+    // the legal queue carries IDS; the exact trained text is recovered
+    // in-engine from the corpus view — results must equal the
+    // text-addressed takedown byte-for-byte
+    Seq((1L, "the cat sat", "ham"), (2L, "the dog", "spam"),
+      (3L, "the cat ran", "spam"))
+      .toDF("id", "text", "label").createOrReplaceTempView("tdi_corpus")
+    Seq(3L).toDF("id").createOrReplaceTempView("tdi_ids")
+    val dir = java.nio.file.Files.createTempDirectory("tdi").toString + "/wc"
+    val hocon =
+      s"""{stages: [
+        { type = "WordCountsTransform", name = "seed", inputView = tdi_corpus,
+          outputView = tdi_t1, countsURI = "$dir", textField = text },
+        { type = "WordCountsTransform", name = "takedown", inputView = tdi_ids,
+          outputView = tdi_t2, countsURI = "$dir", textField = text,
+          action = deleteIds, corpusView = tdi_corpus, idField = id },
+        { type = "ClassifierTransform", name = "train", inputView = tdi_corpus,
+          outputView = tdi_model, textField = text, labelField = label },
+        { type = "ClassifierTransform", name = "forget", inputView = tdi_ids,
+          outputView = tdi_model2, textField = text, labelField = label,
+          mode = unlearnIds, modelView = tdi_model, corpusView = tdi_corpus,
+          idField = id }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val counts = spark.table("tdi_t2").as[(String, Long)].collect().toMap
+    assert(counts == Map("the" -> 2L, "cat" -> 1L, "sat" -> 1L, "dog" -> 1L),
+      counts.toString)
+    def tokMap(v: String) = graft.llm.NaiveBayes.modelFromView(spark.table(v))
+      .tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.llm.NaiveBayes.train(
+      spark.table("tdi_corpus").filter(org.apache.spark.sql.functions.col("id") =!= 3L),
+      "text", "label")
+    assert(tokMap("tdi_model2") == want.tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+    // WRONG-CORPUS-VERSION guard: a differently-normalized corpus view
+    // recovers text that was never ingested — the subset check fails
+    // loudly instead of silently de-syncing the counts
+    spark.table("tdi_corpus")
+      .withColumn("text", org.apache.spark.sql.functions.upper(
+        org.apache.spark.sql.functions.col("text")))
+      .createOrReplaceTempView("tdi_corpus_wrongnorm")
+    val ctx = new PipelineContext(spark)
+    val e = intercept[IllegalArgumentException] {
+      graft.transform.WordCountsTransform("wc", "tdi_ids", "tdi_t3", dir,
+        textField = "text", action = "deleteIds",
+        corpusView = "tdi_corpus_wrongnorm", idField = "id").execute(ctx)
+    }
+    assert(e.getMessage.contains("not a subset"), e.getMessage)
+  }
+
   test("IndexDedupTransform action=delete takes docs down through the config surface") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mhdel").toString + "/idx"

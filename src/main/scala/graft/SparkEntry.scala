@@ -2401,6 +2401,54 @@ object SparkEntry {
             col("n_ids") === lit(nVictims) && col("rows_removed") > 0).as("ok"))
         .orderBy("store_type")
     },
+    "q211_quality_signal_gate" -> withViews("documents") { (spark, ctx) =>
+      // The q207/q208 quality signals COMPOSED into a curation-chain leg,
+      // self-verifying — each gate provably LOAD-BEARING, not shadowed:
+      // (a) padding docs (doc_id%9==3 → 240×'a') die on the ENTROPY floor
+      // alone; (b) repetition docs (doc_id%9==0 → the doc's own first 2000
+      // chars repeated 16×) keep a NATURAL character distribution — entropy
+      // cannot see the corruption — and die ONLY on the DEFLATE floor
+      // (long-range repetition is exactly what the compression signal
+      // exists to catch); (c) clean docs pass both gates and continue into
+      // the downstream hash split (the chain composes; survivors carry a
+      // split label). `ok` pins the per-doc fate against its construction:
+      // padded ⇒ ent < 2.2; repeated ⇒ ent ≥ 2.2 AND ratio < 0.2 (the
+      // deflate gate fires where entropy is blind); clean ⇒ both gates
+      // pass and a split label exists. Thresholds sit mid-gap: natural
+      // text entropy ≈ 2.8 nats vs 0 for padding; natural deflate ratio ≈
+      // 0.4+ vs < 0.1 for 16× repetition (16 copies amortize deflate's
+      // fixed overhead even for sub-100-char docs, where 4 copies did
+      // not; 2000×16 = 32000 chars stays inside deflate's 32 KB window —
+      // the q208 gate discipline).
+      import graft.functions.CharEntropyExpr.char_entropy
+      import graft.functions.DeflateRatioExpr.deflate_ratio
+      import graft.llm.Sampling
+      val docs = ctx.view("documents").select(col("doc_id"), col("source"), col("text"))
+      val staged = docs.withColumn("text2",
+        when(col("doc_id") % 9 === 3, repeat(lit("a"), 240))
+          .when(col("doc_id") % 9 === 0,
+            repeat(substring(col("text"), 1, 2000), 16))
+          .otherwise(col("text")))
+      // both signals are narrow codegen'd projections — ONE corpus scan
+      // computes them; the pin stops the gate and the report re-running it
+      val sig = graft.core.Lineage.pin(staged
+        .select(col("doc_id"), col("source"),
+          char_entropy(col("text2")).as("ent"),
+          deflate_ratio(col("text2")).as("ratio")))
+      val gated = sig.filter(col("ent") >= 2.2 && col("ratio") >= 0.2)
+      val split = Sampling.hashSplit(gated, col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.1), salt = "qsg")
+      sig.join(split.select(col("doc_id"), col("split")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          round(col("ent"), 6).as("ent"), round(col("ratio"), 6).as("ratio"),
+          col("split"),
+          when(col("doc_id") % 9 === 3, col("ent") < 2.2)
+            .when(col("doc_id") % 9 === 0,
+              col("ent") >= 2.2 && col("ratio") < 0.2)
+            .otherwise(col("ent") >= 2.2 && col("ratio") >= 0.2 &&
+              col("split").isNotNull).as("ok"))
+        .orderBy("doc_id")
+    },
     "q192_unigram_encode" -> { (spark: SparkSession, dir: String) =>
       configureReads(spark)
       val ctx = new PipelineContext(spark)

@@ -45,7 +45,8 @@ class QueriesSpec extends SparkSpec {
     "q191_minhash_index_ingest", "q192_unigram_encode", "q193_ann_recall_report",
     "q196_wordpiece_encode", "q199_video_frames", "q200_video_transcode",
     "q202_index_takedown", "q205_vector_takedown", "q206_video_audio_track",
-    "q208_deflate_quality", "q210_takedown_orchestrated")
+    "q208_deflate_quality", "q210_takedown_orchestrated",
+    "q211_quality_signal_gate")
 
   for (name <- selfVerifying) {
     test(s"$name: every row passes its own invariant (ok column)") {

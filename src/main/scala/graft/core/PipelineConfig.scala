@@ -395,6 +395,18 @@ object PipelineConfig {
         corpusView = o.str("corpusView", ""),
         idField = o.str("idField", "id"),
         persist = o.bool("persist"))
+    case "CompactExecute" =>
+      CompactExecute(o.req("name"), o.req("outputView"),
+        minhashURI = o.str("minhashURI", ""),
+        spanURI = o.str("spanURI", ""),
+        semURI = o.str("semURI", ""),
+        ivfURI = o.str("ivfURI", ""),
+        countsURI = o.str("countsURI", ""),
+        modelURI = o.str("modelURI", ""),
+        auditURI = o.str("auditURI", ""),
+        action = o.str("action", "compact"),
+        maxFilesPerPartition = o.intOpt("maxFilesPerPartition").getOrElse(8),
+        persist = o.bool("persist"))
     case "TakedownExecute" =>
       TakedownExecute(o.req("name"), o.req("inputView"), o.req("outputView"),
         idField = o.req("idField"),

@@ -243,6 +243,16 @@ object IndexCompact {
     * sketch that remembers a deleted gram merely routes future probes to
     * a verification that now finds nothing (a false positive, the
     * contract blooms already carry).
+    *
+    * Readers vs takedown: like compaction, this is a MAINTENANCE-WINDOW
+    * op under the stores' single-writer discipline. The staged renames
+    * keep every row durable at all times, but a CONCURRENT
+    * `spark.read.parquet` that lists a partition mid-swap can observe a
+    * transient mix (old files parked but new not yet moved in — rows
+    * temporarily invisible) or, between steps (3) and (4), both copies at
+    * once. Queries running while a takedown commits should be treated
+    * like queries during compaction: re-run them after the takedown
+    * completes (the audit record is the completion signal).
     */
   def deleteMatching(spark: SparkSession, dir: String, idCol: String,
       partitionCol: String, idsDf: org.apache.spark.sql.DataFrame,

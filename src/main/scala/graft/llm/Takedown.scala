@@ -106,9 +106,10 @@ object Takedown {
     matched.drop("_takedown_id")
   }
 
-  /** Table directories a store's staged rewrite machinery uses — the
-    * preflight surface for [[IndexCompact.hasInterruptedRun]]. */
-  private def indexTableDirs(minhashURI: String, spanURI: String,
+  /** Partitioned table directories behind each index store — the surface
+    * the staged-rewrite machinery (delete/compact/recover) operates on,
+    * shared by [[run]]'s preflight and the maintenance stage. */
+  private[graft] def indexTableDirs(minhashURI: String, spanURI: String,
       semURI: String, ivfURI: String): Seq[String] =
     Seq(minhashURI).filter(_.nonEmpty).flatMap(u =>
       Seq(s"$u/bands", s"$u/shingles", s"$u/exact")) ++
@@ -224,6 +225,78 @@ object Takedown {
     }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, viewSchema)
+  }
+
+  /** DRY RUN: what [[run]] WOULD remove, with zero mutation — the sizing
+    * step a legal queue wants before executing a request. Same preflight
+    * (id hygiene, store existence, corpus coverage when a count store is
+    * named), same discovery shapes (range-bounded pruned scans, broadcast
+    * ids), no staged rewrite, no audit record. Returns one row per store:
+    * (store, store_type, n_ids, rows_matched). For the count stores
+    * `rows_matched` is the occurrences/docs the subtraction would remove;
+    * a subset violation (text that was never ingested) surfaces here as
+    * it would in the real run — preview is the place to discover it. */
+  def preview(spark: SparkSession, ids: DataFrame,
+      minhashURI: String = "", spanURI: String = "", semURI: String = "",
+      ivfURI: String = "", countsURI: String = "", modelURI: String = "",
+      corpus: Option[DataFrame] = None, corpusIdCol: String = "doc_id",
+      textCol: String = "text", labelCol: String = "label"): DataFrame = {
+    val uris = Seq(minhashURI, spanURI, semURI, ivfURI, countsURI, modelURI)
+    require(uris.exists(_.nonEmpty),
+      "Takedown.preview: no store URI set — name at least one of minhashURI/" +
+        "spanURI/semURI/ivfURI/countsURI/modelURI")
+    require((countsURI.isEmpty && modelURI.isEmpty) || corpus.isDefined,
+      "Takedown.preview: countsURI/modelURI need the corpus view (counts " +
+        "carry no provenance — the ids' text sizes the subtraction)")
+    val (idsNorm, nIds) = normalizeIds(ids)
+    val fsOf = (d: String) => new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    uris.filter(_.nonEmpty).foreach { u =>
+      require(fsOf(u).exists(new org.apache.hadoop.fs.Path(u)),
+        s"Takedown.preview: no store at $u — check the URI")
+    }
+    val recovered: Option[DataFrame] =
+      if (countsURI.isEmpty && modelURI.isEmpty) None
+      else Some(recoverRows(idsNorm, nIds, corpus.get, corpusIdCol))
+    // discovery-shaped match count: pushed range bound + broadcast semi
+    // join, the same scan deleteMatching's discovery runs
+    def matches(dir: String, idCol: String): Long = {
+      val range = idsNorm.agg(min(col("_takedown_id")).as("lo"),
+        max(col("_takedown_id")).as("hi")).head()
+      spark.read.parquet(dir)
+        .select(col(idCol).cast("long").as("_takedown_id"))
+        .filter(col("_takedown_id").between(range.getLong(0), range.getLong(1)))
+        .join(broadcast(idsNorm), Seq("_takedown_id"), "left_semi")
+        .count()
+    }
+    val results = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    if (countsURI.nonEmpty) {
+      val occ = Bpe.wordCounts(recovered.get, textCol)
+        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+      results += ((countsURI, "wordcounts", occ))
+    }
+    if (modelURI.nonEmpty)
+      results += ((modelURI, "classifier",
+        recovered.get.filter(col(labelCol).isNotNull).count()))
+    if (minhashURI.nonEmpty)
+      results += ((minhashURI, "minhash",
+        Seq("bands", "shingles", "exact")
+          .map(t => matches(s"$minhashURI/$t", "_id")).sum))
+    if (spanURI.nonEmpty)
+      results += ((spanURI, "span", matches(s"$spanURI/grams", "keeper")))
+    if (semURI.nonEmpty)
+      results += ((semURI, "sem", matches(s"$semURI/vectors", "id")))
+    if (ivfURI.nonEmpty)
+      results += ((ivfURI, "ivf", matches(s"$ivfURI/vectors", "id")))
+    val rows = results.toList.map { case (store, tpe, matched) =>
+      org.apache.spark.sql.Row(store, tpe, nIds, matched)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("store", StringType),
+      StructField("store_type", StringType),
+      StructField("n_ids", LongType),
+      StructField("rows_matched", LongType))))
   }
 
   /** The consolidated request-level audit trail at `auditURI` — one row

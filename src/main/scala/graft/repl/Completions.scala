@@ -149,6 +149,34 @@ object Completions {
     Completion("IndexDedupTransform (takedown audit log)",
       "{type = \"IndexDedupTransform\", name = \"evidence\", inputView = \"ids\", outputView = \"takedowns\",\n" +
         " indexURI = \"/path/mhidx\", idField = \"doc_id\", textField = \"text\", action = \"log\"}"),
+    Completion("TakedownExecute (one request, every store)",
+      "{type = \"TakedownExecute\", name = \"request\", inputView = \"removed_ids\", outputView = \"report\",\n" +
+        " idField = \"doc_id\", minhashURI = \"/path/mhidx\", spanURI = \"/path/spanidx\",\n" +
+        " semURI = \"/path/semidx\", ivfURI = \"/path/ivfidx\", countsURI = \"/path/wordcounts\",\n" +
+        " modelURI = \"/path/nbmodel\", corpusView = \"corpus\", textField = \"text\",\n" +
+        " labelField = \"label\", auditURI = \"/path/takedown_audit\"}"),
+    Completion("CompactExecute (store + trail maintenance)",
+      "{type = \"CompactExecute\", name = \"mop\", outputView = \"report\",\n" +
+        " minhashURI = \"/path/mhidx\", ivfURI = \"/path/ivfidx\",\n" +
+        " auditURI = \"/path/takedown_audit\", maxFilesPerPartition = 8}"),
+    Completion("CompactExecute (recover interrupted rewrite)",
+      "{type = \"CompactExecute\", name = \"restore\", outputView = \"report\",\n" +
+        " minhashURI = \"/path/mhidx\", action = \"recover\"}"),
+    Completion("TakedownExecute (request audit trail)",
+      "{type = \"TakedownExecute\", name = \"evidence\", inputView = \"ids\", outputView = \"trail\",\n" +
+        " idField = \"doc_id\", auditURI = \"/path/takedown_audit\", action = \"log\"}"),
+    Completion("TakedownExecute (dry-run preview)",
+      "{type = \"TakedownExecute\", name = \"sizing\", inputView = \"removed_ids\", outputView = \"preview\",\n" +
+        " idField = \"doc_id\", minhashURI = \"/path/mhidx\", countsURI = \"/path/wordcounts\",\n" +
+        " corpusView = \"corpus\", textField = \"text\", action = \"preview\"}"),
+    Completion("WordCountsTransform (id-addressed takedown)",
+      "{type = \"WordCountsTransform\", name = \"forget\", inputView = \"removed_ids\", outputView = \"counts\",\n" +
+        " countsURI = \"/path/wordcounts\", textField = \"text\", action = \"deleteIds\",\n" +
+        " corpusView = \"corpus\", idField = \"doc_id\"}"),
+    Completion("ClassifierTransform (id-addressed unlearn)",
+      "{type = \"ClassifierTransform\", name = \"forget\", inputView = \"removed_ids\", outputView = \"model2\",\n" +
+        " textField = \"text\", labelField = \"label\", mode = \"unlearnIds\", modelView = \"model\",\n" +
+        " corpusView = \"corpus\", idField = \"doc_id\"}"),
     Completion("SpanIndexTransform",
       "{type = \"SpanIndexTransform\", name = \"spanidx\", inputView = \"docs\", outputView = \"deduped\",\n" +
         " indexURI = \"/path/spanidx\", idField = \"doc_id\", textField = \"text\",\n" +

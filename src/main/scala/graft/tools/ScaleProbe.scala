@@ -853,6 +853,31 @@ object ScaleProbe {
         graft.llm.MinhashIndex.delete(spark, dir, ids)
       }
     }
+    // Orchestrated takedown: one id view through llm/Takedown across a
+    // minhash index + both count stores (the three distinct cost shapes:
+    // partition-rewrite, vocab-merge, vocab-merge+model). The pin: the
+    // one-call orchestration costs the SUM of its per-store primitives
+    // plus bounded preflight (ids agg + one range-bounded corpus join) —
+    // batch-shaped, never corpus-shaped.
+    if (anySelected(s"orchestratedTakedown n=$n")) {
+      val labeled = graft.core.Lineage.pin(docs
+        .withColumn("label",
+          when(pmod(col("id"), lit(3)) === 0, lit("promo")).otherwise(lit("clean"))))
+      val base = java.nio.file.Files.createTempDirectory("probe_otd").toString
+      graft.llm.MinhashIndex.write(labeled, "id", "text", s"$base/idx")
+      graft.llm.WordCounts.write(labeled, "text", s"$base/wc")
+      graft.llm.NaiveBayes.write(
+        graft.llm.NaiveBayes.train(labeled, "text", "label"), s"$base/nb")
+      time(s"orchestratedTakedown n=$n ids=1000") {
+        val ids = spark.range(0, 1000)
+          .select((col("id") * lit(n / 1000)).as("id"))
+        graft.llm.Takedown.run(spark, ids,
+          minhashURI = s"$base/idx", countsURI = s"$base/wc",
+          modelURI = s"$base/nb", corpus = Some(labeled), corpusIdCol = "id",
+          textCol = "text", labelCol = "label",
+          auditURI = s"$base/audit").count()
+      }
+    }
     // Video pipeline: MJPEG clips are generated in-executor (the probe's
     // workload IS the codec work — 5 JPEG frames per doc), then decoded,
     // frame-sampled and transcoded. n/20 docs keeps the probe minutes-free

@@ -1630,7 +1630,10 @@ final case class MediaTransform(
   * in-engine from `corpusView`) — and publishes ONE consolidated view
   * (store, store_type, n_ids, rows_removed, request_id, completed_at_ms).
   * With `auditURI` set, each store's completion also appends one record
-  * to the request-level audit trail; `action=log` publishes that trail.
+  * to the request-level audit trail; `action=log` publishes that trail;
+  * `action=preview` is the DRY RUN — per-store match counts through the
+  * same discovery scans, zero mutation, no audit record (size the
+  * request, surface subset violations, THEN execute).
   *
   * This exists because a multi-store takedown assembled by hand is N
   * cells with N chances to forget a store — and a forgotten store is
@@ -1667,12 +1670,104 @@ final case class TakedownExecute(
           corpus = if (corpusView.nonEmpty) Some(ctx.view(corpusView)) else None,
           corpusIdCol = idField, textCol = textField, labelCol = labelField,
           auditURI = auditURI)
+      case "preview" =>
+        graft.llm.Takedown.preview(ctx.spark,
+          ctx.view(inputView).select(col(idField)),
+          minhashURI = minhashURI, spanURI = spanURI, semURI = semURI,
+          ivfURI = ivfURI, countsURI = countsURI, modelURI = modelURI,
+          corpus = if (corpusView.nonEmpty) Some(ctx.view(corpusView)) else None,
+          corpusIdCol = idField, textCol = textField, labelCol = labelField)
       case "log" =>
         require(auditURI.nonEmpty, s"$name: action=log needs auditURI")
         graft.llm.Takedown.consolidatedLog(ctx.spark, auditURI)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown takedown action '$other' (delete|log)")
+          s"$name: unknown takedown action '$other' (delete|preview|log)")
+    }
+    Some(publish(ctx, out, outputView, None, Nil, persist))
+  }
+}
+
+/** One maintenance cell, every store — the compaction dual of
+  * [[TakedownExecute]]. Ingest-append stores accumulate one file set per
+  * (batch, touched partition) and takedown trails accumulate one file per
+  * completed run; both need periodic mop-up or reads go metadata-bound.
+  * `action=compact` (default) compacts every partitioned table behind the
+  * stores whose URI is set ([[graft.llm.IndexCompact.compactPartitioned]])
+  * AND folds their takedown audit trails ([[graft.core.AuditLog.compact]]
+  * — the count stores contribute only their sibling-dir trails; their
+  * data tables are row-count-sized at write). `action=recover` restores
+  * every store's tables after an interrupted rewrite
+  * ([[graft.llm.IndexCompact.recover]]) — the one-cell answer to the
+  * refusal TakedownExecute's preflight raises. Offline maintenance ops:
+  * run in the ingest window, not concurrently with readers.
+  */
+final case class CompactExecute(
+    name: String,
+    outputView: String,
+    minhashURI: String = "",
+    spanURI: String = "",
+    semURI: String = "",
+    ivfURI: String = "",
+    countsURI: String = "",
+    modelURI: String = "",
+    auditURI: String = "",
+    action: String = "compact",
+    maxFilesPerPartition: Int = 8,
+    persist: Boolean = false
+) extends Stage {
+  val stageType = "CompactExecute"
+
+  private def stores: Seq[(String, String, Seq[String])] = Seq(
+    ("minhash", minhashURI, Seq("bands", "shingles", "exact")),
+    ("span", spanURI, Seq("grams")),
+    ("sem", semURI, Seq("vectors")),
+    ("ivf", ivfURI, Seq("vectors"))).filter(_._2.nonEmpty)
+      .map { case (t, u, tables) => (t, u, tables.map(x => s"$u/$x")) }
+
+  def execute(ctx: PipelineContext): Option[DataFrame] = {
+    import graft.llm.IndexCompact
+    val spark = ctx.spark
+    require(Seq(minhashURI, spanURI, semURI, ivfURI, countsURI, modelURI,
+        auditURI).exists(_.nonEmpty),
+      s"$name: no store URI set — name at least one of minhashURI/spanURI/" +
+        "semURI/ivfURI/countsURI/modelURI/auditURI")
+    import spark.implicits._
+    val out = action match {
+      case "compact" =>
+        val indexRows = stores.map { case (tpe, uri, tableDirs) =>
+          val res = tableDirs.map(d =>
+            IndexCompact.compactPartitioned(spark, d, maxFilesPerPartition))
+          val logs = tableDirs.map(d =>
+            graft.core.AuditLog.compact(spark, s"$d/_takedown_log"))
+          (uri, tpe, res.map(_._1).sum.toLong, res.map(_._2).sum,
+            res.map(_._3).sum, logs.map(_._2).sum.toLong)
+        }
+        // count stores: data tables are row-count-sized at write — only
+        // their SIBLING-dir trails accumulate files
+        val countRows = Seq(("wordcounts", countsURI), ("classifier", modelURI))
+          .filter(_._2.nonEmpty).map { case (tpe, uri) =>
+            val (_, recs) = graft.core.AuditLog.compact(spark, s"${uri}_takedown_log")
+            (uri, tpe, 0L, 0L, 0L, recs.toLong)
+          }
+        val auditRows = Seq(auditURI).filter(_.nonEmpty).map { u =>
+          val (_, recs) = graft.core.AuditLog.compact(spark, u)
+          (u, "request_audit", 0L, 0L, 0L, recs.toLong)
+        }
+        (indexRows ++ countRows ++ auditRows).toDF("store", "store_type",
+          "partitions_compacted", "files_before", "files_after",
+          "audit_records_compacted")
+      case "recover" =>
+        require(stores.nonEmpty,
+          s"$name: action=recover operates on the index stores — set " +
+            "minhashURI/spanURI/semURI/ivfURI")
+        stores.map { case (tpe, uri, tableDirs) =>
+          (uri, tpe,
+            tableDirs.map(d => IndexCompact.recover(spark, d)).sum.toLong)
+        }.toDF("store", "store_type", "partitions_restored")
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: unknown maintenance action '$other' (compact|recover)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

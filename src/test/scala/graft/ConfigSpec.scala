@@ -868,6 +868,12 @@ class ConfigSpec extends SparkSpec {
     Seq(1L, 4L).toDF("doc_id").createOrReplaceTempView("td_ids")
     val hocon =
       s"""{stages: [
+        { type = "TakedownExecute", name = "sizing", inputView = td_ids,
+          outputView = td_preview, idField = doc_id,
+          minhashURI = "$mdir", spanURI = "$sdir", semURI = "$semdir",
+          ivfURI = "$ivfdir", countsURI = "$wcdir", modelURI = "$nbdir",
+          corpusView = td_corpus, textField = text, labelField = label,
+          action = preview },
         { type = "TakedownExecute", name = "request", inputView = td_ids,
           outputView = td_report, idField = doc_id,
           minhashURI = "$mdir", spanURI = "$sdir", semURI = "$semdir",
@@ -879,6 +885,12 @@ class ConfigSpec extends SparkSpec {
           action = log }
       ]}"""
     assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    // the dry-run preview sized every store EXACTLY as the real delete
+    // then removed (and, running first, mutated nothing — the delete
+    // found everything still there)
+    val preview = spark.table("td_preview")
+      .collect().map(r => r.getAs[String]("store_type") ->
+        r.getAs[Long]("rows_matched")).toMap
     // consolidated view: one row per store, shared request id, rows removed
     val rep = spark.table("td_report")
       .collect().map(r => r.getAs[String]("store_type") ->
@@ -888,6 +900,8 @@ class ConfigSpec extends SparkSpec {
     assert(rep.values.map(_._2).toSet.size == 1, "one shared request id")
     assert(rep.forall(_._2._1 > 0L), s"every store removed rows: $rep")
     assert(rep("sem")._1 == 2L && rep("ivf")._1 == 2L && rep("classifier")._1 == 2L)
+    assert(preview == rep.view.mapValues(_._1).toMap,
+      s"preview $preview != removed ${rep.view.mapValues(_._1).toMap}")
     // the audit trail reads back the same six rows (action=log)
     val logRows = spark.table("td_log")
       .collect().map(r => r.getAs[String]("store_type") ->
@@ -1000,6 +1014,73 @@ class ConfigSpec extends SparkSpec {
         corpusView = "tdi_corpus_wrongnorm", idField = "id").execute(ctx)
     }
     assert(e.getMessage.contains("not a subset"), e.getMessage)
+  }
+
+  test("CompactExecute: one maintenance cell compacts store tables and audit trails; recover restores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("compactexec").toString
+    val mdir = s"$base/mh"
+    val docs = (0L until 12L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+      .toDF("doc_id", "text")
+    graft.llm.MinhashIndex.write(docs, "doc_id", "text", mdir)
+    // many tiny appends -> small-file debris in the partitioned tables,
+    // and three takedowns -> three per-table audit records
+    (0 until 3).foreach { b =>
+      graft.llm.MinhashIndex.ingest(
+        (0 until 4).map(i => (100L + b * 10 + i,
+          s"w${b}x$i y${b}x$i z${b}x$i q${b}x$i r${b}x$i s${b}x$i t${b}x$i u${b}x$i"))
+          .toDF("doc_id", "text"), "doc_id", "text", mdir)
+      graft.llm.MinhashIndex.delete(spark, mdir, Seq(100L + b * 10))
+    }
+    val queryBefore = graft.llm.MinhashIndex.dedupAgainst(
+      docs.select((col("doc_id") + 900L).as("doc_id"), col("text")),
+      "doc_id", "text", mdir).collect().map(_.getLong(0)).toSet
+    val logBefore = graft.llm.MinhashIndex.takedownLog(spark, mdir)
+      .collect().map(_.getAs[String]("runId")).toSet
+    // 3 deletes x one record per table (bands/shingles/exact) = 9
+    assert(logBefore.size == 9)
+    val hocon =
+      s"""{stages: [
+        { type = "CompactExecute", name = "mop", outputView = "mop_report",
+          minhashURI = "$mdir", maxFilesPerPartition = 1 }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    val rep = spark.table("mop_report").head()
+    assert(rep.getAs[String]("store_type") == "minhash")
+    assert(rep.getAs[Long]("partitions_compacted") > 0L, rep.toString)
+    assert(rep.getAs[Long]("files_after") < rep.getAs[Long]("files_before"), rep.toString)
+    // the trails folded into one file per table, every record preserved
+    assert(rep.getAs[Long]("audit_records_compacted") == 9L, rep.toString)
+    assert(graft.llm.MinhashIndex.takedownLog(spark, mdir)
+      .collect().map(_.getAs[String]("runId")).toSet == logBefore)
+    // dedup decisions identical through the compacted index
+    val queryAfter = graft.llm.MinhashIndex.dedupAgainst(
+      docs.select((col("doc_id") + 900L).as("doc_id"), col("text")),
+      "doc_id", "text", mdir).collect().map(_.getLong(0)).toSet
+    assert(queryAfter == queryBefore)
+    // recover: park one file as an interrupted run would, then one cell
+    // restores it (the preflight-refusal answer)
+    val fs = new org.apache.hadoop.fs.Path(mdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exact = new org.apache.hadoop.fs.Path(s"$mdir/exact")
+    val part = fs.listStatus(exact).filter(_.isDirectory)
+      .filter(_.getPath.getName.contains("=")).head.getPath
+    val victim = fs.listStatus(part).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")).head.getPath
+    val old = new org.apache.hadoop.fs.Path(exact, s"_compact_old/${part.getName}")
+    fs.mkdirs(old)
+    assert(fs.rename(victim, new org.apache.hadoop.fs.Path(old, victim.getName)))
+    assert(graft.llm.IndexCompact.hasInterruptedRun(spark, s"$mdir/exact"))
+    val hocon2 =
+      s"""{stages: [
+        { type = "CompactExecute", name = "restore", outputView = "rec_report",
+          minhashURI = "$mdir", action = "recover" }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon2), new PipelineContext(spark)).isDefined)
+    assert(spark.table("rec_report").head().getAs[Long]("partitions_restored") == 1L)
+    assert(!graft.llm.IndexCompact.hasInterruptedRun(spark, s"$mdir/exact"))
   }
 
   test("IndexDedupTransform action=delete takes docs down through the config surface") {

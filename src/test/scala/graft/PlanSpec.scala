@@ -478,6 +478,39 @@ class PlanSpec extends SparkSpec {
       s"range bound not pushed:\n$plan")
   }
 
+  test("Takedown.recoverRows joins with a pushed range bound and broadcast ids") {
+    // the ids→text corpus join (id-addressed count-store takedown) must
+    // (a) bound the corpus scan by the ids' [min, max] so row-group stats
+    // prune — the cast(long) wrapper must not defeat the pushdown
+    // (UnwrapCastInBinaryComparison) — and (b) broadcast the
+    // takedown-sized id side, never shuffle the corpus. Pin the mechanism
+    // on recoverRows' exact join shape over a parquet-backed corpus
+    // (recoverRows itself returns the PINNED result, whose executed plan
+    // is a scan of the materialized rows).
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
+    val dir = java.nio.file.Files.createTempDirectory("tdrecover").toString + "/corpus"
+    spark.range(1000).select(col("id").cast("int").as("doc_id"),
+      concat(lit("text "), col("id")).as("text")).write.parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    import spark.implicits._
+    val idsNorm = Seq(100L, 150L, 199L).toDF("_takedown_id")
+    val plan = formatted(
+      corpus.withColumn("_takedown_id", col("doc_id").cast("long"))
+        .filter(col("_takedown_id").between(100L, 199L))
+        .join(broadcast(idsNorm), Seq("_takedown_id"), "left_semi"))
+    assert(plan.contains("GreaterThanOrEqual(doc_id,100)") &&
+      plan.contains("LessThanOrEqual(doc_id,199)"),
+      s"range bound not pushed through the long cast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"ids must broadcast into a semi join:\n$plan")
+    // and the real recoverRows returns exactly the matched rows
+    val (ids, n) = graft.llm.Takedown.normalizeIds(
+      Seq(100L, 150L, 199L).toDF("doc_id"))
+    val got = graft.llm.Takedown.recoverRows(ids, n, corpus, "doc_id")
+      .select("doc_id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(100, 150, 199), got.toString)
+  }
+
   test("NaiveBayes.predict: ONE corpus scan, model joins broadcast, no SinglePartition") {
     // at 100 TB the text column dominates IO — predict must read it once
     // (explode_outer carries the token stream, the per-doc count AND the

@@ -2346,9 +2346,12 @@ object SparkEntry {
       val (mDir, spDir, seDir, ivDir, wcDir, nbDir, auDir) =
         (s"$base/mh", s"$base/span", s"$base/sem", s"$base/ivf",
           s"$base/wc", s"$base/nb", s"$base/audit")
-      MinhashIndex.write(corpus, "doc_id", "text", mDir)
+      // small partition counts keep the staged-rewrite job count (the
+      // battery cost — fixed, data-independent) proportional to the
+      // coverage, not the defaults
+      MinhashIndex.write(corpus, "doc_id", "text", mDir, bands = 4)
       SpanIndex.write(corpus, "doc_id", "text", spDir, k = 8,
-        hashMode = "xxhash64", nbuckets = 16, bloomBits = 1L << 18,
+        hashMode = "xxhash64", nbuckets = 8, bloomBits = 1L << 18,
         bloomHashes = 3)
       SemIndex.write(corpus, "doc_id", "embedding", seDir, nclusters = 4)
       IvfIndex.write(corpus, "doc_id", "embedding", ivDir, nlist = 4)
@@ -2363,12 +2366,14 @@ object SparkEntry {
         corpus = Some(corpus), corpusIdCol = "doc_id",
         textCol = "text", labelCol = "label", auditURI = auDir)
       // structural per-store checks: every victim gone, at least one kept
-      // id still present (takedown must not have emptied the store)
+      // id still present (takedown must not have emptied the store) —
+      // ONE aggregate per table, not two counts
       def clean(path: String, idCol: String): Boolean = {
-        val t = spark.read.parquet(path)
-        t.filter(col(idCol).isin(victimIds.map(java.lang.Long.valueOf): _*))
-          .count() == 0L &&
-          t.filter(col(idCol) % 5 =!= 2).count() > 0L
+        val r = spark.read.parquet(path).agg(
+          sum(when(col(idCol).isin(victimIds.map(java.lang.Long.valueOf): _*),
+            1L).otherwise(0L)).as("v"),
+          sum(when(col(idCol) % 5 =!= 2, 1L).otherwise(0L)).as("k")).head()
+        r.getLong(0) == 0L && r.getLong(1) > 0L
       }
       // count stores: byte-for-byte the never-saw state
       val kept = corpus.filter(col("doc_id") % 5 =!= 2)

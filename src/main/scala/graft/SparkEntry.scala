@@ -2454,6 +2454,34 @@ object SparkEntry {
               col("split").isNotNull).as("ok"))
         .orderBy("doc_id")
     },
+    "q212_entropy_gated_split" -> withViews("documents") { (spark, ctx) =>
+      // The entropy gate COMPOSED and FULL-ORACLE-checked — q211's chain
+      // with the DuckDB-expressible half held to byte-for-byte parity
+      // (q207 proves the expression standalone; this proves it feeding a
+      // downstream operator): padding injection (doc_id%9==3 → 240×'a')
+      // -> char_entropy floor (2.2 nats sits mid-gap: padding ≈ 0,
+      // natural text ≈ 2.8 — no boundary value exists, so the float
+      // comparison cannot flip cross-engine) -> `\s+` token count ->
+      // deterministic 80/10/10 hash split. DuckDB reproduces the staged
+      // text, the unnest-aggregate entropy, the gate, the token
+      // accounting and the md5 split labels exactly.
+      import graft.functions.CharEntropyExpr.char_entropy
+      import graft.llm.Sampling
+      val docs = ctx.view("documents").select(col("doc_id"), col("source"), col("text"))
+      val staged = docs.withColumn("text2",
+        when(col("doc_id") % 9 === 3, repeat(lit("a"), 240))
+          .otherwise(col("text")))
+      val sig = staged.select(col("doc_id"), col("source"),
+        char_entropy(col("text2")).as("ent"),
+        size(filter(split(trim(col("text2")), "\\s+"),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
+      val gated = sig.filter(col("ent") >= 2.2)
+      Sampling.hashSplit(gated, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "qe")
+        .select(col("doc_id"), col("source"),
+          round(col("ent"), 6).as("char_entropy"), col("n_tokens"), col("split"))
+        .orderBy("doc_id")
+    },
     "q192_unigram_encode" -> { (spark: SparkSession, dir: String) =>
       configureReads(spark)
       val ctx = new PipelineContext(spark)
@@ -5758,6 +5786,37 @@ object SparkEntry {
             GROUP BY doc_id, ch)
           GROUP BY doc_id) e USING (doc_id)
         ORDER BY d.doc_id""",
+    "q212_entropy_gated_split" -> {
+      // q207's unnest-aggregate entropy over the STAGED text (padding
+      // injected by the same CASE), the 2.2-nat gate, the `\s+` token
+      // count and q184's md5 split arithmetic — the composed chain
+      // reproduced end to end
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = f"${math.round(cum(0) * 0xffffffffL)}%08x"
+      val t2 = f"${math.round(cum(1) * 0xffffffffL)}%08x"
+      s"""WITH staged AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 9 = 3 THEN repeat('a', 240) ELSE text END AS t
+          FROM documents),
+        ent AS (
+          SELECT doc_id, -sum(p * ln(p)) AS ent FROM (
+            SELECT doc_id,
+                   count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY doc_id) AS p
+            FROM (SELECT doc_id, unnest(string_split(t, '')) AS ch FROM staged)
+            GROUP BY doc_id, ch)
+          GROUP BY doc_id),
+        gated AS (
+          SELECT s.doc_id, s.source, abs(e.ent) AS ent,
+                 CAST(len(list_filter(string_split_regex(trim(s.t), '\\s+'),
+                   x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          FROM staged s JOIN ent e USING (doc_id)
+          WHERE abs(e.ent) >= 2.2)
+        SELECT doc_id, source, round(ent, 6) AS char_entropy, n_tokens,
+               CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'qe'), 1, 8) < '$t1' THEN 'train'
+                    WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || 'qe'), 1, 8) < '$t2' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM gated ORDER BY doc_id"""
+    },
     "q203_wordcounts_delete" ->
       // ONE count over batch A alone — the engine wrote A, ingested B,
       // then deleted B by exact count subtraction; DuckDB never sees B

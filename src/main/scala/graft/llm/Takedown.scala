@@ -107,9 +107,9 @@ object Takedown {
   }
 
   /** Partitioned table directories behind each index store — the surface
-    * the staged-rewrite machinery (delete/compact/recover) operates on,
-    * shared by [[run]]'s preflight and the maintenance stage. */
-  private[graft] def indexTableDirs(minhashURI: String, spanURI: String,
+    * the staged-rewrite machinery (delete/compact/recover) operates on;
+    * [[run]]'s preflight checks each for interrupted-rewrite leftovers. */
+  private def indexTableDirs(minhashURI: String, spanURI: String,
       semURI: String, ivfURI: String): Seq[String] =
     Seq(minhashURI).filter(_.nonEmpty).flatMap(u =>
       Seq(s"$u/bands", s"$u/shingles", s"$u/exact")) ++

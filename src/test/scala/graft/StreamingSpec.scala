@@ -588,6 +588,67 @@ class StreamingSpec extends SparkSpec {
     assert(nRecords == 3L * batches.get(), s"$nRecords records for ${batches.get()} batches")
   }
 
+  test("streaming ORCHESTRATED takedown through foreachBatch matches one batch run") {
+    // The legal queue drives the orchestrator, not a single store:
+    // micro-batches of ids through foreachBatch → Takedown.run across a
+    // minhash index AND a count store must leave every table
+    // byte-identical to one run over the union — with one consolidated
+    // audit record per (micro-batch, store).
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tdorchstream").toString
+    val docs = graft.core.Lineage.pin(
+      spark.range(20).select(col("id").as("doc_id"),
+        concat_ws(" ", org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(lit(0), lit(11)),
+          i => concat(lit("tk"), col("id"), lit("x"), i))).as("text")))
+    def freshWorld(w: String): Unit = {
+      graft.llm.MinhashIndex.write(docs, "doc_id", "text", s"$base/$w/idx")
+      graft.llm.WordCounts.write(docs, "text", s"$base/$w/wc")
+    }
+    freshWorld("streamed"); freshWorld("batch")
+    val victims = Seq(3L, 6L, 9L, 12L)
+    victims.toDF("doc_id").repartition(2)
+      .write.mode("overwrite").parquet(s"$base/requests")
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$base/requests").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/requests")
+      .writeStream
+      .foreachBatch { (ids: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!ids.isEmpty) {
+          graft.llm.Takedown.run(spark, ids,
+            minhashURI = s"$base/streamed/idx", countsURI = s"$base/streamed/wc",
+            corpus = Some(docs), corpusIdCol = "doc_id", textCol = "text",
+            auditURI = s"$base/streamed/audit")
+          batches.incrementAndGet()
+        }
+        (): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(batches.get() >= 2, s"expected multiple micro-batches, got ${batches.get()}")
+    graft.llm.Takedown.run(spark, victims.toDF("doc_id"),
+      minhashURI = s"$base/batch/idx", countsURI = s"$base/batch/wc",
+      corpus = Some(docs), corpusIdCol = "doc_id", textCol = "text",
+      auditURI = s"$base/batch/audit")
+    def table(path: String) =
+      spark.read.parquet(path).collect().map(_.toSeq.toString).toSet
+    Seq("idx/exact", "idx/shingles", "idx/bands", "wc/counts").foreach { t =>
+      assert(table(s"$base/streamed/$t") == table(s"$base/batch/$t"),
+        s"$t diverged between streamed and one-shot orchestrated takedown")
+    }
+    // one consolidated record per (micro-batch, store) vs one per store
+    val streamedLog = graft.llm.Takedown.consolidatedLog(spark, s"$base/streamed/audit")
+    assert(streamedLog.count() == 2L * batches.get(),
+      s"${streamedLog.count()} records for ${batches.get()} batches")
+    assert(graft.llm.Takedown.consolidatedLog(spark, s"$base/batch/audit").count() == 2L)
+    // every micro-batch shares one request id across its stores
+    val perReq = streamedLog.groupBy("request_id").count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(perReq.size == batches.get() && perReq.forall(_ == 2L), perReq.toString)
+  }
+
   test("streaming canary detection: the Aho-Corasick projection equals its batch result") {
     // canaryHits is a pure narrow projection (automaton rides inside the
     // expression) — it must run unchanged on a streaming frame and emit

@@ -270,14 +270,20 @@ object Takedown {
         .count()
     }
     val results = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
-    if (countsURI.nonEmpty) {
-      val occ = Bpe.wordCounts(recovered.get, textCol)
-        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
-      results += ((countsURI, "wordcounts", occ))
+    if (countsURI.nonEmpty)
+      // runs delete's exact subset check without the swap — a violation
+      // fails HERE, before any real run could half-apply the request
+      results += ((countsURI, "wordcounts",
+        WordCounts.previewDelete(recovered.get, textCol, countsURI)))
+    if (modelURI.nonEmpty) {
+      // the model-level unlearn validates (subset checks) and returns the
+      // would-be model without persisting anything — exactly a dry run
+      val before = NaiveBayes.read(spark, modelURI)
+      val after = NaiveBayes.unlearn(before, recovered.get, textCol, labelCol)
+      def docs(m: NaiveBayes.Model): Long = m.classTable
+        .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+      results += ((modelURI, "classifier", docs(before) - docs(after)))
     }
-    if (modelURI.nonEmpty)
-      results += ((modelURI, "classifier",
-        recovered.get.filter(col(labelCol).isNotNull).count()))
     if (minhashURI.nonEmpty)
       results += ((minhashURI, "minhash",
         Seq("bands", "shingles", "exact")

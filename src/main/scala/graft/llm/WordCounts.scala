@@ -92,6 +92,24 @@ object WordCounts {
   def delete(batch: DataFrame, textCol: String, path: String): DataFrame = {
     val spark = batch.sparkSession
     val batchCounts = graft.core.Lineage.pin(Bpe.wordCounts(batch, textCol))
+    val merged = subtractedChecked(batchCounts, path)
+    writeCounts(merged.filter(col("cnt") > 0), path)
+    // evidence AFTER the swap committed ([[IndexCompact.takedownLog]]'s
+    // contract); the log lives in a SIBLING dir because the swap replaces
+    // the store dir wholesale
+    val b = batchCounts
+      .agg(count(lit(1)).as("w"), coalesce(sum("cnt"), lit(0L)).as("o")).head()
+    graft.core.AuditLog.append(spark, s"${path}_takedown_log",
+      Seq("table" -> path, "batchWords" -> b.getLong(0),
+        "occurrencesRemoved" -> b.getLong(1)))
+    read(spark, path)
+  }
+
+  /** The signed merge behind [[delete]]/[[previewDelete]]: table counts
+    * minus batch counts, pinned, with the loud not-a-subset check run
+    * BEFORE anything could swap. */
+  private def subtractedChecked(batchCounts: DataFrame, path: String): DataFrame = {
+    val spark = batchCounts.sparkSession
     val merged = graft.core.Lineage.pin(
       read(spark, path)
         .unionByName(batchCounts.select(col("word"), (-col("cnt")).as("cnt")))
@@ -103,16 +121,18 @@ object WordCounts {
         s"words occurring more often in the delete batch than in the table " +
         s"(first ${under.length}): ${under.mkString(", ")}. Delete only text " +
         "that was previously written/ingested into this table.")
-    writeCounts(merged.filter(col("cnt") > 0), path)
-    // evidence AFTER the swap committed ([[IndexCompact.takedownLog]]'s
-    // contract); the log lives in a SIBLING dir because the swap replaces
-    // the store dir wholesale
-    val b = batchCounts
-      .agg(count(lit(1)).as("w"), coalesce(sum("cnt"), lit(0L)).as("o")).head()
-    graft.core.AuditLog.append(spark, s"${path}_takedown_log",
-      Seq("table" -> path, "batchWords" -> b.getLong(0),
-        "occurrencesRemoved" -> b.getLong(1)))
-    read(spark, path)
+    merged
+  }
+
+  /** [[delete]]'s validation WITHOUT the swap — the dry run behind
+    * [[Takedown.preview]]: runs the exact subset check (a violation fails
+    * loudly here, before any real run mutates anything) and returns the
+    * occurrence count a real delete would remove. Mutates nothing, logs
+    * nothing. */
+  def previewDelete(batch: DataFrame, textCol: String, path: String): Long = {
+    val batchCounts = graft.core.Lineage.pin(Bpe.wordCounts(batch, textCol))
+    subtractedChecked(batchCounts, path)
+    batchCounts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
   }
 
   /** The table's takedown audit trail — one record per completed

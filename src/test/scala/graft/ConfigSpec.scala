@@ -959,6 +959,13 @@ class ConfigSpec extends SparkSpec {
     // a duplicated corpus row would double-subtract — also loud
     run(graft.llm.Takedown.run(spark, ids, countsURI = wcdir,
       corpus = Some(corpus.unionByName(corpus))), "MORE than one row")
+    // PREVIEW surfaces a subset violation (wrong corpus version) loudly
+    // and mutates nothing — the dry run is where the operator discovers
+    // it, before any real run half-applies the request
+    run(graft.llm.Takedown.preview(spark, ids, countsURI = wcdir,
+      corpus = Some(corpus.withColumn("text",
+        org.apache.spark.sql.functions.upper(
+          org.apache.spark.sql.functions.col("text"))))), "not a subset")
     val wcAfter = graft.llm.WordCounts.read(spark, wcdir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(wcAfter == wcBefore, "preflight failures must not mutate the store")

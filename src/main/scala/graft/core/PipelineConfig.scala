@@ -446,6 +446,7 @@ object PipelineConfig {
         idField = o.str("idField", "id"),
         modelView = o.str("modelView", ""),
         corpusView = o.str("corpusView", ""),
+        modelURI = o.str("modelURI", ""),
         maxVocab = o.intOpt("maxVocab").getOrElse(0),
         minCount = o.intOpt("minCount").map(_.toLong).getOrElse(1L),
         persist = o.bool("persist"))

@@ -177,6 +177,9 @@ object Completions {
       "{type = \"ClassifierTransform\", name = \"forget\", inputView = \"removed_ids\", outputView = \"model2\",\n" +
         " textField = \"text\", labelField = \"label\", mode = \"unlearnIds\", modelView = \"model\",\n" +
         " corpusView = \"corpus\", idField = \"doc_id\"}"),
+    Completion("ClassifierTransform (persisted store)",
+      "{type = \"ClassifierTransform\", name = \"nb\", inputView = \"labeled\", outputView = \"model\",\n" +
+        " textField = \"text\", labelField = \"label\", mode = \"train\", modelURI = \"/path/nbmodel\"}"),
     Completion("SpanIndexTransform",
       "{type = \"SpanIndexTransform\", name = \"spanidx\", inputView = \"docs\", outputView = \"deduped\",\n" +
         " indexURI = \"/path/spanidx\", idField = \"doc_id\", textField = \"text\",\n" +

@@ -1505,17 +1505,31 @@ final case class WordCountsTransform(
   * trained rows are recovered in-engine from `corpusView` (same
   * post-cleaning view that was trained; missing/duplicated ids fail
   * loudly, [[graft.llm.Takedown.recoverRows]]) and subtracted as in
-  * `unlearn`; `mode=predict` reads `modelView` and
+  * `unlearn`; `mode=predict` reads the model and
   * publishes one row per document: (idField, label_pred, n_tokens).
+  *
+  * The model is addressed EITHER as a view (`modelView` — the flattened
+  * [[graft.llm.NaiveBayes.modelToView]] form, persist it like any view)
+  * OR as the PERSISTED STORE (`modelURI` — the crash-safe
+  * [[graft.llm.NaiveBayes.write]] layout with the atomic swap and the
+  * sibling takedown audit trail; the store [[TakedownExecute]]'s
+  * `modelURI` takes down). With `modelURI`: `train` additionally
+  * persists the trained model; `ingest`/`unlearn`/`unlearnIds` operate
+  * ON DISK ([[graft.llm.NaiveBayes.ingest]]/path-level `unlearn` — the
+  * unlearn leaves an audit record); `predict` reads the store;
+  * `mode=read` publishes the persisted model as a view and `mode=log`
+  * its takedown trail. Exactly one addressing form per cell (train may
+  * use `modelURI` alone as the sink).
   *
   * `maxVocab` (> 0) / `minCount` (> 1) bound the trained vocabulary per
   * class ([[graft.llm.NaiveBayes.train]]'s cap — pruned tokens score via
   * the Laplace fallback). In ingest/unlearn mode the cap applies AFTER
-  * the merge/subtraction, so count arithmetic stays exact — which also
-  * means the INPUT `modelView` must itself be UNCAPPED: a capped input
-  * has already forgotten its tail counts, and neither mode can detect
-  * that (counts carry no provenance). Keep the uncapped model persisted;
-  * publish capped copies only for serving.
+  * the merge/subtraction to the PUBLISHED VIEW only, so count arithmetic
+  * stays exact — which also means a view-addressed input model must
+  * itself be UNCAPPED: a capped input has already forgotten its tail
+  * counts, and neither mode can detect that (counts carry no
+  * provenance). Keep the uncapped model persisted (the store is never
+  * capped by this stage); publish capped copies only for serving.
   */
 final case class ClassifierTransform(
     name: String,
@@ -1527,6 +1541,7 @@ final case class ClassifierTransform(
     idField: String = "id",
     modelView: String = "",
     corpusView: String = "",
+    modelURI: String = "",
     maxVocab: Int = 0,
     minCount: Long = 1L,
     persist: Boolean = false
@@ -1534,44 +1549,60 @@ final case class ClassifierTransform(
   val stageType = "ClassifierTransform"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
     import graft.llm.NaiveBayes
-    val in = ctx.view(inputView)
+    require(modelView.isEmpty || modelURI.isEmpty,
+      s"$name: set modelView OR modelURI, not both — one model address per cell")
+    // the source model for modes that need one; loud when neither is set
+    def model(forWhat: String): NaiveBayes.Model =
+      if (modelURI.nonEmpty) NaiveBayes.read(ctx.spark, modelURI)
+      else {
+        require(modelView.nonEmpty, s"$name: $forWhat mode needs modelView " +
+          "or modelURI (for count-exact ingest/unlearn the model must be " +
+          "UNCAPPED — a capped input silently breaks subtraction exactness)")
+        NaiveBayes.modelFromView(ctx.view(modelView))
+      }
+    def recoveredRows(): DataFrame = {
+      require(corpusView.nonEmpty, s"$name: unlearnIds mode needs corpusView " +
+        "(counts carry no provenance — the deleted ids' exact trained " +
+        "text+label rows are recovered by joining the corpus in-engine)")
+      val (idsNorm, nIds) = graft.llm.Takedown.normalizeIds(
+        ctx.view(inputView).select(col(idField)))
+      graft.llm.Takedown.recoverRows(idsNorm, nIds, ctx.view(corpusView), idField)
+    }
+    lazy val in = ctx.view(inputView)
     val out = mode match {
       case "train" =>
-        NaiveBayes.modelToView(
-          NaiveBayes.train(in, textField, labelField, maxVocab, minCount))
+        val trained = NaiveBayes.train(in, textField, labelField, maxVocab, minCount)
+        if (modelURI.nonEmpty) NaiveBayes.write(trained, modelURI)
+        NaiveBayes.modelToView(trained)
       case "ingest" =>
-        require(modelView.nonEmpty, s"$name: ingest mode needs modelView")
-        val merged = NaiveBayes.merge(
-          NaiveBayes.modelFromView(ctx.view(modelView)),
-          NaiveBayes.train(in, textField, labelField))
+        val merged =
+          if (modelURI.nonEmpty) NaiveBayes.ingest(in, textField, labelField, modelURI)
+          else NaiveBayes.merge(model("ingest"),
+            NaiveBayes.train(in, textField, labelField))
         NaiveBayes.modelToView(NaiveBayes.cap(merged, maxVocab, minCount))
       case "unlearn" =>
-        require(modelView.nonEmpty, s"$name: unlearn mode needs modelView " +
-          "(the persisted UNCAPPED model — a capped input silently breaks " +
-          "count-subtraction exactness)")
-        val updated = NaiveBayes.unlearn(
-          NaiveBayes.modelFromView(ctx.view(modelView)), in, textField, labelField)
+        val updated =
+          if (modelURI.nonEmpty) NaiveBayes.unlearn(in, textField, labelField, modelURI)
+          else NaiveBayes.unlearn(model("unlearn"), in, textField, labelField)
         NaiveBayes.modelToView(NaiveBayes.cap(updated, maxVocab, minCount))
       case "unlearnIds" =>
-        require(modelView.nonEmpty, s"$name: unlearnIds mode needs modelView " +
-          "(the persisted UNCAPPED model)")
-        require(corpusView.nonEmpty, s"$name: unlearnIds mode needs corpusView " +
-          "(counts carry no provenance — the deleted ids' exact trained " +
-          "text+label rows are recovered by joining the corpus in-engine)")
-        val (idsNorm, nIds) = graft.llm.Takedown.normalizeIds(
-          in.select(col(idField)))
-        val rows = graft.llm.Takedown.recoverRows(idsNorm, nIds,
-          ctx.view(corpusView), idField)
-        val updated = NaiveBayes.unlearn(
-          NaiveBayes.modelFromView(ctx.view(modelView)), rows, textField, labelField)
+        val rows = recoveredRows()
+        val updated =
+          if (modelURI.nonEmpty) NaiveBayes.unlearn(rows, textField, labelField, modelURI)
+          else NaiveBayes.unlearn(model("unlearnIds"), rows, textField, labelField)
         NaiveBayes.modelToView(NaiveBayes.cap(updated, maxVocab, minCount))
       case "predict" =>
-        require(modelView.nonEmpty, s"$name: predict mode needs modelView")
-        NaiveBayes.predict(in, idField, textField,
-          NaiveBayes.modelFromView(ctx.view(modelView)))
+        NaiveBayes.predict(in, idField, textField, model("predict"))
+      case "read" =>
+        require(modelURI.nonEmpty, s"$name: read mode needs modelURI")
+        NaiveBayes.modelToView(NaiveBayes.read(ctx.spark, modelURI))
+      case "log" =>
+        require(modelURI.nonEmpty, s"$name: log mode needs modelURI")
+        NaiveBayes.takedownLog(ctx.spark, modelURI)
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown classifier mode '$other' (train|ingest|unlearn|unlearnIds|predict)")
+          s"$name: unknown classifier mode '$other' " +
+            "(train|ingest|unlearn|unlearnIds|predict|read|log)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

@@ -1090,6 +1090,70 @@ class ConfigSpec extends SparkSpec {
     assert(!graft.llm.IndexCompact.hasInterruptedRun(spark, s"$mdir/exact"))
   }
 
+  test("ClassifierTransform modelURI: the persisted NB store's full lifecycle from config cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the store TakedownExecute's modelURI takes down must be CREATABLE
+    // and MAINTAINABLE from the config surface too — train persists,
+    // ingest/unlearnIds operate on disk, predict/read/log read the store
+    Seq((1L, "buy now cheap", "spam"), (2L, "meeting notes agenda", "ham"))
+      .toDF("id", "text", "label").createOrReplaceTempView("nbs_a")
+    Seq((3L, "buy cheap offer", "spam"), (4L, "agenda notes today", "ham"))
+      .toDF("id", "text", "label").createOrReplaceTempView("nbs_b")
+    spark.table("nbs_a").unionByName(spark.table("nbs_b"))
+      .createOrReplaceTempView("nbs_corpus")
+    Seq(3L).toDF("id").createOrReplaceTempView("nbs_ids")
+    Seq((10L, "buy cheap"), (11L, "agenda meeting"))
+      .toDF("id", "text").createOrReplaceTempView("nbs_docs")
+    val dir = java.nio.file.Files.createTempDirectory("nbstore").toString + "/model"
+    val hocon =
+      s"""{stages: [
+        { type = "ClassifierTransform", name = "train", inputView = nbs_a,
+          outputView = nbs_m1, textField = text, labelField = label,
+          modelURI = "$dir" },
+        { type = "ClassifierTransform", name = "daily", inputView = nbs_b,
+          outputView = nbs_m2, textField = text, labelField = label,
+          mode = ingest, modelURI = "$dir" },
+        { type = "ClassifierTransform", name = "pred", inputView = nbs_docs,
+          outputView = nbs_pred, textField = text, mode = predict,
+          idField = id, modelURI = "$dir" },
+        { type = "ClassifierTransform", name = "forget", inputView = nbs_ids,
+          outputView = nbs_m3, textField = text, labelField = label,
+          mode = unlearnIds, modelURI = "$dir", corpusView = nbs_corpus,
+          idField = id },
+        { type = "ClassifierTransform", name = "check", inputView = nbs_ids,
+          outputView = nbs_m4, textField = text, mode = read,
+          modelURI = "$dir" },
+        { type = "ClassifierTransform", name = "evidence", inputView = nbs_ids,
+          outputView = nbs_trail, textField = text, mode = log,
+          modelURI = "$dir" }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    // predictions came off the persisted store after the on-disk ingest
+    val preds = spark.table("nbs_pred").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(preds == Seq((10L, "spam"), (11L, "ham")), preds.toString)
+    // the id-addressed on-disk unlearn left EXACTLY train(all minus id 3)
+    def tokMap(m: graft.llm.NaiveBayes.Model) = m.tokenTable.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.llm.NaiveBayes.train(
+      spark.table("nbs_corpus").filter(col("id") =!= 3L), "text", "label")
+    assert(tokMap(graft.llm.NaiveBayes.read(spark, dir)) == tokMap(want))
+    // the read-back view equals the store; the takedown trail has the record
+    assert(tokMap(graft.llm.NaiveBayes.modelFromView(spark.table("nbs_m4"))) ==
+      tokMap(want))
+    val trail = spark.table("nbs_trail").collect()
+    assert(trail.length == 1 && trail.head.getAs[Long]("docsRemoved") == 1L,
+      trail.mkString(","))
+    // one model address per cell — both set is refused
+    val e = intercept[IllegalArgumentException] {
+      graft.transform.ClassifierTransform("c", "nbs_a", "out_v", "text",
+        mode = "predict", modelView = "nbs_m1", modelURI = dir)
+        .execute(new PipelineContext(spark))
+    }
+    assert(e.getMessage.contains("not both"), e.getMessage)
+  }
+
   test("IndexDedupTransform action=delete takes docs down through the config surface") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mhdel").toString + "/idx"

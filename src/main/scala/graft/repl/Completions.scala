@@ -155,6 +155,9 @@ object Completions {
         " semURI = \"/path/semidx\", ivfURI = \"/path/ivfidx\", countsURI = \"/path/wordcounts\",\n" +
         " modelURI = \"/path/nbmodel\", corpusView = \"corpus\", textField = \"text\",\n" +
         " labelField = \"label\", auditURI = \"/path/takedown_audit\"}"),
+    Completion("IvfIndexLoad (replace refreshed vectors)",
+      "{type = \"IvfIndexLoad\", name = \"refresh\", inputView = \"newVectors\", outputURI = \"/path/ivfidx\",\n" +
+        " idField = \"vec_id\", vectorField = \"embedding\", action = \"ingest\", replace = true}"),
     Completion("CompactExecute (store + trail maintenance)",
       "{type = \"CompactExecute\", name = \"mop\", outputView = \"report\",\n" +
         " minhashURI = \"/path/mhidx\", ivfURI = \"/path/ivfidx\",\n" +

@@ -2410,7 +2410,7 @@ object SparkEntry {
       // The q207/q208 quality signals COMPOSED into a curation-chain leg,
       // self-verifying — each gate provably LOAD-BEARING, not shadowed:
       // (a) padding docs (doc_id%9==3 → 240×'a') die on the ENTROPY floor
-      // alone; (b) repetition docs (doc_id%9==0 → the doc's own first 2000
+      // alone; (b) repetition docs (doc_id%9==0 → the doc's own first 480
       // chars repeated 16×) keep a NATURAL character distribution — entropy
       // cannot see the corruption — and die ONLY on the DEFLATE floor
       // (long-range repetition is exactly what the compression signal
@@ -2423,8 +2423,9 @@ object SparkEntry {
       // text entropy ≈ 2.8 nats vs 0 for padding; natural deflate ratio ≈
       // 0.4+ vs < 0.1 for 16× repetition (16 copies amortize deflate's
       // fixed overhead even for sub-100-char docs, where 4 copies did
-      // not; 2000×16 = 32000 chars stays inside deflate's 32 KB window —
-      // the q208 gate discipline).
+      // not; 480×16 = 7680 chars ≤ 30720 BYTES even at 4-byte UTF-8 —
+      // inside deflate's 32 KB BYTE window regardless of script, the
+      // q208 gate discipline).
       import graft.functions.CharEntropyExpr.char_entropy
       import graft.functions.DeflateRatioExpr.deflate_ratio
       import graft.llm.Sampling
@@ -2432,7 +2433,7 @@ object SparkEntry {
       val staged = docs.withColumn("text2",
         when(col("doc_id") % 9 === 3, repeat(lit("a"), 240))
           .when(col("doc_id") % 9 === 0,
-            repeat(substring(col("text"), 1, 2000), 16))
+            repeat(substring(col("text"), 1, 480), 16))
           .otherwise(col("text")))
       // both signals are narrow codegen'd projections — ONE corpus scan
       // computes them; the pin stops the gate and the report re-running it
@@ -2729,12 +2730,13 @@ object SparkEntry {
       // document — (1) for non-tiny docs (≥ 64 chars — below that zlib's
       // ~8-byte wrapper dominates and the ratio exceeds 1 freely) the
       // ratio lands in (0, 1.5]; (2) the SAME text repeated 4× compresses
-      // STRICTLY better — asserted only for docs ≤ 32 KB, where deflate's
-      // 32 KB window provably sees a whole earlier copy (beyond that the
-      // repeats fall outside the window and only header/Huffman
-      // amortization remains, which is not strict); (3) an independent
-      // re-evaluation yields the identical double (zlib determinism at a
-      // fixed level).
+      // STRICTLY better — asserted only for docs ≤ 32 KB of UTF-8 BYTES
+      // (octet_length, not character count — deflate's window is a byte
+      // window and multi-byte text is up to 4× its char count), where the
+      // window provably sees a whole earlier copy (beyond that the
+      // repeats fall outside it and only header/Huffman amortization
+      // remains, which is not strict); (3) an independent re-evaluation
+      // yields the identical double (zlib determinism at a fixed level).
       import graft.functions.DeflateRatioExpr.deflate_ratio
       ctx.view("documents")
         .select(col("doc_id"), col("text"),
@@ -2747,7 +2749,7 @@ object SparkEntry {
           (col("ratio") > 0.0 &&
             (length(col("text")) < 64 || col("ratio") <= 1.5) &&
             col("_ratio_again") === col("ratio") &&
-            (length(col("text")) < 8 || length(col("text")) > 32768 ||
+            (length(col("text")) < 8 || octet_length(col("text")) > 32768 ||
               col("ratio4") < col("ratio"))).as("ok"))
         .orderBy("doc_id")
     },

@@ -103,11 +103,17 @@ object AuditLog {
       val targetName: Option[String] =
         if (!fs.exists(marker)) None
         else {
+          // read to EOF — a single read() may return a PREFIX on remote
+          // filesystems, and a truncated name would misclassify a
+          // committed run as uncommitted (restoring parked duplicates
+          // next to the live combined file: evidence duplication)
           val in = fs.open(marker)
           val name = try {
+            val bos = new java.io.ByteArrayOutputStream()
             val buf = new Array[Byte](256)
-            val n = in.read(buf)
-            new String(buf, 0, math.max(n, 0), "UTF-8")
+            var n = in.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            bos.toString("UTF-8")
           } finally in.close()
           Some(name).filter(_.nonEmpty)
         }

@@ -86,19 +86,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatioExpr].getName, "deflate_ratio"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        // the level must be a LITERAL int (it configures the Deflater, it
-        // is not a per-row input): match it explicitly rather than eval()
-        // — a non-foldable level would throw an opaque unbound-expression
-        // error from eval, and wrong arity a MatchError
+        // the level must FOLD to an int (it configures the Deflater once,
+        // it is not a per-row input): check foldability before eval() — a
+        // non-foldable level used to die in an opaque unbound-expression
+        // error and wrong arity in a MatchError. Foldable covers literals
+        // of any integral width AND constant arithmetic (CAST(6 AS INT),
+        // 1+5), which deployed SQL legitimately writes.
         exprs match {
           case Seq(t) => DeflateRatioExpr(t, 6)
-          case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(
-              l: Int, org.apache.spark.sql.types.IntegerType)) =>
-            DeflateRatioExpr(t, l)
+          case Seq(t, l) if l.foldable =>
+            l.eval() match {
+              case i: java.lang.Integer => DeflateRatioExpr(t, i)
+              case s: java.lang.Short => DeflateRatioExpr(t, s.toInt)
+              case b: java.lang.Byte => DeflateRatioExpr(t, b.toInt)
+              case lg: java.lang.Long
+                  if lg >= Int.MinValue.toLong && lg <= Int.MaxValue.toLong =>
+                DeflateRatioExpr(t, lg.toInt)
+              case other => throw new IllegalArgumentException(
+                s"deflate_ratio: level must fold to an integer, got " +
+                  s"$other — usage: deflate_ratio(text[, level])")
+            }
           case Seq(_, other) => throw new IllegalArgumentException(
-            s"deflate_ratio: level must be an INTEGER LITERAL (it selects " +
-              s"the Deflater level once, not per row), got $other — usage: " +
-              "deflate_ratio(text[, level])")
+            s"deflate_ratio: level must be a CONSTANT integer expression " +
+              s"(it selects the Deflater level once, not per row), got " +
+              s"non-foldable $other — usage: deflate_ratio(text[, level])")
           case other => throw new IllegalArgumentException(
             s"deflate_ratio takes 1 or 2 arguments (text[, level]), got " +
               s"${other.length}")

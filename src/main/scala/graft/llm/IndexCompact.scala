@@ -443,11 +443,17 @@ object IndexCompact {
       // nothing live to delete, only parked/tmp dirs to fold back in
       val runPrefix: Option[String] =
         if (fs.exists(markerPath)) {
+          // read to EOF — a single read() may return a prefix on remote
+          // filesystems, and a truncated run id would fail to delete the
+          // interrupted run's moved-in files (their rows would duplicate
+          // the restored originals)
           val in = fs.open(markerPath)
           try {
+            val bos = new java.io.ByteArrayOutputStream()
             val buf = new Array[Byte](64)
-            val n = in.read(buf)
-            Some("compact-" + new String(buf, 0, math.max(n, 0), "UTF-8") + "-")
+            var n = in.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            Some("compact-" + bos.toString("UTF-8") + "-")
           } finally in.close()
         } else None
       fs.listStatus(oldRoot).filter(_.isDirectory).foreach { parked =>

@@ -225,7 +225,12 @@ object IvfIndex {
       newVectors.select(col(idCol).as("id")).distinct())
     val bs = batchIds.agg(cnt(lit(1)).as("n"), cnt(col("id")).as("nn"),
       fmin(col("id")).as("lo"), fmax(col("id")).as("hi")).head()
-    require(bs.getLong(0) > 0, s"IvfIndex.ingest: empty batch")
+    if (bs.getLong(0) == 0L) {
+      // a no-new-vectors day is a NO-OP, not an error — a daily pipeline
+      // cell or a streaming foreachBatch must survive an empty trigger
+      graft.core.LogBuffer.append(s"IvfIndex.ingest: empty batch for $path — no-op")
+      return
+    }
     require(bs.getLong(1) == bs.getLong(0),
       s"IvfIndex.ingest: batch contains NULL $idCol values")
     val dups = graft.core.Lineage.pin(

@@ -245,6 +245,9 @@ object Takedown {
     require(uris.exists(_.nonEmpty),
       "Takedown.preview: no store URI set — name at least one of minhashURI/" +
         "spanURI/semURI/ivfURI/countsURI/modelURI")
+    require(uris.filter(_.nonEmpty).distinct.size == uris.count(_.nonEmpty),
+      "Takedown.preview: two store parameters point at the SAME URI — each " +
+        "store is a distinct directory")
     require((countsURI.isEmpty && modelURI.isEmpty) || corpus.isDefined,
       "Takedown.preview: countsURI/modelURI need the corpus view (counts " +
         "carry no provenance — the ids' text sizes the subtraction)")
@@ -255,20 +258,30 @@ object Takedown {
       require(fsOf(u).exists(new org.apache.hadoop.fs.Path(u)),
         s"Takedown.preview: no store at $u — check the URI")
     }
+    // the same interrupted-rewrite preflight run() enforces: parked rows
+    // under _compact_old are INVISIBLE to table reads, so sizing against
+    // a half-recovered store would silently UNDERCOUNT — the one error a
+    // dry run must never make
+    val interrupted = indexTableDirs(minhashURI, spanURI, semURI, ivfURI)
+      .filter(IndexCompact.hasInterruptedRun(spark, _))
+    require(interrupted.isEmpty,
+      s"Takedown.preview: interrupted rewrite leftovers at " +
+        s"${interrupted.mkString(", ")} — sizing would undercount; run " +
+        "IndexCompact.recover on each first")
     val recovered: Option[DataFrame] =
       if (countsURI.isEmpty && modelURI.isEmpty) None
       else Some(recoverRows(idsNorm, nIds, corpus.get, corpusIdCol))
     // discovery-shaped match count: pushed range bound + broadcast semi
-    // join, the same scan deleteMatching's discovery runs
-    def matches(dir: String, idCol: String): Long = {
-      val range = idsNorm.agg(min(col("_takedown_id")).as("lo"),
-        max(col("_takedown_id")).as("hi")).head()
+    // join, the same scan deleteMatching's discovery runs (the ids'
+    // [min, max] computed ONCE for the whole request, not per table)
+    val range = idsNorm.agg(min(col("_takedown_id")).as("lo"),
+      max(col("_takedown_id")).as("hi")).head()
+    def matches(dir: String, idCol: String): Long =
       spark.read.parquet(dir)
         .select(col(idCol).cast("long").as("_takedown_id"))
         .filter(col("_takedown_id").between(range.getLong(0), range.getLong(1)))
         .join(broadcast(idsNorm), Seq("_takedown_id"), "left_semi")
         .count()
-    }
     val results = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
     if (countsURI.nonEmpty)
       // runs delete's exact subset check without the swap — a violation

@@ -1571,9 +1571,13 @@ final case class ClassifierTransform(
     lazy val in = ctx.view(inputView)
     val out = mode match {
       case "train" =>
-        val trained = NaiveBayes.train(in, textField, labelField, maxVocab, minCount)
-        if (modelURI.nonEmpty) NaiveBayes.write(trained, modelURI)
-        NaiveBayes.modelToView(trained)
+        // the STORE always persists UNCAPPED (the invariant everything
+        // count-exact downstream — on-disk ingest/unlearn — relies on);
+        // maxVocab/minCount cap only the published view, here as in
+        // every other mode
+        val uncapped = NaiveBayes.train(in, textField, labelField)
+        if (modelURI.nonEmpty) NaiveBayes.write(uncapped, modelURI)
+        NaiveBayes.modelToView(NaiveBayes.cap(uncapped, maxVocab, minCount))
       case "ingest" =>
         val merged =
           if (modelURI.nonEmpty) NaiveBayes.ingest(in, textField, labelField, modelURI)

@@ -46,9 +46,17 @@ class ExtensionsSpec extends SparkSpec {
       }
       fails("SELECT char_entropy('a', 'b')", "exactly 1 argument")
       fails("SELECT simhash64(array('a'), 'x')", "exactly 1 argument")
-      fails("SELECT deflate_ratio('a', 'notalevel')", "INTEGER LITERAL")
-      fails("SELECT deflate_ratio('a', length('xx'))", "INTEGER LITERAL")
+      fails("SELECT deflate_ratio('a', 'notalevel')", "fold to an integer")
+      fails("SELECT deflate_ratio('a', CAST(rand() * 3 AS INT))", "non-foldable")
       fails("SELECT deflate_ratio('a', 1, 2)", "1 or 2 arguments")
+      // CONSTANT integer expressions of any integral width keep working —
+      // deployed SQL writes CAST(6 AS INT) / 1+5 / narrow literals freely
+      val folded = s.sql(
+        "SELECT deflate_ratio(repeat('boilerplate ', 50), CAST(6 AS INT)) AS a, " +
+          "deflate_ratio(repeat('boilerplate ', 50), 1 + 5) AS b, " +
+          "deflate_ratio(repeat('boilerplate ', 50), 6L) AS c").head()
+      assert(folded.getDouble(0) == folded.getDouble(1) &&
+        folded.getDouble(1) == folded.getDouble(2))
     } finally s.stop()
   }
 }

@@ -420,6 +420,8 @@ object PipelineConfig {
         textField = o.str("textField", "text"),
         labelField = o.str("labelField", "label"),
         auditURI = o.str("auditURI", ""),
+        requestId = o.str("requestId", ""),
+        resume = o.bool("resume"),
         action = o.str("action", "delete"),
         persist = o.bool("persist"))
     case "MojibakeTransform" =>

@@ -33,11 +33,18 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * hygiene, corpus coverage, store existence, interrupted-rewrite staging
   * leftovers ([[IndexCompact.hasInterruptedRun]]). A failure between
   * stores still leaves earlier stores clean and later ones untouched; the
-  * consolidated log shows exactly how far the request got. Re-run with
-  * ONLY the stores that lack a record: count stores must not see the same
-  * batch twice (counts carry no provenance — a second subtraction of a
-  * completed store de-syncs it, caught by the subset check only when the
-  * deleted words' counts hit zero).
+  * consolidated log shows exactly how far the request got. Completing a
+  * partially-applied request is MACHINE-ENFORCED, not operator
+  * discipline: with `auditURI` set, re-running the same `requestId`
+  * without `resume = true` REFUSES (count stores must not see the same
+  * batch twice — counts carry no provenance, so a second subtraction of a
+  * completed store de-syncs it silently), and `resume = true` replays the
+  * consolidated trail, skipping every store that already holds a record
+  * for the request and executing only the missing ones. Resume verifies
+  * the re-supplied request is THE SAME request — per committed store the
+  * recorded store URI, id count, and an order-independent hash of the id
+  * set must match — so a drifted id view cannot split one legal request
+  * into two inconsistent halves.
   *
   * Scale shape: the id view is takedown-sized and rides broadcast; each
   * index delete rewrites only touched partitions (discovery arithmetic or
@@ -126,17 +133,37 @@ object Takedown {
     StructField("request_id", StringType),
     StructField("completed_at_ms", LongType)))
 
+  /** One committed (request, store) record replayed from the trail —
+    * resume's ledger entry. `idsHash` is absent only for records written
+    * before the hash was recorded. */
+  private final case class Committed(store: String, nIds: Long,
+      rowsRemoved: Long, completedAtMs: Long, idsHash: Option[Long])
+
   /** Execute one takedown request against every named store. Empty-string
     * URIs mean "not part of this request"; at least one must be set.
     * `corpus` is required when a count store (`countsURI` / `modelURI`) is
-    * named — see [[recoverRows]]. Returns the consolidated view (one row
-    * per store: store URI, store type, id count, rows removed, request id,
-    * completion time); `rows_removed` for the minhash store sums its three
-    * internal tables (per-table detail lives in
-    * [[MinhashIndex.takedownLog]]). When `auditURI` is set, each store's
-    * completion ALSO appends one record there under the shared
-    * `requestId` — written immediately after that store commits, so the
-    * records present after a crash are exactly the stores that completed.
+    * named and not yet committed — see [[recoverRows]]. Returns the
+    * consolidated view (one row per store: store URI, store type, id
+    * count, rows removed, request id, completion time); `rows_removed`
+    * for the minhash store sums its three internal tables (per-table
+    * detail lives in [[MinhashIndex.takedownLog]]). When `auditURI` is
+    * set, each store's completion ALSO appends one record there under the
+    * shared `requestId` — written immediately after that store commits,
+    * so the records present after a crash are exactly the stores that
+    * completed.
+    *
+    * CRASH RECOVERY is machine-enforced through that trail: calling `run`
+    * again with a `requestId` that already holds records REFUSES unless
+    * `resume = true` (a from-the-top re-run would subtract the count
+    * stores twice, and counts carry no provenance — the de-sync is
+    * silent). With `resume = true`, stores that already committed under
+    * the request id are SKIPPED (their recorded rows replayed into the
+    * returned view, no mutation, no duplicate audit record) and only the
+    * missing stores execute. Resume first verifies the re-supplied
+    * request matches what the committed records saw — store URI per
+    * store type, id count, and an order-independent hash of the id set —
+    * so a drifted id view or a moved store fails loudly instead of
+    * splitting one legal request into two inconsistent halves.
     */
   def run(spark: SparkSession, ids: DataFrame,
       minhashURI: String = "", spanURI: String = "", semURI: String = "",
@@ -144,7 +171,8 @@ object Takedown {
       corpus: Option[DataFrame] = None, corpusIdCol: String = "doc_id",
       textCol: String = "text",
       labelCol: String = "label", auditURI: String = "",
-      requestId: String = java.util.UUID.randomUUID().toString): DataFrame = {
+      requestId: String = java.util.UUID.randomUUID().toString,
+      resume: Boolean = false): DataFrame = {
     val uris = Seq(minhashURI, spanURI, semURI, ivfURI, countsURI, modelURI)
     require(uris.exists(_.nonEmpty),
       "Takedown.run: no store URI set — name at least one of minhashURI/" +
@@ -152,11 +180,69 @@ object Takedown {
     require(uris.filter(_.nonEmpty).distinct.size == uris.count(_.nonEmpty),
       "Takedown.run: two store parameters point at the SAME URI — each " +
         "store is a distinct directory")
-    require((countsURI.isEmpty && modelURI.isEmpty) || corpus.isDefined,
+    require(!resume || auditURI.nonEmpty,
+      "Takedown.run: resume replays the consolidated audit trail to learn " +
+        "which stores already committed — set auditURI (and pass the " +
+        "interrupted request's requestId)")
+    val (idsNorm, nIds) = normalizeIds(ids)
+    // order-independent id-set fingerprint, recorded with every store's
+    // audit record and re-verified on resume (same count, different ids
+    // is exactly the drift nIds alone cannot catch)
+    val idsHash = idsNorm
+      .agg(coalesce(sum(hash(col("_takedown_id")).cast("long")), lit(0L)))
+      .head().getLong(0)
+
+    // the resume ledger: stores already committed under this request id.
+    // Read under an extended schema — idsHash is resume's concern, not
+    // the public consolidated view's ([[consolidatedLog]]).
+    val committed: Map[String, Committed] =
+      if (auditURI.isEmpty) Map.empty
+      else graft.core.AuditLog.read(spark, auditURI, StructType(Seq(
+          StructField("requestId", StringType),
+          StructField("store", StringType),
+          StructField("storeType", StringType),
+          StructField("nIds", LongType),
+          StructField("rowsRemoved", LongType),
+          StructField("idsHash", LongType),
+          StructField("completedAtMs", LongType))))
+        .filter(col("requestId") === requestId)
+        .collect() // request-sized: at most one record per store type
+        .map(r => r.getString(2) -> Committed(r.getString(1), r.getLong(3),
+          r.getLong(4), r.getLong(6),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))
+        .toMap
+    if (!resume && committed.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Takedown.run: the audit trail already holds ${committed.size} " +
+          s"record(s) for request '$requestId' (committed stores: " +
+          s"${committed.keys.toSeq.sorted.mkString(", ")}) — re-running a " +
+          "partially-applied request from the top would subtract the " +
+          "count stores TWICE (counts carry no provenance; the de-sync is " +
+          "silent). Pass resume = true to skip the committed stores and " +
+          "complete only the missing ones.")
+    val namedOf = Map("wordcounts" -> countsURI, "classifier" -> modelURI,
+      "minhash" -> minhashURI, "span" -> spanURI, "sem" -> semURI,
+      "ivf" -> ivfURI)
+    committed.foreach { case (tpe, c) =>
+      require(c.nIds == nIds && c.idsHash.forall(_ == idsHash),
+        s"Takedown.run: resume of request '$requestId' — the supplied id " +
+          s"view is NOT the one the committed $tpe record saw (recorded " +
+          s"${c.nIds} id(s)${c.idsHash.map(h => s", id-set hash $h").getOrElse("")}; " +
+          s"supplied $nIds, id-set hash $idsHash). One request = one id " +
+          "set — a drifted view would leave the stores describing two " +
+          "different requests. Submit the changed ids as a NEW request.")
+      val named = namedOf.getOrElse(tpe, "")
+      require(named.isEmpty || named == c.store,
+        s"Takedown.run: resume of request '$requestId' — the trail " +
+          s"records its $tpe store at ${c.store} but this call names " +
+          s"$named; one request cannot move between stores")
+    }
+    val needWc = countsURI.nonEmpty && !committed.contains("wordcounts")
+    val needNb = modelURI.nonEmpty && !committed.contains("classifier")
+    require((!needWc && !needNb) || corpus.isDefined,
       "Takedown.run: countsURI/modelURI subtract counts, which carry no " +
         "provenance — pass the corpus view so the deleted documents' " +
         "exact trained text can be recovered from the ids")
-    val (idsNorm, nIds) = normalizeIds(ids)
 
     // PREFLIGHT before mutating anything: stores exist, no staged-rewrite
     // leftovers, and (for count stores) the ids fully resolve to corpus
@@ -175,53 +261,65 @@ object Takedown {
         s"${interrupted.mkString(", ")} — run IndexCompact.recover on " +
         "each, then re-run the request")
     val recovered: Option[DataFrame] =
-      if (countsURI.isEmpty && modelURI.isEmpty) None
+      if (!needWc && !needNb) None
       else Some(recoverRows(idsNorm, nIds, corpus.get, corpusIdCol))
 
-    val results = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    // store, type, nIds, removed, completedAtMs (Some = replayed record)
+    val results = scala.collection.mutable.ListBuffer
+      .empty[(String, String, Long, Long, Option[Long])]
     def complete(store: String, storeType: String, removed: Long): Unit = {
       if (auditURI.nonEmpty)
         graft.core.AuditLog.append(spark, auditURI,
           Seq("requestId" -> requestId, "store" -> store,
             "storeType" -> storeType, "nIds" -> nIds,
-            "rowsRemoved" -> removed),
+            "rowsRemoved" -> removed, "idsHash" -> idsHash),
           runId = s"$requestId-$storeType")
       graft.core.LogBuffer.append(
         s"Takedown[$requestId]: $storeType complete at $store, $removed rows removed")
-      results += ((store, storeType, removed))
+      results += ((store, storeType, nIds, removed, None))
     }
+    // committed stores are UNTOUCHED on resume: their recorded row
+    // replays into the view, no mutation, no duplicate audit record
+    def runStore(uri: String, storeType: String)(exec: => Long): Unit =
+      if (uri.nonEmpty) committed.get(storeType) match {
+        case Some(c) =>
+          graft.core.LogBuffer.append(
+            s"Takedown[$requestId]: $storeType already committed at " +
+              s"${c.store} (${c.rowsRemoved} rows) — resume skips it")
+          results += ((c.store, storeType, c.nIds, c.rowsRemoved,
+            Some(c.completedAtMs)))
+        case None => complete(uri, storeType, exec)
+      }
 
     // count stores FIRST: their failures are semantic (wrong corpus
     // version, not-a-subset) and therefore the most likely — the index
     // deletes that follow can only fail on conditions preflight checked
-    if (countsURI.nonEmpty) {
+    runStore(countsURI, "wordcounts") {
       def total(): Long = WordCounts.read(spark, countsURI)
         .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
       val before = total()
       WordCounts.delete(recovered.get, textCol, countsURI)
-      complete(countsURI, "wordcounts", before - total())
+      before - total()
     }
-    if (modelURI.nonEmpty) {
+    runStore(modelURI, "classifier") {
       def docs(): Long = NaiveBayes.read(spark, modelURI).classTable
         .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
       val before = docs()
       NaiveBayes.unlearn(recovered.get, textCol, labelCol, modelURI)
-      complete(modelURI, "classifier", before - docs())
+      before - docs()
     }
-    if (minhashURI.nonEmpty) {
+    runStore(minhashURI, "minhash") {
       val (b, s, e) = MinhashIndex.delete(spark, minhashURI, idsNorm)
-      complete(minhashURI, "minhash", b + s + e)
+      b + s + e
     }
-    if (spanURI.nonEmpty)
-      complete(spanURI, "span", SpanIndex.delete(spark, spanURI, idsNorm))
-    if (semURI.nonEmpty)
-      complete(semURI, "sem", SemIndex.delete(spark, semURI, idsNorm))
-    if (ivfURI.nonEmpty)
-      complete(ivfURI, "ivf", IvfIndex.delete(spark, ivfURI, idsNorm))
+    runStore(spanURI, "span")(SpanIndex.delete(spark, spanURI, idsNorm))
+    runStore(semURI, "sem")(SemIndex.delete(spark, semURI, idsNorm))
+    runStore(ivfURI, "ivf")(IvfIndex.delete(spark, ivfURI, idsNorm))
 
     val now = System.currentTimeMillis()
-    val rows = results.toList.map { case (store, tpe, removed) =>
-      org.apache.spark.sql.Row(store, tpe, nIds, removed, requestId, now)
+    val rows = results.toList.map { case (store, tpe, n, removed, at) =>
+      org.apache.spark.sql.Row(store, tpe, n, removed, requestId,
+        at.getOrElse(now))
     }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, viewSchema)

@@ -172,6 +172,11 @@ object Completions {
       "{type = \"TakedownExecute\", name = \"sizing\", inputView = \"removed_ids\", outputView = \"preview\",\n" +
         " idField = \"doc_id\", minhashURI = \"/path/mhidx\", countsURI = \"/path/wordcounts\",\n" +
         " corpusView = \"corpus\", textField = \"text\", action = \"preview\"}"),
+    Completion("TakedownExecute (resume interrupted request)",
+      "{type = \"TakedownExecute\", name = \"complete\", inputView = \"removed_ids\", outputView = \"report\",\n" +
+        " idField = \"doc_id\", minhashURI = \"/path/mhidx\", countsURI = \"/path/wordcounts\",\n" +
+        " corpusView = \"corpus\", textField = \"text\", auditURI = \"/path/takedown_audit\",\n" +
+        " requestId = \"legal-request-id\", resume = true}"),
     Completion("WordCountsTransform (id-addressed takedown)",
       "{type = \"WordCountsTransform\", name = \"forget\", inputView = \"removed_ids\", outputView = \"counts\",\n" +
         " countsURI = \"/path/wordcounts\", textField = \"text\", action = \"deleteIds\",\n" +

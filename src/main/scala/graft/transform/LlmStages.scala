@@ -1675,6 +1675,13 @@ final case class MediaTransform(
   * silent non-compliance nothing downstream can detect. Preflight (id
   * hygiene, corpus coverage, store existence, interrupted-rewrite
   * leftovers) runs before ANY store mutates.
+  *
+  * Crash recovery: set `requestId` to a stable legal-queue id (so the
+  * trail records the request under a name the operator knows) — a
+  * re-run of a partially-applied `requestId` then REFUSES unless
+  * `resume = true`, which skips every store the trail already shows
+  * committed and executes only the missing ones
+  * ([[graft.llm.Takedown.run]]'s machine-enforced re-run discipline).
   */
 final case class TakedownExecute(
     name: String,
@@ -1691,11 +1698,16 @@ final case class TakedownExecute(
     textField: String = "text",
     labelField: String = "label",
     auditURI: String = "",
+    requestId: String = "",
+    resume: Boolean = false,
     action: String = "delete",
     persist: Boolean = false
 ) extends Stage {
   val stageType = "TakedownExecute"
   def execute(ctx: PipelineContext): Option[DataFrame] = {
+    require(!resume || requestId.nonEmpty,
+      s"$name: resume completes a PARTIALLY-APPLIED request — name it: " +
+        "set requestId to the interrupted request's id")
     val out = action match {
       case "delete" =>
         graft.llm.Takedown.run(ctx.spark,
@@ -1704,7 +1716,10 @@ final case class TakedownExecute(
           ivfURI = ivfURI, countsURI = countsURI, modelURI = modelURI,
           corpus = if (corpusView.nonEmpty) Some(ctx.view(corpusView)) else None,
           corpusIdCol = idField, textCol = textField, labelCol = labelField,
-          auditURI = auditURI)
+          auditURI = auditURI,
+          requestId = if (requestId.nonEmpty) requestId
+            else java.util.UUID.randomUUID().toString,
+          resume = resume)
       case "preview" =>
         graft.llm.Takedown.preview(ctx.spark,
           ctx.view(inputView).select(col(idField)),

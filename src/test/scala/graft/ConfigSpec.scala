@@ -971,6 +971,131 @@ class ConfigSpec extends SparkSpec {
     assert(wcAfter == wcBefore, "preflight failures must not mutate the store")
   }
 
+  test("Takedown resume: a crash between stores completes under the same requestId without double-subtraction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("tdresume").toString
+    val (wcdir, mdir, semdir, adir) =
+      (s"$base/wc", s"$base/mh", s"$base/sem", s"$base/audit")
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", Seq(1.0f, 0.0f)),
+      (1L, "one two three four five six seven eight", Seq(0.0f, 1.0f)),
+      (2L, "red orange yellow green blue indigo violet cyan", Seq(0.7f, 0.7f)),
+      (3L, "north south east west up down left right", Seq(0.3f, 0.9f)))
+      .toDF("doc_id", "text", "embedding")
+    corpus.createOrReplaceTempView("tdr_corpus")
+    graft.llm.WordCounts.write(corpus, "text", wcdir)
+    graft.llm.MinhashIndex.write(corpus, "doc_id", "text", mdir)
+    // the sem store exists to preflight but its vectors table is gone —
+    // the request CRASHES after the count store and minhash committed,
+    // exactly the mid-request failure resume exists for
+    new java.io.File(semdir).mkdirs()
+    val ids = Seq(1L, 3L).toDF("doc_id")
+    ids.createOrReplaceTempView("tdr_ids")
+    intercept[Exception] {
+      graft.llm.Takedown.run(spark, ids, minhashURI = mdir, semURI = semdir,
+        countsURI = wcdir, corpus = Some(corpus), auditURI = adir,
+        requestId = "legal-req-7")
+    }
+    // the trail records exactly the stores that committed before the crash
+    def trailTypes(): Seq[String] = graft.llm.Takedown
+      .consolidatedLog(spark, adir)
+      .filter(col("request_id") === "legal-req-7")
+      .collect().map(_.getAs[String]("store_type")).toSeq.sorted
+    assert(trailTypes() == Seq("minhash", "wordcounts"), trailTypes().toString)
+    // byte-level snapshot (every file's path, length, mtime) of the
+    // committed stores — nothing below may touch them again
+    def snap(dir: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val wcSnap = snap(wcdir)
+    val mhSnap = snap(mdir)
+    // a from-the-top re-run REFUSES: it would subtract the counts twice
+    val e1 = intercept[IllegalArgumentException] {
+      graft.llm.Takedown.run(spark, ids, minhashURI = mdir, semURI = semdir,
+        countsURI = wcdir, corpus = Some(corpus), auditURI = adir,
+        requestId = "legal-req-7")
+    }
+    assert(e1.getMessage.contains("resume = true"), e1.getMessage)
+    // resume with a DRIFTED id view (same count, different ids) refuses —
+    // one request = one id set
+    val e2 = intercept[IllegalArgumentException] {
+      graft.llm.Takedown.run(spark, Seq(1L, 2L).toDF("doc_id"),
+        minhashURI = mdir, semURI = semdir, countsURI = wcdir,
+        corpus = Some(corpus), auditURI = adir, requestId = "legal-req-7",
+        resume = true)
+    }
+    assert(e2.getMessage.contains("id-set hash"), e2.getMessage)
+    // resume pointing a committed store type somewhere else refuses
+    val e3 = intercept[IllegalArgumentException] {
+      graft.llm.Takedown.run(spark, ids, minhashURI = mdir, semURI = semdir,
+        countsURI = s"$base/elsewhere", corpus = Some(corpus),
+        auditURI = adir, requestId = "legal-req-7", resume = true)
+    }
+    assert(e3.getMessage.contains("cannot move between stores"), e3.getMessage)
+    // resume without the trail has nothing to replay — refuse loudly
+    val e4 = intercept[IllegalArgumentException] {
+      graft.llm.Takedown.run(spark, ids, semURI = semdir,
+        requestId = "legal-req-7", resume = true)
+    }
+    assert(e4.getMessage.contains("auditURI"), e4.getMessage)
+    // config surface: resume without naming the request refuses
+    val e5 = intercept[IllegalArgumentException] {
+      graft.transform.TakedownExecute(name = "bad", inputView = "tdr_ids",
+        outputView = "tdr_x", idField = "doc_id", semURI = semdir,
+        auditURI = adir, resume = true).execute(new PipelineContext(spark))
+    }
+    assert(e5.getMessage.contains("requestId"), e5.getMessage)
+    // restore the sem store at the same URI, then RESUME from the config
+    // surface — the operator's one-cell completion of the request
+    assert(new java.io.File(semdir).delete())
+    graft.llm.SemIndex.write(corpus, "doc_id", "embedding", semdir, nclusters = 2)
+    val hocon =
+      s"""{stages: [
+        { type = "TakedownExecute", name = "complete", inputView = tdr_ids,
+          outputView = tdr_resumed, idField = doc_id,
+          minhashURI = "$mdir", semURI = "$semdir", countsURI = "$wcdir",
+          corpusView = tdr_corpus, textField = text, auditURI = "$adir",
+          requestId = "legal-req-7", resume = true }
+      ]}"""
+    assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    // (a) the committed stores are byte-for-byte untouched — across the
+    // refused re-runs AND the successful resume
+    assert(snap(wcdir) == wcSnap, "resume re-subtracted the word counts")
+    assert(snap(mdir) == mhSnap, "resume re-ran the minhash delete")
+    // ... and the count store equals the never-saw-the-victims state
+    val kept = corpus.filter(!col("doc_id").isin(1L, 3L))
+    val wcNow = graft.llm.WordCounts.read(spark, wcdir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wcWant = graft.llm.Bpe.wordCounts(kept, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wcNow == wcWant)
+    // (b) the store that missed its delete is now structurally clean
+    val semIds = spark.read.parquet(s"$semdir/vectors").select("id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(!semIds.contains(1L) && !semIds.contains(3L), semIds.toString)
+    // (c) exactly one trail record per store, and the resumed view holds
+    // all three stores (replayed rows for the committed two)
+    assert(trailTypes() == Seq("minhash", "sem", "wordcounts"), trailTypes().toString)
+    val view = spark.table("tdr_resumed").collect()
+      .map(r => r.getAs[String]("store_type") ->
+        r.getAs[String]("request_id")).toMap
+    assert(view.keySet == Set("wordcounts", "minhash", "sem"), view.toString)
+    assert(view.values.toSet == Set("legal-req-7"))
+    // a second resume of the now-complete request is a pure no-op: all
+    // replayed, nothing mutates, still one record per store
+    val semSnap = snap(semdir)
+    graft.llm.Takedown.run(spark, ids, minhashURI = mdir, semURI = semdir,
+      countsURI = wcdir, corpus = Some(corpus), auditURI = adir,
+      requestId = "legal-req-7", resume = true)
+    assert(snap(wcdir) == wcSnap && snap(mdir) == mhSnap &&
+      snap(semdir) == semSnap, "fully-committed resume must not mutate")
+    assert(trailTypes() == Seq("minhash", "sem", "wordcounts"))
+  }
+
   test("WordCountsTransform action=deleteIds / ClassifierTransform mode=unlearnIds: id-addressed count-store takedown") {
     import spark.implicits._
     // the legal queue carries IDS; the exact trained text is recovered

@@ -28,7 +28,7 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  // The 35 queries without a DuckDB oracle (LSH / approx sketches / binary
+  // The queries without a DuckDB oracle (LSH / approx sketches / binary
   // decode) are SELF-verifying instead: each emits an `ok` column carrying
   // its own internal invariant (exact Jaccard/Hamming/cosine vs threshold,
   // HLL/percentile error bounds, brute-force score parity, codec contract).

@@ -406,6 +406,10 @@ object PipelineConfig {
         auditURI = o.str("auditURI", ""),
         action = o.str("action", "compact"),
         maxFilesPerPartition = o.intOpt("maxFilesPerPartition").getOrElse(8),
+        recallK = o.intOpt("recallK").getOrElse(10),
+        recallNprobe = o.intOpt("recallNprobe").getOrElse(2),
+        recallSample = o.intOpt("recallSample").getOrElse(64),
+        recallFloor = o.dbl("recallFloor", 0.0),
         persist = o.bool("persist"))
     case "TakedownExecute" =>
       TakedownExecute(o.req("name"), o.req("inputView"), o.req("outputView"),

@@ -526,6 +526,45 @@ object IvfIndex {
       s"unknown recall mode '$mode' (flat|sq8|pq)")
   }
 
+  /** MAINTENANCE self-probe: partial-probe recall measured on a
+    * deterministic hash-sample of the INDEXED vectors themselves — the
+    * operational form of [[recallProbe]] for a maintenance cell that has
+    * no external query set. [[ingest]] batches drift the corpus away from
+    * the frozen quantizer's training distribution and partial-probe
+    * recall decays SILENTLY (exhaustive probes stay exact, so no query
+    * result ever looks wrong); until now detection meant a human
+    * re-running a recall sweep with hand-picked queries. This probes
+    * every tier the index carries (flat always; sq8 when the codes
+    * column exists; pq when codebooks are persisted), one report row
+    * each — [[recallReport]] underneath, so the exact ground truth is
+    * computed once for the whole sweep.
+    *
+    * Sampling is a hash-ORDER top-N over the ids (xxhash64 with a fixed
+    * salt): deterministic across runs (re-probing after a re-[[write]]
+    * measures the same queries), uniform over the corpus regardless of
+    * list assignment — so late-ingested (drifted) regions are sampled in
+    * proportion to their corpus share, which is exactly where the decay
+    * lives. Cost: one TakeOrdered pass for the sample plus one
+    * brute-force pass of sampleSize queries against the corpus — sized
+    * by the sample, run in the maintenance window like [[compact]].
+    */
+  def maintenanceRecall(spark: SparkSession, path: String, k: Int = 10,
+      nprobe: Int = 2, sampleSize: Int = 64,
+      shortlistFactor: Int = 4): DataFrame = {
+    require(sampleSize > 0, s"sampleSize must be positive, got $sampleSize")
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val sample = graft.core.Lineage.pin(
+      vectors.select(col("id"), col("vec"))
+        .orderBy(xxhash64(col("id"), lit("ivf-recall-probe")), col("id"))
+        .limit(sampleSize))
+    val settings = Seq(RecallSetting("flat", nprobe)) ++
+      (if (vectors.schema.fieldNames.contains("codes"))
+        Seq(RecallSetting("sq8", nprobe, shortlistFactor)) else Nil) ++
+      readCodebooks(spark, path)
+        .map(_ => RecallSetting("pq", nprobe, shortlistFactor)).toSeq
+    recallReport(sample, "id", "vec", path, k, settings)
+  }
+
   /** The faiss-style recall@k SWEEP — one report row per [[RecallSetting]].
     * The exact brute-force top-k ground truth is computed ONCE and pinned
     * ([[graft.core.Lineage.pin]]): a sweep's whole cost beyond it is one

@@ -165,6 +165,10 @@ object Completions {
     Completion("CompactExecute (recover interrupted rewrite)",
       "{type = \"CompactExecute\", name = \"restore\", outputView = \"report\",\n" +
         " minhashURI = \"/path/mhidx\", action = \"recover\"}"),
+    Completion("CompactExecute (IVF recall-drift probe)",
+      "{type = \"CompactExecute\", name = \"freshness\", outputView = \"recall_report\",\n" +
+        " ivfURI = \"/path/ivfidx\", action = \"recallProbe\",\n" +
+        " recallK = 10, recallNprobe = 2, recallSample = 64, recallFloor = 0.9}"),
     Completion("TakedownExecute (request audit trail)",
       "{type = \"TakedownExecute\", name = \"evidence\", inputView = \"ids\", outputView = \"trail\",\n" +
         " idField = \"doc_id\", auditURI = \"/path/takedown_audit\", action = \"log\"}"),

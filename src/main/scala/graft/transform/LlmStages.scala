@@ -1749,8 +1749,16 @@ final case class TakedownExecute(
   * data tables are row-count-sized at write). `action=recover` restores
   * every store's tables after an interrupted rewrite
   * ([[graft.llm.IndexCompact.recover]]) — the one-cell answer to the
-  * refusal TakedownExecute's preflight raises. Offline maintenance ops:
-  * run in the ingest window, not concurrently with readers.
+  * refusal TakedownExecute's preflight raises. `action=recallProbe` is
+  * the IVF freshness monitor ([[graft.llm.IvfIndex.maintenanceRecall]]):
+  * ingest drifts the corpus away from the frozen quantizer and
+  * partial-probe recall decays SILENTLY — this cell self-samples indexed
+  * vectors, measures recall@`recallK` at `recallNprobe` per storage tier
+  * against the exact ground truth, and flags `warn = recall <
+  * recallFloor` (also logged) so "re-write when recall decays" is a
+  * scheduled cell, not a human remembering to re-run a sweep. Offline
+  * maintenance ops: run in the ingest window, not concurrently with
+  * readers.
   */
 final case class CompactExecute(
     name: String,
@@ -1764,6 +1772,10 @@ final case class CompactExecute(
     auditURI: String = "",
     action: String = "compact",
     maxFilesPerPartition: Int = 8,
+    recallK: Int = 10,
+    recallNprobe: Int = 2,
+    recallSample: Int = 64,
+    recallFloor: Double = 0.0,
     persist: Boolean = false
 ) extends Stage {
   val stageType = "CompactExecute"
@@ -1815,9 +1827,31 @@ final case class CompactExecute(
           (uri, tpe,
             tableDirs.map(d => IndexCompact.recover(spark, d)).sum.toLong)
         }.toDF("store", "store_type", "partitions_restored")
+      case "recallProbe" =>
+        require(ivfURI.nonEmpty,
+          s"$name: action=recallProbe measures the IVF retrieval tiers — " +
+            "set ivfURI")
+        val rep = graft.llm.IvfIndex.maintenanceRecall(spark, ivfURI,
+          k = recallK, nprobe = recallNprobe, sampleSize = recallSample)
+          .withColumn("store", org.apache.spark.sql.functions.lit(ivfURI))
+          .withColumn("warn", col("recall") < recallFloor)
+          .select("store", "mode", "n_queries", "k", "nprobe",
+            "shortlist_factor", "n_exact", "n_hit", "recall", "warn")
+        val out = graft.core.Lineage.pin(rep)
+        // threshold breaches also land in the log — the cell's view can
+        // scroll past; the maintenance signal must not (bounded collect:
+        // one row per storage tier, ≤ 3)
+        out.filter(col("warn")).collect().foreach { r =>
+          graft.core.LogBuffer.append(
+            f"CompactExecute[$name]: IVF recall ${r.getAs[Double]("recall")}%.3f " +
+              s"(${r.getAs[String]("mode")}, nprobe=$recallNprobe, " +
+              s"k=$recallK) below floor $recallFloor at $ivfURI — " +
+              "centroid drift; re-write the index (IvfIndexLoad action=write)")
+        }
+        out
       case other =>
         throw new IllegalArgumentException(
-          s"$name: unknown maintenance action '$other' (compact|recover)")
+          s"$name: unknown maintenance action '$other' (compact|recover|recallProbe)")
     }
     Some(publish(ctx, out, outputView, None, Nil, persist))
   }

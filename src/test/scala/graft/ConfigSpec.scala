@@ -1215,6 +1215,75 @@ class ConfigSpec extends SparkSpec {
     assert(!graft.llm.IndexCompact.hasInterruptedRun(spark, s"$mdir/exact"))
   }
 
+  test("CompactExecute action=recallProbe: centroid drift detected on a deliberately-drifted IVF index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("recallprobe").toString
+    val idx = s"$base/ivf"
+    val rnd = new scala.util.Random(11)
+    // training distribution: two clean clusters on e1/e2 — KMeans(k=2)
+    // puts one centroid on each
+    val baseVecs =
+      (0 until 20).map(i => (i.toLong,
+        Seq(1f + (rnd.nextFloat() - 0.5f) * 0.04f,
+          (rnd.nextFloat() - 0.5f) * 0.04f, 0f, 0f))) ++
+      (20 until 40).map(i => (i.toLong,
+        Seq((rnd.nextFloat() - 0.5f) * 0.04f,
+          1f + (rnd.nextFloat() - 0.5f) * 0.04f, 0f, 0f)))
+    graft.llm.IvfIndex.write(baseVecs.toDF("id", "vec"), "id", "vec", idx,
+      nlist = 2)
+    def probe(name: String, view: String, nprobe: Int): Unit = {
+      val hocon =
+        s"""{stages: [
+          { type = "CompactExecute", name = "$name", outputView = $view,
+            ivfURI = "$idx", action = "recallProbe",
+            recallK = 5, recallNprobe = $nprobe, recallSample = 200,
+            recallFloor = 0.9 }
+        ]}"""
+      assert(Runner.run(PipelineConfig.parse(hocon), new PipelineContext(spark)).isDefined)
+    }
+    def flatRow(view: String) = spark.table(view)
+      .filter(col("mode") === "flat").head()
+    // fresh index: the training distribution IS the corpus — nprobe=1
+    // finds every true neighbor (each cluster lives in one list)
+    probe("healthy", "rp_fresh", nprobe = 1)
+    val fresh = flatRow("rp_fresh")
+    assert(fresh.getAs[Double]("recall") == 1.0, fresh.toString)
+    assert(!fresh.getAs[Boolean]("warn"), fresh.toString)
+    // drift: a dense cluster midway between the two centroids — each
+    // member lands in list 0 or 1 on a tiny tilt (dims 1–2) that is
+    // INDEPENDENT of its nearest-neighbor structure (dims 3–4), so every
+    // drifted query's true neighbors split across both lists while a
+    // partial probe reads one. The quantizer is frozen — nothing else in
+    // the index surfaces this.
+    val drift = (0 until 80).map { i =>
+      val tilt = (rnd.nextFloat() - 0.5f) * 0.06f
+      (1000L + i,
+        Seq(0.707f + tilt, 0.707f - tilt,
+          rnd.nextFloat() * 0.3f, rnd.nextFloat() * 0.3f))
+    }
+    graft.llm.IvfIndex.ingest(drift.toDF("id", "vec"), "id", "vec", idx)
+    probe("drifted", "rp_drift", nprobe = 1)
+    val decayed = flatRow("rp_drift")
+    assert(decayed.getAs[Double]("recall") < 0.9,
+      s"drift not detected: ${decayed.toString}")
+    assert(decayed.getAs[Boolean]("warn"), decayed.toString)
+    // the report carries the sq8 tier too (the codes column exists), and
+    // n_queries covers the whole corpus (recallSample ≥ corpus)
+    assert(spark.table("rp_drift").select("mode").collect()
+      .map(_.getString(0)).toSet == Set("flat", "sq8"))
+    assert(decayed.getAs[Long]("n_queries") == 120L, decayed.toString)
+    // exhaustive probes stay EXACT on the same drifted index — the decay
+    // is invisible to correctness, which is why the probe must exist
+    probe("exhaustive", "rp_exact", nprobe = 2)
+    val exact = flatRow("rp_exact")
+    assert(exact.getAs[Double]("recall") == 1.0, exact.toString)
+    assert(!exact.getAs[Boolean]("warn"), exact.toString)
+    // the breach landed in the maintenance log, naming the store and fix
+    assert(graft.core.LogBuffer.drain().exists(m =>
+      m.contains("below floor") && m.contains(idx)))
+  }
+
   test("ClassifierTransform modelURI: the persisted NB store's full lifecycle from config cells") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -33,19 +33,28 @@ import org.apache.spark.sql.functions._
   */
 object HtmlText {
 
-  /** The visible text of `html` per the documented chain. */
+  /** The visible text of `html` per the documented chain.
+    *
+    * The five entity decodes (step 4) are LITERAL patterns — no regex
+    * metacharacters — so they run through `replace` (StringReplace, a
+    * plain substring scan) instead of `regexp_replace`: byte-identical
+    * output (both substitute every non-overlapping occurrence left to
+    * right), but the codegen'd loop skips the regex engine entirely.
+    * The four structural steps and the whitespace collapse genuinely
+    * need regex and stay `regexp_replace`.
+    */
   def extractText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
-    val ent1 = regexp_replace(noTags, "&nbsp;", " ")
-    val ent2 = regexp_replace(ent1, "&lt;", "<")
-    val ent3 = regexp_replace(ent2, "&gt;", ">")
-    val ent4 = regexp_replace(ent3, "&quot;", "\"")
-    val ent5 = regexp_replace(ent4, "&#39;", "'")
-    val ent6 = regexp_replace(ent5, "&apos;", "'")
-    val ent7 = regexp_replace(ent6, "&amp;", "&")
+    val ent1 = replace(noTags, lit("&nbsp;"), lit(" "))
+    val ent2 = replace(ent1, lit("&lt;"), lit("<"))
+    val ent3 = replace(ent2, lit("&gt;"), lit(">"))
+    val ent4 = replace(ent3, lit("&quot;"), lit("\""))
+    val ent5 = replace(ent4, lit("&#39;"), lit("'"))
+    val ent6 = replace(ent5, lit("&apos;"), lit("'"))
+    val ent7 = replace(ent6, lit("&amp;"), lit("&"))
     trim(regexp_replace(ent7, "\\s+", " "))
   }
 

@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   *     k-token window's md5 IN the row (`transform` over indices — no
   *     shuffle, no per-doc window function), then explode only
   *     (doc, pos, hash). The text itself never travels.
-  *  2. ONE aggregate on hash: a window is duplicated when it occurs in
-  *     ≥ 2 distinct documents; the keeper is min(doc) — deterministic
-  *     min-doc attribution, so exactly one document keeps each shared
-  *     run.
+  *  2. ONE pass keyed on hash (min-over-window): a window is duplicated
+  *     when it occurs in ≥ 2 distinct documents; the keeper is min(doc)
+  *     — deterministic min-doc attribution, so exactly one document
+  *     keeps each shared run. An occurrence is marked iff its doc is
+  *     not the min over its hash, which needs one exchange and ONE
+  *     generation of the grams (the former aggregate+join-back shape
+  *     generated them twice).
   *  3. Non-keeper window starts explode to their k covered token
   *     positions (dup-volume-bounded, factor k on marked windows only),
   *     collapse to one small sorted position array per document, and
@@ -93,13 +96,20 @@ object SpanDedup {
     val grams = docs
       .select(col("doc_id"),
         posexplode(windowHashes(col("_arr"), k, hashMode)).as(Seq("pos", "h")))
-    // shared windows: ≥ 2 distinct docs; min-doc attribution
-    val dup = grams.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("_nd"), min(col("doc_id")).as("_keeper"))
-      .filter(col("_nd") >= 2)
-      .select("h", "_keeper")
-    // non-keeper occurrences are the marked window starts
-    val marked = grams.join(dup, "h")
+    // Shared windows (≥ 2 distinct docs) with min-doc attribution, as ONE
+    // window pass: an occurrence is marked iff doc_id ≠ min(doc_id) over
+    // its hash — that inequality holds exactly when the hash is seen by
+    // ≥ 2 distinct docs AND this doc is not the keeper, so the marked set
+    // is identical to the former {groupBy(h) agg + join-back} formulation
+    // (SpanDedupSpec + the q180/q184/q188 oracles pin the identity).
+    // Plan win (guide §2.4): the gram explode — the operator's dominant
+    // per-task compute, every k-window tokenized/sliced/hashed — used to
+    // appear TWICE in the physical plan (once under the aggregate, once
+    // as the join's probe side) plus a two-exchange count-distinct; now
+    // grams generate once and take one exchange on h.
+    val marked = grams
+      .withColumn("_keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("doc_id") =!= col("_keeper"))
       .select(col("doc_id"), col("pos"))
     removeCovered(docs, marked, k)
@@ -123,10 +133,13 @@ object SpanDedup {
     val grams = docs
       .select(col("doc_id"),
         posexplode(windowHashes(col("_arr"), k, hashMode)).as(Seq("pos", "h")))
-    val firsts = grams.groupBy("doc_id", "h")
-      .agg(min(col("pos")).as("_first"), count(lit(1)).as("_cnt"))
-      .filter(col("_cnt") >= 2)
-    val marked = grams.join(firsts, Seq("doc_id", "h"))
+    // same one-pass window formulation as [[dedupSpans]]: pos ≠ min(pos)
+    // over (doc, h) holds exactly when the hash repeats within the doc
+    // AND this occurrence is not the first — identical marked set to the
+    // former {groupBy(doc,h) agg + join-back}, one gram generation.
+    val marked = grams
+      .withColumn("_first", min(col("pos")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "h")))
       .filter(col("pos") =!= col("_first"))
       .select(col("doc_id"), col("pos"))
     removeCovered(docs, marked, k)

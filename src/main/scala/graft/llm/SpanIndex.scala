@@ -101,12 +101,13 @@ object SpanIndex {
     val grams = graft.core.Lineage.pin(
       docs.select(col("doc_id"),
         posexplode(SpanDedup.windowHashes(col("_arr"), k, hashMode)).as(Seq("pos", "h"))))
-    // the one-shot dedup over this corpus (same marking as dedupSpans)
-    val dup = grams.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("_nd"), min(col("doc_id")).as("_keeper"))
-      .filter(col("_nd") >= 2)
-      .select(col("h"), col("_keeper"))
-    val marked = grams.join(dup, "h")
+    // the one-shot dedup over this corpus — the [[SpanDedup.dedupSpans]]
+    // one-pass window marking (doc ≠ min(doc) over h ⟺ shared by ≥ 2
+    // docs and not the keeper): one exchange, one scan of the pinned
+    // grams instead of aggregate + join-back
+    val marked = grams
+      .withColumn("_keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("doc_id") =!= col("_keeper"))
       .select(col("doc_id"), col("pos"))
     // EVERY distinct gram goes to the index (not just duplicated ones):
@@ -180,13 +181,13 @@ object SpanIndex {
     val markedVsIndex = grams.join(inIndexPinned, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"))
     // marked-in-batch: grams NEW to the index but shared by ≥ 2 batch
-    // docs — min batch doc keeps
+    // docs — min batch doc keeps. One-pass window marking (the
+    // [[SpanDedup.dedupSpans]] shape): the newGrams anti-join used to be
+    // evaluated twice (aggregate side + join-back probe side); now once.
     val newGrams = grams.join(inIndexPinned, Seq("h"), "left_anti")
-    val batchDup = newGrams.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("_nd"), min(col("doc_id")).as("_keeper"))
-      .filter(col("_nd") >= 2)
-      .select(col("h"), col("_keeper"))
-    val markedInBatch = newGrams.join(batchDup, "h")
+    val markedInBatch = newGrams
+      .withColumn("_keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("doc_id") =!= col("_keeper"))
       .select(col("doc_id"), col("pos"))
     val result = SpanDedup.removeCovered(docs,

@@ -450,15 +450,19 @@ class PlanSpec extends SparkSpec {
     assert(!enc.contains("Exchange"), enc)
   }
 
-  test("span dedup plans equi-joins only — no cartesian, grams built in-row") {
+  test("span dedup plans equi-joins only — no cartesian, grams built in-row ONCE") {
     // the window-hash formulation must never plan a cross product (dup
-    // matching is the hash equi-join) and the gram construction must be a
-    // generator over an in-row transform, not a per-doc window
+    // matching keys on the hash) and the gram construction must be a
+    // generator over an in-row transform. r19: the duplicate marking is a
+    // min-over-hash Window, so the gram explode — the operator's dominant
+    // per-task compute — must appear in the plan EXACTLY once (the former
+    // aggregate + join-back shape evaluated it twice, once per side).
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val plan = formatted(graft.llm.SpanDedup.dedupSpans(docs, "doc_id", "text", k = 8))
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"), plan)
-    assert(plan.contains("Generate"), plan)
-    assert(!plan.toLowerCase.contains("window"), "no window operator expected:\n" + plan)
+    val gramGenerates = "posexplode".r.findAllIn(plan).length
+    assert(gramGenerates == 1,
+      s"expected the gram explode to be planned exactly once, got $gramGenerates:\n$plan")
   }
 
   test("takedown discovery's range bound reaches the parquet scan as pushed filters") {

@@ -2900,7 +2900,7 @@ object SparkEntry {
         .select(col("word"), col("cnt"))
         .orderBy("word")
     },
-    "q204_nb_unlearn" -> withViews("documents") { (spark, ctx) =>
+    "q204_nb_unlearn" -> withViewsDir("documents") { (spark, ctx, sfDir) =>
       // Classifier takedown under the FULL ORACLE (llm/NaiveBayes.unlearn)
       // — the inverse of q198's ingest: the engine persists
       // train(A ∪ B), unlearns batch B through the on-disk model by exact
@@ -2920,10 +2920,16 @@ object SparkEntry {
           .as("text2"))
       val batchA = base.filter((col("doc_id") % 5).isin(1, 2))
       val batchB = base.filter((col("doc_id") % 5).isin(3, 4))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q204_nbu_").toString + "/model"
-      NaiveBayes.write(
-        NaiveBayes.train(batchA.unionByName(batchB), "text2", "label_true"), path)
+      // train(A ∪ B) + write is the FIXTURE; unlearn (the on-disk count
+      // subtraction) is the operation under test and MUTATES the store —
+      // the q191/q202/q205/q210 freshStores discipline (build once per
+      // (JVM, sfDir), hand each run a pristine copy; training is
+      // deterministic so results are unchanged)
+      val path = freshStores("q204", sfDir) { d =>
+        NaiveBayes.write(
+          NaiveBayes.train(batchA.unionByName(batchB), "text2", "label_true"),
+          s"$d/model")
+      } + "/model"
       val unlearned = NaiveBayes.unlearn(batchB, "text2", "label_true", path)
       val pred = NaiveBayes.predict(base, "doc_id", "text2", unlearned)
       base.select(col("doc_id"), col("label_true"))

@@ -33,11 +33,20 @@ object CmsSketch {
   /** Build the depth×width count matrix over `key` (one increment per row,
     * or `weight` per row). Output schema: (d, b, cnt) — at most depth·width
     * rows regardless of input size.
+    *
+    * The per-key weights are aggregated BEFORE any hashing (guide §2.3,
+    * applied to compute: the md5 bucket hash — the build's dominant
+    * per-row cost — then runs depth times per DISTINCT key instead of
+    * depth times per row; real frequency streams repeat keys heavily).
+    * The matrix is identical cell-for-cell: summing weights per key and
+    * then adding the sum to the key's buckets ≡ adding each row's weight
+    * to the same buckets.
     */
   def build(df: DataFrame, key: Column, depth: Int = 4, width: Int = 1024,
       weight: Column = lit(1L)): DataFrame = {
     require(depth > 0 && width > 0, s"depth/width must be positive, got $depth/$width")
     df.select(key.cast("string").as("_k"), weight.cast("long").as("_w"))
+      .groupBy("_k").agg(sum("_w").as("_w"))
       .select(explode(array((0 until depth).map(lit): _*)).as("d"), col("_k"), col("_w"))
       .withColumn("b", bucket(col("_k"), col("d"), width))
       .groupBy("d", "b").agg(sum("_w").as("cnt"))

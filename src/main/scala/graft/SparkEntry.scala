@@ -35,7 +35,56 @@ object SparkEntry {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
-  private def extractStages(spark: SparkSession, dir: String, tables: Seq[String]): Seq[Stage] =
+  /** Scale-adaptive scan parallelism (guide §2.5 "input skew: one huge
+    * unsplittable file", §6 input-split sizing). Parquet cannot split
+    * below row-group granularity, and the bench tables arrive as ONE file
+    * with ONE row group — so every scan-stage computation (regex chains,
+    * window-hash shingling, aggregation buffers) runs in a single task no
+    * matter how many cores the session has. When the file layout cannot
+    * reach the session's parallelism (file-size/maxPartitionBytes split
+    * bound below defaultParallelism), the extract repartitions to the
+    * session's core count; when the layout already parallelizes (any real
+    * multi-file / multi-row-group table — always at production scale),
+    * this is None and NO exchange is added. Derived from input layout +
+    * session parallelism, never a constant.
+    *
+    * Round-robin repartition is deterministic under retries (Spark sorts
+    * before round-robin repartition, SPARK-23207) and Catalyst pushes
+    * filters/pruning through Repartition, so scan pushdown is unchanged
+    * (PlanSpec's q209 triple-pushdown pin holds).
+    *
+    * OPT-IN per query ([[withViewsPar]]/[[withViewsDirPar]]), because a
+    * layout change is only safe when the query's declared output provably
+    * cannot move with it. The audit that admits a query:
+    *  1. its final ORDER BY keys are UNIQUE per output row (doc_id /
+    *     vec_id / sent_id are unique in the corpus tables at every SF —
+    *     verified), so row order is total and layout-free. The synthetic
+    *     lineitem has DUPLICATE (l_orderkey, l_linenumber) pairs, so
+    *     row-level lineitem queries (e.g. q110) are tie-order-sensitive
+    *     and stay opted out — as does every `pipe` SQL query wholesale;
+    *  2. no partition-layout-dependent values: KMeans (Spark ML k-means||
+    *     init samples per partition — q156/q62/q147/q148/q155/q158/q193/
+    *     q205/q210 stay fixed-layout), percentile_approx (q64),
+    *     Misra–Gries (q157), materialization-scoped synthetic ids (q46);
+    *  3. float aggregation only where the argmax/rank margins are
+    *     documented macroscopic (the NB-predict contract — already
+    *     exercised today by bench-vs-verify partition-count differences).
+    */
+  private def scanPartitions(spark: SparkSession, dir: String, table: String): Option[Int] = {
+    val cores = spark.sparkContext.defaultParallelism
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val bytes = fs.getContentSummary(p).getLength
+    val split = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = math.max(1L, (bytes + split - 1) / split)
+    if (splits < cores) Some(cores) else None
+  }
+
+  private def extractStages(spark: SparkSession, dir: String, tables: Seq[String],
+      adaptivePar: Boolean = false): Seq[Stage] = {
+    def par(table: String): Option[Int] =
+      if (adaptivePar) scanPartitions(spark, dir, table) else None
     tables.flatMap {
       case "events" =>
         // Schema probe: ts arrives as LongType when the file stores an
@@ -68,7 +117,8 @@ object SparkEntry {
           case _ => "ts"
         }
         Seq(
-          ParquetExtract("extract_events_raw", s"$dir/events.parquet", "events_raw"),
+          ParquetExtract("extract_events_raw", s"$dir/events.parquet", "events_raw",
+            numPartitions = par("events")),
           SQLTransform(
             "events_ns_to_ts",
             s"""SELECT event_id, $tsExpr AS ts, user_id,
@@ -77,8 +127,10 @@ object SparkEntry {
             "events"
           )
         )
-      case t => Seq(ParquetExtract(s"extract_$t", s"$dir/$t.parquet", t))
+      case t => Seq(ParquetExtract(s"extract_$t", s"$dir/$t.parquet", t,
+        numPartitions = par(t)))
     }
+  }
 
   /** Register the given tables as temp views via ParquetExtract stages, then
     * run `sql` through SQLTransform.
@@ -154,6 +206,19 @@ object SparkEntry {
       f(spark, ctx)
     }
 
+  /** [[withViews]] with the extract's adaptive scan parallelization ON —
+    * only for queries that pass the [[scanPartitions]] layout-safety
+    * audit (unique order keys, no layout-dependent values). */
+  private def withViewsPar(tables: String*)(
+      f: (SparkSession, PipelineContext) => DataFrame
+  ): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, tables, adaptivePar = true), ctx)
+      f(spark, ctx)
+    }
+
   /** [[withViews]] plus the sfDir passed through — for queries keying a
     * per-(JVM, sfDir) fixture cache ([[q147IndexDir]]'s discipline). */
   private def withViewsDir(tables: String*)(
@@ -163,6 +228,18 @@ object SparkEntry {
       configureReads(spark)
       val ctx = new PipelineContext(spark)
       Runner.run(extractStages(spark, dir, tables), ctx)
+      f(spark, ctx, dir)
+    }
+
+  /** [[withViewsDir]] with adaptive scan parallelization ON — same audit
+    * gate as [[withViewsPar]]. */
+  private def withViewsDirPar(tables: String*)(
+      f: (SparkSession, PipelineContext, String) => DataFrame
+  ): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      configureReads(spark)
+      val ctx = new PipelineContext(spark)
+      Runner.run(extractStages(spark, dir, tables, adaptivePar = true), ctx)
       f(spark, ctx, dir)
     }
 
@@ -856,13 +933,13 @@ object SparkEntry {
           )
           .orderBy(col("nation"))
     },
-    "q31_dedup_exact" -> withViews("documents") { (spark, ctx) =>
+    "q31_dedup_exact" -> withViewsPar("documents") { (spark, ctx) =>
       graft.llm.Dedup
         .exact(ctx.view("documents"), Seq("lang", "source"), "doc_id")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     },
-    "q32_dedup_fingerprint" -> withViews("documents") { (spark, ctx) =>
+    "q32_dedup_fingerprint" -> withViewsPar("documents") { (spark, ctx) =>
       // md5 of normalized text is the cross-engine-checkable stand-in for the
       // xxhash64 fast path used at scale (TextStats.fingerprint).
       ctx.view("documents")
@@ -878,7 +955,7 @@ object SparkEntry {
         FROM documents
         ORDER BY doc_id"""
     ),
-    "q34_text_quality" -> withViews("documents") { (spark, ctx) =>
+    "q34_text_quality" -> withViewsPar("documents") { (spark, ctx) =>
       ctx.view("documents")
         .select(
           col("doc_id"),
@@ -899,7 +976,7 @@ object SparkEntry {
         )
         .orderBy("query_id", "rank")
     },
-    "q36_dedup_minhash" -> withViews("documents") { (spark, ctx) =>
+    "q36_dedup_minhash" -> withViewsPar("documents") { (spark, ctx) =>
       // Self-verifying (no SQL oracle for LSH): every doc is emitted with a
       // kept flag; a REMOVED doc carries its removal evidence — the partner
       // id and the EXACT Jaccard the engine verified internally — and `ok`
@@ -920,7 +997,7 @@ object SparkEntry {
             (col("jaccard") >= 0.8 && col("partner") < col("doc_id"))).as("ok"))
         .orderBy("doc_id")
     },
-    "q37_dedup_simhash" -> withViews("documents") { (spark, ctx) =>
+    "q37_dedup_simhash" -> withViewsPar("documents") { (spark, ctx) =>
       // Self-verifying: the reported Hamming distance is recomputed
       // INDEPENDENTLY from per-doc fingerprints joined back by id — this
       // cross-checks the banded/star-link candidate path (a bug attaching
@@ -1320,7 +1397,7 @@ object SparkEntry {
             lit(false)).as("ok"))
         .orderBy("query_id", "rank")
     },
-    "q159_url_dedup" -> withViews("documents") { (spark, ctx) =>
+    "q159_url_dedup" -> withViewsPar("documents") { (spark, ctx) =>
       // URL-keyed crawl dedup (llm/UrlNorm): canonicalize messy URL
       // spellings (scheme/www/host-case/tracking-params/param-order/
       // index.html/fragment/trailing-slash variants) and keep the
@@ -1350,7 +1427,7 @@ object SparkEntry {
         .select(col("doc_id"), col("canonical_url"), col("n_dups"))
         .orderBy("doc_id")
     },
-    "q160_mad_outliers" -> withViews("documents") { (spark, ctx) =>
+    "q160_mad_outliers" -> withViewsPar("documents") { (spark, ctx) =>
       // Robust per-source outlier screen (llm/RobustStats): exact grouped
       // median + MAD from the slicedPrefix slice-rank engine — never
       // Spark's buffering percentile aggregate, never a per-group data
@@ -1366,7 +1443,7 @@ object SparkEntry {
           col("median"), col("mad"), col("robust_z"), col("is_outlier"))
         .orderBy("doc_id")
     },
-    "q161_cdc_chunks" -> withViews("documents") { (spark, ctx) =>
+    "q161_cdc_chunks" -> withViewsPar("documents") { (spark, ctx) =>
       // Content-defined chunking (functions/CdcChunksExpr via
       // Chunking.chunkByContent): gear-hash boundaries, so edits shift only
       // the chunk they land in. Boundary placement is engine-specific (the
@@ -1405,7 +1482,7 @@ object SparkEntry {
         Seq("source"), col("n_chars"), Seq(0.25, 0.5, 0.75, 0.9))
         .orderBy("source", "p")
     },
-    "q163_cdc_dedup" -> withViews("documents") { (spark, ctx) =>
+    "q163_cdc_dedup" -> withViewsPar("documents") { (spark, ctx) =>
       // Edit-robust chunk dedup (Dedup.cdcDupStats): corpus = documents +
       // a lightly-edited copy of every 5th long document (10 chars inserted
       // at position 25). Gear table is engine-specific → rows-only, but the
@@ -1484,7 +1561,7 @@ object SparkEntry {
             col("_compresses")).as("ok"))
         .orderBy("doc_id")
     },
-    "q166_line_dedup" -> withViews("documents") { (spark, ctx) =>
+    "q166_line_dedup" -> withViewsPar("documents") { (spark, ctx) =>
       // Within-document repeated-line removal (LineFilter.dedupLines):
       // every doc is turned multiline (every 4th space → newline) with its
       // own first line re-appended — a guaranteed within-doc duplicate —
@@ -1659,7 +1736,7 @@ object SparkEntry {
             abs(element_at(col("features"), 8) - 0.5f) < 0.01f).as("ok"))
         .orderBy("doc_id")
     },
-    "q176_curation_pipeline" -> withViews("documents") { (spark, ctx) =>
+    "q176_curation_pipeline" -> withViewsPar("documents") { (spark, ctx) =>
       // END-TO-END curation pipeline as ONE oracle-checked query: messy
       // URL construction -> canonicalization + keep-first URL dedup
       // (UrlNorm) -> per-source MAD outlier screen on n_chars
@@ -1748,7 +1825,7 @@ object SparkEntry {
               regexp_replace(col("text2"), "\\s+", "")).as("ok"))
         .orderBy("doc_id")
     },
-    "q179_langid_ngram" -> withViews("documents") { (spark, ctx) =>
+    "q179_langid_ngram" -> withViewsPar("documents") { (spark, ctx) =>
       // Real n-gram language ID (llm/LangId — character-n-gram rank
       // profiles, the public TextCat method) over the 10-language held-out
       // fixture set: sentences the profiles never saw, including the close
@@ -1776,7 +1853,7 @@ object SparkEntry {
             col("_en_frac") >= 0.6).as("ok"))
         .orderBy("sent_id")
     },
-    "q180_span_dedup" -> withViews("documents") { (spark, ctx) =>
+    "q180_span_dedup" -> withViewsPar("documents") { (spark, ctx) =>
       // Exact cross-document repeated-substring removal (llm/SpanDedup —
       // the public suffix-array dedup method in window-hash form): every
       // third document is salted with one shared boilerplate paragraph;
@@ -1793,7 +1870,7 @@ object SparkEntry {
       SpanDedup.dedupSpans(docs, "doc_id", "text", k = 8)
         .orderBy("doc_id")
     },
-    "q182_span_dedup_withindoc" -> withViews("documents") { (spark, ctx) =>
+    "q182_span_dedup_withindoc" -> withViewsPar("documents") { (spark, ctx) =>
       // Within-document repeated-run removal (SpanDedup.dedupSpansWithinDoc
       // — the same-doc half of the suffix-array method): every fourth
       // document gets its own first 10 tokens re-appended — a guaranteed
@@ -1809,7 +1886,7 @@ object SparkEntry {
       SpanDedup.dedupSpansWithinDoc(docs, "doc_id", "text", k = 8)
         .orderBy("doc_id")
     },
-    "q183_html_extract" -> withViews("documents") { (spark, ctx) =>
+    "q183_html_extract" -> withViewsPar("documents") { (spark, ctx) =>
       // HTML -> visible text (llm/HtmlText): per-doc synthetic pages wrap
       // the document text with scripts/styles/comments/entities; the
       // documented regex chain (Java ∩ RE2) must strip code blocks, keep
@@ -1830,7 +1907,7 @@ object SparkEntry {
         .withColumn("n_chars_extracted", length(col("text_extracted")).cast("long"))
         .orderBy("doc_id")
     },
-    "q184_crawl_curation" -> withViews("documents") { (spark, ctx) =>
+    "q184_crawl_curation" -> withViewsPar("documents") { (spark, ctx) =>
       // END-TO-END web-crawl curation as ONE oracle-checked query,
       // composing the r13 operators: synthetic HTML pages with SHARED nav/
       // footer chrome (real boilerplate) -> HtmlText extraction -> cross-
@@ -1913,7 +1990,7 @@ object SparkEntry {
               .otherwise(col("fallback_rate") === 0.0)).as("ok"))
         .orderBy("source")
     },
-    "q186_langid_floor" -> withViews("documents") { (spark, ctx) =>
+    "q186_langid_floor" -> withViewsPar("documents") { (spark, ctx) =>
       // The calibrated `und` confidence floor, exercised THROUGH the
       // config surface: LangIdTransform(method = "ngramFloored") — the
       // same TextCat profiles as q179, plus the out-of-place cutoff pair
@@ -1945,7 +2022,7 @@ object SparkEntry {
           (col("lang_pred") === col("lang_expected")).as("ok"))
         .orderBy("sent_id")
     },
-    "q187_token_packing" -> withViews("documents") { (spark, ctx) =>
+    "q187_token_packing" -> withViewsPar("documents") { (spark, ctx) =>
       // Token-ID sequence packing with document boundaries
       // (Packing.packTokenIds): every doc's [BOS] ++ ids ++ [EOS] stream
       // concatenated in (shard, doc_id) order and cut into consecutive
@@ -1980,7 +2057,7 @@ object SparkEntry {
             col("sp.end") - col("sp.start")), ",").as("frag_ids"))
         .orderBy("shard", "seq_id", "span_start")
     },
-    "q188_curation_chain" -> withViews("documents") { (spark, ctx) =>
+    "q188_curation_chain" -> withViewsPar("documents") { (spark, ctx) =>
       // The FULL crawl-curation chain as one oracle-checked query — q184
       // grown by the three stages a production pipeline runs between
       // extraction and the outlier screen: language gate, exact
@@ -2043,7 +2120,7 @@ object SparkEntry {
           col("n_tokens_removed"), col("n_kept_tokens"), col("split"))
         .orderBy("doc_id")
     },
-    "q195_classifier_gated_curation" -> withViews("documents") { (spark, ctx) =>
+    "q195_classifier_gated_curation" -> withViewsPar("documents") { (spark, ctx) =>
       // The q188 curation chain grown by MODEL-BASED QUALITY FILTERING —
       // the classifier gate a CCNet-style pipeline runs between cleaning
       // and dedup: promo pages (doc_id%3=0) carry promo phrases in their
@@ -2190,7 +2267,7 @@ object SparkEntry {
         "doc_id", "text", dir)
       baseOut.unionByName(batchOut).orderBy("doc_id")
     },
-    "q191_minhash_index_ingest" -> withViewsDir("documents") { (spark, ctx, sfDir) =>
+    "q191_minhash_index_ingest" -> withViewsDirPar("documents") { (spark, ctx, sfDir) =>
       // MinHash index APPEND-ingest, self-verifying end to end: index the
       // base corpus, then ingest (1) a batch mixing verbatim copies of
       // base docs (must die through the exact tier — probability 1, no
@@ -2231,7 +2308,7 @@ object SparkEntry {
           (col("_kid").isNotNull === col("expect_kept")).as("ok"))
         .orderBy("doc_id")
     },
-    "q202_index_takedown" -> withViewsDir("documents") { (spark, ctx, sfDir) =>
+    "q202_index_takedown" -> withViewsDirPar("documents") { (spark, ctx, sfDir) =>
       // Index takedown DELETE, self-verifying — the lifecycle step after
       // q191's ingest: write the base corpus, verify copies of two
       // disjoint id groups die against the live index, take group A down
@@ -2628,7 +2705,7 @@ object SparkEntry {
                 x.getField("_dw") === lit("[UNK]"))).as("ok"))
         .orderBy("doc_id")
     },
-    "q197_mojibake_repair" -> withViews("documents") { (spark, ctx) =>
+    "q197_mojibake_repair" -> withViewsPar("documents") { (spark, ctx) =>
       // Mojibake repair under the FULL ORACLE (functions/FixMojibakeExpr —
       // the UTF-8-misread-as-windows-1252/latin-1 inversion of the public
       // ftfy tool, the standard crawl-cleaning step before token counts /
@@ -2900,7 +2977,7 @@ object SparkEntry {
         .select(col("word"), col("cnt"))
         .orderBy("word")
     },
-    "q204_nb_unlearn" -> withViewsDir("documents") { (spark, ctx, sfDir) =>
+    "q204_nb_unlearn" -> withViewsDirPar("documents") { (spark, ctx, sfDir) =>
       // Classifier takedown under the FULL ORACLE (llm/NaiveBayes.unlearn)
       // — the inverse of q198's ingest: the engine persists
       // train(A ∪ B), unlearns batch B through the on-disk model by exact
@@ -3099,7 +3176,7 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     },
-    "q151_lm_novelty" -> withViews("documents") { (spark, ctx) =>
+    "q151_lm_novelty" -> withViewsPar("documents") { (spark, ctx) =>
       // Bigram LM novelty scoring (llm/LangModel): train counts on the
       // English slice, score every document by exact unseen/rare-bigram
       // statistics — the oracle-safe surface of the CCNet-style perplexity
@@ -3145,7 +3222,7 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
     },
-    "q154_dedup_best_copy" -> withViews("documents") { (spark, ctx) =>
+    "q154_dedup_best_copy" -> withViewsPar("documents") { (spark, ctx) =>
       // Quality-aware duplicate retention (Dedup.exactBest): the q92
       // duplicate class (formatting-perturbed copies, same normalized
       // form), but the SURVIVOR is the longest raw copy — the perturbed
@@ -3308,7 +3385,7 @@ object SparkEntry {
         .select(col("doc_id"), col("fp"), col("n_winnow"), col("ok"))
         .orderBy("doc_id")
     },
-    "q60_embedding_neardup" -> withViews("embeddings") { (spark, ctx) =>
+    "q60_embedding_neardup" -> withViewsPar("embeddings") { (spark, ctx) =>
       // Union with a shifted copy so true duplicate pairs exist (the synthetic
       // embeddings are i.i.d.; no natural near-dups). Rows-only.
       val em = ctx.view("embeddings").select(col("vec_id"), col("embedding"))
@@ -3632,7 +3709,7 @@ object SparkEntry {
         .select(col("o_orderkey"), coalesce(col("n_in_window"), lit(0L)).as("n_in_window"))
         .orderBy("o_orderkey")
     },
-    "q90_decontaminate" -> withViews("documents") { (spark, ctx) =>
+    "q90_decontaminate" -> withViewsPar("documents") { (spark, ctx) =>
       // Benchmark decontamination (Decontaminate.overlap): eval set = every
       // 17th doc, train = the rest; a train doc is contaminated when it
       // shares a word 4-gram with any eval doc. hashed=false here so the
@@ -3646,7 +3723,7 @@ object SparkEntry {
         .overlap(train, "doc_id", "text", evalSet, "text", n = 4, hashed = false)
         .orderBy("doc_id")
     },
-    "q91_tfidf_topk" -> withViews("documents") { (spark, ctx) =>
+    "q91_tfidf_topk" -> withViewsPar("documents") { (spark, ctx) =>
       // Top-5 TF-IDF terms per document (Relevance.tfIdfTopK, rational idf:
       // (tf·N)/df — every step an exact-rounded IEEE double op, so the score
       // is bit-identical across engines; the log-idf variant is spec-tested
@@ -3658,7 +3735,7 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("doc_id", "rank")
     },
-    "q92_normalized_dedup" -> withViews("documents") { (spark, ctx) =>
+    "q92_normalized_dedup" -> withViewsPar("documents") { (spark, ctx) =>
       // Near-exact dedup via canonical normalization (TextStats.normalize):
       // the corpus is augmented with a deterministically perturbed copy of
       // every 7th doc (upper-cased + punctuation noise — the "same document,
@@ -3806,7 +3883,7 @@ object SparkEntry {
         .withColumn("ok", col("est") >= col("exact_cnt"))
         .orderBy("l_suppkey")
     },
-    "q140_pii_redaction" -> withViews("documents") { (spark, ctx) =>
+    "q140_pii_redaction" -> withViewsPar("documents") { (spark, ctx) =>
       // PII scrub (llm/Redact): deterministic synthetic PII is appended from
       // doc_id (the corpus itself is clean), then redacted and counted.
       // Pure narrow projection — the oracle reproduces the redaction
@@ -3855,7 +3932,7 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
     },
-    "q97_chunking" -> withViews("documents") { (spark, ctx) =>
+    "q97_chunking" -> withViewsPar("documents") { (spark, ctx) =>
       // Context-window chunking (Chunking.chunkByTokens): 32-token windows,
       // 8-token overlap — documents become training-window pieces in one
       // narrow map + explode, no shuffle. Window COUNT arithmetic runs in
@@ -3880,7 +3957,7 @@ object SparkEntry {
         .select(col("pos"), col("doc_id"))
         .orderBy("pos")
     },
-    "q99_segment_dedup" -> withViews("documents") { (spark, ctx) =>
+    "q99_segment_dedup" -> withViewsPar("documents") { (spark, ctx) =>
       // Paragraph/segment-level dedup stats (Dedup.segmentDupStats,
       // CCNet/C4-style): docs scored by how many of their 8-word segments
       // occur in other docs. Text never shuffles — only (doc_id, md5) pairs.
@@ -4145,7 +4222,7 @@ object SparkEntry {
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
          ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
     ),
-    "q116_line_filter" -> withViews("documents") { (spark, ctx) =>
+    "q116_line_filter" -> withViewsPar("documents") { (spark, ctx) =>
       // C4-style line filtering (LineFilter.clean): keep lines with ≥3 words
       // ending in terminal punctuation, flag code/lorem docs. Pure narrow
       // projection — zero shuffles, scan-speed at 100 TB.
@@ -4153,7 +4230,7 @@ object SparkEntry {
         .clean(ctx.view("documents"), "doc_id", "text", minWords = 3, minLines = 1)
         .orderBy("doc_id")
     },
-    "q117_quantize_int8" -> withViews("embeddings") { (spark, ctx) =>
+    "q117_quantize_int8" -> withViewsPar("embeddings") { (spark, ctx) =>
       // Symmetric absmax int8 quantization (Quantize.quantStats): integer
       // code checksums + order-independent max reconstruction error. Narrow
       // projection, zero shuffles; every arithmetic step a single IEEE op →
@@ -4170,7 +4247,7 @@ object SparkEntry {
         .tokenRarity(ctx.view("documents"), "doc_id", "text", rareThreshold = 2L)
         .orderBy("doc_id")
     },
-    "q119_segment_clean" -> withViews("documents") { (spark, ctx) =>
+    "q119_segment_clean" -> withViewsPar("documents") { (spark, ctx) =>
       // CCNet-style boilerplate-segment REMOVAL (Dedup.segmentClean): drop
       // 8-word segments shared by >1 documents, re-join survivors in order.
       // Text enters exactly one shuffle; frequency table is (hash, count).
@@ -4247,7 +4324,7 @@ object SparkEntry {
         GROUP BY segment
         ORDER BY segment"""
     ),
-    "q124_quantized_topk" -> withViews("embeddings") { (spark, ctx) =>
+    "q124_quantized_topk" -> withViewsPar("embeddings") { (spark, ctx) =>
       // Retrieval over QUANTIZED vectors: int8 codes, INTEGER dot-product
       // scoring (exact, order-independent — quantization makes ANN scoring
       // oracle-checkable, the float path q35 needs IEEE-parity care for).
@@ -4305,7 +4382,7 @@ object SparkEntry {
         .select(col("event_id"), col("next_purchase_ts"))
         .orderBy("event_id")
     },
-    "q125_bm25" -> withViews("documents") { (spark, ctx) =>
+    "q125_bm25" -> withViewsPar("documents") { (spark, ctx) =>
       // BM25 scoring against a fixed query-term set (Relevance.bm25,
       // rational idf n/df — every step an exact-rounded IEEE double op).
       // Contributions fold in term-lexicographic order, so the doc score is

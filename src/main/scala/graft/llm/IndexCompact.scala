@@ -355,27 +355,48 @@ object IndexCompact {
       (touchedBytes + targetBytes - 1) / targetBytes)
     keptRows.coalesce(math.min(nOut, 1L << 16).toInt)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmpRoot.toString)
-    var removed = 0L
-    touched.foreach { case (value, nMatch) =>
-      val part = new Path(partitionDir(dir, partitionCol, value))
-      val files = liveFiles(fs, part)
-      val tmp = new Path(tmpRoot, part.getName)
-      // (2) park originals; (3) move the new files in (a fully-deleted
-      // partition has no tmp dir — nothing moves in); (4) commit
-      val oldPart = new Path(oldRoot, part.getName)
-      fs.mkdirs(oldPart)
-      files.foreach(f =>
-        renameOrAbort(fs, f.getPath, new Path(oldPart, f.getPath.getName)))
-      if (fs.exists(tmp)) liveFiles(fs, tmp).foreach { f =>
-        renameOrAbort(fs, f.getPath,
-          new Path(part, s"compact-$runId-${f.getPath.getName}"))
+    // Per-partition staged moves run CONCURRENTLY (bounded pool): each
+    // partition's park→move-in→commit sequence touches only its own
+    // directories, and [[recover]] handles every partition's interrupted
+    // state independently, so ordering between partitions carries no
+    // crash-safety meaning — but running them serially made the driver
+    // the bottleneck (guide §2.6: measured 3.8 s of q202's wall was this
+    // loop's filesystem round-trips; on an object store with 10–100 ms
+    // per rename a wide takedown would serialize into minutes).
+    fs.mkdirs(doneRoot)
+    val moveErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, touched.size)))
+    try {
+      val tasks = touched.toSeq.map { case (value, _) =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            val part = new Path(partitionDir(dir, partitionCol, value))
+            val files = liveFiles(fs, part)
+            val tmp = new Path(tmpRoot, part.getName)
+            // (2) park originals; (3) move the new files in (a fully-
+            // deleted partition has no tmp dir — nothing moves in);
+            // (4) commit
+            val oldPart = new Path(oldRoot, part.getName)
+            fs.mkdirs(oldPart)
+            files.foreach(f =>
+              renameOrAbort(fs, f.getPath, new Path(oldPart, f.getPath.getName)))
+            if (fs.exists(tmp)) liveFiles(fs, tmp).foreach { f =>
+              renameOrAbort(fs, f.getPath,
+                new Path(part, s"compact-$runId-${f.getPath.getName}"))
+            }
+            renameOrAbort(fs, oldPart, new Path(doneRoot, part.getName))
+            fs.delete(new Path(doneRoot, part.getName), true)
+            fs.delete(tmp, true)
+          } catch { case t: Throwable => moveErr.compareAndSet(null, t) }
+        })
       }
-      fs.mkdirs(doneRoot)
-      renameOrAbort(fs, oldPart, new Path(doneRoot, part.getName))
-      fs.delete(new Path(doneRoot, part.getName), true)
-      fs.delete(tmp, true)
-      removed += nMatch
-    }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    // an abort in ANY partition surfaces after the pool drains — the
+    // other partitions are each in a recover-able state by construction
+    if (moveErr.get() != null) throw moveErr.get()
+    val removed = touched.valuesIterator.sum
     require(!hasAnyFile(fs, tmpRoot) && !hasAnyFile(fs, oldRoot),
       s"IndexCompact: staging directories not empty after delete in $dir")
     fs.delete(tmpRoot, true)

@@ -114,9 +114,17 @@ object MinhashIndex {
     }
   }
 
+  /** Explicit schema: a schemaless json read runs a whole extra inference
+    * job per call, and queries/ingests/deletes read params once each —
+    * pure scheduler cost in the battery-shaped paths. */
+  private val paramsSchema = org.apache.spark.sql.types.StructType(
+    Seq("shingleLen", "bands", "rowsPerBand", "maxBucketSize", "maxId").map(
+      org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.LongType)))
+
   private def readParams(spark: SparkSession, path: String): Params = {
     graft.core.AtomicDir.recoverLive(spark, s"$path/params")
-    val r = spark.read.json(s"$path/params").head()
+    val r = spark.read.schema(paramsSchema).json(s"$path/params").head()
     Params(
       r.getAs[Long]("shingleLen").toInt,
       r.getAs[Long]("bands").toInt,
@@ -124,7 +132,7 @@ object MinhashIndex {
       r.getAs[Long]("maxBucketSize").toInt,
       // pre-watermark indexes read as -1: the first ingest then persists a
       // real maxId (ids are non-negative, so the check passes trivially once)
-      if (r.schema.fieldNames.contains("maxId")) r.getAs[Long]("maxId") else -1L)
+      if (!r.isNullAt(r.fieldIndex("maxId"))) r.getAs[Long]("maxId") else -1L)
   }
 
   /** Exact-copy matches via the fingerprint table: (new_id, corpus_id, 1.0).

@@ -103,13 +103,23 @@ object SemIndex {
       .collect().map(r => (r.getDouble(1), r.getInt(0), r.getSeq[Float](2))).toSeq
       .sortBy(_._2)
 
+  /** Explicit schema — the MinhashIndex.paramsSchema rationale: no
+    * inference job per read. */
+  private val paramsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("tau",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("maxClusterSize",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("maxId",
+      org.apache.spark.sql.types.LongType)))
+
   private def readParams(spark: SparkSession, path: String): (Double, Int, Long) = {
     graft.core.AtomicDir.recoverLive(spark, s"$path/params")
-    val r = spark.read.json(s"$path/params").head()
+    val r = spark.read.schema(paramsSchema).json(s"$path/params").head()
     // pre-maxId indexes (older builds) read as -1 → the disjointness check
     // passes trivially once, then the first ingest persists a real maxId
     val maxId =
-      if (r.schema.fieldNames.contains("maxId")) r.getAs[Long]("maxId") else -1L
+      if (!r.isNullAt(r.fieldIndex("maxId"))) r.getAs[Long]("maxId") else -1L
     (r.getAs[Double]("tau"), r.getAs[Long]("maxClusterSize").toInt, maxId)
   }
 

@@ -57,9 +57,18 @@ object SpanIndex {
     }
   }
 
+  /** Explicit schema — the MinhashIndex.paramsSchema rationale: no
+    * inference job per read. */
+  private val paramsSchema = org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.types.StructField("hashMode",
+      org.apache.spark.sql.types.StringType) +:
+    Seq("k", "nbuckets", "bits", "hashes", "maxId").map(
+      org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.LongType)))
+
   private def readParams(spark: SparkSession, path: String): (Int, String, Int, Long, Int, Long) = {
     graft.core.AtomicDir.recoverLive(spark, s"$path/params")
-    val r = spark.read.json(s"$path/params").head()
+    val r = spark.read.schema(paramsSchema).json(s"$path/params").head()
     (r.getAs[Long]("k").toInt, r.getAs[String]("hashMode"),
       r.getAs[Long]("nbuckets").toInt, r.getAs[Long]("bits"),
       r.getAs[Long]("hashes").toInt, r.getAs[Long]("maxId"))

@@ -2492,8 +2492,10 @@ object SparkEntry {
         (s"$base/mh", s"$base/span", s"$base/sem", s"$base/ivf",
           s"$base/wc", s"$base/nb", s"$base/audit")
       val idView = corpus.filter(col("doc_id") % 5 === 2).select("doc_id")
-      val nVictims = idView.count()
+      // ONE collect carries both the victim list and its count (the list
+      // is takedown-sized — the r18-audited bounded collect)
       val victimIds = idView.collect().map(_.getLong(0)).toSeq
+      val nVictims = victimIds.length.toLong
       val report = Takedown.run(spark, idView,
         minhashURI = mDir, spanURI = spDir, semURI = seDir, ivfURI = ivDir,
         countsURI = wcDir, modelURI = nbDir,
@@ -2509,24 +2511,45 @@ object SparkEntry {
           sum(when(col(idCol) % 5 =!= 2, 1L).otherwise(0L)).as("k")).head()
         r.getLong(0) == 0L && r.getLong(1) > 0L
       }
-      // count stores: byte-for-byte the never-saw state
+      // count stores: byte-for-byte the never-saw state. exceptAll BOTH
+      // ways unioned = ONE job per table pair instead of two (identical
+      // boolean — the union is empty iff both sides are)
       val kept = corpus.filter(col("doc_id") % 5 =!= 2)
       def sameTable(a: DataFrame, b: DataFrame): Boolean =
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-      val wcOk = sameTable(WordCounts.read(spark, wcDir),
-        Bpe.wordCounts(kept, "text"))
+        a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
       val nbNow = NaiveBayes.read(spark, nbDir)
       val nbWant = NaiveBayes.train(kept, "text", "label")
-      val nbOk = sameTable(nbNow.tokenTable, nbWant.tokenTable) &&
-        sameTable(nbNow.classTable, nbWant.classTable)
-      val checks = Seq(
-        ("minhash", clean(s"$mDir/bands", "_id") &&
-          clean(s"$mDir/shingles", "_id") && clean(s"$mDir/exact", "_id")),
-        ("span", clean(s"$spDir/grams", "keeper")),
-        ("sem", clean(s"$seDir/vectors", "id")),
-        ("ivf", clean(s"$ivDir/vectors", "id")),
-        ("wordcounts", wcOk),
-        ("classifier", nbOk))
+      // the ten verification aggregates are independent read-only jobs
+      // over different tables — run them concurrently (guide §2.6) so the
+      // battery's tail is bounded by the slowest check, not their sum;
+      // each boolean is computed exactly as in the sequential form
+      val checkPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val checkEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(checkPool)
+      val checks = try {
+        import scala.concurrent.{Await, Future}
+        val legs: Seq[(String, scala.concurrent.Future[Boolean])] = Seq(
+          "mh_bands" -> Future(clean(s"$mDir/bands", "_id")),
+          "mh_shingles" -> Future(clean(s"$mDir/shingles", "_id")),
+          "mh_exact" -> Future(clean(s"$mDir/exact", "_id")),
+          "span" -> Future(clean(s"$spDir/grams", "keeper")),
+          "sem" -> Future(clean(s"$seDir/vectors", "id")),
+          "ivf" -> Future(clean(s"$ivDir/vectors", "id")),
+          "wc" -> Future(sameTable(WordCounts.read(spark, wcDir),
+            Bpe.wordCounts(kept, "text"))),
+          "nb_tok" -> Future(sameTable(nbNow.tokenTable, nbWant.tokenTable)),
+          "nb_cls" -> Future(sameTable(nbNow.classTable, nbWant.classTable)))
+        val ok = legs.map { case (k, f) =>
+          k -> Await.result(f, scala.concurrent.duration.Duration.Inf)
+        }.toMap
+        Seq(
+          ("minhash", ok("mh_bands") && ok("mh_shingles") && ok("mh_exact")),
+          ("span", ok("span")),
+          ("sem", ok("sem")),
+          ("ivf", ok("ivf")),
+          ("wordcounts", ok("wc")),
+          ("classifier", ok("nb_tok") && ok("nb_cls")))
+      } finally checkPool.shutdown()
       import spark.implicits._
       val checksDf = checks.toDF("store_type", "_clean")
       val logDf = Takedown.consolidatedLog(spark, auDir)

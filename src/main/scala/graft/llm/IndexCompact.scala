@@ -215,7 +215,7 @@ object IndexCompact {
     * through the driver. Discovery of the touched partitions:
     *
     *  - with `partitionOf` (tables whose partition value is COMPUTABLE
-    *    from the id, e.g. the minhash tables' `_p = pmod(_id, 64)`): the
+    *    from the id, e.g. the minhash tables' `_p = pmod(_id, idPartitions)`): the
     *    touched directories are derived from the ids with ZERO table IO
     *    and only those directories are read for the per-partition match
     *    counts;
@@ -270,21 +270,41 @@ object IndexCompact {
         "(_compact_tmp/_compact_old non-empty) — run IndexCompact.recover first")
     fs.delete(doneRoot, true)
     require(idsDf.columns.nonEmpty, "deleteMatching: ids frame has no columns")
-    // normalize ONCE and pin: distinct longs under the table's id column
-    // name; the same frame feeds discovery, the match counts and the
-    // rewrite's anti join
-    val idsLong = graft.core.Lineage.pin(
-      idsDf.select(col(idsDf.columns.head).cast("long").as(idCol)).distinct())
-    val stats = idsLong.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
-      min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
-    val nIds = stats.getLong(0)
+    // Normalize ONCE: distinct longs under the table's id column name. A
+    // takedown-sized id set (≤ 1000, the common legal-request shape)
+    // collects in ONE job — null checks, count and [min, max] come from
+    // the local rows, and the frame that feeds discovery and the
+    // rewrite's anti join is REBUILT from the collected values (a local
+    // relation is trivially deterministic, so no pin job is needed).
+    // Larger sets keep the pinned-frame path: one materialization, one
+    // stats pass, broadcast semi joins. The split saves two Spark jobs
+    // per table on the battery-shaped path — a six-table orchestrated
+    // takedown runs this method six times on the same tiny id view.
+    val normalized = idsDf.select(col(idsDf.columns.head).cast("long").as(idCol)).distinct()
+    val headRows = normalized.limit(1001).collect()
+    val small = headRows.length <= 1000
+    val (idsLong, nIds, hasNull, idLo, idHi) = if (small) {
+      require(headRows.nonEmpty, "deleteMatching needs at least one id")
+      val nulls = headRows.exists(_.isNullAt(0))
+      val vals = if (nulls) Array.empty[Long] else headRows.map(_.getLong(0))
+      implicit val enc: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+      (spark.createDataset(vals.toIndexedSeq).toDF(idCol),
+        headRows.length.toLong, nulls,
+        if (nulls) 0L else vals.min, if (nulls) 0L else vals.max)
+    } else {
+      val pinned = graft.core.Lineage.pin(normalized)
+      val stats = pinned.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
+        min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
+      (pinned, stats.getLong(0), stats.getLong(1) != stats.getLong(0),
+        stats.getLong(2), stats.getLong(3))
+    }
     require(nIds > 0, "deleteMatching needs at least one id")
-    require(stats.getLong(1) == nIds,
+    require(!hasNull,
       "deleteMatching: ids contain NULL (null rows, or values that do not " +
         "cast to long) — clean the id view before the takedown")
-    val (idLo, idHi) = (stats.getLong(2), stats.getLong(3))
     val idsLocal: Option[Seq[Long]] =
-      if (nIds <= 1000L) Some(idsLong.collect().map(_.getLong(0)).toSeq) else None
+      if (small) Some(headRows.map(_.getLong(0)).toSeq) else None
     val runId = java.util.UUID.randomUUID().toString
     // audit record of a COMPLETED takedown (GDPR/retraction evidence):
     // written only after every staged rename committed, so its absence

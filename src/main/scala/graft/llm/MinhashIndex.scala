@@ -36,9 +36,21 @@ object MinhashIndex {
   /** The shingles/exact tables partition by `pmod(_id, idPartitions)` —
     * an id-DERIVED layout, so [[delete]] computes a takedown's touched
     * directories from the ids with zero table IO (the bands table keys
-    * on `_band` and takes a scan instead). Changing this re-shapes the
-    * layout: rebuild existing indexes with [[write]]. */
-  private val idPartitions = 64L
+    * on `_band` and takes a scan instead). The count is chosen at WRITE
+    * time from the corpus size (guide §6: partition counts derive from
+    * data, not a constant) and persisted in `params/` — every later
+    * ingest/delete reads it from there, so index and layout can never
+    * drift. Sizing: ~128k docs per directory keeps production partitions
+    * in the hundreds-of-MB range, while a battery-sized corpus gets the
+    * 4-directory floor — small enough that every table read stays under
+    * Spark's parallel-partition-discovery threshold (a 64-dir layout made
+    * EVERY `read.parquet` of these tables launch a distributed listing
+    * job; the lifecycle batteries read them dozens of times per run).
+    * Changing a store's layout: rebuild with [[write]]. */
+  private val autoDocsPerPartition = 1L << 17
+  private def autoIdPartitions(rows: Long): Long =
+    math.min(1L << 16,
+      math.max(4L, (rows + autoDocsPerPartition - 1) / autoDocsPerPartition))
 
   /** Build and save the index over `df`. Overwrites `path`. Ids must be
     * non-negative (the [[ingest]] watermark contract). Layout note: the
@@ -60,10 +72,13 @@ object MinhashIndex {
     val numHashes = bands * rowsPerBand
     // id validation BEFORE any destructive write: an abort mid-rebuild must
     // not leave new bands/shingles next to old exact/params (a banding
-    // mismatch reads silently wrong)
-    val idRange = df.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    // mismatch reads silently wrong). The same aggregate carries the row
+    // count that sizes the id-partition layout — no extra job.
+    val idRange = df.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long")),
+      count(lit(1))).head()
     require(idRange.isNullAt(0) || idRange.getLong(0) >= 0L,
       s"MinhashIndex.write: corpus ids must be non-negative, found ${idRange.get(0)}")
+    val idPartitions = autoIdPartitions(idRange.getLong(2))
     // The shingle+signature pass is the expensive part and feeds TWO write
     // jobs (bands + shingles); persist so the corpus is read and hashed once,
     // spilling to disk if it outgrows memory.
@@ -96,11 +111,11 @@ object MinhashIndex {
       .withColumn("_p", pmod(col("_id"), lit(idPartitions)))
       .write.mode("overwrite").partitionBy("_p").parquet(s"$path/exact")
     writeParams(spark, path, Params(shingleLen, bands, rowsPerBand, maxBucketSize,
-      if (idRange.isNullAt(1)) -1L else idRange.getLong(1)))
+      if (idRange.isNullAt(1)) -1L else idRange.getLong(1), idPartitions))
   }
 
   private case class Params(shingleLen: Int, bands: Int, rowsPerBand: Int,
-      maxBucketSize: Int, maxId: Long)
+      maxBucketSize: Int, maxId: Long, idPartitions: Long)
 
   /** Temp-then-rename params write (the [[SemIndex]] crash discipline): a
     * plain overwrite deletes the old params before writing the new one — a
@@ -108,8 +123,10 @@ object MinhashIndex {
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit = {
     import spark.implicits._
     graft.core.AtomicDir.swap(spark, s"$path/params") { tmp =>
-      Seq((p.shingleLen, p.bands, p.rowsPerBand, p.maxBucketSize, p.maxId))
-        .toDF("shingleLen", "bands", "rowsPerBand", "maxBucketSize", "maxId")
+      Seq((p.shingleLen, p.bands, p.rowsPerBand, p.maxBucketSize, p.maxId,
+          p.idPartitions))
+        .toDF("shingleLen", "bands", "rowsPerBand", "maxBucketSize", "maxId",
+          "idPartitions")
         .coalesce(1).write.mode("overwrite").json(tmp)
     }
   }
@@ -118,7 +135,8 @@ object MinhashIndex {
     * job per call, and queries/ingests/deletes read params once each —
     * pure scheduler cost in the battery-shaped paths. */
   private val paramsSchema = org.apache.spark.sql.types.StructType(
-    Seq("shingleLen", "bands", "rowsPerBand", "maxBucketSize", "maxId").map(
+    Seq("shingleLen", "bands", "rowsPerBand", "maxBucketSize", "maxId",
+      "idPartitions").map(
       org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.LongType)))
 
@@ -132,7 +150,11 @@ object MinhashIndex {
       r.getAs[Long]("maxBucketSize").toInt,
       // pre-watermark indexes read as -1: the first ingest then persists a
       // real maxId (ids are non-negative, so the check passes trivially once)
-      if (!r.isNullAt(r.fieldIndex("maxId"))) r.getAs[Long]("maxId") else -1L)
+      if (!r.isNullAt(r.fieldIndex("maxId"))) r.getAs[Long]("maxId") else -1L,
+      // pre-adaptive-layout stores were written with the fixed 64-way
+      // pmod layout; reading them keeps that geometry
+      if (!r.isNullAt(r.fieldIndex("idPartitions")))
+        r.getAs[Long]("idPartitions") else 64L)
   }
 
   /** Exact-copy matches via the fingerprint table: (new_id, corpus_id, 1.0).
@@ -359,13 +381,13 @@ object MinhashIndex {
       nSig * p.bands)
       .write.mode("append").partitionBy("_band").parquet(s"$path/bands")
     IndexCompact.coalesceForAppend(
-      withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(idPartitions)).as("_p")),
+      withSig.select(col("_id"), col("_sh"), pmod(col("_id"), lit(p.idPartitions)).as("_p")),
       nSig)
       .write.mode("append").partitionBy("_p").parquet(s"$path/shingles")
     IndexCompact.coalesceForAppend(
       survivors
         .select(xxhash64(col(textCol)).as("_fp"), col(idCol).cast("long").as("_id"))
-        .withColumn("_p", pmod(col("_id"), lit(idPartitions))),
+        .withColumn("_p", pmod(col("_id"), lit(p.idPartitions))),
       nSig)
       .write.mode("append").partitionBy("_p").parquet(s"$path/exact")
     if (!batchRange.isNullAt(1))
@@ -389,7 +411,7 @@ object MinhashIndex {
     * delete after `recover` finishes the job (already-clean tables
     * remove 0 rows). Discovery IO: the bands table partitions by `_band`
     * (not id-derived), so it takes the one column-pruned scan; the
-    * shingles/exact tables partition by `pmod(_id, 64)`, so their
+    * shingles/exact tables partition by `pmod(_id, idPartitions)` (geometry from params), so their
     * touched directories are COMPUTED from the ids with zero table IO
     * and only those directories are read. */
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): (Long, Long, Long) = {
@@ -411,7 +433,9 @@ object MinhashIndex {
         s"MinhashIndex.delete: $table complete, $removed rows removed")
       removed
     }
-    val byId: Column => Column = id => pmod(id, lit(idPartitions))
+    // the store's own layout geometry (persisted at write time)
+    val p = readParams(spark, path)
+    val byId: Column => Column = id => pmod(id, lit(p.idPartitions))
     (logged("bands", IndexCompact.deleteMatching(
         spark, s"$path/bands", "_id", "_band", idsNorm)),
       logged("shingles", IndexCompact.deleteMatching(

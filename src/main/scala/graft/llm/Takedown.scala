@@ -32,8 +32,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * orchestrator PREFLIGHTS what it can before mutating anything — id
   * hygiene, corpus coverage, store existence, interrupted-rewrite staging
   * leftovers ([[IndexCompact.hasInterruptedRun]]). A failure between
-  * stores still leaves earlier stores clean and later ones untouched; the
-  * consolidated log shows exactly how far the request got. Completing a
+  * stores still leaves every other store either cleanly committed or
+  * untouched (the count stores run first and sequentially; the four index
+  * deletes run concurrently — each an independent single-writer tree); the
+  * consolidated log shows exactly which stores committed. Completing a
   * partially-applied request is MACHINE-ENFORCED, not operator
   * discipline: with `auditURI` set, re-running the same `requestId`
   * without `resume = true` REFUSES (count stores must not see the same
@@ -80,13 +82,21 @@ object Takedown {
     * output. */
   def recoverRows(idsNorm: DataFrame, nIds: Long,
       corpus: DataFrame, idCol: String): DataFrame = {
+    val range = idsNorm.agg(min(col("_takedown_id")).as("lo"), max(col("_takedown_id")).as("hi")).head()
+    recoverRows(idsNorm, nIds, corpus, idCol, range.getLong(0), range.getLong(1))
+  }
+
+  /** [[recoverRows]] with the ids' [min, max] already known — [[run]]
+    * computes it in the same aggregate as the id hygiene checks, so the
+    * bound is not re-derived with an extra job per call. */
+  private def recoverRows(idsNorm: DataFrame, nIds: Long,
+      corpus: DataFrame, idCol: String, idLo: Long, idHi: Long): DataFrame = {
     require(corpus.columns.contains(idCol),
       s"Takedown: corpus view has no column '$idCol' " +
         s"(columns: ${corpus.columns.mkString(", ")})")
-    val range = idsNorm.agg(min(col("_takedown_id")).as("lo"), max(col("_takedown_id")).as("hi")).head()
     val matched = graft.core.Lineage.pin(
       corpus.withColumn("_takedown_id", col(idCol).cast("long"))
-        .filter(col("_takedown_id").between(range.getLong(0), range.getLong(1)))
+        .filter(col("_takedown_id").between(idLo, idHi))
         .join(broadcast(idsNorm), Seq("_takedown_id"), "left_semi"))
     val per = matched.groupBy("_takedown_id").agg(count(lit(1)).as("_n"))
     val st = per.agg(count(lit(1)).as("matched"),
@@ -184,13 +194,24 @@ object Takedown {
       "Takedown.run: resume replays the consolidated audit trail to learn " +
         "which stores already committed — set auditURI (and pass the " +
         "interrupted request's requestId)")
-    val (idsNorm, nIds) = normalizeIds(ids)
-    // order-independent id-set fingerprint, recorded with every store's
-    // audit record and re-verified on resume (same count, different ids
-    // is exactly the drift nIds alone cannot catch)
-    val idsHash = idsNorm
-      .agg(coalesce(sum(hash(col("_takedown_id")).cast("long")), lit(0L)))
-      .head().getLong(0)
+    // [[normalizeIds]] inlined so ONE aggregate carries the hygiene
+    // checks, the order-independent id-set fingerprint (recorded with
+    // every store's audit record and re-verified on resume — same count,
+    // different ids is exactly the drift nIds alone cannot catch) AND the
+    // [min, max] bound recoverRows needs: three battery-shaped jobs fold
+    // into one.
+    require(ids.columns.nonEmpty, "Takedown: ids frame has no columns")
+    val idsNorm = graft.core.Lineage.pin(
+      ids.select(col(ids.columns.head).cast("long").as("_takedown_id")).distinct())
+    val idSt = idsNorm.agg(count(lit(1)).as("n"), count(col("_takedown_id")).as("nn"),
+      coalesce(sum(hash(col("_takedown_id")).cast("long")), lit(0L)).as("h"),
+      min(col("_takedown_id")).as("lo"), max(col("_takedown_id")).as("hi")).head()
+    require(idSt.getLong(0) > 0, "Takedown: the id view is empty")
+    require(idSt.getLong(1) == idSt.getLong(0),
+      "Takedown: ids contain NULL (null rows, or values that do not cast " +
+        "to long) — clean the id view before the takedown")
+    val nIds = idSt.getLong(0)
+    val idsHash = idSt.getLong(2)
 
     // the resume ledger: stores already committed under this request id.
     // Read under an extended schema — idsHash is resume's concern, not
@@ -262,9 +283,13 @@ object Takedown {
         "each, then re-run the request")
     val recovered: Option[DataFrame] =
       if (!needWc && !needNb) None
-      else Some(recoverRows(idsNorm, nIds, corpus.get, corpusIdCol))
+      else Some(recoverRows(idsNorm, nIds, corpus.get, corpusIdCol,
+        idSt.getLong(3), idSt.getLong(4)))
 
-    // store, type, nIds, removed, completedAtMs (Some = replayed record)
+    // store, type, nIds, removed, completedAtMs (Some = replayed record).
+    // Appends are synchronized (the index deletes run concurrently) and
+    // the view is emitted in the canonical store order below, so the
+    // returned frame is byte-identical to the sequential formulation.
     val results = scala.collection.mutable.ListBuffer
       .empty[(String, String, Long, Long, Option[Long])]
     def complete(store: String, storeType: String, removed: Long): Unit = {
@@ -276,7 +301,7 @@ object Takedown {
           runId = s"$requestId-$storeType")
       graft.core.LogBuffer.append(
         s"Takedown[$requestId]: $storeType complete at $store, $removed rows removed")
-      results += ((store, storeType, nIds, removed, None))
+      results.synchronized { results += ((store, storeType, nIds, removed, None)) }
     }
     // committed stores are UNTOUCHED on resume: their recorded row
     // replays into the view, no mutation, no duplicate audit record
@@ -286,8 +311,10 @@ object Takedown {
           graft.core.LogBuffer.append(
             s"Takedown[$requestId]: $storeType already committed at " +
               s"${c.store} (${c.rowsRemoved} rows) — resume skips it")
-          results += ((c.store, storeType, c.nIds, c.rowsRemoved,
-            Some(c.completedAtMs)))
+          results.synchronized {
+            results += ((c.store, storeType, c.nIds, c.rowsRemoved,
+              Some(c.completedAtMs)))
+          }
         case None => complete(uri, storeType, exec)
       }
 
@@ -308,19 +335,51 @@ object Takedown {
       NaiveBayes.unlearn(recovered.get, textCol, labelCol, modelURI)
       before - docs()
     }
-    runStore(minhashURI, "minhash") {
-      val (b, s, e) = MinhashIndex.delete(spark, minhashURI, idsNorm)
-      b + s + e
+    // The four index deletes are independent single-writer directory
+    // trees — run them CONCURRENTLY (guide §2.6: overlap independent
+    // jobs; each delete is dozens of tiny driver-latency-bound actions,
+    // and running them back to back serialized that latency four times
+    // over). Each store remains individually atomic and individually
+    // audited; a failure in one store no longer stops the others from
+    // committing cleanly, and either way the consolidated trail records
+    // exactly the committed set — the contract resume replays. The first
+    // failure is rethrown after every store settles.
+    val indexStores: Seq[(String, String, () => Long)] = Seq(
+      (minhashURI, "minhash", () => {
+        val (b, s, e) = MinhashIndex.delete(spark, minhashURI, idsNorm)
+        b + s + e
+      }),
+      (spanURI, "span", () => SpanIndex.delete(spark, spanURI, idsNorm)),
+      (semURI, "sem", () => SemIndex.delete(spark, semURI, idsNorm)),
+      (ivfURI, "ivf", () => IvfIndex.delete(spark, ivfURI, idsNorm)))
+    val active = indexStores.filter(_._1.nonEmpty)
+    if (active.size <= 1)
+      active.foreach { case (uri, tpe, exec) => runStore(uri, tpe)(exec()) }
+    else {
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(active.size)
+      try {
+        active.map { case (uri, tpe, exec) =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try runStore(uri, tpe)(exec())
+              catch { case t: Throwable => err.compareAndSet(null, t) }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      if (err.get() != null) throw err.get()
     }
-    runStore(spanURI, "span")(SpanIndex.delete(spark, spanURI, idsNorm))
-    runStore(semURI, "sem")(SemIndex.delete(spark, semURI, idsNorm))
-    runStore(ivfURI, "ivf")(IvfIndex.delete(spark, ivfURI, idsNorm))
 
+    // canonical store order regardless of completion order — the view is
+    // byte-identical to the sequential formulation's
+    val storeOrder = Seq("wordcounts", "classifier", "minhash", "span",
+      "sem", "ivf").zipWithIndex.toMap
     val now = System.currentTimeMillis()
-    val rows = results.toList.map { case (store, tpe, n, removed, at) =>
-      org.apache.spark.sql.Row(store, tpe, n, removed, requestId,
-        at.getOrElse(now))
-    }
+    val rows = results.toList.sortBy(r => storeOrder(r._2))
+      .map { case (store, tpe, n, removed, at) =>
+        org.apache.spark.sql.Row(store, tpe, n, removed, requestId,
+          at.getOrElse(now))
+      }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, viewSchema)
   }

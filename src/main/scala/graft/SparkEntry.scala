@@ -2409,7 +2409,7 @@ object SparkEntry {
       // IVF legs: a query vector IS a corpus vector, so its own id must
       // appear among its exhaustive-probe neighbors (cosine 1.0) exactly
       // while it is indexed
-      def ivfFound(pass: Int) = Seq("flat", "pq").map { tier =>
+      def ivfLeg(pass: Int, tier: String) = {
         val hits = tier match {
           case "flat" => IvfIndex.topK(queries, "vec_id", "embedding", ivfDir,
             k = 3, nprobe = 4)
@@ -2422,7 +2422,7 @@ object SparkEntry {
             Seq("vec_id"), "left")
           .select(col("vec_id"), lit(pass).as("pass"), lit(s"ivf_$tier").as("tier"),
             col("_hit").isNotNull.as("found"))
-      }.reduce(_ unionByName _)
+      }
       // Sem leg: a verbatim copy (fresh id) of an INDEXED vector dies in
       // dedup (cosine 1.0 ≥ tau); "found" = the index still knows it
       def semFound(pass: Int) = {
@@ -2434,12 +2434,40 @@ object SparkEntry {
           .select((col("vec_id") - 10000L).as("vec_id"), lit(pass).as("pass"),
             lit("sem").as("tier"), col("_kid").isNull.as("found"))
       }
+      // Building the three legs runs eager driver actions per leg
+      // (centroid/codebook reads, probed-list collects, assignment
+      // collects) — construct them concurrently (guide §2.6) so those
+      // tiny jobs overlap; the frames and their union are unchanged
+      def legsOf(pass: Int): DataFrame = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try Seq(
+            scala.concurrent.Future(ivfLeg(pass, "flat")),
+            scala.concurrent.Future(ivfLeg(pass, "pq")),
+            scala.concurrent.Future(semFound(pass)))
+          .map(scala.concurrent.Await.result(_,
+            scala.concurrent.duration.Duration.Inf))
+          .reduce(_ unionByName _)
+        finally pool.shutdown()
+      }
       // pass 1 PINNED before the takedown rewrites the index files
-      val pass1 = graft.core.Lineage.pin(ivfFound(1).unionByName(semFound(1)))
-      val removedIvf = IvfIndex.delete(spark, ivfDir, victims.select("vec_id"))
-      val removedSem = SemIndex.delete(spark, semDir, victims.select("vec_id"))
+      val pass1 = graft.core.Lineage.pin(legsOf(1))
+      // the two deletes are independent single-writer stores — concurrent,
+      // like Takedown.run's index fan-out
+      val delPool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val delEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(delPool)
+      val (removedIvf, removedSem) = try {
+        val fi = scala.concurrent.Future(
+          IvfIndex.delete(spark, ivfDir, victims.select("vec_id")))(delEc)
+        val fse = scala.concurrent.Future(
+          SemIndex.delete(spark, semDir, victims.select("vec_id")))(delEc)
+        (scala.concurrent.Await.result(fi, scala.concurrent.duration.Duration.Inf),
+          scala.concurrent.Await.result(fse, scala.concurrent.duration.Duration.Inf))
+      } finally delPool.shutdown()
       val deletesOk = removedIvf == nVictims && removedSem == nVictims
-      val pass2 = ivfFound(2).unionByName(semFound(2))
+      val pass2 = legsOf(2)
       pass1.unionByName(pass2)
         .withColumn("expect_found",
           col("pass") === 1 || col("vec_id") % 7 === 3)

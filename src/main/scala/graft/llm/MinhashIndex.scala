@@ -206,14 +206,30 @@ object MinhashIndex {
     val spark = newDf.sparkSession
     val p = readParams(spark, path)
     val numHashes = p.bands * p.rowsPerBand
-    val corpusBands = spark.read.parquet(s"$path/bands")
-    val corpusSh = spark.read.parquet(s"$path/shingles")
-    val newSig = newDf
+    val signed = newDf
       .select(col(idCol).cast("long").as("_nid"),
         Dedup.hashedShingles(col(textCol), p.shingleLen).as("_nsh"))
       .filter(size(col("_nsh")) > 0)
       .withColumn("_sig", Dedup.minhashSignature(col("_nsh"), numHashes))
       .repartition(col("_nid"))
+    lshMatchesSigned(spark, signed, path, threshold, maxCandidatesPerDoc, p)
+  }
+
+  /** [[lshMatches]] over a PRE-SIGNED batch — (_nid, _nsh, _sig) already
+    * computed and materialized by the caller. [[ingest]] shares ONE
+    * shingle+signature pass across the exact tier, this probe, the
+    * batch-internal pairs and the appends; the query path wraps it above. */
+  private def lshMatchesSigned(
+      spark: SparkSession,
+      signed: DataFrame,
+      path: String,
+      threshold: Double,
+      maxCandidatesPerDoc: Int,
+      p: Params
+  ): DataFrame = {
+    val corpusBands = spark.read.parquet(s"$path/bands")
+    val corpusSh = spark.read.parquet(s"$path/shingles")
+    val newSig = signed.filter(size(col("_nsh")) > 0)
     val newBands = newSig.select(
       col("_nid"),
       posexplode(Dedup.bandKeys(col("_sig"), p.bands, p.rowsPerBand)).as(Seq("_band", "_bucket")))
@@ -339,28 +355,65 @@ object MinhashIndex {
         s"watermark (${p.maxId}) — a previous ingest crashed between its " +
         "appends and the watermark write. Rebuild with MinhashIndex.write " +
         "or remove the partial batch's rows before ingesting")
-    // (a) vs the index
-    val vsIndex = dedupAgainst(newDf, idCol, textCol, path, threshold, maxCandidatesPerDoc)
-    // (b) batch-internal near-dups, same banding as the index; (c) batch-
-    // internal verbatim copies (catches shingle-empty short docs too)
-    val nearLosers = Dedup.minhashPairs(newDf, idCol, textCol,
-        p.shingleLen, p.bands, p.rowsPerBand, threshold, p.maxBucketSize)
-      .select(col("idB").cast("long").as(idCol))
-    val exactLosers = newDf
-      .select(col(idCol).cast("long").as(idCol), xxhash64(col(textCol)).as("_fp"))
-      .withColumn("_min", min(col(idCol)).over(Window.partitionBy("_fp")))
-      .filter(col(idCol) =!= col("_min"))
-      .select(idCol)
-    val survivors = graft.core.Lineage.pin(
-      vsIndex.join(nearLosers.unionByName(exactLosers).distinct(),
-        Seq(idCol), "left_anti"))
-    // append the survivors' rows in the write() layout
     val numHashes = p.bands * p.rowsPerBand
-    val withSig = graft.core.Lineage.pin(survivors
-      .select(col(idCol).cast("long").as("_id"),
-        Dedup.hashedShingles(col(textCol), p.shingleLen).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .withColumn("_sig", Dedup.minhashSignature(col("_sh"), numHashes)))
+    // ONE shingle+signature pass over the batch, pinned: the exact tier,
+    // the LSH probe, the batch-internal pairs AND the appends all read
+    // these columns — the previous formulation recomputed the shingle
+    // hashing three times and the numHashes-way signature twice per batch
+    // doc, the dominant per-row compute of an ingest at production batch
+    // sizes (guide §1.2: per-task work, computed once).
+    val batchAll = graft.core.Lineage.pin(
+      newDf.select(col(idCol).cast("long").as("_nid"),
+          xxhash64(col(textCol)).as("_fp"),
+          Dedup.hashedShingles(col(textCol), p.shingleLen).as("_nsh"))
+        .withColumn("_sig",
+          when(size(col("_nsh")) > 0,
+            Dedup.minhashSignature(col("_nsh"), numHashes))))
+    // (a) vs the index — exact-fingerprint tier first ([[dedupAgainst]]'s
+    // shape). The LSH probe runs over EVERY batch doc rather than the
+    // exact tier's survivors: a doc the exact tier killed contributes
+    // probe rows the final anti-join discards, and the per-doc candidate
+    // caps are per-doc windows — the loser UNION is identical either way.
+    val exactLosersIdx = batchAll
+      .join(spark.read.parquet(s"$path/exact").select("_fp"), Seq("_fp"), "left_semi")
+      .select(col("_nid").as(idCol))
+    val nearLosersIdx = lshMatchesSigned(spark,
+        batchAll.select(col("_nid"), col("_nsh"), col("_sig")),
+        path, threshold, maxCandidatesPerDoc, p)
+      .select(col("new_id").as(idCol))
+    // (b) batch-internal near-dups, same banding as the index (the
+    // [[Dedup.minhashPairsFromHashedShingles]] pipeline over the pinned
+    // signatures); (c) batch-internal verbatim copies (catches
+    // shingle-empty short docs too)
+    val bandedAll = batchAll.filter(size(col("_nsh")) > 0)
+      .select(col("_nid").as("_id"),
+        posexplode(Dedup.bandKeys(col("_sig"), p.bands, p.rowsPerBand))
+          .as(Seq("_band", "_bucket")))
+    val shingleSets = batchAll.select(col("_nid"), col("_nsh"))
+    val nearLosersBatch = Dedup
+      .bucketCandidates(bandedAll, Seq("_band", "_bucket"), "_id", p.maxBucketSize)
+      .join(shingleSets.select(col("_nid").as("idA"), col("_nsh").as("_shA")), Seq("idA"))
+      .join(shingleSets.select(col("_nid").as("idB"), col("_nsh").as("_shB")), Seq("idB"))
+      .filter(Dedup.jaccard(col("_shA"), col("_shB")) >= threshold)
+      .select(col("idB").cast("long").as(idCol))
+    val exactLosersBatch = batchAll
+      .withColumn("_min", min(col("_nid")).over(Window.partitionBy("_fp")))
+      .filter(col("_nid") =!= col("_min"))
+      .select(col("_nid").as(idCol))
+    val survivors = graft.core.Lineage.pin(
+      newDf.join(
+        exactLosersIdx.unionByName(nearLosersIdx)
+          .unionByName(nearLosersBatch).unionByName(exactLosersBatch)
+          .distinct(),
+        Seq(idCol), "left_anti"))
+    // append the survivors' rows in the write() layout — shingles and
+    // signatures read back from the pinned batch pass, never recomputed
+    val withSig = graft.core.Lineage.pin(
+      batchAll
+        .join(survivors.select(col(idCol).cast("long").as("_nid")),
+          Seq("_nid"), "left_semi")
+        .filter(size(col("_nsh")) > 0)
+        .select(col("_nid").as("_id"), col("_nsh").as("_sh"), col("_sig")))
     val banded = withSig.select(
       col("_id"),
       posexplode(Dedup.bandKeys(col("_sig"), p.bands, p.rowsPerBand)).as(Seq("_band", "_bucket")))
@@ -385,8 +438,10 @@ object MinhashIndex {
       nSig)
       .write.mode("append").partitionBy("_p").parquet(s"$path/shingles")
     IndexCompact.coalesceForAppend(
-      survivors
-        .select(xxhash64(col(textCol)).as("_fp"), col(idCol).cast("long").as("_id"))
+      batchAll
+        .join(survivors.select(col(idCol).cast("long").as("_nid")),
+          Seq("_nid"), "left_semi")
+        .select(col("_fp"), col("_nid").as("_id"))
         .withColumn("_p", pmod(col("_id"), lit(p.idPartitions))),
       nSig)
       .write.mode("append").partitionBy("_p").parquet(s"$path/exact")
